@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Baseline: brute-force cosine top-k — the query side is a 1-row (or
+  * few-row) broadcast, so the candidate table is scanned once, never
+  * shuffled, and the top-k is a TakeOrdered (no global sort).
+  *
+  * Scale path: IVF-style pruning — candidates are joined only within a
+  * coarse partition (here the `label` column stands in for a centroid
+  * assignment), cutting the candidate set by the number of partitions.
+  * At 100 TB the same shape holds: partition the vector table by centroid
+  * id, broadcast the probes, and the per-probe work is one partition.
+  */
+object Similarity {
+
+  /** Cosine similarity between two `array<float>` columns, computed as a
+    * sequential double fold (deterministic), rounded to 6 dp so the value
+    * is stable across engines/summation orders. */
+  def cosine(aCol: String, bCol: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    round(dot(aCol, bCol) / (sqrt(dot(aCol, aCol)) * sqrt(dot(bCol, bCol))), 6)
+  }
+
+  /** Brute-force cosine top-k neighbors of one query vector. */
+  def knn(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine("embedding", "q_emb").as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style top-1 neighbor per probe vector, searching only the probe's
+    * coarse partition (`label`). */
+  def ivfTop1(emb: DataFrame, probePred: Column): DataFrame = {
+    val probes = emb.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
+    val cands = emb
+      .select(col("vec_id").as("c_id"), col("label"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(cands, Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("label"), col("c_id"), cosine("c_emb", "q_emb").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("q_id", "label", "c_id", "sim")
+      .orderBy("q_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, searched
+    * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine("a_emb", "b_emb").as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+}

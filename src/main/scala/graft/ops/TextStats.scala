@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting (whitespace + BPE-ish regex), quality scoring,
+  * n-gram-marker language ID, and rolling document fingerprints.
+  *
+  * All pure `Column` expressions (whole-stage codegen, no UDFs); integer
+  * arithmetic wherever cross-engine bit-determinism matters.
+  */
+object TextStats {
+
+  /** Whitespace token count of a text column. */
+  def wsTokens(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Per-language token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+        col("lang"),
+        wsTokens(col("text")).as("ws_toks"),
+        bpeTokens(col("text")).as("bpe_toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("sum_ws"),
+        sum(col("bpe_toks")).as("sum_bpe"))
+      .withColumn("avg_ws", round(col("sum_ws").cast("double") / col("n_docs"), 2))
+      .orderBy("lang")
+
+  /** Quality score in [0,1]: alpha ratio + length credit − punctuation
+    * penalty. The exact operation order is mirrored by the DuckDB oracle. */
+  def qualityScore(text: Column): Column = {
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
+    val wtok  = wsTokens(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.,!?]", "")).cast("double")
+    lit(0.5) * alpha +
+      lit(0.3) * least(lit(1.0), wtok / lit(100.0)) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), punct / lit(50.0)))
+  }
+
+  /** Histogram of quality-score deciles. */
+  def qualityBuckets(docs: DataFrame): DataFrame =
+    docs.select(floor(qualityScore(col("text")) * 10).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Marker-word occurrence count: `(len(t) − len(replace(t, m, ''))) / len(m)`
+    * — integer-valued, hence bit-deterministic. */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))
+      .cast("long")
+
+  /** N-gram-marker language ID: priority chain over marker hits, compared
+    * against the labeled `lang` column. */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val predicted =
+      when(markerCount(t, "的") > 0, "zh")
+        .when(markerCount(t, " der ") > 0, "de")
+        .when(markerCount(t, " le ") > 0, "fr")
+        .when(markerCount(t, " el ") > 0, "es")
+        .when(markerCount(t, " the ") > 0, "en")
+        .otherwise(lit("unknown"))
+    docs.select(col("lang"), predicted.as("predicted"),
+        markerCount(t, " the ").as("occ_the"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"), sum(col("occ_the")).as("sum_the"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Deterministic integer document fingerprint (rolling-hash style over
+    * cheap structural features; pure int64 arithmetic). */
+  def fingerprint(textCol: String, nChars: Column): Column = {
+    val t = col(textCol)
+    (nChars * lit(1000003L) +
+      (length(t) - length(replace(t, lit(" "), lit("")))) * lit(10007L) +
+      ascii(substring(t, 1, 1)) * lit(101L) +
+      expr(s"ascii(substr($textCol, length($textCol), 1))")) % lit(1000000007L)
+  }
+}
