@@ -1,0 +1,116 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.IcebergTable
+import graft.ops._
+import graft.rel.MetaRelations
+
+/** Command facade mirroring the reference CLI verbs (ref `cli.py`):
+  * `list-tables`, `summary`, `health`, `files`, `snapshots`, `manifests`,
+  * `partitions`, `schema`, `diff`, `namespace`/`warehouse` overviews,
+  * `watch` — each returning lazy DataFrames; sinks at the edge
+  * (ref `output.py:49-60` JSON/CSV).
+  *
+  * Tables are addressed as `<namespace>.<table>` under a warehouse
+  * directory (`<warehouse>/<ns>/<table>/metadata/v*.metadata.json`).
+  */
+final class Engine(spark: SparkSession, warehouseDir: String) {
+
+  def tableDir(ref: String): String = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
+    s"$warehouseDir/${parts(0)}/${parts(1)}"
+  }
+
+  def load(ref: String): IcebergTable = IcebergTable.load(tableDir(ref))
+
+  /** S2 — namespace walk. */
+  def listTables(): DataFrame =
+    Overview.tableFacts(spark, warehouseDir).select("namespace", "table_name")
+      .orderBy("namespace", "table_name")
+
+  /** A8 — one-row table summary (ref `formatters.py:940-979`). */
+  def summary(ref: String): DataFrame = {
+    val t = load(ref)
+    val files = MetaRelations.files(spark, t)
+    val md = t.metadata
+    files.agg(
+        count(lit(1)).as("file_count"),
+        coalesce(sum(col("record_count")), lit(0L)).as("total_records"),
+        coalesce(sum(col("file_size_in_bytes")), lit(0L)).as("total_bytes"),
+        countDistinct(col("partition")).as("partition_count"))
+      .withColumn("table_name", lit(ref))
+      .withColumn("format_version", lit(md.formatVersion))
+      .withColumn("snapshot_count", lit(md.snapshots.size))
+      .withColumn("field_count", lit(md.currentSchema.fields.size))
+      .withColumn("last_updated_ms", lit(md.lastUpdatedMs))
+  }
+
+  /** W1 — recent operations: newest 5 snapshots (ref `formatters.py:952-965`). */
+  def recentOps(ref: String): DataFrame =
+    Rollups.topK(
+      snapshots(ref).select("snapshot_id", "timestamp_ms", "operation"),
+      5, col("timestamp_ms").desc, col("snapshot_id"))
+
+  def files(ref: String, snapshotId: Option[Long] = None): DataFrame =
+    MetaRelations.files(spark, load(ref), snapshotId)
+
+  def snapshots(ref: String): DataFrame =
+    MetaRelations.snapshots(spark, load(ref))
+
+  def manifests(ref: String, snapshotId: Option[Long] = None): DataFrame =
+    MetaRelations.manifests(spark, load(ref), snapshotId)
+
+  def partitions(ref: String): DataFrame =
+    MetaRelations.partitions(files(ref))
+
+  def schemaHistory(ref: String): DataFrame =
+    MetaRelations.schemas(spark, load(ref))
+
+  /** J2 — diff two schema versions by field id (ref `tui/widgets.py:310-350`). */
+  def schemaDiff(ref: String, oldId: Int, newId: Int): DataFrame = {
+    val all = schemaHistory(ref)
+    SchemaDiff.diff(
+        all.filter(col("schema_id") === oldId)
+          .select(col("field_id"),
+            concat_ws(":", col("field_name"), col("field_type"), col("required"))
+              .as("attr")),
+        all.filter(col("schema_id") === newId)
+          .select(col("field_id"),
+            concat_ws(":", col("field_name"), col("field_type"), col("required"))
+              .as("attr")),
+        "field_id", "attr")
+      .orderBy("field_id")
+  }
+
+  /** The flagship health report; `files` is cached across sections. */
+  def health(ref: String): HealthReport = {
+    val t = load(ref)
+    val f = MetaRelations.files(spark, t).cache()
+    MetaHealth.report(spark, t, f)
+  }
+
+  def diff(ref: String, snap1: Long, snap2: Long): DiffReport =
+    MetaDiff.diff(spark, load(ref), snap1, snap2)
+
+  def namespaceOverview(): DataFrame =
+    Overview.namespaceRollup(Overview.tableFacts(spark, warehouseDir))
+
+  def warehouseOverview(): DataFrame =
+    Overview.warehouseRollup(Overview.tableFacts(spark, warehouseDir))
+
+  def watchPoll(ref: String, seen: Set[Long]): Watch.Poll =
+    Watch.poll(spark, tableDir(ref), seen)
+
+  // ---- sinks (ref output.py:49-60) ----
+
+  /** S9 — JSON lines sink. */
+  def toJson(df: DataFrame, outDir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(outDir)
+
+  /** S10 — CSV sink with header. */
+  def toCsv(df: DataFrame, outDir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(outDir)
+}

@@ -1,0 +1,170 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** In-memory model + JSON (de)serialization of the Iceberg table-metadata
+  * document (format-version 2 subset).
+  *
+  * The reference consumes this document through pyiceberg
+  * (ref `formatters.py:62-74` table facts, `:156-173` snapshots,
+  * `:119-150` schemas, `:106-113` partition specs, `:1350-1360` snapshot
+  * summary totals). No Iceberg runtime jar ships in this environment, so we
+  * parse the metadata JSON directly with Jackson's tree API (no
+  * data-binding modules needed). Writing is only used by the deterministic
+  * fixture generator ([[graft.fixtures.FixtureWriter]]).
+  */
+final case class SchemaField(id: Int, name: String, required: Boolean, fieldType: String)
+final case class IceSchema(schemaId: Int, fields: Seq[SchemaField])
+final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
+final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    timestampMs: Long,
+    operation: String,
+    summary: Map[String, String],
+    manifestList: String)
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastUpdatedMs: Long,
+    currentSchemaId: Int,
+    schemas: Seq[IceSchema],
+    defaultSpecId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot]) {
+
+  def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def currentSpec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId).get
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+}
+
+object IcebergMeta {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    def strMap(node: JsonNode): Map[String, String] =
+      if (node == null || node.isMissingNode) Map.empty
+      else node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+    val schemas = n.path("schemas").elements().asScala.map { s =>
+      IceSchema(
+        s.path("schema-id").asInt(),
+        s.path("fields").elements().asScala.map { f =>
+          SchemaField(
+            f.path("id").asInt(), f.path("name").asText(),
+            f.path("required").asBoolean(), f.path("type").asText())
+        }.toSeq)
+    }.toSeq
+
+    val specs = n.path("partition-specs").elements().asScala.map { s =>
+      PartitionSpec(
+        s.path("spec-id").asInt(),
+        s.path("fields").elements().asScala.map { f =>
+          SpecField(
+            f.path("name").asText(), f.path("transform").asText(),
+            f.path("source-id").asInt(), f.path("field-id").asInt())
+        }.toSeq)
+    }.toSeq
+
+    val snaps = n.path("snapshots").elements().asScala.map { s =>
+      Snapshot(
+        s.path("snapshot-id").asLong(),
+        Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
+        s.path("timestamp-ms").asLong(),
+        s.path("summary").path("operation").asText("append"),
+        strMap(s.path("summary")),
+        s.path("manifest-list").asText())
+    }.toSeq
+
+    TableMetadata(
+      n.path("format-version").asInt(),
+      n.path("table-uuid").asText(),
+      n.path("location").asText(),
+      n.path("last-updated-ms").asLong(),
+      n.path("current-schema-id").asInt(),
+      schemas,
+      n.path("default-spec-id").asInt(),
+      specs,
+      strMap(n.path("properties")),
+      Option(n.get("current-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
+      snaps)
+  }
+
+  def render(md: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", md.formatVersion)
+    root.put("table-uuid", md.tableUuid)
+    root.put("location", md.location)
+    root.put("last-updated-ms", md.lastUpdatedMs)
+    root.put("current-schema-id", md.currentSchemaId)
+    val schemasArr = root.putArray("schemas")
+    md.schemas.foreach { s =>
+      val sn = schemasArr.addObject()
+      sn.put("type", "struct")
+      sn.put("schema-id", s.schemaId)
+      val fa = sn.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fa.addObject()
+        fn.put("id", f.id); fn.put("name", f.name)
+        fn.put("required", f.required); fn.put("type", f.fieldType)
+      }
+    }
+    root.put("default-spec-id", md.defaultSpecId)
+    val specArr = root.putArray("partition-specs")
+    md.partitionSpecs.foreach { s =>
+      val sn = specArr.addObject()
+      sn.put("spec-id", s.specId)
+      val fa = sn.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = fa.addObject()
+        fn.put("name", f.name); fn.put("transform", f.transform)
+        fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      }
+    }
+    val props = root.putObject("properties")
+    md.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    md.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
+    val snapArr = root.putArray("snapshots")
+    md.snapshots.foreach { s =>
+      val sn = snapArr.addObject()
+      sn.put("snapshot-id", s.snapshotId)
+      s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
+      sn.put("timestamp-ms", s.timestampMs)
+      val sum = sn.putObject("summary")
+      sum.put("operation", s.operation)
+      s.summary.filterNot(_._1 == "operation").toSeq.sortBy(_._1)
+        .foreach { case (k, v) => sum.put(k, v) }
+      sn.put("manifest-list", s.manifestList)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Resolve the latest metadata file in `<tableDir>/metadata/`
+    * (highest v<N>.metadata.json). */
+  def latestMetadataPath(tableDir: String): Path = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    val versions = Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      .toSeq
+    require(versions.nonEmpty, s"no metadata files under $metaDir")
+    versions.maxBy(p => p.getFileName.toString.stripPrefix("v")
+      .stripSuffix(".metadata.json").toInt)
+  }
+
+  def load(tableDir: String): TableMetadata =
+    parse(new String(Files.readAllBytes(latestMetadataPath(tableDir)),
+      StandardCharsets.UTF_8))
+}

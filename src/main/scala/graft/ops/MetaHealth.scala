@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.IcebergDecode
+import graft.meta.IcebergTable
+import graft.rel.MetaRelations
+
+/** The multi-section table-health report (ref `collect_table_health`,
+  * `formatters.py:375-660`) composed from the generic operators in
+  * [[Health]] / [[Overlap]] over the metadata relations. Each section is a
+  * lazy DataFrame; the `files` relation is built once and cached by the
+  * caller if several sections will run (the reference re-scans per panel —
+  * SURVEY §3.3 — we share the scan).
+  */
+final case class HealthReport(
+    fileStats: DataFrame,
+    manifestCensus: DataFrame,
+    partitionStats: DataFrame,
+    nullRates: DataFrame,
+    columnShare: DataFrame,
+    columnBounds: DataFrame,
+    overlap: DataFrame)
+
+object MetaHealth {
+
+  val SmallFileBytes: Long = 32L * 1024 * 1024 // ref formatters.py:340
+
+  /** A1/A2 — file-size stats + small-file count in one pass. */
+  def fileStats(files: DataFrame): DataFrame =
+    files.agg(
+        count(lit(1)).as("file_count"),
+        min(col("file_size_in_bytes")).as("min_bytes"),
+        max(col("file_size_in_bytes")).as("max_bytes"),
+        round(median(col("file_size_in_bytes")), 2).as("med_bytes"),
+        sum(col("file_size_in_bytes")).as("total_bytes"),
+        sum(when(col("file_size_in_bytes") < SmallFileBytes, 1L).otherwise(0L))
+          .as("small_files"))
+      .withColumn("avg_bytes",
+        round(col("total_bytes").cast("double") / col("file_count"), 2))
+      .withColumn("small_file_warning", col("small_files") > col("file_count") / 2)
+
+  /** A3 — manifest content census + compaction flag
+    * (ref `formatters.py:446-462`). */
+  def manifestCensus(manifests: DataFrame): DataFrame =
+    manifests.agg(
+        sum(when(col("content") === 0, 1L).otherwise(0L)).as("data_manifests"),
+        sum(when(col("content") =!= 0, 1L).otherwise(0L)).as("delete_manifests"),
+        count(lit(1)).as("total_manifests"))
+      .withColumn("compaction_recommended", col("delete_manifests") > 0)
+
+  /** A4/J6 — per-partition stats with skew flags
+    * (ref `formatters.py:485-514`). */
+  def partitionStats(files: DataFrame): DataFrame =
+    Health.skewFlags(
+      MetaRelations.partitions(files).withColumnRenamed("file_count", "cnt"),
+      "cnt")
+
+  /** A5 — per-column null rates from the stat maps: explode + one
+    * aggregate, map-side combinable (ref `formatters.py:522-559`). */
+  def nullRates(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+    val nulls = files
+      .select(explode(col("null_value_counts")).as(Seq("field_id", "nulls")))
+      .groupBy("field_id").agg(sum(col("nulls")).as("null_count"))
+    val values = files
+      .select(explode(col("value_counts")).as(Seq("field_id", "vals")))
+      .groupBy("field_id").agg(sum(col("vals")).as("value_count"))
+    nulls.join(values, "field_id")
+      .join(broadcast(schemaFields.select(col("field_id"), col("field_name"))), "field_id")
+      .withColumn("null_pct",
+        round(lit(100.0) * col("null_count") / col("value_count"), 4))
+      .orderBy("field_id")
+  }
+
+  /** A6 — per-column storage share, sorted desc
+    * (ref `formatters.py:561-573`). */
+  def columnShare(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+    val sizes = files
+      .select(explode(col("column_sizes")).as(Seq("field_id", "bytes")))
+      .groupBy("field_id").agg(sum(col("bytes")).as("total_bytes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    sizes
+      .withColumn("pct_of_total",
+        round(lit(100.0) * col("total_bytes") / sum(col("total_bytes")).over(w), 4))
+      .join(broadcast(schemaFields.select(col("field_id"), col("field_name"))), "field_id")
+      .orderBy(col("total_bytes").desc, col("field_id"))
+  }
+
+  /** A7 — per-column min/max bounds, decoded from the Iceberg single-value
+    * binary via [[IcebergDecode]] (ref `formatters.py:576-604`; primitive
+    * numeric types only, like the reference). */
+  def columnBounds(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+    val lower = files
+      .select(explode(col("lower_bounds")).as(Seq("field_id", "bin")))
+      .join(broadcast(schemaFields), "field_id")
+      .select(col("field_id"), col("field_name"),
+        IcebergDecode.decodeNum(col("field_type"), col("bin")).as("v"))
+      .groupBy("field_id", "field_name").agg(min(col("v")).as("min_value"))
+    val upper = files
+      .select(explode(col("upper_bounds")).as(Seq("field_id", "bin")))
+      .join(broadcast(schemaFields), "field_id")
+      .select(col("field_id"),
+        IcebergDecode.decodeNum(col("field_type"), col("bin")).as("v"))
+      .groupBy("field_id").agg(max(col("v")).as("max_value"))
+    lower.join(upper, "field_id")
+      .filter(col("min_value").isNotNull)
+      .orderBy("field_id")
+  }
+
+  /** J4/W6 — interval-overlap detection on the first partition-source
+    * column's decoded [lower, upper] ranges, with the reference's adaptive
+    * exact-vs-sweep switch (ref `formatters.py:606-658`). */
+  def overlap(spark: SparkSession, t: IcebergTable, files: DataFrame,
+      exactLimit: Long = 1000L): DataFrame = {
+    val specFields = t.metadata.currentSpec.fields
+    if (specFields.isEmpty) return spark.emptyDataFrame
+    val srcId = specFields.head.sourceId
+    val srcType = t.metadata.currentSchema.fields.find(_.id == srcId)
+      .map(_.fieldType).getOrElse("long")
+    val iv = files.select(
+        col("file_path").as("k"),
+        IcebergDecode.decodeNum(lit(srcType), col("lower_bounds")(srcId)).as("lo"),
+        IcebergDecode.decodeNum(lit(srcType), col("upper_bounds")(srcId)).as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+    Overlap.adaptive(iv, exactLimit)
+  }
+
+  /** Full health report; pass a cached `files` DataFrame to share the scan
+    * across sections. */
+  def report(spark: SparkSession, t: IcebergTable, files: DataFrame): HealthReport = {
+    val schemaFields = MetaRelations.schemas(spark, t)
+      .filter(col("schema_id") === t.metadata.currentSchemaId)
+      .select("field_id", "field_name", "field_type")
+    HealthReport(
+      fileStats = fileStats(files),
+      manifestCensus = manifestCensus(MetaRelations.manifests(spark, t)),
+      partitionStats = partitionStats(files),
+      nullRates = nullRates(files, schemaFields),
+      columnShare = columnShare(files, schemaFields),
+      columnBounds = columnBounds(files, schemaFields),
+      overlap = overlap(spark, t, files))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.rel
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.meta.IcebergTable
+
+/** The Iceberg metadata tree as Spark relations — the analog of
+  * Spark-Iceberg's `t.files` / `t.snapshots` / `t.manifests` /
+  * `t.partitions` metadata tables (ref pyiceberg `inspect.*`,
+  * `formatters.py:263-320`).
+  *
+  * Metadata volumes are small (thousands of rows for thousands of data
+  * files), so rows are parsed driver-side (Jackson + core Avro) and lifted
+  * with `createDataFrame`; all ANALYTICS over them stay distributed,
+  * declarative DataFrame transforms. At 100 TB of *data* the metadata tree
+  * is still MB-scale — this boundary is deliberate and documented
+  * (SURVEY §7.3): a DSv2 connector would add complexity with no pruning or
+  * parallelism to win at these row counts.
+  */
+object MetaRelations {
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("status", IntegerType, nullable = false),
+    StructField("partition", MapType(StringType, StringType), nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("column_sizes", MapType(IntegerType, LongType), nullable = false),
+    StructField("value_counts", MapType(IntegerType, LongType), nullable = false),
+    StructField("null_value_counts", MapType(IntegerType, LongType), nullable = false),
+    StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = false),
+    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = false)))
+
+  /** `files` relation, pinned to a snapshot (None = current). */
+  def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = t.files(snapshotId).map { e =>
+      Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
+        e.recordCount, e.fileSizeInBytes, e.columnSizes, e.valueCounts,
+        e.nullValueCounts, e.lowerBounds, e.upperBounds)
+    }
+    spark.createDataFrame(rows.asJava, filesSchema)
+  }
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_snapshot_id", LongType, nullable = true),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("summary", MapType(StringType, StringType), nullable = false),
+    StructField("manifest_list", StringType, nullable = false)))
+
+  def snapshots(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val rows = t.metadata.snapshots.map { s =>
+      Row(s.snapshotId, s.parentSnapshotId.map(Long.box).orNull, s.timestampMs,
+        s.operation, s.summary, s.manifestList)
+    }
+    spark.createDataFrame(rows.asJava, snapshotsSchema)
+  }
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("manifest_path", StringType, nullable = false),
+    StructField("manifest_length", LongType, nullable = false),
+    StructField("partition_spec_id", IntegerType, nullable = false),
+    StructField("content", IntegerType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false),
+    StructField("added_files_count", IntegerType, nullable = false),
+    StructField("existing_files_count", IntegerType, nullable = false),
+    StructField("deleted_files_count", IntegerType, nullable = false),
+    StructField("added_rows_count", LongType, nullable = false),
+    StructField("existing_rows_count", LongType, nullable = false),
+    StructField("deleted_rows_count", LongType, nullable = false)))
+
+  def manifests(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = t.manifests(snapshotId).map { m =>
+      Row(m.manifestPath, m.manifestLength, m.partitionSpecId, m.content,
+        m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount,
+        m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount,
+        m.deletedRowsCount)
+    }
+    spark.createDataFrame(rows.asJava, manifestsSchema)
+  }
+
+  val schemasSchema: StructType = StructType(Seq(
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("field_id", IntegerType, nullable = false),
+    StructField("field_name", StringType, nullable = false),
+    StructField("field_type", StringType, nullable = false),
+    StructField("required", BooleanType, nullable = false)))
+
+  /** Flattened schema history: one row per (schema version, field) —
+    * resolved by stable field id for evolution diffs (ref
+    * `tui/widgets.py:310-350`). */
+  def schemas(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val rows = for {
+      s <- t.metadata.schemas
+      f <- s.fields
+    } yield Row(s.schemaId, f.id, f.name, f.fieldType, f.required)
+    spark.createDataFrame(rows.asJava, schemasSchema)
+  }
+
+  /** S4 — per-partition stats derived from `files` (one shuffle on the
+    * partition key, ref `formatters.py:307-320`). */
+  def partitions(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files.groupBy(map_entries(col("partition")).cast("string").as("partition"))
+      .agg(
+        sum(col("record_count")).as("record_count"),
+        count(lit(1)).as("file_count"),
+        sum(col("file_size_in_bytes")).as("total_data_file_size_in_bytes"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+import graft.fixtures.FixtureWriter
+import graft.ops.Watch
+
+/** Fixture-backed engine invariants mirroring the reference's test suite
+  * (ref `dev/tests/test_health.py`, `test_diff.py`, `test_cli.py`). */
+class IcebergEngineSpec extends SparkSpec {
+
+  lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    FixtureWriter.writeDemo(spark, dir)
+    dir
+  }
+  lazy val engine = new Engine(spark, warehouse)
+
+  test("list-tables walks namespaces") {
+    val tables = engine.listTables().collect().map(r => s"${r.getString(0)}.${r.getString(1)}")
+    assert(tables.toSet == Set("sales.orders", "sales.customers", "analytics.events"))
+  }
+
+  test("orders health: file stats and manifest census are positive") {
+    // ref test_health.py:13-24
+    val h = engine.health("sales.orders")
+    val fs = h.fileStats.collect().head
+    assert(fs.getAs[Long]("file_count") > 0)
+    assert(fs.getAs[Long]("total_bytes") > 0)
+    val mc = h.manifestCensus.collect().head
+    assert(mc.getAs[Long]("data_manifests") > 0)
+    assert(mc.getAs[Long]("delete_manifests") == 0)
+  }
+
+  test("orders health: required order_id has null pct exactly 0.0") {
+    // ref test_health.py asserts order_id null-pct == 0.0
+    val h = engine.health("sales.orders")
+    val row = h.nullRates.filter(col("field_name") === "order_id").collect().head
+    assert(row.getAs[Double]("null_pct") == 0.0)
+  }
+
+  test("orders health: column share contains every column and sums to ~100") {
+    val h = engine.health("sales.orders")
+    val rows = h.columnShare.collect()
+    assert(rows.map(_.getAs[String]("field_name")).toSet.contains("amount"))
+    val pctSum = rows.map(_.getAs[Double]("pct_of_total")).sum
+    assert(math.abs(pctSum - 100.0) < 0.01)
+  }
+
+  test("orders health: decoded order_id bounds cover the overwritten id range") {
+    val h = engine.health("sales.orders")
+    val idRow = h.columnBounds.filter(col("field_name") === "order_id").collect().head
+    // after overwrite(1..15) the live set is exactly ids 1..15
+    assert(idRow.getAs[Double]("min_value") == 1.0)
+    assert(idRow.getAs[Double]("max_value") == 15.0)
+  }
+
+  test("snapshot pinning: pre-overwrite snapshot still sees 60 rows") {
+    val t = engine.load("sales.orders")
+    val snaps = t.metadata.snapshots.map(_.snapshotId)
+    val preOverwrite = engine.files("sales.orders", Some(snaps(2)))
+    val current = engine.files("sales.orders")
+    assert(preOverwrite.agg(sum("record_count")).collect().head.getLong(0) == 60L)
+    assert(current.agg(sum("record_count")).collect().head.getLong(0) == 15L)
+  }
+
+  test("diff: append snapshot has added>0 and deleted==0") {
+    // ref test_diff.py:10-26
+    val t = engine.load("sales.orders")
+    val ids = t.metadata.snapshots.map(_.snapshotId)
+    val d = engine.diff("sales.orders", ids(0), ids(1))
+    assert(d.added.count() > 0)
+    assert(d.deleted.count() == 0)
+    val net = d.totals.filter(col("side") === "net").collect().head
+    assert(net.getAs[Long]("files") > 0)
+  }
+
+  test("diff: overwrite snapshot both adds and deletes") {
+    val t = engine.load("sales.orders")
+    val ids = t.metadata.snapshots.map(_.snapshotId)
+    val d = engine.diff("sales.orders", ids(2), ids(3))
+    assert(d.added.count() > 0)
+    assert(d.deleted.count() > 0)
+    assert(d.operation == "overwrite")
+  }
+
+  test("diff: unknown snapshot id raises") {
+    intercept[NoSuchElementException] {
+      engine.diff("sales.orders", 1000L, 999999L)
+    }
+  }
+
+  test("schema evolution: customers v0→v1 diff reports the added fields") {
+    val diff = engine.schemaDiff("sales.customers", 0, 1).collect()
+    val byId = diff.map(r => r.getAs[Int]("field_id") -> r.getAs[String]("status")).toMap
+    assert(byId(4) == "added") // phone
+    assert(byId(5) == "added") // signup_date
+    assert(byId(1) == "same")
+  }
+
+  test("summary: one row with positive metrics and correct snapshot count") {
+    val s = engine.summary("analytics.events").collect().head
+    assert(s.getAs[Long]("file_count") > 0)
+    assert(s.getAs[Long]("total_records") == 75L)
+    assert(s.getAs[Int]("snapshot_count") == 3)
+  }
+
+  test("partitions: orders grouped by region partition") {
+    val parts = engine.partitions("sales.orders").collect()
+    assert(parts.length > 1) // multiple regions live after overwrite
+    assert(parts.map(_.getAs[Long]("record_count")).sum == 15L)
+  }
+
+  test("namespace + warehouse overview use summary totals (no manifest IO)") {
+    val ns = engine.namespaceOverview().collect()
+    assert(ns.map(_.getAs[String]("namespace")).toSet == Set("sales", "analytics"))
+    val wh = engine.warehouseOverview().collect()
+    val grand = wh.find(_.isNullAt(0)).get
+    assert(grand.getAs[Long]("table_count") == 3L)
+    // orders live 15 + customers 20 + events 75
+    assert(grand.getAs[Long]("total_records") == 110L)
+  }
+
+  test("watch: second poll flags only fresh snapshots") {
+    val dir = engine.tableDir("analytics.events")
+    val p1 = Watch.poll(spark, dir, Set.empty)
+    assert(p1.newSnapshots.count() == 3)
+    val p2 = Watch.poll(spark, dir, p1.seenIds)
+    assert(p2.newSnapshots.count() == 0)
+    val p3 = Watch.poll(spark, dir, p1.seenIds -- Set(p1.seenIds.max))
+    assert(p3.newSnapshots.count() == 1)
+  }
+
+  test("empty table: zero-file health sections stay consistent") {
+    // ref test_health.py:43-53
+    val dir = Files.createTempDirectory("graft-empty").toString
+    FixtureWriter.writeTable(spark, s"$dir/ns/empty",
+      Seq(Seq(FixtureWriter.ColSpec(1, "id", "long", required = true))),
+      None, Seq.empty)
+    val e2 = new Engine(spark, dir)
+    val s = e2.summary("ns.empty").collect().head
+    assert(s.getAs[Long]("file_count") == 0L)
+    assert(s.getAs[Long]("total_records") == 0L)
+  }
+
+  test("recent ops lists newest snapshots first") {
+    val ops = engine.recentOps("sales.orders").collect()
+    assert(ops.length == 4)
+    assert(ops.head.getAs[String]("operation") == "overwrite")
+  }
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit invariants for the generic operators: overlap dual-plan
+  * consistency (SURVEY §5 plan item 3), dedup/similarity behavior on
+  * synthetic in-test documents, and text statistics. */
+class OpsSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types._
+
+  private def intervalDf(iv: Seq[(String, Long, Long)]): DataFrame =
+    spark.createDataFrame(
+      iv.map { case (k, lo, hi) => Row(k, lo, hi) }.asJava,
+      StructType(Seq(
+        StructField("k", StringType), StructField("lo", LongType),
+        StructField("hi", LongType))))
+
+  test("overlap: theta-join pair count agrees with a driver-side O(N^2) oracle") {
+    val rng = new Random(7)
+    val iv = (0 until 120).map(i =>
+      (f"f$i%03d", rng.nextInt(1000).toLong, 0L)).map { case (k, lo, _) =>
+      (k, lo, lo + rng.nextInt(150).toLong)
+    }
+    val expected = (for {
+      a <- iv; b <- iv
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield 1).size.toLong
+    val got = Overlap.pairCount(intervalDf(iv)).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("overlap: sweep flags a subset consistent with pair membership") {
+    val rng = new Random(13)
+    val iv = (0 until 100).map { i =>
+      val lo = rng.nextInt(500).toLong
+      (f"f$i%03d", lo, lo + rng.nextInt(80).toLong)
+    }
+    val overlapKeys = (for {
+      a <- iv; b <- iv
+      if a._1 != b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield a._1).toSet
+    val flagged = Overlap.sweep(intervalDf(iv)).collect()
+      .filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    // every sweep-flagged interval genuinely overlaps something...
+    assert(flagged.subsetOf(overlapKeys))
+    // ...and overlaps exist iff the sweep found at least one
+    assert(flagged.nonEmpty == overlapKeys.nonEmpty)
+  }
+
+  test("overlap: adaptive picks exact count under the limit, sweep above") {
+    val iv = intervalDf(Seq(("a", 0L, 10L), ("b", 5L, 15L), ("c", 20L, 30L)))
+    assert(Overlap.adaptive(iv, exactLimit = 10).columns.contains("pairs_cnt"))
+    assert(Overlap.adaptive(iv, exactLimit = 2).columns.contains("overlapping_cnt"))
+  }
+
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("dedup: exact clusters find the planted duplicate") {
+    val docs = docsDf(Seq(
+      (1L, "the quick brown fox", "en", "a", 19L),
+      (2L, "THE QUICK BROWN FOX  ", "en", "b", 21L), // same after lower+trim
+      (3L, "something else entirely", "en", "a", 23L)))
+    val clusters = Dedup.exactClusters(docs).collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getAs[Long]("n_dups") == 2L)
+    assert(clusters.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("dedup: minhash candidates include near-identical docs and skip distinct ones") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val near = base.replace("kappa", "kappa2")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = docsDf(Seq(
+      (1L, base, "en", "a", base.length.toLong),
+      (2L, near, "en", "a", near.length.toLong),
+      (3L, far, "en", "a", far.length.toLong)))
+    val pairs = Dedup.minhashCandidates(spark, docs, numPerm = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("dedup: simhash of identical docs is identical, hamming 0") {
+    val docs = docsDf(Seq(
+      (1L, "spark iceberg metadata analytics engine", "en", "a", 39L),
+      (2L, "spark iceberg metadata analytics engine", "en", "b", 39L),
+      (3L, "completely different words here now", "en", "a", 35L)))
+    val pairs = Dedup.simhashCandidates(docs, maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val docs = docsDf(Seq(
+      (1L, "abcdefgh", "en", "a", 8L),
+      (2L, "abcdefgh", "en", "b", 8L)))
+    val j = Dedup.ngramJaccard(docs, 3).collect().head
+    assert(j.getAs[Double]("jaccard") == 1.0)
+  }
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]): DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("similarity: knn ranks the aligned vector first") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 0),
+      (3L, Seq(-1f, 0f, 0f), 0)))
+    val top = Similarity.knn(e, 0L, 2).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+    assert(top.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("similarity: ivf top-1 searches only the probe's partition") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.8f, 0.2f), 0),
+      (2L, Seq(1f, 0.001f), 1))) // closer, but different coarse partition
+    val rows = Similarity.ivfTop1(e, col("vec_id") === 0).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("c_id") == 1L)
+  }
+
+  test("text: quality score stays in [0,1] and tokens count correctly") {
+    val docs = docsDf(Seq(
+      (1L, "Clean prose with words.", "en", "a", 23L),
+      (2L, "!!!???...,,,", "en", "a", 12L)))
+    val scores = docs.select(TextStats.qualityScore(col("text")).as("s")).collect()
+    scores.foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+    val toks = docs.select(TextStats.wsTokens(col("text"))).collect().map(_.getInt(0))
+    assert(toks(0) == 4)
+  }
+
+  test("format: byte/compact/path formatting matches the reference shapes") {
+    import graft.expr.Format
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(512L, 2048L, 3145728L).toDF("b")
+      .select(Format.formatBytes(col("b")).as("s"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("512 B", "2.0 KB", "3.0 MB"))
+    val p = Seq("a/b/c.parquet", ("x/" * 40) + "file.parquet").toDF("p")
+      .select(Format.truncatePath(col("p")).as("s")).collect().map(_.getString(0))
+    assert(p(0) == "a/b/c.parquet")
+    assert(p(1) == ".../file.parquet")
+  }
+}
