@@ -12,11 +12,32 @@ object Bench {
     Sessions.required.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Untimed warmup: exercise the scan/agg/join/window code paths once so
+    // per-query timings measure steady state, not first-use JIT + codegen
+    // compilation of the whole engine.
+    {
+      import org.apache.spark.sql.functions._
+      spark.range(1000).agg(sum(col("id"))).count()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.filter(col("l_quantity") > 0).groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice"))).count()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_orderkey")
+      li.withColumn("rn", row_number().over(w)).count()
     }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -29,7 +29,8 @@ object Dedup {
       .filter(col("n_dups") > 1)
       .orderBy("digest")
 
-  /** Word 3-shingles of the lower-cased text (distinct per doc). */
+  /** Word 3-shingles of the lower-cased text (deduped downstream on the
+    * shingle hash, so no string-keyed distinct here). */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -37,7 +38,6 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("shingle"))
-      .distinct()
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -58,15 +58,18 @@ object Dedup {
     }
     val permDf = spark.createDataFrame(perms).toDF("j", "pa", "pb")
 
+    // hash shingles BEFORE distinct so the dedup shuffle moves (long, long)
+    // keys, never the shingle strings
     val sigs = shingles(docs)
-      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL))
+      .select(col("doc_id"), xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL).as("h"))
+      .distinct()
       .crossJoin(broadcast(permDf))
       .withColumn("ph", col("pa") * col("h") + col("pb"))
       .groupBy("doc_id", "j")
       .agg(min(col("ph")).as("mh"))
       .withColumn("band", (col("j") / lit(rowsPerBand)).cast("int"))
       .groupBy("doc_id", "band")
-      .agg(hash(sort_array(collect_list(struct(col("j"), col("mh"))))).as("band_sig"))
+      .agg(hash(sort_array(collect_list(col("mh")))).as("band_sig"))
 
     val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
@@ -77,21 +80,24 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash per document, computed in ONE aggregate pass: for each
-    * bit, the signed sum of token-hash bit contributions. */
+  /** 64-bit SimHash per document: per token-hash, ±1 contributions per bit
+    * (unpivoted to (doc_id, bit) rows — a 64-wide single-pass aggregate
+    * generates pathological whole-stage codegen, so the narrow explode +
+    * two map-side-combinable aggregates is both faster to compile and
+    * scales: the (doc_id, bit) partial sums combine before the shuffle). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"b$i")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bits = toks.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 63), i -> " +
+          "CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)"))
+        .as(Seq("bit", "pm")))
+    bits.groupBy("doc_id", "bit").agg(sum(col("pm")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
   }
 
   /** SimHash near-duplicate candidate pairs within a probe set, by Hamming

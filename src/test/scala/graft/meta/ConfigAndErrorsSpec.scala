@@ -1,0 +1,41 @@
+package graft.meta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Errors
+
+class ConfigAndErrorsSpec extends AnyFunSuite {
+
+  test("placeholder expansion substitutes env vars and blanks unknowns") {
+    val env = Map("WH" -> "/data/wh", "TOKEN" -> "s3cr3t")
+    assert(CatalogConfig.expand("${WH}/tables", env) == "/data/wh/tables")
+    assert(CatalogConfig.expand("key=${TOKEN}", env) == "key=s3cr3t")
+    assert(CatalogConfig.expand("${MISSING}/x", env) == "/x")
+  }
+
+  test("resolution priority: args > env > file config") {
+    val file = Map("uri" -> "file-uri", "warehouse" -> "${WH}", "extra" -> "1")
+    val env = Map("ICEBERG_META_URI" -> "env-uri", "WH" -> "/from-env")
+    val fromFile = CatalogConfig.resolve("c", None, None, file, Map("WH" -> "/wh"))
+    assert(fromFile.uri.contains("file-uri"))
+    assert(fromFile.warehouse.contains("/wh"))
+    assert(fromFile.properties("extra") == "1")
+    val envWins = CatalogConfig.resolve("c", None, None, file, env)
+    assert(envWins.uri.contains("env-uri"))
+    val argWins = CatalogConfig.resolve("c", Some("arg-uri"), Some("arg-wh"), file, env)
+    assert(argWins.uri.contains("arg-uri"))
+    assert(argWins.warehouse.contains("arg-wh"))
+  }
+
+  test("error taxonomy maps exception classes to friendly messages") {
+    assert(Errors.classify(new java.io.FileNotFoundException("x"))
+      .contains("not found"))
+    assert(Errors.classify(new java.net.ConnectException("refused"))
+      .contains("Connection refused"))
+    assert(Errors.classify(new NoSuchElementException("Snapshot 7 not found"))
+      .contains("snapshots"))
+    assert(Errors.friendly(41 + 1) == Right(42))
+    assert(Errors.friendly(throw new IllegalArgumentException("bad"))
+      .left.exists(_.contains("Invalid argument: bad")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    val s2 = spark
+    import s2.implicits._
+    Seq(
+      (1L, "hello multimodal world", "en", "a", 22L),
+      (2L, "binary payload stand-in", "en", "a", 23L),
+      (3L, "", "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("packText produces the canonical media schema") {
+    val media = Multimodal.packText(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val m = media.filter(col("media_id") === 1).select("meta.modality").collect().head
+    assert(m.getString(0) == "image")
+  }
+
+  test("payloadStats: byte lengths, frame counts and digests are deterministic") {
+    val stats = Multimodal.payloadStats(Multimodal.packText(docs), frameStride = 8)
+      .orderBy("media_id").collect()
+    assert(stats(0).getAs[Int]("n_bytes") == 22)
+    assert(stats(0).getAs[Long]("n_frames") == 2L)
+    assert(stats(0).getAs[String]("digest8").length == 8)
+    // same payload → same digest across runs
+    val again = Multimodal.payloadStats(Multimodal.packText(docs), frameStride = 8)
+      .orderBy("media_id").collect()
+    assert(stats.map(_.getString(4)).toSeq == again.map(_.getString(4)).toSeq)
+  }
+
+  test("decodeFeatures runs the batch kernel per partition and stays distributed") {
+    val feats = Multimodal.decodeFeatures(Multimodal.packText(docs).repartition(3))
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getSeq[Float](1).length == 4))
+    // empty payload gets the zero vector
+    assert(rows.find(_.getLong(0) == 3L).get.getSeq[Float](1).forall(_ == 0f))
+  }
+
+  test("normalizeFeatures scales to unit max") {
+    val norm = Multimodal.normalizeFeatures(
+      Multimodal.decodeFeatures(Multimodal.packText(docs)))
+    val v = norm.filter(col("media_id") === 1)
+      .select("norm_features").collect().head.getSeq[Double](0)
+    assert(v.forall(x => math.abs(x) <= 1.0 + 1e-9))
+    assert(v.exists(x => math.abs(x) > 0.99)) // max element is ±1
+  }
+}
