@@ -1,0 +1,16 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration of graft's native expressions, so the engine's
+  * custom functions are usable from `spark.sql(...)` alongside the Column
+  * API (SURVEY §2.9). */
+object GraftFunctions {
+
+  /** Register `iceberg_decode_numeric(typeTag, bytes)` on a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iceberg_decode_numeric",
+      exprs => DecodeNumericExpr(exprs.head, exprs(1)),
+      "built-in")
+}

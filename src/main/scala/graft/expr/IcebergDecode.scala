@@ -59,12 +59,25 @@ object IcebergDecode {
       case _ => None
     }
 
-  /** UDF column form: `icebergDecodeNum(typeCol, binCol)` → double. */
+  /** Boxed variant callable from generated Java (static forwarder). */
+  def decodeNumericBoxed(fieldType: String, bytes: Array[Byte]): java.lang.Double =
+    decodeNumeric(fieldType, bytes).map(Double.box).orNull
+
+  /** Native-Expression column form (codegen'd — stays inside whole-stage
+    * spans, unlike a Scala UDF): `decodeNum(typeCol, binCol)` → double. */
+  def decodeNum(typeCol: Column, binCol: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DecodeNumericExpr(expression(typeCol), expression(binCol)))
+
+  /** UDF fallback kept for comparison/benchmarks. */
   private val decodeNumericUdf =
     udf((t: String, b: Array[Byte]) => decodeNumeric(t, b))
 
-  def decodeNum(typeCol: Column, binCol: Column): Column =
+  def decodeNumUdf(typeCol: Column, binCol: Column): Column =
     decodeNumericUdf(typeCol, binCol)
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
 
   /** String rendering of any decoded value (display layer). */
   private val decodeStrUdf =

@@ -408,6 +408,19 @@ object CoreQueries {
               |  AND e.event_id NOT IN (SELECT event_id FROM events WHERE epoch_us(ts) <= $T1)
               |ORDER BY e.event_id""".stripMargin)),
 
+    // F-ext — JSON props parsing (events.props is a JSON object string;
+    // SURVEY §7.4): extract k, bucket and aggregate
+    Q("q_props_parse",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+        .orderBy("k_bucket"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
     // A8 — single-row multi-metric summary
     Q("q_summary",
       (s, d) => {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Queries
@@ -195,6 +195,18 @@ object PipelineQueries {
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashCandidates(documents(s, d).filter(col("doc_id") < 100)),
       None),
+
+    // Multimodal plumbing: binary payload stats (bytes/frames/digest) over
+    // the documents table packed as media rows
+    Q("q_multimodal_stats",
+      (s, d) => Multimodal.payloadStats(
+          Multimodal.packText(documents(s, d).filter(col("doc_id") < 100)))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'image' AS modality,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  CAST(floor(octet_length(encode(text)) / 256) AS BIGINT) AS n_frames,
+             |  substr(md5(text), 1, 8) AS digest8
+             |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin)),
 
     // Exact-duplicate clusters by digest (md5-based — no SQL twin; DuckDB
     // has md5 but cluster membership is already covered by q_dedup_exact)
