@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Sessions
+import graft.api.{Engine, Errors}
+
+/** Command-line front-end mirroring the reference CLI verbs (ref `cli.py`):
+  *
+  * {{{
+  * runMain graft.tools.Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]
+  *
+  * verbs: list-tables | summary T | health T | files T [snapshotId]
+  *      | snapshots T | manifests T | partitions T | schema T
+  *      | schema-diff T oldId newId | diff T s1 s2 | recent T
+  *      | namespace | warehouse | watch T rounds
+  * }}}
+  * where T = `<namespace>.<table>`. Errors map through the friendly
+  * taxonomy (ref `cli.py:54-179`) and exit 1.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int = {
+    if (args.length < 2) { usage(); return 2 }
+    val (sinkOpt, rest) = args.span(a => a != "--json" && a != "--csv") match {
+      case (head, Array(flag, dir)) => (Some((flag, dir)), head)
+      case (head, Array())          => (None, head)
+      case _                        => (None, args)
+    }
+    val warehouse = rest(0)
+    val verb = rest(1)
+    val vargs = rest.drop(2)
+
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+    Sessions.required.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new Engine(spark, warehouse)
+
+    def emit(df: DataFrame): Unit = sinkOpt match {
+      case Some(("--json", dir)) => engine.toJson(df, dir); println(s"wrote JSON to $dir")
+      case Some(("--csv", dir))  => engine.toCsv(df, dir); println(s"wrote CSV to $dir")
+      case _                     => df.show(100, truncate = false)
+    }
+
+    Errors.friendly {
+      verb match {
+        case "list-tables" => emit(engine.listTables())
+        case "summary"     => emit(engine.summary(vargs(0)))
+        case "health" =>
+          val h = engine.health(vargs(0))
+          println("== file stats ==");      emit(h.fileStats)
+          println("== manifest census =="); emit(h.manifestCensus)
+          println("== partition skew =="); emit(h.partitionStats)
+          println("== null rates ==");      emit(h.nullRates)
+          println("== column share ==");    emit(h.columnShare)
+          println("== column bounds ==");   emit(h.columnBounds)
+          println("== interval overlap =="); emit(h.overlap)
+        case "files"       => emit(engine.files(vargs(0), vargs.lift(1).map(_.toLong)))
+        case "snapshots"   => emit(engine.snapshots(vargs(0)))
+        case "manifests"   => emit(engine.manifests(vargs(0)))
+        case "partitions"  => emit(engine.partitions(vargs(0)))
+        case "schema"      => emit(engine.schemaHistory(vargs(0)))
+        case "schema-diff" => emit(engine.schemaDiff(vargs(0), vargs(1).toInt, vargs(2).toInt))
+        case "recent"      => emit(engine.recentOps(vargs(0)))
+        case "diff" =>
+          val d = engine.diff(vargs(0), vargs(1).toLong, vargs(2).toLong)
+          println(s"== operation: ${d.operation} ==")
+          emit(d.totals); println("== added ==");  emit(d.added)
+          println("== deleted =="); emit(d.deleted)
+        case "namespace"   => emit(engine.namespaceOverview())
+        case "warehouse"   => emit(engine.warehouseOverview())
+        case "watch" =>
+          graft.ops.Watch.watch(spark, engine.tableDir(vargs(0)),
+            vargs.lift(1).map(_.toInt).getOrElse(3),
+            df => df.show(50, truncate = false))
+        case other =>
+          usage(); throw new IllegalArgumentException(s"unknown verb: $other")
+      }
+    } match {
+      case Right(_) => 0
+      case Left(msg) => System.err.println(s"error: $msg"); 1
+    }
+  }
+
+  private def usage(): Unit = System.err.println(
+    "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
+      "verbs: list-tables summary health files snapshots manifests partitions\n" +
+      "       schema schema-diff diff recent namespace warehouse watch")
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.fixtures.FixtureWriter
+import graft.tools.Cli
+
+class SkewAndCliSpec extends SparkSpec {
+
+  test("salted aggregation matches the plain aggregate on skewed data") {
+    val s2 = spark
+    import s2.implicits._
+    // 90% of rows land on one hot key
+    val rows = (1 to 20000).map { i =>
+      (if (i % 10 == 0) s"key${i % 7}" else "hot", (i % 100) / 10.0)
+    }
+    val df = rows.toDF("k", "v").repartition(16)
+    val plain = Skew.plainStats(df, Seq("k"), "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = Skew.saltedStats(df, Seq("k"), "v", buckets = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("CLI verbs run end-to-end against the demo warehouse") {
+    val wh = Files.createTempDirectory("graft-cli-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    assert(Cli.run(Array(wh, "list-tables")) == 0)
+    assert(Cli.run(Array(wh, "summary", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "recent", "analytics.events")) == 0)
+    assert(Cli.run(Array(wh, "warehouse")) == 0)
+    val out = Files.createTempDirectory("graft-cli-out").toString
+    assert(Cli.run(Array(wh, "snapshots", "sales.orders", "--json", s"$out/snaps")) == 0)
+    assert(Files.list(java.nio.file.Paths.get(s"$out/snaps")).count() > 0)
+  }
+
+  test("CLI maps missing table to a friendly nonzero exit") {
+    val wh = Files.createTempDirectory("graft-cli-wh2").toString
+    FixtureWriter.writeDemo(spark, wh)
+    assert(Cli.run(Array(wh, "summary", "nope.missing")) == 1)
+    assert(Cli.run(Array(wh)) == 2) // too few args
+  }
+}
