@@ -55,6 +55,36 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Random-hyperplane LSH top-k ANN — the scale path: each vector gets a
+    * sign-bit signature over `nPlanes` fixed pseudo-random hyperplanes
+    * (deterministic: plane p component i = hash-derived in [-1,1]), probes
+    * join candidates only within the same signature bucket, and top-k is
+    * per-bucket. At 100 TB: one shuffle on the 1-int bucket key instead of
+    * a cross join; recall tunes with nPlanes/multi-probe. */
+  def lshAnn(emb: DataFrame, probePred: Column, k: Int = 3, nPlanes: Int = 6): DataFrame = {
+    // signature = sum over planes of 2^p * (dot(v, plane_p) > 0)
+    val sigExpr = (0 until nPlanes).map { p =>
+      val dot = expr(
+        s"aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), " +
+          s"i -> CAST(hash(i * 31 + $p * 101) % 1000 AS DOUBLE) / 1000.0), " +
+          "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val signed = emb.withColumn("bucket", sigExpr)
+    val probes = signed.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("embedding").as("q_emb"))
+    val cands = signed
+      .select(col("vec_id").as("c_id"), col("bucket"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("bucket"), col("c_id"), cosine("c_emb", "q_emb").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "bucket", "c_id", "sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {

@@ -191,6 +191,11 @@ object PipelineQueries {
       (s, d) => Dedup.minhashCandidates(s, documents(s, d)),
       None),
 
+    // Random-hyperplane LSH ANN (murmur3-hash planes — no SQL twin)
+    Q("q_ann_lsh",
+      (s, d) => Similarity.lshAnn(embeddings(s, d), col("vec_id") < 10),
+      None),
+
     // SimHash Hamming-distance candidates (xxhash64-based — no SQL twin)
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhashCandidates(documents(s, d).filter(col("doc_id") < 100)),
