@@ -1,0 +1,22 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions injection point, so graft's native expressions
+  * are available in any session built with
+  * `spark.sql.extensions=graft.expr.GraftSparkExtensions` (or
+  * `.withExtensions(new GraftSparkExtensions)`): the standard deployment
+  * path for custom Catalyst functions on a shared cluster.
+  * Per-session registration for an already-built session lives in
+  * [[GraftFunctions.register]].
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("iceberg_decode_numeric"),
+      new ExpressionInfo(
+        classOf[DecodeNumericExpr].getName, "iceberg_decode_numeric"),
+      exprs => DecodeNumericExpr(exprs.head, exprs(1))))
+}

@@ -275,6 +275,32 @@ object FixtureWriter {
         Commit("append", eventRows(26 to 50), 0),
         Commit("append", eventRows(51 to 75), 0)))
 
+    // staging.metrics — the quickstart's wide table: 1 snapshot, 12 rows
+    // (ref quickstart/seed.py:123-170)
+    val metricsSchema = Seq(
+      ColSpec(1, "metric_id", "long", required = true),
+      ColSpec(2, "host", "string", required = false),
+      ColSpec(3, "service", "string", required = false),
+      ColSpec(4, "cpu_pct", "double", required = false),
+      ColSpec(5, "mem_pct", "double", required = false),
+      ColSpec(6, "disk_read_bytes", "long", required = false),
+      ColSpec(7, "net_rx_bytes", "long", required = false),
+      ColSpec(8, "error_count", "int", required = false),
+      ColSpec(9, "request_count", "int", required = false),
+      ColSpec(10, "is_healthy", "boolean", required = false),
+      ColSpec(11, "collected_at", "timestamp", required = false))
+    val metricRows = (1 to 12).map { i =>
+      Seq[Any](
+        i.toLong, s"host-${i % 4}", Seq("api", "etl", "web")(i % 3),
+        math.rint(rng.nextDouble() * 10000) / 100,
+        math.rint(rng.nextDouble() * 10000) / 100,
+        rng.nextInt(1 << 20).toLong, rng.nextInt(1 << 20).toLong,
+        rng.nextInt(10), 100 + rng.nextInt(9900), rng.nextInt(10) > 0,
+        new Timestamp(BaseTs + i * 60000L))
+    }
+    writeTable(spark, s"$warehouseDir/staging/metrics",
+      Seq(metricsSchema), None, Seq(Commit("append", metricRows, 0)))
+
     warehouseDir
   }
 

@@ -22,7 +22,8 @@ class IcebergEngineSpec extends SparkSpec {
 
   test("list-tables walks namespaces") {
     val tables = engine.listTables().collect().map(r => s"${r.getString(0)}.${r.getString(1)}")
-    assert(tables.toSet == Set("sales.orders", "sales.customers", "analytics.events"))
+    assert(tables.toSet == Set(
+      "sales.orders", "sales.customers", "analytics.events", "staging.metrics"))
   }
 
   test("orders health: file stats and manifest census are positive") {
@@ -117,12 +118,13 @@ class IcebergEngineSpec extends SparkSpec {
 
   test("namespace + warehouse overview use summary totals (no manifest IO)") {
     val ns = engine.namespaceOverview().collect()
-    assert(ns.map(_.getAs[String]("namespace")).toSet == Set("sales", "analytics"))
+    assert(ns.map(_.getAs[String]("namespace")).toSet ==
+      Set("sales", "analytics", "staging"))
     val wh = engine.warehouseOverview().collect()
     val grand = wh.find(_.isNullAt(0)).get
-    assert(grand.getAs[Long]("table_count") == 3L)
-    // orders live 15 + customers 20 + events 75
-    assert(grand.getAs[Long]("total_records") == 110L)
+    assert(grand.getAs[Long]("table_count") == 4L)
+    // orders live 15 + customers 20 + events 75 + metrics 12
+    assert(grand.getAs[Long]("total_records") == 122L)
   }
 
   test("watch: second poll flags only fresh snapshots") {
