@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.IcebergDecode
@@ -58,8 +58,10 @@ object MetaHealth {
       "cnt")
 
   /** A5 — per-column null rates from the stat maps: explode + one
-    * aggregate, map-side combinable (ref `formatters.py:522-559`). */
-  def nullRates(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+    * aggregate, map-side combinable (ref `formatters.py:522-559`).
+    * `nameById` is a literal field_id→name map: the schema is driver-known
+    * metadata, so resolving names costs an `element_at`, not a join. */
+  def nullRates(files: DataFrame, nameById: Column): DataFrame = {
     val nulls = files
       .select(explode(col("null_value_counts")).as(Seq("field_id", "nulls")))
       .groupBy("field_id").agg(sum(col("nulls")).as("null_count"))
@@ -67,7 +69,7 @@ object MetaHealth {
       .select(explode(col("value_counts")).as(Seq("field_id", "vals")))
       .groupBy("field_id").agg(sum(col("vals")).as("value_count"))
     nulls.join(values, "field_id")
-      .join(broadcast(schemaFields.select(col("field_id"), col("field_name"))), "field_id")
+      .withColumn("field_name", element_at(nameById, col("field_id")))
       .withColumn("null_pct",
         round(lit(100.0) * col("null_count") / col("value_count"), 4))
       .orderBy("field_id")
@@ -75,7 +77,7 @@ object MetaHealth {
 
   /** A6 — per-column storage share, sorted desc
     * (ref `formatters.py:561-573`). */
-  def columnShare(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+  def columnShare(files: DataFrame, nameById: Column): DataFrame = {
     val sizes = files
       .select(explode(col("column_sizes")).as(Seq("field_id", "bytes")))
       .groupBy("field_id").agg(sum(col("bytes")).as("total_bytes"))
@@ -83,28 +85,28 @@ object MetaHealth {
     sizes
       .withColumn("pct_of_total",
         round(lit(100.0) * col("total_bytes") / sum(col("total_bytes")).over(w), 4))
-      .join(broadcast(schemaFields.select(col("field_id"), col("field_name"))), "field_id")
+      .withColumn("field_name", element_at(nameById, col("field_id")))
       .orderBy(col("total_bytes").desc, col("field_id"))
   }
 
   /** A7 — per-column min/max bounds, decoded from the Iceberg single-value
     * binary via [[IcebergDecode]] (ref `formatters.py:576-604`; primitive
-    * numeric types only, like the reference). */
-  def columnBounds(files: DataFrame, schemaFields: DataFrame): DataFrame = {
+    * numeric types only, like the reference). Type/name lookup via literal
+    * maps — no joins, one explode+aggregate per bound side. */
+  def columnBounds(files: DataFrame, typeById: Column, nameById: Column): DataFrame = {
     val lower = files
       .select(explode(col("lower_bounds")).as(Seq("field_id", "bin")))
-      .join(broadcast(schemaFields), "field_id")
-      .select(col("field_id"), col("field_name"),
-        IcebergDecode.decodeNum(col("field_type"), col("bin")).as("v"))
-      .groupBy("field_id", "field_name").agg(min(col("v")).as("min_value"))
+      .select(col("field_id"),
+        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("bin")).as("v"))
+      .groupBy("field_id").agg(min(col("v")).as("min_value"))
     val upper = files
       .select(explode(col("upper_bounds")).as(Seq("field_id", "bin")))
-      .join(broadcast(schemaFields), "field_id")
       .select(col("field_id"),
-        IcebergDecode.decodeNum(col("field_type"), col("bin")).as("v"))
+        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("bin")).as("v"))
       .groupBy("field_id").agg(max(col("v")).as("max_value"))
     lower.join(upper, "field_id")
       .filter(col("min_value").isNotNull)
+      .withColumn("field_name", element_at(nameById, col("field_id")))
       .orderBy("field_id")
   }
 
@@ -127,18 +129,19 @@ object MetaHealth {
   }
 
   /** Full health report; pass a cached `files` DataFrame to share the scan
-    * across sections. */
+    * across sections. Schema lookups are literal maps (driver-known
+    * metadata), so no section joins the schema relation. */
   def report(spark: SparkSession, t: IcebergTable, files: DataFrame): HealthReport = {
-    val schemaFields = MetaRelations.schemas(spark, t)
-      .filter(col("schema_id") === t.metadata.currentSchemaId)
-      .select("field_id", "field_name", "field_type")
+    val fields = t.metadata.currentSchema.fields
+    val nameById = typedLit(fields.map(f => f.id -> f.name).toMap)
+    val typeById = typedLit(fields.map(f => f.id -> f.fieldType).toMap)
     HealthReport(
       fileStats = fileStats(files),
       manifestCensus = manifestCensus(MetaRelations.manifests(spark, t)),
       partitionStats = partitionStats(files),
-      nullRates = nullRates(files, schemaFields),
-      columnShare = columnShare(files, schemaFields),
-      columnBounds = columnBounds(files, schemaFields),
+      nullRates = nullRates(files, nameById),
+      columnShare = columnShare(files, nameById),
+      columnBounds = columnBounds(files, typeById, nameById),
       overlap = overlap(spark, t, files))
   }
 }
