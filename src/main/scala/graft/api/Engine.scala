@@ -95,6 +95,46 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def diff(ref: String, snap1: Long, snap2: Long): DiffReport =
     MetaDiff.diff(spark, load(ref), snap1, snap2)
 
+  /** The TUI metadata-tree data (ref `formatters.py:1195-1307`): one row
+    * per manifest with entry stats, share of total rows (A13 "45% of
+    * rows") and the size-color class vs the average file size (W8). */
+  def tree(ref: String, snapshotId: Option[Long] = None): DataFrame = {
+    val t = load(ref)
+    val perManifest = {
+      val rows = t.manifests(snapshotId).map { m =>
+        val entries = t.manifestEntries(m.manifestPath).filter(_.status != 2)
+        (m.manifestPath, m.content, entries.size.toLong,
+          entries.map(_.recordCount).sum, entries.map(_.fileSizeInBytes).sum)
+      }
+      spark.createDataFrame(rows)
+        .toDF("manifest_path", "content", "file_count", "row_count", "total_bytes")
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perManifest
+      .withColumn("pct_of_rows",
+        round(lit(100.0) * col("row_count") / sum(col("row_count")).over(w), 2))
+      .withColumn("avg_bytes",
+        sum(col("total_bytes")).over(w) / sum(col("file_count")).over(w))
+      .withColumn("size_color",
+        when(col("file_count") === 0, "green")
+          .when(col("total_bytes") / col("file_count") <= col("avg_bytes") * 0.5, "green")
+          .when(col("total_bytes") / col("file_count") <= col("avg_bytes") * 1.5, "yellow")
+          .otherwise(lit("red")))
+      .drop("avg_bytes")
+      .orderBy("manifest_path")
+  }
+
+  /** Namespace health fan-out (ref `cli.py:1131-1163` `health --namespace`):
+    * one report per table in the namespace. */
+  def healthNamespace(namespace: String): Map[String, HealthReport] = {
+    listTables()
+      .filter(col("namespace") === namespace)
+      .collect()
+      .map(r => s"${r.getString(0)}.${r.getString(1)}")
+      .map(ref => ref -> health(ref))
+      .toMap
+  }
+
   def namespaceOverview(): DataFrame =
     Overview.namespaceRollup(Overview.tableFacts(spark, warehouseDir))
 

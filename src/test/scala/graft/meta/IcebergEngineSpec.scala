@@ -149,6 +149,21 @@ class IcebergEngineSpec extends SparkSpec {
     assert(s.getAs[Long]("total_records") == 0L)
   }
 
+  test("tree view: per-manifest shares sum to 100% with size colors") {
+    val rows = engine.tree("analytics.events").collect()
+    assert(rows.length == 3) // one manifest per append
+    assert(math.abs(rows.map(_.getAs[Double]("pct_of_rows")).sum - 100.0) < 0.1)
+    assert(rows.forall(r =>
+      Set("green", "yellow", "red").contains(r.getAs[String]("size_color"))))
+  }
+
+  test("namespace health fan-out covers every table in the namespace") {
+    val reports = engine.healthNamespace("sales")
+    assert(reports.keySet == Set("sales.orders", "sales.customers"))
+    assert(reports("sales.customers").fileStats.collect().head
+      .getAs[Long]("file_count") > 0)
+  }
+
   test("recent ops lists newest snapshots first") {
     val ops = engine.recentOps("sales.orders").collect()
     assert(ops.length == 4)
