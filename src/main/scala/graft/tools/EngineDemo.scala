@@ -48,6 +48,9 @@ object EngineDemo {
     println(s"== diff ${snaps(2)} -> ${snaps.last} (op=${d.operation}) ==")
     d.totals.show(false); d.added.show(5, truncate = false); d.deleted.show(5, truncate = false)
 
+    println("== metadata tree (per-manifest shares) ==")
+    engine.tree("sales.orders").show(false)
+
     println("== schema diff customers v0 -> v1 ==")
     engine.schemaDiff("sales.customers", 0, 1).show(false)
     println("== namespace overview ==");  engine.namespaceOverview().show(false)
