@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Event-stream transforms for the training-data pipeline's streaming
+  * regime (`readStream` → transforms → `writeStream`): watermarked
+  * event-time windows and custom keyed state via `mapGroupsWithState`.
+  * The reference's only stream is the snapshot log
+  * ([[SnapshotWatchSource]]); these are the north-star upgrades a
+  * large-scale ingest pipeline needs (late-data tolerance, per-key state).
+  */
+object EventStreams {
+
+  final case class Event(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  final case class UserState(count: Long)
+  final case class UserActivity(user_id: Long, events: Long)
+
+  implicit val eventEnc: Encoder[Event] = Encoders.product[Event]
+  implicit val stateEnc: Encoder[UserState] = Encoders.product[UserState]
+  implicit val activityEnc: Encoder[UserActivity] = Encoders.product[UserActivity]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Watermarked hourly counts per event type: late events beyond the
+    * watermark are dropped, window state is bounded — the 100 TB/day
+    * streaming-aggregation shape. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-user running event count with explicit keyed state
+    * (`mapGroupsWithState`): state lives in the state store, sized by
+    * distinct keys, independent of stream volume. */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserActivity] =
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserActivity](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val total = state.getOption.map(_.count).getOrElse(0L) + rows.size
+          state.update(UserState(total))
+          UserActivity(user, total)
+      }
+}

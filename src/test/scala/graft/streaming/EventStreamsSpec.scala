@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("watermarked windowed counts aggregate by event-time hour") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Event(1, "click", ts("10:05")), Event(2, "click", ts("10:40")),
+        Event(1, "view", ts("10:59")), Event(3, "click", ts("11:10")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, event_type, cnt FROM win_counts ORDER BY 1, 2")
+        .collect()
+      assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq ==
+        Seq(
+          ("2024-01-01 10:00:00.0", "click", 2L),
+          ("2024-01-01 10:00:00.0", "view", 1L),
+          ("2024-01-01 11:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("user_counts")
+      .outputMode("update").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(Event(1, "click", ts("10:00")), Event(1, "view", ts("10:01")),
+        Event(2, "click", ts("10:02")))
+      q.processAllAvailable()
+      input.addData(Event(1, "click", ts("10:10")))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        "SELECT user_id, max(events) AS events FROM user_counts GROUP BY user_id ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(latest.toSeq == Seq((1L, 3L), (2L, 1L))) // state carried over batches
+    } finally q.stop()
+  }
+}
