@@ -51,25 +51,33 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     // Fixed multiplier/offset permutation family. Coefficients and the
     // masked 31-bit hash keep `pa*h + pb` well under 2^63 (ANSI mode —
-    // overflow would throw).
+    // overflow would throw). All numPerm mins are computed in ONE
+    // map-side-combinable aggregate over the shingle hashes: min() is
+    // duplicate-insensitive, so no distinct is needed, and the only wide
+    // shuffle moves (doc_id, numPerm longs) partials — not the numPerm×
+    // row blowup a permutation cross-join would produce.
     val mersenne = 2147483647L
-    val perms = (0 until numPerm).map { j =>
-      (j, 2L * j + 1L, (j * 2654435761L + 104729L) % mersenne)
+    val minCols = (0 until numPerm).map { j =>
+      val pa = 2L * j + 1L
+      val pb = (j * 2654435761L + 104729L) % mersenne
+      min(col("h") * lit(pa) + lit(pb)).as(s"mh$j")
     }
-    val permDf = spark.createDataFrame(perms).toDF("j", "pa", "pb")
-
-    // hash shingles BEFORE distinct so the dedup shuffle moves (long, long)
-    // keys, never the shingle strings
-    val sigs = shingles(docs)
+    val sigRows = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL).as("h"))
-      .distinct()
-      .crossJoin(broadcast(permDf))
-      .withColumn("ph", col("pa") * col("h") + col("pb"))
-      .groupBy("doc_id", "j")
-      .agg(min(col("ph")).as("mh"))
-      .withColumn("band", (col("j") / lit(rowsPerBand)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(hash(sort_array(collect_list(col("mh")))).as("band_sig"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+
+    // band signature = hash of the band's sorted min values (sorted: band
+    // membership is a set, keeping the signature stable under permutation
+    // reordering)
+    val nBands = numPerm / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(sort_array(array(members: _*))).as("band_sig"))
+    }
+    val sigs = sigRows
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
 
     val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))

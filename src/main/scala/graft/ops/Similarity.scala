@@ -18,22 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential double fold dot product (deterministic summation order). */
+  private def dot(x: String, y: String): Column = expr(
+    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** L2 norm of an `array<float>` column. */
+  def norm(vecCol: String): Column = sqrt(dot(vecCol, vecCol))
+
   /** Cosine similarity between two `array<float>` columns, computed as a
     * sequential double fold (deterministic), rounded to 6 dp so the value
     * is stable across engines/summation orders. */
-  def cosine(aCol: String, bCol: String): Column = {
-    def dot(x: String, y: String) = expr(
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    round(dot(aCol, bCol) / (sqrt(dot(aCol, aCol)) * sqrt(dot(bCol, bCol))), 6)
-  }
+  def cosine(aCol: String, bCol: String): Column =
+    round(dot(aCol, bCol) / (norm(aCol) * norm(bCol)), 6)
+
+  /** Cosine from precomputed per-vector norms: one dot per pair instead of
+    * three. Norms are per-vector properties — computing them inside the
+    * pair join redoes O(dim) work |pairs| times; hoisting them to the scan
+    * side is the difference between O(pairs·dim) and O(3·pairs·dim). */
+  private def cosineN(aCol: String, bCol: String, aNorm: String, bNorm: String): Column =
+    round(dot(aCol, bCol) / (col(aNorm) * col(bNorm)), 6)
 
   /** Brute-force cosine top-k neighbors of one query vector. */
   def knn(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
-    emb.filter(col("vec_id") =!= queryVecId)
+    val withNorm = emb.withColumn("v_norm", norm("embedding"))
+    val q = withNorm.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
+    withNorm.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine("embedding", "q_emb").as("sim"))
+      .select(col("vec_id"),
+        cosineN("embedding", "q_emb", "v_norm", "q_norm").as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -41,14 +55,18 @@ object Similarity {
   /** IVF-style top-1 neighbor per probe vector, searching only the probe's
     * coarse partition (`label`). */
   def ivfTop1(emb: DataFrame, probePred: Column): DataFrame = {
-    val probes = emb.filter(probePred)
-      .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
-    val cands = emb
-      .select(col("vec_id").as("c_id"), col("label"), col("embedding").as("c_emb"))
+    val withNorm = emb.withColumn("v_norm", norm("embedding"))
+    val probes = withNorm.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
+    val cands = withNorm
+      .select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     probes.join(cands, Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("label"), col("c_id"), cosine("c_emb", "q_emb").as("sim"))
+      .select(col("q_id"), col("label"), col("c_id"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("q_id", "label", "c_id", "sim")
@@ -70,15 +88,18 @@ object Similarity {
           "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val signed = emb.withColumn("bucket", sigExpr)
+    val signed = emb.withColumn("bucket", sigExpr).withColumn("v_norm", norm("embedding"))
     val probes = signed.filter(probePred)
-      .select(col("vec_id").as("q_id"), col("bucket"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
     val cands = signed
-      .select(col("vec_id").as("c_id"), col("bucket"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("c_id"), col("bucket"),
+        col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     probes.join(cands, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("bucket"), col("c_id"), cosine("c_emb", "q_emb").as("sim"))
+      .select(col("q_id"), col("bucket"), col("c_id"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "bucket", "c_id", "sim", "rn")
@@ -88,11 +109,15 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
-    val b = emb.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+    val withNorm = emb.withColumn("v_norm", norm("embedding"))
+    val a = withNorm.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"), col("v_norm").as("a_norm"))
+    val b = withNorm.select(col("vec_id").as("b_id"), col("label"),
+      col("embedding").as("b_emb"), col("v_norm").as("b_norm"))
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine("a_emb", "b_emb").as("sim"))
+      .select(col("a_id"), col("b_id"),
+        cosineN("a_emb", "b_emb", "a_norm", "b_norm").as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("a_id", "b_id")
   }

@@ -186,6 +186,24 @@ object PipelineQueries {
              |  FROM dsum)
              |SELECT q_id, label, c_id, sim FROM r WHERE rn = 1 ORDER BY q_id""".stripMargin)),
 
+    // Embedding-cosine near-duplicate pairs within coarse partitions
+    Q("q_near_dup",
+      (s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.35),
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+             |z AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    unnest(list_zip(a.embedding, b.embedding)) AS s
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+             |d AS (
+             |  SELECT a_id, b_id,
+             |    sum(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)) AS dot,
+             |    sum(CAST(s[1] AS DOUBLE) * CAST(s[1] AS DOUBLE)) AS na2,
+             |    sum(CAST(s[2] AS DOUBLE) * CAST(s[2] AS DOUBLE)) AS nb2
+             |  FROM z GROUP BY 1, 2)
+             |SELECT a_id, b_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+             |FROM d WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.35
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // MinHash + LSH candidate pairs (xxhash64-based — no SQL twin)
     Q("q_dedup_minhash",
       (s, d) => Dedup.minhashCandidates(s, documents(s, d)),
