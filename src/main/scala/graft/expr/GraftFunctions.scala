@@ -7,10 +7,20 @@ import org.apache.spark.sql.SparkSession
   * API (SURVEY §2.9). */
 object GraftFunctions {
 
-  /** Register `iceberg_decode_numeric(typeTag, bytes)` on a session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `iceberg_decode_numeric(typeTag, bytes)`,
+    * `vec_dot(a, b)` and `hash_plane_dot(vec, plane)` on a session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "iceberg_decode_numeric",
       exprs => DecodeNumericExpr(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => VecDot(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_plane_dot",
+      exprs => HashPlaneDot(exprs.head, exprs(1)),
+      "built-in")
+  }
 }

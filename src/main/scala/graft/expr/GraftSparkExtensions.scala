@@ -13,10 +13,19 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[GraftFunctions.register]].
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("iceberg_decode_numeric"),
       new ExpressionInfo(
         classOf[DecodeNumericExpr].getName, "iceberg_decode_numeric"),
       exprs => DecodeNumericExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      exprs => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_plane_dot"),
+      new ExpressionInfo(classOf[HashPlaneDot].getName, "hash_plane_dot"),
+      exprs => HashPlaneDot(exprs.head, exprs(1))))
+  }
 }

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.expr.{HashPlaneDot, VecDot}
 
 /** Embedding similarity search over `array<float>` columns.
   *
@@ -18,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential double fold dot product (deterministic summation order). */
-  private def dot(x: String, y: String): Column = expr(
-    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Sequential double dot product (deterministic summation order) via the
+    * native codegen kernel [[graft.expr.VecDot]] — same value, bit for bit,
+    * as the `aggregate(zip_with(...))` fold it replaces, but the loop is
+    * compiled primitive access instead of an interpreted per-element
+    * lambda. */
+  private def dot(x: String, y: String): Column =
+    GraftColumnBridge.column(VecDot(
+      GraftColumnBridge.expression(col(x)), GraftColumnBridge.expression(col(y))))
 
   /** L2 norm of an `array<float>` column. */
   def norm(vecCol: String): Column = sqrt(dot(vecCol, vecCol))
@@ -80,12 +86,13 @@ object Similarity {
     * per-bucket. At 100 TB: one shuffle on the 1-int bucket key instead of
     * a cross join; recall tunes with nPlanes/multi-probe. */
   def lshAnn(emb: DataFrame, probePred: Column, k: Int = 3, nPlanes: Int = 6): DataFrame = {
-    // signature = sum over planes of 2^p * (dot(v, plane_p) > 0)
+    // signature = sum over planes of 2^p * (dot(v, plane_p) > 0); plane
+    // weights are hash-derived on the fly in the native kernel (same
+    // values the SQL hash()%1000/1000 transform produced)
     val sigExpr = (0 until nPlanes).map { p =>
-      val dot = expr(
-        s"aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), " +
-          s"i -> CAST(hash(i * 31 + $p * 101) % 1000 AS DOUBLE) / 1000.0), " +
-          "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val dot = GraftColumnBridge.column(HashPlaneDot(
+        GraftColumnBridge.expression(col("embedding")),
+        GraftColumnBridge.expression(lit(p))))
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
     val signed = emb.withColumn("bucket", sigExpr).withColumn("v_norm", norm("embedding"))

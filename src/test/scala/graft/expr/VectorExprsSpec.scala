@@ -1,0 +1,81 @@
+package graft.expr
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native vector kernels must agree bit-for-bit with the
+  * `aggregate(zip_with(...))` higher-order-function formulations they
+  * replaced (same sequential summation order), including the null / length
+  * mismatch poison semantics. */
+class VectorExprsSpec extends SparkSpec {
+
+  private def hofDot(x: String, y: String) = expr(
+    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def vecDot(x: String, y: String) =
+    GraftColumnBridge.column(VecDot(
+      GraftColumnBridge.expression(col(x)), GraftColumnBridge.expression(col(y))))
+
+  test("vec_dot equals the HOF fold bit-for-bit on random float vectors") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      vecDot("a", "b").as("native"), hofDot("a", "b").as("hof")).collect()
+    out.foreach { r =>
+      // bit-for-bit: same summation order, same double arithmetic
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vec_dot: length mismatch and null inputs are SQL NULL") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f, 5f)), // mismatch → null (zip_with pads)
+      (Array(1f, 2f), Array(3f, 4f))      // fine
+    ).toDF("a", "b")
+    val out = df.select(vecDot("a", "b").as("d")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 11.0)
+    // null array → null result (nullSafeEval path)
+    val nulls = Seq((Option.empty[Array[Float]], Option(Array(1f, 2f))))
+      .toDF("a", "b")
+    assert(nulls.select(vecDot("a", "b").as("d")).collect().head.isNullAt(0))
+  }
+
+  test("hash_plane_dot equals the SQL hash()-derived plane fold bit-for-bit") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(42L)
+    val df = Seq.fill(100)(Array.fill(48)(rnd.nextFloat() * 2f - 1f)).toDF("embedding")
+    (0 until 6).foreach { p =>
+      val hof = expr(
+        s"aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), " +
+          s"i -> CAST(hash(i * 31 + $p * 101) % 1000 AS DOUBLE) / 1000.0), " +
+          "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val native = GraftColumnBridge.column(HashPlaneDot(
+        GraftColumnBridge.expression(col("embedding")),
+        GraftColumnBridge.expression(lit(p))))
+      df.select(native.as("n"), hof.as("h")).collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"plane $p")
+      }
+    }
+  }
+
+  test("SQL-registered vec_dot works from spark.sql and double arrays") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+}
