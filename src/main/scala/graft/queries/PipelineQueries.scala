@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Queries
@@ -203,6 +203,45 @@ object PipelineQueries {
              |SELECT a_id, b_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
              |FROM d WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.35
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // As-of join: attribute each purchase to the user's latest click
+    // at-or-before it (clicks pre-deduped per (user, ts) so "the latest
+    // click" is well-defined in both engines). DuckDB's native ASOF LEFT
+    // JOIN is the oracle for our union+window formulation.
+    Q("q_asof_attrib",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+          .agg(max(col("value")).as("value"))
+        AsOf.asofJoin(purchases, clicks, "user_id", "ts_us", rightPrefix = "click_")
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |         value AS purchase_value
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.ts_us, l.purchase_value,
+             |       r.ts_us AS click_ts_us, r.value AS click_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Two-phase salted aggregation over a hot key (result must be
+    // bit-identical to the plain GROUP BY the oracle runs: counts are
+    // additive, money sums go through DECIMAL).
+    Q("q_skew_salted",
+      (s, d) => Skew.saltedStats(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // MinHash + LSH candidate pairs (xxhash64-based — no SQL twin)
     Q("q_dedup_minhash",
