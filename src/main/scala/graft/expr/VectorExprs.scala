@@ -1,10 +1,10 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Primitive kernels behind the native vector expressions. Static methods
   * so the generated code calls straight into them — element access stays
@@ -36,24 +36,47 @@ object VecOps {
     java.lang.Double.valueOf(s)
   }
 
-  /** Dot product against the deterministic hash-derived hyperplane
-    * `w_i = (murmur3(i*31 + plane*101, seed=42) % 1000) / 1000.0` — the
-    * same weights the SQL `hash(i*31 + p*101) % 1000 / 1000.0` transform
-    * yields (Spark's `hash()` is Murmur3 with seed 42, `%` keeps the
-    * dividend's sign), without materializing a weight array per row. */
+  /** Dot product against a deterministic pseudo-random hyperplane whose
+    * weights are a pure integer mix (1-based component j of plane p):
+    * `w = (((j + p*8191) * 2654435761) % 1000000007 % 2001 - 1000) / 1000`
+    * — values in [-1, 1], engine-portable (plain arithmetic any SQL engine
+    * reproduces exactly, unlike murmur3/xxhash), computed on the fly so no
+    * weight array is materialized per row. Summation is sequential in
+    * index order, so an oracle using the same left-fold matches the sign
+    * (and therefore the LSH bucket) bit for bit. */
   def hashPlaneDot(v: ArrayData, plane: Int, isFloat: Boolean): java.lang.Double = {
     val n = v.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val w = (Murmur3_x86_32.hashInt(i * 31 + plane * 101, 42) % 1000).toDouble / 1000.0
+      val w = (((i + 1L) + plane * 8191L) * 2654435761L % 1000000007L % 2001L - 1000L).toDouble / 1000.0
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       s += x * w
       i += 1
     }
     java.lang.Double.valueOf(s)
   }
+
+  /** Analysis-time input check shared by the vector kernels: the argument
+    * must be `array<float>` or `array<double>` — an `array<int>`/
+    * `array<bigint>` would read garbage through getFloat/getDouble strides,
+    * so misuse must fail at analysis, not return wrong numbers.
+    * (TypeCollection/ExpectsInputTypes are private[sql], hence manual.) */
+  def checkVecArg(name: String, argPos: Int, t: DataType): TypeCheckResult = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name argument $argPos must be array<float> or array<double>, got ${other.sql}")
+  }
+
+  /** The DuckDB twin of [[hashPlaneDot]]: a sequential left-fold over the
+    * same per-component products, for oracle SQL generation. */
+  def duckDbPlaneDot(vecExpr: String, plane: Int): String =
+    s"list_reduce(list_transform(range(1, len($vecExpr) + 1), i -> " +
+      s"CAST($vecExpr[i] AS DOUBLE) * " +
+      s"((((i + $plane * 8191) * 2654435761) % 1000000007 % 2001 - 1000) / 1000.0)), " +
+      "(x, y) -> x + y)"
 }
 
 /** `vec_dot(array<float|double>, array<float|double>) -> double` — the hot
@@ -68,6 +91,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     case _ => false
   }
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).zipWithIndex.map { case (e, i) =>
+      VecOps.checkVecArg(prettyName, i, e.dataType)
+    }.collectFirst { case f: TypeCheckResult.TypeCheckFailure => f }
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
@@ -102,6 +130,13 @@ case class HashPlaneDot(left: Expression, right: Expression) extends BinaryExpre
     case _ => false
   }
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.checkVecArg(prettyName, 0, left.dataType) match {
+      case f: TypeCheckResult.TypeCheckFailure => f
+      case _ if right.dataType != IntegerType => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName plane id must be INT, got ${right.dataType.sql}")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "hash_plane_dot"

@@ -38,6 +38,16 @@ object AsOf {
       rightPrefix: String = "r_"): DataFrame = {
     val lPayload = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rPayload = right.columns.toSeq.filterNot(c => c == key || c == ts)
+    // `__ts`/`__side`/`__r` are reserved internal names, and the prefixed
+    // right columns must not collide with left payload columns — either
+    // would silently corrupt the output, so fail fast instead.
+    val reserved = Set("__ts", "__side", "__r")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; found: ${clash.mkString(", ")}")
+    val dupOut = lPayload.toSet.intersect((ts +: rPayload).map(rightPrefix + _).toSet)
+    require(dupOut.isEmpty,
+      s"asofJoin output name collision for prefix '$rightPrefix': ${dupOut.mkString(", ")}")
     val rStruct = struct((col(ts) +: rPayload.map(col)): _*)
 
     val lNorm = left.select(

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expr.PortableHash
+
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
   * and SimHash near-duplicate candidate generation.
   *
@@ -41,7 +43,9 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
-    * @param numPerm      number of hash permutations (signature length)
+    * @param numPerm      number of hash permutations (signature length);
+    *                     must be a multiple of rowsPerBand (a truncated
+    *                     trailing band would silently change LSH recall)
     * @param rowsPerBand  LSH rows per band; bands = numPerm / rowsPerBand
     */
   def minhashCandidates(
@@ -49,13 +53,17 @@ object Dedup {
       docs: DataFrame,
       numPerm: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    // Fixed multiplier/offset permutation family. Coefficients and the
-    // masked 31-bit hash keep `pa*h + pb` well under 2^63 (ANSI mode —
-    // overflow would throw). All numPerm mins are computed in ONE
-    // map-side-combinable aggregate over the shingle hashes: min() is
-    // duplicate-insensitive, so no distinct is needed, and the only wide
-    // shuffle moves (doc_id, numPerm longs) partials — not the numPerm×
-    // row blowup a permutation cross-join would produce.
+    require(numPerm % rowsPerBand == 0,
+      s"numPerm ($numPerm) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(numPerm <= 32, "permutation family is sized for pa <= 65: pa*h must stay under 2^63")
+    // Fixed multiplier/offset permutation family over the PORTABLE 32-bit
+    // shingle hash (md5-derived — the DuckDB oracle reproduces it exactly;
+    // see PortableHash). pa <= 2*numPerm+1 and h < 2^32 keep `pa*h + pb`
+    // well under 2^63 (ANSI mode — overflow would throw). All numPerm mins
+    // are computed in ONE map-side-combinable aggregate over the shingle
+    // hashes: min() is duplicate-insensitive, so no distinct is needed, and
+    // the only wide shuffle moves (doc_id, numPerm longs) partials — not
+    // the numPerm× row blowup a permutation cross-join would produce.
     val mersenne = 2147483647L
     val minCols = (0 until numPerm).map { j =>
       val pa = 2L * j + 1L
@@ -63,17 +71,20 @@ object Dedup {
       min(col("h") * lit(pa) + lit(pb)).as(s"mh$j")
     }
     val sigRows = shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).bitwiseAND(0x7FFFFFFFL).as("h"))
+      .select(col("doc_id"), PortableHash.md5Hash32(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
 
-    // band signature = hash of the band's sorted min values (sorted: band
-    // membership is a set, keeping the signature stable under permutation
-    // reordering)
+    // band signature = portable polynomial fold of the band's sorted min
+    // values (sorted: band membership is a set, keeping the signature
+    // stable under permutation reordering; the fold keeps the shuffle key
+    // one long instead of a rowsPerBand-long array)
     val nBands = numPerm / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
-      val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(sort_array(array(members: _*))).as("band_sig"))
+      val members = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(", ")
+      struct(lit(b).as("band"), expr(
+        s"aggregate(sort_array(array($members)), CAST(0 AS BIGINT), " +
+          "(a, x) -> (a * 31 + x) % 1000000007)").as("band_sig"))
     }
     val sigs = sigRows
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
@@ -88,17 +99,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash per document: per token-hash, ±1 contributions per bit
+  /** SimHash bit width: 60 bits (15 md5 hex digits) — the widest portable
+    * hash that keeps every bit-shift product inside signed-64 ANSI math. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per document: per token-hash, ±1 contributions per bit
     * (unpivoted to (doc_id, bit) rows — a 64-wide single-pass aggregate
     * generates pathological whole-stage codegen, so the narrow explode +
     * two map-side-combinable aggregates is both faster to compile and
-    * scales: the (doc_id, bit) partial sums combine before the shuffle). */
+    * scales: the (doc_id, bit) partial sums combine before the shuffle).
+    * Token hash is the portable md5-derived 60-bit integer, so the DuckDB
+    * oracle reproduces the exact signature. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"))
     val bits = toks.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 63), i -> " +
+        s"transform(sequence(0, ${SimhashBits - 1}), i -> " +
           "CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)"))
         .as(Seq("bit", "pm")))
     bits.groupBy("doc_id", "bit").agg(sum(col("pm")).as("s"))
@@ -108,16 +125,38 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** SimHash near-duplicate candidate pairs within a probe set, by Hamming
-    * distance on the 64-bit signatures. */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+  /** SimHash near-duplicate candidate pairs by Hamming distance, using
+    * pigeonhole blocking: the signature is split into `nBlocks` contiguous
+    * blocks and candidates equi-join on (block, block_value) buckets — a
+    * hash join whose shuffle key is two ints, NOT an all-pairs theta join.
+    * Any pair within Hamming distance `maxHamming < nBlocks` differs in at
+    * most `maxHamming` blocks, so at least one block matches exactly and
+    * the pair is found in that block's bucket (complete recall); the
+    * Hamming distance is then verified inside the bucket. */
+  def simhashCandidates(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      nBlocks: Int = 4): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < nBlocks ($nBlocks)")
+    require(SimhashBits % nBlocks == 0, s"nBlocks must divide $SimhashBits")
+    val width = SimhashBits / nBlocks
+    val mask = (1L << width) - 1L
     val sig = simhash(docs)
-    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
-    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
-    a.join(b, col("a_id") < col("b_id"))
+    val blocks = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> " +
+          s"shiftright(simhash, b * $width) & $mask)"))
+        .as(Seq("block", "bv")))
+    val a = blocks.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
+      col("block"), col("bv"))
+    val b = blocks.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
+      col("block"), col("bv"))
+    a.join(b, Seq("block", "bv"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      .distinct() // a pair may collide in several blocks
       .orderBy("a_id", "b_id")
   }
 
@@ -130,9 +169,23 @@ object Dedup {
       .distinct()
 
   /** N-gram Jaccard similarity for same-language doc pairs (pairs with at
-    * least one shared gram; gram join is the only wide shuffle). */
-  def ngramJaccard(docs: DataFrame, n: Int): DataFrame = {
-    val grams = charNgrams(docs, n)
+    * least one shared gram; gram join is the only wide shuffle).
+    *
+    * @param maxDf stop-shingle guard: grams appearing in more than `maxDf`
+    *              documents of a language are dropped from BOTH the
+    *              intersection and the set sizes (Jaccard over the pruned
+    *              gram universe). Without it, a near-universal gram ("the")
+    *              makes its join bucket quadratic at corpus scale; with it,
+    *              every bucket is at most maxDf×maxDf. The default keeps
+    *              the exact (unpruned) semantics. */
+  def ngramJaccard(docs: DataFrame, n: Int, maxDf: Long = Long.MaxValue): DataFrame = {
+    val raw = charNgrams(docs, n)
+    val grams =
+      if (maxDf == Long.MaxValue) raw
+      else raw.join(
+        raw.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).drop("df"),
+        Seq("lang", "gram"), "left_semi")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("doc_id").as("a_id"), col("lang"), col("gram"))
     val b = grams.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("gram").as("gram_b"))

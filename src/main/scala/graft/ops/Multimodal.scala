@@ -56,23 +56,27 @@ object Multimodal {
   /** Deterministic fake decode kernel: a real implementation would call an
     * image/audio codec here (`???` territory — libs absent in this
     * container). The fake emits a stable 4-dim "embedding" derived from
-    * payload bytes so downstream stages are testable end-to-end. */
+    * the payload's UTF-8 code points — integer math (sum + polynomial
+    * left-fold mod prime) that an oracle SQL engine reproduces exactly
+    * from the source text, so even the stub stage is hash-verifiable. */
   def fakeDecodeKernel(payload: Array[Byte]): Array[Float] = {
     // real codec goes here, e.g.: ImageIO.read(new ByteArrayInputStream(payload))
     if (payload == null || payload.isEmpty) Array(0f, 0f, 0f, 0f)
     else {
+      val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
       var a = 0L; var b = 0L
       var i = 0
-      while (i < payload.length) {
-        a += payload(i) & 0xff
-        b ^= (payload(i) & 0xffL) << (i % 56)
+      while (i < cps.length) {
+        a += cps(i)
+        b = (b * 31 + cps(i)) % 1000000007L
         i += 1
       }
       Array(
         (a % 1000).toFloat / 1000f,
         (b % 1000).toFloat / 1000f,
-        payload.length.toFloat,
-        payload(0).toFloat)
+        cps.length.toFloat,
+        cps(0).toFloat)
     }
   }
 

@@ -87,8 +87,9 @@ object Similarity {
     * a cross join; recall tunes with nPlanes/multi-probe. */
   def lshAnn(emb: DataFrame, probePred: Column, k: Int = 3, nPlanes: Int = 6): DataFrame = {
     // signature = sum over planes of 2^p * (dot(v, plane_p) > 0); plane
-    // weights are hash-derived on the fly in the native kernel (same
-    // values the SQL hash()%1000/1000 transform produced)
+    // weights are an engine-portable integer mix computed on the fly in
+    // the native kernel (see VecOps.hashPlaneDot — the DuckDB oracle
+    // reproduces the sign, and hence the bucket, bit for bit)
     val sigExpr = (0 until nPlanes).map { p =>
       val dot = GraftColumnBridge.column(HashPlaneDot(
         GraftColumnBridge.expression(col("embedding")),

@@ -3,15 +3,109 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.expr.{PortableHash, VecOps}
 import graft.ops.{AsOf, Dedup, Multimodal, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
-  * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Queries
-  * whose semantics aren't reasonably ANSI-SQL-expressible (MinHash/SimHash:
-  * xxhash64/murmur3 have no DuckDB twin) carry no oracle and get the
-  * driver's rows-only check.
+  * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Every
+  * query — including the MinHash/SimHash/LSH family — carries a DuckDB
+  * oracle: the operators hash with engine-portable integer math
+  * (md5-digit folds / congruential mixes, see [[graft.expr.PortableHash]]
+  * and [[graft.expr.VecOps.hashPlaneDot]]), so the oracle reproduces the
+  * exact candidate pairs, signatures, and buckets.
   */
 object PipelineQueries {
+
+  /** DuckDB oracle twin of [[Dedup.minhashCandidates]] with the default
+    * numPerm=16 / rowsPerBand=4 parameters, generated from the same
+    * permutation-family coefficients the Spark operator uses. */
+  private val minhashOracleSql: String = {
+    val h32 = PortableHash.duckDbMd5Number("shingle", 8)
+    val mins = (0 until 16).map { j =>
+      val pa = 2L * j + 1L
+      val pb = (j * 2654435761L + 104729L) % 2147483647L
+      s"min(h * $pa + $pb) AS mh$j"
+    }.mkString(", ")
+    val bandStructs = (0 until 4).map { b =>
+      val members = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+      s"struct_pack(band := $b, sig := list_reduce(list_sort([$members]), " +
+        "(a, x) -> (a * 31 + x) % 1000000007))"
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+       |           || ' ' || toks[CAST(i + 2 AS INT)] AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+       |        FROM d WHERE len(toks) >= 3)),
+       |hs AS (SELECT doc_id, $h32 AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandStructs]) AS bs FROM sig),
+       |flat AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM bands)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM flat a JOIN flat b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[Dedup.simhashCandidates]] (60-bit signature,
+    * 4 pigeonhole blocks of 15 bits, maxHamming=3) over all documents. */
+  private val simhashOracleSql: String = {
+    val h60 = PortableHash.duckDbMd5Number("tok", 15)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |hs AS (SELECT doc_id, $h60 AS h FROM tok),
+       |pm AS (
+       |  SELECT doc_id, bit,
+       |    CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS pm
+       |  FROM hs, range(0, 60) t(bit)),
+       |s AS (SELECT doc_id, bit, CAST(sum(pm) AS BIGINT) AS s FROM pm GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0
+       |    THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM s GROUP BY doc_id),
+       |blk AS (
+       |  SELECT doc_id, sig, b AS block,
+       |    (sig >> CAST(b * 15 AS INT)) & 32767 AS bv
+       |  FROM sig, range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM blk a JOIN blk b
+       |    ON a.block = b.block AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[Similarity.lshAnn]] (6 hyperplanes, k=3,
+    * probes vec_id < 10): same integer-mix plane weights, same sequential
+    * left-fold dot products, so signs/buckets/similarities match exactly. */
+  private val lshOracleSql: String = {
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    val bucket = (0 until 6).map { p =>
+      s"(CASE WHEN ${VecOps.duckDbPlaneDot("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket,
+       |    sqrt(${seqDot("embedding", "embedding")}) AS v_norm
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS q_id, bucket, embedding AS q_emb, v_norm AS q_norm
+       |      FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, bucket, embedding AS c_emb, v_norm AS c_norm FROM e),
+       |j AS (
+       |  SELECT q_id, p.bucket AS bucket, c_id,
+       |    round(${seqDot("c_emb", "q_emb")} / (c_norm * q_norm), 6) AS sim
+       |  FROM p JOIN c ON p.bucket = c.bucket AND q_id <> c_id),
+       |r AS (SELECT q_id, bucket, c_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rn
+       |  FROM j)
+       |SELECT q_id, bucket, c_id, sim, rn FROM r WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -243,20 +337,47 @@ object PipelineQueries {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // MinHash + LSH candidate pairs (xxhash64-based — no SQL twin)
+    // MinHash + LSH candidate pairs (portable md5-fold hash: the oracle
+    // recomputes the identical signatures and band buckets)
     Q("q_dedup_minhash",
       (s, d) => Dedup.minhashCandidates(s, documents(s, d)),
-      None),
+      Some(minhashOracleSql)),
 
-    // Random-hyperplane LSH ANN (murmur3-hash planes — no SQL twin)
+    // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",
       (s, d) => Similarity.lshAnn(embeddings(s, d), col("vec_id") < 10),
-      None),
+      Some(lshOracleSql)),
 
-    // SimHash Hamming-distance candidates (xxhash64-based — no SQL twin)
+    // SimHash Hamming candidates via pigeonhole block buckets (no
+    // all-pairs join, so no probe-set cap needed; portable 60-bit
+    // md5-fold signature — exact-duplicate docs land at hamming 0)
     Q("q_dedup_simhash",
-      (s, d) => Dedup.simhashCandidates(documents(s, d).filter(col("doc_id") < 100)),
-      None),
+      (s, d) => Dedup.simhashCandidates(documents(s, d)),
+      Some(simhashOracleSql)),
+
+    // Multimodal decode stage: the mapPartitions batch "codec" (stubbed as
+    // a deterministic code-point fold) re-expressed as integers so the
+    // oracle verifies the distributed plumbing end-to-end
+    Q("q_multimodal_decode",
+      (s, d) => Multimodal.decodeFeatures(
+          Multimodal.packText(documents(s, d).filter(col("doc_id") < 100)))
+        .select(col("media_id"),
+          expr("CAST(round(CAST(features[0] AS DOUBLE) * 1000.0) AS BIGINT)").as("a_mod"),
+          expr("CAST(round(CAST(features[1] AS DOUBLE) * 1000.0) AS BIGINT)").as("b_mod"),
+          expr("CAST(features[2] AS BIGINT)").as("n_cp"),
+          expr("CAST(features[3] AS BIGINT)").as("first_cp"))
+        .orderBy("media_id"),
+      Some("""WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |cp AS (SELECT doc_id,
+             |  list_transform(range(1, length(text) + 1),
+             |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cps
+             |  FROM t)
+             |SELECT doc_id AS media_id,
+             |  CAST(list_sum(cps) % 1000 AS BIGINT) AS a_mod,
+             |  CAST(list_reduce(cps, (x, y) -> (x * 31 + y) % 1000000007) % 1000 AS BIGINT) AS b_mod,
+             |  CAST(len(cps) AS BIGINT) AS n_cp,
+             |  CAST(cps[1] AS BIGINT) AS first_cp
+             |FROM cp ORDER BY media_id""".stripMargin)),
 
     // Multimodal plumbing: binary payload stats (bytes/frames/digest) over
     // the documents table packed as media rows

@@ -52,15 +52,17 @@ class VectorExprsSpec extends SparkSpec {
     assert(nulls.select(vecDot("a", "b").as("d")).collect().head.isNullAt(0))
   }
 
-  test("hash_plane_dot equals the SQL hash()-derived plane fold bit-for-bit") {
+  test("hash_plane_dot equals the portable integer-mix plane fold bit-for-bit") {
     val s2 = spark
     import s2.implicits._
     val rnd = new scala.util.Random(42L)
     val df = Seq.fill(100)(Array.fill(48)(rnd.nextFloat() * 2f - 1f)).toDF("embedding")
     (0 until 6).foreach { p =>
+      // the same 1-based-index congruential weight the kernel (and the
+      // DuckDB oracle twin) computes
       val hof = expr(
         s"aggregate(zip_with(embedding, transform(sequence(0, size(embedding) - 1), " +
-          s"i -> CAST(hash(i * 31 + $p * 101) % 1000 AS DOUBLE) / 1000.0), " +
+          s"i -> CAST(((i + 1) + $p * 8191L) * 2654435761L % 1000000007L % 2001L - 1000L AS DOUBLE) / 1000.0), " +
           "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       val native = GraftColumnBridge.column(HashPlaneDot(
         GraftColumnBridge.expression(col("embedding")),
@@ -77,5 +79,23 @@ class VectorExprsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect().head
     assert(r.getDouble(0) == 11.0)
+  }
+
+  test("vec_dot / hash_plane_dot reject non-float array inputs at analysis") {
+    val s2 = spark
+    import s2.implicits._
+    val ints = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+    // analysis is eager in Spark 4, so .select itself throws
+    val e1 = intercept[Exception](ints.select(GraftColumnBridge.column(VecDot(
+      GraftColumnBridge.expression(col("a")), GraftColumnBridge.expression(col("b"))))).collect())
+    assert(e1.getMessage.contains("array<float> or array<double>"))
+    val e2 = intercept[Exception](ints.select(GraftColumnBridge.column(HashPlaneDot(
+      GraftColumnBridge.expression(col("a")), GraftColumnBridge.expression(lit(0))))).collect())
+    assert(e2.getMessage.contains("array<float> or array<double>"))
+    // bigint plane id is rejected too (used to break codegen silently)
+    val floats = Seq(Array(1f, 2f)).toDF("v")
+    val e3 = intercept[Exception](floats.select(GraftColumnBridge.column(HashPlaneDot(
+      GraftColumnBridge.expression(col("v")), GraftColumnBridge.expression(lit(0L))))).collect())
+    assert(e3.getMessage.contains("plane id must be INT"))
   }
 }

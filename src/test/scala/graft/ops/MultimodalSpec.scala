@@ -44,6 +44,16 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 3L).get.getSeq[Float](1).forall(_ == 0f))
   }
 
+  test("fakeDecodeKernel is the pinned code-point fold the oracle reproduces") {
+    // "hello": code points 104,101,108,108,111 → a = 532,
+    // b = ((((104*31+101)*31+108)*31+108)*31+111) mod 1e9+7 = 99162322
+    val f = Multimodal.fakeDecodeKernel("hello".getBytes("UTF-8"))
+    assert(f.toSeq == Seq(0.532f, 0.322f, 5f, 104f))
+    // multi-byte text folds over CODE POINTS (not bytes): "é" = U+00E9
+    val g = Multimodal.fakeDecodeKernel("é".getBytes("UTF-8"))
+    assert(g.toSeq == Seq((233 % 1000) / 1000f, (233 % 1000) / 1000f, 1f, 233f))
+  }
+
   test("normalizeFeatures scales to unit max") {
     val norm = Multimodal.normalizeFeatures(
       Multimodal.decodeFeatures(Multimodal.packText(docs)))

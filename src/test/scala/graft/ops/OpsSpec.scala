@@ -108,6 +108,67 @@ class OpsSpec extends SparkSpec {
     assert(j.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ngram jaccard: maxDf prunes a planted universal gram, bounding buckets") {
+    // every doc shares the hot gram "zzz"; pairs (1,2) and (3,4) also share
+    // rarer grams
+    val docs = docsDf(Seq(
+      (1L, "zzz abcdef", "en", "a", 10L),
+      (2L, "zzz abcxyz", "en", "a", 10L),
+      (3L, "zzz qrstuv", "en", "a", 10L),
+      (4L, "zzz qrsmno", "en", "a", 10L),
+      (5L, "zzz 123789", "en", "a", 10L)))
+    // unpruned: "zzz " grams connect ALL pairs → C(5,2) = 10 candidates
+    assert(Dedup.ngramJaccard(docs, 3).count() == 10L)
+    // huge threshold ≡ unpruned (default contract for oracle stability)
+    assert(Dedup.ngramJaccard(docs, 3, maxDf = 1000L).collect().toSeq ==
+      Dedup.ngramJaccard(docs, 3).collect().toSeq)
+    // df <= 2 drops the universal grams: only truly-similar pairs remain,
+    // so the hot-gram bucket no longer produces a quadratic candidate set
+    val pruned = Dedup.ngramJaccard(docs, 3, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("simhash blocked candidates: complete vs brute force for hamming < nBlocks, no cartesian plan") {
+    val rng = new Random(2026)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // clusters of near-identical docs (one word tweaked) + random docs
+    val rows = (0 until 40).map { i =>
+      val base = Vector.fill(12)(vocab(rng.nextInt(vocab.size)))
+      val text = if (i % 4 == 1) base.updated(3, "tweak").mkString(" ")
+        else base.mkString(" ")
+      (i.toLong, text, "en", "a", text.length.toLong)
+    }
+    val docs = docsDf(rows)
+    val blocked = Dedup.simhashCandidates(docs, maxHamming = 3, nBlocks = 4)
+    // plan shape: (block, bv) equi-join, never a nested-loop cartesian
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // completeness: pigeonhole guarantees every pair within maxHamming
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys
+      if a < b && java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
+  test("asof join: reserved and colliding column names fail fast") {
+    val s2 = spark
+    import s2.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "v")
+    val lBad = Seq((1L, 10L, "x")).toDF("k", "ts", "__side")
+    intercept[IllegalArgumentException](AsOf.asofJoin(lBad, r, "k", "ts"))
+    val lClash = Seq((1L, 10L, "x")).toDF("k", "ts", "r_v")
+    intercept[IllegalArgumentException](AsOf.asofJoin(lClash, r, "k", "ts"))
+    // clean inputs still work
+    assert(AsOf.asofJoin(l, r, "k", "ts").count() == 1L)
+  }
+
   private def embDf(rows: Seq[(Long, Seq[Float], Int)]): DataFrame = {
     val s2 = spark
     import s2.implicits._

@@ -42,9 +42,19 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes the set of query names it attempted; a missing output
+    # dir for an ATTEMPTED query means the query crashed — count it as
+    # FAIL instead of silently skipping (only unattempted/filtered queries
+    # are skipped).
+    attempted_path = f"{out_dir}/attempted.json"
+    attempted = set(json.load(open(attempted_path))) if os.path.exists(
+        attempted_path) else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
+            if attempted is not None and name in attempted:
+                print(f"FAIL {name}: attempted but no output (query crashed)")
+                n_fail += 1
             continue  # filtered Verify run — only compare what was dumped
         try:
             scols, srows = rows_of(con.sql(
