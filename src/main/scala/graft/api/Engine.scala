@@ -138,6 +138,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def namespaceOverview(): DataFrame =
     Overview.namespaceRollup(Overview.tableFacts(spark, warehouseDir))
 
+  /** P7/A11 — format-version census over the warehouse: v1 and v2 tables
+    * both parse, so mixed warehouses count correctly
+    * (ref `tui/widgets.py:996-1001`, `formatters.py:1438-1494`). */
+  def formatVersionCensus(): DataFrame =
+    Overview.formatVersionCensus(Overview.tableFacts(spark, warehouseDir))
+
   def warehouseOverview(): DataFrame =
     Overview.warehouseRollup(Overview.tableFacts(spark, warehouseDir))
 

@@ -184,7 +184,7 @@ object FixtureWriter {
       lastUpdatedMs = BaseTs + commits.size * 3600000L,
       currentSchemaId = lastSchemaId,
       schemas = schemaVersions.zipWithIndex.map { case (cols, i) =>
-        IceSchema(i, cols.map(c => SchemaField(c.id, c.name, c.required, c.iceType)))
+        IceSchema(i, cols.map(c => SchemaField(c.id, c.name, c.required, c.iceType, c.name)))
       },
       defaultSpecId = 0,
       partitionSpecs = Seq(PartitionSpec(0, partitionCol.toSeq.map { p =>
@@ -301,7 +301,82 @@ object FixtureWriter {
     writeTable(spark, s"$warehouseDir/staging/metrics",
       Seq(metricsSchema), None, Seq(Commit("append", metricRows, 0)))
 
+    // legacy.inventory — a FORMAT-V1 table with nested struct/list fields:
+    // exercises the v1 singular schema/partition-spec keys and the nested
+    // type parser (mixed-version warehouses are the reason the reference
+    // has a format-version census, tui/widgets.py:996-1001)
+    writeV1Table(s"$warehouseDir/legacy/inventory")
+
     warehouseDir
+  }
+
+  /** Minimal Iceberg FORMAT-V1 table: singular `schema` / `partition-spec`
+    * keys (no `schemas`/`partition-specs` lists, no `current-schema-id`),
+    * one snapshot with a real Avro manifest, and nested struct + list
+    * fields. The metadata JSON is authored directly — `IcebergMeta.render`
+    * deliberately emits only the v2 shape. */
+  def writeV1Table(tableDir: String): Unit = {
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("metadata"))
+    val snapId = 3000L
+    val entries = (0 until 3).map { i =>
+      DataFileEntry(
+        status = 1, snapshotId = snapId, content = 0,
+        filePath = f"data/inv-$i%03d.parquet", fileFormat = "PARQUET",
+        partition = Map("warehouse_id" -> (i % 2).toString),
+        recordCount = 40L + i, fileSizeInBytes = 9000L + i * 512L,
+        columnSizes = Map(1 -> 2048L, 2 -> 4096L),
+        valueCounts = Map(1 -> (40L + i), 2 -> (40L + i)),
+        nullValueCounts = Map(1 -> 0L, 2 -> 1L),
+        lowerBounds = Map(1 -> IcebergDecode.encode("long", i * 100L)),
+        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 100L + 99L)))
+    }
+    val manifestPath = s"metadata/manifest-$snapId.avro"
+    AvroManifests.writeManifest(dir.resolve(manifestPath).toString, entries)
+    val manifests = Seq(ManifestFile(
+      manifestPath, Files.size(dir.resolve(manifestPath)), 0, 0, snapId,
+      entries.size, 0, 0, entries.map(_.recordCount).sum, 0, 0))
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests)
+
+    val uuid = java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString
+    val json =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "$uuid",
+         |  "location": "$tableDir",
+         |  "last-updated-ms": ${BaseTs + 7200000L},
+         |  "schema": {
+         |    "type": "struct",
+         |    "fields": [
+         |      {"id": 1, "name": "item_id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "warehouse_id", "required": true, "type": "int"},
+         |      {"id": 3, "name": "attrs", "required": false, "type": {
+         |        "type": "struct",
+         |        "fields": [
+         |          {"id": 4, "name": "color", "required": false, "type": "string"},
+         |          {"id": 5, "name": "weight_kg", "required": false, "type": "double"}
+         |        ]}},
+         |      {"id": 6, "name": "tags", "required": false, "type": {
+         |        "type": "list", "element-id": 7, "element": "string",
+         |        "element-required": false}}
+         |    ]},
+         |  "partition-spec": [
+         |    {"name": "warehouse_id", "transform": "identity", "source-id": 2, "field-id": 1000}
+         |  ],
+         |  "default-spec-id": 0,
+         |  "properties": {"owner": "legacy-team"},
+         |  "current-snapshot-id": $snapId,
+         |  "snapshots": [
+         |    {"snapshot-id": $snapId, "timestamp-ms": ${BaseTs + 7200000L},
+         |     "summary": {"operation": "append",
+         |       "total-data-files": "${entries.size}",
+         |       "total-records": "${entries.map(_.recordCount).sum}",
+         |       "total-files-size": "${entries.map(_.fileSizeInBytes).sum}"},
+         |     "manifest-list": "$listPath"}
+         |  ]
+         |}""".stripMargin
+    Files.writeString(dir.resolve("metadata/v1.metadata.json"), json)
   }
 
   // --------------------------------------------------------- monster table
@@ -371,7 +446,7 @@ object FixtureWriter {
     val md = TableMetadata(2,
       java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,
       tableDir, BaseTs + nCommits * 60000L, 0,
-      Seq(IceSchema(0, schema.map(c => SchemaField(c.id, c.name, c.required, c.iceType)))),
+      Seq(IceSchema(0, schema.map(c => SchemaField(c.id, c.name, c.required, c.iceType, c.name)))),
       0, Seq(PartitionSpec(0, Seq(SpecField("bucket", "bucket[1000]", 1, 1000)))),
       Map("owner" -> "bench"),
       snapshots.lastOption.map(_.snapshotId), snapshots)

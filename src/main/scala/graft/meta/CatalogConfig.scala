@@ -1,8 +1,14 @@
 package graft.meta
 
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
 /** Catalog configuration resolution (ref `catalog.py:26-142`): typed
   * config with priority explicit args > `ICEBERG_META_*` environment
-  * overrides > config-map (file) values, plus `${VAR}` placeholder
+  * overrides > config-file values, plus `${VAR}` placeholder
   * expansion (ref `catalog.py:60-96`).
   */
 final case class CatalogConfig(
@@ -43,4 +49,36 @@ object CatalogConfig {
         .filterKeys(k => k != "uri" && k != "warehouse")
         .mapValues(expand(_, env)).toMap)
   }
+
+  /** Default config-file location — the JSON-subset analog of the
+    * reference's `~/.iceberg-meta.yaml` (ref `catalog.py:60-66`). */
+  def defaultPath: Path =
+    Paths.get(sys.props.getOrElse("user.home", "."), ".iceberg-meta.json")
+
+  /** Load one catalog's entry from the config file. Accepts either the
+    * reference's nested shape `{"catalogs": {"<name>": {...}}}`
+    * (ref `catalog.py:78-87`) or a flat `{key: value}` object applying to
+    * any catalog name. A missing file or entry is Map.empty — absent
+    * config is not an error (ref `catalog.py:62-64`). */
+  def loadFile(name: String, path: Path = defaultPath): Map[String, String] = {
+    if (!Files.exists(path)) Map.empty
+    else {
+      val n = new ObjectMapper().readTree(Files.readString(path))
+      val entry = if (n.has("catalogs")) n.path("catalogs").path(name) else n
+      if (entry.isMissingNode || !entry.isObject) Map.empty
+      else entry.properties().asScala
+        .filter(_.getValue.isValueNode)
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  /** File-backed resolve: reads `path`, then applies the usual
+    * arg > env > file priority chain. */
+  def resolveFromFile(
+      name: String,
+      uriArg: Option[String] = None,
+      warehouseArg: Option[String] = None,
+      path: Path = defaultPath,
+      env: Map[String, String] = sys.env): CatalogConfig =
+    resolve(name, uriArg, warehouseArg, loadFile(name, path), env)
 }

@@ -9,17 +9,28 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** In-memory model + JSON (de)serialization of the Iceberg table-metadata
-  * document (format-version 2 subset).
+  * document (format versions 1 and 2).
   *
   * The reference consumes this document through pyiceberg
   * (ref `formatters.py:62-74` table facts, `:156-173` snapshots,
   * `:119-150` schemas, `:106-113` partition specs, `:1350-1360` snapshot
-  * summary totals). No Iceberg runtime jar ships in this environment, so we
-  * parse the metadata JSON directly with Jackson's tree API (no
-  * data-binding modules needed). Writing is only used by the deterministic
-  * fixture generator ([[graft.fixtures.FixtureWriter]]).
+  * summary totals), which reads BOTH format versions — v1 uses the
+  * singular `schema`/`partition-spec` keys where v2 uses `schemas`/
+  * `partition-specs` lists (its format-version census,
+  * `tui/widgets.py:996-1001`, exists because mixed-version warehouses are
+  * normal). No Iceberg runtime jar ships in this environment, so we parse
+  * the metadata JSON directly with Jackson's tree API (no data-binding
+  * modules needed). Writing is only used by the deterministic fixture
+  * generator ([[graft.fixtures.FixtureWriter]]).
   */
-final case class SchemaField(id: Int, name: String, required: Boolean, fieldType: String)
+final case class SchemaField(
+    id: Int, name: String, required: Boolean, fieldType: String,
+    /** Dotted path from the schema root ("addr.street"); equals `name`
+      * for top-level fields. Nested struct/list/map children are
+      * flattened into [[IceSchema.fields]] with their full path, so
+      * field-id based evolution diffs see nested columns too (the
+      * reference renders them recursively, `formatters.py:127-139`). */
+    path: String)
 final case class IceSchema(schemaId: Int, fields: Seq[SchemaField])
 final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
 final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
@@ -53,31 +64,88 @@ final case class TableMetadata(
 object IcebergMeta {
   private val mapper = new ObjectMapper()
 
+  /** Compact recursive rendering of an Iceberg type node: primitive type
+    * nodes are plain text; struct/list/map nodes render as
+    * `struct<name: t, ...>` / `list<t>` / `map<k, v>` (the reference
+    * recurses the same way when drawing the schema tree,
+    * `formatters.py:127-139`). */
+  def renderType(t: JsonNode): String =
+    if (t.isTextual) t.asText()
+    else t.path("type").asText() match {
+      case "struct" =>
+        t.path("fields").elements().asScala.map { f =>
+          s"${f.path("name").asText()}: ${renderType(f.path("type"))}"
+        }.mkString("struct<", ", ", ">")
+      case "list" => s"list<${renderType(t.path("element"))}>"
+      case "map" => s"map<${renderType(t.path("key"))}, ${renderType(t.path("value"))}>"
+      case other => other
+    }
+
+  /** One struct field node → its SchemaField plus flattened nested
+    * children (struct members, list elements, map keys/values), each with
+    * a dotted path and its own stable field id. */
+  private def flattenField(f: JsonNode, prefix: String): Seq[SchemaField] = {
+    val name = f.path("name").asText()
+    val path = if (prefix.isEmpty) name else s"$prefix.$name"
+    val t = f.path("type")
+    SchemaField(f.path("id").asInt(), name, f.path("required").asBoolean(),
+      renderType(t), path) +: flattenType(t, path)
+  }
+
+  /** Nested children of a type node as flattened SchemaFields. */
+  private def flattenType(t: JsonNode, path: String): Seq[SchemaField] =
+    if (t.isTextual) Seq.empty
+    else t.path("type").asText() match {
+      case "struct" =>
+        t.path("fields").elements().asScala.toSeq.flatMap(flattenField(_, path))
+      case "list" =>
+        val el = t.path("element")
+        SchemaField(t.path("element-id").asInt(), "element",
+          t.path("element-required").asBoolean(), renderType(el),
+          s"$path.element") +: flattenType(el, s"$path.element")
+      case "map" =>
+        val k = t.path("key"); val v = t.path("value")
+        Seq(
+          SchemaField(t.path("key-id").asInt(), "key", required = true,
+            renderType(k), s"$path.key"),
+          SchemaField(t.path("value-id").asInt(), "value",
+            t.path("value-required").asBoolean(), renderType(v), s"$path.value")) ++
+          flattenType(k, s"$path.key") ++ flattenType(v, s"$path.value")
+      case _ => Seq.empty
+    }
+
   def parse(json: String): TableMetadata = {
     val n = mapper.readTree(json)
     def strMap(node: JsonNode): Map[String, String] =
       if (node == null || node.isMissingNode) Map.empty
       else node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
 
-    val schemas = n.path("schemas").elements().asScala.map { s =>
+    def parseSchema(s: JsonNode, defaultId: Int): IceSchema =
       IceSchema(
-        s.path("schema-id").asInt(),
-        s.path("fields").elements().asScala.map { f =>
-          SchemaField(
-            f.path("id").asInt(), f.path("name").asText(),
-            f.path("required").asBoolean(), f.path("type").asText())
-        }.toSeq)
-    }.toSeq
+        if (s.has("schema-id")) s.path("schema-id").asInt() else defaultId,
+        s.path("fields").elements().asScala.toSeq.flatMap(flattenField(_, "")))
 
-    val specs = n.path("partition-specs").elements().asScala.map { s =>
-      PartitionSpec(
-        s.path("spec-id").asInt(),
-        s.path("fields").elements().asScala.map { f =>
-          SpecField(
-            f.path("name").asText(), f.path("transform").asText(),
-            f.path("source-id").asInt(), f.path("field-id").asInt())
-        }.toSeq)
-    }.toSeq
+    // v2 carries a `schemas` list; v1 carries one singular `schema`
+    val schemas =
+      if (n.has("schemas")) n.path("schemas").elements().asScala.zipWithIndex
+        .map { case (s, i) => parseSchema(s, i) }.toSeq
+      else Seq(parseSchema(n.path("schema"), 0))
+
+    def parseSpecFields(fields: JsonNode): Seq[SpecField] =
+      fields.elements().asScala.map { f =>
+        SpecField(
+          f.path("name").asText(), f.path("transform").asText(),
+          f.path("source-id").asInt(), f.path("field-id").asInt())
+      }.toSeq
+
+    // v2 carries `partition-specs`; v1 carries a bare `partition-spec`
+    // field array (spec id 0 by definition)
+    val specs =
+      if (n.has("partition-specs"))
+        n.path("partition-specs").elements().asScala.map { s =>
+          PartitionSpec(s.path("spec-id").asInt(), parseSpecFields(s.path("fields")))
+        }.toSeq
+      else Seq(PartitionSpec(0, parseSpecFields(n.path("partition-spec"))))
 
     val snaps = n.path("snapshots").elements().asScala.map { s =>
       Snapshot(
@@ -94,7 +162,9 @@ object IcebergMeta {
       n.path("table-uuid").asText(),
       n.path("location").asText(),
       n.path("last-updated-ms").asLong(),
-      n.path("current-schema-id").asInt(),
+      // v1 has no current-schema-id: the singular schema is current
+      if (n.has("current-schema-id")) n.path("current-schema-id").asInt()
+      else schemas.head.schemaId,
       schemas,
       n.path("default-spec-id").asInt(),
       specs,
@@ -116,7 +186,9 @@ object IcebergMeta {
       sn.put("type", "struct")
       sn.put("schema-id", s.schemaId)
       val fa = sn.putArray("fields")
-      s.fields.foreach { f =>
+      // top-level fields only: flattened nested children (dotted paths)
+      // are a parse-side view, not part of the document shape
+      s.fields.filter(f => !f.path.contains('.')).foreach { f =>
         val fn = fa.addObject()
         fn.put("id", f.id); fn.put("name", f.name)
         fn.put("required", f.required); fn.put("type", f.fieldType)

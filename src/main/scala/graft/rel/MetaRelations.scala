@@ -89,17 +89,19 @@ object MetaRelations {
     StructField("schema_id", IntegerType, nullable = false),
     StructField("field_id", IntegerType, nullable = false),
     StructField("field_name", StringType, nullable = false),
+    StructField("field_path", StringType, nullable = false),
     StructField("field_type", StringType, nullable = false),
     StructField("required", BooleanType, nullable = false)))
 
-  /** Flattened schema history: one row per (schema version, field) —
-    * resolved by stable field id for evolution diffs (ref
-    * `tui/widgets.py:310-350`). */
+  /** Flattened schema history: one row per (schema version, field),
+    * including nested struct/list/map children with their dotted
+    * `field_path` — resolved by stable field id for evolution diffs (ref
+    * `tui/widgets.py:310-350`; nested render `formatters.py:127-139`). */
   def schemas(spark: SparkSession, t: IcebergTable): DataFrame = {
     val rows = for {
       s <- t.metadata.schemas
       f <- s.fields
-    } yield Row(s.schemaId, f.id, f.name, f.fieldType, f.required)
+    } yield Row(s.schemaId, f.id, f.name, f.path, f.fieldType, f.required)
     spark.createDataFrame(rows.asJava, schemasSchema)
   }
 

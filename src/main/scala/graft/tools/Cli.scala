@@ -13,7 +13,8 @@ import graft.api.{Engine, Errors}
   * verbs: list-tables | summary T | health T | files T [snapshotId]
   *      | snapshots T | manifests T | partitions T | schema T
   *      | schema-diff T oldId newId | diff T s1 s2 | recent T
-  *      | namespace | warehouse | watch T rounds
+  *      | namespace | warehouse | tree T [snapshotId] | test-connection
+  *      | watch T rounds
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -75,6 +76,14 @@ object Cli {
           println("== deleted =="); emit(d.deleted)
         case "namespace"   => emit(engine.namespaceOverview())
         case "warehouse"   => emit(engine.warehouseOverview())
+        case "tree"        => emit(engine.tree(vargs(0), vargs.lift(1).map(_.toLong)))
+        // ref catalog.py:222-232 test_connection: prove the warehouse is
+        // reachable by counting namespaces/tables
+        case "test-connection" =>
+          import org.apache.spark.sql.functions.{countDistinct, count, lit}
+          emit(engine.listTables().agg(
+            countDistinct("namespace").as("namespace_count"),
+            count(lit(1)).as("table_count")))
         case "watch" =>
           graft.ops.Watch.watch(spark, engine.tableDir(vargs(0)),
             vargs.lift(1).map(_.toInt).getOrElse(3),
@@ -91,5 +100,6 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
-      "       schema schema-diff diff recent namespace warehouse watch")
+      "       schema schema-diff diff recent namespace warehouse tree\n" +
+      "       test-connection watch")
 }

@@ -66,10 +66,10 @@ class AvroRoundTripSpec extends AnyFunSuite {
   test("metadata JSON renders and re-parses identically") {
     val md = TableMetadata(2, "uuid-1", "/wh/ns/t", 1704067200000L, 1,
       Seq(
-        IceSchema(0, Seq(SchemaField(1, "id", required = true, "long"))),
+        IceSchema(0, Seq(SchemaField(1, "id", required = true, "long", "id"))),
         IceSchema(1, Seq(
-          SchemaField(1, "id", required = true, "long"),
-          SchemaField(2, "name", required = false, "string")))),
+          SchemaField(1, "id", required = true, "long", "id"),
+          SchemaField(2, "name", required = false, "string", "name")))),
       0, Seq(PartitionSpec(0, Seq(SpecField("id", "identity", 1, 1000)))),
       Map("owner" -> "x", "fmt" -> "parquet"),
       Some(1001L),

@@ -27,6 +27,36 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
     assert(argWins.warehouse.contains("arg-wh"))
   }
 
+  test("config file round-trip: nested catalogs shape, ${VAR} expansion, priority") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val path = dir.resolve("iceberg-meta.json")
+    java.nio.file.Files.writeString(path,
+      """{"catalogs": {
+        |  "prod": {"uri": "thrift://meta:9083", "warehouse": "${WH}/prod",
+        |           "io-impl": "hadoop"},
+        |  "dev": {"warehouse": "/tmp/dev-wh"}
+        |}}""".stripMargin)
+    val env = Map("WH" -> "/data")
+    val prod = CatalogConfig.resolveFromFile("prod", path = path, env = env)
+    assert(prod.uri.contains("thrift://meta:9083"))
+    assert(prod.warehouse.contains("/data/prod")) // ${WH} expanded
+    assert(prod.properties("io-impl") == "hadoop")
+    // env still beats file; args beat env
+    val envEnv = env + ("ICEBERG_META_WAREHOUSE" -> "/env-wh")
+    assert(CatalogConfig.resolveFromFile("prod", path = path, env = envEnv)
+      .warehouse.contains("/env-wh"))
+    assert(CatalogConfig.resolveFromFile("prod", warehouseArg = Some("/arg"),
+      path = path, env = envEnv).warehouse.contains("/arg"))
+    // unknown catalog / missing file → empty config, not an error
+    assert(CatalogConfig.loadFile("nope", path).isEmpty)
+    assert(CatalogConfig.loadFile("prod", dir.resolve("absent.json")).isEmpty)
+    // flat single-map shape applies to any name
+    val flat = dir.resolve("flat.json")
+    java.nio.file.Files.writeString(flat, """{"warehouse": "/flat-wh"}""")
+    assert(CatalogConfig.resolveFromFile("anything", path = flat, env = Map.empty)
+      .warehouse.contains("/flat-wh"))
+  }
+
   test("error taxonomy maps exception classes to friendly messages") {
     assert(Errors.classify(new java.io.FileNotFoundException("x"))
       .contains("not found"))

@@ -23,7 +23,40 @@ class IcebergEngineSpec extends SparkSpec {
   test("list-tables walks namespaces") {
     val tables = engine.listTables().collect().map(r => s"${r.getString(0)}.${r.getString(1)}")
     assert(tables.toSet == Set(
-      "sales.orders", "sales.customers", "analytics.events", "staging.metrics"))
+      "sales.orders", "sales.customers", "analytics.events", "staging.metrics",
+      "legacy.inventory"))
+  }
+
+  test("format-v1 table loads end-to-end: singular schema/spec keys parse") {
+    val t = engine.load("legacy.inventory")
+    assert(t.metadata.formatVersion == 1)
+    assert(t.metadata.currentSchemaId == 0)
+    assert(t.metadata.currentSpec.fields.map(_.name) == Seq("warehouse_id"))
+    // files flow through the normal manifest reader
+    assert(engine.files("legacy.inventory")
+      .agg(sum("record_count")).collect().head.getLong(0) == 123L) // 40+41+42
+    val s = engine.summary("legacy.inventory").collect().head
+    assert(s.getAs[Long]("total_records") == 123L)
+  }
+
+  test("nested struct/list types render recursively and flatten with paths") {
+    val t = engine.load("legacy.inventory")
+    val byPath = t.metadata.currentSchema.fields.map(f => f.path -> f).toMap
+    assert(byPath("attrs").fieldType == "struct<color: string, weight_kg: double>")
+    assert(byPath("attrs.color").fieldType == "string")
+    assert(byPath("attrs.weight_kg").id == 5)
+    assert(byPath("tags").fieldType == "list<string>")
+    assert(byPath("tags.element").id == 7)
+    // schemas relation carries the dotted path column
+    val rel = graft.rel.MetaRelations.schemas(spark, t)
+    val paths = rel.select("field_path").collect().map(_.getString(0)).toSet
+    assert(paths.contains("attrs.color") && paths.contains("tags.element"))
+  }
+
+  test("format-version census sees the mixed v1/v2 warehouse") {
+    val census = engine.formatVersionCensus().collect()
+      .map(r => r.getAs[Int]("format_version") -> r.getAs[Long]("table_count")).toMap
+    assert(census == Map(1 -> 1L, 2 -> 4L))
   }
 
   test("orders health: file stats and manifest census are positive") {
@@ -119,12 +152,12 @@ class IcebergEngineSpec extends SparkSpec {
   test("namespace + warehouse overview use summary totals (no manifest IO)") {
     val ns = engine.namespaceOverview().collect()
     assert(ns.map(_.getAs[String]("namespace")).toSet ==
-      Set("sales", "analytics", "staging"))
+      Set("sales", "analytics", "staging", "legacy"))
     val wh = engine.warehouseOverview().collect()
     val grand = wh.find(_.isNullAt(0)).get
-    assert(grand.getAs[Long]("table_count") == 4L)
-    // orders live 15 + customers 20 + events 75 + metrics 12
-    assert(grand.getAs[Long]("total_records") == 122L)
+    assert(grand.getAs[Long]("table_count") == 5L)
+    // orders live 15 + customers 20 + events 75 + metrics 12 + inventory 123
+    assert(grand.getAs[Long]("total_records") == 245L)
   }
 
   test("watch: second poll flags only fresh snapshots") {

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.fixtures.FixtureWriter
 import graft.tools.Cli
@@ -33,6 +35,14 @@ class SkewAndCliSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-cli-out").toString
     assert(Cli.run(Array(wh, "snapshots", "sales.orders", "--json", s"$out/snaps")) == 0)
     assert(Files.list(java.nio.file.Paths.get(s"$out/snaps")).count() > 0)
+    // tree + test-connection (ref Engine.tree / catalog.py:222-232)
+    assert(Cli.run(Array(wh, "tree", "analytics.events")) == 0)
+    assert(Cli.run(Array(wh, "test-connection", "--csv", s"$out/conn")) == 0)
+    val connCsv = Files.list(java.nio.file.Paths.get(s"$out/conn"))
+      .iterator().asScala.find(_.toString.endsWith(".csv")).get
+    val lines = Files.readAllLines(connCsv).asScala
+    assert(lines.head == "namespace_count,table_count")
+    assert(lines(1) == "4,5") // sales/analytics/staging/legacy, 5 tables
   }
 
   test("CLI maps missing table to a friendly nonzero exit") {
