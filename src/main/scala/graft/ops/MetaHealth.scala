@@ -57,23 +57,27 @@ object MetaHealth {
       MetaRelations.partitions(files).withColumnRenamed("file_count", "cnt"),
       "cnt")
 
-  /** A5 — per-column null rates from the stat maps: explode + one
-    * aggregate, map-side combinable (ref `formatters.py:522-559`).
-    * `nameById` is a literal field_id→name map: the schema is driver-known
-    * metadata, so resolving names costs an `element_at`, not a join. */
-  def nullRates(files: DataFrame, nameById: Column): DataFrame = {
-    val nulls = files
-      .select(explode(col("null_value_counts")).as(Seq("field_id", "nulls")))
-      .groupBy("field_id").agg(sum(col("nulls")).as("null_count"))
-    val values = files
-      .select(explode(col("value_counts")).as(Seq("field_id", "vals")))
-      .groupBy("field_id").agg(sum(col("vals")).as("value_count"))
-    nulls.join(values, "field_id")
+  /** A5 — per-column null rates from the stat maps (ref
+    * `formatters.py:522-559`). The null and value maps are merged per row
+    * with `map_zip_with`, so the whole section is ONE explode + ONE
+    * aggregate — no second scan and no join (the old two-explode + join
+    * shape paid an extra broadcast job per call; at metadata scale job
+    * count, not row count, is the cost). `nameById` is a literal
+    * field_id→name map: the schema is driver-known metadata, so resolving
+    * names costs an `element_at`, not a join. */
+  def nullRates(files: DataFrame, nameById: Column): DataFrame =
+    files
+      .select(explode(expr(
+        "map_zip_with(null_value_counts, value_counts, " +
+          "(k, n, v) -> named_struct('nulls', n, 'vals', v))"))
+        .as(Seq("field_id", "nv")))
+      .groupBy("field_id")
+      .agg(sum(col("nv.nulls")).as("null_count"), sum(col("nv.vals")).as("value_count"))
+      .filter(col("null_count").isNotNull && col("value_count").isNotNull)
       .withColumn("field_name", element_at(nameById, col("field_id")))
       .withColumn("null_pct",
         round(lit(100.0) * col("null_count") / col("value_count"), 4))
       .orderBy("field_id")
-  }
 
   /** A6 — per-column storage share, sorted desc
     * (ref `formatters.py:561-573`). */
@@ -91,24 +95,23 @@ object MetaHealth {
 
   /** A7 — per-column min/max bounds, decoded from the Iceberg single-value
     * binary via [[IcebergDecode]] (ref `formatters.py:576-604`; primitive
-    * numeric types only, like the reference). Type/name lookup via literal
-    * maps — no joins, one explode+aggregate per bound side. */
-  def columnBounds(files: DataFrame, typeById: Column, nameById: Column): DataFrame = {
-    val lower = files
-      .select(explode(col("lower_bounds")).as(Seq("field_id", "bin")))
+    * numeric types only, like the reference). The lower/upper maps are
+    * merged per row with `map_zip_with`: ONE explode + ONE aggregate for
+    * both sides, no join. Type/name lookup via literal maps. */
+  def columnBounds(files: DataFrame, typeById: Column, nameById: Column): DataFrame =
+    files
+      .select(explode(expr(
+        "map_zip_with(lower_bounds, upper_bounds, " +
+          "(k, lo, hi) -> named_struct('lo', lo, 'hi', hi))"))
+        .as(Seq("field_id", "b")))
       .select(col("field_id"),
-        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("bin")).as("v"))
-      .groupBy("field_id").agg(min(col("v")).as("min_value"))
-    val upper = files
-      .select(explode(col("upper_bounds")).as(Seq("field_id", "bin")))
-      .select(col("field_id"),
-        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("bin")).as("v"))
-      .groupBy("field_id").agg(max(col("v")).as("max_value"))
-    lower.join(upper, "field_id")
+        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("b.lo")).as("lo"),
+        IcebergDecode.decodeNum(element_at(typeById, col("field_id")), col("b.hi")).as("hi"))
+      .groupBy("field_id")
+      .agg(min(col("lo")).as("min_value"), max(col("hi")).as("max_value"))
       .filter(col("min_value").isNotNull)
       .withColumn("field_name", element_at(nameById, col("field_id")))
       .orderBy("field_id")
-  }
 
   /** J4/W6 — interval-overlap detection on the first partition-source
     * column's decoded [lower, upper] ranges, with the reference's adaptive

@@ -36,7 +36,11 @@ object MetaRelations {
     StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = false),
     StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = false)))
 
-  /** `files` relation, pinned to a snapshot (None = current). */
+  /** `files` relation, pinned to a snapshot (None = current). The local
+    * relation is sized ~50k rows/partition: metadata frames are small, and
+    * a 5k-row frame split across 32 default partitions pays more task
+    * overhead than compute (the count is driver-known, so this costs
+    * nothing and still scales to million-file tables). */
   def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val rows = t.files(snapshotId).map { e =>
       Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
@@ -44,6 +48,7 @@ object MetaRelations {
         e.nullValueCounts, e.lowerBounds, e.upperBounds)
     }
     spark.createDataFrame(rows.asJava, filesSchema)
+      .coalesce(math.max(1, rows.size / 50000))
   }
 
   val snapshotsSchema: StructType = StructType(Seq(

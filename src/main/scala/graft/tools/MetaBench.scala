@@ -26,9 +26,12 @@ object MetaBench {
       .master(s"local[$cpus]")
       // Metadata-scale frames are small; fewer shuffle partitions cut
       // task overhead. Codegen stays ON — interpreted mode measured 4-5x
-      // slower even at 5000 rows (UDF decode + exploded maps).
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      // slower even at 5000 rows (UDF decode + exploded maps). AQE is OFF:
+      // its per-stage re-planning is pure overhead on KB-scale frames, and
+      // it made the warmup's plans (5-row table) diverge from the timed
+      // run's (5000-row), defeating the codegen warmup.
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
     Sessions.required.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
