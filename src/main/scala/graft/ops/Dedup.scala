@@ -114,10 +114,16 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"))
-    val bits = toks.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${SimhashBits - 1}), i -> " +
-          "CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)"))
-        .as(Seq("bit", "pm")))
+    // Explode a LITERAL bit sequence and derive ±1 from the carried-through
+    // `h` attribute AFTER the Generate. Putting `h` inside a transform()
+    // lambda instead lets CollapseProject inline the md5 expression into
+    // the lambda body (one syntactic use), re-evaluating the hash once per
+    // BIT — 60x the hash cost; this shape computes it once per token.
+    val bits = toks
+      .select(col("doc_id"), col("h"),
+        explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("bit"))
+      .select(col("doc_id"), col("bit"), expr(
+        "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").as("pm"))
     bits.groupBy("doc_id", "bit").agg(sum(col("pm")).as("s"))
       .groupBy("doc_id")
       .agg(sum(expr(
