@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Engine-portable deterministic string hashes.
@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
+  /** First `nHex` md5 hex digits as a long, via the native codegen kernel
+    * [[Md5Prefix]] (no hex-string round trip in the hot path). */
+  private def md5Hash(c: Column, nHex: Int): Column =
+    GraftColumnBridge.column(Md5Prefix(GraftColumnBridge.expression(c), nHex))
+
   /** First 8 md5 hex digits as a long in [0, 2^32). */
-  def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def md5Hash32(c: Column): Column = md5Hash(c, 8)
 
   /** First 15 md5 hex digits as a long in [0, 2^60) — a 60-bit hash that
     * still fits signed-64 arithmetic under ANSI mode. */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash60(c: Column): Column = md5Hash(c, 15)
+
+  /** The composed built-in formulation — the documented Spark-SQL twin of
+    * [[md5Hash32]]/[[md5Hash60]]; kept for cross-checking the native
+    * kernel in specs. */
+  def md5HashSql(c: Column, nHex: Int): Column =
+    conv(substring(md5(c), 1, nHex), 16, 10).cast("long")
 
   /** DuckDB SQL computing the same integer as [[md5Hash32]]/[[md5Hash60]]:
     * positional hex-digit fold over the first `nHex` md5 digits of

@@ -81,6 +81,27 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("md5_prefix native kernel equals the conv(substring(md5)) formulation") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7L)
+    val strs = Seq.tabulate(300)(i => rnd.nextString(1 + rnd.nextInt(40))) ++
+      Seq("", "hello world", "的 中文 text", "éàüß", "a b c")
+    val df = strs.toDF("s")
+    Seq[(Int, org.apache.spark.sql.Column)](
+      (8, PortableHash.md5Hash32(col("s"))),
+      (15, PortableHash.md5Hash60(col("s")))).foreach { case (n, native) =>
+      val out = df.select(
+        native.as("native"),
+        PortableHash.md5HashSql(col("s"), n).as("composed")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"nHex=$n"))
+    }
+    // type/arity misuse fails analysis
+    val e = intercept[Exception](df.select(GraftColumnBridge.column(
+      Md5Prefix(GraftColumnBridge.expression(lit(5)), 8))).collect())
+    assert(e.getMessage.contains("must be STRING"))
+  }
+
   test("vec_dot / hash_plane_dot reject non-float array inputs at analysis") {
     val s2 = spark
     import s2.implicits._
