@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.expr.{PortableHash, VecOps}
-import graft.ops.{AsOf, Dedup, Multimodal, Similarity, Skew, TextStats}
+import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Every
@@ -107,7 +107,62 @@ object PipelineQueries {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  /** DuckDB oracle twin of [[Clustering.kmeans]] (k=4, iters=2,
+    * quant=1e6) + [[Clustering.clusterStats]]: same init (4 lowest ids),
+    * same sequential score folds, same integer-quantized centroid update,
+    * same (score, id) tie-break — assignments and checksums match
+    * exactly. */
+  private val kmeansOracleSql: String = {
+    // assignment CTE pair against a centroid CTE `cn (c, cv)`
+    def assignStage(dName: String, aName: String, centName: String): String =
+      s"""$dName AS (
+         |  SELECT e.vec_id, e.embedding, $centName.c,
+         |    -2.0 * list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+         |  FROM e, $centName),
+         |$aName AS (
+         |  SELECT vec_id, embedding, c AS cluster FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+         |     FROM $dName)
+         |  WHERE rn = 1)""".stripMargin
+    def sumStage(sName: String, aName: String): String =
+      s"""$sName AS (
+         |  SELECT cluster, i AS dim,
+         |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS cnt
+         |  FROM $aName, range(1, 65) t(i)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM e WHERE vec_id < 4),
+       |${assignStage("d1", "a1", "c0")},
+       |${sumStage("s1", "a1")},
+       |c1 AS (
+       |  SELECT cluster AS c,
+       |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
+       |  FROM s1 GROUP BY cluster),
+       |${assignStage("d2", "a2", "c1")},
+       |${sumStage("s2", "a2")}
+       |SELECT sz.cluster, sz.n_vecs, fp.centroid_fp
+       |FROM (SELECT cluster, count(*) AS n_vecs FROM a2 GROUP BY 1) sz
+       |JOIN (SELECT cluster,
+       |        CAST(sum((sq % 1000000007) * dim) % 1000000007 AS BIGINT) AS centroid_fp
+       |      FROM s2 GROUP BY 1) fp
+       |  USING (cluster)
+       |ORDER BY cluster""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Deterministic Lloyd k-means over embeddings: cluster sizes +
+    // integer centroid checksums after 2 rounds (k=4)
+    Q("q_kmeans",
+      (s, d) => Clustering.clusterStats(Clustering.kmeans(embeddings(s, d), 4, 2)),
+      Some(kmeansOracleSql)),
 
     // Exact dedup: distinct normalized docs per language
     Q("q_dedup_exact",

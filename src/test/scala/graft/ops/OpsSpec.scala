@@ -196,6 +196,36 @@ class OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("c_id") == 1L)
   }
 
+  test("kmeans: deterministic assignment, full coverage, shuffle-free argmin") {
+    val rng = new Random(99)
+    // three well-separated blobs in 8-d
+    val rows = (0 until 90).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == center) 5f else 0f) + rng.nextFloat() * 0.2f)
+      (i.toLong, v.toSeq, center)
+    }
+    val e = embDf(rows)
+    val m = Clustering.kmeans(e, 3, 3)
+    val assigned = m.assignments.collect()
+    assert(assigned.length == 90)
+    // every vector got a cluster in [0, 3)
+    assert(assigned.forall(r => (0 until 3).contains(r.getAs[Int]("cluster"))))
+    // well-separated blobs: after 3 rounds each blob maps to ONE cluster
+    val byBlob = assigned.groupBy(_.getAs[Long]("vec_id") % 3)
+      .map { case (b, rs) => b -> rs.map(_.getAs[Int]("cluster")).toSet }
+    assert(byBlob.values.forall(_.size == 1))
+    // deterministic: identical stats on a re-run
+    val s1 = Clustering.clusterStats(m).collect().toSeq
+    val s2 = Clustering.clusterStats(Clustering.kmeans(e, 3, 3)).collect().toSeq
+    assert(s1 == s2)
+    // centroids moved off the 3 seed vectors after the update
+    assert(m.centroids != Clustering.kmeans(e, 3, 1).centroids)
+    // the assignment stage is a pure projection: no shuffle in its plan
+    val plan = Clustering.assign(e, m.centroids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("text: quality score stays in [0,1] and tokens count correctly") {
     val docs = docsDf(Seq(
       (1L, "Clean prose with words.", "en", "a", 23L),
