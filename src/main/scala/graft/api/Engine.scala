@@ -150,6 +150,38 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def watchPoll(ref: String, seen: Set[Long]): Watch.Poll =
     Watch.poll(spark, tableDir(ref), seen)
 
+  // ---- render layer (ref formatters.py render_schema:119-139, tree
+  // 1195-1307 — the library analog of the TUI panels: plain-text trees
+  // built from collected metadata-scale rows, display layer only) ----
+
+  /** S11 — the current schema as an indented text tree; nested
+    * struct/list/map children indent under their parent (depth = dots in
+    * the flattened field path, ref `formatters.py:127-139`). */
+  def renderSchema(ref: String): String = {
+    val md = load(ref).metadata
+    val s = md.currentSchema
+    val lines = s.fields.map { f =>
+      val depth = f.path.count(_ == '.')
+      val req = if (f.required) "required" else "optional"
+      s"${"  " * depth}- ${f.name} : ${f.fieldType} ($req, id=${f.id})"
+    }
+    (s"Schema (id=${s.schemaId})" +: lines).mkString("\n")
+  }
+
+  /** S11 — the metadata tree as text: one line per manifest with file
+    * count, row share and size color (ref `formatters.py:1195-1307`). */
+  def renderTree(ref: String, snapshotId: Option[Long] = None): String = {
+    val md = load(ref).metadata
+    val head = s"$ref (snapshot ${md.currentSnapshotId.getOrElse("-")})"
+    val rows = tree(ref, snapshotId).collect().map { r =>
+      val bytes = graft.expr.Format.formatBytesStr(r.getAs[Long]("total_bytes"))
+      s"└── ${r.getAs[String]("manifest_path")}  " +
+        s"[${r.getAs[Long]("file_count")} files, ${r.getAs[Double]("pct_of_rows")}% " +
+        s"of rows, $bytes, ${r.getAs[String]("size_color")}]"
+    }
+    (head +: rows.toSeq).mkString("\n")
+  }
+
   // ---- sinks (ref output.py:49-60) ----
 
   /** S9 — JSON lines sink. */

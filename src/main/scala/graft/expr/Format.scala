@@ -25,6 +25,16 @@ object Format {
       .when(b < K * K * K * K, concat(f1(b.cast("double") / (K * K * K)), lit(" GB")))
       .otherwise(concat(f1(b.cast("double") / (K * K * K * K)), lit(" TB")))
 
+  /** Driver-side twin of [[formatBytes]] for the text render layer. */
+  def formatBytesStr(b: Long): String = {
+    def f1(x: Double): String = f"${math.floor(x * 10) / 10}%.1f"
+    if (b < K) s"$b B"
+    else if (b < K * K) s"${f1(b.toDouble / K)} KB"
+    else if (b < K * K * K) s"${f1(b.toDouble / (K * K))} MB"
+    else if (b < K * K * K * K) s"${f1(b.toDouble / (K * K * K))} GB"
+    else s"${f1(b.toDouble / (K * K * K * K))} TB"
+  }
+
   /** F2 — epoch-ms → `yyyy-MM-dd HH:mm:ss UTC` (ref `utils.py:17-25`). */
   def formatTs(ts: Column): Column =
     concat(date_format(ts, "yyyy-MM-dd HH:mm:ss"), lit(" UTC"))

@@ -43,4 +43,17 @@ object EventStreams {
           state.update(UserState(total))
           UserActivity(user, total)
       }
+
+  /** Streaming exact dedup on a content digest:
+    * `dropDuplicatesWithinWatermark` keys the state store on the 32-hex
+    * digest (never the document body) and EXPIRES state past the
+    * watermark — the only dedup shape whose state stays bounded on an
+    * unbounded corpus stream. Batch dedup of the same corpus is
+    * [[graft.ops.Dedup.exactClusters]]. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(lower(trim(col("text")))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
 }

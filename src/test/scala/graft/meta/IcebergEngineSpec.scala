@@ -190,6 +190,18 @@ class IcebergEngineSpec extends SparkSpec {
       Set("green", "yellow", "red").contains(r.getAs[String]("size_color"))))
   }
 
+  test("render layer: schema tree nests children, metadata tree lists manifests") {
+    val schemaTxt = engine.renderSchema("legacy.inventory")
+    assert(schemaTxt.startsWith("Schema (id=0)"))
+    assert(schemaTxt.contains("- attrs : struct<color: string, weight_kg: double> (optional, id=3)"))
+    // nested child indents one level under its parent
+    assert(schemaTxt.contains("\n  - color : string (optional, id=4)"))
+    val treeTxt = engine.renderTree("analytics.events")
+    assert(treeTxt.startsWith("analytics.events (snapshot 1002)"))
+    assert(treeTxt.linesIterator.count(_.startsWith("└──")) == 3)
+    assert(treeTxt.contains("% of rows"))
+  }
+
   test("namespace health fan-out covers every table in the namespace") {
     val reports = engine.healthNamespace("sales")
     assert(reports.keySet == Set("sales.orders", "sales.customers"))

@@ -13,6 +13,31 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("streaming dedup drops same-digest docs across batches within the watermark") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Doc]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Doc(1, "the quick brown fox", ts("10:00")),
+        Doc(2, "THE QUICK BROWN FOX  ", ts("10:01")), // same digest (lower+trim)
+        Doc(3, "something else", ts("10:02")))
+      q.processAllAvailable()
+      input.addData(Doc(4, "the quick brown fox", ts("10:10"))) // dup in later batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L)) // 2 and 4 deduped by state-store digest
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts aggregate by event-time hour") {
     val s2 = spark
     import s2.implicits._
