@@ -166,6 +166,45 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components of the undirected candidate-pair graph — the
+    * step that turns pairwise near-dup candidates into dedup GROUPS (keep
+    * one doc per component). Min-label propagation to fixpoint: each node
+    * starts labeled with its own id and repeatedly takes the min of its
+    * neighbors' labels; converged labels equal the min id reachable from
+    * each node (what a transitive-closure oracle computes). Iterations are
+    * lineage-truncated with `localCheckpoint` (plans would otherwise grow
+    * per round) and each round is one join + one min-aggregate — the
+    * standard large-graph CC shape (label propagation, not a driver-side
+    * union-find), so it scales with the shuffle, not the driver.
+    *
+    * @param pairs (a_id, b_id) candidate edges, e.g.
+    *              [[minhashCandidates]] output */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nmin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nmin, labels("id") === nmin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "plabel"), "id")
+        .filter(col("label") =!= col("plabel")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** Character n-gram sets per document (distinct), for Jaccard dedup. */
   def charNgrams(docs: DataFrame, n: Int): DataFrame =
     docs.filter(length(col("text")) >= n)

@@ -16,10 +16,11 @@ import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Similarity, Skew, TextSta
   */
 object PipelineQueries {
 
-  /** DuckDB oracle twin of [[Dedup.minhashCandidates]] with the default
-    * numPerm=16 / rowsPerBand=4 parameters, generated from the same
-    * permutation-family coefficients the Spark operator uses. */
-  private val minhashOracleSql: String = {
+  /** Shared CTE chain reproducing [[Dedup.minhashCandidates]] (default
+    * numPerm=16 / rowsPerBand=4) in DuckDB, ending in a `pairs` CTE —
+    * used by both the candidate-pair oracle and the connected-components
+    * oracle on top of it. */
+  private val minhashPairCtes: String = {
     val h32 = PortableHash.duckDbMd5Number("shingle", 8)
     val mins = (0 until 16).map { j =>
       val pa = 2L * j + 1L
@@ -31,7 +32,7 @@ object PipelineQueries {
       s"struct_pack(band := $b, sig := list_reduce(list_sort([$members]), " +
         "(a, x) -> (a * 31 + x) % 1000000007))"
     }.mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents),
        |sh AS (
@@ -42,12 +43,38 @@ object PipelineQueries {
        |hs AS (SELECT doc_id, $h32 AS h FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([$bandStructs]) AS bs FROM sig),
-       |flat AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM bands)
-       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |FROM flat a JOIN flat b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |ORDER BY a_id, b_id""".stripMargin
+       |flat AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM flat a JOIN flat b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  // NOTE: the shared CTE text contains `||` concat operators, so the
+  // composed oracles are built by plain concatenation — an outer
+  // stripMargin would eat the first pipe of `||`.
+
+  /** DuckDB oracle twin of [[Dedup.minhashCandidates]]. */
+  private val minhashOracleSql: String =
+    "WITH " + minhashPairCtes + "\nSELECT a_id, b_id FROM pairs ORDER BY a_id, b_id"
+
+  /** DuckDB oracle for connected components over the minhash candidate
+    * graph: a recursive CTE propagates reachable ids, so each node's
+    * component is the min id it can reach — the same fixpoint the Spark
+    * label-propagation loop converges to. */
+  private val componentsOracleSql: String =
+    "WITH RECURSIVE " + minhashPairCtes + ",\n" +
+      """edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+        |FROM labels GROUP BY component ORDER BY component""".stripMargin
 
   /** DuckDB oracle twin of [[Dedup.simhashCandidates]] (60-bit signature,
     * 4 pigeonhole blocks of 15 bits, maxHamming=3) over all documents. */
@@ -397,6 +424,15 @@ object PipelineQueries {
     Q("q_dedup_minhash",
       (s, d) => Dedup.minhashCandidates(s, documents(s, d)),
       Some(minhashOracleSql)),
+
+    // Dedup groups: connected components over the minhash candidate
+    // graph (label propagation to fixpoint; oracle = recursive CTE)
+    Q("q_dedup_components",
+      (s, d) => Dedup.connectedComponents(Dedup.minhashCandidates(s, documents(s, d)))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+        .orderBy("component"),
+      Some(componentsOracleSql)),
 
     // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",

@@ -156,6 +156,23 @@ class OpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("connected components: chains merge across hops to the min id") {
+    val s2 = spark
+    import s2.implicits._
+    // chain 1-2-3-4 (needs multi-hop propagation), pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    // long chain converges within the iteration cap
+    val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).toSet
+    assert(cc == Set(0L))
+  }
+
   test("asof join: reserved and colliding column names fail fast") {
     val s2 = spark
     import s2.implicits._
