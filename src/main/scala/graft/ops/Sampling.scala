@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.PortableHash
+
+/** Deterministic, content-keyed sampling and dataset splitting for corpus
+  * curation. Everything is a map-side filter/projection on the portable
+  * 32-bit md5 hash of a key column ([[PortableHash]]) — no RNG state, no
+  * shuffle, reproducible across runs, engines and partitionings, and a
+  * given document always lands in the same sample/split no matter how the
+  * corpus is re-partitioned or re-processed (the property `rand()`-based
+  * sampling loses).
+  */
+object Sampling {
+
+  /** 2^32 — the portable hash's value range. */
+  private val Range32 = 4294967296L
+
+  private def threshold(fraction: Double): Long = (fraction * Range32).toLong
+
+  /** Keep ~`fraction` of rows, chosen by key hash (deterministic). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(PortableHash.md5Hash32(key) < lit(threshold(fraction)))
+  }
+
+  /** Per-stratum sampling rates (e.g. per language): strata not in the map
+    * use `defaultFraction`. One literal-map lookup + filter — no join. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val thrMap = fractions.map { case (k, f) => k -> threshold(f) }
+    df.filter(PortableHash.md5Hash32(key) <
+      coalesce(element_at(typedLit(thrMap), strata), lit(threshold(defaultFraction))))
+  }
+
+  /** Integer bucket thresholds (out of 10000) for cumulative weights —
+    * shared with oracle generation so both engines bucket identically. */
+  def splitThresholds(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    var cum = 0.0
+    weights.map { case (name, w) => cum += w; name -> (cum * 10000).toLong }
+  }
+
+  /** Add a `split` column assigning each row to train/val/test (or any
+    * weighted partition) by hash bucket — deterministic and stable under
+    * re-partitioning. */
+  def assignSplit(df: DataFrame, key: Column, weights: Seq[(String, Double)]): DataFrame = {
+    val thrs = splitThresholds(weights)
+    val bucket = PortableHash.md5Hash32(key) % 10000
+    val assigned = thrs.init.foldRight(lit(thrs.last._1): Column) { case ((name, t), other) =>
+      when(bucket < t, name).otherwise(other)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.expr.{PortableHash, VecOps}
-import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Similarity, Skew, TextStats}
+import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Sampling, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Every
@@ -190,6 +190,47 @@ object PipelineQueries {
     Q("q_kmeans",
       (s, d) => Clustering.clusterStats(Clustering.kmeans(embeddings(s, d), 4, 2)),
       Some(kmeansOracleSql)),
+
+    // Deterministic train/val/test split by key hash: per-(lang, split)
+    // counts — stable under re-partitioning, reproducible in any engine
+    Q("q_sample_split", {
+      val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      (s, d) => Sampling.assignSplit(documents(s, d),
+          col("doc_id").cast("string"), weights)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+      },
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 8)
+        val thrs = Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = thrs.init.map { case (n, t) => s"WHEN bucket < $t THEN '$n'" }
+          .mkString(" ")
+        s"""WITH b AS (SELECT lang, $h % 10000 AS bucket FROM documents)
+           |SELECT lang,
+           |  CASE $cases ELSE '${thrs.last._1}' END AS split,
+           |  count(*) AS n_docs
+           |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+      }),
+
+    // Per-language stratified sampling rates, hash-keyed on the text
+    Q("q_sample_strat", {
+      val fr = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1)
+      (s, d) => Sampling.stratifiedSample(documents(s, d),
+          col("lang"), col("text"), fr)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+      },
+      Some {
+        val h = PortableHash.duckDbMd5Number("text", 8)
+        val fr = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1)
+        val cases = fr.toSeq.sortBy(_._1)
+          .map { case (l, f) => s"WHEN '$l' THEN ${(f * 4294967296L).toLong}" }
+          .mkString(" ")
+        s"""SELECT lang, count(*) AS n_kept FROM documents
+           |WHERE $h < (CASE lang $cases ELSE 0 END)
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }),
 
     // Exact dedup: distinct normalized docs per language
     Q("q_dedup_exact",

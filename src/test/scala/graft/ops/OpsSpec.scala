@@ -156,6 +156,33 @@ class OpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("sampling: hash split is exhaustive, deterministic and repartition-stable") {
+    val docs = docsDf((1 to 500).map(i =>
+      (i.toLong, s"document number $i content", "en", "a", 25L)))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.assignSplit(docs, col("doc_id").cast("string"), w)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500L)
+    // roughly proportional (hash-uniform; wide tolerance)
+    assert(counts("train") > 300L && counts("val") < 120L && counts("test") < 120L)
+    // repartitioning must not move any row between splits
+    val again = Sampling.assignSplit(docs.repartition(7),
+      col("doc_id").cast("string"), w)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    // stratified: absent stratum defaults to dropped
+    val mixed = docsDf(Seq(
+      (1L, "aa", "en", "a", 2L), (2L, "bb", "xx", "a", 2L)))
+    val kept = Sampling.stratifiedSample(mixed, col("lang"), col("text"),
+      Map("en" -> 1.0)).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
   test("connected components: chains merge across hops to the min id") {
     val s2 = spark
     import s2.implicits._
