@@ -180,8 +180,11 @@ object Dedup {
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // materialize the (possibly expensive) candidate-pair plan ONCE —
+    // the two-direction union would otherwise evaluate it twice
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
