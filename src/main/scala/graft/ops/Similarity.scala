@@ -79,6 +79,34 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** IVF ANN with a LEARNED coarse quantizer: every vector is assigned to
+    * its nearest [[Clustering.kmeans]] centroid (map-side argmin over the
+    * broadcast centroid literals — no shuffle), then each probe searches
+    * only its own cluster's inverted list. This is the genuine IVF-Flat
+    * shape: at 100 TB, partition/bucket the vector table by the stored
+    * `cluster` id so a probe touches one partition; recall tunes with k
+    * (number of centroids) and multi-probe.
+    *
+    * Top-1 per probe (rows: q_id, cluster, c_id, sim). */
+  def ivfSearch(emb: DataFrame, centroids: Seq[Seq[Double]], probePred: Column): DataFrame = {
+    val assigned = Clustering.assign(emb, centroids).withColumn("v_norm", norm("embedding"))
+    val probes = assigned.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("cluster"),
+        col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
+    val cands = assigned
+      .select(col("vec_id").as("c_id"), col("cluster"),
+        col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(cands, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("cluster"), col("c_id"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("q_id", "cluster", "c_id", "sim")
+      .orderBy("q_id")
+  }
+
   /** Random-hyperplane LSH top-k ANN — the scale path: each vector gets a
     * sign-bit signature over `nPlanes` fixed pseudo-random hyperplanes
     * (deterministic: plane p component i = hash-derived in [-1,1]), probes

@@ -134,53 +134,84 @@ object PipelineQueries {
        |ORDER BY q_id, rn""".stripMargin
   }
 
-  /** DuckDB oracle twin of [[Clustering.kmeans]] (k=4, iters=2,
-    * quant=1e6) + [[Clustering.clusterStats]]: same init (4 lowest ids),
-    * same sequential score folds, same integer-quantized centroid update,
-    * same (score, id) tie-break — assignments and checksums match
-    * exactly. */
-  private val kmeansOracleSql: String = {
-    // assignment CTE pair against a centroid CTE `cn (c, cv)`
-    def assignStage(dName: String, aName: String, centName: String): String =
-      s"""$dName AS (
-         |  SELECT e.vec_id, e.embedding, $centName.c,
-         |    -2.0 * list_reduce(list_transform(range(1, len(e.embedding) + 1),
-         |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
-         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
-         |  FROM e, $centName),
-         |$aName AS (
-         |  SELECT vec_id, embedding, c AS cluster FROM
-         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
-         |     FROM $dName)
-         |  WHERE rn = 1)""".stripMargin
-    def sumStage(sName: String, aName: String): String =
-      s"""$sName AS (
-         |  SELECT cluster, i AS dim,
-         |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
-         |      AS BIGINT)) AS BIGINT) AS sq,
-         |    count(*) AS cnt
-         |  FROM $aName, range(1, 65) t(i)
-         |  GROUP BY 1, 2)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  // --- kmeans oracle machinery (shared by q_kmeans and q_ann_kmeans) ---
+
+  /** Assignment CTE pair against a centroid CTE `centName (c, cv)`. */
+  private def kmAssignStage(dName: String, aName: String, centName: String): String =
+    s"""$dName AS (
+       |  SELECT e.vec_id, e.embedding, $centName.c,
+       |    -2.0 * list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+       |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+       |  FROM e, $centName),
+       |$aName AS (
+       |  SELECT vec_id, embedding, c AS cluster FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |     FROM $dName)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Quantized per-(cluster, dim) sum CTE over an assignment CTE. */
+  private def kmSumStage(sName: String, aName: String): String =
+    s"""$sName AS (
+       |  SELECT cluster, i AS dim,
+       |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS sq,
+       |    count(*) AS cnt
+       |  FROM $aName, range(1, 65) t(i)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain reproducing [[Clustering.kmeans]] (k=4, iters=2, quant=1e6)
+    * through the final assignment `a2` under updated centroids `c1`: same
+    * init (4 lowest ids), same sequential score folds, same
+    * integer-quantized centroid update, same (score, id) tie-break. */
+  private val kmeansCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (
        |  SELECT CAST(vec_id AS INT) AS c,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
        |  FROM e WHERE vec_id < 4),
-       |${assignStage("d1", "a1", "c0")},
-       |${sumStage("s1", "a1")},
+       |${kmAssignStage("d1", "a1", "c0")},
+       |${kmSumStage("s1", "a1")},
        |c1 AS (
        |  SELECT cluster AS c,
        |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
        |  FROM s1 GROUP BY cluster),
-       |${assignStage("d2", "a2", "c1")},
-       |${sumStage("s2", "a2")}
-       |SELECT sz.cluster, sz.n_vecs, fp.centroid_fp
-       |FROM (SELECT cluster, count(*) AS n_vecs FROM a2 GROUP BY 1) sz
-       |JOIN (SELECT cluster,
-       |        CAST(sum((sq % 1000000007) * dim) % 1000000007 AS BIGINT) AS centroid_fp
-       |      FROM s2 GROUP BY 1) fp
-       |  USING (cluster)
-       |ORDER BY cluster""".stripMargin
+       |${kmAssignStage("d2", "a2", "c1")}""".stripMargin
+
+  /** DuckDB oracle twin of [[Clustering.kmeans]] +
+    * [[Clustering.clusterStats]]. */
+  private val kmeansOracleSql: String =
+    "WITH " + kmeansCtes + ",\n" + kmSumStage("s2", "a2") + "\n" +
+      """SELECT sz.cluster, sz.n_vecs, fp.centroid_fp
+        |FROM (SELECT cluster, count(*) AS n_vecs FROM a2 GROUP BY 1) sz
+        |JOIN (SELECT cluster,
+        |        CAST(sum((sq % 1000000007) * dim) % 1000000007 AS BIGINT) AS centroid_fp
+        |      FROM s2 GROUP BY 1) fp
+        |  USING (cluster)
+        |ORDER BY cluster""".stripMargin
+
+  /** DuckDB oracle for IVF search with the LEARNED kmeans quantizer: the
+    * final kmeans assignment partitions the corpus, probes search only
+    * their own cluster, cosine with hoisted norms, top-1 per probe. */
+  private val annKmeansOracleSql: String = {
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    "WITH " + kmeansCtes + ",\n" +
+      s"""an AS (SELECT vec_id, embedding, cluster,
+         |  sqrt(${seqDot("embedding", "embedding")}) AS v_norm FROM a2),
+         |p AS (SELECT vec_id AS q_id, cluster, embedding AS q_emb, v_norm AS q_norm
+         |      FROM an WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, cluster, embedding AS c_emb, v_norm AS c_norm FROM an),
+         |j AS (
+         |  SELECT q_id, p.cluster AS cluster, c_id,
+         |    round(${seqDot("c_emb", "q_emb")} / (c_norm * q_norm), 6) AS sim
+         |  FROM p JOIN c ON p.cluster = c.cluster AND q_id <> c_id),
+         |r AS (SELECT q_id, cluster, c_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+         |  FROM j)
+         |SELECT q_id, cluster, c_id, sim FROM r WHERE rn = 1
+         |ORDER BY q_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -402,6 +433,16 @@ object PipelineQueries {
              |      ORDER BY round(dot / (sqrt(na2) * sqrt(nq2)), 6) DESC, c_id) AS rn
              |  FROM dsum)
              |SELECT q_id, label, c_id, sim FROM r WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
+    // IVF ANN with the LEARNED kmeans coarse quantizer (top-1 neighbor
+    // per probe within its trained cluster)
+    Q("q_ann_kmeans",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.ivfSearch(e, Clustering.kmeans(e, 4, 2).centroids,
+          col("vec_id") < 10)
+      },
+      Some(annKmeansOracleSql)),
 
     // Embedding-cosine near-duplicate pairs within coarse partitions
     Q("q_near_dup",

@@ -268,6 +268,13 @@ class OpsSpec extends SparkSpec {
     // the assignment stage is a pure projection: no shuffle in its plan
     val plan = Clustering.assign(e, m.centroids).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
+    // learned-quantizer IVF: every probe finds a same-blob neighbor
+    val ivf = Similarity.ivfSearch(e, m.centroids, col("vec_id") < 6).collect()
+    assert(ivf.length == 6)
+    ivf.foreach { r =>
+      assert(r.getAs[Long]("q_id") % 3 == r.getAs[Long]("c_id") % 3)
+      assert(r.getAs[Double]("sim") > 0.9)
+    }
   }
 
   test("text: quality score stays in [0,1] and tokens count correctly") {
