@@ -34,6 +34,23 @@ object TextStats {
       .withColumn("avg_ws", round(col("sum_ws").cast("double") / col("n_docs"), 2))
       .orderBy("lang")
 
+  /** Per-language top-k vocabulary: token frequency histogram with a
+    * deterministic (count desc, token) rank — the vocab-building pass of
+    * a tokenizer pipeline. One (lang, token) hash aggregate (map-side
+    * combinable) then a per-lang window over the VOCABULARY (bounded by
+    * distinct tokens, not corpus size), so the plan survives corpus
+    * scale-up. */
+  def topTokens(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    docs.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("lang", "rank")
+  }
+
   /** Quality score in [0,1]: alpha ratio + length credit − punctuation
     * penalty. The exact operation order is mirrored by the DuckDB oracle. */
   def qualityScore(text: Column): Column = {

@@ -323,6 +323,21 @@ object PipelineQueries {
              |  round(CAST(sum(ws_toks) AS DOUBLE) / count(*), 2) AS avg_ws
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Per-language top-5 vocabulary (token histogram, deterministic rank)
+    Q("q_vocab_topk",
+      (s, d) => TextStats.topTokens(documents(s, d), 5),
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, tok, cnt,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok)
+             |      AS INT) AS rank
+             |  FROM c)
+             |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
     // Quality-score decile histogram
     Q("q_quality_score",
       (s, d) => TextStats.qualityBuckets(documents(s, d)),
