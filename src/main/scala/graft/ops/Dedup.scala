@@ -194,15 +194,15 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nmin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // the change flag is computed inline, so convergence detection costs
+      // a count over the already-checkpointed frame, not a second join
       val next = labels.join(nmin, labels("id") === nmin("src"), "left")
         .select(labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+          (coalesce(col("nlabel"), labels("label")) < labels("label")).as("chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "plabel"), "id")
-        .filter(col("label") =!= col("plabel")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("chg")).count() == 0
+      labels = next.drop("chg")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("component"))
