@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Plan-shape invariants for the scale-critical properties the operators
+  * rely on at 100 TB: filter pushdown and column pruning must reach the
+  * parquet scan, small dimension joins must broadcast, and top-k must
+  * plan as TakeOrdered (no global sort). Asserting the plans in CI keeps
+  * a refactor from silently trading them away. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet scan: filters push down and projection prunes ReadSchema") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = docs.filter(col("doc_id") < 50).select("doc_id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      plan.take(1500))
+  }
+
+  test("small dimension join plans as a broadcast hash join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val region = spark.read.parquet(s"$sf/region.parquet") // 5 rows
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val q = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("knn top-k plans as TakeOrdered, not a global sort") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.knn(emb, 0L, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = li.groupBy("l_returnflag").agg(sum(col("l_quantity")))
+    val plan = q.queryExecution.executedPlan.toString
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag"), plan.take(1500))
+  }
+}
