@@ -44,6 +44,21 @@ object EventStreams {
           UserActivity(user, total)
       }
 
+  /** Event-time SESSION windows per user: a session extends while events
+    * arrive within `gap` of each other and closes at the watermark — the
+    * standard sessionization shape (state per open session, bounded by
+    * the watermark, merging handled by Spark's session-window state
+    * store). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Streaming exact dedup on a content digest:
     * `dropDuplicatesWithinWatermark` keys the state store on the 32-hex
     * digest (never the document body) and EXPIRES state past the

@@ -63,6 +63,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap and split across it") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Event(1, "click", ts("10:00")), Event(1, "view", ts("10:20")), // one session
+        Event(1, "click", ts("12:00")),                                // gap > 30m → new
+        Event(2, "click", ts("10:05")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions ORDER BY user_id, session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val s2 = spark
     import s2.implicits._
