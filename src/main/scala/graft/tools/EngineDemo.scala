@@ -56,6 +56,13 @@ object EngineDemo {
     println("== namespace overview ==");  engine.namespaceOverview().show(false)
     println("== warehouse overview ==");  engine.warehouseOverview().show(false)
 
+    println("== format-version census (mixed v1/v2 warehouse) ==")
+    engine.formatVersionCensus().show(false)
+    println("== rendered schema tree (v1 table, nested types) ==")
+    println(engine.renderSchema("legacy.inventory"))
+    println("== rendered metadata tree ==")
+    println(engine.renderTree("analytics.events"))
+
     val p1 = engine.watchPoll("analytics.events", Set.empty)
     val p2 = engine.watchPoll("analytics.events", p1.seenIds - p1.seenIds.max)
     println("== watch: fresh snapshot after dropping newest from seen ==")
