@@ -111,19 +111,24 @@ object Dedup {
     * Token hash is the portable md5-derived 60-bit integer, so the DuckDB
     * oracle reproduces the exact signature. */
   def simhash(docs: DataFrame): DataFrame = {
+    // Term-frequency first: repeated tokens contribute cnt·(±1), so the
+    // hash runs once per DISTINCT (doc, token) and the 60-way bit explode
+    // fans out tf-compressed rows (typically 2-3x fewer) — identical sums.
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"))
-    // Explode a LITERAL bit sequence and derive ±1 from the carried-through
-    // `h` attribute AFTER the Generate. Putting `h` inside a transform()
-    // lambda instead lets CollapseProject inline the md5 expression into
-    // the lambda body (one syntactic use), re-evaluating the hash once per
-    // BIT — 60x the hash cost; this shape computes it once per token.
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"), col("cnt"))
+    // Explode a LITERAL bit sequence and derive ±cnt from the
+    // carried-through `h` attribute AFTER the Generate. Putting `h` inside
+    // a transform() lambda instead lets CollapseProject inline the md5
+    // expression into the lambda body (one syntactic use), re-evaluating
+    // the hash once per BIT — 60x the hash cost; this shape computes it
+    // once per distinct token.
     val bits = toks
-      .select(col("doc_id"), col("h"),
+      .select(col("doc_id"), col("h"), col("cnt"),
         explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("bit"))
       .select(col("doc_id"), col("bit"), expr(
-        "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").as("pm"))
+        "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END").as("pm"))
     bits.groupBy("doc_id", "bit").agg(sum(col("pm")).as("s"))
       .groupBy("doc_id")
       .agg(sum(expr(
