@@ -16,6 +16,16 @@ import graft.rel.MetaRelations
   * Tables are addressed as `<namespace>.<table>` under a warehouse
   * directory (`<warehouse>/<ns>/<table>/metadata/v*.metadata.json`).
   */
+object Engine {
+  /** Build from resolved catalog config via the catalog SPI
+    * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses work;
+    * network backends raise through the friendly error taxonomy. */
+  def forConfig(spark: SparkSession, cfg: graft.meta.CatalogConfig): Engine = {
+    graft.meta.Catalogs.forConfig(cfg) // validates backend + warehouse
+    new Engine(spark, cfg.warehouse.get)
+  }
+}
+
 final class Engine(spark: SparkSession, warehouseDir: String) {
 
   def tableDir(ref: String): String = {

@@ -57,6 +57,21 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
       .warehouse.contains("/flat-wh"))
   }
 
+  test("catalog SPI: fs config builds FsCatalog, network backends raise clearly") {
+    val fs = Catalogs.forConfig(CatalogConfig("c", None, Some("/tmp/wh")))
+    assert(fs.isInstanceOf[FsCatalog])
+    assert(fs.name == "fs:/tmp/wh")
+    val e1 = intercept[UnsupportedOperationException](
+      Catalogs.forConfig(CatalogConfig("c", Some("thrift://meta:9083"), None)))
+    assert(e1.getMessage.contains("'thrift'"))
+    val e2 = intercept[UnsupportedOperationException](
+      Catalogs.forConfig(CatalogConfig("c", None, Some("/wh"),
+        Map("type" -> "rest"))))
+    assert(e2.getMessage.contains("'rest'"))
+    intercept[IllegalArgumentException](
+      Catalogs.forConfig(CatalogConfig("c", None, None)))
+  }
+
   test("error taxonomy maps exception classes to friendly messages") {
     assert(Errors.classify(new java.io.FileNotFoundException("x"))
       .contains("not found"))

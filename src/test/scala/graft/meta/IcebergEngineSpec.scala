@@ -53,6 +53,17 @@ class IcebergEngineSpec extends SparkSpec {
     assert(paths.contains("attrs.color") && paths.contains("tags.element"))
   }
 
+  test("FsCatalog walks the same tables the Engine sees and loads them") {
+    val cat = new FsCatalog(warehouse)
+    assert(cat.listNamespaces().toSet == Set("sales", "analytics", "staging", "legacy"))
+    assert(cat.listTables().map { case (ns, t) => s"$ns.$t" }.toSet ==
+      engine.listTables().collect().map(r => s"${r.getString(0)}.${r.getString(1)}").toSet)
+    assert(cat.loadTable("legacy.inventory").metadata.formatVersion == 1)
+    // config-driven construction reaches the same warehouse
+    val e2 = Engine.forConfig(spark, CatalogConfig("demo", None, Some(warehouse)))
+    assert(e2.listTables().count() == 5L)
+  }
+
   test("format-version census sees the mixed v1/v2 warehouse") {
     val census = engine.formatVersionCensus().collect()
       .map(r => r.getAs[Int]("format_version") -> r.getAs[Long]("table_count")).toMap
