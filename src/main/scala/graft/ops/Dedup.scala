@@ -191,8 +191,11 @@ object Dedup {
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with the 1-hop minimum (own id vs direct neighbors): the first
+    // propagation round comes free with the node-list aggregate
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
