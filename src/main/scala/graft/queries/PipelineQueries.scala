@@ -477,6 +477,61 @@ object PipelineQueries {
              |FROM d WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.35
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Exact multi-percentile stats per group (linear interpolation — the
+    // same definition as DuckDB's quantile_cont; median precedent is the
+    // long-green q_file_stats)
+    Q("q_percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Batch sessionization: lag-gap flags + running sum assign session
+    // numbers per user (30-minute gap); one keyed window shuffle
+    Q("q_sessionize",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+        val e = events(s, d)
+          .groupBy(col("user_id"), expr("ts div 1000").as("ts_us")).agg(count(lit(1)))
+          .select("user_id", "ts_us") // dedup (user, ts) ties
+        val gapUs = 1800L * 1000000L
+        e.withColumn("brk",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_no", sum(col("brk")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us FROM events GROUP BY 1, 2),
+             |s AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN ts_us - lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |x AS (
+             |  SELECT user_id, ts_us,
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+             |  FROM s)
+             |SELECT user_id, session_no, count(*) AS n_events,
+             |  min(ts_us) AS start_us, max(ts_us) AS end_us
+             |FROM x GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin)),
+
     // As-of join: attribute each purchase to the user's latest click
     // at-or-before it (clicks pre-deduped per (user, ts) so "the latest
     // click" is well-defined in both engines). DuckDB's native ASOF LEFT
