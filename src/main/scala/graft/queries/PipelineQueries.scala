@@ -338,6 +338,19 @@ object PipelineQueries {
              |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5
              |ORDER BY lang, rank""".stripMargin)),
 
+    // CUBE grouping sets over (lang, source) with grouping_id
+    // disambiguation (null group keys ordered explicitly — Spark and
+    // DuckDB default null ordering differ)
+    Q("q_cube",
+      (s, d) => documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), grouping_id().as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+             |FROM documents GROUP BY CUBE (lang, source)
+             |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
     // Quality-score decile histogram
     Q("q_quality_score",
       (s, d) => TextStats.qualityBuckets(documents(s, d)),
