@@ -59,6 +59,24 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-STREAM interval join: attribute each purchase to clicks by
+    * the same user within `within` BEFORE the purchase. Both sides are
+    * watermarked and the join condition bounds event time on both ends,
+    * so Spark can expire join state — the only stream-stream join shape
+    * whose state stays bounded at pipeline scale. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      within: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, expr(
+        s"user_id = p_user AND purchase_ts >= click_ts AND " +
+          s"purchase_ts <= click_ts + interval $within"))
+      .select("user_id", "click_ts", "purchase_ts", "value")
+  }
+
   /** Streaming exact dedup on a content digest:
     * `dropDuplicatesWithinWatermark` keys the state store on the 32-hex
     * digest (never the document body) and EXPIRES state past the

@@ -14,6 +14,7 @@ class EventStreamsSpec extends SparkSpec {
     Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  final case class Pur(user_id: Long, ts: Timestamp, value: Double)
 
   test("streaming dedup drops same-digest docs across batches within the watermark") {
     val s2 = spark
@@ -60,6 +61,28 @@ class EventStreamsSpec extends SparkSpec {
           ("2024-01-01 10:00:00.0", "click", 2L),
           ("2024-01-01 10:00:00.0", "view", 1L),
           ("2024-01-01 11:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Pur]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      clicks.addData(Event(1, "click", ts("10:00")), Event(2, "click", ts("08:00")))
+      purchases.addData(Pur(1, ts("10:30"), 9.99), Pur(2, ts("10:30"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, value FROM attrib ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // user 1's purchase is 30m after the click (in window); user 2's
+      // click is 2.5h earlier (outside the 1h window) → no attribution
+      assert(rows == Seq((1L, 9.99)))
     } finally q.stop()
   }
 
