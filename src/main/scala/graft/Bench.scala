@@ -42,19 +42,26 @@ object Bench {
       }
     }
 
+    // Best-of-2 per query: the box is shared, so a single timing can absorb a
+    // transient CPU/IO spike from a concurrent JVM (observed 25x outliers on
+    // otherwise-identical binaries). The min of two back-to-back runs is the
+    // steady-state cost of the plan, which is what we want to track per round.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      val dt = times.min
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
