@@ -30,8 +30,10 @@ final class FsCatalog(warehouseDir: String) extends MetaCatalog {
 
   private def subdirs(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-      .toSeq.sortBy(_.getFileName.toString)
+    else scala.util.Using.resource(Files.list(p)) { s =>
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
 
   override def listNamespaces(): Seq[String] =
     subdirs(Paths.get(warehouseDir)).map(_.getFileName.toString)

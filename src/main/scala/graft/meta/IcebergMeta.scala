@@ -30,7 +30,14 @@ final case class SchemaField(
       * flattened into [[IceSchema.fields]] with their full path, so
       * field-id based evolution diffs see nested columns too (the
       * reference renders them recursively, `formatters.py:127-139`). */
-    path: String)
+    path: String,
+    /** Compact JSON of the raw Iceberg type node ("\"long\"" for
+      * primitives, the full object for struct/list/map). Preserved so
+      * [[IcebergMeta.render]] re-emits the structured node instead of the
+      * flattened display string — parse→render of a nested schema stays
+      * valid metadata. Empty (programmatically-built flat fields) falls
+      * back to [[fieldType]], which for primitives is the same thing. */
+    typeJson: String = "")
 final case class IceSchema(schemaId: Int, fields: Seq[SchemaField])
 final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
 final case class PartitionSpec(specId: Int, fields: Seq[SpecField])
@@ -89,7 +96,11 @@ object IcebergMeta {
     val path = if (prefix.isEmpty) name else s"$prefix.$name"
     val t = f.path("type")
     SchemaField(f.path("id").asInt(), name, f.path("required").asBoolean(),
-      renderType(t), path) +: flattenType(t, path)
+      renderType(t), path,
+      // only non-primitive nodes need the raw JSON preserved — a primitive
+      // renders identically from fieldType, and leaving it empty keeps
+      // programmatically-built flat SchemaFields equal to parsed ones
+      if (t.isTextual) "" else t.toString) +: flattenType(t, path)
   }
 
   /** Nested children of a type node as flattened SchemaFields. */
@@ -191,7 +202,11 @@ object IcebergMeta {
       s.fields.filter(f => !f.path.contains('.')).foreach { f =>
         val fn = fa.addObject()
         fn.put("id", f.id); fn.put("name", f.name)
-        fn.put("required", f.required); fn.put("type", f.fieldType)
+        fn.put("required", f.required)
+        // structured type node when the parse preserved one; for flat
+        // programmatic fields the display string IS the primitive type
+        if (f.typeJson.nonEmpty) fn.set[JsonNode]("type", mapper.readTree(f.typeJson))
+        else fn.put("type", f.fieldType)
       }
     }
     root.put("default-spec-id", md.defaultSpecId)
@@ -228,9 +243,11 @@ object IcebergMeta {
     * (highest v<N>.metadata.json). */
   def latestMetadataPath(tableDir: String): Path = {
     val metaDir = Paths.get(tableDir, "metadata")
-    val versions = Files.list(metaDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
-      .toSeq
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        .toSeq
+    }
     require(versions.nonEmpty, s"no metadata files under $metaDir")
     versions.maxBy(p => p.getFileName.toString.stripPrefix("v")
       .stripSuffix(".metadata.json").toInt)

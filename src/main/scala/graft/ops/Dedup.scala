@@ -202,17 +202,23 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nmin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // the change flag is computed inline, so convergence detection costs
-      // a count over the already-checkpointed frame, not a second join
+      // lazy checkpoint + count over the change flag: the count is the
+      // materializing action, so each round is ONE job (join+agg+count)
+      // with lineage still truncated for the next round
       val next = labels.join(nmin, labels("id") === nmin("src"), "left")
         .select(labels("id"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
           (coalesce(col("nlabel"), labels("label")) < labels("label")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged = next.filter(col("chg")).count() == 0
       labels = next.drop("chg")
       i += 1
     }
+    // a silent cap-exit would return labels that disagree with true
+    // components (graph diameter > maxIters) with no signal — refuse
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations; " +
+        "raise maxIters (graph diameter exceeds the cap)")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 

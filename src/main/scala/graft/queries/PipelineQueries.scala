@@ -150,14 +150,19 @@ object PipelineQueries {
        |     FROM $dName)
        |  WHERE rn = 1)""".stripMargin
 
-  /** Quantized per-(cluster, dim) sum CTE over an assignment CTE. */
+  /** Quantized per-(cluster, dim) sum CTE over an assignment CTE. Dims
+    * come from zipped unnest/generate_subscripts over the embedding
+    * itself — derived from the data, so a fixture dimension change keeps
+    * the oracle correct instead of silently NULL-padding a hardcoded
+    * bound. */
   private def kmSumStage(sName: String, aName: String): String =
     s"""$sName AS (
-       |  SELECT cluster, i AS dim,
-       |    CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+       |  SELECT cluster, dim,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
        |      AS BIGINT)) AS BIGINT) AS sq,
        |    count(*) AS cnt
-       |  FROM $aName, range(1, 65) t(i)
+       |  FROM (SELECT cluster, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS dim FROM $aName)
        |  GROUP BY 1, 2)""".stripMargin
 
   /** CTE chain reproducing [[Clustering.kmeans]] (k=4, iters=2, quant=1e6)
@@ -172,10 +177,13 @@ object PipelineQueries {
        |  FROM e WHERE vec_id < 4),
        |${kmAssignStage("d1", "a1", "c0")},
        |${kmSumStage("s1", "a1")},
-       |c1 AS (
+       |c1n AS (
        |  SELECT cluster AS c,
        |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
        |  FROM s1 GROUP BY cluster),
+       |c1 AS (
+       |  SELECT c0.c, COALESCE(c1n.cv, c0.cv) AS cv
+       |  FROM c0 LEFT JOIN c1n ON c0.c = c1n.c),
        |${kmAssignStage("d2", "a2", "c1")}""".stripMargin
 
   /** DuckDB oracle twin of [[Clustering.kmeans]] +

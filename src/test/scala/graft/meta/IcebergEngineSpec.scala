@@ -53,6 +53,19 @@ class IcebergEngineSpec extends SparkSpec {
     assert(paths.contains("attrs.color") && paths.contains("tags.element"))
   }
 
+  test("parse→render→parse of a nested schema preserves the structured types") {
+    val md = engine.load("legacy.inventory").metadata
+    val back = IcebergMeta.parse(IcebergMeta.render(md))
+    // the re-parsed schema must flatten identically — in particular the
+    // nested struct/list children must survive with ids, paths and types
+    assert(back.currentSchema.fields == md.currentSchema.fields)
+    assert(back.currentSpec == md.currentSpec)
+    // and the rendered JSON must carry a structured type node, not the
+    // flattened display string, for the struct field
+    val json = IcebergMeta.render(md)
+    assert(!json.contains("\"struct<"))
+  }
+
   test("FsCatalog walks the same tables the Engine sees and loads them") {
     val cat = new FsCatalog(warehouse)
     assert(cat.listNamespaces().toSet == Set("sales", "analytics", "staging", "legacy"))
