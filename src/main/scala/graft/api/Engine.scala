@@ -160,6 +160,26 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def watchPoll(ref: String, seen: Set[Long]): Watch.Poll =
     Watch.poll(spark, tableDir(ref), seen)
 
+  // ---- write/commit path (the engine-native analog of the reference's
+  // pyiceberg writes, demo.py:34-181; see graft.meta.TableWriter) ----
+
+  /** Append `df` as a new snapshot of `ref`. */
+  def append(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.append(spark, tableDir(ref), df)
+
+  /** Replace `ref`'s live data with `df` (prior snapshots stay readable). */
+  def overwrite(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.overwrite(spark, tableDir(ref), df)
+
+  /** Bin-pack small data files into larger ones and commit a replace
+    * snapshot (the action behind the health report's
+    * `compaction_recommended`, ref `formatters.py:461,775`). */
+  def rewriteSmallFiles(
+      ref: String,
+      smallBytes: Long = Compact.DefaultSmallBytes,
+      targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
+    Compact.rewriteSmallFiles(spark, tableDir(ref), smallBytes, targetBytes)
+
   // ---- render layer (ref formatters.py render_schema:119-139, tree
   // 1195-1307 — the library analog of the TUI panels: plain-text trees
   // built from collected metadata-scale rows, display layer only) ----

@@ -1,0 +1,279 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.{Date, Timestamp}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.IcebergDecode
+
+/** The write/commit half of the engine: append / overwrite / replace a
+  * table's data as a new Iceberg snapshot — new parquet data files, a new
+  * Avro manifest (+ carried-forward entries for replace), a new manifest
+  * list, a snapshot with the summary totals the read side consumes
+  * (`total-data-files` / `total-records` / `total-files-size`,
+  * [[graft.ops.Overview.tableFacts]]), and the next `vN.metadata.json`.
+  * The reference seeds its demo tables through pyiceberg's write path
+  * (ref `demo.py:34-181`, `quickstart/seed.py:41-170`); this is the
+  * engine-native equivalent.
+  *
+  * Scale shape: the data write is ONE parallel Spark job
+  * (`partitionBy` on the identity partition sources — each task streams
+  * its partition values); per-file stats are ONE distributed aggregation
+  * over the just-written files keyed by `input_file_name()` (the stats
+  * pass every Iceberg writer pays); exact per-column byte sizes come from
+  * parquet footers read in `mapPartitions` on executors. Driver work is
+  * O(#new files) — metadata-scale — never O(rows).
+  */
+object TableWriter {
+
+  final case class CommitResult(
+      snapshotId: Long,
+      addedFiles: Int,
+      addedRecords: Long,
+      metadataVersion: Int)
+
+  /** Append `df` as a new snapshot; existing manifests carry forward. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame): CommitResult =
+    commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true)
+
+  /** Replace the table's live data with `df` (new snapshot; prior
+    * snapshots stay readable — time travel). */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): CommitResult =
+    commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => false)
+
+  /** Replace a specific set of live files with `df` (compaction commit):
+    * untouched files carry forward as `existing` entries, `removePaths`
+    * disappear from the live set, `df`'s files join as `added`. */
+  def replaceFiles(
+      spark: SparkSession,
+      tableDir: String,
+      removePaths: Set[String],
+      df: DataFrame): CommitResult =
+    commit(spark, tableDir, Some(df), "replace",
+      keepPredicate = e => !removePaths.contains(e.filePath))
+
+  // ------------------------------------------------------------- internals
+
+  private def topLevelFields(md: TableMetadata): Seq[SchemaField] = {
+    val s = md.currentSchema
+    require(s.fields.forall(f => !f.path.contains('.')),
+      "write path supports flat schemas only (nested top-level fields present)")
+    s.fields
+  }
+
+  private def boundBytes(iceType: String, v: Any): Array[Byte] = iceType match {
+    case "date" => IcebergDecode.encode("date",
+      v.asInstanceOf[Date].toLocalDate.toEpochDay.toInt)
+    case "timestamp" => IcebergDecode.encode("timestamp",
+      v.asInstanceOf[Timestamp].getTime * 1000L)
+    case other => IcebergDecode.encode(other, v)
+  }
+
+  /** `input_file_name()` URI → plain local path (keys must match the
+    * footer reader's and the mover's view of the same file). */
+  private def plainPath(uri: String): String = {
+    val noScheme = if (uri.startsWith("file:")) uri.stripPrefix("file:") else uri
+    java.net.URLDecoder.decode(noScheme, "UTF-8")
+  }
+
+  /** Exact per-column compressed byte sizes from parquet footers, read on
+    * executors (one task per path partition). */
+  private def columnSizes(
+      spark: SparkSession, paths: Seq[String]): Map[String, Map[String, Long]] = {
+    if (paths.isEmpty) return Map.empty
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val sizes = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .groupBy(_.getPath.toDotString)
+              .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+            p -> sizes
+          } finally r.close()
+        }
+      }
+    rdd.collect().toMap
+  }
+
+  private def commit(
+      spark: SparkSession,
+      tableDir: String,
+      data: Option[DataFrame],
+      operation: String,
+      keepPredicate: DataFileEntry => Boolean): CommitResult = {
+
+    val dir = Paths.get(tableDir)
+    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
+    val md = IcebergMeta.load(tableDir)
+    require(md.formatVersion == 2,
+      s"write path supports format-version 2 tables (got v${md.formatVersion})")
+
+    val fields = topLevelFields(md)
+    val spec = md.currentSpec
+    require(spec.fields.forall(_.transform == "identity"),
+      s"write path supports identity partitioning only (spec: ${spec.fields.map(_.transform).mkString(",")})")
+    val partCols = spec.fields.map { sf =>
+      fields.find(_.id == sf.sourceId).getOrElse(throw new IllegalStateException(
+        s"partition source field ${sf.sourceId} not in current schema")).name
+    }
+
+    val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+
+    // ---- 1. stage the data: one parallel partitionBy write; partition
+    // sources are DUPLICATED into `__p_*` staging columns so the data
+    // files retain the original column (Iceberg keeps identity sources in
+    // the file) while the directory layout tells us each file's partition
+    val newEntries: Seq[DataFileEntry] = data match {
+      case Some(df0) if !df0.isEmpty =>
+        val names = fields.map(_.name)
+        require(df0.columns.toSet == names.toSet,
+          s"dataframe columns ${df0.columns.sorted.mkString(",")} must match " +
+            s"table schema ${names.sorted.mkString(",")}")
+        val ordered = df0.select(names.map(col): _*)
+        val stage = Files.createTempDirectory("graft-commit")
+        val staged0 = partCols.foldLeft(ordered)((d, p) =>
+          d.withColumn(s"__p_$p", col(p)))
+        // hash-distribute by partition sources before the write — the
+        // Iceberg default (write.distribution-mode=hash): each partition
+        // value lands in one task → one file per value instead of one per
+        // (task, value). On a real cluster AQE rebalance splits oversized
+        // partitions; at metadata scale this is exactly one shuffle.
+        val staged1 =
+          if (partCols.isEmpty) staged0
+          else staged0.repartition(partCols.map(p => col(s"__p_$p")): _*)
+        if (partCols.isEmpty) staged1.write.mode("overwrite").parquet(stage.toString)
+        else staged1.write.mode("overwrite")
+          .partitionBy(partCols.map(p => s"__p_$p"): _*).parquet(stage.toString)
+
+        // ---- 2. per-file stats: one distributed agg keyed by file name
+        val staged = spark.read.option("basePath", stage.toString)
+          .parquet(stage.toString)
+        val statAggs = fields.flatMap { f => Seq(
+          count(col(f.name)).as(s"vc_${f.id}"),
+          min(col(f.name)).as(s"lo_${f.id}"),
+          max(col(f.name)).as(s"hi_${f.id}")) }
+        val partKeys = partCols.map(p => col(s"__p_$p").cast("string").as(s"__p_$p"))
+        val stats = staged
+          .groupBy(input_file_name().as("__file") +: partKeys: _*)
+          .agg(count(lit(1)).as("nrows"), statAggs: _*)
+          .collect()
+
+        val colBytes = columnSizes(spark, stats.map(r => plainPath(r.getAs[String]("__file"))).toSeq)
+
+        Files.createDirectories(dir.resolve("data"))
+        stats.toSeq.sortBy(_.getAs[String]("__file")).zipWithIndex.map { case (row, i) =>
+          val stagedPath = plainPath(row.getAs[String]("__file"))
+          val relPath = f"data/data-$snapId-$i%05d.parquet"
+          Files.move(Paths.get(stagedPath), dir.resolve(relPath),
+            StandardCopyOption.REPLACE_EXISTING)
+          val nrows = row.getAs[Long]("nrows")
+          val sizes = colBytes.getOrElse(stagedPath, Map.empty)
+          val lower = fields.flatMap { f =>
+            Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+          }.toMap
+          val upper = fields.flatMap { f =>
+            Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+          }.toMap
+          DataFileEntry(
+            status = 1, snapshotId = snapId, content = 0,
+            filePath = relPath, fileFormat = "PARQUET",
+            partition = partCols.map(p => p -> row.getAs[String](s"__p_$p")).toMap,
+            recordCount = nrows,
+            fileSizeInBytes = Files.size(dir.resolve(relPath)),
+            columnSizes = fields.flatMap(f =>
+              sizes.get(f.name).map(f.id -> _)).toMap,
+            valueCounts = fields.map(f => f.id -> nrows).toMap,
+            nullValueCounts = fields.map(f =>
+              f.id -> (nrows - row.getAs[Long](s"vc_${f.id}"))).toMap,
+            lowerBounds = lower, upperBounds = upper)
+        }
+      case _ => Seq.empty
+    }
+
+    // ---- 3. carried-forward entries (append keeps whole manifests;
+    // overwrite/replace rewrite kept entries into an `existing` manifest)
+    val t = new IcebergTable(tableDir, md)
+    val liveNow = t.files()
+    val kept = liveNow.filter(keepPredicate)
+    val keepsEverything = kept.size == liveNow.size
+
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
+    if (operation == "append" && keepsEverything) {
+      // cheap append: previous manifests carry forward untouched
+      manifests ++= t.manifests()
+    } else if (kept.nonEmpty) {
+      // rewrite kept entries as `existing` under their original snapshot
+      val existing = kept.map(e => e.copy(status = 0))
+      val keptPath = s"metadata/manifest-$snapId-existing.avro"
+      AvroManifests.writeManifest(dir.resolve(keptPath).toString, existing)
+      manifests += ManifestFile(
+        keptPath, Files.size(dir.resolve(keptPath)),
+        partitionSpecId = spec.specId, content = 0, addedSnapshotId = snapId,
+        addedFilesCount = 0, existingFilesCount = existing.size,
+        deletedFilesCount = 0, addedRowsCount = 0L,
+        existingRowsCount = existing.map(_.recordCount).sum, deletedRowsCount = 0L)
+    }
+    if (newEntries.nonEmpty) {
+      val addedPath = s"metadata/manifest-$snapId.avro"
+      AvroManifests.writeManifest(dir.resolve(addedPath).toString, newEntries)
+      manifests += ManifestFile(
+        addedPath, Files.size(dir.resolve(addedPath)),
+        partitionSpecId = spec.specId, content = 0, addedSnapshotId = snapId,
+        addedFilesCount = newEntries.size, existingFilesCount = 0,
+        deletedFilesCount = 0,
+        addedRowsCount = newEntries.map(_.recordCount).sum,
+        existingRowsCount = 0L, deletedRowsCount = 0L)
+    }
+
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests.toSeq)
+
+    // ---- 4. snapshot + next metadata version
+    val live = kept ++ newEntries
+    val nowMs = System.currentTimeMillis()
+    val snapshot = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = md.currentSnapshotId,
+      timestampMs = nowMs,
+      operation = operation,
+      summary = Map(
+        "operation" -> operation,
+        "added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString,
+        "total-data-files" -> live.size.toString,
+        "total-records" -> live.map(_.recordCount).sum.toString,
+        "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString),
+      manifestList = listPath)
+
+    val newMd = md.copy(
+      lastUpdatedMs = nowMs,
+      currentSnapshotId = Some(snapId),
+      snapshots = md.snapshots :+ snapshot)
+    val curVersion = currentMetaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val nextVersion = curVersion + 1
+    writeAtomic(dir.resolve(s"metadata/v$nextVersion.metadata.json"),
+      IcebergMeta.render(newMd))
+
+    CommitResult(snapId, newEntries.size, newEntries.map(_.recordCount).sum, nextVersion)
+  }
+
+  /** Write-then-move so a concurrent reader never sees a torn metadata
+    * document (the same reason Iceberg commits via rename). */
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
