@@ -12,6 +12,11 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
   private def resolve(p: String): String =
     if (Paths.get(p).isAbsolute) p else s"$tableDir/$p"
 
+  /** Resolve a metadata-relative path against the table root (public for
+    * consumers that read manifests off the driver, e.g. the distributed
+    * scan in [[graft.rel.MetaRelations.files]]). */
+  def resolvePath(p: String): String = resolve(p)
+
   /** Manifest-list entries of a snapshot (default: current). */
   def manifests(snapshotId: Option[Long] = None): Seq[ManifestFile] = {
     val snap = snapshotId.map(id =>
@@ -22,12 +27,25 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
       .getOrElse(Seq.empty)
   }
 
-  /** Live data-file entries of a snapshot: all manifests' entries with
-    * status existing(0)/added(1); deleted(2) entries are dropped
-    * (ref `tbl.inspect.files`, `formatters.py:263-281`). */
+  /** Live DATA-file entries of a snapshot: data manifests' (content 0)
+    * entries with status existing(0)/added(1); deleted(2) entries are
+    * dropped (ref `tbl.inspect.files`, `formatters.py:263-281`). v2
+    * position/equality delete files live in delete manifests (content 1)
+    * and are deliberately NOT listed here — they are not data; see
+    * [[deleteFiles]]. */
   def files(snapshotId: Option[Long] = None): Seq[DataFileEntry] =
     manifests(snapshotId)
       .filter(_.content == 0)
+      .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
+      .filter(_.status != 2)
+
+  /** Live v2 delete-file entries (position/equality deletes) of a
+    * snapshot: entries of delete manifests (content 1). A non-empty
+    * result means scans must apply delete filtering and compaction is
+    * recommended (ref `formatters.py:452-462` counts them in the census). */
+  def deleteFiles(snapshotId: Option[Long] = None): Seq[DataFileEntry] =
+    manifests(snapshotId)
+      .filter(_.content == 1)
       .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
       .filter(_.status != 2)
 

@@ -36,19 +36,54 @@ object MetaRelations {
     StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = false),
     StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = false)))
 
-  /** `files` relation, pinned to a snapshot (None = current). The local
-    * relation is sized ~50k rows/partition: metadata frames are small, and
-    * a 5k-row frame split across 32 default partitions pays more task
-    * overhead than compute (the count is driver-known, so this costs
-    * nothing and still scales to million-file tables). */
+  /** Above this many live entries (driver-known from the manifest-list
+    * counts, no manifest read needed) the Avro parse moves to executors:
+    * at 500k files a driver loop parses + serializes ~300 MB into tasks
+    * (the "task of very large size" warning), while `mapPartitions` over
+    * the manifest paths reads each manifest exactly once, in parallel,
+    * next to where the rows are consumed. */
+  val DistributeEntriesThreshold: Int = 2000
+
+  private def entryRow(e: graft.meta.DataFileEntry): Row =
+    Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
+      e.recordCount, e.fileSizeInBytes, e.columnSizes, e.valueCounts,
+      e.nullValueCounts, e.lowerBounds, e.upperBounds)
+
+  /** `files` relation, pinned to a snapshot (None = current). Small
+    * tables parse driver-side (a 5k-row frame split across 32 partitions
+    * pays more task overhead than compute); big tables distribute the
+    * manifest reads ([[DistributeEntriesThreshold]]). */
   def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
-    val rows = t.files(snapshotId).map { e =>
-      Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
-        e.recordCount, e.fileSizeInBytes, e.columnSizes, e.valueCounts,
-        e.nullValueCounts, e.lowerBounds, e.upperBounds)
+    val dataManifests = t.manifests(snapshotId).filter(_.content == 0)
+    val approxEntries = dataManifests
+      .map(m => m.addedFilesCount + m.existingFilesCount).sum
+    if (approxEntries <= DistributeEntriesThreshold) {
+      val rows = t.files(snapshotId).map(entryRow)
+      spark.createDataFrame(rows.asJava, filesSchema)
+        .coalesce(math.max(1, rows.size / 50000))
+    } else {
+      // executor-parallel scan: ship only the manifest PATHS (bytes per
+      // task ~ a path string), parse Avro next to the consumer. One task
+      // per manifest up to the session's default parallelism.
+      val paths = dataManifests.map(m => t.resolvePath(m.manifestPath))
+      val ds = spark.createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(paths.size, spark.sparkContext.defaultParallelism))
+      ds.mapPartitions { it =>
+        it.flatMap { p =>
+          graft.meta.AvroManifests.readManifest(p).iterator
+            .filter(_.status != 2).map(entryRow)
+        }
+      }(org.apache.spark.sql.Encoders.row(filesSchema))
+        .toDF()
     }
+  }
+
+  /** Live v2 delete-file entries (delete manifests, content=1) as a
+    * relation with the same schema as [[files]]; always driver-parsed —
+    * delete manifests are rare and small relative to data manifests. */
+  def deleteFiles(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
+    val rows = t.deleteFiles(snapshotId).map(entryRow)
     spark.createDataFrame(rows.asJava, filesSchema)
-      .coalesce(math.max(1, rows.size / 50000))
   }
 
   val snapshotsSchema: StructType = StructType(Seq(
