@@ -67,6 +67,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def files(ref: String, snapshotId: Option[Long] = None): DataFrame =
     MetaRelations.files(spark, load(ref), snapshotId)
 
+  /** Live v2 delete-file entries (position/equality deletes) — the census
+    * counterpart of [[files]]; non-empty means compaction is recommended
+    * (ref `formatters.py:452-462`). */
+  def deleteFiles(ref: String, snapshotId: Option[Long] = None): DataFrame =
+    MetaRelations.deleteFiles(spark, load(ref), snapshotId)
+
   def snapshots(ref: String): DataFrame =
     MetaRelations.snapshots(spark, load(ref))
 
@@ -104,6 +110,13 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
 
   def diff(ref: String, snap1: Long, snap2: Long): DiffReport =
     MetaDiff.diff(spark, load(ref), snap1, snap2)
+
+  /** Incremental changelog scan: per-snapshot added/deleted file rows
+    * across the parent-pointer chain `(fromSnap, toSnap]` (ref snapshot
+    * walk `formatters.py:156-173`) — [[MetaDiff]] composed over each
+    * consecutive parent→child pair, one unioned relation out. */
+  def changes(ref: String, fromSnap: Long, toSnap: Long): DataFrame =
+    MetaDiff.changes(spark, load(ref), fromSnap, toSnap)
 
   /** The TUI metadata-tree data (ref `formatters.py:1195-1307`): one row
     * per manifest with entry stats, share of total rows (A13 "45% of

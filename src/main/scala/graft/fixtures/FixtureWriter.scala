@@ -379,6 +379,92 @@ object FixtureWriter {
     Files.writeString(dir.resolve("metadata/v1.metadata.json"), json)
   }
 
+  /** A v2 table carrying a live DELETE manifest (position deletes):
+    * commit 1 appends 3 data files, commit 2 adds a delete manifest
+    * (content=1) with position-delete entries (content=1) against two of
+    * them. Exercises the manifest census's delete branch
+    * (`compaction_recommended`, ref `formatters.py:452-462`) and the
+    * `files()` vs `deleteFiles()` split — no earlier fixture planted one
+    * (VERDICT r4 item 5). */
+  def writeDeletesTable(tableDir: String): Unit = {
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("metadata"))
+    val dataSnap = 4000L
+    val delSnap = 4001L
+
+    val dataEntries = (0 until 3).map { i =>
+      DataFileEntry(
+        status = 1, snapshotId = dataSnap, content = 0,
+        filePath = f"data/cdc-$i%03d.parquet", fileFormat = "PARQUET",
+        partition = Map("shard" -> (i % 2).toString),
+        recordCount = 100L + i, fileSizeInBytes = 50000L + i * 1024L,
+        columnSizes = Map(1 -> 4096L, 2 -> 8192L),
+        valueCounts = Map(1 -> (100L + i), 2 -> (100L + i)),
+        nullValueCounts = Map(1 -> 0L, 2 -> 2L),
+        lowerBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L)),
+        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L + 999L)))
+    }
+    val dataManifestPath = s"metadata/manifest-$dataSnap.avro"
+    AvroManifests.writeManifest(dir.resolve(dataManifestPath).toString, dataEntries)
+    val dataManifest = ManifestFile(
+      dataManifestPath, Files.size(dir.resolve(dataManifestPath)), 0,
+      content = 0, dataSnap, dataEntries.size, 0, 0,
+      dataEntries.map(_.recordCount).sum, 0, 0)
+
+    // position-delete files: content=1 entries in a content=1 manifest;
+    // record_count = number of deleted positions
+    val deleteEntries = (0 until 2).map { i =>
+      DataFileEntry(
+        status = 1, snapshotId = delSnap, content = 1,
+        filePath = f"data/cdc-delete-$i%03d.parquet", fileFormat = "PARQUET",
+        partition = Map("shard" -> i.toString),
+        recordCount = 10L + i, fileSizeInBytes = 2048L,
+        columnSizes = Map.empty, valueCounts = Map.empty,
+        nullValueCounts = Map.empty, lowerBounds = Map.empty,
+        upperBounds = Map.empty)
+    }
+    val delManifestPath = s"metadata/manifest-$delSnap-deletes.avro"
+    AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, deleteEntries)
+    val delManifest = ManifestFile(
+      delManifestPath, Files.size(dir.resolve(delManifestPath)), 0,
+      content = 1, delSnap, deleteEntries.size, 0, 0,
+      deleteEntries.map(_.recordCount).sum, 0, 0)
+
+    val list1 = s"metadata/snap-$dataSnap.avro"
+    AvroManifests.writeManifestList(dir.resolve(list1).toString, Seq(dataManifest))
+    val list2 = s"metadata/snap-$delSnap.avro"
+    AvroManifests.writeManifestList(dir.resolve(list2).toString,
+      Seq(dataManifest, delManifest))
+
+    val schema = Seq(
+      ColSpec(1, "row_id", "long", required = true),
+      ColSpec(2, "payload", "string", required = false),
+      ColSpec(3, "shard", "int", required = false))
+    val snapshots = Seq(
+      Snapshot(dataSnap, None, BaseTs, "append",
+        Map("operation" -> "append",
+          "total-data-files" -> dataEntries.size.toString,
+          "total-records" -> dataEntries.map(_.recordCount).sum.toString,
+          "total-files-size" -> dataEntries.map(_.fileSizeInBytes).sum.toString),
+        list1),
+      Snapshot(delSnap, Some(dataSnap), BaseTs + 3600000L, "delete",
+        Map("operation" -> "delete",
+          "total-data-files" -> dataEntries.size.toString,
+          "total-records" -> dataEntries.map(_.recordCount).sum.toString,
+          "total-files-size" -> dataEntries.map(_.fileSizeInBytes).sum.toString,
+          "total-delete-files" -> deleteEntries.size.toString,
+          "total-position-deletes" -> deleteEntries.map(_.recordCount).sum.toString),
+        list2))
+    val md = TableMetadata(2,
+      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,
+      tableDir, BaseTs + 3600000L, 0,
+      Seq(IceSchema(0, schema.map(c => SchemaField(c.id, c.name, c.required, c.iceType, c.name)))),
+      0, Seq(PartitionSpec(0, Seq(SpecField("shard", "identity", 3, 1000)))),
+      Map("owner" -> "cdc-team"),
+      Some(delSnap), snapshots)
+    Files.writeString(dir.resolve("metadata/v1.metadata.json"), IcebergMeta.render(md))
+  }
+
   // --------------------------------------------------------- monster table
 
   /** Pure-metadata stress table: `nCommits` commits × `filesPerCommit`

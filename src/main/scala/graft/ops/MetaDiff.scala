@@ -56,4 +56,50 @@ object MetaDiff {
     DiffReport(added, deleted, totals,
       t.metadata.snapshot(snap2).map(_.operation).getOrElse("unknown"))
   }
+
+  /** Incremental changelog over the parent-pointer chain `(fromSnap,
+    * toSnap]`: one row per (snapshot, change, file), where `change` is
+    * `added` | `deleted`, ordered by commit time then path (ref snapshot
+    * walk `formatters.py:156-173`). Each consecutive parent→child pair
+    * contributes two anti-joins on metadata-small relations; the chain
+    * walk itself is driver-side over already-loaded snapshot metadata. */
+  def changes(spark: SparkSession, t: IcebergTable, fromSnap: Long, toSnap: Long): DataFrame = {
+    // walk child←parent pointers from toSnap back to fromSnap (exclusive)
+    var chain = List.empty[graft.meta.Snapshot]
+    var cur: Option[graft.meta.Snapshot] = Some(t.metadata.snapshot(toSnap)
+      .getOrElse(throw new NoSuchElementException(s"Snapshot $toSnap not found")))
+    while (cur.exists(_.snapshotId != fromSnap)) {
+      val s = cur.get
+      chain = s :: chain
+      cur = s.parentSnapshotId.map(pid => t.metadata.snapshot(pid).getOrElse(
+        throw new NoSuchElementException(s"Parent snapshot $pid not found")))
+      if (cur.isEmpty)
+        throw new IllegalArgumentException(
+          s"Snapshot $fromSnap is not an ancestor of $toSnap")
+    }
+    require(chain.nonEmpty, s"empty snapshot range ($fromSnap, $toSnap]")
+
+    val perSnapshot = chain.map { s =>
+      val curFiles = MetaRelations.files(spark, t, Some(s.snapshotId))
+      val prevFiles = s.parentSnapshotId match {
+        case Some(pid) => MetaRelations.files(spark, t, Some(pid))
+        case None => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          MetaRelations.filesSchema)
+      }
+      def side(a: DataFrame, b: DataFrame, label: String): DataFrame =
+        a.join(broadcast(b.select("file_path")), Seq("file_path"), "left_anti")
+          .select(
+            lit(s.snapshotId).as("snapshot_id"),
+            lit(s.timestampMs).as("timestamp_ms"),
+            lit(s.operation).as("operation"),
+            lit(label).as("change"),
+            col("file_path"), col("partition"),
+            col("record_count"), col("file_size_in_bytes"))
+      side(curFiles, prevFiles, "added")
+        .unionByName(side(prevFiles, curFiles, "deleted"))
+    }
+    perSnapshot.reduce(_ unionByName _)
+      .orderBy("timestamp_ms", "snapshot_id", "change", "file_path")
+  }
 }
