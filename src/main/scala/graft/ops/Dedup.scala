@@ -188,14 +188,20 @@ object Dedup {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    // pre-partition edges by dst ONCE: localCheckpoint captures the hash
+    // partitioning, so every round's edges⋈labels(id) join is already
+    // co-partitioned and the only per-round shuffle is the groupBy(src)
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     // seed with the 1-hop minimum (own id vs direct neighbors): the first
-    // propagation round comes free with the node-list aggregate
+    // propagation round comes free with the node-list aggregate; align the
+    // seed's partitioning with edges(dst) (one-time cost)
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
+      .repartition(col("id"))
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -663,5 +663,76 @@ object PipelineQueries {
              |  SELECT md5(lower(trim(text))) AS digest, doc_id FROM documents)
              |SELECT digest, count(*) AS n_dups, min(doc_id) AS keep_id
              |FROM h GROUP BY digest HAVING count(*) > 1 ORDER BY digest""".stripMargin)),
+
+    // BM25 lexical retrieval top-10 (corpus curation / hard-negative
+    // mining). Per-term scores micro-quantized BEFORE the per-doc sum so
+    // the result is an exact integer in both engines.
+    Q("q_bm25",
+      (s, d) => graft.ops.Retrieval.bm25(documents(s, d),
+        Seq("hash", "join", "spark"), 10),
+      Some {
+        // interpolate the EXACT doubles the Spark side multiplies with,
+        // so both engines parse bit-identical constants
+        val k1 = 1.2; val b = 0.75
+        val k1p1 = k1 + 1.0; val oneMinusB = 1.0 - b
+        s"""WITH toks AS (
+           |  SELECT doc_id, tok FROM (
+           |    SELECT doc_id,
+           |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+           |    FROM documents)
+           |  WHERE tok <> ''),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |                  CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+           |q AS (SELECT doc_id, tok FROM toks WHERE tok IN ('hash', 'join', 'spark')),
+           |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |          FROM q GROUP BY 1),
+           |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM q GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    CAST(floor(
+           |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |      * (tf * $k1p1 / (tf + $k1 * ($oneMinusB + $b * CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+           |      * 1000000.0) AS BIGINT) AS term_micro
+           |  FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+           |agg AS (SELECT doc_id, sum(term_micro) AS score_micro FROM scored GROUP BY 1)
+           |SELECT doc_id, score_micro,
+           |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // Train/test decontamination: per test doc, fraction of its word
+    // trigrams occurring anywhere in the train split (corpus-level n-gram
+    // containment — the benchmark-leakage check). Split = the same
+    // portable md5 bucketing as q_sample_split, 90/10.
+    Q("q_decontam", {
+      val weights = Seq("train" -> 0.9, "test" -> 0.1)
+      (s, d) => graft.ops.Decontam.crossSplitContainment(
+        Sampling.assignSplit(documents(s, d),
+          col("doc_id").cast("string"), weights),
+        col("split"), n = 3)
+      },
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 8)
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $h % 10000 < 9000 THEN 'train' ELSE 'test' END AS split,
+           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT DISTINCT doc_id, split,
+           |    array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+           |  FROM (SELECT doc_id, split, toks, unnest(range(1, len(toks) - 1)) AS i
+           |        FROM d WHERE len(toks) >= 3)),
+           |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+           |te AS (SELECT doc_id, gram FROM g WHERE split = 'test'),
+           |tot AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY 1),
+           |hit AS (SELECT te.doc_id, count(*) AS n_hit FROM te JOIN tr USING (gram)
+           |        GROUP BY 1)
+           |SELECT doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+           |  round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams, 6) AS containment
+           |FROM tot LEFT JOIN hit USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
   )
 }
