@@ -193,6 +193,23 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
       targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
     Compact.rewriteSmallFiles(spark, tableDir(ref), smallBytes, targetBytes)
 
+  /** Expire snapshots older than `olderThanMs` (keeps current + the
+    * `retainLast` newest); deletes unreferenced manifests + data files. */
+  def expireSnapshots(ref: String, olderThanMs: Long, retainLast: Int = 1): Maintenance.ExpireResult =
+    Maintenance.expireSnapshots(tableDir(ref), olderThanMs, retainLast)
+
+  /** Metadata-only rollback of the current-snapshot pointer. */
+  def rollback(ref: String, snapshotId: Long): Int =
+    Maintenance.rollback(tableDir(ref), snapshotId)
+
+  /** Data files referenced by no snapshot (write leftovers). */
+  def orphanFiles(ref: String): Seq[String] =
+    Maintenance.orphanFiles(tableDir(ref))
+
+  /** Delete detected orphan files; returns the number removed. */
+  def removeOrphans(ref: String): Int =
+    Maintenance.removeOrphans(tableDir(ref))
+
   // ---- render layer (ref formatters.py render_schema:119-139, tree
   // 1195-1307 — the library analog of the TUI panels: plain-text trees
   // built from collected metadata-scale rows, display layer only) ----

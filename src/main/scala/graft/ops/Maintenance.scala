@@ -1,0 +1,142 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.meta.{AvroManifests, IcebergMeta, IcebergTable}
+
+/** Table maintenance beyond compaction: snapshot expiration, rollback,
+  * and orphan-file detection — the standard Iceberg upkeep trio the
+  * reference recommends operationally but cannot perform (it is a
+  * read-only reporter; ref `formatters.py:775` tells the user to run
+  * maintenance elsewhere). All three operate on metadata-scale state
+  * driver-side: snapshot lists, manifest paths, and file-path sets are
+  * thousands of entries at 100 TB of data (SURVEY §7.3), so no Spark job
+  * is needed — the expensive part of maintenance is the data rewrite,
+  * which lives in [[Compact]]/[[graft.meta.TableWriter]].
+  */
+object Maintenance {
+
+  final case class ExpireResult(
+      expiredSnapshots: Seq[Long],
+      deletedManifestLists: Int,
+      deletedManifests: Int,
+      deletedDataFiles: Int,
+      metadataVersion: Int)
+
+  /** Expire snapshots with `timestampMs < olderThanMs`, always retaining
+    * the current snapshot and the `retainLast` newest. Unreferenced
+    * manifest lists, manifests, and data files are deleted from disk;
+    * a new metadata version carries only the kept snapshots.
+    *
+    * Note: parent pointers of kept snapshots may reference expired ids
+    * afterwards (Iceberg allows dangling parents); [[MetaDiff.changes]]
+    * over an expired range will report the missing ancestor. */
+  def expireSnapshots(
+      tableDir: String,
+      olderThanMs: Long,
+      retainLast: Int = 1): ExpireResult = {
+    val t = IcebergTable.load(tableDir)
+    val md = t.metadata
+    val byTimeDesc = md.snapshots.sortBy(-_.timestampMs)
+    val keepIds = (byTimeDesc.take(math.max(retainLast, 1)).map(_.snapshotId) ++
+      md.currentSnapshotId.toSeq ++
+      md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
+    val expired = md.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
+    if (expired.isEmpty)
+      return ExpireResult(Seq.empty, 0, 0, 0,
+        currentVersion(tableDir))
+
+    // reachability from kept snapshots: manifests and data files
+    val kept = md.snapshots.filter(s => keepIds.contains(s.snapshotId))
+    val keptManifests = kept.flatMap(s =>
+      AvroManifests.readManifestList(t.resolvePath(s.manifestList))
+        .map(_.manifestPath)).toSet
+    val keptDataFiles = kept.flatMap(s =>
+      t.manifests(Some(s.snapshotId)).flatMap(m =>
+        AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .map(_.filePath))).toSet
+
+    var delLists = 0; var delManifests = 0; var delFiles = 0
+    expired.foreach { s =>
+      val listPath = t.resolvePath(s.manifestList)
+      val manifests = if (Files.exists(Paths.get(listPath)))
+        AvroManifests.readManifestList(listPath) else Seq.empty
+      manifests.filterNot(m => keptManifests.contains(m.manifestPath))
+        // a manifest shared by two expired snapshots is processed once —
+        // the second pass sees it already gone
+        .filter(m => Files.exists(Paths.get(t.resolvePath(m.manifestPath))))
+        .foreach { m =>
+          val entries = AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          entries.map(_.filePath).filterNot(keptDataFiles.contains).foreach { f =>
+            if (Files.deleteIfExists(Paths.get(t.resolvePath(f)))) delFiles += 1
+          }
+          if (Files.deleteIfExists(Paths.get(t.resolvePath(m.manifestPath))))
+            delManifests += 1
+        }
+      if (Files.deleteIfExists(Paths.get(listPath))) delLists += 1
+    }
+
+    val newMd = md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      snapshots = kept.sortBy(_.timestampMs))
+    val v = writeNextVersion(tableDir, IcebergMeta.render(newMd))
+    ExpireResult(expired.map(_.snapshotId), delLists, delManifests, delFiles, v)
+  }
+
+  /** Roll the table's current pointer back to an existing snapshot
+    * (metadata-only: no data or manifests move; later snapshots stay in
+    * the log and remain readable). Returns the new metadata version. */
+  def rollback(tableDir: String, snapshotId: Long): Int = {
+    val md = IcebergMeta.load(tableDir)
+    require(md.snapshot(snapshotId).isDefined,
+      s"Snapshot $snapshotId not found")
+    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      currentSnapshotId = Some(snapshotId))))
+  }
+
+  /** Files under `data/` referenced by NO snapshot's manifests (write
+    * leftovers, failed commits). Detection only — pair with
+    * [[removeOrphans]]. Driver-side directory walk: at data scale the
+    * listing is O(#files) names, the same metadata budget as the
+    * manifests themselves; a distributed object-store lister would slot
+    * in here unchanged. */
+  def orphanFiles(tableDir: String): Seq[String] = {
+    val t = IcebergTable.load(tableDir)
+    val referenced = t.metadata.snapshots.flatMap(s =>
+      t.manifests(Some(s.snapshotId)).flatMap(m =>
+        AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .map(e => t.resolvePath(e.filePath)))).toSet
+    val dataDir = Paths.get(tableDir, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    scala.util.Using.resource(Files.walk(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.toString)
+        .filterNot(referenced.contains)
+        .toSeq.sorted
+    }
+  }
+
+  /** Delete detected orphans; returns how many were removed. */
+  def removeOrphans(tableDir: String): Int =
+    orphanFiles(tableDir).count(p => Files.deleteIfExists(Paths.get(p)))
+
+  // ------------------------------------------------------------- internals
+
+  private def currentVersion(tableDir: String): Int =
+    IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+
+  private def writeNextVersion(tableDir: String, content: String): Int = {
+    val v = currentVersion(tableDir) + 1
+    val target = Paths.get(tableDir, "metadata", s"v$v.metadata.json")
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+import graft.fixtures.FixtureWriter
+
+/** Snapshot expiration, rollback, and orphan detection against a real
+  * on-disk demo warehouse (round-5 maintenance trio). */
+class MaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshWarehouse(): String = {
+    val dir = Files.createTempDirectory("graft-maint-wh").toString
+    FixtureWriter.writeDemo(spark, dir)
+    dir
+  }
+
+  test("rollback moves the current pointer; later snapshots stay readable") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val md = e.load("sales.orders").metadata
+    val snaps = md.snapshots.map(_.snapshotId)
+    val preOverwrite = snaps(2) // 3rd append, before the overwrite
+    val rowsAt2 = e.files("sales.orders", Some(preOverwrite))
+      .agg(sum("record_count")).as[Long].head()
+
+    e.rollback("sales.orders", preOverwrite)
+    val after = e.load("sales.orders").metadata
+    assert(after.currentSnapshotId.contains(preOverwrite))
+    assert(after.snapshots.size == md.snapshots.size) // log untouched
+    assert(e.files("sales.orders").agg(sum("record_count")).as[Long].head() == rowsAt2)
+    // the overwrite snapshot is still addressable (roll-forward possible)
+    assert(e.files("sales.orders", Some(snaps.last)).count() > 0)
+
+    intercept[IllegalArgumentException] { e.rollback("sales.orders", 424242L) }
+  }
+
+  test("expireSnapshots deletes unreferenced manifests and data files") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val tdir = s"$wh/sales/orders"
+    val md = e.load("sales.orders").metadata
+    assert(md.snapshots.size == 4)
+    val liveBefore = e.files("sales.orders").select("file_path").as[String]
+      .collect().toSet
+    def dataFiles() = scala.util.Using.resource(Files.list(Paths.get(tdir, "data")))(
+      _.iterator().asScala.size)
+    val dataBefore = dataFiles()
+
+    // expire everything but the newest (the overwrite) — the three append
+    // snapshots' files are unreferenced afterwards and must be deleted
+    val res = e.expireSnapshots("sales.orders",
+      olderThanMs = md.snapshots.last.timestampMs, retainLast = 1)
+    assert(res.expiredSnapshots.size == 3)
+    assert(res.deletedManifestLists == 3)
+    assert(res.deletedManifests == 3)
+    assert(res.deletedDataFiles > 0)
+
+    val after = e.load("sales.orders").metadata
+    assert(after.snapshots.map(_.snapshotId) == Seq(md.snapshots.last.snapshotId))
+    assert(after.currentSnapshotId == md.currentSnapshotId)
+    // live read unchanged; dead files physically gone
+    assert(e.files("sales.orders").select("file_path").as[String]
+      .collect().toSet == liveBefore)
+    assert(dataFiles() < dataBefore)
+    // health still runs on the pruned table
+    assert(e.health("sales.orders").fileStats.collect().head
+      .getAs[Long]("file_count") > 0)
+
+    // idempotent: nothing further to expire
+    val res2 = e.expireSnapshots("sales.orders",
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(res2.expiredSnapshots.isEmpty)
+  }
+
+  test("orphan files are detected and removed; live files untouched") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val tdir = s"$wh/analytics/events"
+    val stray = Paths.get(tdir, "data", "stray-leftover.parquet")
+    Files.writeString(stray, "not really parquet")
+
+    val orphans = e.orphanFiles("analytics.events")
+    assert(orphans == Seq(stray.toString))
+    assert(e.removeOrphans("analytics.events") == 1)
+    assert(!Files.exists(stray))
+    assert(e.orphanFiles("analytics.events").isEmpty)
+    // all live files still present and readable
+    assert(e.files("analytics.events").count() > 0)
+  }
+}
