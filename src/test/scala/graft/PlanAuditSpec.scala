@@ -52,4 +52,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
     assert(plan.contains("Exchange hashpartitioning(l_returnflag"), plan.take(1500))
   }
+
+  test("bm25: corpus scalars and df broadcast; top-k is TakeOrdered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Retrieval.bm25(docs, Seq("hash", "join"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500)) // 1-row corpus cross join broadcasts
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("decontamination: gram membership is a left-semi join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Decontam.crossSplitContainment(
+        graft.ops.Sampling.assignSplit(docs, col("doc_id").cast("string"),
+          Seq("train" -> 0.9, "test" -> 0.1)),
+        col("split"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
