@@ -210,6 +210,22 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def removeOrphans(ref: String): Int =
     Maintenance.removeOrphans(tableDir(ref))
 
+  /** Read the table's DATA as a DataFrame (all live files of a snapshot). */
+  def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =
+    ScanPlanner.readTable(spark, load(ref), snapshotId)
+
+  /** Read the data with metadata pruning on `column ∈ [lo, hi]`: files
+    * whose min/max bounds exclude the range are never opened; the result
+    * equals the unpruned read + filter. */
+  def readTableWhere(
+      ref: String,
+      column: String,
+      lo: Option[Double],
+      hi: Option[Double],
+      snapshotId: Option[Long] = None,
+      partitionEquals: Map[String, String] = Map.empty): DataFrame =
+    ScanPlanner.readTableWhere(spark, load(ref), column, lo, hi, snapshotId, partitionEquals)
+
   // ---- render layer (ref formatters.py render_schema:119-139, tree
   // 1195-1307 — the library analog of the TUI panels: plain-text trees
   // built from collected metadata-scale rows, display layer only) ----
