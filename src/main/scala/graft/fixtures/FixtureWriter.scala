@@ -380,29 +380,53 @@ object FixtureWriter {
   }
 
   /** A v2 table carrying a live DELETE manifest (position deletes):
-    * commit 1 appends 3 data files, commit 2 adds a delete manifest
-    * (content=1) with position-delete entries (content=1) against two of
-    * them. Exercises the manifest census's delete branch
-    * (`compaction_recommended`, ref `formatters.py:452-462`) and the
-    * `files()` vs `deleteFiles()` split — no earlier fixture planted one
-    * (VERDICT r4 item 5). */
-  def writeDeletesTable(tableDir: String): Unit = {
+    * commit 1 appends 3 REAL parquet data files, commit 2 adds a delete
+    * manifest (content=1) whose entries are REAL position-delete parquet
+    * files (`file_path` string, `pos` long — the Iceberg v2 delete
+    * schema) marking rows of two data files. Exercises the manifest
+    * census's delete branch (`compaction_recommended`, ref
+    * `formatters.py:452-462`), the `files()` vs `deleteFiles()` split,
+    * and merge-on-read delete application
+    * ([[graft.ops.ScanPlanner.readTable]]). */
+  def writeDeletesTable(spark: SparkSession, tableDir: String): Unit = {
     val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("data"))
     Files.createDirectories(dir.resolve("metadata"))
     val dataSnap = 4000L
     val delSnap = 4001L
 
+    def writeOneParquet(rows: Seq[Row], schema: StructType, relPath: String): Long = {
+      val tmp = Files.createTempDirectory("graft-del-fixture")
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dir.resolve(relPath)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists)
+      Files.deleteIfExists(tmp)
+      Files.size(target)
+    }
+
+    val rowSchema = StructType(Seq(
+      StructField("row_id", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true),
+      StructField("shard", IntegerType, nullable = true)))
     val dataEntries = (0 until 3).map { i =>
+      val rows = (0 until 100 + i).map(r =>
+        Row((i * 1000L) + r, s"payload-$i-$r", i % 2))
+      val relPath = f"data/cdc-$i%03d.parquet"
+      val size = writeOneParquet(rows, rowSchema, relPath)
       DataFileEntry(
         status = 1, snapshotId = dataSnap, content = 0,
-        filePath = f"data/cdc-$i%03d.parquet", fileFormat = "PARQUET",
+        filePath = relPath, fileFormat = "PARQUET",
         partition = Map("shard" -> (i % 2).toString),
-        recordCount = 100L + i, fileSizeInBytes = 50000L + i * 1024L,
+        recordCount = rows.size.toLong, fileSizeInBytes = size,
         columnSizes = Map(1 -> 4096L, 2 -> 8192L),
-        valueCounts = Map(1 -> (100L + i), 2 -> (100L + i)),
-        nullValueCounts = Map(1 -> 0L, 2 -> 2L),
+        valueCounts = Map(1 -> rows.size.toLong, 2 -> rows.size.toLong),
+        nullValueCounts = Map(1 -> 0L, 2 -> 0L),
         lowerBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L)),
-        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L + 999L)))
+        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L + 99L + i)))
     }
     val dataManifestPath = s"metadata/manifest-$dataSnap.avro"
     AvroManifests.writeManifest(dir.resolve(dataManifestPath).toString, dataEntries)
@@ -411,14 +435,22 @@ object FixtureWriter {
       content = 0, dataSnap, dataEntries.size, 0, 0,
       dataEntries.map(_.recordCount).sum, 0, 0)
 
-    // position-delete files: content=1 entries in a content=1 manifest;
-    // record_count = number of deleted positions
+    // position-delete files (Iceberg v2 delete schema): delete the first
+    // 10+i even positions of data files 0 and 1; file_path is the same
+    // table-relative path the data manifest records
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
     val deleteEntries = (0 until 2).map { i =>
+      val positions = (0 until 10 + i).map(p => 2L * p) // even rows
+      val rows = positions.map(p => Row(f"data/cdc-$i%03d.parquet", p))
+      val relPath = f"data/cdc-delete-$i%03d.parquet"
+      val size = writeOneParquet(rows, delSchema, relPath)
       DataFileEntry(
         status = 1, snapshotId = delSnap, content = 1,
-        filePath = f"data/cdc-delete-$i%03d.parquet", fileFormat = "PARQUET",
+        filePath = relPath, fileFormat = "PARQUET",
         partition = Map("shard" -> i.toString),
-        recordCount = 10L + i, fileSizeInBytes = 2048L,
+        recordCount = positions.size.toLong, fileSizeInBytes = size,
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
         upperBounds = Map.empty)

@@ -49,11 +49,31 @@ object ScanPlanner {
     files.filter(loOk && hiOk && partOk)
   }
 
-  /** Read the ACTUAL data of a snapshot as a DataFrame (all live files). */
+  /** Read the ACTUAL data of a snapshot as a DataFrame (all live files),
+    * with v2 position deletes applied merge-on-read: deleted (file, pos)
+    * rows are anti-joined away using the parquet reader's
+    * `_metadata.file_path` / `_metadata.row_index` columns — one
+    * broadcast anti-join when delete files exist, a plain scan when they
+    * don't (delete sets are metadata-small next to the data). */
   def readTable(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
     require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
-    spark.read.parquet(paths: _*)
+    val df = spark.read.parquet(paths: _*)
+    val delFiles = t.deleteFiles(snapshotId).map(e => t.resolvePath(e.filePath))
+    if (delFiles.isEmpty) df
+    else {
+      // delete files record table-relative data paths; normalize the
+      // reader's file URI ("file:<tableDir>/data/x.parquet") to match
+      val prefix = s"file:${t.tableDir}/"
+      val dels = spark.read.parquet(delFiles: _*)
+        .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
+      df
+        .withColumn("__del_path",
+          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+        .withColumn("__del_pos", col("_metadata.row_index"))
+        .join(broadcast(dels), Seq("__del_path", "__del_pos"), "left_anti")
+        .drop("__del_path", "__del_pos")
+    }
   }
 
   /** Read the data with metadata pruning: only files whose bounds may

@@ -15,7 +15,7 @@ class DeletesAndChangelogSpec extends SparkSpec {
   private lazy val warehouse: String = {
     val dir = Files.createTempDirectory("graft-del-wh").toString
     FixtureWriter.writeDemo(spark, dir)
-    FixtureWriter.writeDeletesTable(s"$dir/lab/cdc")
+    FixtureWriter.writeDeletesTable(spark, s"$dir/lab/cdc")
     dir
   }
   private lazy val engine = new Engine(spark, warehouse)
@@ -39,6 +39,24 @@ class DeletesAndChangelogSpec extends SparkSpec {
     // the pre-delete snapshot has no delete files
     val dataSnap = engine.load("lab.cdc").metadata.snapshots.head.snapshotId
     assert(engine.deleteFiles("lab.cdc", Some(dataSnap)).count() == 0L)
+  }
+
+  test("merge-on-read: readTable applies position deletes") {
+    val totalRows = 100L + 101L + 102L // three data files
+    val deletedPositions = 10L + 11L   // two delete files, even positions
+    // pinned to the pre-delete snapshot: every row visible
+    val dataSnap = engine.load("lab.cdc").metadata.snapshots.head.snapshotId
+    assert(engine.readTable("lab.cdc", Some(dataSnap)).count() == totalRows)
+    // current snapshot: deleted (file, pos) rows are gone
+    val live = engine.readTable("lab.cdc")
+    assert(live.count() == totalRows - deletedPositions)
+    // exactly the EVEN positions of files 0/1 disappeared: file 0 lost
+    // row_ids {0,2,..,18}, file 1 lost {1000,1002,..,1020}
+    val ids = live.select("row_id").as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(18L) && ids.contains(1L) && ids.contains(20L))
+    assert(!ids.contains(1000L) && !ids.contains(1020L) && ids.contains(1001L))
+    // file 2 (no deletes) fully intact
+    assert(ids.count(_ >= 2000L) == 102)
   }
 
   test("changes() walks the parent chain with per-snapshot adds/deletes") {
