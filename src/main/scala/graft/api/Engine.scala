@@ -210,6 +210,21 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def removeOrphans(ref: String): Int =
     Maintenance.removeOrphans(tableDir(ref))
 
+  // ---- schema evolution (metadata-only; id-based, so schemaDiff
+  // classifies renames as "changed" — ref tui/widgets.py:310-350) ----
+
+  /** Add an optional column as a new schema version; returns its id. */
+  def addColumn(ref: String, name: String, iceType: String): Int =
+    graft.meta.SchemaEvolution.addColumn(tableDir(ref), name, iceType)
+
+  /** Rename a column (field id preserved); returns the new schema id. */
+  def renameColumn(ref: String, oldName: String, newName: String): Int =
+    graft.meta.SchemaEvolution.renameColumn(tableDir(ref), oldName, newName)
+
+  /** Drop a column (id retired); refuses partition sources. */
+  def dropColumn(ref: String, name: String): Int =
+    graft.meta.SchemaEvolution.dropColumn(tableDir(ref), name)
+
   /** Read the table's DATA as a DataFrame (all live files of a snapshot). */
   def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =
     ScanPlanner.readTable(spark, load(ref), snapshotId)

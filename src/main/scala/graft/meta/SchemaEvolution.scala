@@ -1,0 +1,77 @@
+package graft.meta
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Schema evolution as metadata commits — add / rename / drop a column,
+  * producing a NEW schema version with a new schema-id and bumping
+  * `current-schema-id` in the next metadata version (the id-based
+  * evolution the reference's schema-history and diff views consume,
+  * ref `formatters.py:143-150`, `tui/widgets.py:310-350`):
+  *
+  *  - add: new field gets `max(field id over ALL schema versions) + 1`
+  *    (ids are never reused — that is what makes rename/drop safe);
+  *  - rename: the field keeps its id, so diffs classify it "changed",
+  *    not dropped+added;
+  *  - drop: the field simply leaves the new version; its id stays
+  *    retired forever.
+  *
+  * Data files are untouched (Iceberg evolution is metadata-only):
+  * readers project existing files through the current schema — a column
+  * added later reads as null from older files. */
+object SchemaEvolution {
+
+  def addColumn(
+      tableDir: String,
+      name: String,
+      iceType: String,
+      required: Boolean = false): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    require(!cur.fields.exists(_.name == name),
+      s"column $name already exists in schema ${cur.schemaId}")
+    require(!required,
+      "a column added to existing data must be optional (old files have no values for it)")
+    val nextFieldId = md.schemas.flatMap(_.fields.map(_.id)).max + 1
+    commitSchema(tableDir, md, cur.fields :+
+      SchemaField(nextFieldId, name, required, iceType, name))
+  }
+
+  def renameColumn(tableDir: String, oldName: String, newName: String): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    require(cur.fields.exists(_.name == oldName), s"no column $oldName")
+    require(!cur.fields.exists(_.name == newName), s"column $newName already exists")
+    commitSchema(tableDir, md, cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName, path = newName) else f))
+  }
+
+  def dropColumn(tableDir: String, name: String): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    val field = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    require(!md.currentSpec.fields.exists(_.sourceId == field.id),
+      s"column $name is a partition source; drop the spec reference first")
+    commitSchema(tableDir, md, cur.fields.filterNot(_.name == name))
+  }
+
+  /** Append the new field list as the next schema version and point
+    * `current-schema-id` at it. Returns the new schema id. */
+  private def commitSchema(
+      tableDir: String, md: TableMetadata, fields: Seq[SchemaField]): Int = {
+    require(fields.nonEmpty, "schema cannot become empty")
+    val newSchemaId = md.schemas.map(_.schemaId).max + 1
+    val newMd = md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      currentSchemaId = newSchemaId,
+      schemas = md.schemas :+ IceSchema(newSchemaId, fields))
+    val curV = IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val target = Paths.get(tableDir, "metadata", s"v${curV + 1}.metadata.json")
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, IcebergMeta.render(newMd))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    newSchemaId
+  }
+}

@@ -58,9 +58,18 @@ object ScanPlanner {
   def readTable(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
     require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
-    val df = spark.read.parquet(paths: _*)
+    // read through the CURRENT schema when it is expressible: under
+    // metadata-only evolution files differ per schema version — an
+    // explicit read schema makes later-added columns surface as nulls
+    // from older files, dropped columns disappear, and the column order
+    // follow the schema (plain inference would pick one file's shape)
+    val reader = currentSparkSchema(t) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    val df = reader.parquet(paths: _*)
     val delFiles = t.deleteFiles(snapshotId).map(e => t.resolvePath(e.filePath))
-    if (delFiles.isEmpty) df
+    val merged = if (delFiles.isEmpty) df
     else {
       // delete files record table-relative data paths; normalize the
       // reader's file URI ("file:<tableDir>/data/x.parquet") to match
@@ -74,6 +83,28 @@ object ScanPlanner {
         .join(broadcast(dels), Seq("__del_path", "__del_pos"), "left_anti")
         .drop("__del_path", "__del_pos")
     }
+    merged
+  }
+
+  import org.apache.spark.sql.types._
+
+  private val PrimitiveSparkTypes: Map[String, DataType] = Map(
+    "long" -> LongType, "int" -> IntegerType, "double" -> DoubleType,
+    "float" -> FloatType, "string" -> StringType, "date" -> DateType,
+    "timestamp" -> TimestampType, "boolean" -> BooleanType)
+
+  /** The current Iceberg schema as a Spark read schema, when every field
+    * is a top-level primitive (tables with nested types fall back to
+    * parquet inference — their files all share one schema version in
+    * this engine's write surface). */
+  private def currentSparkSchema(t: IcebergTable): Option[StructType] = {
+    val s = t.metadata.currentSchema
+    val top = s.fields.filter(f => !f.path.contains('.'))
+    if (top.size == s.fields.size &&
+        top.forall(f => PrimitiveSparkTypes.contains(f.fieldType)))
+      Some(StructType(top.map(f =>
+        StructField(f.name, PrimitiveSparkTypes(f.fieldType), nullable = true))))
+    else None
   }
 
   /** Read the data with metadata pruning: only files whose bounds may

@@ -1,0 +1,77 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+import graft.fixtures.FixtureWriter
+
+/** Engine-driven schema evolution: add/rename/drop as metadata commits,
+  * id-based diffs, current-schema projection on reads, and appends under
+  * the evolved schema. */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-evo-wh").toString
+    FixtureWriter.writeDemo(spark, dir)
+    dir
+  }
+  private lazy val engine = new Engine(spark, warehouse)
+
+  import spark.implicits._
+
+  test("addColumn: new version, diff shows added, old files read as null") {
+    val sid = engine.addColumn("staging.metrics", "zone", "string")
+    val md = engine.load("staging.metrics").metadata
+    assert(md.currentSchemaId == sid && md.schemas.size == 2)
+
+    // id-based diff: exactly one added field, nothing dropped/changed
+    val d = engine.schemaDiff("staging.metrics", 0, sid).collect()
+    assert(d.count(_.getAs[String]("status") == "added") == 1)
+    assert(d.forall(r => r.getAs[String]("status") == "added" ||
+      r.getAs[String]("status") == "same"))
+
+    // current-schema projection: pre-evolution files surface a null zone
+    val read = engine.readTable("staging.metrics")
+    assert(read.columns.last == "zone")
+    assert(read.filter(col("zone").isNull).count() == read.count())
+
+    // appends under the evolved schema carry values; old rows stay null
+    val df = Seq((300L, "host-z", "api", 1.0, 1.0, 1L, 1L, 0, 10, true,
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00"), "eu-zone-1"))
+      .toDF("metric_id", "host", "service", "cpu_pct", "mem_pct",
+        "disk_read_bytes", "net_rx_bytes", "error_count", "request_count",
+        "is_healthy", "collected_at", "zone")
+    engine.append("staging.metrics", df)
+    val after = engine.readTable("staging.metrics")
+    assert(after.filter(col("zone") === "eu-zone-1").count() == 1L)
+    assert(after.filter(col("zone").isNull).count() == after.count() - 1)
+  }
+
+  test("renameColumn keeps the field id (diff says changed, not add+drop)") {
+    val wh = Files.createTempDirectory("graft-evo2-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new Engine(spark, wh)
+    val oldId = e.load("sales.customers").metadata.currentSchema
+      .fields.find(_.name == "email").get.id
+    val sid = e.renameColumn("sales.customers", "email", "email_address")
+    val cur = e.load("sales.customers").metadata.currentSchema
+    assert(cur.fields.find(_.name == "email_address").get.id == oldId)
+    val d = e.schemaDiff("sales.customers", sid - 1, sid).collect()
+    assert(d.count(_.getAs[String]("status") == "changed") == 1)
+    assert(!d.exists(r => Set("added", "removed").contains(r.getAs[String]("status"))))
+  }
+
+  test("dropColumn removes from reads; partition sources are protected") {
+    val wh = Files.createTempDirectory("graft-evo3-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new Engine(spark, wh)
+    e.dropColumn("staging.metrics", "disk_read_bytes")
+    assert(!e.readTable("staging.metrics").columns.contains("disk_read_bytes"))
+    intercept[IllegalArgumentException] {
+      e.dropColumn("sales.orders", "region") // identity partition source
+    }
+  }
+}
