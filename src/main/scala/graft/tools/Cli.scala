@@ -14,7 +14,10 @@ import graft.api.{Engine, Errors}
   *      | snapshots T | manifests T | partitions T | schema T
   *      | schema-diff T oldId newId | diff T s1 s2 | recent T
   *      | namespace | warehouse | tree T [snapshotId] | test-connection
-  *      | watch T rounds
+  *      | watch T rounds | read T [snapshotId] | changes T s1 s2
+  *      | delete-files T [snapshotId] | append-parquet T parquetDir
+  *      | compact T | expire T olderThanMs [retainLast]
+  *      | rollback T snapshotId | orphans T [--remove]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -88,6 +91,37 @@ object Cli {
           graft.ops.Watch.watch(spark, engine.tableDir(vargs(0)),
             vargs.lift(1).map(_.toInt).getOrElse(3),
             df => df.show(50, truncate = false))
+        // ---- round-5 write/maintenance verbs (engine-native; the
+        // reference only recommends these operationally) ----
+        case "read" =>
+          emit(engine.readTable(vargs(0), vargs.lift(1).map(_.toLong)))
+        case "changes" =>
+          emit(engine.changes(vargs(0), vargs(1).toLong, vargs(2).toLong))
+        case "delete-files" =>
+          emit(engine.deleteFiles(vargs(0), vargs.lift(1).map(_.toLong)))
+        case "append-parquet" =>
+          val r = engine.append(vargs(0), spark.read.parquet(vargs(1)))
+          println(s"committed snapshot ${r.snapshotId}: ${r.addedFiles} files, " +
+            s"${r.addedRecords} records (metadata v${r.metadataVersion})")
+        case "compact" =>
+          engine.rewriteSmallFiles(vargs(0)) match {
+            case Some(r) => println(s"compacted into snapshot ${r.snapshotId}: " +
+              s"${r.addedFiles} files written")
+            case None => println("nothing to compact")
+          }
+        case "expire" =>
+          val r = engine.expireSnapshots(vargs(0), vargs(1).toLong,
+            vargs.lift(2).map(_.toInt).getOrElse(1))
+          println(s"expired ${r.expiredSnapshots.size} snapshots; deleted " +
+            s"${r.deletedManifests} manifests, ${r.deletedDataFiles} data files")
+        case "rollback" =>
+          val v = engine.rollback(vargs(0), vargs(1).toLong)
+          println(s"rolled back to snapshot ${vargs(1)} (metadata v$v)")
+        case "orphans" =>
+          val o = engine.orphanFiles(vargs(0))
+          if (vargs.lift(1).contains("--remove"))
+            println(s"removed ${engine.removeOrphans(vargs(0))} orphan files")
+          else { o.foreach(println); println(s"${o.size} orphan files") }
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }
@@ -101,5 +135,6 @@ object Cli {
     "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +
-      "       test-connection watch")
+      "       test-connection watch read changes delete-files append-parquet\n" +
+      "       compact expire rollback orphans")
 }

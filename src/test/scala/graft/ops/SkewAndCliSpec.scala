@@ -45,6 +45,20 @@ class SkewAndCliSpec extends SparkSpec {
     assert(lines(1) == "4,5") // sales/analytics/staging/legacy, 5 tables
   }
 
+  test("round-5 CLI verbs: read/changes/compact/rollback/orphans") {
+    val wh = Files.createTempDirectory("graft-cli-wh5").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val md = graft.meta.IcebergMeta.load(s"$wh/sales/orders")
+    val snaps = md.snapshots.map(_.snapshotId)
+    assert(Cli.run(Array(wh, "read", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "changes", "sales.orders",
+      snaps.head.toString, snaps.last.toString)) == 0)
+    assert(Cli.run(Array(wh, "compact", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "orphans", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "rollback", "sales.orders", snaps.head.toString)) == 0)
+    assert(Cli.run(Array(wh, "rollback", "sales.orders", "42")) == 1) // friendly error
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
