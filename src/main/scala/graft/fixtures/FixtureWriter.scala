@@ -455,12 +455,29 @@ object FixtureWriter {
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
         upperBounds = Map.empty)
     }
+    // an EQUALITY delete file (content=2): deletes rows of ANY data file
+    // whose row_id matches — here two rows of data file 2
+    val eqSchema = StructType(Seq(StructField("row_id", LongType, nullable = false)))
+    val eqEntries = {
+      val rows = Seq(2001L, 2003L).map(Row(_))
+      val relPath = "data/cdc-eqdelete-000.parquet"
+      val size = writeOneParquet(rows, eqSchema, relPath)
+      Seq(DataFileEntry(
+        status = 1, snapshotId = delSnap, content = 2,
+        filePath = relPath, fileFormat = "PARQUET",
+        partition = Map.empty,
+        recordCount = rows.size.toLong, fileSizeInBytes = size,
+        columnSizes = Map.empty, valueCounts = Map.empty,
+        nullValueCounts = Map.empty, lowerBounds = Map.empty,
+        upperBounds = Map.empty, equalityIds = Seq(1)))
+    }
+    val allDeleteEntries = deleteEntries ++ eqEntries
     val delManifestPath = s"metadata/manifest-$delSnap-deletes.avro"
-    AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, deleteEntries)
+    AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, allDeleteEntries)
     val delManifest = ManifestFile(
       delManifestPath, Files.size(dir.resolve(delManifestPath)), 0,
-      content = 1, delSnap, deleteEntries.size, 0, 0,
-      deleteEntries.map(_.recordCount).sum, 0, 0)
+      content = 1, delSnap, allDeleteEntries.size, 0, 0,
+      allDeleteEntries.map(_.recordCount).sum, 0, 0)
 
     val list1 = s"metadata/snap-$dataSnap.avro"
     AvroManifests.writeManifestList(dir.resolve(list1).toString, Seq(dataManifest))
@@ -484,8 +501,9 @@ object FixtureWriter {
           "total-data-files" -> dataEntries.size.toString,
           "total-records" -> dataEntries.map(_.recordCount).sum.toString,
           "total-files-size" -> dataEntries.map(_.fileSizeInBytes).sum.toString,
-          "total-delete-files" -> deleteEntries.size.toString,
-          "total-position-deletes" -> deleteEntries.map(_.recordCount).sum.toString),
+          "total-delete-files" -> allDeleteEntries.size.toString,
+          "total-position-deletes" -> deleteEntries.map(_.recordCount).sum.toString,
+          "total-equality-deletes" -> eqEntries.map(_.recordCount).sum.toString),
         list2))
     val md = TableMetadata(2,
       java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,

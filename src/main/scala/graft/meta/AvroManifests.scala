@@ -47,7 +47,11 @@ final case class DataFileEntry(
     valueCounts: Map[Int, Long],
     nullValueCounts: Map[Int, Long],
     lowerBounds: Map[Int, Array[Byte]],
-    upperBounds: Map[Int, Array[Byte]])
+    upperBounds: Map[Int, Array[Byte]],
+    /** For content=2 EQUALITY delete files: the schema field ids whose
+      * values identify rows to delete (Iceberg spec `equality_ids`).
+      * Empty for data files and position deletes. */
+    equalityIds: Seq[Int] = Seq.empty)
 
 object AvroManifests {
 
@@ -86,7 +90,8 @@ object AvroManifests {
       |  {"name":"lower_bounds","type":{"type":"array","items":
       |    {"type":"record","name":"bin_entry","fields":[
       |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}},
-      |  {"name":"upper_bounds","type":{"type":"array","items":"bin_entry"}}
+      |  {"name":"upper_bounds","type":{"type":"array","items":"bin_entry"}},
+      |  {"name":"equality_ids","type":{"type":"array","items":"int"},"default":[]}
       |]}}]}""".stripMargin)
 
   // ---- write ----
@@ -147,6 +152,7 @@ object AvroManifests {
       df.put("null_value_counts", i64Arr(e.nullValueCounts))
       df.put("lower_bounds", binArr(e.lowerBounds))
       df.put("upper_bounds", binArr(e.upperBounds))
+      df.put("equality_ids", e.equalityIds.map(Int.box).asJava)
       val r = new GenericData.Record(ManifestSchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)
@@ -207,6 +213,11 @@ object AvroManifests {
         i64Map("value_counts"),
         i64Map("null_value_counts"),
         binMap("lower_bounds"),
-        binMap("upper_bounds"))
+        binMap("upper_bounds"),
+        // older manifests (pre-equality-ids) resolve through the schema
+        // default; Avro surfaces int arrays as java.util.List[Integer]
+        Option(df.get("equality_ids"))
+          .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map(_.toInt))
+          .getOrElse(Seq.empty))
     }
 }

@@ -68,13 +68,15 @@ object ScanPlanner {
       case None => spark.read
     }
     val df = reader.parquet(paths: _*)
-    val delFiles = t.deleteFiles(snapshotId).map(e => t.resolvePath(e.filePath))
-    val merged = if (delFiles.isEmpty) df
+    val allDels = t.deleteFiles(snapshotId)
+    val (eqDels, posDels) = allDels.partition(_.content == 2)
+
+    val afterPos = if (posDels.isEmpty) df
     else {
       // delete files record table-relative data paths; normalize the
       // reader's file URI ("file:<tableDir>/data/x.parquet") to match
       val prefix = s"file:${t.tableDir}/"
-      val dels = spark.read.parquet(delFiles: _*)
+      val dels = spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
         .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
       df
         .withColumn("__del_path",
@@ -83,7 +85,21 @@ object ScanPlanner {
         .join(broadcast(dels), Seq("__del_path", "__del_pos"), "left_anti")
         .drop("__del_path", "__del_pos")
     }
-    merged
+
+    // equality deletes (content=2): rows matching the delete file's values
+    // on the equality-id columns disappear, one broadcast anti-join per
+    // distinct id set. (Simplification vs the Iceberg spec: no sequence
+    // numbers are tracked, so deletes apply to the whole snapshot rather
+    // than only to earlier-sequenced files.)
+    val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
+    eqDels.groupBy(_.equalityIds).foldLeft(afterPos) { case (acc, (ids, files)) =>
+      require(ids.nonEmpty, s"equality delete file without equality_ids: ${files.head.filePath}")
+      val cols = ids.map(id => nameById.getOrElse(id,
+        throw new NoSuchElementException(s"equality id $id not in current schema")))
+      val delVals = spark.read.parquet(files.map(e => t.resolvePath(e.filePath)): _*)
+        .select(cols.map(col): _*).distinct()
+      acc.join(broadcast(delVals), cols, "left_anti")
+    }
   }
 
   import org.apache.spark.sql.types._

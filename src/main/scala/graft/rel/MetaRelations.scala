@@ -34,7 +34,8 @@ object MetaRelations {
     StructField("value_counts", MapType(IntegerType, LongType), nullable = false),
     StructField("null_value_counts", MapType(IntegerType, LongType), nullable = false),
     StructField("lower_bounds", MapType(IntegerType, BinaryType), nullable = false),
-    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = false)))
+    StructField("upper_bounds", MapType(IntegerType, BinaryType), nullable = false),
+    StructField("equality_ids", ArrayType(IntegerType), nullable = false)))
 
   /** Above this many live entries (driver-known from the manifest-list
     * counts, no manifest read needed) the Avro parse moves to executors:
@@ -47,7 +48,7 @@ object MetaRelations {
   private def entryRow(e: graft.meta.DataFileEntry): Row =
     Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
       e.recordCount, e.fileSizeInBytes, e.columnSizes, e.valueCounts,
-      e.nullValueCounts, e.lowerBounds, e.upperBounds)
+      e.nullValueCounts, e.lowerBounds, e.upperBounds, e.equalityIds)
 
   /** `files` relation, pinned to a snapshot (None = current). Small
     * tables parse driver-side (a 5k-row frame split across 32 partitions

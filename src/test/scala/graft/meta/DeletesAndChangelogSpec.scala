@@ -31,32 +31,36 @@ class DeletesAndChangelogSpec extends SparkSpec {
     // files() lists ONLY data files; deleteFiles() only the delete files
     assert(engine.files("lab.cdc").count() == 3L)
     val dels = engine.deleteFiles("lab.cdc")
-    assert(dels.count() == 2L)
+    assert(dels.count() == 3L) // 2 position + 1 equality
     assert(dels.select("file_path").as[String].collect().forall(_.contains("delete")))
-    // position-delete record counts surface (10 + 11 deleted positions)
-    assert(dels.agg(sum("record_count")).as[Long].head() == 21L)
+    // delete record counts surface (10 + 11 positions, 2 equality rows)
+    assert(dels.agg(sum("record_count")).as[Long].head() == 23L)
+    // the equality delete carries its id list; position deletes don't
+    assert(dels.filter(size(col("equality_ids")) > 0).count() == 1L)
 
     // the pre-delete snapshot has no delete files
     val dataSnap = engine.load("lab.cdc").metadata.snapshots.head.snapshotId
     assert(engine.deleteFiles("lab.cdc", Some(dataSnap)).count() == 0L)
   }
 
-  test("merge-on-read: readTable applies position deletes") {
+  test("merge-on-read: readTable applies position AND equality deletes") {
     val totalRows = 100L + 101L + 102L // three data files
-    val deletedPositions = 10L + 11L   // two delete files, even positions
+    val deletedPositions = 10L + 11L   // two position-delete files, even rows
+    val equalityDeletes = 2L           // row_id in (2001, 2003)
     // pinned to the pre-delete snapshot: every row visible
     val dataSnap = engine.load("lab.cdc").metadata.snapshots.head.snapshotId
     assert(engine.readTable("lab.cdc", Some(dataSnap)).count() == totalRows)
-    // current snapshot: deleted (file, pos) rows are gone
+    // current snapshot: deleted (file, pos) + equality-matched rows gone
     val live = engine.readTable("lab.cdc")
-    assert(live.count() == totalRows - deletedPositions)
+    assert(live.count() == totalRows - deletedPositions - equalityDeletes)
     // exactly the EVEN positions of files 0/1 disappeared: file 0 lost
     // row_ids {0,2,..,18}, file 1 lost {1000,1002,..,1020}
     val ids = live.select("row_id").as[Long].collect().toSet
     assert(!ids.contains(0L) && !ids.contains(18L) && ids.contains(1L) && ids.contains(20L))
     assert(!ids.contains(1000L) && !ids.contains(1020L) && ids.contains(1001L))
-    // file 2 (no deletes) fully intact
-    assert(ids.count(_ >= 2000L) == 102)
+    // file 2 lost exactly the equality-matched row_ids
+    assert(!ids.contains(2001L) && !ids.contains(2003L) && ids.contains(2002L))
+    assert(ids.count(_ >= 2000L) == 100)
   }
 
   test("changes() walks the parent chain with per-snapshot adds/deletes") {
