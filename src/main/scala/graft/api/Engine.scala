@@ -76,6 +76,14 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def snapshots(ref: String): DataFrame =
     MetaRelations.snapshots(spark, load(ref))
 
+  /** Spark-Iceberg `t.history` analog: snapshots + current-ancestor flag. */
+  def history(ref: String): DataFrame =
+    MetaRelations.history(spark, load(ref)).orderBy("made_current_at_ms")
+
+  /** Spark-Iceberg `t.metadata_log_entries` analog. */
+  def metadataLog(ref: String): DataFrame =
+    MetaRelations.metadataLog(spark, tableDir(ref))
+
   def manifests(ref: String, snapshotId: Option[Long] = None): DataFrame =
     MetaRelations.manifests(spark, load(ref), snapshotId)
 

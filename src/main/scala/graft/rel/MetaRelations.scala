@@ -103,6 +103,51 @@ object MetaRelations {
     spark.createDataFrame(rows.asJava, snapshotsSchema)
   }
 
+  val historySchema: StructType = StructType(Seq(
+    StructField("made_current_at_ms", LongType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  /** The `history` metadata table (Spark-Iceberg `t.history` analog):
+    * every snapshot with whether it is an ancestor of the CURRENT one —
+    * false marks abandoned lineage (overwritten or rolled-back away). */
+  def history(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val md = t.metadata
+    val ancestors = Iterator.iterate(md.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(md.snapshot))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    val rows = md.snapshots.map { s =>
+      Row(s.timestampMs, s.snapshotId, s.parentSnapshotId.map(Long.box).orNull,
+        ancestors.contains(s.snapshotId))
+    }
+    spark.createDataFrame(rows.asJava, historySchema)
+  }
+
+  val metadataLogSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("modified_ms", LongType, nullable = false)))
+
+  /** The metadata-log table (Spark-Iceberg `t.metadata_log_entries`
+    * analog): every `vN.metadata.json` under the table with size and
+    * mtime — each row is one commit's metadata document. */
+  def metadataLog(spark: SparkSession, tableDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val metaDir = Paths.get(tableDir, "metadata")
+    val rows = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        .map { p =>
+          val v = p.getFileName.toString.stripPrefix("v")
+            .stripSuffix(".metadata.json").toInt
+          Row(v, p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        }.toSeq.sortBy(_.getInt(0))
+    }
+    spark.createDataFrame(rows.asJava, metadataLogSchema)
+  }
+
   val manifestsSchema: StructType = StructType(Seq(
     StructField("manifest_path", StringType, nullable = false),
     StructField("manifest_length", LongType, nullable = false),

@@ -80,6 +80,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(res2.expiredSnapshots.isEmpty)
   }
 
+  test("history + metadataLog relations reflect commits and rollback") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    // orders: 3 appends + overwrite — all ancestors of current
+    val h0 = e.history("sales.orders").collect()
+    assert(h0.length == 4 && h0.forall(_.getAs[Boolean]("is_current_ancestor")))
+
+    // append then roll back: the appended snapshot stays in the log but
+    // is no longer a current ancestor
+    val cur = e.load("sales.orders").metadata.currentSnapshotId.get
+    val df = Seq((700L, "X Y", "us-east", 1.0, java.sql.Date.valueOf("2024-06-01"),
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("order_id", "customer_name", "region", "amount", "order_date", "created_at")
+    val r = e.append("sales.orders", df)
+    e.rollback("sales.orders", cur)
+    val h1 = e.history("sales.orders").collect()
+      .map(x => x.getAs[Long]("snapshot_id") -> x.getAs[Boolean]("is_current_ancestor")).toMap
+    assert(!h1(r.snapshotId) && h1(cur))
+
+    // metadata log: fixture v1 + append v2 + rollback v3
+    val ml = e.metadataLog("sales.orders").collect()
+    assert(ml.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    assert(ml.forall(_.getAs[Long]("size_bytes") > 0))
+  }
+
   test("orphan files are detected and removed; live files untouched") {
     val wh = freshWarehouse()
     val e = new Engine(spark, wh)
