@@ -93,6 +93,27 @@ object TextStats {
       .orderBy("lang", "predicted")
   }
 
+  /** Per-document Shannon CHARACTER entropy (micro-quantized) — the
+    * cheap "is this text or noise" quality signal pipelines use to drop
+    * binary junk / repeated-char spam before expensive stages: natural
+    * text sits ~4.1–4.4 bits·ln2, single-char spam near 0. One explode +
+    * two metadata-light aggregations; each (doc, char) term is quantized
+    * to micro-units BEFORE the per-doc sum so the DuckDB oracle compares
+    * exact integers (same trick as [[Retrieval.bm25]]). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("double").as("n"))
+    counts.join(lens, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("tm", floor(col("p") * log(col("p")) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg((-sum(col("tm"))).as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic integer document fingerprint (rolling-hash style over
     * cheap structural features; pure int64 arithmetic). */
   def fingerprint(textCol: String, nChars: Column): Column = {

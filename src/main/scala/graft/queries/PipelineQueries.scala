@@ -701,6 +701,23 @@ object PipelineQueries {
            |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    // Character-entropy quality signal: per-doc Shannon entropy over the
+    // char distribution, terms micro-quantized before the sum
+    Q("q_char_entropy",
+      (s, d) => TextStats.charEntropy(documents(s, d).filter(col("doc_id") < 200)),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+             |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d),
+             |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+             |l AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM d
+             |      WHERE length(text) > 0),
+             |t AS (
+             |  SELECT cnt.doc_id,
+             |    CAST(floor(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)
+             |      * 1000000.0) AS BIGINT) AS tm
+             |  FROM cnt JOIN l ON cnt.doc_id = l.doc_id)
+             |SELECT doc_id, CAST(-sum(tm) AS BIGINT) AS entropy_micro
+             |FROM t GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Train/test decontamination: per test doc, fraction of its word
     // trigrams occurring anywhere in the train split (corpus-level n-gram
     // containment — the benchmark-leakage check). Split = the same

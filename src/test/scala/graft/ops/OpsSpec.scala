@@ -287,6 +287,18 @@ class OpsSpec extends SparkSpec {
     assert(toks(0) == 4)
   }
 
+  test("text: character entropy separates spam from balanced text") {
+    val docs = docsDf(Seq(
+      (1L, "aaaaaaaa", "en", "a", 8L),   // zero entropy
+      (2L, "abababab", "en", "a", 8L),   // 2 symbols, p=0.5 each
+      (3L, "abcdefgh", "en", "a", 8L)))  // 8 symbols, maximal
+    val e = TextStats.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("entropy_micro")).toMap
+    assert(e(1L) == 0L)
+    assert(e(2L) == 693148L)  // -2 * floor(0.5 * ln 0.5 * 1e6)
+    assert(e(1L) < e(2L) && e(2L) < e(3L))
+  }
+
   test("format: byte/compact/path formatting matches the reference shapes") {
     import graft.expr.Format
     val s2 = spark
