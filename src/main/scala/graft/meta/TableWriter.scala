@@ -47,14 +47,19 @@ object TableWriter {
 
   /** Replace a specific set of live files with `df` (compaction commit):
     * untouched files carry forward as `existing` entries, `removePaths`
-    * disappear from the live set, `df`'s files join as `added`. */
+    * disappear from the live set, `df`'s files join as `added`.
+    * `binExpr` (may reference any schema column) splits output WITHIN a
+    * partition value into one file per distinct bin — the oversized-
+    * partition escape hatch; None keeps one file per value. */
   def replaceFiles(
       spark: SparkSession,
       tableDir: String,
       removePaths: Set[String],
-      df: DataFrame): CommitResult =
+      df: DataFrame,
+      binExpr: Option[org.apache.spark.sql.Column] = None): CommitResult =
     commit(spark, tableDir, Some(df), "replace",
-      keepPredicate = e => !removePaths.contains(e.filePath))
+      keepPredicate = e => !removePaths.contains(e.filePath),
+      binExpr = binExpr)
 
   // ------------------------------------------------------------- internals
 
@@ -110,7 +115,8 @@ object TableWriter {
       tableDir: String,
       data: Option[DataFrame],
       operation: String,
-      keepPredicate: DataFileEntry => Boolean): CommitResult = {
+      keepPredicate: DataFileEntry => Boolean,
+      binExpr: Option[org.apache.spark.sql.Column] = None): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -141,19 +147,24 @@ object TableWriter {
             s"table schema ${names.sorted.mkString(",")}")
         val ordered = df0.select(names.map(col): _*)
         val stage = Files.createTempDirectory("graft-commit")
-        val staged0 = partCols.foldLeft(ordered)((d, p) =>
-          d.withColumn(s"__p_$p", col(p)))
-        // hash-distribute by partition sources before the write — the
-        // Iceberg default (write.distribution-mode=hash): each partition
-        // value lands in one task → one file per value instead of one per
-        // (task, value). On a real cluster AQE rebalance splits oversized
-        // partitions; at metadata scale this is exactly one shuffle.
+        // the optional bin is a STAGING partition column: partitionBy
+        // splits by directory value inside each task, so bins become
+        // separate files deterministically (task-boundary splitting would
+        // be undone by partitionBy's per-value file merge + AQE coalescing)
+        val staged0 = binExpr.foldLeft(
+          partCols.foldLeft(ordered)((d, p) => d.withColumn(s"__p_$p", col(p))))(
+          (d, e) => d.withColumn("__bin", e))
+        val stagingParts = partCols.map(p => s"__p_$p") ++
+          (if (binExpr.isDefined) Seq("__bin") else Nil)
+        // hash-distribute by the staging partition dims before the write —
+        // the Iceberg default (write.distribution-mode=hash): each
+        // (value, bin) lands in one task; one shuffle either way.
         val staged1 =
-          if (partCols.isEmpty) staged0
-          else staged0.repartition(partCols.map(p => col(s"__p_$p")): _*)
-        if (partCols.isEmpty) staged1.write.mode("overwrite").parquet(stage.toString)
+          if (stagingParts.isEmpty) staged0
+          else staged0.repartition(stagingParts.map(col): _*)
+        if (stagingParts.isEmpty) staged1.write.mode("overwrite").parquet(stage.toString)
         else staged1.write.mode("overwrite")
-          .partitionBy(partCols.map(p => s"__p_$p"): _*).parquet(stage.toString)
+          .partitionBy(stagingParts: _*).parquet(stage.toString)
 
         // ---- 2. per-file stats: one distributed agg keyed by file name
         val staged = spark.read.option("basePath", stage.toString)

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.Paths
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.meta.{IcebergTable, TableWriter}
 
@@ -66,12 +66,32 @@ object Compact {
     // read ONLY the small files; identity sources are retained in the
     // files, so regrouping per partition is a plain repartition
     val df0 = spark.read.parquet(paths: _*)
-    val df =
-      if (partCols.isEmpty) df0.coalesce(
+    if (partCols.isEmpty) {
+      val df = df0.coalesce(
         math.max(1, (candidates.map(_.fileSizeInBytes).sum / targetBytes).toInt))
-      else df0.repartition(partCols.map(col): _*)
+      return Some(TableWriter.replaceFiles(spark, tableDir,
+        candidates.map(_.filePath).toSet, df))
+    }
+
+    // bin-split oversized partitions: a partition whose small-file bytes
+    // exceed targetBytes gets ceil(bytes/target) output files via a
+    // deterministic row-hash bin (metadata-known per-value bin counts,
+    // shipped as a literal map — partition-value cardinality is
+    // metadata-scale). Typical case: every value maps to 1 bin → None →
+    // exactly the plain one-file-per-partition shape.
+    val binsByValue: Map[String, Int] = candidates
+      .groupBy(_.partition.getOrElse(partCols.head, ""))
+      .map { case (v, es) =>
+        v -> math.max(1, math.ceil(es.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
+      }
+    val binExpr: Option[org.apache.spark.sql.Column] =
+      if (binsByValue.values.forall(_ == 1)) None
+      else Some(pmod(
+        xxhash64(df0.columns.map(col): _*),
+        coalesce(element_at(typedLit(binsByValue), col(partCols.head).cast("string")),
+          lit(1)).cast("long")))
 
     Some(TableWriter.replaceFiles(spark, tableDir,
-      candidates.map(_.filePath).toSet, df))
+      candidates.map(_.filePath).toSet, df0, binExpr))
   }
 }

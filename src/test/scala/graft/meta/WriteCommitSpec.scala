@@ -171,4 +171,26 @@ class WriteCommitSpec extends SparkSpec {
     // compacting again is a no-op: no partition has ≥2 small files
     assert(e.rewriteSmallFiles("lab.ticks").isEmpty)
   }
+
+  test("compaction bin-splits a partition whose bytes exceed targetBytes") {
+    val wh = Files.createTempDirectory("graft-binsplit-wh").toString
+    val e = new Engine(spark, wh)
+    FixtureWriter.writeTable(spark, s"$wh/lab/big",
+      Seq(Seq(
+        FixtureWriter.ColSpec(1, "id", "long", required = true),
+        FixtureWriter.ColSpec(2, "grp", "string", required = false),
+        FixtureWriter.ColSpec(3, "v", "double", required = false))),
+      Some("grp"),
+      (0 until 3).map { ci =>
+        FixtureWriter.Commit("append",
+          (0 until 400).map(i => Seq[Any](ci * 1000L + i, "only", i * 1.0)), 0)
+      })
+    val rowsBefore = e.files("lab.big").agg(sum("record_count")).as[Long].head()
+    val sizes = e.files("lab.big").select("file_size_in_bytes").as[Long].collect()
+    // force splitting: target smaller than the partition's total bytes
+    val target = sizes.sum / 2
+    val res = e.rewriteSmallFiles("lab.big", targetBytes = target).get
+    assert(res.addedFiles >= 2) // one partition value, split into >=2 bins
+    assert(e.files("lab.big").agg(sum("record_count")).as[Long].head() == rowsBefore)
+  }
 }
