@@ -33,7 +33,8 @@ class AvroRoundTripSpec extends AnyFunSuite {
       lowerBounds = (1 to nCols).map(c =>
         c -> IcebergDecode.encode("long", rng.nextLong())).toMap,
       upperBounds = (1 to nCols).map(c =>
-        c -> IcebergDecode.encode("double", rng.nextDouble() * 1e6)).toMap)
+        c -> IcebergDecode.encode("double", rng.nextDouble() * 1e6)).toMap,
+      equalityIds = if (i % 3 == 0) Seq(1 + rng.nextInt(5)) else Seq.empty)
   }
 
   test("manifest entries round-trip bit-exactly (100 random entries)") {
