@@ -210,6 +210,20 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def rollback(ref: String, snapshotId: Long): Int =
     Maintenance.rollback(tableDir(ref), snapshotId)
 
+  /** Tag a snapshot (default current) — protected from expiration. */
+  def createTag(ref: String, name: String, snapshotId: Option[Long] = None): Int =
+    Maintenance.createTag(tableDir(ref), name, snapshotId)
+
+  /** Remove a named ref (tag or branch); the snapshot stays. */
+  def dropRef(ref: String, name: String): Int =
+    Maintenance.dropRef(tableDir(ref), name)
+
+  /** Snapshot id a named ref points at (for `files(ref, Some(id))` /
+    * `readTable(ref, Some(id))` time travel by name). */
+  def resolveRef(ref: String, name: String): Long =
+    load(ref).metadata.refs.getOrElse(name,
+      throw new NoSuchElementException(s"ref '$name' not found on $ref")).snapshotId
+
   /** Data files referenced by no snapshot (write leftovers). */
   def orphanFiles(ref: String): Seq[String] =
     Maintenance.orphanFiles(tableDir(ref))

@@ -49,6 +49,10 @@ final case class Snapshot(
     summary: Map[String, String],
     manifestList: String)
 
+/** A named snapshot reference (Iceberg spec `refs`): `branch` refs move
+  * with commits ("main"), `tag` refs pin a snapshot forever. */
+final case class SnapshotRef(snapshotId: Long, refType: String)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -60,7 +64,8 @@ final case class TableMetadata(
     partitionSpecs: Seq[PartitionSpec],
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    refs: Map[String, SnapshotRef] = Map.empty) {
 
   def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
   def currentSpec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId).get
@@ -181,7 +186,14 @@ object IcebergMeta {
       specs,
       strMap(n.path("properties")),
       Option(n.get("current-snapshot-id")).filterNot(_.isNull).map(_.asLong()),
-      snaps)
+      snaps,
+      // `refs` (optional; Iceberg spec): name → {snapshot-id, type}
+      if (!n.has("refs")) Map.empty
+      else n.path("refs").properties().asScala.map { e =>
+        e.getKey -> SnapshotRef(
+          e.getValue.path("snapshot-id").asLong(),
+          e.getValue.path("type").asText("tag"))
+      }.toMap)
   }
 
   def render(md: TableMetadata): String = {
@@ -224,6 +236,14 @@ object IcebergMeta {
     val props = root.putObject("properties")
     md.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     md.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
+    if (md.refs.nonEmpty) {
+      val refsNode = root.putObject("refs")
+      md.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val rn = refsNode.putObject(name)
+        rn.put("snapshot-id", r.snapshotId)
+        rn.put("type", r.refType)
+      }
+    }
     val snapArr = root.putArray("snapshots")
     md.snapshots.foreach { s =>
       val sn = snapArr.addObject()

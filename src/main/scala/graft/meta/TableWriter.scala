@@ -269,7 +269,10 @@ object TableWriter {
     val newMd = md.copy(
       lastUpdatedMs = nowMs,
       currentSnapshotId = Some(snapId),
-      snapshots = md.snapshots :+ snapshot)
+      snapshots = md.snapshots :+ snapshot,
+      // the main branch follows commits (Iceberg maintains `main`);
+      // tags and other branches stay pinned where they are
+      refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
     val curVersion = currentMetaPath.getFileName.toString
       .stripPrefix("v").stripSuffix(".metadata.json").toInt
     val nextVersion = curVersion + 1

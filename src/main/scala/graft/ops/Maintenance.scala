@@ -42,6 +42,7 @@ object Maintenance {
     val byTimeDesc = md.snapshots.sortBy(-_.timestampMs)
     val keepIds = (byTimeDesc.take(math.max(retainLast, 1)).map(_.snapshotId) ++
       md.currentSnapshotId.toSeq ++
+      md.refs.values.map(_.snapshotId) ++ // tagged/branched snapshots never expire
       md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
     val expired = md.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty)
@@ -87,14 +88,42 @@ object Maintenance {
 
   /** Roll the table's current pointer back to an existing snapshot
     * (metadata-only: no data or manifests move; later snapshots stay in
-    * the log and remain readable). Returns the new metadata version. */
+    * the log and remain readable). The `main` branch ref, when present,
+    * follows. Returns the new metadata version. */
   def rollback(tableDir: String, snapshotId: Long): Int = {
     val md = IcebergMeta.load(tableDir)
     require(md.snapshot(snapshotId).isDefined,
       s"Snapshot $snapshotId not found")
+    val refs =
+      if (md.refs.contains("main"))
+        md.refs + ("main" -> graft.meta.SnapshotRef(snapshotId, "branch"))
+      else md.refs
     writeNextVersion(tableDir, IcebergMeta.render(md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
-      currentSnapshotId = Some(snapshotId))))
+      currentSnapshotId = Some(snapshotId),
+      refs = refs)))
+  }
+
+  /** Pin `name` as a TAG on a snapshot (default: current). Tagged
+    * snapshots are protected from [[expireSnapshots]]. */
+  def createTag(tableDir: String, name: String, snapshotId: Option[Long] = None): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val sid = snapshotId.orElse(md.currentSnapshotId).getOrElse(
+      throw new IllegalStateException("table has no snapshots to tag"))
+    require(md.snapshot(sid).isDefined, s"Snapshot $sid not found")
+    require(!md.refs.contains(name), s"ref '$name' already exists")
+    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      refs = md.refs + (name -> graft.meta.SnapshotRef(sid, "tag")))))
+  }
+
+  /** Remove a named ref (the snapshot itself stays). */
+  def dropRef(tableDir: String, name: String): Int = {
+    val md = IcebergMeta.load(tableDir)
+    require(md.refs.contains(name), s"ref '$name' not found")
+    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      refs = md.refs - name)))
   }
 
   /** Files under `data/` referenced by NO snapshot's manifests (write

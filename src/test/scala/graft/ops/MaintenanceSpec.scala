@@ -105,6 +105,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(ml.forall(_.getAs[Long]("size_bytes") > 0))
   }
 
+  test("tags survive expiration, resolve for time travel, and drop cleanly") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val md0 = e.load("sales.orders").metadata
+    val firstAppend = md0.snapshots.head.snapshotId
+
+    // tag the FIRST append, then expire everything old — the tagged
+    // snapshot must survive while its untagged siblings expire
+    e.createTag("sales.orders", "v1-audit", Some(firstAppend))
+    val res = e.expireSnapshots("sales.orders",
+      olderThanMs = md0.snapshots.last.timestampMs, retainLast = 1)
+    assert(!res.expiredSnapshots.contains(firstAppend))
+    assert(res.expiredSnapshots.size == 2) // the 2nd/3rd appends
+
+    // time travel by name still reads the tagged snapshot's data
+    val sid = e.resolveRef("sales.orders", "v1-audit")
+    assert(sid == firstAppend)
+    assert(e.readTable("sales.orders", Some(sid)).count() == 20L)
+
+    // engine commits move the main branch; tags stay pinned
+    import spark.implicits._
+    val df = Seq((800L, "Tag Test", "us-east", 1.0,
+      java.sql.Date.valueOf("2024-07-01"),
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
+      .toDF("order_id", "customer_name", "region", "amount", "order_date", "created_at")
+    val r = e.append("sales.orders", df)
+    val refs = e.load("sales.orders").metadata.refs
+    assert(refs("main") == graft.meta.SnapshotRef(r.snapshotId, "branch"))
+    assert(refs("v1-audit") == graft.meta.SnapshotRef(firstAppend, "tag"))
+
+    e.dropRef("sales.orders", "v1-audit")
+    assert(!e.load("sales.orders").metadata.refs.contains("v1-audit"))
+    intercept[NoSuchElementException] { e.resolveRef("sales.orders", "v1-audit") }
+    intercept[IllegalArgumentException] { e.dropRef("sales.orders", "nope") }
+  }
+
   test("orphan files are detected and removed; live files untouched") {
     val wh = freshWarehouse()
     val e = new Engine(spark, wh)
