@@ -251,6 +251,25 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =
     ScanPlanner.readTable(spark, load(ref), snapshotId)
 
+  /** Register a table's live data (merge-on-read applied) as a temp view
+    * so `spark.sql` can query it; view name defaults to `<ns>_<table>`. */
+  def createView(ref: String, viewName: Option[String] = None): String = {
+    val name = viewName.getOrElse(ref.replace('.', '_'))
+    readTable(ref).createOrReplaceTempView(name)
+    name
+  }
+
+  /** Register EVERY table in the warehouse as `<ns>_<table>` temp views
+    * (metadata-small loop over the table list) and return the names —
+    * after this, the whole warehouse is queryable with plain
+    * `spark.sql`. Tables whose data files are not materialized
+    * (metadata-only fixtures, foreign-written tables with unreachable
+    * paths) are skipped. */
+  def createAllViews(): Seq[String] =
+    listTables().collect().toSeq.flatMap { r =>
+      scala.util.Try(createView(s"${r.getString(0)}.${r.getString(1)}")).toOption
+    }
+
   /** Read the data with metadata pruning on `column ∈ [lo, hi]`: files
     * whose min/max bounds exclude the range are never opened; the result
     * equals the unpruned read + filter. */

@@ -57,6 +57,20 @@ class ScanPlannerSpec extends SparkSpec {
     assert(pruned.inputFiles.length < engine.readTable("sales.orders", pin).inputFiles.length)
   }
 
+  test("createAllViews makes the warehouse queryable with spark.sql") {
+    val names = engine.createAllViews()
+    // legacy.inventory is metadata-only (no materialized data) — skipped
+    assert(names.toSet.contains("sales_orders") && names.size == 4)
+    // plain SQL over the registered views, joins included
+    val r = spark.sql(
+      """SELECT region, count(*) AS n, round(sum(amount), 2) AS amt
+        |FROM sales_orders GROUP BY region ORDER BY region""".stripMargin).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == 15L) // current snapshot = overwrite
+    assert(spark.sql(
+      "SELECT count(*) FROM sales_orders o JOIN sales_customers c " +
+        "ON o.order_id = c.customer_id").collect().head.getLong(0) > 0)
+  }
+
   test("a range outside all bounds returns empty without scanning") {
     val df = engine.readTableWhere("sales.orders", "order_id",
       Some(100000.0), Some(200000.0))
