@@ -607,6 +607,35 @@ object PipelineQueries {
         .orderBy("component"),
       Some(componentsOracleSql)),
 
+    // END-TO-END dedup keep-list: minhash candidates → connected
+    // components → keep the min-id doc of every dup group, count
+    // survivors per language (the full near-dedup pipeline composed —
+    // what a corpus pass actually ships)
+    Q("q_dedup_keep",
+      (s, d) => {
+        val docs = documents(s, d)
+        val comp = Dedup.connectedComponents(Dedup.minhashCandidates(s, docs))
+        val drop = comp.filter(col("doc_id") =!= col("component")).select("doc_id")
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("WITH RECURSIVE " + minhashPairCtes + ",\n" +
+        """edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION ALL SELECT b_id, a_id FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          |labels AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+          |dropped AS (SELECT doc_id FROM labels WHERE doc_id <> component)
+          |SELECT lang, count(*) AS n_kept
+          |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          |GROUP BY lang ORDER BY lang""".stripMargin),
+      ),
+
     // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",
       (s, d) => Similarity.lshAnn(embeddings(s, d), col("vec_id") < 10),
