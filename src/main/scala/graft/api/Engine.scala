@@ -184,9 +184,11 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   // ---- write/commit path (the engine-native analog of the reference's
   // pyiceberg writes, demo.py:34-181; see graft.meta.TableWriter) ----
 
-  /** Append `df` as a new snapshot of `ref`. */
-  def append(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.append(spark, tableDir(ref), df)
+  /** Append `df` as a new snapshot of `ref`; `branch = Some(name)`
+    * commits onto that branch ref, leaving the main line untouched. */
+  def append(ref: String, df: DataFrame,
+      branch: Option[String] = None): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.append(spark, tableDir(ref), df, branch)
 
   /** Replace `ref`'s live data with `df` (prior snapshots stay readable). */
   def overwrite(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =

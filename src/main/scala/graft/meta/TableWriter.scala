@@ -36,9 +36,15 @@ object TableWriter {
       addedRecords: Long,
       metadataVersion: Int)
 
-  /** Append `df` as a new snapshot; existing manifests carry forward. */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame): CommitResult =
-    commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true)
+  /** Append `df` as a new snapshot; existing manifests carry forward.
+    * `branch = Some(name)` commits onto that branch ref instead of the
+    * main line: the branch head is the parent, the ref moves, and the
+    * table's current snapshot is untouched (Iceberg branch-write
+    * semantics — an isolated audit/experiment line on shared data). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      branch: Option[String] = None): CommitResult =
+    commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true,
+      branch = branch)
 
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). */
@@ -116,7 +122,8 @@ object TableWriter {
       data: Option[DataFrame],
       operation: String,
       keepPredicate: DataFileEntry => Boolean,
-      binExpr: Option[org.apache.spark.sql.Column] = None): CommitResult = {
+      binExpr: Option[org.apache.spark.sql.Column] = None,
+      branch: Option[String] = None): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -212,16 +219,22 @@ object TableWriter {
     }
 
     // ---- 3. carried-forward entries (append keeps whole manifests;
-    // overwrite/replace rewrite kept entries into an `existing` manifest)
+    // overwrite/replace rewrite kept entries into an `existing` manifest).
+    // A branch commit chains from the BRANCH head, not the current
+    // snapshot — an unborn branch starts from the current snapshot.
     val t = new IcebergTable(tableDir, md)
-    val liveNow = t.files()
+    val parentId: Option[Long] = branch match {
+      case Some(b) => md.refs.get(b).map(_.snapshotId).orElse(md.currentSnapshotId)
+      case None => md.currentSnapshotId
+    }
+    val liveNow = parentId.map(id => t.files(Some(id))).getOrElse(Seq.empty)
     val kept = liveNow.filter(keepPredicate)
     val keepsEverything = kept.size == liveNow.size
 
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
     if (operation == "append" && keepsEverything) {
-      // cheap append: previous manifests carry forward untouched
-      manifests ++= t.manifests()
+      // cheap append: the parent's manifests carry forward untouched
+      manifests ++= parentId.map(id => t.manifests(Some(id))).getOrElse(Seq.empty)
     } else if (kept.nonEmpty) {
       // rewrite kept entries as `existing` under their original snapshot
       val existing = kept.map(e => e.copy(status = 0))
@@ -254,7 +267,7 @@ object TableWriter {
     val nowMs = System.currentTimeMillis()
     val snapshot = Snapshot(
       snapshotId = snapId,
-      parentSnapshotId = md.currentSnapshotId,
+      parentSnapshotId = parentId,
       timestampMs = nowMs,
       operation = operation,
       summary = Map(
@@ -266,13 +279,19 @@ object TableWriter {
         "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString),
       manifestList = listPath)
 
-    val newMd = md.copy(
-      lastUpdatedMs = nowMs,
-      currentSnapshotId = Some(snapId),
-      snapshots = md.snapshots :+ snapshot,
-      // the main branch follows commits (Iceberg maintains `main`);
-      // tags and other branches stay pinned where they are
-      refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    // main-line commits move current + the `main` ref; branch commits
+    // move ONLY their ref, leaving the table's current snapshot alone
+    val newMd = branch match {
+      case Some(b) if b != "main" => md.copy(
+        lastUpdatedMs = nowMs,
+        snapshots = md.snapshots :+ snapshot,
+        refs = md.refs + (b -> SnapshotRef(snapId, "branch")))
+      case _ => md.copy(
+        lastUpdatedMs = nowMs,
+        currentSnapshotId = Some(snapId),
+        snapshots = md.snapshots :+ snapshot,
+        refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    }
     val curVersion = currentMetaPath.getFileName.toString
       .stripPrefix("v").stripSuffix(".metadata.json").toInt
     val nextVersion = curVersion + 1

@@ -141,6 +141,39 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.dropRef("sales.orders", "nope") }
   }
 
+  test("branch writes chain from the branch head; main line untouched") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val mainRows = e.readTable("staging.metrics").count()
+    val mainSnap = e.load("staging.metrics").metadata.currentSnapshotId.get
+
+    import spark.implicits._
+    def metric(id: Long) = Seq((id, "host-b", "api", 1.0, 1.0, 1L, 1L, 0, 1, true,
+      java.sql.Timestamp.valueOf("2024-08-01 00:00:00")))
+      .toDF("metric_id", "host", "service", "cpu_pct", "mem_pct",
+        "disk_read_bytes", "net_rx_bytes", "error_count", "request_count",
+        "is_healthy", "collected_at")
+
+    // two commits onto an experiment branch
+    val b1 = e.append("staging.metrics", metric(900L), branch = Some("exp"))
+    val b2 = e.append("staging.metrics", metric(901L), branch = Some("exp"))
+
+    val md = e.load("staging.metrics").metadata
+    // main line untouched: current pointer + default reads unchanged
+    assert(md.currentSnapshotId.contains(mainSnap))
+    assert(e.readTable("staging.metrics").count() == mainRows)
+    // the branch chains: b2's parent is b1, b1's parent the old main head
+    assert(md.snapshot(b2.snapshotId).get.parentSnapshotId.contains(b1.snapshotId))
+    assert(md.snapshot(b1.snapshotId).get.parentSnapshotId.contains(mainSnap))
+    assert(md.refs("exp") == graft.meta.SnapshotRef(b2.snapshotId, "branch"))
+    // reading the branch sees main's data + both branch appends
+    val expSnap = e.resolveRef("staging.metrics", "exp")
+    assert(e.readTable("staging.metrics", Some(expSnap)).count() == mainRows + 2)
+    // a main-line commit afterwards does not disturb the branch ref
+    e.append("staging.metrics", metric(902L))
+    assert(e.resolveRef("staging.metrics", "exp") == b2.snapshotId)
+  }
+
   test("orphan files are detected and removed; live files untouched") {
     val wh = freshWarehouse()
     val e = new Engine(spark, wh)
