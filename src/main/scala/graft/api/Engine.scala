@@ -249,6 +249,11 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def dropColumn(ref: String, name: String): Int =
     graft.meta.SchemaEvolution.dropColumn(tableDir(ref), name)
 
+  /** Evolve to a new identity partition spec for FUTURE writes (existing
+    * files keep their layout); returns the new spec id. */
+  def setPartitionSpec(ref: String, sourceCols: Seq[String]): Int =
+    graft.meta.SchemaEvolution.setPartitionSpec(tableDir(ref), sourceCols)
+
   /** Read the table's DATA as a DataFrame (all live files of a snapshot). */
   def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =
     ScanPlanner.readTable(spark, load(ref), snapshotId)

@@ -55,23 +55,55 @@ object SchemaEvolution {
     commitSchema(tableDir, md, cur.fields.filterNot(_.name == name))
   }
 
+  /** Evolve the PARTITION SPEC: a new spec version (next spec-id) with
+    * identity partitioning on `sourceCols`, becoming the default for
+    * future writes (Iceberg spec evolution is metadata-only: existing
+    * files keep their old partition tuples; readers see both layouts).
+    * Partition field ids continue Iceberg's 1000+ range across versions.
+    * Empty `sourceCols` evolves to unpartitioned. */
+  def setPartitionSpec(tableDir: String, sourceCols: Seq[String]): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    val fields = sourceCols.map { name =>
+      cur.fields.find(f => f.name == name && !f.path.contains('.')).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source $name not a top-level column of schema ${cur.schemaId}"))
+    }
+    val newSpecId = md.partitionSpecs.map(_.specId).max + 1
+    val nextFieldId = (999 +: md.partitionSpecs.flatMap(_.fields.map(_.fieldId))).max + 1
+    val spec = PartitionSpec(newSpecId, fields.zipWithIndex.map { case (f, i) =>
+      SpecField(f.name, "identity", f.id, nextFieldId + i)
+    })
+    val newMd = md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      defaultSpecId = newSpecId,
+      partitionSpecs = md.partitionSpecs :+ spec)
+    writeNext(tableDir, newMd)
+    newSpecId
+  }
+
   /** Append the new field list as the next schema version and point
     * `current-schema-id` at it. Returns the new schema id. */
   private def commitSchema(
       tableDir: String, md: TableMetadata, fields: Seq[SchemaField]): Int = {
     require(fields.nonEmpty, "schema cannot become empty")
     val newSchemaId = md.schemas.map(_.schemaId).max + 1
-    val newMd = md.copy(
+    writeNext(tableDir, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       currentSchemaId = newSchemaId,
-      schemas = md.schemas :+ IceSchema(newSchemaId, fields))
+      schemas = md.schemas :+ IceSchema(newSchemaId, fields)))
+    newSchemaId
+  }
+
+  /** Atomically write `md` as the next metadata version; returns it. */
+  private def writeNext(tableDir: String, md: TableMetadata): Int = {
     val curV = IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
       .stripPrefix("v").stripSuffix(".metadata.json").toInt
     val target = Paths.get(tableDir, "metadata", s"v${curV + 1}.metadata.json")
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, IcebergMeta.render(newMd))
+    Files.writeString(tmp, IcebergMeta.render(md))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    newSchemaId
+    curV + 1
   }
 }

@@ -64,6 +64,41 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!d.exists(r => Set("added", "removed").contains(r.getAs[String]("status"))))
   }
 
+  test("setPartitionSpec: future writes use the new layout, old files keep theirs") {
+    val wh = Files.createTempDirectory("graft-spec-evo-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new Engine(spark, wh)
+    // staging.metrics starts unpartitioned; evolve to identity(service)
+    val sid = e.setPartitionSpec("staging.metrics", Seq("service"))
+    val md = e.load("staging.metrics").metadata
+    assert(md.defaultSpecId == sid && md.partitionSpecs.size == 2)
+    assert(md.currentSpec.fields.map(f => (f.name, f.transform)) ==
+      Seq(("service", "identity")))
+    assert(md.currentSpec.fields.head.fieldId >= 1000)
+
+    val df = Seq(
+      (400L, "h", "api", 1.0, 1.0, 1L, 1L, 0, 1, true,
+        java.sql.Timestamp.valueOf("2024-08-02 00:00:00")),
+      (401L, "h", "web", 1.0, 1.0, 1L, 1L, 0, 1, true,
+        java.sql.Timestamp.valueOf("2024-08-02 00:00:00")))
+      .toDF("metric_id", "host", "service", "cpu_pct", "mem_pct",
+        "disk_read_bytes", "net_rx_bytes", "error_count", "request_count",
+        "is_healthy", "collected_at")
+    val r = e.append("staging.metrics", df)
+    assert(r.addedFiles == 2) // one per service value under the new spec
+
+    // mixed layouts coexist: old file has an empty partition tuple, new
+    // files carry service=..., and reads see every row
+    val parts = e.files("staging.metrics")
+      .select("partition").collect().map(_.getMap[String, String](0))
+    assert(parts.exists(_.isEmpty) && parts.exists(_.get("service").contains("api")))
+    assert(e.readTable("staging.metrics").count() == 14L) // 12 fixture + 2
+
+    intercept[IllegalArgumentException] {
+      e.setPartitionSpec("staging.metrics", Seq("no_such_col"))
+    }
+  }
+
   test("dropColumn removes from reads; partition sources are protected") {
     val wh = Files.createTempDirectory("graft-evo3-wh").toString
     FixtureWriter.writeDemo(spark, wh)
