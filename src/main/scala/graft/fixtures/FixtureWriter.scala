@@ -164,6 +164,7 @@ object FixtureWriter {
         snapshotId = snapId,
         parentSnapshotId = prevSnapId,
         timestampMs = BaseTs + ci * 3600000L,
+        sequenceNumber = ci + 1L,
         operation = commit.operation,
         summary = Map(
           "operation" -> commit.operation,
@@ -495,7 +496,7 @@ object FixtureWriter {
           "total-data-files" -> dataEntries.size.toString,
           "total-records" -> dataEntries.map(_.recordCount).sum.toString,
           "total-files-size" -> dataEntries.map(_.fileSizeInBytes).sum.toString),
-        list1),
+        list1, sequenceNumber = 1L),
       Snapshot(delSnap, Some(dataSnap), BaseTs + 3600000L, "delete",
         Map("operation" -> "delete",
           "total-data-files" -> dataEntries.size.toString,
@@ -504,7 +505,7 @@ object FixtureWriter {
           "total-delete-files" -> allDeleteEntries.size.toString,
           "total-position-deletes" -> deleteEntries.map(_.recordCount).sum.toString,
           "total-equality-deletes" -> eqEntries.map(_.recordCount).sum.toString),
-        list2))
+        list2, sequenceNumber = 2L))
     val md = TableMetadata(2,
       java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,
       tableDir, BaseTs + 3600000L, 0,
@@ -575,7 +576,7 @@ object FixtureWriter {
           "total-data-files" -> totalFiles.toString,
           "total-records" -> totalRows.toString,
           "total-files-size" -> totalSize.toString),
-        listPath)
+        listPath, sequenceNumber = ci + 1L)
       prev = Some(snapId)
     }
 

@@ -47,7 +47,12 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String,
     summary: Map[String, String],
-    manifestList: String)
+    manifestList: String,
+    /** Iceberg v2 commit sequence number (monotonic per commit; files
+      * inherit their adding snapshot's sequence). Scopes delete
+      * application: an equality delete hits only rows of data files with
+      * a STRICTLY SMALLER sequence. 0 = pre-sequence metadata. */
+    sequenceNumber: Long = 0L)
 
 /** A named snapshot reference (Iceberg spec `refs`): `branch` refs move
   * with commits ("main"), `tag` refs pin a snapshot forever. */
@@ -170,7 +175,8 @@ object IcebergMeta {
         s.path("timestamp-ms").asLong(),
         s.path("summary").path("operation").asText("append"),
         strMap(s.path("summary")),
-        s.path("manifest-list").asText())
+        s.path("manifest-list").asText(),
+        s.path("sequence-number").asLong(0L))
     }.toSeq
 
     TableMetadata(
@@ -250,6 +256,7 @@ object IcebergMeta {
       sn.put("snapshot-id", s.snapshotId)
       s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
       sn.put("timestamp-ms", s.timestampMs)
+      if (s.sequenceNumber != 0L) sn.put("sequence-number", s.sequenceNumber)
       val sum = sn.putObject("summary")
       sum.put("operation", s.operation)
       s.summary.filterNot(_._1 == "operation").toSeq.sortBy(_._1)

@@ -269,6 +269,7 @@ object TableWriter {
       snapshotId = snapId,
       parentSnapshotId = parentId,
       timestampMs = nowMs,
+      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
       operation = operation,
       summary = Map(
         "operation" -> operation,

@@ -67,15 +67,31 @@ object ScanPlanner {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
-    val df = reader.parquet(paths: _*)
+    val df0 = reader.parquet(paths: _*)
     val allDels = t.deleteFiles(snapshotId)
     val (eqDels, posDels) = allDels.partition(_.content == 2)
+    // the reader's file URI is "file:<tableDir>/<relPath>"; delete files
+    // and the sequence map use the table-relative path
+    val prefix = s"file:${t.tableDir}/"
+    val seqBySnapshot = t.metadata.snapshots
+      .map(s => s.snapshotId -> s.sequenceNumber).toMap
+
+    // the per-file commit sequence must be captured ON THE SCAN — the
+    // hidden _metadata column does not survive the delete joins
+    val df =
+      if (eqDels.isEmpty) df0
+      else {
+        val seqByRelPath: Map[String, Long] = t.files(snapshotId)
+          .map(e => e.filePath -> seqBySnapshot.getOrElse(e.snapshotId, 0L)).toMap
+        df0.withColumn("__seq",
+          coalesce(
+            element_at(typedLit(seqByRelPath),
+              expr(s"substring(_metadata.file_path, ${prefix.length + 1})")),
+            lit(0L)))
+      }
 
     val afterPos = if (posDels.isEmpty) df
     else {
-      // delete files record table-relative data paths; normalize the
-      // reader's file URI ("file:<tableDir>/data/x.parquet") to match
-      val prefix = s"file:${t.tableDir}/"
       val dels = spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
         .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
       df
@@ -87,18 +103,30 @@ object ScanPlanner {
     }
 
     // equality deletes (content=2): rows matching the delete file's values
-    // on the equality-id columns disappear, one broadcast anti-join per
-    // distinct id set. (Simplification vs the Iceberg spec: no sequence
-    // numbers are tracked, so deletes apply to the whole snapshot rather
-    // than only to earlier-sequenced files.)
-    val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
-    eqDels.groupBy(_.equalityIds).foldLeft(afterPos) { case (acc, (ids, files)) =>
-      require(ids.nonEmpty, s"equality delete file without equality_ids: ${files.head.filePath}")
-      val cols = ids.map(id => nameById.getOrElse(id,
-        throw new NoSuchElementException(s"equality id $id not in current schema")))
-      val delVals = spark.read.parquet(files.map(e => t.resolvePath(e.filePath)): _*)
-        .select(cols.map(col): _*).distinct()
-      acc.join(broadcast(delVals), cols, "left_anti")
+    // on the equality-id columns disappear — SCOPED by sequence number:
+    // only rows of data files whose commit sequence is STRICTLY SMALLER
+    // than the delete's apply (Iceberg v2 semantics — a row re-appended
+    // after the delete survives it). One broadcast anti-join per distinct
+    // (id set, sequence) group; the per-file sequence rides along as a
+    // literal path→sequence map (metadata-scale; at very large file
+    // counts this moves to a broadcast join against the files relation).
+    if (eqDels.isEmpty) afterPos
+    else {
+      val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
+      val applied = eqDels
+        .groupBy(e => (e.equalityIds, seqBySnapshot.getOrElse(e.snapshotId, Long.MaxValue)))
+        .foldLeft(afterPos) { case (acc, ((ids, delSeq), files)) =>
+          require(ids.nonEmpty,
+            s"equality delete file without equality_ids: ${files.head.filePath}")
+          val cols = ids.map(id => nameById.getOrElse(id,
+            throw new NoSuchElementException(s"equality id $id not in current schema")))
+          val delVals = spark.read.parquet(files.map(e => t.resolvePath(e.filePath)): _*)
+            .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
+          val cond = cols.map(c => acc(c) === delVals(s"__del_$c"))
+            .reduce(_ && _) && acc("__seq") < lit(delSeq)
+          acc.join(broadcast(delVals), cond, "left_anti")
+        }
+      applied.drop("__seq")
     }
   }
 

@@ -61,6 +61,15 @@ class DeletesAndChangelogSpec extends SparkSpec {
     // file 2 lost exactly the equality-matched row_ids
     assert(!ids.contains(2001L) && !ids.contains(2003L) && ids.contains(2002L))
     assert(ids.count(_ >= 2000L) == 100)
+
+    // SEQUENCE SCOPING: re-appending a deleted key AFTER the delete
+    // commit (sequence 3 > delete's 2) must survive the equality delete
+    val revived = Seq((2001L, "revived", 1))
+      .toDF("row_id", "payload", "shard")
+    engine.append("lab.cdc", revived)
+    val after = engine.readTable("lab.cdc")
+    assert(after.filter(col("row_id") === 2001L).count() == 1L)
+    assert(after.count() == totalRows - deletedPositions - equalityDeletes + 1)
   }
 
   test("changes() walks the parent chain with per-snapshot adds/deletes") {
