@@ -194,6 +194,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def overwrite(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
     graft.meta.TableWriter.overwrite(spark, tableDir(ref), df)
 
+  /** Row-level DELETE FROM, merge-on-read: matching rows are recorded as
+    * a position-delete file in a new `delete` snapshot — no data files
+    * rewritten. None when nothing matches. */
+  def deleteWhere(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
+    graft.meta.TableWriter.deleteWhere(spark, tableDir(ref), predicate)
+
   /** Bin-pack small data files into larger ones and commit a replace
     * snapshot (the action behind the health report's
     * `compaction_recommended`, ref `formatters.py:461,775`). */

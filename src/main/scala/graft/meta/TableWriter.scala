@@ -67,6 +67,102 @@ object TableWriter {
       keepPredicate = e => !removePaths.contains(e.filePath),
       binExpr = binExpr)
 
+  /** Row-level DELETE, merge-on-read style: rows of the current snapshot
+    * matching `predicate` are recorded in a POSITION-DELETE parquet file
+    * (Iceberg v2 `file_path`/`pos` schema) committed under a new `delete`
+    * snapshot — no data file is rewritten; readers
+    * ([[graft.ops.ScanPlanner.readTable]]) anti-join the positions away.
+    * Returns None when nothing matches (no commit is made).
+    *
+    * Scale shape: one distributed scan evaluating the predicate (with
+    * Catalyst pushing it into row groups) emitting only (path, pos)
+    * pairs; the delete set is metadata-adjacent in size. Compaction
+    * ([[graft.ops.Compact]]) later folds deletes into rewritten files. */
+  def deleteWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
+    val dir = Paths.get(tableDir)
+    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
+    val md = IcebergMeta.load(tableDir)
+    require(md.formatVersion == 2, "deleteWhere requires a format-version 2 table")
+    val t = new IcebergTable(tableDir, md)
+    val livePaths = t.files().map(e => t.resolvePath(e.filePath))
+    if (livePaths.isEmpty) return None
+
+    val prefix = s"file:$tableDir/"
+    val delRows = spark.read.parquet(livePaths: _*)
+      .filter(predicate)
+      .select(
+        expr(s"substring(_metadata.file_path, ${prefix.length + 1})").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .orderBy("file_path", "pos")
+      .coalesce(1)
+      .cache()
+    val nDeleted = delRows.count()
+    if (nDeleted == 0) { delRows.unpersist(); return None }
+
+    val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+    // stage the position-delete parquet and move it under data/
+    val stage = Files.createTempDirectory("graft-delete")
+    delRows.write.mode("overwrite").parquet(stage.toString)
+    delRows.unpersist()
+    val staged = scala.util.Using.resource(Files.list(stage))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
+    val relPath = s"data/delete-$snapId.parquet"
+    Files.createDirectories(dir.resolve("data"))
+    Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
+
+    val entry = DataFileEntry(
+      status = 1, snapshotId = snapId, content = 1,
+      filePath = relPath, fileFormat = "PARQUET", partition = Map.empty,
+      recordCount = nDeleted, fileSizeInBytes = Files.size(dir.resolve(relPath)),
+      columnSizes = Map.empty, valueCounts = Map.empty,
+      nullValueCounts = Map.empty, lowerBounds = Map.empty,
+      upperBounds = Map.empty)
+    val delManifestPath = s"metadata/manifest-$snapId-deletes.avro"
+    AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
+    val delManifest = ManifestFile(
+      delManifestPath, Files.size(dir.resolve(delManifestPath)),
+      partitionSpecId = md.currentSpec.specId, content = 1,
+      addedSnapshotId = snapId, addedFilesCount = 1, existingFilesCount = 0,
+      deletedFilesCount = 0, addedRowsCount = nDeleted,
+      existingRowsCount = 0L, deletedRowsCount = 0L)
+
+    // data manifests carry forward untouched; the delete manifest joins
+    val manifests = t.manifests() :+ delManifest
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests)
+
+    val live = t.files()
+    val nowMs = System.currentTimeMillis()
+    val priorDeletes = t.deleteFiles()
+    val snapshot = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = md.currentSnapshotId,
+      timestampMs = nowMs,
+      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+      operation = "delete",
+      summary = Map(
+        "operation" -> "delete",
+        "deleted-position-records" -> nDeleted.toString,
+        "total-data-files" -> live.size.toString,
+        "total-records" -> live.map(_.recordCount).sum.toString,
+        "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString,
+        "total-delete-files" -> (priorDeletes.size + 1).toString),
+      manifestList = listPath)
+    val newMd = md.copy(
+      lastUpdatedMs = nowMs,
+      currentSnapshotId = Some(snapId),
+      snapshots = md.snapshots :+ snapshot,
+      refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    val curVersion = currentMetaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt
+    writeAtomic(dir.resolve(s"metadata/v${curVersion + 1}.metadata.json"),
+      IcebergMeta.render(newMd))
+    Some(CommitResult(snapId, 1, nDeleted, curVersion + 1))
+  }
+
   // ------------------------------------------------------------- internals
 
   private def topLevelFields(md: TableMetadata): Seq[SchemaField] = {
