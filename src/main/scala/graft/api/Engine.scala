@@ -200,6 +200,11 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def deleteWhere(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
     graft.meta.TableWriter.deleteWhere(spark, tableDir(ref), predicate)
 
+  /** MERGE-style upsert keyed on `keyCols`: one commit appends `df` and
+    * equality-deletes earlier rows with matching keys (merge-on-read). */
+  def upsert(ref: String, df: DataFrame, keyCols: Seq[String]): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols)
+
   /** Bin-pack small data files into larger ones and commit a replace
     * snapshot (the action behind the health report's
     * `compaction_recommended`, ref `formatters.py:461,775`). */

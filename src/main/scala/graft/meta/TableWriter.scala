@@ -51,6 +51,18 @@ object TableWriter {
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): CommitResult =
     commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => false)
 
+  /** MERGE-style UPSERT as one row-delta commit: `df`'s rows are
+    * appended AND an equality-delete file on `keyCols` is committed in
+    * the same snapshot — existing rows with matching keys disappear
+    * (merge-on-read), the new rows survive their own delete because
+    * sequence scoping exempts same-sequence files. No data rewrite. */
+  def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
+      keyCols: Seq[String]): CommitResult = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => true,
+      equalityDeleteOn = Some(keyCols))
+  }
+
   /** Replace a specific set of live files with `df` (compaction commit):
     * untouched files carry forward as `existing` entries, `removePaths`
     * disappear from the live set, `df`'s files join as `added`.
@@ -219,7 +231,8 @@ object TableWriter {
       operation: String,
       keepPredicate: DataFileEntry => Boolean,
       binExpr: Option[org.apache.spark.sql.Column] = None,
-      branch: Option[String] = None): CommitResult = {
+      branch: Option[String] = None,
+      equalityDeleteOn: Option[Seq[String]] = None): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -328,8 +341,9 @@ object TableWriter {
     val keepsEverything = kept.size == liveNow.size
 
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestFile]
-    if (operation == "append" && keepsEverything) {
-      // cheap append: the parent's manifests carry forward untouched
+    if (keepsEverything && liveNow.nonEmpty) {
+      // append/upsert keep everything: the parent's manifests carry
+      // forward untouched (incl. delete manifests)
       manifests ++= parentId.map(id => t.manifests(Some(id))).getOrElse(Seq.empty)
     } else if (kept.nonEmpty) {
       // rewrite kept entries as `existing` under their original snapshot
@@ -353,6 +367,37 @@ object TableWriter {
         deletedFilesCount = 0,
         addedRowsCount = newEntries.map(_.recordCount).sum,
         existingRowsCount = 0L, deletedRowsCount = 0L)
+    }
+
+    // ---- 3b. upsert: an EQUALITY-delete file on the key columns joins
+    // the same commit — it carries this snapshot's sequence, so it hits
+    // matching rows of every EARLIER file while the data files added
+    // above (same sequence) are exempt. One distinct-keys projection.
+    equalityDeleteOn.foreach { keys =>
+      val keyFields = keys.map(k => fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(s"upsert key $k not in schema")))
+      val keysDf = data.get.select(keys.map(col): _*).distinct().coalesce(1)
+      val stage = Files.createTempDirectory("graft-upsert")
+      keysDf.write.mode("overwrite").parquet(stage.toString)
+      val staged = scala.util.Using.resource(Files.list(stage))(
+        _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
+      val relPath = s"data/eqdelete-$snapId.parquet"
+      Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
+      val nKeys = spark.read.parquet(dir.resolve(relPath).toString).count()
+      val entry = DataFileEntry(
+        status = 1, snapshotId = snapId, content = 2,
+        filePath = relPath, fileFormat = "PARQUET", partition = Map.empty,
+        recordCount = nKeys, fileSizeInBytes = Files.size(dir.resolve(relPath)),
+        columnSizes = Map.empty, valueCounts = Map.empty,
+        nullValueCounts = Map.empty, lowerBounds = Map.empty,
+        upperBounds = Map.empty, equalityIds = keyFields.map(_.id))
+      val delManifestPath = s"metadata/manifest-$snapId-eqdeletes.avro"
+      AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
+      manifests += ManifestFile(
+        delManifestPath, Files.size(dir.resolve(delManifestPath)),
+        partitionSpecId = spec.specId, content = 1, addedSnapshotId = snapId,
+        addedFilesCount = 1, existingFilesCount = 0, deletedFilesCount = 0,
+        addedRowsCount = nKeys, existingRowsCount = 0L, deletedRowsCount = 0L)
     }
 
     val listPath = s"metadata/snap-$snapId.avro"

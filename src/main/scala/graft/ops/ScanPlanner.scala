@@ -58,16 +58,30 @@ object ScanPlanner {
   def readTable(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
     require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
-    // read through the CURRENT schema when it is expressible: under
-    // metadata-only evolution files differ per schema version — an
-    // explicit read schema makes later-added columns surface as nulls
-    // from older files, dropped columns disappear, and the column order
-    // follow the schema (plain inference would pick one file's shape)
+    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
+  }
+
+  /** Scan `paths` through the table's CURRENT schema when it is
+    * expressible: under metadata-only evolution files differ per schema
+    * version — an explicit read schema makes later-added columns surface
+    * as nulls from older files, dropped columns disappear, and the
+    * column order follow the schema (plain inference would pick one
+    * file's shape). */
+  private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String]): DataFrame = {
     val reader = currentSparkSchema(t) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
-    val df0 = reader.parquet(paths: _*)
+    reader.parquet(paths: _*)
+  }
+
+  /** Merge-on-read delete application over a raw scan `df0` of the
+    * snapshot's files (or any subset — pruned scans included). */
+  private def applyDeletes(
+      spark: SparkSession,
+      t: IcebergTable,
+      snapshotId: Option[Long],
+      df0: DataFrame): DataFrame = {
     val allDels = t.deleteFiles(snapshotId)
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     // the reader's file URI is "file:<tableDir>/<relPath>"; delete files
@@ -171,14 +185,17 @@ object ScanPlanner {
       // Iceberg planner's task list
       .collect().map(r => t.resolvePath(r.getString(0)))
     val df =
-      if (pruned.nonEmpty) spark.read.parquet(pruned.toIndexedSeq: _*)
+      if (pruned.nonEmpty)
+        // deletes apply to the pruned subset too — a deleted row must not
+        // reappear just because the scan was narrowed
+        applyDeletes(spark, t, snapshotId, scanFiles(spark, t, pruned.toIndexedSeq))
       else {
         // everything pruned: the correct result is EMPTY with the table's
         // schema — read it from any live file, scan nothing
         val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
           .getOrElse(throw new IllegalStateException(
             s"snapshot has no data files under ${t.tableDir}"))
-        return spark.read.parquet(any).filter(lit(false))
+        return scanFiles(spark, t, Seq(any)).filter(lit(false))
       }
     val c = col(column)
     val resid = (lo.map(c >= _), hi.map(c <= _)) match {

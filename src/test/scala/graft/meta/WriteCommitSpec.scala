@@ -123,6 +123,45 @@ class WriteCommitSpec extends SparkSpec {
     }
   }
 
+  test("upsert replaces matching keys and appends new ones in one commit") {
+    val wh = Files.createTempDirectory("graft-upsert-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new Engine(spark, wh)
+    val beforeSnap = e.load("staging.metrics").metadata.currentSnapshotId.get
+    val before = e.readTable("staging.metrics")
+    val total = before.count() // 12 fixture rows
+    val oldCpu1 = before.filter(col("metric_id") === 1L)
+      .select("cpu_pct").as[Double].head()
+
+    // update metric 1, insert metric 100
+    val df = Seq(
+      (1L, "host-u", "api", 99.9, 1.0, 1L, 1L, 0, 1, true,
+        java.sql.Timestamp.valueOf("2024-09-01 00:00:00")),
+      (100L, "host-u", "web", 10.0, 1.0, 1L, 1L, 0, 1, true,
+        java.sql.Timestamp.valueOf("2024-09-01 00:00:00")))
+      .toDF("metric_id", "host", "service", "cpu_pct", "mem_pct",
+        "disk_read_bytes", "net_rx_bytes", "error_count", "request_count",
+        "is_healthy", "collected_at")
+    e.upsert("staging.metrics", df, Seq("metric_id"))
+
+    val after = e.readTable("staging.metrics")
+    assert(after.count() == total + 1) // one replaced, one inserted
+    assert(after.filter(col("metric_id") === 1L).count() == 1L)
+    assert(after.filter(col("metric_id") === 1L)
+      .select("cpu_pct").as[Double].head() == 99.9)
+    assert(after.filter(col("metric_id") === 100L).count() == 1L)
+    // pre-upsert snapshot unchanged (old value readable)
+    assert(e.readTable("staging.metrics", Some(beforeSnap))
+      .filter(col("metric_id") === 1L)
+      .select("cpu_pct").as[Double].head() == oldCpu1)
+    // a second upsert of the same key replaces the replacement
+    e.upsert("staging.metrics", df.filter(col("metric_id") === 1L)
+      .withColumn("cpu_pct", lit(11.1)), Seq("metric_id"))
+    assert(e.readTable("staging.metrics").filter(col("metric_id") === 1L)
+      .select("cpu_pct").as[Double].head() == 11.1)
+    assert(e.readTable("staging.metrics").count() == total + 1)
+  }
+
   test("compaction bin-packs small files, preserves content, keeps time travel") {
     // fresh table with many tiny files in few partitions
     val wh = Files.createTempDirectory("graft-compact-wh").toString
