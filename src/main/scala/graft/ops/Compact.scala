@@ -44,6 +44,28 @@ object Compact {
 
     val t = IcebergTable.load(tableDir)
     val live = t.files()
+
+    // a table carrying LIVE DELETE FILES cannot be compacted file-subset-
+    // wise: rewriting a file from its raw bytes would resurrect rows the
+    // deletes hide, and the replace commit drops delete manifests. Fold
+    // the deletes instead — MAJOR compaction: read the whole table
+    // merge-on-read, rewrite every live file, and the new snapshot needs
+    // no delete manifests at all (this is how the small-file+delete debt
+    // the census flags actually gets paid down).
+    if (t.deleteFiles().nonEmpty) {
+      val schemaFields0 = t.metadata.currentSchema.fields
+      val partCols0 = t.metadata.currentSpec.fields.map { sf =>
+        schemaFields0.find(_.id == sf.sourceId).map(_.name).getOrElse(sf.name)
+      }
+      val df = ScanPlanner.readTable(spark, t)
+      val packed =
+        if (partCols0.isEmpty) df.coalesce(
+          math.max(1, (live.map(_.fileSizeInBytes).sum / targetBytes).toInt))
+        else df.repartition(partCols0.map(col): _*)
+      return Some(TableWriter.replaceFiles(spark, tableDir,
+        live.map(_.filePath).toSet, packed))
+    }
+
     // only partitions where compaction buys anything: ≥2 small files
     val candidates = live
       .filter(_.fileSizeInBytes < smallBytes)

@@ -242,6 +242,31 @@ class WriteCommitSpec extends SparkSpec {
     assert(e.deleteWhere("sales.orders", col("amount") > 99999.0).isEmpty)
   }
 
+  test("compacting a delete-carrying table folds the deletes (major rewrite)") {
+    val wh = Files.createTempDirectory("graft-fold-wh").toString
+    FixtureWriter.writeDeletesTable(spark, s"$wh/lab/cdc")
+    val e = new Engine(spark, wh)
+    val morCount = e.readTable("lab.cdc").count() // 303 - 21 pos - 2 eq = 280
+    assert(morCount == 280L)
+    val beforeSnap = e.load("lab.cdc").metadata.currentSnapshotId.get
+    assert(e.deleteFiles("lab.cdc").count() == 3L)
+
+    val res = e.rewriteSmallFiles("lab.cdc").get
+
+    // the delete debt is PAID: no delete files, census clean, and the
+    // rewritten data equals the merge-on-read view exactly
+    assert(e.deleteFiles("lab.cdc").count() == 0L)
+    assert(!e.health("lab.cdc").manifestCensus.collect().head
+      .getAs[Boolean]("compaction_recommended"))
+    val after = e.readTable("lab.cdc")
+    assert(after.count() == morCount)
+    assert(after.filter(col("row_id").isin(0L, 1000L, 2001L, 2003L)).count() == 0L)
+    assert(after.filter(col("row_id") === 2002L).count() == 1L)
+    // pre-compaction snapshot still merge-on-reads identically
+    assert(e.readTable("lab.cdc", Some(beforeSnap)).count() == morCount)
+    assert(e.load("lab.cdc").metadata.snapshot(res.snapshotId).get.operation == "replace")
+  }
+
   test("compaction bin-splits a partition whose bytes exceed targetBytes") {
     val wh = Files.createTempDirectory("graft-binsplit-wh").toString
     val e = new Engine(spark, wh)
