@@ -99,15 +99,15 @@ object TableWriter {
     val md = IcebergMeta.load(tableDir)
     require(md.formatVersion == 2, "deleteWhere requires a format-version 2 table")
     val t = new IcebergTable(tableDir, md)
-    val livePaths = t.files().map(e => t.resolvePath(e.filePath))
-    if (livePaths.isEmpty) return None
+    if (t.files().isEmpty) return None
 
-    val prefix = s"file:$tableDir/"
-    val delRows = spark.read.parquet(livePaths: _*)
+    // the match set is computed over the MERGE-ON-READ view (existing
+    // position/equality deletes applied first): already-deleted rows can
+    // never re-match, so deleted-position-records counts only NEW
+    // deletions and an all-previously-deleted predicate commits nothing
+    val delRows = graft.ops.ScanPlanner.readTableLineage(spark, t)
       .filter(predicate)
-      .select(
-        expr(s"substring(_metadata.file_path, ${prefix.length + 1})").as("file_path"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("__gr_path").as("file_path"), col("__gr_pos").as("pos"))
       .orderBy("file_path", "pos")
       .coalesce(1)
       .cache()

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   * broadcast cross-join, never a driver collect; the final top-k is a
   * TakeOrdered, not a global sort.
   *
-  * Determinism contract: per-term scores are quantized to micro-units
-  * (`floor(score * 1e6)` as BIGINT) BEFORE the per-document sum, so the
-  * cross-engine result is an exact integer regardless of float summation
-  * order (same trick as [[Clustering]]'s quantized centroid sums).
+  * Determinism contract: the ONLY floating-point operation is `ln` of
+  * exact integers (idf = ln(2N+2) - ln(2(df)+1), both arguments integer),
+  * quantized to milli-units with round-half-up — a 1-ulp libm difference
+  * between engines flips the result only if idf·1000 sits within ~1e-12
+  * of a half-integer. Every other factor (tf saturation) is computed in
+  * pure BIGINT arithmetic with integer division, identical in any
+  * engine; per-term scores are exact integers BEFORE the per-document
+  * sum, so the result is independent of float summation order too.
   */
 object Retrieval {
 
@@ -30,37 +34,50 @@ object Retrieval {
   /** BM25 top-k: rank documents against `queryTerms`.
     *
     * Emits (doc_id, score_micro, rank) where `score_micro` is the
-    * micro-quantized BM25 score Σ_t ⌊idf_t · tf-sat_t · 1e6⌋ with
-    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) and
-    * tf-sat = tf(k1+1)/(tf + k1(1 - b + b·dl/avgdl)). */
+    * micro-quantized BM25 score Σ_t idf_milli(t) · tfsat_milli(t,d) with
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln(2N+2) - ln(2df+1) and
+    * tf-sat = tf(k1+1)/(tf + k1(1 - b + b·dl/avgdl)).
+    *
+    * `k1`/`b` are taken at milli precision (1.2 → 1200, 0.75 → 750) so
+    * the saturation term is exact integer arithmetic:
+    *   avgdl_milli = 1000·Σdl div N
+    *   den_micro   = tf·1e6 + k1m·(1000-bm) + (k1m·bm·dl·1000) div avgdl_milli
+    *   tfsat_milli = (tf·(k1m+1000)·1e6) div den_micro
+    * (worst-case magnitude tf·2200·1e6 ≈ 2e13 per term — far from
+    * BIGINT overflow at any realistic tf). */
   def bm25(
       docs: DataFrame,
       queryTerms: Seq[String],
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val k1m = math.round(k1 * 1000)
+    val bm = math.round(b * 1000)
     val toks = tokens(docs)
     val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // corpus scalars as a 1-row frame (broadcast), not a driver action
     val corpus = docLen.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).cast("double").as("sum_dl"))
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
 
     val qToks = toks.filter(col("tok").isin(queryTerms: _*))
-    val df = qToks.groupBy("tok").agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val tf = qToks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val df = qToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
     val scored = tf
       .join(broadcast(df), "tok")
       .join(docLen, "doc_id")
       .crossJoin(broadcast(corpus))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("tfsat",
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / (col("sum_dl") / col("n_docs")))))
-      .withColumn("term_micro",
-        floor(col("idf") * col("tfsat") * lit(1e6)).cast("long"))
+      // ln of exact integers, milli-quantized round-half-up: the sole
+      // float op — everything downstream is engine-exact BIGINT math
+      .withColumn("idf_milli",
+        floor((log(col("n_docs").cast("double") * 2.0 + 2.0)
+          - log(col("df").cast("double") * 2.0 + 1.0)) * lit(1000.0) + lit(0.5)))
+      .withColumn("avgdl_milli", expr("(1000 * sum_dl) div n_docs"))
+      .withColumn("den_micro", expr(
+        s"tf * 1000000 + $k1m * (1000 - $bm) + ($k1m * $bm * dl * 1000) div avgdl_milli"))
+      .withColumn("tfsat_milli", expr(s"(tf * ($k1m + 1000) * 1000000) div den_micro"))
+      .withColumn("term_micro", col("idf_milli") * col("tfsat_milli"))
 
     scored.groupBy("doc_id")
       .agg(sum(col("term_micro")).as("score_micro"))

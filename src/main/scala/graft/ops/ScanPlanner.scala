@@ -61,6 +61,20 @@ object ScanPlanner {
     applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
   }
 
+  /** [[readTable]] with row lineage kept: two extra columns `__gr_path`
+    * (table-relative file path) and `__gr_pos` (row index within the
+    * file), surviving the merge-on-read joins. This is what row-level
+    * operations (DELETE) build their position sets from — matching
+    * against already-deleted rows is impossible because the deletes are
+    * applied before the caller's predicate. */
+  def readTableLineage(spark: SparkSession, t: IcebergTable,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
+    require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
+    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths),
+      keepLineage = true)
+  }
+
   /** Scan `paths` through the table's CURRENT schema when it is
     * expressible: under metadata-only evolution files differ per schema
     * version — an explicit read schema makes later-added columns surface
@@ -81,7 +95,8 @@ object ScanPlanner {
       spark: SparkSession,
       t: IcebergTable,
       snapshotId: Option[Long],
-      df0: DataFrame): DataFrame = {
+      df0: DataFrame,
+      keepLineage: Boolean = false): DataFrame = {
     val allDels = t.deleteFiles(snapshotId)
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     // the reader's file URI is "file:<tableDir>/<relPath>"; delete files
@@ -90,30 +105,34 @@ object ScanPlanner {
     val seqBySnapshot = t.metadata.snapshots
       .map(s => s.snapshotId -> s.sequenceNumber).toMap
 
-    // the per-file commit sequence must be captured ON THE SCAN — the
-    // hidden _metadata column does not survive the delete joins
+    // lineage must be captured ON THE SCAN — the hidden _metadata column
+    // does not survive the delete joins
+    val needLineage = keepLineage || posDels.nonEmpty
+    val withLin =
+      if (!needLineage) df0
+      else df0
+        .withColumn("__gr_path",
+          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+        .withColumn("__gr_pos", col("_metadata.row_index"))
+
     val df =
-      if (eqDels.isEmpty) df0
+      if (eqDels.isEmpty) withLin
       else {
         val seqByRelPath: Map[String, Long] = t.files(snapshotId)
           .map(e => e.filePath -> seqBySnapshot.getOrElse(e.snapshotId, 0L)).toMap
-        df0.withColumn("__seq",
-          coalesce(
-            element_at(typedLit(seqByRelPath),
-              expr(s"substring(_metadata.file_path, ${prefix.length + 1})")),
-            lit(0L)))
+        val pathCol = if (needLineage) col("__gr_path")
+          else expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
+        withLin.withColumn("__seq",
+          coalesce(element_at(typedLit(seqByRelPath), pathCol), lit(0L)))
       }
 
     val afterPos = if (posDels.isEmpty) df
     else {
       val dels = spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
         .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
-      df
-        .withColumn("__del_path",
-          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
-        .withColumn("__del_pos", col("_metadata.row_index"))
-        .join(broadcast(dels), Seq("__del_path", "__del_pos"), "left_anti")
-        .drop("__del_path", "__del_pos")
+      df.join(broadcast(dels),
+          df("__gr_path") === dels("__del_path") && df("__gr_pos") === dels("__del_pos"),
+          "left_anti")
     }
 
     // equality deletes (content=2): rows matching the delete file's values
@@ -124,7 +143,7 @@ object ScanPlanner {
     // (id set, sequence) group; the per-file sequence rides along as a
     // literal path→sequence map (metadata-scale; at very large file
     // counts this moves to a broadcast join against the files relation).
-    if (eqDels.isEmpty) afterPos
+    val afterEq = if (eqDels.isEmpty) afterPos
     else {
       val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
       val applied = eqDels
@@ -136,12 +155,17 @@ object ScanPlanner {
             throw new NoSuchElementException(s"equality id $id not in current schema")))
           val delVals = spark.read.parquet(files.map(e => t.resolvePath(e.filePath)): _*)
             .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
-          val cond = cols.map(c => acc(c) === delVals(s"__del_$c"))
+          // null-safe equality: Iceberg equality deletes match null keys
+          // to null values (a delete row with key=null removes rows whose
+          // key is null), which === would silently never do
+          val cond = cols.map(c => acc(c) <=> delVals(s"__del_$c"))
             .reduce(_ && _) && acc("__seq") < lit(delSeq)
           acc.join(broadcast(delVals), cond, "left_anti")
         }
       applied.drop("__seq")
     }
+    if (keepLineage || !needLineage) afterEq
+    else afterEq.drop("__gr_path", "__gr_pos")
   }
 
   import org.apache.spark.sql.types._
@@ -198,11 +222,20 @@ object ScanPlanner {
         return scanFiles(spark, t, Seq(any)).filter(lit(false))
       }
     val c = col(column)
-    val resid = (lo.map(c >= _), hi.map(c <= _)) match {
+    val range = (lo.map(c >= _), hi.map(c <= _)) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case _ => lit(true)
+    }
+    // partition pruning is conservative (files with no recorded value for
+    // the key survive — old-spec files after setPartitionSpec), so the
+    // partition predicate must ALSO be re-applied row-level; identity
+    // partitioning means the source column carries the value directly
+    val resid = partitionEquals.foldLeft(range) { case (acc, (k, v)) =>
+      // string literal on the right: coercion casts the foldable literal
+      // to the column type, so the comparison stays pushdown-eligible
+      acc && col(k) === lit(v)
     }
     df.filter(resid)
   }

@@ -694,16 +694,15 @@ object PipelineQueries {
              |FROM h GROUP BY digest HAVING count(*) > 1 ORDER BY digest""".stripMargin)),
 
     // BM25 lexical retrieval top-10 (corpus curation / hard-negative
-    // mining). Per-term scores micro-quantized BEFORE the per-doc sum so
-    // the result is an exact integer in both engines.
+    // mining). The only float op is ln of exact integers (milli-quantized
+    // round-half-up); tf saturation is pure BIGINT arithmetic with
+    // integer division, so per-term scores are engine-exact integers
+    // before the per-doc sum (see Retrieval.bm25's determinism contract).
     Q("q_bm25",
       (s, d) => graft.ops.Retrieval.bm25(documents(s, d),
         Seq("hash", "join", "spark"), 10),
       Some {
-        // interpolate the EXACT doubles the Spark side multiplies with,
-        // so both engines parse bit-identical constants
-        val k1 = 1.2; val b = 0.75
-        val k1p1 = k1 + 1.0; val oneMinusB = 1.0 - b
+        val k1m = 1200; val bm = 750 // k1=1.2, b=0.75 at milli precision
         s"""WITH toks AS (
            |  SELECT doc_id, tok FROM (
            |    SELECT doc_id,
@@ -711,18 +710,18 @@ object PipelineQueries {
            |    FROM documents)
            |  WHERE tok <> ''),
            |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-           |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-           |                  CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+           |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
            |q AS (SELECT doc_id, tok FROM toks WHERE tok IN ('hash', 'join', 'spark')),
-           |dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-           |          FROM q GROUP BY 1),
-           |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM q GROUP BY 1, 2),
+           |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
            |scored AS (
            |  SELECT tf.doc_id,
-           |    CAST(floor(
-           |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           |      * (tf * $k1p1 / (tf + $k1 * ($oneMinusB + $b * CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
-           |      * 1000000.0) AS BIGINT) AS term_micro
+           |    CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2.0 + 2.0)
+           |                - ln(CAST(df AS DOUBLE) * 2.0 + 1.0)) * 1000.0 + 0.5) AS BIGINT)
+           |    * ((tf * ($k1m + 1000) * 1000000) //
+           |       (tf * 1000000 + $k1m * (1000 - $bm)
+           |        + ($k1m * $bm * dl * 1000) // ((1000 * sum_dl) // n_docs)))
+           |    AS term_micro
            |  FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
            |agg AS (SELECT doc_id, sum(term_micro) AS score_micro FROM scored GROUP BY 1)
            |SELECT doc_id, score_micro,

@@ -22,9 +22,10 @@ import graft.meta.{IcebergMeta, IcebergTable}
   * of the reference's diff-on-poll loop, ref `cli.py:959-1023` +
   * `formatters.py:1051-1111`).
   *
-  * Offsets are snapshot-log indices (append-only, monotonic), so ranges
-  * replay deterministically: batch (s, e] recomputes the same diffs from
-  * the immutable snapshot metadata.
+  * Offsets are [[SnapshotKeyOffset]] commit keys (sequence number +
+  * snapshot id — stable under snapshot expiry), so ranges replay
+  * deterministically: batch (s, e] recomputes the same diffs from the
+  * immutable snapshot metadata; expired snapshots simply drop out.
   *
   * Usage:
   * {{{
@@ -96,29 +97,28 @@ final class ChangelogTable(tableDir: String) extends Table with SupportsRead {
 }
 
 final class ChangelogStream(tableDir: String) extends MicroBatchStream {
-  private def snapshotCount(): Int =
-    try IcebergMeta.load(tableDir).snapshots.size
-    catch { case _: Exception => 0 }
-
-  override def initialOffset(): Offset = SnapshotIndexOffset(0)
-  override def latestOffset(): Offset = SnapshotIndexOffset(snapshotCount())
-  override def deserializeOffset(json: String): Offset =
-    SnapshotIndexOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def initialOffset(): Offset = SnapshotKeyOffset.zero
+  override def latestOffset(): Offset = SnapshotKeyOffset.latest(tableDir)
+  override def deserializeOffset(json: String): Offset = SnapshotKeyOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotIndexOffset].index
-    val e = end.asInstanceOf[SnapshotIndexOffset].index
-    if (e <= s) Array.empty
-    // one partition per snapshot: diffs of independent snapshots read
-    // their manifests in parallel across executor threads
-    else (s until e).map(i => SnapshotRangePartition(tableDir, i, i + 1)).toArray
+    val s = start.asInstanceOf[SnapshotKeyOffset]
+    val e = end.asInstanceOf[SnapshotKeyOffset]
+    // one partition per snapshot, addressed by STABLE snapshot id (not a
+    // list position — expiry renumbers positions but never ids): diffs of
+    // independent snapshots read their manifests in parallel across
+    // executor threads
+    SnapshotKeyOffset.slice(IcebergMeta.load(tableDir).snapshots, s, e)
+      .map(sn => ChangelogSnapshotPartition(tableDir, sn.snapshotId)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val p = partition.asInstanceOf[SnapshotRangePartition]
+      val p = partition.asInstanceOf[ChangelogSnapshotPartition]
       val t = IcebergTable.load(p.tableDir)
-      val rows = t.metadata.snapshots.slice(p.from, p.until)
+      // a snapshot expired between planning and reading yields no rows
+      // (its diff is unrecoverable once the metadata is gone)
+      val rows = t.metadata.snapshots.filter(_.snapshotId == p.snapshotId)
         .iterator.flatMap(s => Changelog.diffRows(t, s))
       new PartitionReader[InternalRow] {
         private var current: InternalRow = _
@@ -132,3 +132,6 @@ final class ChangelogStream(tableDir: String) extends MicroBatchStream {
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+final case class ChangelogSnapshotPartition(tableDir: String, snapshotId: Long)
+  extends InputPartition

@@ -29,9 +29,9 @@ import graft.meta.IcebergMeta
   *   .writeStream.trigger(Trigger.ProcessingTime("5 seconds")) ...
   * }}}
   *
-  * Offsets are the count of snapshots observed in the metadata log
-  * (append-only, so the index is a valid monotonic offset); batches replay
-  * deterministically from any (start, end] index pair.
+  * Offsets are [[SnapshotKeyOffset]] commit keys (sequence number +
+  * snapshot id — stable under snapshot expiry, unlike positional list
+  * indices); batches replay deterministically from any (start, end] pair.
   */
 class SnapshotWatchProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -68,32 +68,61 @@ final class SnapshotWatchTable(tableDir: String) extends Table with SupportsRead
     }
 }
 
-final case class SnapshotIndexOffset(index: Int) extends Offset {
-  override def json(): String = s"""{"index":$index}"""
+/** Stream position = the COMMIT KEY of the last snapshot seen:
+  * `(sequenceNumber, snapshotId)` lexicographic. Sequence numbers are
+  * monotonic per v2 commit; the id breaks ties for pre-sequence (v1)
+  * metadata, whose ids this engine assigns monotonically. Keys are
+  * STABLE under [[graft.ops.Maintenance.expireSnapshots]]: expiry
+  * removes list entries but never renumbers survivors, so a checkpointed
+  * range `(start, end]` always selects the same surviving snapshots —
+  * positional indices would shift and replay wrong batches. */
+final case class SnapshotKeyOffset(seq: Long, id: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seq,"id":$id}"""
+}
+
+object SnapshotKeyOffset {
+  val zero: SnapshotKeyOffset = SnapshotKeyOffset(0L, 0L)
+
+  def key(s: graft.meta.Snapshot): (Long, Long) = (s.sequenceNumber, s.snapshotId)
+
+  def latest(tableDir: String): SnapshotKeyOffset =
+    try {
+      IcebergMeta.load(tableDir).snapshots
+        .map(key).maxOption
+        .map { case (q, i) => SnapshotKeyOffset(q, i) }.getOrElse(zero)
+    } catch { case _: Exception => zero } // table may not exist yet; retry next trigger
+
+  def parse(json: String): SnapshotKeyOffset = {
+    val nums = """-?\d+""".r.findAllIn(json).map(_.toLong).toSeq
+    if (nums.size >= 2) SnapshotKeyOffset(nums(0), nums(1)) else zero
+  }
+
+  /** Snapshots with `start < key <= end`, in key order. */
+  def slice(snaps: Seq[graft.meta.Snapshot], start: SnapshotKeyOffset,
+      end: SnapshotKeyOffset): Seq[graft.meta.Snapshot] = {
+    import scala.math.Ordering.Implicits._
+    val lo = (start.seq, start.id); val hi = (end.seq, end.id)
+    snaps.filter(s => key(s) > lo && key(s) <= hi).sortBy(key)
+  }
 }
 
 final class SnapshotWatchStream(tableDir: String) extends MicroBatchStream {
-  private def snapshotCount(): Int =
-    try IcebergMeta.load(tableDir).snapshots.size
-    catch { case _: Exception => 0 } // table may not exist yet; retry next trigger
-
-  override def initialOffset(): Offset = SnapshotIndexOffset(0)
-  override def latestOffset(): Offset = SnapshotIndexOffset(snapshotCount())
-  override def deserializeOffset(json: String): Offset =
-    SnapshotIndexOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def initialOffset(): Offset = SnapshotKeyOffset.zero
+  override def latestOffset(): Offset = SnapshotKeyOffset.latest(tableDir)
+  override def deserializeOffset(json: String): Offset = SnapshotKeyOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotIndexOffset].index
-    val e = end.asInstanceOf[SnapshotIndexOffset].index
-    if (e <= s) Array.empty
+    val s = start.asInstanceOf[SnapshotKeyOffset]
+    val e = end.asInstanceOf[SnapshotKeyOffset]
+    if ((e.seq, e.id) == (s.seq, s.id)) Array.empty
     else Array(SnapshotRangePartition(tableDir, s, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[SnapshotRangePartition]
-      val rows = IcebergMeta.load(p.tableDir).snapshots
-        .slice(p.from, p.until).iterator
+      val rows = SnapshotKeyOffset.slice(
+        IcebergMeta.load(p.tableDir).snapshots, p.from, p.until).iterator
       new PartitionReader[InternalRow] {
         private var current: InternalRow = _
         override def next(): Boolean =
@@ -114,5 +143,5 @@ final class SnapshotWatchStream(tableDir: String) extends MicroBatchStream {
   override def stop(): Unit = ()
 }
 
-final case class SnapshotRangePartition(tableDir: String, from: Int, until: Int)
-  extends InputPartition
+final case class SnapshotRangePartition(tableDir: String,
+    from: SnapshotKeyOffset, until: SnapshotKeyOffset) extends InputPartition
