@@ -64,15 +64,20 @@ object SchemaEvolution {
   def setPartitionSpec(tableDir: String, sourceCols: Seq[String]): Int = {
     val md = IcebergMeta.load(tableDir)
     val cur = md.currentSchema
-    val fields = sourceCols.map { name =>
-      cur.fields.find(f => f.name == name && !f.path.contains('.')).getOrElse(
+    // each entry is a declaration: bare `col` (identity), `bucket[N](col)`
+    // or `truncate[W](col)` — the Iceberg transform surface the write
+    // path supports (see meta.Transforms)
+    val parsed = sourceCols.map(Transforms.parseDecl)
+    val fields = parsed.map { case (name, transform) =>
+      val f = cur.fields.find(f => f.name == name && !f.path.contains('.')).getOrElse(
         throw new IllegalArgumentException(
           s"partition source $name not a top-level column of schema ${cur.schemaId}"))
+      (f, transform)
     }
     val newSpecId = md.partitionSpecs.map(_.specId).max + 1
     val nextFieldId = (999 +: md.partitionSpecs.flatMap(_.fields.map(_.fieldId))).max + 1
-    val spec = PartitionSpec(newSpecId, fields.zipWithIndex.map { case (f, i) =>
-      SpecField(f.name, "identity", f.id, nextFieldId + i)
+    val spec = PartitionSpec(newSpecId, fields.zipWithIndex.map { case ((f, transform), i) =>
+      SpecField(Transforms.fieldName(f.name, transform), transform, f.id, nextFieldId + i)
     })
     val newMd = md.copy(
       lastUpdatedMs = System.currentTimeMillis(),

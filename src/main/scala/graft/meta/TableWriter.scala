@@ -21,7 +21,8 @@ import graft.expr.IcebergDecode
   * engine-native equivalent.
   *
   * Scale shape: the data write is ONE parallel Spark job
-  * (`partitionBy` on the identity partition sources — each task streams
+  * (`partitionBy` on the staged partition-transform values — identity /
+  * bucket[N] / truncate[W], see [[Transforms]] — each task streams
   * its partition values); per-file stats are ONE distributed aggregation
   * over the just-written files keyed by `input_file_name()` (the stats
   * pass every Iceberg writer pays); exact per-column byte sizes come from
@@ -242,11 +243,14 @@ object TableWriter {
 
     val fields = topLevelFields(md)
     val spec = md.currentSpec
-    require(spec.fields.forall(_.transform == "identity"),
-      s"write path supports identity partitioning only (spec: ${spec.fields.map(_.transform).mkString(",")})")
-    val partCols = spec.fields.map { sf =>
-      fields.find(_.id == sf.sourceId).getOrElse(throw new IllegalStateException(
-        s"partition source field ${sf.sourceId} not in current schema")).name
+    require(spec.fields.forall(sf => Transforms.isSupported(sf.transform)),
+      s"write path supports identity/bucket[N]/truncate[W] partitioning only " +
+        s"(spec: ${spec.fields.map(_.transform).mkString(",")})")
+    // (partition-field name, source schema field, transform) per spec dim
+    val partDims: Seq[(String, SchemaField, String)] = spec.fields.map { sf =>
+      val src = fields.find(_.id == sf.sourceId).getOrElse(throw new IllegalStateException(
+        s"partition source field ${sf.sourceId} not in current schema"))
+      (sf.name, src, sf.transform)
     }
 
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
@@ -268,9 +272,12 @@ object TableWriter {
         // separate files deterministically (task-boundary splitting would
         // be undone by partitionBy's per-value file merge + AQE coalescing)
         val staged0 = binExpr.foldLeft(
-          partCols.foldLeft(ordered)((d, p) => d.withColumn(s"__p_$p", col(p))))(
+          partDims.foldLeft(ordered) { case (d, (pname, src, transform)) =>
+            d.withColumn(s"__p_$pname",
+              Transforms.column(transform, col(src.name), src.fieldType))
+          })(
           (d, e) => d.withColumn("__bin", e))
-        val stagingParts = partCols.map(p => s"__p_$p") ++
+        val stagingParts = partDims.map { case (pname, _, _) => s"__p_$pname" } ++
           (if (binExpr.isDefined) Seq("__bin") else Nil)
         // hash-distribute by the staging partition dims before the write —
         // the Iceberg default (write.distribution-mode=hash): each
@@ -289,7 +296,8 @@ object TableWriter {
           count(col(f.name)).as(s"vc_${f.id}"),
           min(col(f.name)).as(s"lo_${f.id}"),
           max(col(f.name)).as(s"hi_${f.id}")) }
-        val partKeys = partCols.map(p => col(s"__p_$p").cast("string").as(s"__p_$p"))
+        val partKeys = partDims.map { case (pname, _, _) =>
+          col(s"__p_$pname").cast("string").as(s"__p_$pname") }
         val stats = staged
           .groupBy(input_file_name().as("__file") +: partKeys: _*)
           .agg(count(lit(1)).as("nrows"), statAggs: _*)
@@ -314,7 +322,8 @@ object TableWriter {
           DataFileEntry(
             status = 1, snapshotId = snapId, content = 0,
             filePath = relPath, fileFormat = "PARQUET",
-            partition = partCols.map(p => p -> row.getAs[String](s"__p_$p")).toMap,
+            partition = partDims.map { case (pname, _, _) =>
+              pname -> row.getAs[String](s"__p_$pname") }.toMap,
             recordCount = nrows,
             fileSizeInBytes = Files.size(dir.resolve(relPath)),
             columnSizes = fields.flatMap(f =>

@@ -1,0 +1,103 @@
+package graft.meta
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.GraftColumnBridge
+
+import graft.expr.{IcebergBucket, IcebergTransformOps}
+
+/** Iceberg partition TRANSFORMS — the mapping from a source column to its
+  * partition value, shared by the write path (staging the partition
+  * layout), the scan planner (mapping an equality predicate on the source
+  * column to the partition value that file must carry), and spec
+  * evolution (parsing `bucket[16](id)`-style declarations).
+  *
+  * Supported: `identity`, `bucket[N]` (spec murmur3, see
+  * [[graft.expr.IcebergTransformOps]]), `truncate[W]` (floor-to-width for
+  * integrals, prefix for strings). These are the transforms that matter
+  * at 100 TB: bucket bounds partition count for high-cardinality keys
+  * (and makes point-lookup pruning O(files/N)); truncate coarsens
+  * ranges; identity stays the default for low-cardinality dims. */
+object Transforms {
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+  /** `bucket[16](id)` / `truncate[4](name)` / bare `col` declaration. */
+  private val DeclRe = """(bucket|truncate)\[(\d+)\]\((\w+)\)""".r
+
+  /** Parse a spec-field declaration into (sourceCol, transform):
+    * `"region"` → identity, `"bucket[16](id)"` → bucket. */
+  def parseDecl(decl: String): (String, String) = decl.trim match {
+    case DeclRe(kind, n, src) => src -> s"$kind[$n]"
+    case bare if bare.nonEmpty && bare.matches("""\w+""") => bare -> "identity"
+    case other => throw new IllegalArgumentException(
+      s"unparseable partition declaration '$other' " +
+        "(expected col, bucket[N](col) or truncate[W](col))")
+  }
+
+  /** Default partition-field name for a transform (Iceberg convention:
+    * `id_bucket`, `name_trunc`, identity keeps the source name). */
+  def fieldName(source: String, transform: String): String = transform match {
+    case "identity" => source
+    case BucketRe(_) => s"${source}_bucket"
+    case TruncRe(_) => s"${source}_trunc"
+    case other => throw new IllegalArgumentException(s"unsupported transform $other")
+  }
+
+  def isSupported(transform: String): Boolean = transform match {
+    case "identity" | BucketRe(_) | TruncRe(_) => true
+    case _ => false
+  }
+
+  /** The transform as a Spark Column over the source column — what the
+    * write path stages `__p_*` partition values with (codegen'd; runs in
+    * the data-write pass). */
+  def column(transform: String, source: Column, iceType: String): Column =
+    transform match {
+      case "identity" => source
+      case BucketRe(n) =>
+        GraftColumnBridge.column(
+          IcebergBucket(GraftColumnBridge.expression(source), n.toInt))
+      case TruncRe(w) => iceType match {
+        case "int" | "long" =>
+          val width = w.toLong
+          source - (((source % width) + width) % width)
+        case "string" => F.substring(source, 1, w.toInt)
+        case other => throw new IllegalArgumentException(
+          s"truncate[$w] unsupported for $other columns")
+      }
+      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+
+  /** Driver-side twin of [[column]] for a LITERAL: the partition-map
+    * value (as the string the manifest stores) a file holding rows with
+    * `source = raw` must carry. Used to turn an equality predicate into
+    * a partition prune. Returns None when the transform cannot map the
+    * literal (unknown type — pruning then skips, conservatively). */
+  def literal(transform: String, raw: String, iceType: String): Option[String] =
+    try transform match {
+      case "identity" => Some(raw)
+      case BucketRe(n) =>
+        val b = iceType match {
+          case "int" | "long" => IcebergTransformOps.bucketLong(raw.toLong, n.toInt)
+          case "date" =>
+            IcebergTransformOps.bucketLong(Date.valueOf(raw).toLocalDate.toEpochDay, n.toInt)
+          case "timestamp" =>
+            val ts = Timestamp.valueOf(raw)
+            IcebergTransformOps.bucketLong(
+              ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, n.toInt)
+          case "string" => IcebergTransformOps.bucketString(
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw), n.toInt)
+          case _ => return None
+        }
+        Some(b.toString)
+      case TruncRe(w) => iceType match {
+        case "int" | "long" =>
+          Some(IcebergTransformOps.truncateLong(raw.toLong, w.toLong).toString)
+        case "string" => Some(raw.take(w.toInt))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: NumberFormatException | _: IllegalArgumentException => None }
+}

@@ -43,8 +43,25 @@ object ScanPlanner {
     // conservative: a file with no recorded bound for the column survives
     val loOk = lo.map(v => decHi.isNull || decHi >= v).getOrElse(lit(true))
     val hiOk = hi.map(v => decLo.isNull || decLo <= v).getOrElse(lit(true))
+    // `partitionEquals` keys are SOURCE columns; each maps through every
+    // spec field derived from that source (identity, bucket[N],
+    // truncate[W] — any spec version) to the partition value a matching
+    // file must carry. Files lacking the key (other spec versions) keep
+    // conservatively; a partition-field name with conflicting transforms
+    // across specs is skipped (cannot prune soundly on one value).
     val partOk = partitionEquals.foldLeft(lit(true)) { case (acc, (k, v)) =>
-      acc && (col("partition")(k).isNull || col("partition")(k) === v)
+      val src = t.metadata.currentSchema.fields.find(_.name == k)
+        .getOrElse(throw new NoSuchElementException(
+          s"partition predicate column $k not in current schema"))
+      val specFields = t.metadata.partitionSpecs.flatMap(_.fields)
+        .filter(_.sourceId == src.id)
+      specFields.groupBy(_.name).toSeq.sortBy(_._1).flatMap { case (pname, sfs) =>
+        sfs.map(_.transform).distinct match {
+          case Seq(tr) => graft.meta.Transforms.literal(tr, v, src.fieldType)
+            .map(pv => col("partition")(pname).isNull || col("partition")(pname) === pv)
+          case _ => None
+        }
+      }.foldLeft(acc)(_ && _)
     }
     files.filter(loOk && hiOk && partOk)
   }
@@ -179,7 +196,7 @@ object ScanPlanner {
     * is a top-level primitive (tables with nested types fall back to
     * parquet inference — their files all share one schema version in
     * this engine's write surface). */
-  private def currentSparkSchema(t: IcebergTable): Option[StructType] = {
+  def currentSparkSchema(t: IcebergTable): Option[StructType] = {
     val s = t.metadata.currentSchema
     val top = s.fields.filter(f => !f.path.contains('.'))
     if (top.size == s.fields.size &&
