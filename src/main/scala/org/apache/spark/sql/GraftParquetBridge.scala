@@ -1,0 +1,46 @@
+package org.apache.spark.sql
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bridge into Spark's `private[sql]` parquet DSv2 internals so graft's
+  * catalog ([[graft.sql.GraftCatalog]]) can hand a metadata-pruned file
+  * list to Spark's OWN vectorized parquet scan — the same delegation
+  * shape the Iceberg Spark connector uses, minus a bespoke reader:
+  * whole-stage codegen, row-group pruning on `pushedFilters`, and
+  * `SupportsReportStatistics` (for broadcast-join planning) all come from
+  * `ParquetScan` itself. */
+object GraftParquetBridge {
+
+  /** A vectorized parquet [[Scan]] over an explicit (already pruned) file
+    * list. `dataSchema` is the table's current schema — files written
+    * under older schema versions surface later-added columns as nulls;
+    * `readSchema` is the column-pruned projection; `pushed` reaches the
+    * parquet row-group/page index filters. */
+  def scan(
+      spark: SparkSession,
+      paths: Seq[String],
+      dataSchema: StructType,
+      readSchema: StructType,
+      pushed: Seq[Filter]): Scan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new InMemoryFileIndex(
+      cs, paths.map(new Path(_)), Map.empty[String, String], Some(dataSchema))
+    ParquetScan(
+      cs,
+      cs.sessionState.newHadoopConf(),
+      index,
+      dataSchema,
+      readSchema,
+      new StructType(), // no hive-style directory partitioning: Iceberg
+                        // partition values live IN the data files
+      pushed.toArray,
+      CaseInsensitiveStringMap.empty())
+  }
+}

@@ -1,0 +1,110 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNotNull}
+
+import graft.SparkSpec
+import graft.fixtures.FixtureWriter
+import graft.meta.{IcebergTable, TableWriter}
+import graft.ops.ScanPlanner
+
+/** The DSv2 SQL catalog: `SELECT ... FROM graft.ns.table` resolves
+  * through [[GraftCatalog]] with metadata file pruning on pushed filters,
+  * Spark's own vectorized parquet scan underneath, snapshot time travel
+  * via `VERSION AS OF`, and a hard refusal for delete-carrying tables
+  * (whose correct read is merge-on-read, not a bare file scan). */
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-sql-wh").toString
+    FixtureWriter.writeDemo(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    dir
+  }
+
+  import spark.implicits._
+
+  test("SELECT through the catalog equals the planner read; SHOW TABLES works") {
+    val wh = warehouse // materialize the fixture + catalog conf FIRST
+    val viaSql = spark.sql(
+      "SELECT order_id, region, amount FROM graft.sales.orders")
+    val viaPlanner = ScanPlanner
+      .readTable(spark, IcebergTable.load(s"$wh/sales/orders"))
+      .select("order_id", "region", "amount")
+    assert(viaSql.count() == viaPlanner.count())
+    assert(viaSql.as[(Long, String, Double)].collect().toSet ==
+      viaPlanner.as[(Long, String, Double)].collect().toSet)
+
+    val shown = spark.sql("SHOW TABLES IN graft.sales")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("orders"))
+  }
+
+  test("aggregation + filter over the catalog match SQL on the raw planner read") {
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse) // force init
+    val got = spark.sql(
+      """SELECT region, count(*) AS n, sum(amount) AS amt
+        |FROM graft.sales.orders WHERE amount > 50.0
+        |GROUP BY region ORDER BY region""".stripMargin)
+    val want = ScanPlanner
+      .readTable(spark, IcebergTable.load(s"$warehouse/sales/orders"))
+      .filter(col("amount") > 50.0)
+      .groupBy("region").agg(count(lit(1)).as("n"), sum("amount").as("amt"))
+      .orderBy("region")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("pushed equality filter prunes the file list to the matching partition") {
+    val t = IcebergTable.load(s"$warehouse/sales/orders")
+    val live = t.files(None)
+    val regions = live.flatMap(_.partition.get("region")).distinct
+    assert(regions.size >= 2, "fixture should be region-partitioned")
+    val target = regions.head
+
+    val b = new GraftScanBuilder(t, ScanPlanner.currentSparkSchema(t).get)
+    b.pushFilters(Array(IsNotNull("region"), EqualTo("region", target)))
+    val scan = b.build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    val kept = scan.fileIndex.inputFiles.length
+    val expected = live.count(e => e.partition.get("region").forall(_ == target))
+    assert(kept == expected && kept < live.size)
+
+    // bounds prune: order_id beyond every upper bound keeps nothing
+    val b2 = new GraftScanBuilder(t, ScanPlanner.currentSparkSchema(t).get)
+    b2.pushFilters(Array(GreaterThan("order_id", Long.box(999999L))))
+    val scan2 = b2.build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    assert(scan2.fileIndex.inputFiles.isEmpty)
+  }
+
+  test("VERSION AS OF reads the pinned snapshot; bad version fails clearly") {
+    val t = IcebergTable.load(s"$warehouse/sales/orders")
+    val first = t.metadata.snapshots.minBy(_.sequenceNumber)
+    val atFirst = spark.sql(
+      s"SELECT count(*) AS n FROM graft.sales.orders VERSION AS OF '${first.snapshotId}'")
+      .as[Long].head()
+    val now = spark.sql("SELECT count(*) AS n FROM graft.sales.orders").as[Long].head()
+    val wantFirst = ScanPlanner.readTable(spark, t, Some(first.snapshotId)).count()
+    assert(atFirst == wantFirst)
+    assert(now != atFirst)
+
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.sales.orders VERSION AS OF '424242'").collect())
+    assert(err.getMessage.contains("424242"))
+  }
+
+  test("delete-carrying tables refuse the SQL scan path") {
+    val wh2 = Files.createTempDirectory("graft-sql-del-wh").toString
+    FixtureWriter.writeDemo(spark, wh2)
+    val dir = s"$wh2/sales/orders"
+    assert(TableWriter.deleteWhere(spark, dir, col("amount") > 100.0).nonEmpty)
+    spark.conf.set("spark.sql.catalog.graft_del", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_del.warehouse", wh2)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft_del.sales.orders").collect())
+    assert(err.getMessage.contains("delete"))
+  }
+}
