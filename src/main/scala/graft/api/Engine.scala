@@ -214,6 +214,21 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
       targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
     Compact.rewriteSmallFiles(spark, tableDir(ref), smallBytes, targetBytes)
 
+  /** Incremental compaction: rewrite only the small-file partitions,
+    * merge-on-read, carrying delete manifests for untouched files —
+    * the partial-rewrite path for delete-carrying tables too big to
+    * fold whole ([[Compact.rewriteSmallFilesIncremental]]). */
+  def rewriteSmallFilesIncremental(
+      ref: String,
+      smallBytes: Long = Compact.DefaultSmallBytes,
+      targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
+    Compact.rewriteSmallFilesIncremental(spark, tableDir(ref), smallBytes, targetBytes)
+
+  /** Drop delete files that no longer reference any live data (targets
+    * rewritten / sequence out of scope) as a metadata-only commit. */
+  def pruneDanglingDeletes(ref: String): Option[Int] =
+    Maintenance.pruneDanglingDeletes(spark, tableDir(ref))
+
   /** Expire snapshots older than `olderThanMs` (keeps current + the
     * `retainLast` newest); deletes unreferenced manifests + data files. */
   def expireSnapshots(ref: String, olderThanMs: Long, retainLast: Int = 1): Maintenance.ExpireResult =

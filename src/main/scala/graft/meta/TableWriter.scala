@@ -75,10 +75,11 @@ object TableWriter {
       tableDir: String,
       removePaths: Set[String],
       df: DataFrame,
-      binExpr: Option[org.apache.spark.sql.Column] = None): CommitResult =
+      binExpr: Option[org.apache.spark.sql.Column] = None,
+      carryDeletes: Boolean = false): CommitResult =
     commit(spark, tableDir, Some(df), "replace",
       keepPredicate = e => !removePaths.contains(e.filePath),
-      binExpr = binExpr)
+      binExpr = binExpr, carryDeletes = carryDeletes)
 
   /** Row-level DELETE, merge-on-read style: rows of the current snapshot
     * matching `predicate` are recorded in a POSITION-DELETE parquet file
@@ -233,7 +234,8 @@ object TableWriter {
       keepPredicate: DataFileEntry => Boolean,
       binExpr: Option[org.apache.spark.sql.Column] = None,
       branch: Option[String] = None,
-      equalityDeleteOn: Option[Seq[String]] = None): CommitResult = {
+      equalityDeleteOn: Option[Seq[String]] = None,
+      carryDeletes: Boolean = false): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -365,6 +367,15 @@ object TableWriter {
         addedFilesCount = 0, existingFilesCount = existing.size,
         deletedFilesCount = 0, addedRowsCount = 0L,
         existingRowsCount = existing.map(_.recordCount).sum, deletedRowsCount = 0L)
+    }
+    // incremental compaction: a PARTIAL rewrite must keep the delete
+    // manifests — untouched files still need their position/equality
+    // deletes applied on read; the rewritten files escape them anyway
+    // (new paths; new commit sequence exempts them from older equality
+    // deletes). The keepsEverything branch above already carried them.
+    if (carryDeletes && !(keepsEverything && liveNow.nonEmpty)) {
+      manifests ++= parentId.map(id => t.manifests(Some(id))).getOrElse(Seq.empty)
+        .filter(_.content == 1)
     }
     if (newEntries.nonEmpty) {
       val addedPath = s"metadata/manifest-$snapId.avro"

@@ -34,6 +34,51 @@ object Compact {
     * scale and is one HDFS-ish block). */
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
+  /** INCREMENTAL small-file compaction for delete-carrying tables: the
+    * candidate partitions (≥2 small live files) are read MERGE-ON-READ
+    * ([[ScanPlanner.readFiles]] applies position + sequence-scoped
+    * equality deletes to exactly that subset) and rewritten; delete
+    * manifests carry forward for the untouched files. The rewritten
+    * files escape the old deletes structurally — new paths for position
+    * deletes, a newer commit sequence for equality deletes — so a
+    * partial rewrite can never resurrect a hidden row.
+    *
+    * This is the 100 TB path: a major fold rewrites the WHOLE table to
+    * pay the delete debt at once ([[rewriteSmallFiles]]'s behavior when
+    * deletes exist); incremental pays it partition-by-partition with IO
+    * proportional to the candidates. Pair with
+    * [[Maintenance.pruneDanglingDeletes]] to drop delete files that no
+    * longer reference any live data. Returns None when no partition
+    * qualifies. */
+  def rewriteSmallFilesIncremental(
+      spark: SparkSession,
+      tableDir: String,
+      smallBytes: Long = DefaultSmallBytes,
+      targetBytes: Long = DefaultTargetBytes): Option[TableWriter.CommitResult] = {
+    val t = IcebergTable.load(tableDir)
+    val live = t.files()
+    val candidates = live
+      .filter(_.fileSizeInBytes < smallBytes)
+      .groupBy(_.partition)
+      .filter { case (_, es) => es.size >= 2 }
+      .values.flatten.toSeq
+    if (candidates.isEmpty) return None
+
+    val paths = candidates.map(e => t.resolvePath(e.filePath))
+    val df = ScanPlanner.readFiles(spark, t, paths)
+    val schemaFields = t.metadata.currentSchema.fields
+    val partCols = t.metadata.currentSpec.fields.map { sf =>
+      schemaFields.find(_.id == sf.sourceId).map(_.name).getOrElse(sf.name)
+    }
+    val packed =
+      if (partCols.isEmpty) df.coalesce(
+        math.max(1, (candidates.map(_.fileSizeInBytes).sum / targetBytes).toInt))
+      else df.repartition(partCols.map(col): _*)
+    Some(TableWriter.replaceFiles(spark, tableDir,
+      candidates.map(_.filePath).toSet, packed,
+      carryDeletes = t.deleteFiles().nonEmpty))
+  }
+
   /** Rewrite partitions that hold ≥2 small live files. Returns None when
     * there is nothing to compact (no commit is made). */
   def rewriteSmallFiles(

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.meta.{AvroManifests, IcebergMeta, IcebergTable}
+import graft.meta.{AvroManifests, IcebergMeta, IcebergTable, ManifestFile, Snapshot, SnapshotRef}
 
 /** Table maintenance beyond compaction: snapshot expiration, rollback,
   * and orphan-file detection — the standard Iceberg upkeep trio the
@@ -124,6 +124,115 @@ object Maintenance {
     writeNextVersion(tableDir, IcebergMeta.render(md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       refs = md.refs - name)))
+  }
+
+  /** Drop DANGLING delete files from the live snapshot: position-delete
+    * files none of whose `file_path` targets are still live (their
+    * targets were rewritten by compaction), and equality-delete files
+    * whose sequence no longer scopes ANY live data file (every live file
+    * is same-or-newer sequence). The rows they would hide are already
+    * structurally unreachable, so this is a metadata-only `replace`
+    * commit that rewrites the delete manifests without the dangling
+    * entries — afterwards [[expireSnapshots]] reclaims the parquet
+    * itself once no retained snapshot references it.
+    *
+    * Scale shape: the decision needs only manifest entries + the
+    * position-delete files' distinct `file_path` values (one Spark scan
+    * of the delete files — metadata-adjacent size). Returns the number
+    * of delete files dropped; None when nothing dangles. */
+  def pruneDanglingDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Option[Int] = {
+    val t = IcebergTable.load(tableDir)
+    val md = t.metadata
+    val dels = t.deleteFiles()
+    if (dels.isEmpty) return None
+
+    val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    val liveData = t.files()
+    val livePaths = liveData.map(_.filePath).toSet
+    val minLiveSeq = liveData.map(e => seqBySnapshot.getOrElse(e.snapshotId, 0L))
+      .minOption.getOrElse(Long.MaxValue)
+
+    // position deletes: one scan over all position-delete parquet, keyed
+    // back to the delete file it came from
+    val posDels = dels.filter(_.content == 1)
+    val targetsByDelFile: Map[String, Set[String]] =
+      if (posDels.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions._
+        val prefix = s"file:$tableDir/"
+        spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
+          .select(
+            expr(s"substring(_metadata.file_path, ${prefix.length + 1})").as("del_file"),
+            col("file_path"))
+          .distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rows) => k -> rows.map(_.getString(1)).toSet }
+      }
+
+    def dangling(e: graft.meta.DataFileEntry): Boolean = e.content match {
+      case 1 => targetsByDelFile.get(e.filePath)
+        .exists(ts => ts.intersect(livePaths).isEmpty)
+      case 2 => minLiveSeq >= seqBySnapshot.getOrElse(e.snapshotId, Long.MaxValue)
+      case _ => false
+    }
+
+    val dropped = dels.filter(dangling)
+    if (dropped.isEmpty) return None
+    val droppedPaths = dropped.map(_.filePath).toSet
+
+    // rewrite delete manifests without the dangling entries; data
+    // manifests carry forward untouched
+    val dir = Paths.get(tableDir)
+    val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+    val keptManifests = t.manifests().zipWithIndex.flatMap { case (m, i) =>
+      if (m.content != 1) Some(m)
+      else {
+        val entries = AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+        val kept = entries.filterNot(e => droppedPaths.contains(e.filePath))
+        if (kept.size == entries.size) Some(m)
+        else if (kept.isEmpty) None
+        else {
+          val relPath = f"metadata/manifest-$snapId-deletes-$i%02d.avro"
+          AvroManifests.writeManifest(dir.resolve(relPath).toString, kept)
+          Some(ManifestFile(
+            relPath, Files.size(dir.resolve(relPath)),
+            partitionSpecId = m.partitionSpecId, content = 1,
+            addedSnapshotId = m.addedSnapshotId,
+            addedFilesCount = 0, existingFilesCount = kept.size,
+            deletedFilesCount = entries.size - kept.size,
+            addedRowsCount = 0L,
+            existingRowsCount = kept.map(_.recordCount).sum,
+            deletedRowsCount = entries.filterNot(kept.contains).map(_.recordCount).sum))
+        }
+      }
+    }
+
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, keptManifests)
+    val nowMs = System.currentTimeMillis()
+    val snapshot = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = md.currentSnapshotId,
+      timestampMs = nowMs,
+      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+      operation = "replace",
+      summary = Map(
+        "operation" -> "replace",
+        "pruned-delete-files" -> dropped.size.toString,
+        "total-data-files" -> liveData.size.toString,
+        "total-records" -> liveData.map(_.recordCount).sum.toString,
+        "total-files-size" -> liveData.map(_.fileSizeInBytes).sum.toString,
+        "total-delete-files" -> (dels.size - dropped.size).toString),
+      manifestList = listPath)
+    val newMd = md.copy(
+      lastUpdatedMs = nowMs,
+      currentSnapshotId = Some(snapId),
+      snapshots = md.snapshots :+ snapshot,
+      refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
+    writeNextVersion(tableDir, IcebergMeta.render(newMd))
+    Some(dropped.size)
   }
 
   /** Files under `data/` referenced by NO snapshot's manifests (write

@@ -78,6 +78,17 @@ object ScanPlanner {
     applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
   }
 
+  /** Merge-on-read scan of an explicit SUBSET of the snapshot's data
+    * files: the same delete application as [[readTable]] (position
+    * anti-join; sequence-scoped equality), restricted to `paths` — what
+    * incremental compaction reads so a partial rewrite can never
+    * resurrect deleted rows. */
+  def readFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
+      snapshotId: Option[Long] = None): DataFrame = {
+    require(paths.nonEmpty, "readFiles needs at least one path")
+    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
+  }
+
   /** [[readTable]] with row lineage kept: two extra columns `__gr_path`
     * (table-relative file path) and `__gr_pos` (row index within the
     * file), surviving the merge-on-read joins. This is what row-level

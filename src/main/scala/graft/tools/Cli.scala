@@ -109,6 +109,17 @@ object Cli {
               s"${r.addedFiles} files written")
             case None => println("nothing to compact")
           }
+        case "compact-incremental" =>
+          engine.rewriteSmallFilesIncremental(vargs(0)) match {
+            case Some(r) => println(s"compacted into snapshot ${r.snapshotId}: " +
+              s"${r.addedFiles} files written (deletes carried)")
+            case None => println("nothing to compact")
+          }
+        case "prune-deletes" =>
+          engine.pruneDanglingDeletes(vargs(0)) match {
+            case Some(n) => println(s"pruned $n dangling delete files")
+            case None => println("no dangling delete files")
+          }
         case "expire" =>
           val r = engine.expireSnapshots(vargs(0), vargs(1).toLong,
             vargs.lift(2).map(_.toInt).getOrElse(1))
@@ -136,5 +147,5 @@ object Cli {
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
-      "       compact expire rollback orphans")
+      "       compact compact-incremental prune-deletes expire rollback orphans")
 }
