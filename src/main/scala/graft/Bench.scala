@@ -42,29 +42,33 @@ object Bench {
       }
     }
 
-    // Best-of-2 per query: the box is shared, so a single timing can absorb a
-    // transient CPU/IO spike from a concurrent JVM (observed 25x outliers on
-    // otherwise-identical binaries). The min of two back-to-back runs is the
-    // steady-state cost of the plan, which is what we want to track per round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Three full passes over the whole suite, interleaved (pass 1 runs every
+    // query once, then pass 2, then pass 3), min per query. Back-to-back
+    // repeats of one query share any transient contention window on this
+    // shared box (round 5 saw a sustained multi-minute spike poison BOTH
+    // runs of six consecutive queries); spreading a query's repeats ~25 s
+    // apart makes the min a far better steady-state estimator.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    val times = Array.fill(names.length, passes)(0.0)
+    for (p <- 0 until passes; ((name, fn), i) <- names.zipWithIndex) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      val dt = times.min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> times
+      times(i)(p) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] pass${p + 1} $name%-22s ${times(i)(p)}%8.2f s")
     }
-    def jsonMap(f: Seq[Double] => Double): String = results
-      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
-    // min-of-2 is the steady-state series; first-run is reported alongside
-    // so cold-start/codegen regressions stay visible round-over-round
-    val total = results.map(_._2.min).sum
-    val totalFirst = results.map(_._2.head).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min","total_first_run":$totalFirst,"queries":${jsonMap(_.min)},"queries_first_run":${jsonMap(_.head)},"sf":"$sfDir"}""")
+    // 3-decimal values keep the single JSON line ~1.7 KB: round 5's line
+    // (full-precision doubles, two per-query series) grew past ~5 KB and
+    // the driver failed to parse it at all. Per-pass times stay on stderr.
+    def r3(d: Double): String = f"$d%.3f"
+    val queries = names.zipWithIndex
+      .map { case ((k, _), i) => "\"" + k + "\":" + r3(times(i).min) }
+      .mkString("{", ",", "}")
+    val total = times.map(_.min).sum
+    val totalFirst = times.map(_.head).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"queries":$queries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
