@@ -4,20 +4,26 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{GraftParquetBridge, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftParquetBridge, SparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.meta.{FsCatalog, IcebergTable}
+import graft.meta.{FsCatalog, IcebergTable, SchemaEvolution, TableCreator, TableWriter}
 import graft.ops.ScanPlanner
 
 /** DSv2 CATALOG plugin: the whole graft warehouse addressable from plain
-  * `spark.sql` — `SELECT * FROM graft.sales.orders` — with no
-  * pre-created views. Registration:
+  * `spark.sql` — reads (`SELECT * FROM graft.sales.orders`, time travel)
+  * AND the full DDL+DML life cycle: `CREATE/DROP NAMESPACE`,
+  * `CREATE TABLE` (incl. `PARTITIONED BY (region, bucket(16, id),
+  * truncate(4, code))` and CTAS), `INSERT INTO` / `INSERT OVERWRITE`
+  * (snapshot commits through [[graft.meta.TableWriter]]), `ALTER TABLE`
+  * column evolution and `DROP/RENAME TABLE`. Registration:
   * {{{
   * spark.sql.catalog.graft           = graft.sql.GraftCatalog
   * spark.sql.catalog.graft.warehouse = /path/to/warehouse
@@ -87,21 +93,102 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(base.tableDir, Some(atOrBefore.maxBy(_.timestampMs).snapshotId))
   }
 
+  private def tableDir(ident: Identifier): String = {
+    require(ident.namespace().length == 1,
+      s"graft warehouse namespaces are single-level (got ${ident.namespace().mkString(".")})")
+    s"$warehouse/${ident.namespace()(0)}/${ident.name()}"
+  }
+
+  /** DSv2 partition Transform → the engine's spec declaration syntax
+    * ([[graft.meta.Transforms.parseDecl]]). Identity, `bucket(N, col)`
+    * and `truncate(W, col)` — the transforms the write path lays files
+    * out by and the scan planner prunes through. */
+  private def declOf(t: Transform): String = {
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"partition transform ${t.describe()} must reference one top-level column")
+    val col = refs(0).fieldNames()(0)
+    def intArg: Int = t.arguments().collectFirst {
+      case l: Literal[_] => l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform ${t.describe()} needs an integer argument"))
+    t.name() match {
+      case "identity" => col
+      case "bucket" => s"bucket[$intArg]($col)"
+      case "truncate" => s"truncate[$intArg]($col)"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other " +
+          "(supported: identity, bucket(N, col), truncate(W, col))")
+    }
+  }
+
+  /** `CREATE TABLE` / the create half of CTAS: bootstrap an empty
+    * format-v2 table (metadata-only; the first INSERT runs the
+    * distributed write). Catalog-reserved properties (provider,
+    * location, owner, ...) are not table properties and are dropped. */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only over SQL; create tables via the engine write API")
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "metadata")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace().toSeq :+ ident.name())
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+    TableCreator.create(dir, schema, partitions.toSeq.map(declOf),
+      properties.asScala.toMap -- reserved)
+    new GraftTable(dir)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only over SQL; evolve schemas via meta.SchemaEvolution")
+  /** `ALTER TABLE` → id-based schema evolution commits
+    * ([[graft.meta.SchemaEvolution]]): add (optional) / rename / drop
+    * column. Each change is its own metadata commit, like Iceberg's
+    * updateSchema chain. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    def single(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested column changes unsupported (${fieldNames.mkString(".")})")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        SchemaEvolution.addColumn(dir, single(add.fieldNames()),
+          TableCreator.iceType(add.dataType()), required = !add.isNullable)
+      case rn: TableChange.RenameColumn =>
+        SchemaEvolution.renameColumn(dir, single(rn.fieldNames()), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        SchemaEvolution.dropColumn(dir, single(del.fieldNames()))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change $other (supported: ADD/RENAME/DROP COLUMN)")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = java.nio.file.Paths.get(tableDir(ident))
+    if (!java.nio.file.Files.isDirectory(dir.resolve("metadata"))) false
+    else {
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      true
+    }
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = java.nio.file.Paths.get(tableDir(oldIdent))
+    val to = java.nio.file.Paths.get(tableDir(newIdent))
+    if (!java.nio.file.Files.isDirectory(from.resolve("metadata")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.namespace().toSeq :+ oldIdent.name())
+    if (java.nio.file.Files.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        newIdent.namespace().toSeq :+ newIdent.name())
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(from, to)
+  }
 
   // ---- namespaces
 
@@ -122,15 +209,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     namespace.length == 1 && fs.listNamespaces().contains(namespace(0))
 
   override def createNamespace(
-      namespace: Array[String], metadata: util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft warehouse namespaces are single-level (got ${namespace.mkString(".")})")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(warehouse, namespace(0)))
+  }
 
   override def alterNamespace(
       namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace(0)} is not empty (use CASCADE)")
+    val dir = java.nio.file.Paths.get(warehouse, namespace(0))
+    scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    true
+  }
 }
 
 /** One graft/Iceberg table surfaced to Catalyst. Reports its partition
@@ -140,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * would resurrect deleted rows; those tables read correctly through
   * [[graft.ops.ScanPlanner.readTable]] / `Engine.createView`. */
 final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   private[sql] val t: IcebergTable = IcebergTable.load(tableDir)
 
@@ -169,7 +271,21 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
     }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` / the write half of CTAS.
+    * Bridged to the engine's commit path ([[graft.meta.TableWriter]])
+    * via the V1 write interface: the incoming DataFrame IS the
+    * distributed write — TableWriter stages it with one hash-distributed
+    * partitionBy job, computes per-file stats with one distributed
+    * aggregation, then commits manifest + manifest-list + snapshot +
+    * next metadata version driver-side (metadata-scale). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(snapshotId.isEmpty,
+      s"cannot write to a time-travel (VERSION/TIMESTAMP AS OF) scan of $tableDir")
+    new GraftWriteBuilder(tableDir)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(t.deleteFiles(snapshotId).isEmpty,
@@ -177,6 +293,31 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
         "would resurrect deleted rows — read it via ScanPlanner.readTable " +
         "or Engine.createView (merge-on-read)")
     new GraftScanBuilder(t, schema(), snapshotId)
+  }
+}
+
+/** Write builder: plain insert appends a snapshot; `truncate()` (how
+  * Catalyst expresses `INSERT OVERWRITE` over a whole table) turns the
+  * commit into an overwrite — prior snapshots stay readable (time
+  * travel). Appends onto delete-carrying tables are safe: merge-on-read
+  * readers scope deletes by commit sequence, so newly appended rows are
+  * exempt from older equality deletes. */
+final class GraftWriteBuilder(tableDir: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (overwriteAll || overwrite) TableWriter.overwrite(spark, tableDir, data)
+          else TableWriter.append(spark, tableDir, data)
+        }
+      }
   }
 }
 
