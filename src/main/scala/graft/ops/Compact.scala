@@ -79,6 +79,59 @@ object Compact {
       carryDeletes = t.deleteFiles().nonEmpty))
   }
 
+  /** Z-ORDER CLUSTERING rewrite: replace ALL live data with the same
+    * rows laid out along the Morton curve of `cols` ([[ZOrder]]) — one
+    * output file per z-prefix region (per partition value for
+    * partitioned tables), so every rewritten file carries tight
+    * min/max bounds on EVERY clustered column and multi-dimensional
+    * range predicates prune to a handful of files. The Iceberg analog
+    * is `rewrite_data_files(strategy=>'sort', sort_order=>'zorder')`.
+    *
+    * Scale shape: one merge-on-read scan of the live data (deletes are
+    * folded — the rewritten snapshot needs no delete manifests), one
+    * shuffle keyed on (partition dims, z-prefix bin), the normal
+    * distributed stats pass, metadata-scale driver commit. The z bin
+    * count is ~`targetFiles` rounded up to a power of two; equi-width
+    * z-bins can give uneven file sizes under heavy skew (documented in
+    * [[ZOrder]]).
+    *
+    * Returns None for an empty table. */
+  def rewriteClustered(
+      spark: SparkSession,
+      tableDir: String,
+      cols: Seq[String],
+      bits: Int = 8,
+      targetFiles: Option[Int] = None): Option[TableWriter.CommitResult] = {
+    require(cols.nonEmpty, "rewriteClustered needs at least one column")
+    val t = IcebergTable.load(tableDir)
+    val live = t.files()
+    if (live.isEmpty) return None
+
+    val nFiles = targetFiles.getOrElse(math.max(1,
+      math.ceil(live.map(_.fileSizeInBytes).sum.toDouble / DefaultTargetBytes).toInt))
+    val zbits = cols.size * bits
+    // one file per z-prefix region: keep only enough leading z bits to
+    // address ~nFiles regions
+    val shift = math.max(0, zbits - math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1, nFiles - 1).toLong)))
+
+    val df = ScanPlanner.readTable(spark, t)
+    // the bin expression is evaluated over the staged frame inside the
+    // commit, so it must be self-contained over the table columns
+    val zbinOfRow: org.apache.spark.sql.Column = {
+      // lo/hi as literals: one metadata-scale agg (2k longs to the driver)
+      val statCols = cols.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val statRow = df.agg(statCols.head, statCols.tail: _*).head()
+      val bins = cols.zipWithIndex.map { case (c, i) =>
+        ZOrder.binCol(col(c), lit(statRow.getLong(2 * i)),
+          lit(statRow.getLong(2 * i + 1)), bits) }
+      shiftright(ZOrder.interleave(bins, bits), shift)
+    }
+    Some(TableWriter.replaceFiles(spark, tableDir,
+      live.map(_.filePath).toSet, df, binExpr = Some(zbinOfRow)))
+  }
+
   /** Rewrite partitions that hold ≥2 small live files. Returns None when
     * there is nothing to compact (no commit is made). */
   def rewriteSmallFiles(

@@ -779,5 +779,41 @@ object PipelineQueries {
            |FROM tot LEFT JOIN hit USING (doc_id)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // Z-order (Morton) clustering value: the layout key behind
+    // Compact.rewriteClustered. Pure BIGINT binning + bit interleave
+    // (see ops.ZOrder's determinism contract), so the per-region rollup
+    // is value-exact cross-engine.
+    Q("q_zorder",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        graft.ops.ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), 8, "zval")
+          .groupBy(shiftright(col("zval"), 8).as("zregion"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("zval")).as("z_lo"), max(col("zval")).as("z_hi"))
+          .orderBy("zregion")
+      },
+      Some {
+        val zTerms = (0 until 8).flatMap(j => Seq(
+          s"(((bx >> $j) & 1) << ${2 * j})",
+          s"(((by >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
+        s"""WITH corpus AS (
+           |  SELECT CAST(min(l_partkey) AS BIGINT) AS lox,
+           |         CAST(max(l_partkey) AS BIGINT) AS hix,
+           |         CAST(min(l_suppkey) AS BIGINT) AS loy,
+           |         CAST(max(l_suppkey) AS BIGINT) AS hiy
+           |  FROM lineitem),
+           |binned AS (
+           |  SELECT
+           |    least(greatest(((CAST(l_partkey AS BIGINT) - lox) * 256)
+           |      // (hix - lox + 1), 0), 255) AS bx,
+           |    least(greatest(((CAST(l_suppkey AS BIGINT) - loy) * 256)
+           |      // (hiy - loy + 1), 0), 255) AS by
+           |  FROM lineitem, corpus),
+           |z AS (SELECT $zTerms AS zval FROM binned)
+           |SELECT zval >> 8 AS zregion, count(*) AS n_rows,
+           |       min(zval) AS z_lo, max(zval) AS z_hi
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 }
