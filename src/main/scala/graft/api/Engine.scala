@@ -205,6 +205,64 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def upsert(ref: String, df: DataFrame, keyCols: Seq[String]): graft.meta.TableWriter.CommitResult =
     graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols)
 
+  /** Bootstrap an empty table (engine-native `CREATE TABLE`;
+    * [[graft.meta.TableCreator]]). `partitionDecls` use the transform
+    * declaration syntax: `col`, `bucket[N](col)`, `truncate[W](col)`. */
+  def createTable(
+      ref: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionDecls: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit =
+    graft.meta.TableCreator.create(tableDir(ref), schema, partitionDecls, properties)
+
+  /** STREAMING INGEST: commit each micro-batch of `stream` as an append
+    * snapshot of `ref` — the continuous-write half of the streaming
+    * loop whose read half is the changelog source
+    * ([[graft.streaming.ChangelogProvider]]). Restart-idempotent: every
+    * commit records its micro-batch id in the snapshot summary
+    * (`streaming-batch-id`), and a re-delivered batch (foreachBatch is
+    * at-least-once across restarts) is skipped, so each batch lands
+    * exactly once. Scale shape: per batch, exactly the
+    * [[graft.meta.TableWriter.append]] distributed commit.
+    *
+    * The returned query runs until stopped; pass a durable
+    * `checkpointDir` to survive restarts. */
+  def appendStream(
+      ref: String,
+      stream: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(ref, batch, batchId); ()
+      }
+      .start()
+
+  /** One micro-batch commit: append with the batch id stamped into the
+    * snapshot summary; skip ids at or below the last committed one.
+    * Returns None for skipped or empty batches. */
+  private[graft] def commitStreamBatch(
+      ref: String, batch: DataFrame, batchId: Long): Option[graft.meta.TableWriter.CommitResult] = {
+    val dir = tableDir(ref)
+    val lastCommitted = graft.meta.IcebergMeta.load(dir).snapshots
+      .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong).maxOption
+    if (lastCommitted.exists(batchId <= _) || batch.isEmpty) None
+    else Some(graft.meta.TableWriter.append(spark, dir, batch,
+      extraSummary = Map("streaming-batch-id" -> batchId.toString)))
+  }
+
+  /** Z-order clustering rewrite of `ref`'s live data on `cols`
+    * ([[Compact.rewriteClustered]]): every rewritten file gets tight
+    * bounds on all clustered columns, so multi-dimensional range
+    * predicates prune files. */
+  def rewriteClustered(
+      ref: String,
+      cols: Seq[String],
+      bits: Int = 8,
+      targetFiles: Option[Int] = None): Option[graft.meta.TableWriter.CommitResult] =
+    Compact.rewriteClustered(spark, tableDir(ref), cols, bits, targetFiles)
+
   /** Bin-pack small data files into larger ones and commit a replace
     * snapshot (the action behind the health report's
     * `compaction_recommended`, ref `formatters.py:461,775`). */

@@ -43,9 +43,10 @@ object TableWriter {
     * table's current snapshot is untouched (Iceberg branch-write
     * semantics — an isolated audit/experiment line on shared data). */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-      branch: Option[String] = None): CommitResult =
+      branch: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): CommitResult =
     commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true,
-      branch = branch)
+      branch = branch, extraSummary = extraSummary)
 
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). */
@@ -235,7 +236,8 @@ object TableWriter {
       binExpr: Option[org.apache.spark.sql.Column] = None,
       branch: Option[String] = None,
       equalityDeleteOn: Option[Seq[String]] = None,
-      carryDeletes: Boolean = false): CommitResult = {
+      carryDeletes: Boolean = false,
+      extraSummary: Map[String, String] = Map.empty): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -438,7 +440,8 @@ object TableWriter {
         "added-records" -> newEntries.map(_.recordCount).sum.toString,
         "total-data-files" -> live.size.toString,
         "total-records" -> live.map(_.recordCount).sum.toString,
-        "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString),
+        "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString)
+        ++ extraSummary,
       manifestList = listPath)
 
     // main-line commits move current + the `main` ref; branch commits
