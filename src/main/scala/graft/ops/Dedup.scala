@@ -178,13 +178,18 @@ object Dedup {
     * neighbors' labels; converged labels equal the min id reachable from
     * each node (what a transitive-closure oracle computes). Iterations are
     * lineage-truncated with `localCheckpoint` (plans would otherwise grow
-    * per round) and each round is one join + one min-aggregate — the
-    * standard large-graph CC shape (label propagation, not a driver-side
-    * union-find), so it scales with the shuffle, not the driver.
+    * per round) and each materialized ROUND packs `hopsPerJob`
+    * propagation steps into one job (join + min-aggregate per hop, one
+    * change-flag count as the materializing action) — same total shuffle
+    * work, half the job-scheduling/checkpoint overhead, which dominates
+    * when components are shallow. The standard large-graph CC shape
+    * (label propagation, not a driver-side union-find): scales with the
+    * shuffle, not the driver.
     *
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 2): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
@@ -203,22 +208,31 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
       .repartition(col("id"))
       .localCheckpoint()
+    // one propagation hop over an (id, label, chg) frame; `chg`
+    // accumulates across the hops composed into a single job
+    def hop(l: DataFrame): DataFrame = {
+      val nmin = edges
+        .join(l.select(col("id"), col("label")), col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        .select(col("src").as("nid"), col("nlabel"))
+      l.join(nmin, l("id") === col("nid"), "left")
+        .select(l("id"),
+          least(l("label"), coalesce(col("nlabel"), l("label"))).as("label"),
+          (l("chg") ||
+            coalesce(col("nlabel"), l("label")) < l("label")).as("chg"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nmin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // lazy checkpoint + count over the change flag: the count is the
-      // materializing action, so each round is ONE job (join+agg+count)
-      // with lineage still truncated for the next round
-      val next = labels.join(nmin, labels("id") === nmin("src"), "left")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-          (coalesce(col("nlabel"), labels("label")) < labels("label")).as("chg"))
+      // materializing action, so each round is ONE job covering
+      // hopsPerJob propagation steps, with lineage still truncated
+      val next = (1 to hopsPerJob)
+        .foldLeft(labels.withColumn("chg", lit(false)))((l, _) => hop(l))
         .localCheckpoint(false)
       converged = next.filter(col("chg")).count() == 0
       labels = next.drop("chg")
-      i += 1
+      i += hopsPerJob
     }
     // a silent cap-exit would return labels that disagree with true
     // components (graph diameter > maxIters) with no signal — refuse
