@@ -200,6 +200,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def deleteWhere(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
     graft.meta.TableWriter.deleteWhere(spark, tableDir(ref), predicate)
 
+  /** Row-level DELETE, COPY-ON-WRITE mode: matching files are rewritten
+    * without the matching rows (one replace snapshot, table stays
+    * delete-free — the mode behind SQL `DELETE FROM`). */
+  def deleteWhereCopyOnWrite(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
+    Delete.copyOnWrite(spark, tableDir(ref), predicate)
+
   /** MERGE-style upsert keyed on `keyCols`: one commit appends `df` and
     * equality-deletes earlier rows with matching keys (merge-on-read). */
   def upsert(ref: String, df: DataFrame, keyCols: Seq[String]): graft.meta.TableWriter.CommitResult =

@@ -242,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * would resurrect deleted rows; those tables read correctly through
   * [[graft.ops.ScanPlanner.readTable]] / `Engine.createView`. */
 final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private[sql] val t: IcebergTable = IcebergTable.load(tableDir)
 
@@ -285,6 +285,21 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
     require(snapshotId.isEmpty,
       s"cannot write to a time-travel (VERSION/TIMESTAMP AS OF) scan of $tableDir")
     new GraftWriteBuilder(tableDir)
+  }
+
+  /** SQL `DELETE FROM` in COPY-ON-WRITE mode ([[graft.ops.Delete]]):
+    * matching files are rewritten without the matching rows, so the
+    * table stays delete-free and the catalog's vectorized scan stays
+    * valid. Merge-on-read deletes remain available through the engine
+    * API (`Engine.deleteWhere`). */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    snapshotId.isEmpty && FilterColumns.conjunction(filters.toSeq).nonEmpty
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val predicate = FilterColumns.conjunction(filters.toSeq).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot translate delete condition ${filters.mkString(" AND ")}"))
+    graft.ops.Delete.copyOnWrite(SparkSession.active, tableDir, predicate)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -105,6 +105,36 @@ class GraftSqlWriteSpec extends SparkSpec {
       .as[Long].head() == 2L)
   }
 
+  test("DELETE FROM rewrites matching files copy-on-write; reads stay SQL-native") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftw.lake")
+    spark.sql(
+      """CREATE TABLE graftw.lake.deldemo
+        |  (id BIGINT, region STRING) PARTITIONED BY (region)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graftw.lake.deldemo VALUES
+        |  (1, 'emea'), (2, 'emea'), (3, 'apac'), (4, 'apac')""".stripMargin)
+
+    spark.sql("DELETE FROM graftw.lake.deldemo WHERE region = 'emea' AND id < 2")
+    val left = spark.sql("SELECT id FROM graftw.lake.deldemo ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(left == Seq(2L, 3L, 4L))
+
+    val t = IcebergTable.load(s"$wh/lake/deldemo")
+    // copy-on-write: a replace snapshot, NO delete files — the SQL scan
+    // path stays valid; the apac file was untouched
+    assert(t.metadata.snapshots.last.operation == "replace")
+    assert(t.deleteFiles().isEmpty)
+    // rows in files without matches are not rewritten
+    val apacFiles = t.files().filter(_.partition.get("region").contains("apac"))
+    assert(apacFiles.nonEmpty)
+
+    // deleting everything leaves an empty, still-readable table
+    spark.sql("DELETE FROM graftw.lake.deldemo WHERE id > 0")
+    assert(spark.sql("SELECT count(*) AS n FROM graftw.lake.deldemo")
+      .as[Long].head() == 0L)
+  }
+
   test("DROP TABLE removes the table; dropping a populated namespace needs CASCADE") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftw.tmp")
