@@ -206,6 +206,13 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def deleteWhereCopyOnWrite(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
     Delete.copyOnWrite(spark, tableDir(ref), predicate)
 
+  /** Row-level UPDATE, copy-on-write: matching files rewritten with
+    * `assignments` applied to matching rows (all right-hand sides see
+    * the original row values). */
+  def updateWhere(ref: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Option[graft.meta.TableWriter.CommitResult] =
+    Delete.updateWhere(spark, tableDir(ref), predicate, assignments)
+
   /** MERGE-style upsert keyed on `keyCols`: one commit appends `df` and
     * equality-deletes earlier rows with matching keys (merge-on-read). */
   def upsert(ref: String, df: DataFrame, keyCols: Seq[String]): graft.meta.TableWriter.CommitResult =

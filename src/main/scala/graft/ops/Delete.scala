@@ -22,6 +22,49 @@ import graft.meta.{IcebergTable, TableWriter}
   * FALSE and NULL rows survive. */
 object Delete {
 
+  /** Row-level UPDATE, copy-on-write (Iceberg `UPDATE ... SET` with
+    * `write.update.mode=copy-on-write`): files holding matching rows are
+    * rewritten with `assignments` applied to the matching rows and all
+    * other rows byte-identical; untouched files carry forward. Same
+    * scale shape as [[copyOnWrite]]. NULL predicates leave rows
+    * unmodified (SQL semantics). Returns None when nothing matches. */
+  def updateWhere(
+      spark: SparkSession,
+      tableDir: String,
+      predicate: Column,
+      assignments: Map[String, Column]): Option[TableWriter.CommitResult] = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val t = IcebergTable.load(tableDir)
+    if (t.files().isEmpty) return None
+    val schemaCols = t.metadata.currentSchema.fields
+      .filter(f => !f.path.contains('.')).map(_.name)
+    assignments.keys.foreach(k => require(schemaCols.contains(k),
+      s"assignment target $k is not a column of the table"))
+
+    val matchedRel = ScanPlanner.readTableLineage(spark, t)
+      .filter(predicate)
+      .select("__gr_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matchedRel.isEmpty) return None
+
+    val matchedAbs = t.files()
+      .filter(e => matchedRel.contains(e.filePath))
+      .map(e => t.resolvePath(e.filePath))
+    val hit = coalesce(predicate, lit(false))
+    // single projection: every assignment's right-hand side evaluates
+    // against the ORIGINAL row (SQL UPDATE semantics — assignments never
+    // see each other's new values)
+    val rewritten = ScanPlanner.readFiles(spark, t, matchedAbs)
+      .select(schemaCols.map { c =>
+        assignments.get(c) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    Some(TableWriter.replaceFiles(spark, tableDir, matchedRel, rewritten,
+      carryDeletes = t.deleteFiles().nonEmpty))
+  }
+
   def copyOnWrite(
       spark: SparkSession,
       tableDir: String,
