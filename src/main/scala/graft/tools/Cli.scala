@@ -133,6 +133,45 @@ object Cli {
           if (vargs.lift(1).contains("--remove"))
             println(s"removed ${engine.removeOrphans(vargs(0))} orphan files")
           else { o.foreach(println); println(s"${o.size} orphan files") }
+        case "create-table" =>
+          // create-table ns.t "id:long,name:string" [partitionDecl ...]
+          val schema = org.apache.spark.sql.types.StructType(
+            vargs(1).split(",").toIndexedSeq.map { s =>
+              val Array(n, ty) = s.trim.split(":")
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.DataType.fromDDL(ty))
+            })
+          engine.createTable(vargs(0), schema, vargs.drop(2).toSeq)
+          println(s"created table ${vargs(0)}")
+        case "zorder" =>
+          // zorder ns.t col[,col...] [bits]
+          engine.rewriteClustered(vargs(0), vargs(1).split(",").toSeq,
+            vargs.lift(2).map(_.toInt).getOrElse(8)) match {
+            case Some(r) => println(s"clustered into snapshot ${r.snapshotId}: " +
+              s"${r.addedFiles} files written")
+            case None => println("table is empty; nothing to cluster")
+          }
+        case "delete-where" =>
+          // delete-where ns.t <sql-predicate> [--copy-on-write]
+          val pred = org.apache.spark.sql.functions.expr(vargs(1))
+          val res = if (vargs.lift(2).contains("--copy-on-write"))
+            engine.deleteWhereCopyOnWrite(vargs(0), pred)
+          else engine.deleteWhere(vargs(0), pred)
+          res match {
+            case Some(r) => println(s"delete committed as snapshot ${r.snapshotId}")
+            case None => println("no rows matched; nothing committed")
+          }
+        case "update-where" =>
+          // update-where ns.t <sql-predicate> col=expr[,col=expr...]
+          val assigns = vargs(2).split(",").toIndexedSeq.map { a =>
+            val Array(k, v) = a.split("=", 2)
+            k.trim -> org.apache.spark.sql.functions.expr(v)
+          }.toMap
+          engine.updateWhere(vargs(0),
+            org.apache.spark.sql.functions.expr(vargs(1)), assigns) match {
+            case Some(r) => println(s"update committed as snapshot ${r.snapshotId}")
+            case None => println("no rows matched; nothing committed")
+          }
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }
@@ -147,5 +186,6 @@ object Cli {
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
-      "       compact compact-incremental prune-deletes expire rollback orphans")
+      "       compact compact-incremental prune-deletes expire rollback orphans\n" +
+      "       create-table zorder delete-where update-where")
 }

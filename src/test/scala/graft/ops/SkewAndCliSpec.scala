@@ -59,6 +59,28 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "rollback", "sales.orders", "42")) == 1) // friendly error
   }
 
+  test("round-6 CLI verbs: create-table/zorder/update-where/delete-where") {
+    val wh = Files.createTempDirectory("graft-cli-wh6").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/lake"))
+    assert(Cli.run(Array(wh, "create-table", "lake.pts",
+      "x:bigint,y:bigint,tag:string")) == 0)
+    val pq = Files.createTempDirectory("graft-cli-pts").toString
+    spark.range(0, 1000)
+      .selectExpr("id % 50 AS x", "CAST(id / 50 AS bigint) AS y",
+        "concat('t', id % 3) AS tag")
+      .write.mode("overwrite").parquet(pq)
+    assert(Cli.run(Array(wh, "append-parquet", "lake.pts", pq)) == 0)
+    assert(Cli.run(Array(wh, "zorder", "lake.pts", "x,y", "4")) == 0)
+    assert(Cli.run(Array(wh, "update-where", "lake.pts", "x = 0", "tag='zero'")) == 0)
+    assert(Cli.run(Array(wh, "delete-where", "lake.pts", "y > 15",
+      "--copy-on-write")) == 0)
+    val t = graft.meta.IcebergTable.load(s"$wh/lake/pts")
+    val rows = ScanPlanner.readTable(spark, t)
+    assert(rows.count() == 800L) // y in [16,19] deleted: 4*50 rows
+    assert(rows.filter(org.apache.spark.sql.functions.col("tag") === "zero")
+      .count() == 16L) // x=0 rows surviving the delete: y 0..15
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
