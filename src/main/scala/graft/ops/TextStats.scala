@@ -114,6 +114,27 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** REPETITION quality signal (the Gopher/C4-style duplicate-n-gram
+    * filter): per document, total vs distinct word n-grams and the
+    * duplicated fraction `(n_grams - n_distinct) / n_grams` — high
+    * ratios flag boilerplate/spam for corpus filtering. One explode +
+    * one hash aggregate per doc (map-side combinable; gram strings
+    * shuffle once, bounded by corpus token count). */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("n_dup", col("n_grams") - col("n_distinct"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+
   /** Deterministic integer document fingerprint (rolling-hash style over
     * cheap structural features; pure int64 arithmetic). */
   def fingerprint(textCol: String, nChars: Column): Column = {

@@ -780,6 +780,28 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Repetition quality signal: duplicated word-bigram fraction per doc
+    // (the Gopher/C4 boilerplate filter). Counts are exact; the ratio is
+    // a single rounded division, mirrored operation-for-operation.
+    Q("q_repetition",
+      (s, d) => TextStats.repetitionStats(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM d WHERE len(toks) >= 2)),
+             |a AS (SELECT doc_id, count(*) AS n_grams,
+             |             count(DISTINCT gram) AS n_distinct
+             |      FROM g GROUP BY 1)
+             |SELECT doc_id, n_grams, n_distinct,
+             |  n_grams - n_distinct AS n_dup,
+             |  round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // Z-order (Morton) clustering value: the layout key behind
     // Compact.rewriteClustered. Pure BIGINT binning + bit interleave
     // (see ops.ZOrder's determinism contract), so the per-region rollup
