@@ -180,16 +180,19 @@ object Dedup {
     * lineage-truncated with `localCheckpoint` (plans would otherwise grow
     * per round) and each materialized ROUND packs `hopsPerJob`
     * propagation steps into one job (join + min-aggregate per hop, one
-    * change-flag count as the materializing action) — same total shuffle
-    * work, half the job-scheduling/checkpoint overhead, which dominates
-    * when components are shallow. The standard large-graph CC shape
-    * (label propagation, not a driver-side union-find): scales with the
-    * shuffle, not the driver.
+    * change-flag count as the materializing action). Measured on the
+    * sf0.1 corpus, hopsPerJob=2 LOST to 1 (2.54 s vs 2.01 s: the extra
+    * in-plan join outweighs the saved job barrier when components are
+    * shallow and converge in a couple of rounds), so 1 is the default;
+    * the knob exists for high-diameter graphs on real clusters where
+    * per-job scheduling overhead dominates. The standard large-graph CC
+    * shape (label propagation, not a driver-side union-find): scales
+    * with the shuffle, not the driver.
     *
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def connectedComponents(
-      pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 2): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 1): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
