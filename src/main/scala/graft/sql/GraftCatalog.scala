@@ -238,9 +238,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 /** One graft/Iceberg table surfaced to Catalyst. Reports its partition
   * transforms (identity / bucket / truncate) so EXPLAIN and future
   * storage-partitioned-join planning see the layout. Tables carrying
-  * row-level DELETE files refuse the bare-scan path — a plain file scan
-  * would resurrect deleted rows; those tables read correctly through
-  * [[graft.ops.ScanPlanner.readTable]] / `Engine.createView`. */
+  * row-level DELETE files scan through the merge-on-read
+  * [[GraftMorV1Scan]] fallback (a bare file scan would resurrect
+  * deleted rows); delete-free tables use the vectorized parquet path. */
 final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
@@ -302,13 +302,8 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
     graft.ops.Delete.copyOnWrite(SparkSession.active, tableDir, predicate)
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(t.deleteFiles(snapshotId).isEmpty,
-      s"table $tableDir carries row-level delete files; SQL-catalog scans " +
-        "would resurrect deleted rows — read it via ScanPlanner.readTable " +
-        "or Engine.createView (merge-on-read)")
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(t, schema(), snapshotId)
-  }
 }
 
 /** Write builder: plain insert appends a snapshot; `truncate()` (how
@@ -356,11 +351,49 @@ final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val live = t.files(snapshotId)
-    val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
-    val paths = kept.map(e => t.resolvePath(e.filePath))
-    GraftParquetBridge.scan(
-      SparkSession.active, paths, dataSchema, required, pushed.toSeq)
-  }
+  override def build(): Scan =
+    if (t.deleteFiles(snapshotId).nonEmpty)
+      // merge-on-read fallback: correctness over vectorization
+      new GraftMorV1Scan(t, snapshotId, required, pushed.toSeq)
+    else {
+      val live = t.files(snapshotId)
+      val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
+      val paths = kept.map(e => t.resolvePath(e.filePath))
+      GraftParquetBridge.scan(
+        SparkSession.active, paths, dataSchema, required, pushed.toSeq)
+    }
+}
+
+/** MERGE-ON-READ fallback scan for delete-carrying tables: wraps the
+  * engine's [[graft.ops.ScanPlanner.readTable]] plan (position deletes
+  * anti-joined on `_metadata` lineage, equality deletes value-anti-joined
+  * with sequence scoping) as a DSv2 `V1Scan`, so `SELECT` over SQL is
+  * CORRECT on every table instead of refusing. Delete-free tables keep
+  * the fully vectorized parquet path ([[GraftScanBuilder.build]]); a
+  * compaction ([[graft.ops.Compact]]) that folds the deletes moves a
+  * table back onto it. Pushed filters are re-applied inside the wrapped
+  * plan so Catalyst still prunes row groups within the MoR subplan. */
+final class GraftMorV1Scan(
+    t: IcebergTable, snapshotId: Option[Long],
+    required: StructType, pushed: Seq[sources.Filter])
+  extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val df0 = ScanPlanner.readTable(
+          context.sparkSession, t, snapshotId)
+        val filtered = FilterColumns.conjunction(pushed)
+          .map(df0.filter).getOrElse(df0)
+        filtered.select(required.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*).rdd
+      }
+    }.asInstanceOf[T]
 }

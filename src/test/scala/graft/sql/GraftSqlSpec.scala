@@ -13,8 +13,8 @@ import graft.ops.ScanPlanner
 /** The DSv2 SQL catalog: `SELECT ... FROM graft.ns.table` resolves
   * through [[GraftCatalog]] with metadata file pruning on pushed filters,
   * Spark's own vectorized parquet scan underneath, snapshot time travel
-  * via `VERSION AS OF`, and a hard refusal for delete-carrying tables
-  * (whose correct read is merge-on-read, not a bare file scan). */
+  * via `VERSION AS OF`, and a merge-on-read V1Scan fallback for
+  * delete-carrying tables (a bare file scan would resurrect rows). */
 class GraftSqlSpec extends SparkSpec {
 
   private lazy val warehouse: String = {
@@ -96,15 +96,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("424242"))
   }
 
-  test("delete-carrying tables refuse the SQL scan path") {
+  test("delete-carrying tables read merge-on-read through SQL (V1Scan fallback)") {
     val wh2 = Files.createTempDirectory("graft-sql-del-wh").toString
     FixtureWriter.writeDemo(spark, wh2)
     val dir = s"$wh2/sales/orders"
     assert(TableWriter.deleteWhere(spark, dir, col("amount") > 100.0).nonEmpty)
     spark.conf.set("spark.sql.catalog.graft_del", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_del.warehouse", wh2)
-    val err = intercept[Exception](
-      spark.sql("SELECT * FROM graft_del.sales.orders").collect())
-    assert(err.getMessage.contains("delete"))
+
+    val viaSql = spark.sql(
+      "SELECT order_id, amount FROM graft_del.sales.orders WHERE amount <= 60.0")
+      .as[(Long, Double)].collect().toSet
+    val want = ScanPlanner.readTable(spark, IcebergTable.load(dir))
+      .filter(col("amount") <= 60.0)
+      .select("order_id", "amount").as[(Long, Double)].collect().toSet
+    assert(viaSql == want)
+    // the deletes really bite: no row above the deleted threshold survives
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_del.sales.orders WHERE amount > 100.0")
+      .as[Long].head() == 0L)
   }
 }
