@@ -283,4 +283,32 @@ object IcebergMeta {
   def load(tableDir: String): TableMetadata =
     parse(new String(Files.readAllBytes(latestMetadataPath(tableDir)),
       StandardCharsets.UTF_8))
+
+  /** PUBLISH the next metadata version with compare-and-swap semantics:
+    * the content is written to a temp file and hard-LINKED to `target` —
+    * `link(2)` both is atomic for readers (no torn document) AND fails
+    * with EEXIST if another writer already claimed the version, unlike
+    * `rename(2)` which silently replaces. Optimistic concurrency, the
+    * way an Iceberg catalog's commit CAS behaves: the losing writer of a
+    * race gets [[CommitConflictException]] (reload + retry), never a
+    * clobbered or lost commit. */
+  def publish(target: Path, content: String): Unit = {
+    // per-attempt temp name: two racing writers must not share a staging
+    // file, or the loser could clobber the winner's content pre-link
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, content)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"metadata version ${target.getFileName} was committed by a " +
+            "concurrent writer; reload the table and retry")
+    } finally Files.deleteIfExists(tmp)
+  }
 }
+
+/** A concurrent writer claimed the metadata version first (optimistic-
+  * concurrency loss). The commit made no changes; reload and retry. */
+final class CommitConflictException(msg: String)
+  extends RuntimeException(msg)

@@ -1,6 +1,6 @@
 package graft.meta
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Paths
 
 /** Schema evolution as metadata commits — add / rename / drop a column,
   * producing a NEW schema version with a new schema-id and bumping
@@ -105,10 +105,7 @@ object SchemaEvolution {
     val curV = IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
       .stripPrefix("v").stripSuffix(".metadata.json").toInt
     val target = Paths.get(tableDir, "metadata", s"v${curV + 1}.metadata.json")
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, IcebergMeta.render(md))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    IcebergMeta.publish(target, IcebergMeta.render(md))
     curV + 1
   }
 }

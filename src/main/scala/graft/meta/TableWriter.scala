@@ -466,12 +466,9 @@ object TableWriter {
     CommitResult(snapId, newEntries.size, newEntries.map(_.recordCount).sum, nextVersion)
   }
 
-  /** Write-then-move so a concurrent reader never sees a torn metadata
-    * document (the same reason Iceberg commits via rename). */
-  private def writeAtomic(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** CAS publish ([[IcebergMeta.publish]]): atomic for readers, fails
+    * with [[CommitConflictException]] if a concurrent writer claimed
+    * the version first. */
+  private def writeAtomic(target: Path, content: String): Unit =
+    IcebergMeta.publish(target, content)
 }

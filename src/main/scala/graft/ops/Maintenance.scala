@@ -271,10 +271,7 @@ object Maintenance {
   private def writeNextVersion(tableDir: String, content: String): Int = {
     val v = currentVersion(tableDir) + 1
     val target = Paths.get(tableDir, "metadata", s"v$v.metadata.json")
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    IcebergMeta.publish(target, content)
     v
   }
 }
