@@ -60,12 +60,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map { case (n, t) => Identifier.of(Array(n), t) }.toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = s"$warehouse/${ident.namespace().mkString("/")}/${ident.name()}"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "metadata")))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.namespace().toSeq :+ ident.name())
-    new GraftTable(dir)
+  /** `<table>$<kind>` identifiers resolve to METADATA TABLES (the
+    * Spark-Iceberg `SELECT * FROM t.files` inspection surface):
+    * {{{ SELECT * FROM graft.sales.`orders$snapshots` }}} */
+  private val MetaIdent =
+    """(.+)\$(files|delete_files|snapshots|manifests|schemas|partitions|history|metadata_log)""".r
+
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    case MetaIdent(base, kind) =>
+      val dir = s"$warehouse/${ident.namespace().mkString("/")}/$base"
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "metadata")))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          ident.namespace().toSeq :+ ident.name())
+      new GraftMetaTable(dir, kind)
+    case _ =>
+      val dir = s"$warehouse/${ident.namespace().mkString("/")}/${ident.name()}"
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "metadata")))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          ident.namespace().toSeq :+ ident.name())
+      new GraftTable(dir)
   }
 
   /** SQL time travel `VERSION AS OF v`: `v` is a snapshot id or a ref
@@ -364,6 +377,70 @@ final class GraftScanBuilder(
     }
 }
 
+/** A METADATA TABLE (`t$files`, `t$snapshots`, …) surfaced to SQL — the
+  * reference's whole inspection domain (ref `formatters.py:263-320`,
+  * `156-220`, `143-150`) queryable with plain SELECT, like Spark-Iceberg
+  * metadata tables. Metadata relations are driver-parsed and
+  * metadata-scale ([[graft.rel.MetaRelations]]); the scan wraps the
+  * relation's DataFrame plan with column pruning. */
+final class GraftMetaTable(tableDir: String, kind: String)
+  extends Table with SupportsRead {
+
+  private def relation(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    val t = IcebergTable.load(tableDir)
+    kind match {
+      case "files" => graft.rel.MetaRelations.files(spark, t)
+      case "delete_files" => graft.rel.MetaRelations.deleteFiles(spark, t)
+      case "snapshots" => graft.rel.MetaRelations.snapshots(spark, t)
+      case "manifests" => graft.rel.MetaRelations.manifests(spark, t)
+      case "schemas" => graft.rel.MetaRelations.schemas(spark, t)
+      case "partitions" =>
+        graft.rel.MetaRelations.partitions(graft.rel.MetaRelations.files(spark, t))
+      case "history" => graft.rel.MetaRelations.history(spark, t)
+      case "metadata_log" => graft.rel.MetaRelations.metadataLog(spark, tableDir)
+    }
+  }
+
+  override def name(): String = s"$tableDir$$$kind"
+  override def schema(): StructType = relation(SparkSession.active).schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new GraftDataFrameScan(required, relation)
+    }
+}
+
+/** Generic DSv2 `V1Scan` over an engine DataFrame plan: the scan's RDD
+  * IS the wrapped plan's RDD, column-pruned to `required`. Used where a
+  * file-list Scan can't express the semantics — merge-on-read reads
+  * ([[GraftMorV1Scan]]) and the metadata tables
+  * ([[GraftMetaTable]]). */
+class GraftDataFrameScan(
+    required: StructType,
+    planFor: SparkSession => org.apache.spark.sql.DataFrame)
+  extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        planFor(context.sparkSession)
+          .select(required.fieldNames.toIndexedSeq.map(
+            org.apache.spark.sql.functions.col): _*).rdd
+    }.asInstanceOf[T]
+}
+
 /** MERGE-ON-READ fallback scan for delete-carrying tables: wraps the
   * engine's [[graft.ops.ScanPlanner.readTable]] plan (position deletes
   * anti-joined on `_metadata` lineage, equality deletes value-anti-joined
@@ -376,24 +453,7 @@ final class GraftScanBuilder(
 final class GraftMorV1Scan(
     t: IcebergTable, snapshotId: Option[Long],
     required: StructType, pushed: Seq[sources.Filter])
-  extends org.apache.spark.sql.connector.read.V1Scan {
-
-  override def readSchema(): StructType = required
-
-  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-      with org.apache.spark.sql.sources.TableScan](
-      context: org.apache.spark.sql.SQLContext): T =
-    new org.apache.spark.sql.sources.BaseRelation
-      with org.apache.spark.sql.sources.TableScan {
-      override def sqlContext: org.apache.spark.sql.SQLContext = context
-      override def schema: StructType = required
-      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-        val df0 = ScanPlanner.readTable(
-          context.sparkSession, t, snapshotId)
-        val filtered = FilterColumns.conjunction(pushed)
-          .map(df0.filter).getOrElse(df0)
-        filtered.select(required.fieldNames.toIndexedSeq.map(
-          org.apache.spark.sql.functions.col): _*).rdd
-      }
-    }.asInstanceOf[T]
-}
+  extends GraftDataFrameScan(required, spark => {
+    val df0 = ScanPlanner.readTable(spark, t, snapshotId)
+    FilterColumns.conjunction(pushed).map(df0.filter).getOrElse(df0)
+  })

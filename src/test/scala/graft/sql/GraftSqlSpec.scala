@@ -96,6 +96,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("424242"))
   }
 
+  test("metadata tables are queryable with plain SELECT (t$kind identifiers)") {
+    val wh = warehouse
+    val t = IcebergTable.load(s"$wh/sales/orders")
+
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sales.`orders$files`")
+      .as[Long].head() == t.files().size.toLong)
+    val ops = spark.sql(
+      "SELECT operation FROM graft.sales.`orders$snapshots` ORDER BY timestamp_ms")
+      .as[String].collect().toSeq
+    assert(ops == t.metadata.snapshots.sortBy(_.timestampMs).map(_.operation))
+    // partitions rollup: per-partition record sums agree with the files scan
+    val viaSql = spark.sql(
+      """SELECT partition, record_count FROM graft.sales.`orders$partitions`
+        |ORDER BY partition""".stripMargin).collect().length
+    assert(viaSql == t.files().flatMap(_.partition.values).distinct.size)
+    // column pruning + filter compose
+    assert(spark.sql(
+      """SELECT file_path FROM graft.sales.`orders$files`
+        |WHERE record_count > 0""".stripMargin).count() == t.files().size.toLong)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sales.`orders$history`")
+      .as[Long].head() >= 1L)
+  }
+
   test("delete-carrying tables read merge-on-read through SQL (V1Scan fallback)") {
     val wh2 = Files.createTempDirectory("graft-sql-del-wh").toString
     FixtureWriter.writeDemo(spark, wh2)
