@@ -63,6 +63,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("zorder value: broadcast 1-row stats, no cartesian") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    val q = graft.ops.ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), 8)
+    val plan = q.queryExecution.executedPlan.toString
+    // the per-column lo/hi ride as a broadcast of a 1-row aggregate (the
+    // interleave itself is plain shift/and/or in a Project — codegen'd)
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("repetition signal: partial aggregation before the gram shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    // count + countDistinct over exploded grams must combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("decontamination: gram membership is a left-semi join, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.Decontam.crossSplitContainment(
