@@ -135,6 +135,25 @@ object TextStats {
         round(col("n_dup").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")
 
+  /** PATTERN MASKING (PII scrubbing): replace every match of `pattern`
+    * with `mask` and report the per-doc redaction count — the
+    * text-sanitization pass a training pipeline runs before tokenizing.
+    * Pure codegen'd string expressions (regexp_replace + a length-based
+    * match count, no UDF). Patterns should stay in the regex subset
+    * common to the engines consuming the output (the oracle uses a
+    * digit-run pattern identical under Java regex and RE2). */
+  def maskPattern(
+      docs: DataFrame, pattern: String, mask: String): DataFrame = {
+    val masked = regexp_replace(col("text"), pattern, mask)
+    docs.select(
+        col("doc_id"),
+        masked.as("masked_text"),
+        // matches removed = (length delta) / (per-match length delta)
+        // is fragile for variable-width matches; count directly instead
+        (size(split(col("text"), pattern, -1)) - 1).as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic integer document fingerprint (rolling-hash style over
     * cheap structural features; pure int64 arithmetic). */
   def fingerprint(textCol: String, nChars: Column): Column = {

@@ -802,6 +802,17 @@ object PipelineQueries {
              |  round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // PII-style pattern masking: digit runs >= 3 replaced; per-doc
+    // redaction counts. The digit-run regex behaves identically under
+    // Java regex (Spark) and RE2 (DuckDB), so output text is byte-equal.
+    Q("q_redact",
+      (s, d) => TextStats.maskPattern(documents(s, d), "[0-9]{3,}", "<NUM>"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') AS masked_text,
+             |  CAST(len(regexp_split_to_array(text, '[0-9]{3,}')) - 1 AS INT)
+             |    AS n_masked
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Z-order (Morton) clustering value: the layout key behind
     // Compact.rewriteClustered. Pure BIGINT binning + bit interleave
     // (see ops.ZOrder's determinism contract), so the per-region rollup
