@@ -22,5 +22,10 @@ object GraftFunctions {
       "hash_plane_dot",
       exprs => HashPlaneDot(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iceberg_bucket",
+      exprs => IcebergBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 }

@@ -27,5 +27,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hash_plane_dot"),
       new ExpressionInfo(classOf[HashPlaneDot].getName, "hash_plane_dot"),
       exprs => HashPlaneDot(exprs.head, exprs(1))))
+    // iceberg_bucket(col, N): the spec-murmur3 partition transform as a
+    // SQL function — lets users pre-compute/debug bucket assignments
+    // (`WHERE iceberg_bucket(id, 16) = 3`) with the exact write-path
+    // semantics (spec Appendix-B vectors pinned in TransformsSpec)
+    ext.injectFunction((
+      new FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+      exprs => IcebergBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

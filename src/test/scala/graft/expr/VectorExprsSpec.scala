@@ -81,6 +81,17 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("SQL-registered iceberg_bucket matches the write path's transform") {
+    GraftFunctions.register(spark)
+    // Iceberg spec Appendix B: bucket hash of long 34 is 2017239379;
+    // bucket[16] = 2017239379 & Int.MaxValue mod 16 = 3 (same vector
+    // TransformsSpec pins for the write path)
+    val r = spark.sql("SELECT iceberg_bucket(CAST(34 AS BIGINT), 16) AS b")
+      .collect().head
+    val expected = graft.expr.IcebergTransformOps.bucketLong(34L, 16)
+    assert(r.getInt(0) == expected)
+  }
+
   test("md5_prefix native kernel equals the conv(substring(md5)) formulation") {
     val s2 = spark
     import s2.implicits._
