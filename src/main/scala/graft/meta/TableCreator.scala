@@ -68,7 +68,9 @@ object TableCreator {
       snapshots = Seq.empty)
     Files.createDirectories(dir.resolve("metadata"))
     Files.createDirectories(dir.resolve("data"))
-    Files.writeString(dir.resolve("metadata").resolve("v1.metadata.json"),
+    // CAS publish: two racing CREATEs resolve to one winner + one
+    // CommitConflictException, never a clobbered v1 document
+    IcebergMeta.publish(dir.resolve("metadata").resolve("v1.metadata.json"),
       IcebergMeta.render(md))
   }
 }

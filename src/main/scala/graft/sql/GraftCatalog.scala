@@ -81,10 +81,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       new GraftTable(dir)
   }
 
+  private def loadDataTable(ident: Identifier): GraftTable =
+    loadTable(ident) match {
+      case t: GraftTable => t
+      case _ => throw new UnsupportedOperationException(
+        s"time travel is not supported on metadata tables (${ident.name()})")
+    }
+
   /** SQL time travel `VERSION AS OF v`: `v` is a snapshot id or a ref
     * (tag/branch) name from the table's `refs` metadata. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val base = loadDataTable(ident)
     val md = base.t.metadata
     val snapId = md.refs.get(version).map(_.snapshotId)
       .orElse(version.toLongOption)
@@ -97,7 +104,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** SQL time travel `TIMESTAMP AS OF t` (micros since epoch): the
     * latest snapshot committed at or before `t`. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val base = loadDataTable(ident)
     val atOrBefore = base.t.metadata.snapshots
       .filter(_.timestampMs <= timestamp / 1000L)
     if (atOrBefore.isEmpty)
