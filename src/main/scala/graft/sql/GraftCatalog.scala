@@ -378,9 +378,7 @@ final class GraftScanBuilder(
     else {
       val live = t.files(snapshotId)
       val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
-      val paths = kept.map(e => t.resolvePath(e.filePath))
-      GraftParquetBridge.scan(
-        SparkSession.active, paths, dataSchema, required, pushed.toSeq)
+      new GraftFileScan(t, dataSchema, required, pushed.toSeq, kept)
     }
 }
 
@@ -463,4 +461,18 @@ final class GraftMorV1Scan(
   extends GraftDataFrameScan(required, spark => {
     val df0 = ScanPlanner.readTable(spark, t, snapshotId)
     FilterColumns.conjunction(pushed).map(df0.filter).getOrElse(df0)
-  })
+  }) with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Upper-bound estimate from the manifests (live data rows before the
+    * delete anti-joins subtract theirs): conservative for broadcast
+    * planning — a table that looks slightly bigger than it is never
+    * wrongly broadcasts. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val live = t.files(snapshotId)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(live.map(_.fileSizeInBytes).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(live.map(_.recordCount).sum)
+    }
+}

@@ -18,6 +18,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `ParquetScan` itself. */
 object GraftParquetBridge {
 
+  /** A v2 literal expression (`LiteralValue` is `private[sql]`); `value`
+    * must be in Catalyst internal form (e.g. `UTF8String` for strings) —
+    * the same form Spark's own runtime filters carry. */
+  def v2Literal(
+      value: Any, dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.connector.expressions.Expression =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
+
+  /** DSv2 runtime-filter `Predicate`s → v1 `Filter`s (the shape
+    * [[graft.sql.FilePrune]] prunes with); untranslatable predicates are
+    * dropped — safe, pruning is conservative. `PredicateUtils` is
+    * `private[sql]`, hence this bridge. */
+  def toV1Filters(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Array[Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
   /** A vectorized parquet [[Scan]] over an explicit (already pruned) file
     * list. `dataSchema` is the table's current schema — files written
     * under older schema versions surface later-added columns as nulls;

@@ -66,18 +66,16 @@ class GraftSqlSpec extends SparkSpec {
 
     val b = new GraftScanBuilder(t, ScanPlanner.currentSparkSchema(t).get)
     b.pushFilters(Array(IsNotNull("region"), EqualTo("region", target)))
-    val scan = b.build()
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-    val kept = scan.fileIndex.inputFiles.length
+    val scan = b.build().asInstanceOf[GraftFileScan]
+    val kept = scan.currentEntries.size
     val expected = live.count(e => e.partition.get("region").forall(_ == target))
     assert(kept == expected && kept < live.size)
 
     // bounds prune: order_id beyond every upper bound keeps nothing
     val b2 = new GraftScanBuilder(t, ScanPlanner.currentSparkSchema(t).get)
     b2.pushFilters(Array(GreaterThan("order_id", Long.box(999999L))))
-    val scan2 = b2.build()
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-    assert(scan2.fileIndex.inputFiles.isEmpty)
+    val scan2 = b2.build().asInstanceOf[GraftFileScan]
+    assert(scan2.currentEntries.isEmpty)
   }
 
   test("VERSION AS OF reads the pinned snapshot; bad version fails clearly") {
