@@ -340,6 +340,110 @@ object TableWriter {
       case _ => Seq.empty
     }
 
+    publishSnapshot(spark, dir, tableDir, md, currentMetaPath, fields, spec.specId,
+      snapId, newEntries, operation, keepPredicate, branch,
+      equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes, extraSummary)
+  }
+
+  /** Commit a set of ALREADY-WRITTEN final data files (relative path +
+    * partition map) as a new snapshot — the commit half of the DSv2
+    * executor-side write path ([[org.apache.spark.sql.GraftCowWriteBridge]]):
+    * per-file stats come from ONE distributed aggregation over the files
+    * plus a footer pass, exactly like the staged write path. `removePaths`
+    * are replaced (group-based copy-on-write); the rest carries forward. */
+  def commitFiles(
+      spark: SparkSession,
+      tableDir: String,
+      files: Seq[(String, Map[String, String])],
+      removePaths: Set[String],
+      operation: String,
+      extraSummary: Map[String, String] = Map.empty): CommitResult = {
+    val dir = Paths.get(tableDir)
+    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
+    val md = IcebergMeta.load(tableDir)
+    require(md.formatVersion == 2,
+      s"write path supports format-version 2 tables (got v${md.formatVersion})")
+    val fields = topLevelFields(md)
+    val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+    val newEntries = entriesForFiles(spark, dir, fields, snapId, files)
+    publishSnapshot(spark, dir, tableDir, md, currentMetaPath, fields,
+      md.currentSpec.specId, snapId, newEntries, operation,
+      keepPredicate = e => !removePaths.contains(e.filePath),
+      branch = None, equalityData = None, carryDeletes = false,
+      extraSummary = extraSummary)
+  }
+
+  /** [[DataFileEntry]]s for final (already-placed) parquet files: one
+    * distributed stats agg keyed by `input_file_name` + exact column
+    * sizes from footers — the same stats pass the staged write uses. */
+  private def entriesForFiles(
+      spark: SparkSession,
+      dir: Path,
+      fields: Seq[SchemaField],
+      snapId: Long,
+      files: Seq[(String, Map[String, String])]): Seq[DataFileEntry] = {
+    if (files.isEmpty) return Seq.empty
+    // `input_file_name()` URIs decode to `///abs/path`; collapse leading
+    // slashes so both sides key on the same canonical form
+    def canon(p: String): String = "/" + p.dropWhile(_ == '/')
+    val byAbs: Map[String, (String, Map[String, String])] =
+      files.map { case (rel, part) =>
+        canon(dir.resolve(rel).toString) -> (rel, part)
+      }.toMap
+    val statAggs = fields.flatMap { f => Seq(
+      count(col(f.name)).as(s"vc_${f.id}"),
+      min(col(f.name)).as(s"lo_${f.id}"),
+      max(col(f.name)).as(s"hi_${f.id}")) }
+    val stats = spark.read.parquet(byAbs.keys.toSeq: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("nrows"), statAggs: _*)
+      .collect()
+    val colBytes = columnSizes(
+      spark, stats.map(r => canon(plainPath(r.getAs[String]("__file")))).toSeq)
+    stats.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
+      val abs = canon(plainPath(row.getAs[String]("__file")))
+      val (relPath, partition) = byAbs.getOrElse(abs, throw new IllegalStateException(
+        s"stats pass surfaced unknown file $abs"))
+      val nrows = row.getAs[Long]("nrows")
+      val sizes = colBytes.getOrElse(abs, Map.empty)
+      DataFileEntry(
+        status = 1, snapshotId = snapId, content = 0,
+        filePath = relPath, fileFormat = "PARQUET", partition = partition,
+        recordCount = nrows,
+        fileSizeInBytes = Files.size(dir.resolve(relPath)),
+        columnSizes = fields.flatMap(f => sizes.get(f.name).map(f.id -> _)).toMap,
+        valueCounts = fields.map(f => f.id -> nrows).toMap,
+        nullValueCounts = fields.map(f =>
+          f.id -> (nrows - row.getAs[Long](s"vc_${f.id}"))).toMap,
+        lowerBounds = fields.flatMap { f =>
+          Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+        }.toMap,
+        upperBounds = fields.flatMap { f =>
+          Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+        }.toMap)
+    }
+  }
+
+  /** Steps 3-4 of every commit: carried-forward/existing manifests, the
+    * optional same-commit equality-delete file, manifest list, snapshot
+    * summary, next metadata version (CAS-published). */
+  private def publishSnapshot(
+      spark: SparkSession,
+      dir: Path,
+      tableDir: String,
+      md: TableMetadata,
+      currentMetaPath: Path,
+      fields: Seq[SchemaField],
+      specId: Int,
+      snapId: Long,
+      newEntries: Seq[DataFileEntry],
+      operation: String,
+      keepPredicate: DataFileEntry => Boolean,
+      branch: Option[String],
+      equalityData: Option[(DataFrame, Seq[String])],
+      carryDeletes: Boolean,
+      extraSummary: Map[String, String]): CommitResult = {
+
     // ---- 3. carried-forward entries (append keeps whole manifests;
     // overwrite/replace rewrite kept entries into an `existing` manifest).
     // A branch commit chains from the BRANCH head, not the current
@@ -365,7 +469,7 @@ object TableWriter {
       AvroManifests.writeManifest(dir.resolve(keptPath).toString, existing)
       manifests += ManifestFile(
         keptPath, Files.size(dir.resolve(keptPath)),
-        partitionSpecId = spec.specId, content = 0, addedSnapshotId = snapId,
+        partitionSpecId = specId, content = 0, addedSnapshotId = snapId,
         addedFilesCount = 0, existingFilesCount = existing.size,
         deletedFilesCount = 0, addedRowsCount = 0L,
         existingRowsCount = existing.map(_.recordCount).sum, deletedRowsCount = 0L)
@@ -384,7 +488,7 @@ object TableWriter {
       AvroManifests.writeManifest(dir.resolve(addedPath).toString, newEntries)
       manifests += ManifestFile(
         addedPath, Files.size(dir.resolve(addedPath)),
-        partitionSpecId = spec.specId, content = 0, addedSnapshotId = snapId,
+        partitionSpecId = specId, content = 0, addedSnapshotId = snapId,
         addedFilesCount = newEntries.size, existingFilesCount = 0,
         deletedFilesCount = 0,
         addedRowsCount = newEntries.map(_.recordCount).sum,
@@ -395,10 +499,10 @@ object TableWriter {
     // the same commit — it carries this snapshot's sequence, so it hits
     // matching rows of every EARLIER file while the data files added
     // above (same sequence) are exempt. One distinct-keys projection.
-    equalityDeleteOn.foreach { keys =>
+    equalityData.foreach { case (keyData, keys) =>
       val keyFields = keys.map(k => fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"upsert key $k not in schema")))
-      val keysDf = data.get.select(keys.map(col): _*).distinct().coalesce(1)
+      val keysDf = keyData.select(keys.map(col): _*).distinct().coalesce(1)
       val stage = Files.createTempDirectory("graft-upsert")
       keysDf.write.mode("overwrite").parquet(stage.toString)
       val staged = scala.util.Using.resource(Files.list(stage))(
@@ -417,7 +521,7 @@ object TableWriter {
       AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
       manifests += ManifestFile(
         delManifestPath, Files.size(dir.resolve(delManifestPath)),
-        partitionSpecId = spec.specId, content = 1, addedSnapshotId = snapId,
+        partitionSpecId = specId, content = 1, addedSnapshotId = snapId,
         addedFilesCount = 1, existingFilesCount = 0, deletedFilesCount = 0,
         addedRowsCount = nKeys, existingRowsCount = 0L, deletedRowsCount = 0L)
     }

@@ -262,7 +262,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * [[GraftMorV1Scan]] fallback (a bare file scan would resurrect
   * deleted rows); delete-free tables use the vectorized parquet path. */
 final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   private[sql] val t: IcebergTable = IcebergTable.load(tableDir)
 
@@ -324,6 +325,17 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(t, schema(), snapshotId)
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with an untranslatable
+    * condition) via group-based copy-on-write row-level operations
+    * ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotId.isEmpty,
+      s"cannot modify a time-travel (VERSION/TIMESTAMP AS OF) scan of $tableDir")
+    () => new GraftRowLevelOperation(this, info.command())
+  }
 }
 
 /** Write builder: plain insert appends a snapshot; `truncate()` (how
@@ -354,8 +366,9 @@ final class GraftWriteBuilder(tableDir: String)
 /** Pushdown-aware scan builder: remembers pushed filters for metadata
   * FILE pruning, hands them to the parquet scan for ROW-GROUP pruning,
   * and returns them all as residuals (Spark re-evaluates row-level). */
-final class GraftScanBuilder(
-    t: IcebergTable, dataSchema: StructType, snapshotId: Option[Long] = None)
+class GraftScanBuilder(
+    t: IcebergTable, dataSchema: StructType, snapshotId: Option[Long] = None,
+    runtimeFilterCols: Option[Seq[String]] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[sources.Filter] = Array.empty
@@ -378,7 +391,7 @@ final class GraftScanBuilder(
     else {
       val live = t.files(snapshotId)
       val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
-      new GraftFileScan(t, dataSchema, required, pushed.toSeq, kept)
+      new GraftFileScan(t, dataSchema, required, pushed.toSeq, kept, runtimeFilterCols)
     }
 }
 

@@ -45,7 +45,8 @@ final class GraftFileScan(
     dataSchema: StructType,
     required: StructType,
     pushed: Seq[sources.Filter],
-    initialEntries: Seq[DataFileEntry])
+    initialEntries: Seq[DataFileEntry],
+    runtimeFilterCols: Option[Seq[String]] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @volatile private var entries: Seq[DataFileEntry] = initialEntries
@@ -59,9 +60,16 @@ final class GraftFileScan(
     * manifest bounds exist for all primitives, so bounds pruning (not
     * just partition identity) can act on whatever key the join uses.
     * Restricted to the pruned read schema — Spark resolves these against
-    * the scan's OUTPUT attributes. */
+    * the scan's OUTPUT attributes. Row-level operation scans narrow this
+    * to the partition SOURCE columns (`runtimeFilterCols`): Spark's
+    * runtime group filtering builds one distinct-subquery over ALL filter
+    * attributes, and a full-row struct neither translates to a v1 filter
+    * nor prunes — partition columns keep the subquery cheap and the
+    * prune effective. */
   override def filterAttributes(): Array[NamedReference] =
-    required.fieldNames.map(Expressions.column).toArray
+    runtimeFilterCols.getOrElse(required.fieldNames.toSeq)
+      .filter(c => required.fieldNames.contains(c))
+      .map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1: Array[sources.Filter] = GraftParquetBridge.toV1Filters(predicates)
