@@ -305,6 +305,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def expireSnapshots(ref: String, olderThanMs: Long, retainLast: Int = 1): Maintenance.ExpireResult =
     Maintenance.expireSnapshots(tableDir(ref), olderThanMs, retainLast)
 
+  /** Bin-pack data manifests (Iceberg `rewrite_manifests`): metadata-only
+    * replace commit; None when already packed. */
+  def rewriteManifests(ref: String, targetEntries: Int = 5000)
+    : Option[Maintenance.RewriteManifestsResult] =
+    Maintenance.rewriteManifests(tableDir(ref), targetEntries)
+
   /** Metadata-only rollback of the current-snapshot pointer. */
   def rollback(ref: String, snapshotId: Long): Int =
     Maintenance.rollback(tableDir(ref), snapshotId)

@@ -262,6 +262,95 @@ object Maintenance {
   def removeOrphans(tableDir: String): Int =
     orphanFiles(tableDir).count(p => Files.deleteIfExists(Paths.get(p)))
 
+  final case class RewriteManifestsResult(
+      manifestsBefore: Int,
+      manifestsAfter: Int,
+      entries: Int,
+      metadataVersion: Int)
+
+  /** Bin-pack the current snapshot's DATA manifests into at most
+    * ceil(entries / targetEntries) new manifests — Iceberg's
+    * `rewrite_manifests` maintenance action. Frequent small commits
+    * (streaming ingest, per-batch appends) each add a manifest; scan
+    * PLANNING then reads hundreds of tiny Avro files, which at 100 TB /
+    * 500k-file scale is the metadata bottleneck (the data itself is
+    * untouched — this is the metadata twin of small-file compaction).
+    *
+    * Entries are re-sorted by (partition, path) so each packed manifest
+    * covers a contiguous partition range. Rewritten entries keep their
+    * adding snapshot id with status `existing`; delete manifests carry
+    * forward untouched; the commit is a metadata-only `replace` snapshot
+    * (same live file set — prior snapshots still reference the old
+    * manifests, so time travel is intact and [[expireSnapshots]] reclaims
+    * the old Avro later). Returns None when already packed tight enough.
+    *
+    * Scale shape: driver-side over manifest entries (metadata-scale,
+    * SURVEY §7.3); no data file is opened. */
+  def rewriteManifests(
+      tableDir: String,
+      targetEntries: Int = 5000): Option[RewriteManifestsResult] = {
+    require(targetEntries > 0, "targetEntries must be positive")
+    val t = IcebergTable.load(tableDir)
+    val md = t.metadata
+    if (md.currentSnapshotId.isEmpty) return None
+    val manifests = t.manifests()
+    val dataManifests = manifests.filter(_.content == 0)
+    val deleteManifests = manifests.filter(_.content == 1)
+    val entries = dataManifests
+      .flatMap(m => AvroManifests.readManifest(t.resolvePath(m.manifestPath)))
+      .filter(_.status != 2)
+    val targetCount = math.max(1, (entries.size + targetEntries - 1) / targetEntries)
+    if (dataManifests.size <= targetCount) return None
+
+    val sorted = entries.sortBy(e =>
+      (e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        e.filePath))
+    val perManifest = (sorted.size + targetCount - 1) / targetCount
+    val snapId = md.snapshots.map(_.snapshotId).max + 1L
+    val dir = Paths.get(tableDir)
+    val newManifests = sorted.grouped(perManifest).zipWithIndex.map {
+      case (group, i) =>
+        // entries keep their ORIGINAL adding snapshot, status -> existing
+        val existing = group.map(e => e.copy(status = 0))
+        val relPath = f"metadata/manifest-$snapId-packed-$i%03d.avro"
+        AvroManifests.writeManifest(dir.resolve(relPath).toString, existing)
+        ManifestFile(
+          relPath, Files.size(dir.resolve(relPath)),
+          partitionSpecId = md.currentSpec.specId, content = 0,
+          addedSnapshotId = snapId,
+          addedFilesCount = 0, existingFilesCount = existing.size,
+          deletedFilesCount = 0, addedRowsCount = 0L,
+          existingRowsCount = existing.map(_.recordCount).sum,
+          deletedRowsCount = 0L)
+    }.toSeq
+
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(
+      dir.resolve(listPath).toString, newManifests ++ deleteManifests)
+    val nowMs = System.currentTimeMillis()
+    val snapshot = Snapshot(
+      snapshotId = snapId,
+      parentSnapshotId = md.currentSnapshotId,
+      timestampMs = nowMs,
+      operation = "replace",
+      summary = Map(
+        "operation" -> "replace",
+        "manifests-replaced" -> dataManifests.size.toString,
+        "manifests-created" -> newManifests.size.toString,
+        "manifests-kept" -> deleteManifests.size.toString,
+        "total-data-files" -> entries.size.toString,
+        "total-records" -> entries.map(_.recordCount).sum.toString,
+        "total-files-size" -> entries.map(_.fileSizeInBytes).sum.toString),
+      manifestList = listPath,
+      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L)
+    val v = writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+      lastUpdatedMs = nowMs,
+      currentSnapshotId = Some(snapId),
+      snapshots = md.snapshots :+ snapshot,
+      refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))))
+    Some(RewriteManifestsResult(dataManifests.size, newManifests.size, entries.size, v))
+  }
+
   // ------------------------------------------------------------- internals
 
   private def currentVersion(tableDir: String): Int =

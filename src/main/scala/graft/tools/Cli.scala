@@ -17,6 +17,7 @@ import graft.api.{Engine, Errors}
   *      | watch T rounds | read T [snapshotId] | changes T s1 s2
   *      | delete-files T [snapshotId] | append-parquet T parquetDir
   *      | compact T | expire T olderThanMs [retainLast]
+  *      | rewrite-manifests T [targetEntries]
   *      | rollback T snapshotId | orphans T [--remove]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
@@ -125,6 +126,13 @@ object Cli {
             vargs.lift(2).map(_.toInt).getOrElse(1))
           println(s"expired ${r.expiredSnapshots.size} snapshots; deleted " +
             s"${r.deletedManifests} manifests, ${r.deletedDataFiles} data files")
+        case "rewrite-manifests" =>
+          engine.rewriteManifests(vargs(0),
+            vargs.lift(1).map(_.toInt).getOrElse(5000)) match {
+            case Some(r) => println(s"packed ${r.manifestsBefore} manifests " +
+              s"into ${r.manifestsAfter} (${r.entries} entries, metadata v${r.metadataVersion})")
+            case None => println("manifests already packed")
+          }
         case "rollback" =>
           val v = engine.rollback(vargs(0), vargs(1).toLong)
           println(s"rolled back to snapshot ${vargs(1)} (metadata v$v)")
@@ -187,5 +195,6 @@ object Cli {
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
+      "       rewrite-manifests\n" +
       "       create-table zorder delete-where update-where")
 }

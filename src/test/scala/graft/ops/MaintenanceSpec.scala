@@ -189,4 +189,38 @@ class MaintenanceSpec extends SparkSpec {
     // all live files still present and readable
     assert(e.files("analytics.events").count() > 0)
   }
+
+  test("rewriteManifests bin-packs data manifests without changing the live file set") {
+    val wh = freshWarehouse()
+    val tdir = s"$wh/sales/orders"
+    // two engine appends on top of the demo table: each adds a manifest
+    val base = ScanPlanner.readTable(spark, graft.meta.IcebergTable.load(tdir))
+    graft.meta.TableWriter.append(spark, tdir, base.limit(3))
+    graft.meta.TableWriter.append(spark, tdir, base.limit(2))
+    val before = graft.meta.IcebergTable.load(tdir)
+    val beforeManifests = before.manifests().count(_.content == 0)
+    assert(beforeManifests > 1, "table should carry several manifests")
+    val beforeFiles = before.files().map(e =>
+      (e.filePath, e.recordCount, e.partition)).toSet
+    val beforeSnaps = before.metadata.snapshots.map(_.snapshotId)
+
+    val res = Maintenance.rewriteManifests(tdir).get
+    assert(res.manifestsBefore == beforeManifests && res.manifestsAfter == 1)
+
+    val after = graft.meta.IcebergTable.load(tdir)
+    assert(after.manifests().count(_.content == 0) == 1)
+    // identical live set, entries keep their adding snapshot + partition
+    val afterFiles = after.files().map(e =>
+      (e.filePath, e.recordCount, e.partition)).toSet
+    assert(afterFiles == beforeFiles)
+    assert(after.files().forall(e => beforeSnaps.contains(e.snapshotId)))
+    // prior snapshots still resolve through their old manifest lists
+    assert(after.files(Some(beforeSnaps.head)).nonEmpty)
+    // already packed: second run is a no-op
+    assert(Maintenance.rewriteManifests(tdir).isEmpty)
+    // the replace snapshot carries honest totals
+    val snap = after.metadata.snapshots.last
+    assert(snap.operation == "replace")
+    assert(snap.summary("total-data-files").toInt == afterFiles.size)
+  }
 }
