@@ -848,5 +848,20 @@ object PipelineQueries {
            |       min(zval) AS z_lo, max(zval) AS z_hi
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // ---- ANALYZE-style NDV estimation: KMV (bottom-k) distinct sketch
+    // with the portable md5 hash, so the ESTIMATE ITSELF is
+    // bit-reproducible in DuckDB — including the (k-1)*M/h_k division,
+    // which both engines run in IEEE double with identical inputs.
+    // 100 TB shape: the shuffle carries at most k 8-byte hashes per
+    // partition per column, never the values (graft.ops.Stats).
+    Q("q_ndv_sketch",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Stats.kmvSketch(docs, Seq("doc_id", "lang", "source"), k = 256)
+      },
+      Some(Seq("doc_id", "lang", "source")
+        .map(c => "(" + graft.ops.Stats.kmvOracleSql("documents", c, 256) + ")")
+        .mkString("", " UNION ALL ", " ORDER BY column_name"))),
   )
 }

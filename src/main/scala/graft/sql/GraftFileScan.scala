@@ -88,6 +88,38 @@ final class GraftFileScan(
       OptionalLong.of(entries.map(_.fileSizeInBytes).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(entries.map(_.recordCount).sum)
+
+    /** Per-column stats for CBO: `distinctCount` from the last ANALYZE
+      * ([[graft.ops.Stats.analyzeTable]] properties), `nullCount` summed
+      * from the surviving manifest entries. */
+    override def columnStats(): java.util.Map[
+        NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val ndv = graft.ops.Stats.storedNdv(t)
+      val out = new java.util.HashMap[
+        NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      t.metadata.currentSchema.fields
+        .filter(f => !f.path.contains('.') && required.fieldNames.contains(f.name))
+        .foreach { f =>
+          val nulls: Option[Long] = {
+            val per = entries.map(_.nullValueCounts.get(f.id))
+            if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+            else None
+          }
+          val dc = ndv.get(f.name)
+          if (dc.isDefined || nulls.isDefined)
+            out.put(
+              Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  dc.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+                override def nullCount(): OptionalLong =
+                  nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+              })
+        }
+      out
+    }
   }
 
   override def description(): String =
