@@ -863,5 +863,51 @@ object PipelineQueries {
       Some(Seq("doc_id", "lang", "source")
         .map(c => "(" + graft.ops.Stats.kmvOracleSql("documents", c, 256) + ")")
         .mkString("", " UNION ALL ", " ORDER BY column_name"))),
+
+    // ---- training-sequence packing: documents concatenated into
+    // fixed-budget sequences per source (bin = cumulative-prefix / budget
+    // — one window shuffle per source at any scale). Integer-only.
+    Q("q_seq_pack",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Packing.packSequences(docs, "source", "doc_id", "n_chars", 4096L)
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("seq_chars"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "seq_id")
+      },
+      Some("""WITH packed AS (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS seq_id
+             |  FROM documents)
+             |SELECT source, seq_id, count(*) AS n_docs,
+             |       sum(n_chars) AS seq_chars,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM packed GROUP BY source, seq_id
+             |ORDER BY source, seq_id""".stripMargin)),
+
+    // ---- sliding-window chunking (RAG/embedding prep): 512-char spans
+    // every 480 chars via sequence+explode (codegen, no UDF); integral
+    // arithmetic keeps it engine-exact.
+    Q("q_chunk",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Packing.chunkSpans(docs, "n_chars", window = 512, stride = 480)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("span_chars"),
+            max(col("span_len")).as("max_span"), min(col("span_len")).as("min_span"))
+          .orderBy("source")
+      },
+      Some("""WITH spans AS (
+             |  SELECT source,
+             |    least(512, n_chars - start) AS span_len
+             |  FROM (SELECT source, n_chars,
+             |          unnest(generate_series(0, n_chars - 1, 480)) AS start
+             |        FROM documents WHERE n_chars > 0))
+             |SELECT source, count(*) AS n_spans, sum(span_len) AS span_chars,
+             |       max(span_len) AS max_span, min(span_len) AS min_span
+             |FROM spans GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
