@@ -357,6 +357,12 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   def setPartitionSpec(ref: String, sourceCols: Seq[String]): Int =
     graft.meta.SchemaEvolution.setPartitionSpec(tableDir(ref), sourceCols)
 
+  /** Declare the write sort order (`"col"` / `"col desc"` entries;
+    * empty = unsorted); future writes emit per-file sorted runs with
+    * tight bounds. Returns the new order id. */
+  def setSortOrder(ref: String, cols: Seq[String]): Int =
+    graft.meta.SchemaEvolution.setSortOrder(tableDir(ref), cols)
+
   /** Read the table's DATA as a DataFrame (all live files of a snapshot). */
   def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =
     ScanPlanner.readTable(spark, load(ref), snapshotId)

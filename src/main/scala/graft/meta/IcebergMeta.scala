@@ -58,6 +58,15 @@ final case class Snapshot(
   * with commits ("main"), `tag` refs pin a snapshot forever. */
 final case class SnapshotRef(snapshotId: Long, refType: String)
 
+/** One dimension of an Iceberg sort order (spec `sort-orders.fields`):
+  * identity (or transform) of a source field, `asc`/`desc`, and the
+  * null placement (`nulls-first`/`nulls-last`). */
+final case class SortField(
+    sourceId: Int, transform: String, direction: String, nullOrder: String)
+
+/** A named sort order (Iceberg spec): order 0 is the unsorted order. */
+final case class IceSortOrder(orderId: Int, fields: Seq[SortField])
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -70,12 +79,17 @@ final case class TableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
-    refs: Map[String, SnapshotRef] = Map.empty) {
+    refs: Map[String, SnapshotRef] = Map.empty,
+    sortOrders: Seq[IceSortOrder] = Seq.empty,
+    defaultSortOrderId: Int = 0) {
 
   def currentSchema: IceSchema = schemas.find(_.schemaId == currentSchemaId).get
   def currentSpec: PartitionSpec = partitionSpecs.find(_.specId == defaultSpecId).get
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+  /** The active sort order, if a sorted one is the default. */
+  def defaultSortOrder: Option[IceSortOrder] =
+    sortOrders.find(o => o.orderId == defaultSortOrderId && o.fields.nonEmpty)
 }
 
 object IcebergMeta {
@@ -199,7 +213,20 @@ object IcebergMeta {
         e.getKey -> SnapshotRef(
           e.getValue.path("snapshot-id").asLong(),
           e.getValue.path("type").asText("tag"))
-      }.toMap)
+      }.toMap,
+      // `sort-orders` (optional): order 0 with no fields = unsorted
+      n.path("sort-orders").elements().asScala.map { o =>
+        IceSortOrder(
+          o.path("order-id").asInt(),
+          o.path("fields").elements().asScala.map { f =>
+            SortField(
+              f.path("source-id").asInt(),
+              f.path("transform").asText("identity"),
+              f.path("direction").asText("asc"),
+              f.path("null-order").asText("nulls-first"))
+          }.toSeq)
+      }.toSeq,
+      n.path("default-sort-order-id").asInt(0))
   }
 
   def render(md: TableMetadata): String = {
@@ -237,6 +264,22 @@ object IcebergMeta {
         val fn = fa.addObject()
         fn.put("name", f.name); fn.put("transform", f.transform)
         fn.put("source-id", f.sourceId); fn.put("field-id", f.fieldId)
+      }
+    }
+    if (md.sortOrders.nonEmpty) {
+      root.put("default-sort-order-id", md.defaultSortOrderId)
+      val soArr = root.putArray("sort-orders")
+      md.sortOrders.foreach { o =>
+        val on = soArr.addObject()
+        on.put("order-id", o.orderId)
+        val fa = on.putArray("fields")
+        o.fields.foreach { f =>
+          val fn = fa.addObject()
+          fn.put("transform", f.transform)
+          fn.put("source-id", f.sourceId)
+          fn.put("direction", f.direction)
+          fn.put("null-order", f.nullOrder)
+        }
       }
     }
     val props = root.putObject("properties")

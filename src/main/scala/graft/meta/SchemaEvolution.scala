@@ -87,6 +87,44 @@ object SchemaEvolution {
     newSpecId
   }
 
+  /** Declare the table's WRITE SORT ORDER (Iceberg `sort-orders` +
+    * `default-sort-order-id`, metadata-only): future writes sort rows by
+    * these columns WITHIN each file ([[TableWriter]] sorts inside the
+    * staging pass — no extra shuffle), which tightens per-file min/max
+    * bounds on the sort keys so range predicates prune far more files.
+    * `cols` entries are `"name"` (asc) or `"name desc"`; Iceberg default
+    * null placement (asc → nulls-first, desc → nulls-last). Empty `cols`
+    * resets to unsorted. Returns the new order id. */
+  def setSortOrder(tableDir: String, cols: Seq[String]): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    val fields = cols.map { decl =>
+      val (name, dir) = decl.trim.split("\\s+") match {
+        case Array(n) => (n, "asc")
+        case Array(n, d) if d.equalsIgnoreCase("asc") || d.equalsIgnoreCase("desc") =>
+          (n, d.toLowerCase)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable sort declaration '$decl' (expected `col` or `col desc`)")
+      }
+      val f = cur.fields.find(f => f.name == name && !f.path.contains('.')).getOrElse(
+        throw new IllegalArgumentException(
+          s"sort column $name not a top-level column of schema ${cur.schemaId}"))
+      SortField(f.id, "identity", dir,
+        if (dir == "asc") "nulls-first" else "nulls-last")
+    }
+    val newOrderId =
+      if (fields.isEmpty) 0
+      else (0 +: md.sortOrders.map(_.orderId)).max + 1
+    val orders =
+      if (fields.isEmpty) md.sortOrders
+      else md.sortOrders :+ IceSortOrder(newOrderId, fields)
+    writeNext(tableDir, md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      sortOrders = orders,
+      defaultSortOrderId = newOrderId))
+    newOrderId
+  }
+
   /** Append the new field list as the next schema version and point
     * `current-schema-id` at it. Returns the new schema id. */
   private def commitSchema(

@@ -289,8 +289,28 @@ object TableWriter {
         val staged1 =
           if (stagingParts.isEmpty) staged0
           else staged0.repartition(stagingParts.map(col): _*)
-        if (stagingParts.isEmpty) staged1.write.mode("overwrite").parquet(stage.toString)
-        else staged1.write.mode("overwrite")
+        // declared write sort order (Iceberg sort-orders): sort INSIDE
+        // each task — no extra shuffle — so every file holds a sorted run
+        // and its min/max bounds on the sort keys are tight (range
+        // predicates then prune files instead of scanning them)
+        val sortCols: Seq[org.apache.spark.sql.Column] =
+          md.defaultSortOrder.toSeq.flatMap(_.fields).flatMap { sf =>
+            fields.find(_.id == sf.sourceId).map { f =>
+              val c = col(f.name)
+              (sf.direction, sf.nullOrder) match {
+                case ("desc", "nulls-first") => c.desc_nulls_first
+                case ("desc", _) => c.desc_nulls_last
+                case (_, "nulls-last") => c.asc_nulls_last
+                case _ => c.asc_nulls_first
+              }
+            }
+          }
+        val staged2 =
+          if (sortCols.isEmpty) staged1
+          else staged1.sortWithinPartitions(
+            stagingParts.map(col) ++ sortCols: _*)
+        if (stagingParts.isEmpty) staged2.write.mode("overwrite").parquet(stage.toString)
+        else staged2.write.mode("overwrite")
           .partitionBy(stagingParts: _*).parquet(stage.toString)
 
         // ---- 2. per-file stats: one distributed agg keyed by file name

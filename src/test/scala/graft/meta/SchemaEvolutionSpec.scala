@@ -109,4 +109,39 @@ class SchemaEvolutionSpec extends SparkSpec {
       e.dropColumn("sales.orders", "region") // identity partition source
     }
   }
+
+  test("setSortOrder: metadata round-trips and writes produce sorted files") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-sort-t").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("amount", DoubleType))), Seq("grp"))
+
+    val oid = SchemaEvolution.setSortOrder(dir, Seq("amount desc"))
+    val md = IcebergMeta.load(dir)
+    assert(md.defaultSortOrderId == oid)
+    val so = md.defaultSortOrder.get
+    assert(so.fields.map(f => (f.direction, f.nullOrder)) ==
+      Seq(("desc", "nulls-last")))
+    // JSON round trip preserves the order
+    assert(IcebergMeta.parse(IcebergMeta.render(md)).defaultSortOrder.contains(so))
+
+    // append deliberately unsorted rows; every written file must hold a
+    // sorted run (desc by amount)
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", rng.nextDouble() * 100))
+    TableWriter.append(spark, dir, rows.toDF("id", "grp", "amount"))
+    val t = IcebergTable.load(dir)
+    assert(t.files().nonEmpty)
+    t.files().foreach { e =>
+      val vals = spark.read.parquet(t.resolvePath(e.filePath))
+        .select("amount").collect().map(_.getDouble(0)).toSeq
+      assert(vals == vals.sortBy(-_), s"${e.filePath} is not desc-sorted")
+    }
+
+    // reset to unsorted
+    assert(SchemaEvolution.setSortOrder(dir, Seq.empty) == 0)
+    assert(IcebergMeta.load(dir).defaultSortOrder.isEmpty)
+  }
 }
