@@ -26,7 +26,7 @@ object Engine {
   }
 }
 
-final class Engine(spark: SparkSession, warehouseDir: String) {
+final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   def tableDir(ref: String): String = {
     val parts = ref.split("\\.", 2)
@@ -83,6 +83,10 @@ final class Engine(spark: SparkSession, warehouseDir: String) {
   /** Spark-Iceberg `t.metadata_log_entries` analog. */
   def metadataLog(ref: String): DataFrame =
     MetaRelations.metadataLog(spark, tableDir(ref))
+
+  /** Spark-Iceberg `t.refs` analog: named branches/tags. */
+  def refs(ref: String): DataFrame =
+    MetaRelations.refs(spark, load(ref))
 
   def manifests(ref: String, snapshotId: Option[Long] = None): DataFrame =
     MetaRelations.manifests(spark, load(ref), snapshotId)

@@ -148,6 +148,20 @@ object MetaRelations {
     spark.createDataFrame(rows.asJava, metadataLogSchema)
   }
 
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  /** The refs table (Spark-Iceberg `t.refs` analog): every named branch
+    * and tag with the snapshot it points at. */
+  def refs(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val rows = t.metadata.refs.toSeq.sortBy(_._1).map { case (name, r) =>
+      Row(name, r.refType, r.snapshotId)
+    }
+    spark.createDataFrame(rows.asJava, refsSchema)
+  }
+
   val manifestsSchema: StructType = StructType(Seq(
     StructField("manifest_path", StringType, nullable = false),
     StructField("manifest_length", LongType, nullable = false),

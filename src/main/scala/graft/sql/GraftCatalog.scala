@@ -39,7 +39,8 @@ import graft.ops.ScanPlanner
   * All pushed filters are ALSO returned as residuals, so Spark
   * re-evaluates them row-level — pruning only has to be conservative,
   * never exact. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -64,7 +65,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * Spark-Iceberg `SELECT * FROM t.files` inspection surface):
     * {{{ SELECT * FROM graft.sales.`orders$snapshots` }}} */
   private val MetaIdent =
-    """(.+)\$(files|delete_files|snapshots|manifests|schemas|partitions|history|metadata_log)""".r
+    """(.+)\$(files|delete_files|snapshots|manifests|schemas|partitions|history|metadata_log|refs)""".r
 
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case MetaIdent(base, kind) =>
@@ -209,6 +210,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.createDirectories(to.getParent)
     java.nio.file.Files.move(from, to)
   }
+
+  // ---- procedures: `CALL graft.system.<proc>(...)` — the Iceberg
+  // maintenance-procedure surface ([[GraftProcedures]])
+
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace (got ${ident.namespace().mkString(".")})")
+    GraftProcedures.load(ident.name(), warehouse)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- namespaces
 
@@ -416,6 +432,7 @@ final class GraftMetaTable(tableDir: String, kind: String)
         graft.rel.MetaRelations.partitions(graft.rel.MetaRelations.files(spark, t))
       case "history" => graft.rel.MetaRelations.history(spark, t)
       case "metadata_log" => graft.rel.MetaRelations.metadataLog(spark, tableDir)
+      case "refs" => graft.rel.MetaRelations.refs(spark, t)
     }
   }
 

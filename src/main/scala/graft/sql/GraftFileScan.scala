@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftParquetBridge
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.meta.{DataFileEntry, IcebergTable}
+import graft.meta.{DataFileEntry, IcebergTable, SchemaField}
 
 /** The catalog's data scan over a statically-pruned manifest file list,
   * upgraded with the two DSv2 capabilities that matter most on a big
@@ -47,7 +51,8 @@ final class GraftFileScan(
     pushed: Seq[sources.Filter],
     initialEntries: Seq[DataFileEntry],
     runtimeFilterCols: Option[Seq[String]] = None)
-  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   @volatile private var entries: Seq[DataFileEntry] = initialEntries
 
@@ -77,11 +82,67 @@ final class GraftFileScan(
       entries = entries.filter(e => v1.forall(f => FilePrune.keep(t, e, f)))
   }
 
-  override def toBatch: Batch =
-    GraftParquetBridge.scan(
+  // ---- storage-partitioned joins (SPJ): when the table is
+  // identity-partitioned and SPJ planning is on, report
+  // KeyGroupedPartitioning and plan ONE input partition per partition
+  // value — two graft tables on the same layout then join with NO
+  // shuffle on either side (the decisive join shape at 100 TB: neither
+  // fact table moves).
+
+  /** Identity spec dims usable as SPJ keys: source top-level, a type we
+    * can convert from the stored partition string, present in every
+    * surviving entry's partition map, and in the projected schema (keys
+    * resolve against scan output). */
+  private def spjDims: Seq[(String, SchemaField)] = {
+    val md = t.metadata
+    val dims = md.currentSpec.fields.filter(_.transform == "identity").flatMap { sf =>
+      md.currentSchema.fields
+        .find(f => f.id == sf.sourceId && !f.path.contains('.'))
+        .filter(f => Set("long", "int", "string", "date").contains(f.fieldType))
+        .filter(f => required.fieldNames.contains(f.name))
+        .map(sf.name -> _)
+    }
+    if (dims.nonEmpty &&
+        entries.forall(e => dims.forall { case (p, _) => e.partition.contains(p) }))
+      dims
+    else Seq.empty
+  }
+
+  private def keyValue(raw: String, iceType: String): Any = iceType match {
+    case "long" => raw.toLong
+    case "int" => raw.toInt
+    case "string" => UTF8String.fromString(raw)
+    case "date" => java.time.LocalDate.parse(raw).toEpochDay.toInt
+  }
+
+  private def keyGroups(dims: Seq[(String, SchemaField)])
+    : Seq[(InternalRow, Seq[String])] =
+    entries.groupBy(e => dims.map { case (p, src) =>
+      keyValue(e.partition(p), src.fieldType) })
+      .toSeq.sortBy(_._1.mkString("|"))
+      .map { case (key, es) =>
+        (new GenericInternalRow(key.toArray): InternalRow,
+          es.map(e => t.resolvePath(e.filePath)))
+      }
+
+  override def outputPartitioning(): Partitioning = {
+    val dims = if (GraftParquetBridge.v2BucketingEnabled) spjDims else Seq.empty
+    if (dims.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      dims.map { case (_, src) => Expressions.identity(src.name) }.toArray,
+      keyGroups(dims).size)
+  }
+
+  override def toBatch: Batch = {
+    val dims = if (GraftParquetBridge.v2BucketingEnabled) spjDims else Seq.empty
+    if (dims.nonEmpty)
+      GraftParquetBridge.keyGroupedBatch(
+        SparkSession.active, keyGroups(dims), dataSchema, required, pushed)
+    else GraftParquetBridge.scan(
       SparkSession.active,
       entries.map(e => t.resolvePath(e.filePath)),
       dataSchema, required, pushed).toBatch
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =

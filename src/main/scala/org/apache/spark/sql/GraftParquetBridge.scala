@@ -16,7 +16,58 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * whole-stage codegen, row-group pruning on `pushedFilters`, and
   * `SupportsReportStatistics` (for broadcast-join planning) all come from
   * `ParquetScan` itself. */
+/** A file partition that KNOWS its partition-key tuple — the
+  * `HasPartitionKey` contract `KeyGroupedPartitioning` planning groups
+  * by. Extends Spark's own `FilePartition` so the stock parquet reader
+  * factory consumes it unchanged. */
+private[sql] class GraftKeyedFilePartition(
+    index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 object GraftParquetBridge {
+
+  /** Is storage-partitioned-join planning enabled
+    * (`spark.sql.sources.v2.bucketing.enabled`)? `SQLConf` is
+    * `private[sql]`. */
+  def v2BucketingEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
+  /** A [[org.apache.spark.sql.connector.read.Batch]] with ONE input
+    * partition per PARTITION VALUE (each carrying its key via
+    * `HasPartitionKey`) — what `KeyGroupedPartitioning` requires for
+    * storage-partitioned joins: two graft tables laid out on the same
+    * identity partitioning join with NO shuffle on either side. Rows are
+    * still read by Spark's own vectorized parquet reader factory; only
+    * the split planning changes (per-key grouping instead of size
+    * balancing — the Iceberg SPJ trade). */
+  def keyGroupedBatch(
+      spark: SparkSession,
+      groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])],
+      dataSchema: StructType,
+      readSchema: StructType,
+      pushed: Seq[Filter]): org.apache.spark.sql.connector.read.Batch = {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    // reader factory is file-list independent: build it once
+    val factory = scan(spark, groups.flatMap(_._2), dataSchema, readSchema, pushed)
+      .toBatch.createReaderFactory()
+    val parts: Array[InputPartition] = groups.zipWithIndex.map {
+      case ((key, paths), i) =>
+        val files = scan(spark, paths, dataSchema, readSchema, pushed)
+          .toBatch.planInputPartitions()
+          .flatMap(_.asInstanceOf[FilePartition].files)
+        new GraftKeyedFilePartition(i, files, key): InputPartition
+    }.toArray
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = parts
+      override def createReaderFactory(): PartitionReaderFactory = factory
+    }
+  }
 
   /** A v2 literal expression (`LiteralValue` is `private[sql]`); `value`
     * must be in Catalyst internal form (e.g. `UTF8String` for strings) —

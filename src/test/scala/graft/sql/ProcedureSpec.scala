@@ -1,0 +1,66 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.meta.IcebergTable
+
+/** `CALL graft.system.<proc>(...)` — maintenance as DSv2 stored
+  * procedures ([[GraftProcedures]]). */
+class ProcedureSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-proc-wh").toString
+    spark.conf.set("spark.sql.catalog.graftc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftc.warehouse", dir)
+    dir
+  }
+
+  import spark.implicits._
+
+  test("CALL rewrite_manifests / rollback / analyze run and report") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.lake")
+    spark.sql(
+      """CREATE TABLE graftc.lake.calls (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("INSERT INTO graftc.lake.calls VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftc.lake.calls VALUES (3, 'a')")
+    spark.sql("INSERT INTO graftc.lake.calls VALUES (4, 'b')")
+    val tdir = s"$wh/lake/calls"
+    assert(IcebergTable.load(tdir).manifests().count(_.content == 0) == 3)
+
+    val msg = spark.sql(
+      "CALL graftc.system.rewrite_manifests(`table` => 'lake.calls', target_entries => 1000)")
+      .as[String].head()
+    assert(msg.contains("packed 3 manifests into 1"))
+    assert(IcebergTable.load(tdir).manifests().count(_.content == 0) == 1)
+
+    // analyze persists NDV properties
+    val amsg = spark.sql("CALL graftc.system.analyze('lake.calls')").as[String].head()
+    assert(amsg.contains("analyzed"))
+    assert(graft.ops.Stats.storedNdv(IcebergTable.load(tdir)).get("grp").contains(2L))
+
+    // create_tag + the refs metadata table
+    spark.sql("CALL graftc.system.create_tag('lake.calls', 'audit')").collect()
+    val refRows = spark.sql(
+      "SELECT name, type, snapshot_id FROM graftc.lake.`calls$refs` ORDER BY name")
+      .as[(String, String, Long)].collect().toSeq
+    assert(refRows.map(r => (r._1, r._2)) == Seq(("audit", "tag"), ("main", "branch")))
+
+    // rollback by positional args
+    val firstSnap = IcebergTable.load(tdir).metadata.snapshots.head.snapshotId
+    spark.sql(s"CALL graftc.system.rollback('lake.calls', $firstSnap)").collect()
+    assert(IcebergTable.load(tdir).metadata.currentSnapshotId.contains(firstSnap))
+    assert(spark.sql("SELECT count(*) FROM graftc.lake.calls").as[Long].head() == 2L)
+  }
+
+  test("unknown procedure fails with the known list") {
+    val wh = warehouse
+    val err = intercept[Exception] {
+      spark.sql("CALL graftc.system.no_such_proc('x')").collect()
+    }
+    assert(err.getMessage.contains("unknown procedure") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown procedure")))
+  }
+}
