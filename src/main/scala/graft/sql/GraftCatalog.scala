@@ -40,7 +40,7 @@ import graft.ops.ScanPlanner
   * re-evaluates them row-level — pruning only has to be conservative,
   * never exact. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -224,6 +224,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  // ---- functions: the `bucket` V2 function backs bucket-transform
+  // storage-partitioned-join compatibility checks and is SQL-callable
+
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if ((ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system"))) &&
+        ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "bucket"))
     else Array.empty
 
   // ---- namespaces

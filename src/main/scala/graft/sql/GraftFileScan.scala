@@ -89,36 +89,46 @@ final class GraftFileScan(
   // shuffle on either side (the decisive join shape at 100 TB: neither
   // fact table moves).
 
-  /** Identity spec dims usable as SPJ keys: source top-level, a type we
-    * can convert from the stored partition string, present in every
-    * surviving entry's partition map, and in the projected schema (keys
-    * resolve against scan output). */
-  private def spjDims: Seq[(String, SchemaField)] = {
+  private val BucketRe = """bucket\[(\d+)\]""".r
+
+  /** Spec dims usable as SPJ keys — identity or bucket[N] over a
+    * top-level source of a convertible type, present in every surviving
+    * entry's partition map, and in the projected schema (keys resolve
+    * against scan output). Bucket keys resolve through the catalog's V2
+    * `bucket` function ([[GraftBucketFunction]]). */
+  private def spjDims: Seq[(String, SchemaField, String)] = {
     val md = t.metadata
-    val dims = md.currentSpec.fields.filter(_.transform == "identity").flatMap { sf =>
-      md.currentSchema.fields
-        .find(f => f.id == sf.sourceId && !f.path.contains('.'))
-        .filter(f => Set("long", "int", "string", "date").contains(f.fieldType))
-        .filter(f => required.fieldNames.contains(f.name))
-        .map(sf.name -> _)
-    }
+    val dims = md.currentSpec.fields
+      .filter(sf => sf.transform == "identity" ||
+        BucketRe.findFirstIn(sf.transform).contains(sf.transform))
+      .flatMap { sf =>
+        md.currentSchema.fields
+          .find(f => f.id == sf.sourceId && !f.path.contains('.'))
+          .filter(f => Set("long", "int", "string", "date").contains(f.fieldType))
+          .filter(f => required.fieldNames.contains(f.name))
+          .map(f => (sf.name, f, sf.transform))
+      }
     if (dims.nonEmpty &&
-        entries.forall(e => dims.forall { case (p, _) => e.partition.contains(p) }))
+        entries.forall(e => dims.forall { case (p, _, _) => e.partition.contains(p) }))
       dims
     else Seq.empty
   }
 
-  private def keyValue(raw: String, iceType: String): Any = iceType match {
-    case "long" => raw.toLong
-    case "int" => raw.toInt
-    case "string" => UTF8String.fromString(raw)
-    case "date" => java.time.LocalDate.parse(raw).toEpochDay.toInt
-  }
+  private def keyValue(raw: String, iceType: String, transform: String): Any =
+    transform match {
+      case BucketRe(_) => raw.toInt
+      case _ => iceType match {
+        case "long" => raw.toLong
+        case "int" => raw.toInt
+        case "string" => UTF8String.fromString(raw)
+        case "date" => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      }
+    }
 
-  private def keyGroups(dims: Seq[(String, SchemaField)])
+  private def keyGroups(dims: Seq[(String, SchemaField, String)])
     : Seq[(InternalRow, Seq[String])] =
-    entries.groupBy(e => dims.map { case (p, src) =>
-      keyValue(e.partition(p), src.fieldType) })
+    entries.groupBy(e => dims.map { case (p, src, tr) =>
+      keyValue(e.partition(p), src.fieldType, tr) })
       .toSeq.sortBy(_._1.mkString("|"))
       .map { case (key, es) =>
         (new GenericInternalRow(key.toArray): InternalRow,
@@ -129,7 +139,10 @@ final class GraftFileScan(
     val dims = if (GraftParquetBridge.v2BucketingEnabled) spjDims else Seq.empty
     if (dims.isEmpty) new UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
-      dims.map { case (_, src) => Expressions.identity(src.name) }.toArray,
+      dims.map {
+        case (_, src, BucketRe(n)) => Expressions.bucket(n.toInt, src.name)
+        case (_, src, _) => Expressions.identity(src.name)
+      }.toArray,
       keyGroups(dims).size)
   }
 

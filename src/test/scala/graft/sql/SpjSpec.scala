@@ -54,6 +54,33 @@ class SpjSpec extends SparkSpec {
 
       assert(q.as[(String, String, Double)].collect().toSeq ==
         Seq(("a", "alpha", 3.0), ("b", "beta", 7.0), ("c", "gamma", 5.0)))
+
+      // ---- bucketed SPJ: same-bucket-layout tables join shuffle-free
+      // through the catalog's V2 bucket function
+      spark.sql(
+        """CREATE TABLE graftj.lake.bf (id BIGINT, v DOUBLE)
+          |PARTITIONED BY (bucket(4, id))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graftj.lake.bd (id BIGINT, tag STRING)
+          |PARTITIONED BY (bucket(4, id))""".stripMargin)
+      spark.sql(
+        "INSERT INTO graftj.lake.bf SELECT id, CAST(id AS DOUBLE) FROM range(0, 64)")
+      spark.sql(
+        "INSERT INTO graftj.lake.bd SELECT id, concat('t', id) FROM range(0, 64, 2)")
+      val bq = spark.sql(
+        """SELECT count(*) AS n, sum(f.v) AS s
+          |FROM graftj.lake.bf f JOIN graftj.lake.bd d ON f.id = d.id""".stripMargin)
+      val bplan = bq.queryExecution.executedPlan.toString
+      val bJoin = bplan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+      assert(bJoin.nonEmpty, s"expected a non-broadcast join in:\n$bplan")
+      assert(!bJoin.mkString.contains("Exchange hashpartitioning"),
+        s"bucketed join inputs were shuffled:\n$bplan")
+      assert(bq.as[(Long, Double)].head() == ((32L, (0 until 64 by 2).sum.toDouble)))
+
+      // the V2 function is directly callable and matches the write path
+      assert(spark.sql("SELECT graftj.system.bucket(4, CAST(7 AS BIGINT))")
+        .as[Int].head() ==
+        graft.expr.IcebergTransformOps.bucketLong(7L, 4))
     } finally prior.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
