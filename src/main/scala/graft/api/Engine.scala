@@ -130,6 +130,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   def changes(ref: String, fromSnap: Long, toSnap: Long): DataFrame =
     MetaDiff.changes(spark, load(ref), fromSnap, toSnap)
 
+  /** Row-level change data feed over `(fromSnap, toSnap]`
+    * ([[ChangeFeed.rowChanges]]): every committed row change as
+    * `_change_type` insert/delete rows, reading ONLY the files each
+    * commit touched. */
+  def rowChanges(ref: String, fromSnap: Long, toSnap: Long): DataFrame =
+    ChangeFeed.rowChanges(spark, load(ref), fromSnap, toSnap)
+
   /** The TUI metadata-tree data (ref `formatters.py:1195-1307`): one row
     * per manifest with entry stats, share of total rows (A13 "45% of
     * rows") and the size-color class vs the average file size (W8). */

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.meta.{IcebergTable, Snapshot}
+
+/** Row-level CHANGE DATA FEED over a snapshot range — the Iceberg
+  * `create_changelog_view` analog: every committed row change in
+  * `(fromSnap, toSnap]` as `_change_type` (`insert` / `delete`) rows
+  * stamped with `_commit_snapshot_id`.
+  *
+  * METADATA-ACCELERATED: each snapshot's manifest diff names exactly the
+  * files that changed, so the scan reads ONLY those files — an append
+  * commit of 1 GB into a 100 TB table costs a 1 GB read, not a table
+  * diff. Per operation:
+  *
+  *   - `append`: rows of the added data files → inserts.
+  *   - `replace` (compaction / manifest rewrite / z-order): physical
+  *     rewrite, no logical change → contributes nothing.
+  *   - `delete` (merge-on-read position deletes): the added delete
+  *     files' (path, pos) targets, resolved against the PARENT state's
+  *     lineage read → deletes.
+  *   - `overwrite`: added files → inserts; removed files' rows →
+  *     deletes; plus, for same-commit equality deletes (upsert), parent
+  *     rows matching the delete keys (null-safe) → deletes. Copy-on-
+  *     write rewrites report delete+insert for every row of a rewritten
+  *     file (the standard coarse COW changelog semantics).
+  */
+object ChangeFeed {
+
+  /** Extra columns appended to the table schema. */
+  val changeCols: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false))
+
+  def rowChanges(
+      spark: SparkSession, t: IcebergTable,
+      fromSnap: Long, toSnap: Long): DataFrame = {
+    // child←parent chain walk, (fromSnap, toSnap]
+    var chain = List.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(t.metadata.snapshot(toSnap)
+      .getOrElse(throw new NoSuchElementException(s"Snapshot $toSnap not found")))
+    while (cur.exists(_.snapshotId != fromSnap)) {
+      val s = cur.get
+      chain = s :: chain
+      cur = s.parentSnapshotId.map(pid => t.metadata.snapshot(pid).getOrElse(
+        throw new NoSuchElementException(s"Parent snapshot $pid not found")))
+      if (cur.isEmpty)
+        throw new IllegalArgumentException(
+          s"Snapshot $fromSnap is not an ancestor of $toSnap")
+    }
+    require(chain.nonEmpty, s"empty snapshot range ($fromSnap, $toSnap]")
+
+    val tableSchema = ScanPlanner.currentSparkSchema(t).getOrElse(
+      throw new UnsupportedOperationException(
+        s"row changelog needs a flat primitive schema (${t.tableDir})"))
+    val outSchema = StructType(tableSchema.fields ++ changeCols)
+    def empty: DataFrame =
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    def readFiles(paths: Seq[String]): DataFrame =
+      spark.read.schema(tableSchema).parquet(paths: _*)
+    def stamp(df: DataFrame, change: String, s: Snapshot): DataFrame =
+      df.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("_change_type", lit(change))
+        .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+
+    val perSnapshot: Seq[DataFrame] = chain.flatMap { s =>
+      if (s.operation == "replace") Seq.empty // physical-only rewrite
+      else {
+        val parentId = s.parentSnapshotId
+        val curPaths = t.files(Some(s.snapshotId)).map(_.filePath).toSet
+        val prevPaths = parentId.map(p => t.files(Some(p)).map(_.filePath).toSet)
+          .getOrElse(Set.empty[String])
+        val added = (curPaths -- prevPaths).toSeq.sorted.map(t.resolvePath)
+        val removed = (prevPaths -- curPaths).toSeq.sorted.map(t.resolvePath)
+
+        val inserts =
+          if (added.isEmpty) None else Some(stamp(readFiles(added), "insert", s))
+        val removes =
+          if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s))
+
+        // delete files ADDED by this commit
+        val prevDels = parentId.map(p => t.deleteFiles(Some(p)).map(_.filePath).toSet)
+          .getOrElse(Set.empty[String])
+        val newDels = t.deleteFiles(Some(s.snapshotId))
+          .filterNot(e => prevDels.contains(e.filePath))
+        val (newEq, newPos) = newDels.partition(_.content == 2)
+
+        val posDeletes =
+          if (newPos.isEmpty) None
+          else {
+            val targets = spark.read
+              .parquet(newPos.map(e => t.resolvePath(e.filePath)): _*)
+              .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
+            val parentRows = ScanPlanner.readTableLineage(spark, t, parentId)
+            Some(stamp(
+              parentRows.join(broadcast(targets),
+                parentRows("__gr_path") === targets("__del_path") &&
+                  parentRows("__gr_pos") === targets("__del_pos"),
+                "left_semi"),
+              "delete", s))
+          }
+
+        val eqDeletes =
+          if (newEq.isEmpty) None
+          else {
+            val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
+            val parentRows = ScanPlanner.readTable(spark, t, parentId)
+            Some(newEq.groupBy(_.equalityIds).map { case (ids, files) =>
+              val cols = ids.map(id => nameById.getOrElse(id,
+                throw new NoSuchElementException(s"equality id $id not in schema")))
+              val keys = spark.read
+                .parquet(files.map(e => t.resolvePath(e.filePath)): _*)
+                .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
+              val cond = cols.map(c => parentRows(c) <=> keys(s"__del_$c")).reduce(_ && _)
+              stamp(parentRows.join(broadcast(keys), cond, "left_semi"), "delete", s)
+            }.reduce(_ unionByName _))
+          }
+
+        Seq(inserts, removes, posDeletes, eqDeletes).flatten
+      }
+    }
+    perSnapshot.foldLeft(empty)(_ unionByName _)
+  }
+}

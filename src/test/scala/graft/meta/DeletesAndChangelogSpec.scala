@@ -126,4 +126,40 @@ class DeletesAndChangelogSpec extends SparkSpec {
       Set(r1.snapshotId, r2.snapshotId))
     assert(ch.select("change").as[String].collect().forall(_ == "added"))
   }
+
+  test("rowChanges: row-level CDC across append / delete / upsert / compaction") {
+    val dir = Files.createTempDirectory("graft-cdc2-t").toString + "/t"
+    import org.apache.spark.sql.types._
+    graft.meta.TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val t0 = graft.meta.TableWriter
+      .append(spark, dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // MoR position delete of id=2
+    val t1 = graft.meta.TableWriter
+      .deleteWhere(spark, dir, col("id") === 2L).get
+    // upsert: id=3 changes value, id=4 is new (equality delete + append)
+    val t2 = graft.meta.TableWriter
+      .upsert(spark, dir, Seq((3L, "C"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    // compaction folds the deletes: physical only, no CDC rows
+    val t3 = graft.ops.Compact.rewriteSmallFiles(spark, dir).get
+
+    def changes(from: Long, to: Long): Set[(Long, String, String, Long)] =
+      graft.ops.ChangeFeed.rowChanges(spark, graft.meta.IcebergTable.load(dir), from, to)
+        .select(col("id"), col("v"), col("_change_type"), col("_commit_snapshot_id"))
+        .as[(Long, String, String, Long)].collect().toSet
+
+    // delete commit: exactly the (2, b) row disappears
+    assert(changes(t0.snapshotId, t1.snapshotId) ==
+      Set((2L, "b", "delete", t1.snapshotId)))
+    // upsert commit: old (3, c) deleted, (3, C) and (4, d) inserted
+    assert(changes(t1.snapshotId, t2.snapshotId) == Set(
+      (3L, "c", "delete", t2.snapshotId),
+      (3L, "C", "insert", t2.snapshotId),
+      (4L, "d", "insert", t2.snapshotId)))
+    // compaction contributes nothing
+    assert(changes(t2.snapshotId, t3.snapshotId).isEmpty)
+    // whole range composes
+    val full = changes(t0.snapshotId, t3.snapshotId)
+    assert(full.count(_._3 == "insert") == 2 && full.count(_._3 == "delete") == 2)
+  }
 }
