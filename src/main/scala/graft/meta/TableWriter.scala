@@ -286,9 +286,6 @@ object TableWriter {
         // hash-distribute by the staging partition dims before the write —
         // the Iceberg default (write.distribution-mode=hash): each
         // (value, bin) lands in one task; one shuffle either way.
-        val staged1 =
-          if (stagingParts.isEmpty) staged0
-          else staged0.repartition(stagingParts.map(col): _*)
         // declared write sort order (Iceberg sort-orders): sort INSIDE
         // each task — no extra shuffle — so every file holds a sorted run
         // and its min/max bounds on the sort keys are tight (range
@@ -305,6 +302,22 @@ object TableWriter {
               }
             }
           }
+        // `write.distribution-mode` table property (Iceberg): `hash`
+        // (default) clusters each partition value into one task; `range`
+        // range-partitions on (partition dims ++ sort keys) so files
+        // carry NON-OVERLAPPING sort-key ranges table-wide (the best
+        // pruning layout); `none` keeps the incoming distribution (no
+        // shuffle — for pre-distributed pipelines).
+        val distMode = md.properties.getOrElse("write.distribution-mode", "hash")
+        val rangeCols = stagingParts.map(col) ++ sortCols
+        val staged1 = distMode match {
+          case "none" => staged0
+          case "range" if rangeCols.nonEmpty =>
+            staged0.repartitionByRange(rangeCols: _*)
+          case _ =>
+            if (stagingParts.isEmpty) staged0
+            else staged0.repartition(stagingParts.map(col): _*)
+        }
         val staged2 =
           if (sortCols.isEmpty) staged1
           else staged1.sortWithinPartitions(

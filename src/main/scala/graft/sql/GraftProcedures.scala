@@ -75,6 +75,16 @@ object GraftProcedures {
         case Some(n) => s"pruned $n dangling delete files"
         case None => "no dangling delete files"
       }),
+    "zorder" -> (Array(
+      p("table", StringType), p("columns", StringType)),
+      (e, in) => {
+        val cols = in.getUTF8String(1).toString.split(",").toSeq.map(_.trim)
+        e.rewriteClustered(in.getUTF8String(0).toString, cols) match {
+          case Some(r) => s"z-order rewrite on (${cols.mkString(", ")}): " +
+            s"snapshot ${r.snapshotId}, ${r.addedFiles} files"
+          case None => "nothing to rewrite"
+        }
+      }),
     "create_tag" -> (Array(p("table", StringType), p("name", StringType)),
       (e, in) => {
         e.createTag(in.getUTF8String(0).toString, in.getUTF8String(1).toString)

@@ -144,4 +144,37 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.setSortOrder(dir, Seq.empty) == 0)
     assert(IcebergMeta.load(dir).defaultSortOrder.isEmpty)
   }
+
+  test("write.distribution-mode=range yields non-overlapping sort-key file ranges") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-range-t").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType))),
+      properties = Map("write.distribution-mode" -> "range"))
+    SchemaEvolution.setSortOrder(dir, Seq("id"))
+
+    val rng = new scala.util.Random(11)
+    val rows = rng.shuffle((1L to 2000L).toList).map(i => (i, s"p$i"))
+    // at test scale AQE would coalesce the tiny range shuffle to one
+    // partition (at real scale it sizes partitions to the advisory
+    // target); pin it off so multiple files materialize
+    val prior = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      TableWriter.append(spark, dir, rows.toDF("id", "payload").repartition(4))
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prior)
+
+    val t = IcebergTable.load(dir)
+    val idField = t.metadata.currentSchema.fields.find(_.name == "id").get
+    val ranges = t.files().map { e =>
+      (graft.expr.IcebergDecode.decodeNumeric("long", e.lowerBounds(idField.id)).get,
+        graft.expr.IcebergDecode.decodeNumeric("long", e.upperBounds(idField.id)).get)
+    }.sortBy(_._1)
+    assert(ranges.size > 1, "expected multiple range-distributed files")
+    // table-wide NON-overlapping id ranges: each file's upper stays below
+    // the next file's lower
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: $ranges")
+    }
+  }
 }
