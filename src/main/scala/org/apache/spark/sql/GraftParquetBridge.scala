@@ -53,19 +53,28 @@ object GraftParquetBridge {
       pushed: Seq[Filter]): org.apache.spark.sql.connector.read.Batch = {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
     import org.apache.spark.sql.execution.datasources.FilePartition
-    // reader factory is file-list independent: build it once
-    val factory = scan(spark, groups.flatMap(_._2), dataSchema, readSchema, pushed)
-      .toBatch.createReaderFactory()
-    val parts: Array[InputPartition] = groups.zipWithIndex.map {
-      case ((key, paths), i) =>
-        val files = scan(spark, paths, dataSchema, readSchema, pushed)
-          .toBatch.planInputPartitions()
-          .flatMap(_.asInstanceOf[FilePartition].files)
-        new GraftKeyedFilePartition(i, files, key): InputPartition
+    // ONE delegate over the full file list (one file index, one split
+    // computation — planning stays O(files) even with many partition
+    // values), then its splits are regrouped by partition key
+    def canon(p: String): String =
+      "/" + new Path(p).toUri.getPath.dropWhile(_ == '/')
+    val groupOf: Map[String, Int] = groups.zipWithIndex.flatMap {
+      case ((_, paths), i) => paths.map(p => canon(p) -> i)
+    }.toMap
+    val delegate = scan(spark, groups.flatMap(_._2), dataSchema, readSchema, pushed)
+      .toBatch
+    val splitsByGroup = delegate.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files)
+      .groupBy(f => groupOf.getOrElse(canon(f.filePath.toString),
+        throw new IllegalStateException(s"split for unknown file ${f.filePath}")))
+    val parts: Array[InputPartition] = groups.zipWithIndex.flatMap {
+      case ((key, _), i) => splitsByGroup.get(i).map(files =>
+        new GraftKeyedFilePartition(i, files, key): InputPartition)
     }.toArray
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = parts
-      override def createReaderFactory(): PartitionReaderFactory = factory
+      override def createReaderFactory(): PartitionReaderFactory =
+        delegate.createReaderFactory()
     }
   }
 
