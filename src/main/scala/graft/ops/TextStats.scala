@@ -69,6 +69,28 @@ object TextStats {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  /** Per-source ADAPTIVE quality cut — the curation step that keeps the
+    * top `keepPct`% of documents per corpus by quality score (micro-
+    * quantized, doc_id tiebreak) instead of one global threshold: noisy
+    * corpora get a stricter absolute cut, clean ones a looser one. One
+    * window shuffle per call; the integer rank test `rank*100 <= n*pct`
+    * keeps the predicate engine-exact. */
+  def qualityCut(docs: DataFrame, keepPct: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepPct > 0 && keepPct <= 100, "keepPct in (0, 100]")
+    val scored = docs.select(col("doc_id"), col("source"),
+      floor(qualityScore(col("text")) * 1e6).cast("long").as("q_micro"))
+    val w = Window.partitionBy("source").orderBy(col("q_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rnk") * 100 <= col("n_docs") * keepPct)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept"), max(col("n_docs")).as("n_docs"),
+        min(col("q_micro")).as("cut_micro"))
+      .orderBy("source")
+  }
+
   /** Marker-word occurrence count: `(len(t) − len(replace(t, m, ''))) / len(m)`
     * — integer-valued, hence bit-deterministic. */
   def markerCount(text: Column, marker: String): Column =

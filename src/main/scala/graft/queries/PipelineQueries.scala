@@ -374,6 +374,27 @@ object PipelineQueries {
              |  count(*) AS cnt
              |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Per-source adaptive quality cut: top-20% per corpus by quality
+    // (micro-quantized score, integer rank test — engine-exact)
+    Q("q_quality_cut",
+      (s, d) => TextStats.qualityCut(documents(s, d), keepPct = 20),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor((0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0)
+             |      + 0.2 * (1.0 - least(1.0, CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS DOUBLE) / 50.0)))
+             |      * 1000000.0) AS BIGINT) AS q_micro
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, q_micro,
+             |    row_number() OVER (PARTITION BY source ORDER BY q_micro DESC, doc_id) AS rnk,
+             |    count(*) OVER (PARTITION BY source) AS n_docs
+             |  FROM t)
+             |SELECT source, count(*) AS kept, max(n_docs) AS n_docs,
+             |       min(q_micro) AS cut_micro
+             |FROM r WHERE rnk * 100 <= n_docs * 20
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Marker-based language ID vs labeled lang
     Q("q_lang_id",
       (s, d) => TextStats.langId(documents(s, d)),
