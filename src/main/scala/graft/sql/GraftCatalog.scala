@@ -301,6 +301,11 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
   override def name(): String =
     tableDir + snapshotId.map(id => s"@$id").getOrElse("")
 
+  /** Table properties (incl. ANALYZE statistics) surface in
+    * `DESCRIBE TABLE EXTENDED`. */
+  override def properties(): util.Map[String, String] =
+    t.metadata.properties.asJava
+
   override def schema(): StructType =
     ScanPlanner.currentSparkSchema(t).getOrElse(
       throw new UnsupportedOperationException(

@@ -17,7 +17,8 @@ import graft.api.{Engine, Errors}
   *      | watch T rounds | read T [snapshotId] | changes T s1 s2
   *      | delete-files T [snapshotId] | append-parquet T parquetDir
   *      | compact T | expire T olderThanMs [retainLast]
-  *      | rewrite-manifests T [targetEntries]
+  *      | rewrite-manifests T [targetEntries] | analyze T [k]
+  *      | row-changes T s1 s2 | set-sort-order T col[ desc]...
   *      | rollback T snapshotId | orphans T [--remove]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
@@ -136,6 +137,16 @@ object Cli {
         case "rollback" =>
           val v = engine.rollback(vargs(0), vargs(1).toLong)
           println(s"rolled back to snapshot ${vargs(1)} (metadata v$v)")
+        case "row-changes" =>
+          emit(engine.rowChanges(vargs(0), vargs(1).toLong, vargs(2).toLong))
+        case "analyze" =>
+          val r = graft.ops.Stats.analyzeTable(spark, engine.tableDir(vargs(0)),
+            vargs.lift(1).map(_.toInt).getOrElse(1024))
+          println(s"analyzed ${r.ndv.size} columns at snapshot ${r.snapshotId} " +
+            s"(metadata v${r.metadataVersion})")
+        case "set-sort-order" =>
+          val oid = engine.setSortOrder(vargs(0), vargs.drop(1).toSeq)
+          println(s"sort order $oid set on ${vargs(0)}")
         case "orphans" =>
           val o = engine.orphanFiles(vargs(0))
           if (vargs.lift(1).contains("--remove"))
@@ -195,6 +206,6 @@ object Cli {
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
-      "       rewrite-manifests\n" +
+      "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where")
 }

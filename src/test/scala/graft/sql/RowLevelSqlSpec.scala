@@ -107,6 +107,23 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(after.metadata.snapshots.last.summary.get("sql-command").nonEmpty)
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE deletes unreferenced rows") {
+    val dir = freshOrders("mrgsrc")
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("keep_ids")
+    spark.sql(
+      """MERGE INTO graftr.lake.mrgsrc t USING keep_ids k ON t.order_id = k.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT order_id FROM graftr.lake.mrgsrc ORDER BY order_id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // prior snapshot still holds all five rows
+    val snaps = IcebergTable.load(dir).metadata.snapshots
+    val prior = spark.sql(
+      s"SELECT count(*) FROM graftr.lake.mrgsrc VERSION AS OF ${snaps.head.snapshotId}")
+      .collect()(0).getLong(0)
+    assert(prior == 5L)
+  }
+
   test("MERGE INTO with only NOT MATCHED inserts appends without rewriting") {
     val dir = freshOrders("mrgins")
     val before = IcebergTable.load(dir).files().map(_.filePath).toSet
