@@ -395,6 +395,36 @@ object PipelineQueries {
              |FROM r WHERE rnk * 100 <= n_docs * 20
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Data-mixing weights: a per-language char budget (500k) turns into
+    // per-source sampling rates (permille, integer arithmetic) and
+    // expected sampled volume — the mixture-planning step before a
+    // training run. One grouped agg + one per-lang window.
+    Q("q_mix_weights",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("src_chars"))
+          .withColumn("lang_chars", sum(col("src_chars")).over(w))
+          .withColumn("rate_permille",
+            least(lit(1000L), expr("(500000 * 1000) DIV lang_chars")))
+          .withColumn("sampled_chars",
+            expr("(src_chars * rate_permille) DIV 1000"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH per_src AS (
+             |  SELECT lang, source, sum(n_chars) AS src_chars
+             |  FROM documents GROUP BY lang, source),
+             |with_lang AS (
+             |  SELECT lang, source, src_chars,
+             |    sum(src_chars) OVER (PARTITION BY lang) AS lang_chars
+             |  FROM per_src)
+             |SELECT lang, source, src_chars, lang_chars,
+             |  least(1000, (500000 * 1000) // lang_chars) AS rate_permille,
+             |  (src_chars * least(1000, (500000 * 1000) // lang_chars)) // 1000
+             |    AS sampled_chars
+             |FROM with_lang ORDER BY lang, source""".stripMargin)),
+
     // Marker-based language ID vs labeled lang
     Q("q_lang_id",
       (s, d) => TextStats.langId(documents(s, d)),
