@@ -68,13 +68,47 @@ final class GraftRowLevelOperation(
         (sf.name, sf.transform, src.name, src.fieldType)
       }
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write =
+        new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def toBatch: BatchWrite = GraftCowWriteBridge.batchWrite(
           SparkSession.active, table.tableDir, table.schema(), info.schema(),
           partDims,
           () => lastScan.map(_.currentEntries.map(_.filePath).toSet)
             .getOrElse(Set.empty),
           cmd.toString)
+
+        /** Cluster the rewrite by the partition transforms (the Iceberg
+          * hash distribution mode): each partition value lands in one
+          * task, so the fanout writer emits one file per value instead of
+          * one per (task, value) — no small-file shower at scale. Not
+          * strictly required: tiny rewrites may skip the shuffle. */
+        override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution = {
+          val BucketRe = """bucket\[(\d+)\]""".r
+          val TruncRe = """truncate\[(\d+)\]""".r
+          val exprs = partDims.map {
+            case (_, BucketRe(n), src, _) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n.toInt, src)
+                : org.apache.spark.sql.connector.expressions.Expression
+            case (_, TruncRe(_), src, _) =>
+              // truncate has no resolvable v2 function here: cluster on
+              // the source column (a refinement — still co-locates values)
+              org.apache.spark.sql.connector.expressions.Expressions.column(src)
+            case (_, _, src, _) =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(src)
+          }
+          if (exprs.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(exprs.toArray)
+        }
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
       }
     }
   }

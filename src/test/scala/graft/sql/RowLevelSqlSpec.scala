@@ -59,6 +59,8 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(emeaFiles.intersect(liveNow).isEmpty, "matching files were not replaced")
     // rewritten files keep their partition value (pruning still works)
     assert(after.files().forall(_.partition.get("region").nonEmpty))
+    // clustered write distribution: ONE rewritten file per partition value
+    assert(after.files().count(_.partition.get("region").contains("emea")) == 1)
 
     // time travel still shows the pre-update rows
     val old = spark.sql(
