@@ -322,6 +322,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     : Option[Maintenance.RewriteManifestsResult] =
     Maintenance.rewriteManifests(tableDir(ref), targetEntries)
 
+  /** VACUUM composite: prune dangling delete files, expire old
+    * snapshots, then remove orphan files — the standard upkeep pass in
+    * one call. Returns (pruned deletes, expire result, removed orphans). */
+  def vacuum(ref: String, olderThanMs: Long, retainLast: Int = 1)
+    : (Int, Maintenance.ExpireResult, Int) = {
+    val pruned = pruneDanglingDeletes(ref).getOrElse(0)
+    val expired = expireSnapshots(ref, olderThanMs, retainLast)
+    val orphans = removeOrphans(ref)
+    (pruned, expired, orphans)
+  }
+
   /** Metadata-only rollback of the current-snapshot pointer. */
   def rollback(ref: String, snapshotId: Long): Int =
     Maintenance.rollback(tableDir(ref), snapshotId)

@@ -75,6 +75,15 @@ object GraftProcedures {
         case Some(n) => s"pruned $n dangling delete files"
         case None => "no dangling delete files"
       }),
+    "vacuum" -> (Array(
+      p("table", StringType), p("older_than_ms", LongType),
+      pd("retain_last", IntegerType, "1")),
+      (e, in) => {
+        val (pruned, ex, orphans) = e.vacuum(
+          in.getUTF8String(0).toString, in.getLong(1), in.getInt(2))
+        s"vacuum: pruned $pruned dangling deletes, expired " +
+          s"${ex.expiredSnapshots.size} snapshots, removed $orphans orphans"
+      }),
     "zorder" -> (Array(
       p("table", StringType), p("columns", StringType)),
       (e, in) => {

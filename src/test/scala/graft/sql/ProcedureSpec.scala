@@ -55,6 +55,20 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graftc.lake.calls").as[Long].head() == 2L)
   }
 
+  test("CALL vacuum runs the composite upkeep pass") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.lake")
+    spark.sql("CREATE TABLE graftc.lake.vac (id BIGINT)")
+    spark.sql("INSERT INTO graftc.lake.vac VALUES (1), (2)")
+    spark.sql("INSERT INTO graftc.lake.vac VALUES (3)")
+    import spark.implicits._
+    val msg = spark.sql(
+      s"CALL graftc.system.vacuum('lake.vac', ${System.currentTimeMillis() + 1000})")
+      .as[String].head()
+    assert(msg.contains("expired 1 snapshots"))
+    assert(spark.sql("SELECT count(*) FROM graftc.lake.vac").as[Long].head() == 3L)
+  }
+
   test("unknown procedure fails with the known list") {
     val wh = warehouse
     val err = intercept[Exception] {
