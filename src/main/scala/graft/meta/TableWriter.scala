@@ -77,8 +77,9 @@ object TableWriter {
       removePaths: Set[String],
       df: DataFrame,
       binExpr: Option[org.apache.spark.sql.Column] = None,
-      carryDeletes: Boolean = false): CommitResult =
-    commit(spark, tableDir, Some(df), "replace",
+      carryDeletes: Boolean = false,
+      operation: String = "replace"): CommitResult =
+    commit(spark, tableDir, Some(df), operation,
       keepPredicate = e => !removePaths.contains(e.filePath),
       binExpr = binExpr, carryDeletes = carryDeletes)
 

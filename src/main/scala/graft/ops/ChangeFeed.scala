@@ -66,13 +66,22 @@ object ChangeFeed {
         .withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(s.snapshotId))
 
+    // Long ranges walk each snapshot's manifests once, not twice: a
+    // snapshot's file set is read as "current" for itself and again as
+    // "parent" of its child — memoize both lookups across the chain.
+    val filesAt = collection.mutable.Map.empty[Long, Set[String]]
+    def pathsAt(id: Long): Set[String] =
+      filesAt.getOrElseUpdate(id, t.files(Some(id)).map(_.filePath).toSet)
+    val delsAt = collection.mutable.Map.empty[Long, Seq[graft.meta.DataFileEntry]]
+    def deletesAt(id: Long): Seq[graft.meta.DataFileEntry] =
+      delsAt.getOrElseUpdate(id, t.deleteFiles(Some(id)))
+
     val perSnapshot: Seq[DataFrame] = chain.flatMap { s =>
       if (s.operation == "replace") Seq.empty // physical-only rewrite
       else {
         val parentId = s.parentSnapshotId
-        val curPaths = t.files(Some(s.snapshotId)).map(_.filePath).toSet
-        val prevPaths = parentId.map(p => t.files(Some(p)).map(_.filePath).toSet)
-          .getOrElse(Set.empty[String])
+        val curPaths = pathsAt(s.snapshotId)
+        val prevPaths = parentId.map(pathsAt).getOrElse(Set.empty[String])
         val added = (curPaths -- prevPaths).toSeq.sorted.map(t.resolvePath)
         val removed = (prevPaths -- curPaths).toSeq.sorted.map(t.resolvePath)
 
@@ -82,9 +91,9 @@ object ChangeFeed {
           if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s))
 
         // delete files ADDED by this commit
-        val prevDels = parentId.map(p => t.deleteFiles(Some(p)).map(_.filePath).toSet)
+        val prevDels = parentId.map(p => deletesAt(p).map(_.filePath).toSet)
           .getOrElse(Set.empty[String])
-        val newDels = t.deleteFiles(Some(s.snapshotId))
+        val newDels = deletesAt(s.snapshotId)
           .filterNot(e => prevDels.contains(e.filePath))
         val (newEq, newPos) = newDels.partition(_.content == 2)
 
@@ -122,6 +131,15 @@ object ChangeFeed {
         Seq(inserts, removes, posDeletes, eqDeletes).flatten
       }
     }
-    perSnapshot.foldLeft(empty)(_ unionByName _)
+    // Balanced (tree) union: a linear fold over an N-commit range builds
+    // an N-deep plan that blows analyzer recursion and loses union
+    // flattening; pairwise reduction keeps depth O(log N).
+    var level: Seq[DataFrame] = perSnapshot
+    if (level.isEmpty) empty
+    else {
+      while (level.size > 1)
+        level = level.grouped(2).map(_.reduce(_ unionByName _)).toSeq
+      level.head
+    }
   }
 }

@@ -7,7 +7,13 @@ import graft.meta.{IcebergTable, TableWriter}
 
 /** Row-level DELETE, COPY-ON-WRITE mode (Iceberg
   * `write.delete.mode=copy-on-write`): rewrite exactly the files that
-  * hold matching rows, without those rows, as one `replace` snapshot.
+  * hold matching rows, without those rows, as one `overwrite` snapshot
+  * — the operation Iceberg itself stamps on CoW row-level commits.
+  * `replace` is reserved for PHYSICAL-only rewrites (compaction,
+  * z-order, rewrite-manifests) that change no row; CDC
+  * ([[graft.ops.ChangeFeed]]) and fail-fast append-only streams skip
+  * `replace` snapshots, so stamping a logical delete/update `replace`
+  * would make it silently invisible to both.
   * The merge-on-read twin is [[graft.meta.TableWriter.deleteWhere]]
   * (position-delete files, no rewrite); copy-on-write costs the rewrite
   * up front but leaves the table delete-free — which keeps the bare
@@ -62,7 +68,7 @@ object Delete {
         }
       }: _*)
     Some(TableWriter.replaceFiles(spark, tableDir, matchedRel, rewritten,
-      carryDeletes = t.deleteFiles().nonEmpty))
+      carryDeletes = t.deleteFiles().nonEmpty, operation = "overwrite"))
   }
 
   def copyOnWrite(
@@ -86,6 +92,6 @@ object Delete {
     val survivors = ScanPlanner.readFiles(spark, t, matchedAbs)
       .filter(not(coalesce(predicate, lit(false))))
     Some(TableWriter.replaceFiles(spark, tableDir, matchedRel, survivors,
-      carryDeletes = t.deleteFiles().nonEmpty))
+      carryDeletes = t.deleteFiles().nonEmpty, operation = "overwrite"))
   }
 }

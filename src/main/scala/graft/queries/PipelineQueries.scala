@@ -413,11 +413,11 @@ object PipelineQueries {
           .orderBy("lang", "source")
       },
       Some("""WITH per_src AS (
-             |  SELECT lang, source, sum(n_chars) AS src_chars
+             |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS src_chars
              |  FROM documents GROUP BY lang, source),
              |with_lang AS (
              |  SELECT lang, source, src_chars,
-             |    sum(src_chars) OVER (PARTITION BY lang) AS lang_chars
+             |    CAST(sum(src_chars) OVER (PARTITION BY lang) AS BIGINT) AS lang_chars
              |  FROM per_src)
              |SELECT lang, source, src_chars, lang_chars,
              |  least(1000, (500000 * 1000) // lang_chars) AS rate_permille,
@@ -730,7 +730,7 @@ object PipelineQueries {
           Multimodal.packText(documents(s, d).filter(col("doc_id") < 100)))
         .orderBy("media_id"),
       Some("""SELECT doc_id AS media_id, 'image' AS modality,
-             |  octet_length(encode(text)) AS n_bytes,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |  CAST(floor(octet_length(encode(text)) / 256) AS BIGINT) AS n_frames,
              |  substr(md5(text), 1, 8) AS digest8
              |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin)),
@@ -774,7 +774,7 @@ object PipelineQueries {
            |        + ($k1m * $bm * dl * 1000) // ((1000 * sum_dl) // n_docs)))
            |    AS term_micro
            |  FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
-           |agg AS (SELECT doc_id, sum(term_micro) AS score_micro FROM scored GROUP BY 1)
+           |agg AS (SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM scored GROUP BY 1)
            |SELECT doc_id, score_micro,
            |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            |FROM agg ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
@@ -934,7 +934,7 @@ object PipelineQueries {
              |      AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS seq_id
              |  FROM documents)
              |SELECT source, seq_id, count(*) AS n_docs,
-             |       sum(n_chars) AS seq_chars,
+             |       CAST(sum(n_chars) AS BIGINT) AS seq_chars,
              |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM packed GROUP BY source, seq_id
              |ORDER BY source, seq_id""".stripMargin)),
@@ -957,7 +957,7 @@ object PipelineQueries {
              |  FROM (SELECT source, n_chars,
              |          unnest(generate_series(0, n_chars - 1, 480)) AS start
              |        FROM documents WHERE n_chars > 0))
-             |SELECT source, count(*) AS n_spans, sum(span_len) AS span_chars,
+             |SELECT source, count(*) AS n_spans, CAST(sum(span_len) AS BIGINT) AS span_chars,
              |       max(span_len) AS max_span, min(span_len) AS min_span
              |FROM spans GROUP BY source ORDER BY source""".stripMargin)),
   )

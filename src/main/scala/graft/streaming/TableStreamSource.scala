@@ -114,20 +114,29 @@ final class TableStreamStream(
               .getOrElse(Set.empty[String])
             t.deleteFiles(Some(sn.snapshotId)).exists(e => !prevDel.contains(e.filePath))
           }
-          if ((removed.nonEmpty || newDeletes) && !skipChanges)
-            throw new UnsupportedOperationException(
-              s"snapshot ${sn.snapshotId} (${sn.operation}) modifies existing rows; " +
-                "an append-only stream cannot represent it — set " +
-                "skip-change-commits=true to stream only appended rows, or use " +
-                "Engine.rowChanges for full CDC")
-          val added = t.files(Some(sn.snapshotId))
-            .filterNot(e => prev.contains(e.filePath))
-            .map(e => t.resolvePath(e.filePath))
-          if (added.isEmpty) Seq.empty
-          else org.apache.spark.sql.GraftParquetBridge
-            .scan(spark, added, schema, schema, Seq.empty)
-            .toBatch.planInputPartitions()
-            .map(fp => TableStreamPartition(fp, sn.snapshotId): InputPartition)
+          if (removed.nonEmpty || newDeletes) {
+            if (!skipChanges)
+              throw new UnsupportedOperationException(
+                s"snapshot ${sn.snapshotId} (${sn.operation}) modifies existing rows; " +
+                  "an append-only stream cannot represent it — set " +
+                  "skip-change-commits=true to stream only appended rows, or use " +
+                  "Engine.rowChanges for full CDC")
+            // Skip the WHOLE snapshot, added files included: a change
+            // commit's added files are rewritten survivors — rows already
+            // emitted by earlier batches — so streaming them would emit
+            // duplicates (Iceberg streaming-skip-overwrite-snapshots
+            // skips the entire snapshot too).
+            Seq.empty
+          } else {
+            val added = t.files(Some(sn.snapshotId))
+              .filterNot(e => prev.contains(e.filePath))
+              .map(e => t.resolvePath(e.filePath))
+            if (added.isEmpty) Seq.empty
+            else org.apache.spark.sql.GraftParquetBridge
+              .scan(spark, added, schema, schema, Seq.empty)
+              .toBatch.planInputPartitions()
+              .map(fp => TableStreamPartition(fp, sn.snapshotId): InputPartition)
+          }
         case other =>
           if (skipChanges) Seq.empty
           else throw new UnsupportedOperationException(

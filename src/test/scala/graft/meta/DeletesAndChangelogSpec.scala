@@ -162,4 +162,68 @@ class DeletesAndChangelogSpec extends SparkSpec {
     val full = changes(t0.snapshotId, t3.snapshotId)
     assert(full.count(_._3 == "insert") == 2 && full.count(_._3 == "delete") == 2)
   }
+
+  test("rowChanges: copy-on-write DELETE and UPDATE are CDC-visible as overwrite") {
+    val dir = Files.createTempDirectory("graft-cdc-cow").toString + "/t"
+    import org.apache.spark.sql.types._
+    graft.meta.TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    // ONE data file, so the CoW rewrite has survivors (coarse CDC path)
+    val t0 = graft.meta.TableWriter.append(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // copy-on-write delete of id=2 — must NOT be stamped "replace"
+    // (compaction's label), or CDC and fail-fast streams skip it
+    val t1 = graft.ops.Delete.copyOnWrite(spark, dir, col("id") === 2L).get
+    val op1 = graft.meta.IcebergMeta.load(dir)
+      .snapshot(t1.snapshotId).get.operation
+    assert(op1 == "overwrite", s"CoW delete stamped '$op1'")
+    // copy-on-write update of id=3
+    val t2 = graft.ops.Delete.updateWhere(spark, dir,
+      col("id") === 3L, Map("v" -> lit("C"))).get
+    assert(graft.meta.IcebergMeta.load(dir)
+      .snapshot(t2.snapshotId).get.operation == "overwrite")
+
+    def changes(from: Long, to: Long): Set[(Long, String, String)] =
+      graft.ops.ChangeFeed.rowChanges(spark, graft.meta.IcebergTable.load(dir), from, to)
+        .select(col("id"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+
+    // coarse COW changelog: every row of the rewritten file reported as
+    // delete + the survivors re-inserted; the net-gone row is (2, b)
+    val d1 = changes(t0.snapshotId, t1.snapshotId)
+    assert(d1.contains((2L, "b", "delete")))
+    assert(!d1.contains((2L, "b", "insert")))
+    assert(d1.contains((1L, "a", "insert")) && d1.contains((3L, "c", "insert")))
+    val d2 = changes(t1.snapshotId, t2.snapshotId)
+    assert(d2.contains((3L, "c", "delete")) && d2.contains((3L, "C", "insert")))
+    assert(!d2.contains((3L, "c", "insert")))
+  }
+
+  test("rowChanges: 50-commit range unions stay shallow (tree reduce)") {
+    val dir = Files.createTempDirectory("graft-cdc-50").toString + "/t"
+    import org.apache.spark.sql.types._
+    graft.meta.TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val first = graft.meta.TableWriter
+      .append(spark, dir, Seq((0L, "v0")).toDF("id", "v"))
+    var last = first
+    (1 until 50).foreach { i =>
+      last = graft.meta.TableWriter
+        .append(spark, dir, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    val t = graft.meta.IcebergTable.load(dir)
+    val ch = graft.ops.ChangeFeed.rowChanges(
+      spark, t, first.snapshotId, last.snapshotId)
+    assert(ch.count() == 49L)
+    assert(ch.select("_change_type").distinct().as[String].collect().toSeq == Seq("insert"))
+    // plan depth must be O(log n): a linear fold of 49 unions nests ~49
+    // deep; a balanced reduce nests ~6. Count max Union nesting.
+    def unionDepth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val kids = p.children.map(unionDepth)
+      val mine = if (p.nodeName == "Union") 1 else 0
+      mine + (if (kids.isEmpty) 0 else kids.max)
+    }
+    val depth = unionDepth(ch.queryExecution.logical)
+    assert(depth <= 8, s"union nesting depth $depth — linear fold?")
+  }
 }

@@ -38,8 +38,9 @@ class UpdateWhereSpec extends SparkSpec {
       .select("id", "a", "b").as[(Long, Long, Long)].collect().sorted.toSeq
     assert(rows == Seq((1L, 100L, 10L), (2L, 20L, 200L), (3L, 30L, 300L)))
 
-    // the apac file held no matches and was not rewritten
-    assert(t.metadata.snapshots.last.operation == "replace")
+    // the apac file held no matches and was not rewritten; logical
+    // update is stamped overwrite (CDC-visible), not replace
+    assert(t.metadata.snapshots.last.operation == "overwrite")
     val apacAdded = t.files().filter(_.partition.get("region").contains("apac"))
       .map(_.snapshotId).distinct
     assert(apacAdded == Seq(t.metadata.snapshots.head.snapshotId))

@@ -121,9 +121,9 @@ class GraftSqlWriteSpec extends SparkSpec {
     assert(left == Seq(2L, 3L, 4L))
 
     val t = IcebergTable.load(s"$wh/lake/deldemo")
-    // copy-on-write: a replace snapshot, NO delete files — the SQL scan
-    // path stays valid; the apac file was untouched
-    assert(t.metadata.snapshots.last.operation == "replace")
+    // copy-on-write: an overwrite snapshot (logical change — CDC-visible),
+    // NO delete files — the SQL scan path stays valid; apac untouched
+    assert(t.metadata.snapshots.last.operation == "overwrite")
     assert(t.deleteFiles().isEmpty)
     // rows in files without matches are not rewritten
     val apacFiles = t.files().filter(_.partition.get("region").contains("apac"))

@@ -87,4 +87,49 @@ class TableStreamSpec extends SparkSpec {
         .as[Long].head() == 1L)
     } finally q.stop()
   }
+
+  test("skip-change-commits skips the WHOLE overwrite snapshot — no survivor re-emit") {
+    val dir = Files.createTempDirectory("graft-tstream3").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    TableWriter.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // copy-on-write UPDATE: the overwrite commit's ADDED file holds the
+    // rewritten survivors (1,a)+(2,B) — rows a naive reader re-emits
+    val up = graft.ops.Delete.updateWhere(spark, dir,
+      col("id") === 2L, Map("v" -> org.apache.spark.sql.functions.lit("B"))).get
+    val c3 = TableWriter.append(spark, dir, Seq((5L, "e")).toDF("id", "v"))
+
+    // strict mode fails fast on the CoW commit (it's overwrite, not replace)
+    val strict = spark.readStream
+      .format("graft.streaming.TableStreamProvider")
+      .option("tableDir", dir)
+      .load()
+      .writeStream.format("memory").queryName("tcowstrict")
+      .outputMode("append").start()
+    try {
+      val err = intercept[Exception] { strict.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(err).exists(_.contains("skip-change-commits")))
+    } finally strict.stop()
+
+    // skip mode: the overwrite snapshot contributes NOTHING — (1,a) and
+    // (2,b) arrive once from the original append, (2,B) never appears
+    val q = spark.readStream
+      .format("graft.streaming.TableStreamProvider")
+      .option("tableDir", dir)
+      .option("skip-change-commits", "true")
+      .load()
+      .writeStream.format("memory").queryName("tcowskip")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, v FROM tcowskip")
+        .as[(Long, String)].collect().toSeq
+      assert(got.sorted == Seq((1L, "a"), (2L, "b"), (5L, "e")))
+      assert(spark.sql(
+        s"SELECT count(*) FROM tcowskip WHERE _commit_snapshot_id = ${up.snapshotId}")
+        .as[Long].head() == 0L)
+    } finally q.stop()
+  }
 }

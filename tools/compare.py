@@ -6,6 +6,10 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the sfDir
 parquet tables, sorts columns by name, and compares row-by-row.
+
+The comparison is TYPE-SENSITIVE, like the driver's value hash: a DuckDB
+HUGEINT (un-cast integer sum()) differs from Spark's BIGINT even when the
+numeric values match. Run against sf0.1 (the driver's scale), not sf0.01.
 """
 import json
 import math
@@ -29,10 +33,12 @@ def norm(v):
 
 
 def rows_of(res):
-    cols = [d[0] for d in res.description]
+    cols = list(res.columns)
+    types = [str(t) for t in res.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = res.fetchall()
-    return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in data]
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(norm(r[i]) for i in order) for r in data])
 
 
 def main():
@@ -57,20 +63,25 @@ def main():
                 n_fail += 1
             continue  # filtered Verify run — only compare what was dumped
         try:
-            scols, srows = rows_of(con.sql(
+            scols, stypes, srows = rows_of(con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            ocols, orows = rows_of(con.sql(sql))
+            ocols, otypes, orows = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if stypes != otypes:
+            diff = [(c, a, b) for c, a, b in zip(scols, stypes, otypes) if a != b]
+            print(f"FAIL {name}: column TYPES differ (driver hash is typed): {diff}")
             n_fail += 1
             continue
         if len(srows) != len(orows):
