@@ -15,8 +15,10 @@ object Bench {
 
     // Untimed warmup: exercise the scan/agg/join/window code paths once so
     // per-query timings measure steady state, not first-use JIT + codegen
-    // compilation of the whole engine.
-    {
+    // compilation of the whole engine. Guarded: a warmup failure (missing
+    // table, bad env) must not kill the run before the JSON line — the
+    // driver treats a missing line as a zero-signal round.
+    try {
       import org.apache.spark.sql.functions._
       // collect() (not count()) on the aggregates: count(1) over an agg
       // lets column pruning drop the aggregate input entirely, so the data
@@ -40,6 +42,8 @@ object Bench {
       Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
     // Three full passes over the whole suite, interleaved (pass 1 runs every

@@ -259,21 +259,41 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitStreamBatch(ref, batch, batchId); ()
+        // the STABLE streaming query id (persisted in the checkpoint, so
+        // restarts keep it) — set as a local property by StreamExecution
+        // on the micro-batch thread foreachBatch runs on
+        val queryId = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse(checkpointDir)
+        commitStreamBatch(ref, batch, batchId, queryId); ()
       }
       .start()
 
-  /** One micro-batch commit: append with the batch id stamped into the
-    * snapshot summary; skip ids at or below the last committed one.
+  /** One micro-batch commit: append with (query id, batch id) stamped
+    * into the snapshot summary; skip ids at or below the last one THIS
+    * query committed. Two queries writing the same table have disjoint
+    * id spaces (Iceberg stamps both too), so one query's progress never
+    * suppresses the other's commits. The high-water mark is ALSO
+    * persisted as a table property in the same atomic commit —
+    * snapshot expiration can remove every streaming snapshot, and
+    * without the property a re-delivered batch would double-commit.
     * Returns None for skipped or empty batches. */
   private[graft] def commitStreamBatch(
-      ref: String, batch: DataFrame, batchId: Long): Option[graft.meta.TableWriter.CommitResult] = {
+      ref: String, batch: DataFrame, batchId: Long,
+      queryId: String = "default"): Option[graft.meta.TableWriter.CommitResult] = {
     val dir = tableDir(ref)
-    val lastCommitted = graft.meta.IcebergMeta.load(dir).snapshots
-      .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong).maxOption
+    val watermarkKey = s"streaming.$queryId.last-batch-id"
+    val md = graft.meta.IcebergMeta.load(dir)
+    val lastCommitted = (
+      md.properties.get(watermarkKey).map(_.toLong) ++
+      md.snapshots.filter(_.summary.get("streaming-query-id").contains(queryId))
+        .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
+    ).maxOption
     if (lastCommitted.exists(batchId <= _) || batch.isEmpty) None
     else Some(graft.meta.TableWriter.append(spark, dir, batch,
-      extraSummary = Map("streaming-batch-id" -> batchId.toString)))
+      extraSummary = Map(
+        "streaming-batch-id" -> batchId.toString,
+        "streaming-query-id" -> queryId),
+      extraProperties = Map(watermarkKey -> batchId.toString)))
   }
 
   /** Z-order clustering rewrite of `ref`'s live data on `cols`
@@ -373,6 +393,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** Drop a column (id retired); refuses partition sources. */
   def dropColumn(ref: String, name: String): Int =
     graft.meta.SchemaEvolution.dropColumn(tableDir(ref), name)
+
+  /** Widen a column's type in place (int→long, float→double); the field
+    * keeps its id and old files read through the widened schema. */
+  def widenColumn(ref: String, name: String, toType: String): Int =
+    graft.meta.SchemaEvolution.widenColumn(tableDir(ref), name, toType)
 
   /** Evolve to a new identity partition spec for FUTURE writes (existing
     * files keep their layout); returns the new spec id. */

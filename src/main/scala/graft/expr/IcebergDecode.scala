@@ -39,9 +39,14 @@ object IcebergDecode {
     fieldType match {
       case "boolean"                       => bytes(0) != 0
       case "int" | "date"                  => bb.getInt
-      case "long" | "timestamp" | "timestamptz" => bb.getLong
+      // length-aware for TYPE PROMOTION (Iceberg spec): a file written
+      // before an int→long / float→double widen keeps its 4-byte bounds
+      // under the widened read type — decode by buffer width
+      case "long" | "timestamp" | "timestamptz" =>
+        if (bytes.length == 4) bb.getInt.toLong else bb.getLong
       case "float"                         => bb.getFloat
-      case "double"                        => bb.getDouble
+      case "double" =>
+        if (bytes.length == 4) bb.getFloat.toDouble else bb.getDouble
       case "string"                        => new String(bytes, StandardCharsets.UTF_8)
       case other => throw new IllegalArgumentException(s"unsupported type: $other")
     }

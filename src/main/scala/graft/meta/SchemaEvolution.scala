@@ -45,6 +45,31 @@ object SchemaEvolution {
       if (f.name == oldName) f.copy(name = newName, path = newName) else f))
   }
 
+  /** TYPE PROMOTION (Iceberg schema evolution): widen a column's type
+    * in place — the field KEEPS its id, so schema-history diffs render a
+    * "changed" field (type change per field_id, ref
+    * `tui/widgets.py:310-350`), and existing data files are untouched:
+    * readers project old (narrow) files through the widened read schema
+    * (Spark 4's vectorized parquet reader up-casts int32→int64 and
+    * float→double natively), and manifest bounds decode length-aware
+    * ([[graft.expr.IcebergDecode.decode]]). Allowed promotions are the
+    * spec's safe set: int→long, float→double. */
+  def widenColumn(tableDir: String, name: String, toType: String): Int = {
+    val md = IcebergMeta.load(tableDir)
+    val cur = md.currentSchema
+    val field = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val allowed = (field.fieldType, toType) match {
+      case ("int", "long") | ("float", "double") => true
+      case _ => false
+    }
+    require(allowed,
+      s"cannot widen $name: ${field.fieldType} → $toType is not a safe " +
+        "promotion (allowed: int → long, float → double)")
+    commitSchema(tableDir, md, cur.fields.map(f =>
+      if (f.id == field.id) f.copy(fieldType = toType) else f))
+  }
+
   def dropColumn(tableDir: String, name: String): Int = {
     val md = IcebergMeta.load(tableDir)
     val cur = md.currentSchema

@@ -44,9 +44,11 @@ object TableWriter {
     * semantics — an isolated audit/experiment line on shared data). */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       branch: Option[String] = None,
-      extraSummary: Map[String, String] = Map.empty): CommitResult =
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty): CommitResult =
     commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true,
-      branch = branch, extraSummary = extraSummary)
+      branch = branch, extraSummary = extraSummary,
+      extraProperties = extraProperties)
 
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). */
@@ -238,7 +240,8 @@ object TableWriter {
       branch: Option[String] = None,
       equalityDeleteOn: Option[Seq[String]] = None,
       carryDeletes: Boolean = false,
-      extraSummary: Map[String, String] = Map.empty): CommitResult = {
+      extraSummary: Map[String, String] = Map.empty,
+      extraProperties: Map[String, String] = Map.empty): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
@@ -360,8 +363,12 @@ object TableWriter {
           DataFileEntry(
             status = 1, snapshotId = snapId, content = 0,
             filePath = relPath, fileFormat = "PARQUET",
+            // Spark reads a __HIVE_DEFAULT_PARTITION__ staging dir back
+            // as null — restore the sentinel (manifest strings are
+            // non-nullable)
             partition = partDims.map { case (pname, _, _) =>
-              pname -> row.getAs[String](s"__p_$pname") }.toMap,
+              pname -> Option(row.getAs[String](s"__p_$pname"))
+                .getOrElse(Transforms.NullPartitionValue) }.toMap,
             recordCount = nrows,
             fileSizeInBytes = Files.size(dir.resolve(relPath)),
             columnSizes = fields.flatMap(f =>
@@ -376,7 +383,8 @@ object TableWriter {
 
     publishSnapshot(spark, dir, tableDir, md, currentMetaPath, fields, spec.specId,
       snapId, newEntries, operation, keepPredicate, branch,
-      equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes, extraSummary)
+      equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes, extraSummary,
+      extraProperties)
   }
 
   /** Commit a set of ALREADY-WRITTEN final data files (relative path +
@@ -476,7 +484,8 @@ object TableWriter {
       branch: Option[String],
       equalityData: Option[(DataFrame, Seq[String])],
       carryDeletes: Boolean,
-      extraSummary: Map[String, String]): CommitResult = {
+      extraSummary: Map[String, String],
+      extraProperties: Map[String, String] = Map.empty): CommitResult = {
 
     // ---- 3. carried-forward entries (append keeps whole manifests;
     // overwrite/replace rewrite kept entries into an `existing` manifest).
@@ -584,13 +593,16 @@ object TableWriter {
 
     // main-line commits move current + the `main` ref; branch commits
     // move ONLY their ref, leaving the table's current snapshot alone
+    val props = md.properties ++ extraProperties
     val newMd = branch match {
       case Some(b) if b != "main" => md.copy(
         lastUpdatedMs = nowMs,
+        properties = props,
         snapshots = md.snapshots :+ snapshot,
         refs = md.refs + (b -> SnapshotRef(snapId, "branch")))
       case _ => md.copy(
         lastUpdatedMs = nowMs,
+        properties = props,
         currentSnapshotId = Some(snapId),
         snapshots = md.snapshots :+ snapshot,
         refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))

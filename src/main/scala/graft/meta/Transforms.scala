@@ -21,6 +21,16 @@ import graft.expr.{IcebergBucket, IcebergTransformOps}
   * ranges; identity stays the default for low-cardinality dims. */
 object Transforms {
 
+  /** Manifest rendering of a NULL partition value. The manifest stores
+    * partition values as non-nullable strings; a null source value maps
+    * to Hive/Spark's default-partition sentinel — the same name
+    * `partitionBy` gives the directory — so the staged write path and
+    * the DSv2 fanout writer agree. Equality pruning is sound (the
+    * sentinel never equals a transformed literal → null-partition files
+    * prune away under `col = x`); SPJ key-grouping opts out when it
+    * meets the sentinel (null is not representable as a typed key). */
+  val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
   /** `bucket[16](id)` / `truncate[4](name)` / bare `col` declaration. */

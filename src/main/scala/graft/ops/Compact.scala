@@ -123,6 +123,13 @@ object Compact {
       val statCols = cols.flatMap(c =>
         Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
       val statRow = df.agg(statCols.head, statCols.tail: _*).head()
+      // an all-NULL (or non-castable) column has null min/max — getLong
+      // would NPE mid-rewrite with an opaque error; reject up front
+      cols.zipWithIndex.foreach { case (c, i) =>
+        require(!statRow.isNullAt(2 * i) && !statRow.isNullAt(2 * i + 1),
+          s"cannot z-order on column '$c': no non-null numeric values " +
+            "(all-NULL or not castable to long)")
+      }
       val bins = cols.zipWithIndex.map { case (c, i) =>
         ZOrder.binCol(col(c), lit(statRow.getLong(2 * i)),
           lit(statRow.getLong(2 * i + 1)), bits) }

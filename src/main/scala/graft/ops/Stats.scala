@@ -37,32 +37,65 @@ object Stats {
     * integral columns when cross-engine verification matters (float
     * rendering differs between engines).
     *
-    * Plan shape per column: partial-aggregated `distinct` over the
-    * 8-byte hash, then `TakeOrdered(k)` — the shuffle carries hashes,
-    * never values. */
+    * SINGLE-PASS over ALL columns: one table scan projects every
+    * column's hash (posexplode to `(column_index, hash)`), a map-side
+    * bounded bottom-k dedups WITHIN each input partition (at most
+    * k·cols hashes leave any partition — an ANALYZE of a 20-column
+    * 100 TB table reads the table once, not twenty times), and the
+    * global merge (distinct + per-column `row_number ≤ k`) runs over
+    * ≤ k·cols·partitions 8-byte hashes — metadata-scale. The result is
+    * value-identical to a per-column bottom-k (dedup order can't change
+    * which k distinct hashes are smallest). */
   def kmvSketch(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val perCol = cols.map { c =>
-      val hashes = df
-        .where(col(c).isNotNull)
-        .select(PortableHash.md5Hash60(col(c).cast("string")).as("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-      hashes.agg(
-        count(lit(1)).as("n_sketch"),
-        max(col("h")).as("kth_min"))
-        .select(
-          lit(c).as("column_name"),
-          col("n_sketch"),
-          coalesce(col("kth_min"), lit(0L)).as("kth_min"),
+    require(cols.nonEmpty, "kmvSketch needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(posexplode(array(cols.map(c =>
+        when(col(c).isNotNull,
+          PortableHash.md5Hash60(col(c).cast("string")))): _*)).as(Seq("ci", "h")))
+      .where(col("h").isNotNull)
+      .as[(Int, Long)]
+    val nCols = cols.length
+    val kk = k
+    val local = pairs.mapPartitions { it =>
+      // one bounded ordered set per column: ≤ k distinct hashes kept
+      val sets = Array.fill(nCols)(new java.util.TreeSet[java.lang.Long]())
+      it.foreach { case (ci, h) =>
+        val s = sets(ci)
+        if (s.size < kk) s.add(h)
+        else if (h < s.last && s.add(h)) s.pollLast()
+      }
+      sets.iterator.zipWithIndex.flatMap { case (s, ci) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(h => (ci, h.longValue()))
+      }
+    }.toDF("ci", "h")
+    // global merge: dedup across partitions, true bottom-k per column
+    val winK = org.apache.spark.sql.expressions.Window
+      .partitionBy("ci").orderBy("h")
+    val merged = local.distinct()
+      .withColumn("rn", row_number().over(winK))
+      .where(col("rn") <= k)
+      .groupBy("ci")
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_min0"))
+    // reinstate all-null columns (no surviving hash → no group row)
+    val allCols = spark.createDataFrame(
+      cols.indices.map(i => Tuple1(i))).toDF("ci")
+    val nameByCi = array(cols.map(lit): _*)
+    allCols.join(merged, Seq("ci"), "left")
+      .select(
+        element_at(nameByCi, col("ci") + 1).as("column_name"),
+        coalesce(col("n_sketch"), lit(0L)).as("n_sketch"),
+        coalesce(col("kth_min0"), lit(0L)).as("kth_min"),
+        coalesce(
           when(col("n_sketch") < k, col("n_sketch"))
             .otherwise(floor(
               lit((k - 1).toDouble) * lit(HashRange.toDouble) /
-                col("kth_min").cast("double")).cast("long"))
-            .as("ndv_est"))
-    }
-    perCol.reduce(_.unionAll(_)).orderBy("column_name")
+                col("kth_min0").cast("double")).cast("long")),
+          lit(0L)).as("ndv_est"))
+      .orderBy("column_name")
   }
 
   /** DuckDB SQL computing one [[kmvSketch]] row for `colExpr` — the
@@ -82,10 +115,11 @@ object Stats {
   final case class AnalyzeResult(
       ndv: Map[String, Long], snapshotId: Long, metadataVersion: Int)
 
-  /** ANALYZE TABLE: KMV-estimate NDV for every top-level column (one
-    * sketch job per column) and persist `graft.stats.ndv.<col>` table
-    * properties plus the analyzed snapshot id in a metadata-only commit.
-    * The DSv2 scan reports these to Catalyst as `distinctCount`. */
+  /** ANALYZE TABLE: KMV-estimate NDV for every top-level column in ONE
+    * table scan ([[kmvSketch]] sketches all columns per pass) and persist
+    * `graft.stats.ndv.<col>` table properties plus the analyzed snapshot
+    * id in a metadata-only commit. The DSv2 scan reports these to
+    * Catalyst as `distinctCount`. */
   def analyzeTable(
       spark: SparkSession, tableDir: String, k: Int = 1024): AnalyzeResult = {
     val t = IcebergTable.load(tableDir)

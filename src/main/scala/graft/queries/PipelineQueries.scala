@@ -400,18 +400,7 @@ object PipelineQueries {
     // expected sampled volume — the mixture-planning step before a
     // training run. One grouped agg + one per-lang window.
     Q("q_mix_weights",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-        documents(s, d)
-          .groupBy(col("lang"), col("source"))
-          .agg(sum(col("n_chars")).as("src_chars"))
-          .withColumn("lang_chars", sum(col("src_chars")).over(w))
-          .withColumn("rate_permille",
-            least(lit(1000L), expr("(500000 * 1000) DIV lang_chars")))
-          .withColumn("sampled_chars",
-            expr("(src_chars * rate_permille) DIV 1000"))
-          .orderBy("lang", "source")
-      },
+      (s, d) => graft.ops.Mixing.mixWeights(documents(s, d), budgetChars = 500000L),
       Some("""WITH per_src AS (
              |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS src_chars
              |  FROM documents GROUP BY lang, source),

@@ -180,8 +180,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         SchemaEvolution.renameColumn(dir, single(rn.fieldNames()), rn.newName())
       case del: TableChange.DeleteColumn =>
         SchemaEvolution.dropColumn(dir, single(del.fieldNames()))
+      case up: TableChange.UpdateColumnType =>
+        SchemaEvolution.widenColumn(dir, single(up.fieldNames()),
+          TableCreator.iceType(up.newDataType()))
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change $other (supported: ADD/RENAME/DROP COLUMN)")
+        s"unsupported table change $other " +
+          "(supported: ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE)")
     }
     loadTable(ident)
   }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.meta.{DataFileEntry, IcebergTable, SchemaField}
+import graft.meta.{DataFileEntry, IcebergTable, SchemaField, Transforms}
 
 /** The catalog's data scan over a statically-pruned manifest file list,
   * upgraded with the two DSv2 capabilities that matter most on a big
@@ -108,8 +108,12 @@ final class GraftFileScan(
           .filter(f => required.fieldNames.contains(f.name))
           .map(f => (sf.name, f, sf.transform))
       }
+    // a null partition value (sentinel) is not representable as a typed
+    // grouping key — misreporting it as a string would co-locate rows
+    // under a fabricated key, so SPJ opts out for such tables
     if (dims.nonEmpty &&
-        entries.forall(e => dims.forall { case (p, _, _) => e.partition.contains(p) }))
+        entries.forall(e => dims.forall { case (p, _, _) =>
+          e.partition.get(p).exists(_ != Transforms.NullPartitionValue) }))
       dims
     else Seq.empty
   }

@@ -205,8 +205,12 @@ private final class GraftCowDataWriter(
       if (partProj == null) Nil
       else {
         val pr = partProj(r)
+        // null partition value → the same sentinel the staged path's
+        // partitionBy directory produces (manifest strings are
+        // non-nullable; a literal null NPEs the Avro writer at commit)
         partDims.indices.map(i =>
-          if (pr.isNullAt(i)) null else pr.getUTF8String(i).toString)
+          if (pr.isNullAt(i)) graft.meta.Transforms.NullPartitionValue
+          else pr.getUTF8String(i).toString)
       }
     open.getOrElseUpdate(key, {
       val rel = s"data/cow-$partitionId-$taskId-${UUID.randomUUID()}" +

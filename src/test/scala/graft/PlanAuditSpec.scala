@@ -93,4 +93,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("kmv sketch over many columns reads the table in ONE scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.ops.Stats.kmvSketch(docs,
+      Seq("doc_id", "lang", "source", "n_chars"), k = 64)
+    // string-match the plan: AdaptiveSparkPlanExec does not expose its
+    // inner plan as a child, so collect() cannot see the scan node
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"ANALYZE must not scan once per column: $scans scans\n" + plan.take(1500))
+  }
 }

@@ -177,4 +177,58 @@ class SchemaEvolutionSpec extends SparkSpec {
       assert(hi <= lo2, s"overlapping file ranges: $ranges")
     }
   }
+
+  test("widenColumn: int→long keeps the field id; one scan reads old and new files") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-widen").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("ratio", FloatType))))
+    TableWriter.append(spark, dir,
+      Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "qty", "ratio"))
+
+    // narrowing and no-ops are rejected
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumn(dir, "id", "int")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumn(dir, "qty", "double")
+    }
+
+    val beforeId = IcebergMeta.load(dir).currentSchema
+      .fields.find(_.name == "qty").get.id
+    SchemaEvolution.widenColumn(dir, "qty", "long")
+    SchemaEvolution.widenColumn(dir, "ratio", "double")
+    val md = IcebergMeta.load(dir)
+    val qty = md.currentSchema.fields.find(_.name == "qty").get
+    assert(qty.id == beforeId && qty.fieldType == "long")
+
+    // append under the WIDE schema; one scan reads both generations
+    TableWriter.append(spark, dir,
+      Seq((3L, 5000000000L, 9.25)).toDF("id", "qty", "ratio"))
+    val t = IcebergTable.load(dir)
+    val got = graft.ops.ScanPlanner.readTable(spark, t)
+      .select("id", "qty", "ratio").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, 1.5), (2L, 20L, 2.5), (3L, 5000000000L, 9.25)))
+
+    // manifest bounds of the OLD (4-byte) files still decode under the
+    // widened type: range pruning keeps the narrow file for qty<=20 and
+    // drops it for qty>=1e9
+    val files = graft.rel.MetaRelations.files(spark, t)
+    val wide = graft.ops.ScanPlanner.pruneFiles(
+      spark, t, files, "qty", Some(1e9), None).count()
+    assert(wide >= 1 && wide < t.files().size)
+
+    // schema-history diff renders the type change on the same field id
+    val hist = graft.rel.MetaRelations.schemas(spark, t)
+    def attrs(id: Int) = hist.filter(col("schema_id") === id)
+      .select(col("field_id"),
+        concat_ws(":", col("field_name"), col("field_type"), col("required"))
+          .as("attr"))
+    val d = graft.ops.SchemaDiff
+      .diff(attrs(0), attrs(md.currentSchemaId), "field_id", "attr")
+      .filter(col("status") === "changed").collect()
+    assert(d.exists(_.getAs[Number]("field_id").intValue == beforeId))
+  }
 }

@@ -84,4 +84,20 @@ class ZOrderSpec extends SparkSpec {
     val prevSnap = after.metadata.snapshots.init.last.snapshotId
     assert(ScanPlanner.readTable(spark, after, Some(prevSnap)).count() == 10000L)
   }
+
+  test("z-order on an all-NULL column is rejected with a clear error") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-znull").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("x", LongType), StructField("dead", StringType))))
+    TableWriter.append(spark, dir,
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("x", "dead"))
+    val err = intercept[IllegalArgumentException] {
+      Compact.rewriteClustered(spark, dir, Seq("x", "dead"))
+    }
+    assert(err.getMessage.contains("dead"))
+    // the table is untouched — no partial rewrite committed
+    assert(IcebergTable.load(dir).metadata.snapshots.size == 1)
+  }
 }

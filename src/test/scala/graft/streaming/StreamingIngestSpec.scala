@@ -68,4 +68,62 @@ class StreamingIngestSpec extends SparkSpec {
     assert(t.metadata.snapshots.size == 2)
     assert(ScanPlanner.readTable(spark, t).count() == 2L)
   }
+
+  test("two streaming queries keep disjoint batch-id spaces") {
+    val wh = Files.createTempDirectory("graft-ingest3-wh").toString
+    val engine = new Engine(spark, wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/stream"))
+    engine.createTable("stream.docs", StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType))))
+
+    val s2 = spark
+    import s2.implicits._
+    // query A is already at batch 5; query B starting at batch 0 must
+    // NOT be suppressed by A's higher watermark
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(1, "a")).toDF(), 5L, queryId = "qA").nonEmpty)
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(2, "b")).toDF(), 0L, queryId = "qB").nonEmpty)
+    // but each query's own re-delivery is still skipped
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(1, "a")).toDF(), 5L, queryId = "qA").isEmpty)
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(2, "b")).toDF(), 0L, queryId = "qB").isEmpty)
+
+    val t = IcebergTable.load(s"$wh/stream/docs")
+    assert(t.metadata.snapshots.size == 2)
+    assert(ScanPlanner.readTable(spark, t).count() == 2L)
+  }
+
+  test("idempotence survives snapshot expiration (property watermark)") {
+    val wh = Files.createTempDirectory("graft-ingest4-wh").toString
+    val engine = new Engine(spark, wh)
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/stream"))
+    engine.createTable("stream.docs", StructType(Seq(
+      StructField("doc_id", LongType), StructField("body", StringType))))
+
+    val s2 = spark
+    import s2.implicits._
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(1, "a")).toDF(), 0L, queryId = "q1").nonEmpty)
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(2, "b")).toDF(), 1L, queryId = "q1").nonEmpty)
+    // expire EVERY streaming snapshot except the current one; the
+    // summary-based watermark is gone for batch 0
+    graft.ops.Maintenance.expireSnapshots(s"$wh/stream/docs",
+      olderThanMs = System.currentTimeMillis() + 60000, retainLast = 1)
+    // a re-delivered batch 0 must still be skipped — the table property
+    // high-water mark survives expiration
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(1, "a")).toDF(), 0L, queryId = "q1").isEmpty)
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(1, "a")).toDF(), 1L, queryId = "q1").isEmpty)
+    // and genuinely new batches land
+    assert(engine.commitStreamBatch("stream.docs",
+      Seq(IngestDoc(3, "c")).toDF(), 2L, queryId = "q1").nonEmpty)
+    val t = IcebergTable.load(s"$wh/stream/docs")
+    assert(ScanPlanner.readTable(spark, t)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
