@@ -112,28 +112,25 @@ object Dedup {
     * oracle reproduces the exact signature. */
   def simhash(docs: DataFrame): DataFrame = {
     // Term-frequency first: repeated tokens contribute cnt·(±1), so the
-    // hash runs once per DISTINCT (doc, token) and the 60-way bit explode
-    // fans out tf-compressed rows (typically 2-3x fewer) — identical sums.
+    // hash runs once per DISTINCT (doc, token).
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"), col("cnt"))
-    // Explode a LITERAL bit sequence and derive ±cnt from the
-    // carried-through `h` attribute AFTER the Generate. Putting `h` inside
-    // a transform() lambda instead lets CollapseProject inline the md5
-    // expression into the lambda body (one syntactic use), re-evaluating
-    // the hash once per BIT — 60x the hash cost; this shape computes it
-    // once per distinct token.
-    val bits = toks
-      .select(col("doc_id"), col("h"), col("cnt"),
-        explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("bit"))
-      .select(col("doc_id"), col("bit"), expr(
-        "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END").as("pm"))
-    bits.groupBy("doc_id", "bit").agg(sum(col("pm")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    // ONE hash-aggregate for all 60 bit counters: per doc, the total
+    // token weight T = Σcnt and per-bit set-weight S_i = Σ cnt·bit_i(h).
+    // The classic ± sum per bit is 2·S_i − T, so bit i of the signature
+    // is set iff 2·S_i > T. Versus the explode-60-bits shape this needs
+    // no row fan-out and no (doc, bit) shuffle — the partial aggregate
+    // combines map-side and the single shuffle carries 61 longs per doc.
+    val bitSums = (0 until SimhashBits).map(i =>
+      sum(expr(s"cnt * (shiftright(h, $i) & 1)")).as(s"s$i"))
+    val sigExpr = (0 until SimhashBits).map(i =>
+      s"CASE WHEN 2 * s$i > t THEN shiftleft(CAST(1 AS BIGINT), $i) " +
+        "ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    toks.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("t"), bitSums: _*)
+      .select(col("doc_id"), expr(sigExpr).as("simhash"))
   }
 
   /** SimHash near-duplicate candidate pairs by Hamming distance, using
@@ -153,7 +150,12 @@ object Dedup {
     require(SimhashBits % nBlocks == 0, s"nBlocks must divide $SimhashBits")
     val width = SimhashBits / nBlocks
     val mask = (1L << width) - 1L
-    val sig = simhash(docs)
+    // materialize the signature ONCE before the self-join: both join
+    // sides derive from it, and without this the whole tokenize+hash
+    // pipeline runs twice (exchange reuse is not guaranteed across the
+    // two posexplode branches). One row per doc — executor-local
+    // checkpoint of n_docs rows, same precedent as connectedComponents.
+    val sig = simhash(docs).localCheckpoint()
     val blocks = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
         s"transform(sequence(0, ${nBlocks - 1}), b -> " +
           s"shiftright(simhash, b * $width) & $mask)"))
