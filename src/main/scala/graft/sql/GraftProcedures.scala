@@ -98,6 +98,24 @@ object GraftProcedures {
       (e, in) => {
         e.createTag(in.getUTF8String(0).toString, in.getUTF8String(1).toString)
         s"tagged current snapshot as '${in.getUTF8String(1)}'"
+      }),
+    // Iceberg's create_changelog_view: register the row-level CDC of
+    // (from, to] as a temp view for plain-SQL consumption. The view's
+    // plan is the metadata-accelerated ChangeFeed read (only changed
+    // files are scanned), evaluated lazily at view query time.
+    "create_changelog_view" -> (Array(
+      p("table", StringType), p("from_snapshot", LongType),
+      p("to_snapshot", LongType), pd("view_name", StringType, "''")),
+      (e, in) => {
+        val table = in.getUTF8String(0).toString
+        val from = in.getLong(1)
+        val to = in.getLong(2)
+        val named = in.getUTF8String(3).toString
+        val view =
+          if (named.nonEmpty) named
+          else table.replace('.', '_') + "_changes"
+        e.rowChanges(table, from, to).createOrReplaceTempView(view)
+        s"changelog view '$view' over ($from, $to]"
       }))
 
   def names: Seq[String] = procs.keys.toSeq.sorted

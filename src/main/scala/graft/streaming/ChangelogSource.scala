@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,9 +96,22 @@ final class ChangelogTable(tableDir: String) extends Table with SupportsRead {
     }
 }
 
-final class ChangelogStream(tableDir: String) extends MicroBatchStream {
+final class ChangelogStream(tableDir: String)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow: drain to the offset pinned at query start
+  private var pinnedEnd: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(SnapshotKeyOffset.latest(tableDir))
+  override def reportLatestOffset(): Offset = SnapshotKeyOffset.latest(tableDir)
+  // SupportsAdmissionControl (parent trait): no rate limiting — a batch
+  // is a set of whole commits, so the limit-aware form delegates
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def initialOffset(): Offset = SnapshotKeyOffset.zero
-  override def latestOffset(): Offset = SnapshotKeyOffset.latest(tableDir)
+  override def latestOffset(): Offset =
+    pinnedEnd.getOrElse(SnapshotKeyOffset.latest(tableDir))
   override def deserializeOffset(json: String): Offset = SnapshotKeyOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

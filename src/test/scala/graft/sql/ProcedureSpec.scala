@@ -69,6 +69,39 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graftc.lake.vac").as[Long].head() == 3L)
   }
 
+  test("CALL create_changelog_view exposes row-level CDC to plain SQL") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.lake")
+    spark.sql("CREATE TABLE graftc.lake.cdcv (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftc.lake.cdcv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftc.lake.cdcv VALUES (3, 'c')")
+    spark.sql("DELETE FROM graftc.lake.cdcv WHERE id = 1")
+    val snaps = IcebergTable.load(s"$wh/lake/cdcv").metadata.snapshots
+    val (s0, s3) = (snaps.head.snapshotId, snaps.last.snapshotId)
+
+    val msg = spark.sql(
+      s"CALL graftc.system.create_changelog_view('lake.cdcv', $s0, $s3)")
+      .as[String].head()
+    assert(msg.contains("lake_cdcv_changes"))
+    val ch = spark.sql(
+      """SELECT id, v, _change_type FROM lake_cdcv_changes
+        |ORDER BY _commit_snapshot_id, _change_type, id""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    // append of 3 → insert; CoW delete of 1 → its file's rows as
+    // delete + surviving row re-inserted (coarse CoW changelog)
+    assert(ch.contains((3L, "c", "insert")))
+    assert(ch.contains((1L, "a", "delete")))
+    assert(!ch.contains((1L, "a", "insert")) ||
+      ch.count(_ == ((1L, "a", "delete"))) >= ch.count(_ == ((1L, "a", "insert"))))
+
+    // named view variant
+    spark.sql(
+      s"""CALL graftc.system.create_changelog_view('lake.cdcv', $s0, $s3,
+         |view_name => 'myview')""".stripMargin).collect()
+    assert(spark.sql("SELECT count(*) FROM myview").as[Long].head() ==
+      ch.size.toLong)
+  }
+
   test("unknown procedure fails with the known list") {
     val wh = warehouse
     val err = intercept[Exception] {

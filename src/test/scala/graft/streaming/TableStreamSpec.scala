@@ -88,6 +88,27 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains all existing commits, then stops") {
+    val dir = Files.createTempDirectory("graft-tstream-an").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    TableWriter.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TableWriter.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))
+
+    val q = spark.readStream
+      .format("graft.streaming.TableStreamProvider")
+      .option("tableDir", dir)
+      .load()
+      .writeStream.format("memory").queryName("tavnow")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once the pinned offset is reached
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val got = spark.sql("SELECT id FROM tavnow").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("skip-change-commits skips the WHOLE overwrite snapshot — no survivor re-emit") {
     val dir = Files.createTempDirectory("graft-tstream3").toString + "/t"
     TableCreator.create(dir, StructType(Seq(
