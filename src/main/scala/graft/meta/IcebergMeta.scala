@@ -327,6 +327,23 @@ object IcebergMeta {
     parse(new String(Files.readAllBytes(latestMetadataPath(tableDir)),
       StandardCharsets.UTF_8))
 
+  /** Load a SPECIFIC metadata version file. */
+  def loadAt(path: Path): TableMetadata =
+    parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+
+  /** Load the latest metadata TOGETHER with its version number from ONE
+    * directory listing. Commit paths must base their CAS publish on this
+    * consistent (content, version) pair: reading the content and the
+    * version in two separate listings lets a concurrent commit land in
+    * between, and a publish at the NEWER version + the STALE content
+    * silently drops the racer's snapshot (no CAS conflict fires, because
+    * the skipped version file itself is never contended). */
+  def loadVersioned(tableDir: String): (TableMetadata, Int) = {
+    val p = latestMetadataPath(tableDir)
+    (loadAt(p), p.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toInt)
+  }
+
   /** PUBLISH the next metadata version with compare-and-swap semantics:
     * the content is written to a temp file and hard-LINKED to `target` —
     * `link(2)` both is atomic for readers (no torn document) AND fails

@@ -25,23 +25,23 @@ object SchemaEvolution {
       name: String,
       iceType: String,
       required: Boolean = false): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     require(!cur.fields.exists(_.name == name),
       s"column $name already exists in schema ${cur.schemaId}")
     require(!required,
       "a column added to existing data must be optional (old files have no values for it)")
     val nextFieldId = md.schemas.flatMap(_.fields.map(_.id)).max + 1
-    commitSchema(tableDir, md, cur.fields :+
+    commitSchema(tableDir, baseV, md, cur.fields :+
       SchemaField(nextFieldId, name, required, iceType, name))
   }
 
   def renameColumn(tableDir: String, oldName: String, newName: String): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     require(cur.fields.exists(_.name == oldName), s"no column $oldName")
     require(!cur.fields.exists(_.name == newName), s"column $newName already exists")
-    commitSchema(tableDir, md, cur.fields.map(f =>
+    commitSchema(tableDir, baseV, md, cur.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName, path = newName) else f))
   }
 
@@ -55,7 +55,7 @@ object SchemaEvolution {
     * ([[graft.expr.IcebergDecode.decode]]). Allowed promotions are the
     * spec's safe set: int→long, float→double. */
   def widenColumn(tableDir: String, name: String, toType: String): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     val field = cur.fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
@@ -66,18 +66,18 @@ object SchemaEvolution {
     require(allowed,
       s"cannot widen $name: ${field.fieldType} → $toType is not a safe " +
         "promotion (allowed: int → long, float → double)")
-    commitSchema(tableDir, md, cur.fields.map(f =>
+    commitSchema(tableDir, baseV, md, cur.fields.map(f =>
       if (f.id == field.id) f.copy(fieldType = toType) else f))
   }
 
   def dropColumn(tableDir: String, name: String): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     val field = cur.fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     require(!md.currentSpec.fields.exists(_.sourceId == field.id),
       s"column $name is a partition source; drop the spec reference first")
-    commitSchema(tableDir, md, cur.fields.filterNot(_.name == name))
+    commitSchema(tableDir, baseV, md, cur.fields.filterNot(_.name == name))
   }
 
   /** Evolve the PARTITION SPEC: a new spec version (next spec-id) with
@@ -87,7 +87,7 @@ object SchemaEvolution {
     * Partition field ids continue Iceberg's 1000+ range across versions.
     * Empty `sourceCols` evolves to unpartitioned. */
   def setPartitionSpec(tableDir: String, sourceCols: Seq[String]): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     // each entry is a declaration: bare `col` (identity), `bucket[N](col)`
     // or `truncate[W](col)` — the Iceberg transform surface the write
@@ -108,7 +108,7 @@ object SchemaEvolution {
       lastUpdatedMs = System.currentTimeMillis(),
       defaultSpecId = newSpecId,
       partitionSpecs = md.partitionSpecs :+ spec)
-    writeNext(tableDir, newMd)
+    writeNext(tableDir, baseV, newMd)
     newSpecId
   }
 
@@ -121,7 +121,7 @@ object SchemaEvolution {
     * null placement (asc → nulls-first, desc → nulls-last). Empty `cols`
     * resets to unsorted. Returns the new order id. */
   def setSortOrder(tableDir: String, cols: Seq[String]): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val cur = md.currentSchema
     val fields = cols.map { decl =>
       val (name, dir) = decl.trim.split("\\s+") match {
@@ -143,7 +143,7 @@ object SchemaEvolution {
     val orders =
       if (fields.isEmpty) md.sortOrders
       else md.sortOrders :+ IceSortOrder(newOrderId, fields)
-    writeNext(tableDir, md.copy(
+    writeNext(tableDir, baseV, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       sortOrders = orders,
       defaultSortOrderId = newOrderId))
@@ -153,22 +153,24 @@ object SchemaEvolution {
   /** Append the new field list as the next schema version and point
     * `current-schema-id` at it. Returns the new schema id. */
   private def commitSchema(
-      tableDir: String, md: TableMetadata, fields: Seq[SchemaField]): Int = {
+      tableDir: String, baseV: Int, md: TableMetadata,
+      fields: Seq[SchemaField]): Int = {
     require(fields.nonEmpty, "schema cannot become empty")
     val newSchemaId = md.schemas.map(_.schemaId).max + 1
-    writeNext(tableDir, md.copy(
+    writeNext(tableDir, baseV, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       currentSchemaId = newSchemaId,
       schemas = md.schemas :+ IceSchema(newSchemaId, fields)))
     newSchemaId
   }
 
-  /** Atomically write `md` as the next metadata version; returns it. */
-  private def writeNext(tableDir: String, md: TableMetadata): Int = {
-    val curV = IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
-      .stripPrefix("v").stripSuffix(".metadata.json").toInt
-    val target = Paths.get(tableDir, "metadata", s"v${curV + 1}.metadata.json")
+  /** CAS-publish `md` as version `baseV + 1`, where `baseV` is the
+    * version the caller LOADED (loadVersioned) — re-listing the
+    * directory here would let a concurrent commit slip between load and
+    * publish unnoticed. Returns the new version. */
+  private def writeNext(tableDir: String, baseV: Int, md: TableMetadata): Int = {
+    val target = Paths.get(tableDir, "metadata", s"v${baseV + 1}.metadata.json")
     IcebergMeta.publish(target, IcebergMeta.render(md))
-    curV + 1
+    baseV + 1
   }
 }

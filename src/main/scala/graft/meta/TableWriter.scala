@@ -48,7 +48,7 @@ object TableWriter {
       extraProperties: Map[String, String] = Map.empty): CommitResult =
     commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true,
       branch = branch, extraSummary = extraSummary,
-      extraProperties = extraProperties)
+      extraProperties = extraProperties, retryOnConflict = true)
 
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). */
@@ -64,7 +64,7 @@ object TableWriter {
       keyCols: Seq[String]): CommitResult = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => true,
-      equalityDeleteOn = Some(keyCols))
+      equalityDeleteOn = Some(keyCols), retryOnConflict = true)
   }
 
   /** Replace a specific set of live files with `df` (compaction commit):
@@ -102,7 +102,9 @@ object TableWriter {
       predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    val md = IcebergMeta.load(tableDir)
+    // load FROM the captured path: content and CAS base version must be
+    // one consistent pair (see IcebergMeta.loadVersioned)
+    val md = IcebergMeta.loadAt(currentMetaPath)
     require(md.formatVersion == 2, "deleteWhere requires a format-version 2 table")
     val t = new IcebergTable(tableDir, md)
     if (t.files().isEmpty) return None
@@ -121,13 +123,14 @@ object TableWriter {
     if (nDeleted == 0) { delRows.unpersist(); return None }
 
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+    val tok = java.util.UUID.randomUUID().toString.take(8)
     // stage the position-delete parquet and move it under data/
     val stage = Files.createTempDirectory("graft-delete")
     delRows.write.mode("overwrite").parquet(stage.toString)
     delRows.unpersist()
     val staged = scala.util.Using.resource(Files.list(stage))(
       _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
-    val relPath = s"data/delete-$snapId.parquet"
+    val relPath = s"data/delete-$snapId-$tok.parquet"
     Files.createDirectories(dir.resolve("data"))
     Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
 
@@ -138,7 +141,7 @@ object TableWriter {
       columnSizes = Map.empty, valueCounts = Map.empty,
       nullValueCounts = Map.empty, lowerBounds = Map.empty,
       upperBounds = Map.empty)
-    val delManifestPath = s"metadata/manifest-$snapId-deletes.avro"
+    val delManifestPath = s"metadata/manifest-$snapId-$tok-deletes.avro"
     AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
     val delManifest = ManifestFile(
       delManifestPath, Files.size(dir.resolve(delManifestPath)),
@@ -149,7 +152,7 @@ object TableWriter {
 
     // data manifests carry forward untouched; the delete manifest joins
     val manifests = t.manifests() :+ delManifest
-    val listPath = s"metadata/snap-$snapId.avro"
+    val listPath = s"metadata/snap-$snapId-$tok.avro"
     AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests)
 
     val live = t.files()
@@ -241,13 +244,21 @@ object TableWriter {
       equalityDeleteOn: Option[Seq[String]] = None,
       carryDeletes: Boolean = false,
       extraSummary: Map[String, String] = Map.empty,
-      extraProperties: Map[String, String] = Map.empty): CommitResult = {
+      extraProperties: Map[String, String] = Map.empty,
+      retryOnConflict: Boolean = false): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    val md = IcebergMeta.load(tableDir)
+    // load FROM the captured path: content and CAS base version must be
+    // one consistent pair (see IcebergMeta.loadVersioned)
+    val md = IcebergMeta.loadAt(currentMetaPath)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
+    // per-ATTEMPT unique token in every artifact name: two concurrent
+    // writers compute the same next snapId, and snapId-only names would
+    // let the CAS loser clobber the winner's already-published data and
+    // manifest files (REPLACE_EXISTING move) before its publish fails
+    val tok = java.util.UUID.randomUUID().toString.take(8)
 
     val fields = topLevelFields(md)
     val spec = md.currentSpec
@@ -349,7 +360,7 @@ object TableWriter {
         Files.createDirectories(dir.resolve("data"))
         stats.toSeq.sortBy(_.getAs[String]("__file")).zipWithIndex.map { case (row, i) =>
           val stagedPath = plainPath(row.getAs[String]("__file"))
-          val relPath = f"data/data-$snapId-$i%05d.parquet"
+          val relPath = f"data/data-$snapId-$tok-$i%05d.parquet"
           Files.move(Paths.get(stagedPath), dir.resolve(relPath),
             StandardCopyOption.REPLACE_EXISTING)
           val nrows = row.getAs[Long]("nrows")
@@ -381,10 +392,39 @@ object TableWriter {
       case _ => Seq.empty
     }
 
-    publishSnapshot(spark, dir, tableDir, md, currentMetaPath, fields, spec.specId,
-      snapId, newEntries, operation, keepPredicate, branch,
-      equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes, extraSummary,
-      extraProperties)
+    var attempt = 0
+    var result: CommitResult = null
+    while (result == null) {
+      val (curMd, curPath, curSnapId) =
+        if (attempt == 0) (md, currentMetaPath, snapId)
+        else {
+          val p = IcebergMeta.latestMetadataPath(tableDir)
+          val m = IcebergMeta.loadAt(p)
+          require(m.currentSchemaId == md.currentSchemaId &&
+            m.defaultSpecId == md.defaultSpecId,
+            "concurrent schema/spec evolution during commit — retry aborted")
+          (m, p, m.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L)
+        }
+      val entries =
+        if (attempt == 0) newEntries
+        else newEntries.map(_.copy(snapshotId = curSnapId))
+      try {
+        result = publishSnapshot(spark, dir, tableDir, curMd, curPath, fields,
+          spec.specId, curSnapId, entries, operation, keepPredicate, branch,
+          equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes,
+          extraSummary, extraProperties)
+      } catch {
+        // append/upsert keep every pre-existing file, so replaying the
+        // SAME logical commit on the winner's metadata is exactly the
+        // serial execution — rewrites (replace/overwrite of named files)
+        // validated against a stale parent must surface the conflict
+        case e: CommitConflictException =>
+          if (!retryOnConflict || attempt >= 7) throw e
+          attempt += 1
+          Thread.sleep(10L * attempt)
+      }
+    }
+    result
   }
 
   /** Commit a set of ALREADY-WRITTEN final data files (relative path +
@@ -402,7 +442,9 @@ object TableWriter {
       extraSummary: Map[String, String] = Map.empty): CommitResult = {
     val dir = Paths.get(tableDir)
     val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    val md = IcebergMeta.load(tableDir)
+    // load FROM the captured path: content and CAS base version must be
+    // one consistent pair (see IcebergMeta.loadVersioned)
+    val md = IcebergMeta.loadAt(currentMetaPath)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
     val fields = topLevelFields(md)
@@ -486,6 +528,9 @@ object TableWriter {
       carryDeletes: Boolean,
       extraSummary: Map[String, String],
       extraProperties: Map[String, String] = Map.empty): CommitResult = {
+    // fresh per-publish-attempt token (see commit): a conflicting
+    // concurrent publisher must never overwrite these artifacts
+    val tok = java.util.UUID.randomUUID().toString.take(8)
 
     // ---- 3. carried-forward entries (append keeps whole manifests;
     // overwrite/replace rewrite kept entries into an `existing` manifest).
@@ -508,7 +553,7 @@ object TableWriter {
     } else if (kept.nonEmpty) {
       // rewrite kept entries as `existing` under their original snapshot
       val existing = kept.map(e => e.copy(status = 0))
-      val keptPath = s"metadata/manifest-$snapId-existing.avro"
+      val keptPath = s"metadata/manifest-$snapId-$tok-existing.avro"
       AvroManifests.writeManifest(dir.resolve(keptPath).toString, existing)
       manifests += ManifestFile(
         keptPath, Files.size(dir.resolve(keptPath)),
@@ -527,7 +572,7 @@ object TableWriter {
         .filter(_.content == 1)
     }
     if (newEntries.nonEmpty) {
-      val addedPath = s"metadata/manifest-$snapId.avro"
+      val addedPath = s"metadata/manifest-$snapId-$tok.avro"
       AvroManifests.writeManifest(dir.resolve(addedPath).toString, newEntries)
       manifests += ManifestFile(
         addedPath, Files.size(dir.resolve(addedPath)),
@@ -550,7 +595,7 @@ object TableWriter {
       keysDf.write.mode("overwrite").parquet(stage.toString)
       val staged = scala.util.Using.resource(Files.list(stage))(
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
-      val relPath = s"data/eqdelete-$snapId.parquet"
+      val relPath = s"data/eqdelete-$snapId-$tok.parquet"
       Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
       val nKeys = spark.read.parquet(dir.resolve(relPath).toString).count()
       val entry = DataFileEntry(
@@ -560,7 +605,7 @@ object TableWriter {
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
         upperBounds = Map.empty, equalityIds = keyFields.map(_.id))
-      val delManifestPath = s"metadata/manifest-$snapId-eqdeletes.avro"
+      val delManifestPath = s"metadata/manifest-$snapId-$tok-eqdeletes.avro"
       AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
       manifests += ManifestFile(
         delManifestPath, Files.size(dir.resolve(delManifestPath)),
@@ -569,7 +614,7 @@ object TableWriter {
         addedRowsCount = nKeys, existingRowsCount = 0L, deletedRowsCount = 0L)
     }
 
-    val listPath = s"metadata/snap-$snapId.avro"
+    val listPath = s"metadata/snap-$snapId-$tok.avro"
     AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests.toSeq)
 
     // ---- 4. snapshot + next metadata version

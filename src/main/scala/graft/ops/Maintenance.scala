@@ -37,7 +37,8 @@ object Maintenance {
       tableDir: String,
       olderThanMs: Long,
       retainLast: Int = 1): ExpireResult = {
-    val t = IcebergTable.load(tableDir)
+    val (md0, baseV) = graft.meta.IcebergMeta.loadVersioned(tableDir)
+    val t = new IcebergTable(tableDir, md0)
     val md = t.metadata
     val byTimeDesc = md.snapshots.sortBy(-_.timestampMs)
     val keepIds = (byTimeDesc.take(math.max(retainLast, 1)).map(_.snapshotId) ++
@@ -46,8 +47,7 @@ object Maintenance {
       md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
     val expired = md.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty)
-      return ExpireResult(Seq.empty, 0, 0, 0,
-        currentVersion(tableDir))
+      return ExpireResult(Seq.empty, 0, 0, 0, baseV)
 
     // reachability from kept snapshots: manifests and data files
     val kept = md.snapshots.filter(s => keepIds.contains(s.snapshotId))
@@ -82,7 +82,7 @@ object Maintenance {
     val newMd = md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       snapshots = kept.sortBy(_.timestampMs))
-    val v = writeNextVersion(tableDir, IcebergMeta.render(newMd))
+    val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(newMd))
     ExpireResult(expired.map(_.snapshotId), delLists, delManifests, delFiles, v)
   }
 
@@ -91,14 +91,14 @@ object Maintenance {
     * the log and remain readable). The `main` branch ref, when present,
     * follows. Returns the new metadata version. */
   def rollback(tableDir: String, snapshotId: Long): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.snapshot(snapshotId).isDefined,
       s"Snapshot $snapshotId not found")
     val refs =
       if (md.refs.contains("main"))
         md.refs + ("main" -> graft.meta.SnapshotRef(snapshotId, "branch"))
       else md.refs
-    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+    writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       currentSnapshotId = Some(snapshotId),
       refs = refs)))
@@ -107,21 +107,21 @@ object Maintenance {
   /** Pin `name` as a TAG on a snapshot (default: current). Tagged
     * snapshots are protected from [[expireSnapshots]]. */
   def createTag(tableDir: String, name: String, snapshotId: Option[Long] = None): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val sid = snapshotId.orElse(md.currentSnapshotId).getOrElse(
       throw new IllegalStateException("table has no snapshots to tag"))
     require(md.snapshot(sid).isDefined, s"Snapshot $sid not found")
     require(!md.refs.contains(name), s"ref '$name' already exists")
-    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+    writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       refs = md.refs + (name -> graft.meta.SnapshotRef(sid, "tag")))))
   }
 
   /** Remove a named ref (the snapshot itself stays). */
   def dropRef(tableDir: String, name: String): Int = {
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.refs.contains(name), s"ref '$name' not found")
-    writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+    writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       refs = md.refs - name)))
   }
@@ -143,7 +143,8 @@ object Maintenance {
   def pruneDanglingDeletes(
       spark: org.apache.spark.sql.SparkSession,
       tableDir: String): Option[Int] = {
-    val t = IcebergTable.load(tableDir)
+    val (md0, baseV) = graft.meta.IcebergMeta.loadVersioned(tableDir)
+    val t = new IcebergTable(tableDir, md0)
     val md = t.metadata
     val dels = t.deleteFiles()
     if (dels.isEmpty) return None
@@ -186,6 +187,7 @@ object Maintenance {
     // manifests carry forward untouched
     val dir = Paths.get(tableDir)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
+    val tok = java.util.UUID.randomUUID().toString.take(8)
     val keptManifests = t.manifests().zipWithIndex.flatMap { case (m, i) =>
       if (m.content != 1) Some(m)
       else {
@@ -194,7 +196,7 @@ object Maintenance {
         if (kept.size == entries.size) Some(m)
         else if (kept.isEmpty) None
         else {
-          val relPath = f"metadata/manifest-$snapId-deletes-$i%02d.avro"
+          val relPath = f"metadata/manifest-$snapId-$tok-deletes-$i%02d.avro"
           AvroManifests.writeManifest(dir.resolve(relPath).toString, kept)
           Some(ManifestFile(
             relPath, Files.size(dir.resolve(relPath)),
@@ -209,7 +211,7 @@ object Maintenance {
       }
     }
 
-    val listPath = s"metadata/snap-$snapId.avro"
+    val listPath = s"metadata/snap-$snapId-$tok.avro"
     AvroManifests.writeManifestList(dir.resolve(listPath).toString, keptManifests)
     val nowMs = System.currentTimeMillis()
     val snapshot = Snapshot(
@@ -231,7 +233,7 @@ object Maintenance {
       currentSnapshotId = Some(snapId),
       snapshots = md.snapshots :+ snapshot,
       refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
-    writeNextVersion(tableDir, IcebergMeta.render(newMd))
+    writeNextVersion(tableDir, baseV, IcebergMeta.render(newMd))
     Some(dropped.size)
   }
 
@@ -290,7 +292,8 @@ object Maintenance {
       tableDir: String,
       targetEntries: Int = 5000): Option[RewriteManifestsResult] = {
     require(targetEntries > 0, "targetEntries must be positive")
-    val t = IcebergTable.load(tableDir)
+    val (md0, baseV) = graft.meta.IcebergMeta.loadVersioned(tableDir)
+    val t = new IcebergTable(tableDir, md0)
     val md = t.metadata
     if (md.currentSnapshotId.isEmpty) return None
     val manifests = t.manifests()
@@ -307,12 +310,13 @@ object Maintenance {
         e.filePath))
     val perManifest = (sorted.size + targetCount - 1) / targetCount
     val snapId = md.snapshots.map(_.snapshotId).max + 1L
+    val tok = java.util.UUID.randomUUID().toString.take(8)
     val dir = Paths.get(tableDir)
     val newManifests = sorted.grouped(perManifest).zipWithIndex.map {
       case (group, i) =>
         // entries keep their ORIGINAL adding snapshot, status -> existing
         val existing = group.map(e => e.copy(status = 0))
-        val relPath = f"metadata/manifest-$snapId-packed-$i%03d.avro"
+        val relPath = f"metadata/manifest-$snapId-$tok-packed-$i%03d.avro"
         AvroManifests.writeManifest(dir.resolve(relPath).toString, existing)
         ManifestFile(
           relPath, Files.size(dir.resolve(relPath)),
@@ -324,7 +328,7 @@ object Maintenance {
           deletedRowsCount = 0L)
     }.toSeq
 
-    val listPath = s"metadata/snap-$snapId.avro"
+    val listPath = s"metadata/snap-$snapId-$tok.avro"
     AvroManifests.writeManifestList(
       dir.resolve(listPath).toString, newManifests ++ deleteManifests)
     val nowMs = System.currentTimeMillis()
@@ -343,7 +347,7 @@ object Maintenance {
         "total-files-size" -> entries.map(_.fileSizeInBytes).sum.toString),
       manifestList = listPath,
       sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L)
-    val v = writeNextVersion(tableDir, IcebergMeta.render(md.copy(
+    val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
       lastUpdatedMs = nowMs,
       currentSnapshotId = Some(snapId),
       snapshots = md.snapshots :+ snapshot,
@@ -353,12 +357,12 @@ object Maintenance {
 
   // ------------------------------------------------------------- internals
 
-  private def currentVersion(tableDir: String): Int =
-    IcebergMeta.latestMetadataPath(tableDir).getFileName.toString
-      .stripPrefix("v").stripSuffix(".metadata.json").toInt
-
-  private def writeNextVersion(tableDir: String, content: String): Int = {
-    val v = currentVersion(tableDir) + 1
+  /** CAS-publish at `baseV + 1`, where `baseV` came from the SAME
+    * loadVersioned read as the metadata being written — re-listing here
+    * would let a concurrent commit slip between load and publish and be
+    * silently dropped (see IcebergMeta.loadVersioned). */
+  private def writeNextVersion(tableDir: String, baseV: Int, content: String): Int = {
+    val v = baseV + 1
     val target = Paths.get(tableDir, "metadata", s"v$v.metadata.json")
     IcebergMeta.publish(target, content)
     v

@@ -130,13 +130,11 @@ object Stats {
     val sketch = kmvSketch(df, fields.map(_.name), k)
       .select("column_name", "ndv_est").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val md = IcebergMeta.load(tableDir)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     val props = md.properties ++
       sketch.map { case (c, n) => s"graft.stats.ndv.$c" -> n.toString } +
       ("graft.stats.analyzed-snapshot" -> snapId.toString)
-    val cur = IcebergMeta.latestMetadataPath(tableDir)
-    val v = cur.getFileName.toString.stripPrefix("v")
-      .stripSuffix(".metadata.json").toInt + 1
+    val v = baseV + 1
     IcebergMeta.publish(
       java.nio.file.Paths.get(tableDir, "metadata", s"v$v.metadata.json"),
       IcebergMeta.render(md.copy(

@@ -31,6 +31,44 @@ class CommitConflictSpec extends SparkSpec {
       _.iterator().asScala.exists(_.getFileName.toString.endsWith(".tmp"))))
   }
 
+  test("concurrent appends all land: CAS losers retry, no artifact clobbering") {
+    val dir = Files.createTempDirectory("graft-cas3").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(StructField("id", LongType))))
+    val threads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until threads).map { t =>
+      scala.concurrent.Future {
+        (0 until perThread).foreach { i =>
+          TableWriter.append(spark, dir, Seq((t * 100 + i).toLong).toDF("id"))
+        }
+      }(ec)
+    }
+    futures.foreach(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration(300, "s")))
+    pool.shutdown()
+
+    val t2 = IcebergTable.load(dir)
+    // every commit landed, on one linear parent chain
+    assert(t2.metadata.snapshots.size == threads * perThread)
+    val snaps = t2.metadata.snapshots
+    snaps.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.parentSnapshotId.contains(a.snapshotId),
+        s"non-linear chain: ${snaps.map(s => (s.snapshotId, s.parentSnapshotId))}")
+    }
+    // all rows present, every referenced artifact exists on disk
+    val rows = graft.ops.ScanPlanner.readTable(spark, t2).as[Long].collect().toSet
+    val want = (for (t <- 0 until threads; i <- 0 until perThread)
+      yield (t * 100 + i).toLong).toSet
+    assert(rows == want)
+    t2.files().foreach(e =>
+      assert(Files.exists(Paths.get(t2.resolvePath(e.filePath))),
+        s"clobbered data file ${e.filePath}"))
+    t2.manifests().foreach(m =>
+      assert(Files.exists(Paths.get(t2.resolvePath(m.manifestPath)))))
+  }
+
   test("a normal append publishes through the CAS path and stays readable") {
     val dir = Files.createTempDirectory("graft-cas2").toString + "/t"
     TableCreator.create(dir, StructType(Seq(StructField("id", LongType))))
