@@ -44,6 +44,27 @@ object Sampling {
     weights.map { case (name, w) => cum += w; name -> (cum * 10000).toLong }
   }
 
+  /** Deterministic SHARDING for training export: each row gets
+    * `(shard, shard_pos)` — `shard` = 60-bit key hash mod `nShards`
+    * (stable under any repartitioning), `shard_pos` = the row's rank by
+    * hash within its shard. Hash order is pseudo-random but
+    * reproducible, so this doubles as the global pre-training shuffle:
+    * writing shards out in `shard_pos` order yields the same shuffled
+    * dataset on every run and engine (what `rand()` ordering cannot).
+    * One window shuffle partitioned by shard — each shard's rank sort
+    * is distributed across executors, never a global single-partition
+    * sort. Ties (hash collisions) break on the key's string form. */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col("__k"))
+    df.withColumn("__h", PortableHash.md5Hash60(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h", "__k")
+  }
+
   /** Add a `split` column assigning each row to train/val/test (or any
     * weighted partition) by hash bucket — deterministic and stable under
     * re-partitioning. */

@@ -252,6 +252,25 @@ object PipelineQueries {
            |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
       }),
 
+    // Deterministic sharding + global shuffle for training export:
+    // shard = key-hash mod 8, shard_pos = hash-order rank within the
+    // shard — per-row assignment, reproducible across engines/runs
+    Q("q_shard",
+      (s, d) => Sampling.shardAssign(
+          documents(s, d).filter(col("doc_id") < 2000)
+            .select("doc_id"),
+          col("doc_id").cast("string"), 8)
+        .orderBy("doc_id"),
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 15)
+        s"""WITH b AS (
+           |  SELECT doc_id, $h AS h FROM documents WHERE doc_id < 2000)
+           |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 8
+           |    ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS shard_pos
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
     // Per-language stratified sampling rates, hash-keyed on the text
     Q("q_sample_strat", {
       val fr = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1)

@@ -183,6 +183,25 @@ class OpsSpec extends SparkSpec {
       Sampling.assignSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("sampling: shardAssign is a repartition-stable deterministic shuffle") {
+    val docs = docsDf((1 to 400).map(i =>
+      (i.toLong, s"doc $i", "en", "a", 5L)))
+    val sharded = Sampling.shardAssign(docs, col("doc_id").cast("string"), 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(sharded.size == 400)
+    // every shard's positions are exactly 0..n-1 (a permutation)
+    sharded.values.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).toSeq.sorted == (0L until vs.size).toSeq)
+    }
+    // repartitioning changes nothing — shard AND position are content-keyed
+    val again = Sampling.shardAssign(
+      docs.repartition(5), col("doc_id").cast("string"), 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(again == sharded)
+  }
+
   test("connected components: chains merge across hops to the min id") {
     val s2 = spark
     import s2.implicits._
