@@ -134,8 +134,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * ([[ChangeFeed.rowChanges]]): every committed row change as
     * `_change_type` insert/delete rows, reading ONLY the files each
     * commit touched. */
-  def rowChanges(ref: String, fromSnap: Long, toSnap: Long): DataFrame =
-    ChangeFeed.rowChanges(spark, load(ref), fromSnap, toSnap)
+  def rowChanges(ref: String, fromSnap: Long, toSnap: Long,
+      net: Boolean = false): DataFrame =
+    ChangeFeed.rowChanges(spark, load(ref), fromSnap, toSnap, net)
 
   /** The TUI metadata-tree data (ref `formatters.py:1195-1307`): one row
     * per manifest with entry stats, share of total rows (A13 "45% of

@@ -35,9 +35,16 @@ object ChangeFeed {
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_snapshot_id", LongType, nullable = false))
 
+  /** `net = true` refines overwrite (copy-on-write) commits to NET row
+    * changes: rows present in both the removed and added files cancel
+    * (multiset `exceptAll`), so an UPDATE of one row in a million-row
+    * file reports one delete + one insert instead of two million coarse
+    * rows (Iceberg `create_changelog_view(net_changes => true)`). The
+    * extra cost is one shuffle bounded by the rewritten-file volume —
+    * the same data the coarse feed already reads. */
   def rowChanges(
       spark: SparkSession, t: IcebergTable,
-      fromSnap: Long, toSnap: Long): DataFrame = {
+      fromSnap: Long, toSnap: Long, net: Boolean = false): DataFrame = {
     // child←parent chain walk, (fromSnap, toSnap]
     var chain = List.empty[Snapshot]
     var cur: Option[Snapshot] = Some(t.metadata.snapshot(toSnap)
@@ -85,10 +92,15 @@ object ChangeFeed {
         val added = (curPaths -- prevPaths).toSeq.sorted.map(t.resolvePath)
         val removed = (prevPaths -- curPaths).toSeq.sorted.map(t.resolvePath)
 
-        val inserts =
-          if (added.isEmpty) None else Some(stamp(readFiles(added), "insert", s))
-        val removes =
-          if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s))
+        val (inserts, removes) =
+          if (net && added.nonEmpty && removed.nonEmpty) {
+            val a = readFiles(added)
+            val r = readFiles(removed)
+            (Some(stamp(a.exceptAll(r), "insert", s)),
+              Some(stamp(r.exceptAll(a), "delete", s)))
+          } else (
+            if (added.isEmpty) None else Some(stamp(readFiles(added), "insert", s)),
+            if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s)))
 
         // delete files ADDED by this commit
         val prevDels = parentId.map(p => deletesAt(p).map(_.filePath).toSet)

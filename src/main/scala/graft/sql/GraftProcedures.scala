@@ -105,17 +105,20 @@ object GraftProcedures {
     // files are scanned), evaluated lazily at view query time.
     "create_changelog_view" -> (Array(
       p("table", StringType), p("from_snapshot", LongType),
-      p("to_snapshot", LongType), pd("view_name", StringType, "''")),
+      p("to_snapshot", LongType), pd("view_name", StringType, "''"),
+      pd("net_changes", org.apache.spark.sql.types.BooleanType, "false")),
       (e, in) => {
         val table = in.getUTF8String(0).toString
         val from = in.getLong(1)
         val to = in.getLong(2)
         val named = in.getUTF8String(3).toString
+        val net = in.getBoolean(4)
         val view =
           if (named.nonEmpty) named
           else table.replace('.', '_') + "_changes"
-        e.rowChanges(table, from, to).createOrReplaceTempView(view)
-        s"changelog view '$view' over ($from, $to]"
+        e.rowChanges(table, from, to, net).createOrReplaceTempView(view)
+        s"changelog view '$view' over ($from, $to]" +
+          (if (net) " (net changes)" else "")
       }))
 
   def names: Seq[String] = procs.keys.toSeq.sorted

@@ -197,6 +197,15 @@ class DeletesAndChangelogSpec extends SparkSpec {
     val d2 = changes(t1.snapshotId, t2.snapshotId)
     assert(d2.contains((3L, "c", "delete")) && d2.contains((3L, "C", "insert")))
     assert(!d2.contains((3L, "c", "insert")))
+
+    // net mode: unchanged rewritten rows cancel — the UPDATE commit is
+    // exactly one delete + one insert, no (1, a) survivor noise
+    val net2 = graft.ops.ChangeFeed.rowChanges(
+        spark, graft.meta.IcebergTable.load(dir),
+        t1.snapshotId, t2.snapshotId, net = true)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(net2 == Set((3L, "c", "delete"), (3L, "C", "insert")), net2.toString)
   }
 
   test("rowChanges: 50-commit range unions stay shallow (tree reduce)") {
