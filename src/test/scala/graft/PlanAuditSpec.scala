@@ -94,6 +94,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("mix weights: one partial-agg shuffle + one small window, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Mixing.mixWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500)) // partial+final
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("shardAssign: window partitioned by shard, no single-partition global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Sampling.shardAssign(
+        docs.select("doc_id"), col("doc_id").cast("string"), 8)
+      .queryExecution.executedPlan.toString
+    // the rank window is keyed by shard — never an empty partition spec
+    // (which would move all rows to one partition)
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,
