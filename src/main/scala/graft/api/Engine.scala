@@ -400,6 +400,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   def widenColumn(ref: String, name: String, toType: String): Int =
     graft.meta.SchemaEvolution.widenColumn(tableDir(ref), name, toType)
 
+  /** Set / unset table properties (metadata-only commit). */
+  def setProperties(ref: String, set: Map[String, String],
+      unset: Set[String] = Set.empty): Int =
+    graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset)
+
   /** Evolve to a new identity partition spec for FUTURE writes (existing
     * files keep their layout); returns the new spec id. */
   def setPartitionSpec(ref: String, sourceCols: Seq[String]): Int =

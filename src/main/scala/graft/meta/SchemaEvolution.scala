@@ -150,6 +150,20 @@ object SchemaEvolution {
     newOrderId
   }
 
+  /** Set / unset TABLE PROPERTIES as a metadata-only commit (Iceberg
+    * `ALTER TABLE ... SET/UNSET TBLPROPERTIES`) — the knobs the write
+    * path reads live here (`write.distribution-mode`, ...). Returns the
+    * new metadata version. */
+  def setProperties(
+      tableDir: String,
+      set: Map[String, String],
+      unset: Set[String]): Int = {
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
+    writeNext(tableDir, baseV, md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      properties = md.properties ++ set -- unset))
+  }
+
   /** Append the new field list as the next schema version and point
     * `current-schema-id` at it. Returns the new schema id. */
   private def commitSchema(

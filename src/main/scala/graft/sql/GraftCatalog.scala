@@ -183,9 +183,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case up: TableChange.UpdateColumnType =>
         SchemaEvolution.widenColumn(dir, single(up.fieldNames()),
           TableCreator.iceType(up.newDataType()))
+      case setp: TableChange.SetProperty =>
+        SchemaEvolution.setProperties(dir,
+          Map(setp.property() -> setp.value()), Set.empty)
+      case remp: TableChange.RemoveProperty =>
+        SchemaEvolution.setProperties(dir, Map.empty, Set(remp.property()))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change $other " +
-          "(supported: ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE)")
+          "(supported: ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE, " +
+          "SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
   }

@@ -124,6 +124,15 @@ class GraftSqlWriteSpec extends SparkSpec {
     // copy-on-write: an overwrite snapshot (logical change — CDC-visible),
     // NO delete files — the SQL scan path stays valid; apac untouched
     assert(t.metadata.snapshots.last.operation == "overwrite")
+    // SET/UNSET TBLPROPERTIES are metadata-only commits on the same table
+    spark.sql("""ALTER TABLE graftw.lake.deldemo
+      |SET TBLPROPERTIES ('write.distribution-mode' = 'none')""".stripMargin)
+    assert(IcebergTable.load(s"$wh/lake/deldemo").metadata
+      .properties.get("write.distribution-mode").contains("none"))
+    spark.sql(
+      "ALTER TABLE graftw.lake.deldemo UNSET TBLPROPERTIES ('write.distribution-mode')")
+    assert(!IcebergTable.load(s"$wh/lake/deldemo").metadata
+      .properties.contains("write.distribution-mode"))
     assert(t.deleteFiles().isEmpty)
     // rows in files without matches are not rewritten
     val apacFiles = t.files().filter(_.partition.get("region").contains("apac"))
