@@ -46,4 +46,30 @@ object Packing {
       .withColumn("span_len",
         least(lit(window.toLong), col(sizeCol) - col("span_start")))
   }
+
+  /** Sequence-LENGTH BUCKETING for batch assembly: adds `len_bucket` in
+    * `[1, nBuckets]` — equal-frequency buckets split at the exact
+    * `i/nBuckets` percentiles of `sizeCol`. Co-batching sequences from
+    * one bucket bounds padding waste (the standard length-grouped
+    * batching trick). Scale shape: ONE distributed percentile aggregate
+    * (a 1-row frame broadcast back over the data — never a global sort
+    * or single-partition ntile) + a map-side comparison per row. Ties on
+    * a boundary go to the lower bucket (strict `>`), so the assignment
+    * is deterministic and engine-exact for integer sizes. */
+  def lengthBuckets(
+      df: DataFrame, sizeCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = df.agg(
+      probs.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile($sizeCol, $p)").as(s"__q$i") }.head,
+      probs.zipWithIndex.drop(1).map { case (p, i) =>
+        expr(s"percentile($sizeCol, $p)").as(s"__q$i") }: _*)
+    val bucket = probs.indices
+      .map(i => when(col(sizeCol).cast("double") > col(s"__q$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("len_bucket", bucket)
+      .drop(probs.indices.map(i => s"__q$i"): _*)
+  }
 }

@@ -142,6 +142,35 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** INT8 QUANTIZATION stats for embedding export (the serving/ANN-index
+    * prep step): per vector, symmetric absmax quantization — `scale` =
+    * max |x_i|, `q_i = round_half_up(x_i / scale · 127)` ∈ [-127, 127].
+    * Returns one row per vector with the quantized checksum
+    * (`q_sum`/`q_min`/`q_max`) and `scale_micro` (the scale, micro-
+    * quantized to an exact integer) — engine-exact: float→double widening
+    * is exact, the divide/multiply order is fixed, and rounding is
+    * `floor(x + 0.5)` in both engines. All-zero vectors quantize to all
+    * zeros (scale stays 0). Pure codegen (`transform`/`aggregate` array
+    * ops) — one map-side pass, no shuffle, no UDF. */
+  def quantizeStats(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scale = expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+    val q = expr(
+      s"""transform($vecCol, x -> CAST(
+         |  CASE WHEN __scale = 0.0 THEN 0.0
+         |       ELSE floor(CAST(x AS DOUBLE) / __scale * 127.0 + 0.5) END
+         |  AS BIGINT))""".stripMargin)
+    emb.withColumn("__scale", scale)
+      .withColumn("__q", q)
+      .select(col(idCol),
+        expr("aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(__q)").as("q_min"),
+        expr("array_max(__q)").as("q_max"),
+        expr("CAST(floor(__scale * 1000000.0 + 0.5) AS BIGINT)").as("scale_micro"))
+      .orderBy(idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {

@@ -968,5 +968,47 @@ object PipelineQueries {
              |SELECT source, count(*) AS n_spans, CAST(sum(span_len) AS BIGINT) AS span_chars,
              |       max(span_len) AS max_span, min(span_len) AS min_span
              |FROM spans GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Sequence-length bucketing (padding-efficient batch assembly):
+    // equal-frequency buckets split at exact quartiles of n_chars —
+    // one distributed percentile agg broadcast back, never a global sort
+    Q("q_len_buckets",
+      (s, d) => graft.ops.Packing.lengthBuckets(documents(s, d), "n_chars", 4)
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("len_bucket"),
+      Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS q0,
+             |  quantile_cont(n_chars, 0.50) AS q1,
+             |  quantile_cont(n_chars, 0.75) AS q2 FROM documents)
+             |SELECT ((n_chars > q0)::INT + (n_chars > q1)::INT
+             |        + (n_chars > q2)::INT) + 1 AS len_bucket,
+             |  count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INT8 absmax quantization stats per embedding (export / ANN-index
+    // prep): engine-exact via fixed fold order + floor(x+0.5) rounding
+    Q("q_vec_quant",
+      (s, d) => graft.ops.Similarity.quantizeStats(
+        embeddings(s, d).filter(col("vec_id") < 500)),
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_aggregate(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+             |  FROM embeddings WHERE vec_id < 500),
+             |q AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(embedding, x -> CAST(
+             |      CASE WHEN scale = 0.0 THEN 0.0
+             |           ELSE floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+             |      END AS BIGINT)) AS qv
+             |  FROM s)
+             |SELECT vec_id,
+             |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+             |  list_aggregate(qv, 'min') AS q_min,
+             |  list_aggregate(qv, 'max') AS q_max,
+             |  CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro
+             |FROM q ORDER BY vec_id""".stripMargin)),
   )
 }

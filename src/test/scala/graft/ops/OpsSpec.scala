@@ -183,6 +183,43 @@ class OpsSpec extends SparkSpec {
       Sampling.assignSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("packing: lengthBuckets splits into ~equal-frequency ordered buckets") {
+    val docs = docsDf((1 to 400).map(i =>
+      (i.toLong, "x", "en", "a", i.toLong))) // lengths 1..400
+    val b = Packing.lengthBuckets(docs, "n_chars", 4)
+      .groupBy("len_bucket")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(b.keySet == Set(1, 2, 3, 4))
+    assert(b.values.map(_._1).sum == 400L)
+    b.values.foreach { case (n, _) => assert(n >= 90L && n <= 110L, b.toString) }
+    // buckets are ordered by length: max of bucket i < max of bucket i+1
+    assert(b(1)._2 < b(2)._2 && b(2)._2 < b(3)._2 && b(3)._2 < b(4)._2)
+  }
+
+  test("similarity: int8 quantization bounds and zero-vector guard") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0), // all-zero: scale 0, q all 0
+      (2L, Array(2.0f, 2.0f, -2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // vec 0: scale 1.0 → q = (64, -127, 32)
+    assert(q(0L) == ((-31L, -127L, 64L, 1000000L)))
+    assert(q(1L) == ((0L, 0L, 0L, 0L)))
+    // vec 2: scale 2 → q = (127, 127, -127)
+    assert(q(2L) == ((127L, -127L, 127L, 2000000L)))
+    q.values.foreach { case (_, mn, mx, _) =>
+      assert(mn >= -127L && mx <= 127L)
+    }
+  }
+
   test("sampling: shardAssign is a repartition-stable deterministic shuffle") {
     val docs = docsDf((1 to 400).map(i =>
       (i.toLong, s"doc $i", "en", "a", 5L)))
