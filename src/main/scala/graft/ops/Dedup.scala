@@ -188,16 +188,50 @@ object Dedup {
     * shallow and converge in a couple of rounds), so 1 is the default;
     * the knob exists for high-diameter graphs on real clusters where
     * per-job scheduling overhead dominates. The standard large-graph CC
-    * shape (label propagation, not a driver-side union-find): scales
-    * with the shuffle, not the driver.
+    * shape (label propagation): scales with the shuffle, not the driver.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH: when the edge count is at or below
+    * `driverThreshold` (default 2M — tens of MB of longs), the edges are
+    * collected and union-found on the driver in one pass, exactly like a
+    * query planner broadcasting a small join side. A near-dup candidate
+    * graph is usually metadata-scale even for a huge corpus (edges ≈
+    * near-duplicate pairs, not documents), so this saves the multi-job
+    * fixpoint in the common case while the distributed path — identical
+    * results — remains for genuinely large graphs. Set
+    * `driverThreshold = 0` to force the distributed path.
     *
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def connectedComponents(
-      pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 1): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 1,
+      driverThreshold: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+
+    if (driverThreshold > 0 && p.count() <= driverThreshold) {
+      val spark = p.sparkSession
+      import spark.implicits._
+      val edges = p.as[(Long, Long)].collect()
+      // path-halving union-find, then relabel every root to the MIN id
+      // of its set (the label-propagation fixpoint computes exactly that)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val gp = parent.getOrElse(parent(x), parent(x))
+          parent(x) = gp; x = gp
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return rows.toDF("doc_id", "component")
+    }
     // pre-partition edges by dst ONCE: localCheckpoint captures the hash
     // partitioning, so every round's edges⋈labels(id) join is already
     // co-partitioned and the only per-round shuffle is the groupBy(src)

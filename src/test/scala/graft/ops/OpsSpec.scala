@@ -254,6 +254,13 @@ class OpsSpec extends SparkSpec {
     val chain = (0 until 30).map(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).toSet
     assert(cc == Set(0L))
+    // the driver union-find fast path and the distributed label
+    // propagation produce IDENTICAL assignments
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLabelProp = Dedup.connectedComponents(pairs, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver == viaLabelProp)
   }
 
   test("asof join: reserved and colliding column names fail fast") {
