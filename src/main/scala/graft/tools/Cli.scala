@@ -138,7 +138,18 @@ object Cli {
           val v = engine.rollback(vargs(0), vargs(1).toLong)
           println(s"rolled back to snapshot ${vargs(1)} (metadata v$v)")
         case "row-changes" =>
-          emit(engine.rowChanges(vargs(0), vargs(1).toLong, vargs(2).toLong))
+          // row-changes ns.t <from> <to> [net]
+          emit(engine.rowChanges(vargs(0), vargs(1).toLong, vargs(2).toLong,
+            net = vargs.lift(3).contains("net")))
+        case "widen-column" =>
+          val v = engine.widenColumn(vargs(0), vargs(1), vargs(2))
+          println(s"widened ${vargs(1)} to ${vargs(2)} (schema v$v)")
+        case "set-property" =>
+          val v = engine.setProperties(vargs(0), Map(vargs(1) -> vargs(2)))
+          println(s"set ${vargs(1)}=${vargs(2)} (metadata v$v)")
+        case "unset-property" =>
+          val v = engine.setProperties(vargs(0), Map.empty, Set(vargs(1)))
+          println(s"unset ${vargs(1)} (metadata v$v)")
         case "analyze" =>
           val r = graft.ops.Stats.analyzeTable(spark, engine.tableDir(vargs(0)),
             vargs.lift(1).map(_.toInt).getOrElse(1024))
@@ -207,5 +218,6 @@ object Cli {
       "       test-connection watch read changes delete-files append-parquet\n" +
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
-      "       create-table zorder delete-where update-where")
+      "       create-table zorder delete-where update-where widen-column\n" +
+      "       set-property unset-property")
 }

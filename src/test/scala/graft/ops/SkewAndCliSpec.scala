@@ -81,6 +81,25 @@ class SkewAndCliSpec extends SparkSpec {
       .count() == 16L) // x=0 rows surviving the delete: y 0..15
   }
 
+  test("round-7 CLI verbs: widen-column / set-property / unset-property") {
+    val wh = Files.createTempDirectory("graft-cli-wh7").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/lake"))
+    assert(Cli.run(Array(wh, "create-table", "lake.w", "id:bigint,qty:int")) == 0)
+    assert(Cli.run(Array(wh, "widen-column", "lake.w", "qty", "long")) == 0)
+    assert(graft.meta.IcebergTable.load(s"$wh/lake/w").metadata
+      .currentSchema.fields.find(_.name == "qty").get.fieldType == "long")
+    assert(Cli.run(Array(wh, "set-property", "lake.w",
+      "write.distribution-mode", "none")) == 0)
+    assert(graft.meta.IcebergTable.load(s"$wh/lake/w").metadata
+      .properties.get("write.distribution-mode").contains("none"))
+    assert(Cli.run(Array(wh, "unset-property", "lake.w",
+      "write.distribution-mode")) == 0)
+    assert(!graft.meta.IcebergTable.load(s"$wh/lake/w").metadata
+      .properties.contains("write.distribution-mode"))
+    // narrowing via the CLI fails with a nonzero exit
+    assert(Cli.run(Array(wh, "widen-column", "lake.w", "qty", "int")) == 1)
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
