@@ -43,7 +43,11 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
     } catch {
-      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+      // NonFatal only: an OOM / linkage error means the JVM is not in a
+      // state where the timed passes would produce a meaningful signal —
+      // better no JSON line than garbage timings the driver trusts
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed: $e")
     }
 
     // Three full passes over the whole suite, interleaved (pass 1 runs every

@@ -287,6 +287,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val lastCommitted = (
       md.properties.get(watermarkKey).map(_.toLong) ++
       md.snapshots.filter(_.summary.get("streaming-query-id").contains(queryId))
+        .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong) ++
+      // legacy snapshots (batch id stamped, no query id — written before
+      // per-query keying existed) belonged to the then-only query: count
+      // them toward every query's watermark, or a post-upgrade restart
+      // re-commits its re-delivered batch as duplicates
+      md.snapshots.filterNot(_.summary.contains("streaming-query-id"))
         .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
     ).maxOption
     if (lastCommitted.exists(batchId <= _) || batch.isEmpty) None

@@ -101,10 +101,7 @@ object TableWriter {
       tableDir: String,
       predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
     val dir = Paths.get(tableDir)
-    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    // load FROM the captured path: content and CAS base version must be
-    // one consistent pair (see IcebergMeta.loadVersioned)
-    val md = IcebergMeta.loadAt(currentMetaPath)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2, "deleteWhere requires a format-version 2 table")
     val t = new IcebergTable(tableDir, md)
     if (t.files().isEmpty) return None
@@ -177,11 +174,9 @@ object TableWriter {
       currentSnapshotId = Some(snapId),
       snapshots = md.snapshots :+ snapshot,
       refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
-    val curVersion = currentMetaPath.getFileName.toString
-      .stripPrefix("v").stripSuffix(".metadata.json").toInt
-    writeAtomic(dir.resolve(s"metadata/v${curVersion + 1}.metadata.json"),
+    writeAtomic(dir.resolve(s"metadata/v${baseV + 1}.metadata.json"),
       IcebergMeta.render(newMd))
-    Some(CommitResult(snapId, 1, nDeleted, curVersion + 1))
+    Some(CommitResult(snapId, 1, nDeleted, baseV + 1))
   }
 
   // ------------------------------------------------------------- internals
@@ -248,10 +243,7 @@ object TableWriter {
       retryOnConflict: Boolean = false): CommitResult = {
 
     val dir = Paths.get(tableDir)
-    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    // load FROM the captured path: content and CAS base version must be
-    // one consistent pair (see IcebergMeta.loadVersioned)
-    val md = IcebergMeta.loadAt(currentMetaPath)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
     // per-ATTEMPT unique token in every artifact name: two concurrent
@@ -395,21 +387,20 @@ object TableWriter {
     var attempt = 0
     var result: CommitResult = null
     while (result == null) {
-      val (curMd, curPath, curSnapId) =
-        if (attempt == 0) (md, currentMetaPath, snapId)
+      val (curMd, curBaseV, curSnapId) =
+        if (attempt == 0) (md, baseV, snapId)
         else {
-          val p = IcebergMeta.latestMetadataPath(tableDir)
-          val m = IcebergMeta.loadAt(p)
+          val (m, v) = IcebergMeta.loadVersioned(tableDir)
           require(m.currentSchemaId == md.currentSchemaId &&
             m.defaultSpecId == md.defaultSpecId,
             "concurrent schema/spec evolution during commit — retry aborted")
-          (m, p, m.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L)
+          (m, v, m.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L)
         }
       val entries =
         if (attempt == 0) newEntries
         else newEntries.map(_.copy(snapshotId = curSnapId))
       try {
-        result = publishSnapshot(spark, dir, tableDir, curMd, curPath, fields,
+        result = publishSnapshot(spark, dir, tableDir, curMd, curBaseV, fields,
           spec.specId, curSnapId, entries, operation, keepPredicate, branch,
           equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes,
           extraSummary, extraProperties)
@@ -441,16 +432,13 @@ object TableWriter {
       operation: String,
       extraSummary: Map[String, String] = Map.empty): CommitResult = {
     val dir = Paths.get(tableDir)
-    val currentMetaPath = IcebergMeta.latestMetadataPath(tableDir)
-    // load FROM the captured path: content and CAS base version must be
-    // one consistent pair (see IcebergMeta.loadVersioned)
-    val md = IcebergMeta.loadAt(currentMetaPath)
+    val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
     val fields = topLevelFields(md)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val newEntries = entriesForFiles(spark, dir, fields, snapId, files)
-    publishSnapshot(spark, dir, tableDir, md, currentMetaPath, fields,
+    publishSnapshot(spark, dir, tableDir, md, baseV, fields,
       md.currentSpec.specId, snapId, newEntries, operation,
       keepPredicate = e => !removePaths.contains(e.filePath),
       branch = None, equalityData = None, carryDeletes = false,
@@ -516,7 +504,7 @@ object TableWriter {
       dir: Path,
       tableDir: String,
       md: TableMetadata,
-      currentMetaPath: Path,
+      baseV: Int,
       fields: Seq[SchemaField],
       specId: Int,
       snapId: Long,
@@ -652,9 +640,7 @@ object TableWriter {
         snapshots = md.snapshots :+ snapshot,
         refs = md.refs + ("main" -> SnapshotRef(snapId, "branch")))
     }
-    val curVersion = currentMetaPath.getFileName.toString
-      .stripPrefix("v").stripSuffix(".metadata.json").toInt
-    val nextVersion = curVersion + 1
+    val nextVersion = baseV + 1
     writeAtomic(dir.resolve(s"metadata/v$nextVersion.metadata.json"),
       IcebergMeta.render(newMd))
 

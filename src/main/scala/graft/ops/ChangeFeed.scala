@@ -94,10 +94,24 @@ object ChangeFeed {
 
         val (inserts, removes) =
           if (net && added.nonEmpty && removed.nonEmpty) {
-            val a = readFiles(added)
-            val r = readFiles(removed)
-            (Some(stamp(a.exceptAll(r), "insert", s)),
-              Some(stamp(r.exceptAll(a), "delete", s)))
+            // one-pass multiset diff: tag +1/-1, group on the full row,
+            // re-expand |sum| copies. Each file set is scanned ONCE and
+            // the only shuffle is one groupBy — two exceptAll plans
+            // would scan both sides twice (exchange reuse between the
+            // branches is not guaranteed).
+            val dataCols = tableSchema.fieldNames.toIndexedSeq
+            val tagged = readFiles(added).withColumn("__w", lit(1L))
+              .unionByName(readFiles(removed).withColumn("__w", lit(-1L)))
+            val diff = tagged.groupBy(dataCols.map(col): _*)
+              .agg(sum(col("__w")).as("__d"))
+            def expand(d: DataFrame): DataFrame =
+              d.withColumn("__i", explode(expr("sequence(1, __dn)")))
+                .select(dataCols.map(col): _*)
+            val ins = expand(diff.filter(col("__d") > 0)
+              .withColumn("__dn", col("__d")))
+            val del = expand(diff.filter(col("__d") < 0)
+              .withColumn("__dn", -col("__d")))
+            (Some(stamp(ins, "insert", s)), Some(stamp(del, "delete", s)))
           } else (
             if (added.isEmpty) None else Some(stamp(readFiles(added), "insert", s)),
             if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s)))

@@ -191,20 +191,23 @@ object Dedup {
     * shape (label propagation): scales with the shuffle, not the driver.
     *
     * ADAPTIVE SMALL-GRAPH PATH: when the edge count is at or below
-    * `driverThreshold` (default 2M — tens of MB of longs), the edges are
-    * collected and union-found on the driver in one pass, exactly like a
-    * query planner broadcasting a small join side. A near-dup candidate
-    * graph is usually metadata-scale even for a huge corpus (edges ≈
-    * near-duplicate pairs, not documents), so this saves the multi-job
-    * fixpoint in the common case while the distributed path — identical
-    * results — remains for genuinely large graphs. Set
+    * `driverThreshold` (default 100k — a few MB even with boxed tuples
+    * and the HashMap union-find, safe on a default-sized driver), the
+    * edges are collected and union-found on the driver in one pass,
+    * exactly like a query planner broadcasting a small join side. A
+    * near-dup candidate graph is usually metadata-scale even for a huge
+    * corpus (edges ≈ near-duplicate pairs, not documents), so this saves
+    * the multi-job fixpoint in the common case while the distributed
+    * path — identical results — remains for larger graphs. The deciding
+    * `count()` runs on the already-materialized (localCheckpoint) edge
+    * frame, so it is metadata-cheap on either path. Set
     * `driverThreshold = 0` to force the distributed path.
     *
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def connectedComponents(
       pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 1,
-      driverThreshold: Long = 2000000L): DataFrame = {
+      driverThreshold: Long = 100000L): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()

@@ -59,6 +59,17 @@ object Maintenance {
         AvroManifests.readManifest(t.resolvePath(m.manifestPath))
           .map(_.filePath))).toSet
 
+    // PUBLISH FIRST, delete after: the CAS can lose to a concurrent
+    // commit, and deleting before publishing would leave the winning
+    // metadata permanently referencing unlinked files (time travel and
+    // CDC over those snapshots would crash). Publishing first is safe in
+    // the other direction — a crash mid-delete leaves orphans that
+    // [[removeOrphans]] reclaims, never a dangling reference.
+    val newMd = md.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      snapshots = kept.sortBy(_.timestampMs))
+    val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(newMd))
+
     var delLists = 0; var delManifests = 0; var delFiles = 0
     expired.foreach { s =>
       val listPath = t.resolvePath(s.manifestList)
@@ -78,11 +89,6 @@ object Maintenance {
         }
       if (Files.deleteIfExists(Paths.get(listPath))) delLists += 1
     }
-
-    val newMd = md.copy(
-      lastUpdatedMs = System.currentTimeMillis(),
-      snapshots = kept.sortBy(_.timestampMs))
-    val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(newMd))
     ExpireResult(expired.map(_.snapshotId), delLists, delManifests, delFiles, v)
   }
 
