@@ -40,4 +40,40 @@ object Mixing {
         expr("(src_chars * rate_permille) DIV 1000"))
       .orderBy(groupCol, sourceCol)
   }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS (the multilingual-sampling
+    * reweighting of XLM/mT5: upsample small sources, downsample large
+    * ones): per source, weight ∝ `src_chars^0.5`. The exponent is fixed
+    * at 0.5 because `sqrt` is the one fractional power IEEE 754 requires
+    * to be correctly rounded, so `floor(sqrt(chars) · 1e6)` is bit-exact
+    * in every engine — a general `pow(x, α)` goes through libm and is
+    * not. Integral `DIV` for the permille shares.
+    *
+    * Output per source: `src_chars`, `natural_permille` (share before
+    * reweighting), `w_micro` (the quantized temperature weight), and
+    * `share_permille` (post-temperature sampling share).
+    *
+    * Scale shape: one grouped agg (map-side partial sums; the shuffle
+    * carries one row per source) + one unpartitioned window over the
+    * #sources-row aggregate — bounded by source cardinality, never by
+    * corpus size. */
+  def temperatureWeights(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      sizeCol: String = "n_chars"): DataFrame = {
+    val w = Window.partitionBy()
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(col(sizeCol)).as("src_chars"))
+      .withColumn("w_micro",
+        floor(sqrt(col("src_chars").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("total_chars", sum(col("src_chars")).over(w))
+      .withColumn("total_w", sum(col("w_micro")).over(w))
+      .withColumn("natural_permille",
+        expr("(src_chars * 1000) DIV total_chars"))
+      .withColumn("share_permille",
+        expr("(w_micro * 1000) DIV total_w"))
+      .drop("total_chars", "total_w")
+      .orderBy(sourceCol)
+  }
 }

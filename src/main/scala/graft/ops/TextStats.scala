@@ -157,6 +157,40 @@ object TextStats {
         round(col("n_dup").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")
 
+  /** DUPLICATE N-GRAM CHARACTER FRACTION (the Gopher-style repetition
+    * filter): per document, the share of gram characters covered by word
+    * n-grams occurring more than once within the document. Char-weighted
+    * — a repeated long phrase counts for more than a repeated stopword
+    * pair — which is the complement of the count-based
+    * [[repetitionStats]]. Returns only documents with any duplication,
+    * worst first.
+    *
+    * Scale shape: one explode (grams never leave their doc's partition
+    * until the (doc, gram) hash aggregate, which is map-side
+    * combinable), one per-doc re-aggregate. Counting is exact integers;
+    * the single ratio is integral permille (`DIV`), so the output is
+    * engine-exact. */
+  def dupNgramChars(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("gc", length(col("gram")).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("gc")).as("gram_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * col("gc"))
+          .otherwise(lit(0L))).as("dup_chars"))
+      .filter(col("dup_chars") > 0)
+      .withColumn("dup_permille",
+        expr("(dup_chars * 1000) DIV gram_chars"))
+      .orderBy(col("dup_permille").desc, col("doc_id"))
+
   /** PATTERN MASKING (PII scrubbing): replace every match of `pattern`
     * with `mask` and report the per-doc redaction count — the
     * text-sanitization pass a training pipeline runs before tokenizing.

@@ -433,6 +433,29 @@ object PipelineQueries {
              |    AS sampled_chars
              |FROM with_lang ORDER BY lang, source""".stripMargin)),
 
+    // Temperature-scaled mixture weights (XLM/mT5 α=0.5 reweighting):
+    // sqrt is the one fractional power IEEE requires to be correctly
+    // rounded, so the quantized weights are engine-exact
+    Q("q_temperature_mix",
+      (s, d) => graft.ops.Mixing.temperatureWeights(documents(s, d)),
+      Some("""WITH s AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT source, src_chars,
+             |    CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS w_micro
+             |  FROM s),
+             |t AS (
+             |  SELECT source, src_chars, w_micro,
+             |    CAST(sum(src_chars) OVER () AS BIGINT) AS total_chars,
+             |    CAST(sum(w_micro) OVER () AS BIGINT) AS total_w
+             |  FROM w)
+             |SELECT source, src_chars, w_micro,
+             |  (src_chars * 1000) // total_chars AS natural_permille,
+             |  (w_micro * 1000) // total_w AS share_permille
+             |FROM t ORDER BY source""".stripMargin)),
+
     // Marker-based language ID vs labeled lang
     Q("q_lang_id",
       (s, d) => TextStats.langId(documents(s, d)),
@@ -860,6 +883,34 @@ object PipelineQueries {
              |  n_grams - n_distinct AS n_dup,
              |  round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
+    // filter, char-weighted complement of q_repetition): share of gram
+    // chars covered by n-grams occurring more than once in the doc.
+    // Exact integer counting; the ratio is integral permille.
+    Q("q_dup_ngrams",
+      (s, d) => TextStats.dupNgramChars(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |        FROM d WHERE len(toks) >= 3)),
+             |c AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS gc
+             |      FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id,
+             |        CAST(sum(cnt) AS BIGINT) AS n_grams,
+             |        CAST(sum(cnt * gc) AS BIGINT) AS gram_chars,
+             |        CAST(sum(CASE WHEN cnt > 1 THEN cnt * gc ELSE 0 END)
+             |          AS BIGINT) AS dup_chars
+             |      FROM c GROUP BY 1)
+             |SELECT doc_id, n_grams, gram_chars, dup_chars,
+             |  (dup_chars * 1000) // gram_chars AS dup_permille
+             |FROM a WHERE dup_chars > 0
+             |ORDER BY dup_permille DESC, doc_id""".stripMargin)),
 
     // PII-style pattern masking: digit runs >= 3 replaced; per-doc
     // redaction counts. The digit-run regex behaves identically under

@@ -94,6 +94,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("dup ngram chars: partial aggregation before the gram shuffle, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.dupNgramChars(docs)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("mix weights: one partial-agg shuffle + one small window, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.Mixing.mixWeights(docs)

@@ -362,6 +362,37 @@ class OpsSpec extends SparkSpec {
     assert(e(1L) < e(2L) && e(2L) < e(3L))
   }
 
+  test("dup ngram chars: planted repeated trigram dominates, clean doc absent") {
+    val rep = "alpha beta gamma delta alpha beta gamma delta alpha beta gamma"
+    val clean = "one two three four five six seven eight nine ten"
+    val docs = docsDf(Seq(
+      (1L, rep, "en", "a", rep.length.toLong),
+      (2L, clean, "en", "a", clean.length.toLong)))
+    val out = TextStats.dupNgramChars(docs, 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L)) // clean doc filtered
+    val r = out.head
+    // 9 trigrams total; "alpha beta gamma" ×3 and the two ×2 bridges all dup
+    assert(r.getAs[Long]("n_grams") == 9L)
+    assert(r.getAs[Long]("dup_chars") > 0L)
+    assert(r.getAs[Long]("dup_permille") > 500L)
+    assert(r.getAs[Long]("dup_chars") <= r.getAs[Long]("gram_chars"))
+  }
+
+  test("temperature weights: small sources upsample, large ones downsample") {
+    val docs = docsDf(Seq(
+      (1L, "x", "en", "big", 90000L),
+      (2L, "x", "en", "small", 100L)))
+    val out = Mixing.temperatureWeights(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("natural_permille"), r.getAs[Long]("share_permille"))).toMap
+    val (bigNat, bigShare) = out("big")
+    val (smallNat, smallShare) = out("small")
+    assert(bigShare < bigNat)      // temperature flattens the head
+    assert(smallShare > smallNat)  // and lifts the tail
+    // sqrt determinism: floor(sqrt(90000)*1e6) = 300 * 1e6 exactly
+    assert(bigShare + smallShare <= 1000L)
+  }
+
   test("format: byte/compact/path formatting matches the reference shapes") {
     import graft.expr.Format
     val s2 = spark
