@@ -113,18 +113,23 @@ object Similarity {
     * join candidates only within the same signature bucket, and top-k is
     * per-bucket. At 100 TB: one shuffle on the 1-int bucket key instead of
     * a cross join; recall tunes with nPlanes/multi-probe. */
-  def lshAnn(emb: DataFrame, probePred: Column, k: Int = 3, nPlanes: Int = 6): DataFrame = {
-    // signature = sum over planes of 2^p * (dot(v, plane_p) > 0); plane
-    // weights are an engine-portable integer mix computed on the fly in
-    // the native kernel (see VecOps.hashPlaneDot — the DuckDB oracle
-    // reproduces the sign, and hence the bucket, bit for bit)
+  /** LSH bucket + norm columns: signature = sum over planes of
+    * 2^p · (dot(v, plane_p) > 0); plane weights are an engine-portable
+    * integer mix computed on the fly in the native kernel (see
+    * VecOps.hashPlaneDot — the DuckDB oracle reproduces the sign, and
+    * hence the bucket, bit for bit). */
+  private def withBucket(emb: DataFrame, nPlanes: Int): DataFrame = {
     val sigExpr = (0 until nPlanes).map { p =>
       val dot = GraftColumnBridge.column(HashPlaneDot(
         GraftColumnBridge.expression(col("embedding")),
         GraftColumnBridge.expression(lit(p))))
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val signed = emb.withColumn("bucket", sigExpr).withColumn("v_norm", norm("embedding"))
+    emb.withColumn("bucket", sigExpr).withColumn("v_norm", norm("embedding"))
+  }
+
+  def lshAnn(emb: DataFrame, probePred: Column, k: Int = 3, nPlanes: Int = 6): DataFrame = {
+    val signed = withBucket(emb, nPlanes)
     val probes = signed.filter(probePred)
       .select(col("vec_id").as("q_id"), col("bucket"),
         col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
@@ -169,6 +174,42 @@ object Similarity {
         expr("array_max(__q)").as("q_max"),
         expr("CAST(floor(__scale * 1000000.0 + 0.5) AS BIGINT)").as("scale_micro"))
       .orderBy(idCol)
+  }
+
+  /** EMBEDDING-SPACE DECONTAMINATION — the semantic twin of the n-gram
+    * `Decontam.crossSplitContainment`: flag corpus ("train") vectors
+    * whose cosine similarity to any probe (benchmark/test) vector
+    * reaches `threshold`, so they can be dropped before training.
+    *
+    * Scale shape: candidates come from an equi-join on the portable LSH
+    * hyperplane bucket (identical signature to [[lshAnn]]; the oracle
+    * reproduces buckets bit for bit), never an all-pairs product, and
+    * the probe side of a decontamination run is benchmark-sized so it
+    * is broadcast — the corpus side streams map-side with no shuffle.
+    * Single-signature LSH trades recall for candidate volume exactly
+    * like [[lshAnn]]: lower `nPlanes` (or union several plane sets) for
+    * higher recall.
+    *
+    * Output: one row per contaminated corpus vector — hit count, best
+    * similarity, lowest matching probe id — ordered by vector id. */
+  def semanticDecontam(emb: DataFrame, probePred: Column,
+      threshold: Double, nPlanes: Int = 6): DataFrame = {
+    val signed = withBucket(emb, nPlanes)
+    val probes = signed.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
+    val corpus = signed.filter(!probePred)
+      .select(col("vec_id").as("c_id"), col("bucket"),
+        col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .select(col("c_id"), col("q_id"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_probe_hits"),
+        max(col("sim")).as("top_sim"),
+        min(col("q_id")).as("first_probe"))
+      .orderBy("c_id")
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, searched

@@ -580,6 +580,36 @@ object PipelineQueries {
              |FROM d WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.35
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Embedding-space decontamination: corpus vectors too close (cosine)
+    // to any held-out probe vector, candidates via the portable LSH
+    // bucket join — the semantic twin of q_decontam's n-gram containment
+    Q("q_semantic_decontam",
+      (s, d) => Similarity.semanticDecontam(
+        embeddings(s, d), col("vec_id") >= 1900, 0.35),
+      Some {
+        def seqDot(a: String, b: String): String =
+          s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+            s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        val bucket = (0 until 6).map { p =>
+          s"(CASE WHEN ${VecOps.duckDbPlaneDot("embedding", p)} > 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, $bucket AS bucket,
+           |    sqrt(${seqDot("embedding", "embedding")}) AS v_norm
+           |  FROM embeddings),
+           |p AS (SELECT vec_id AS q_id, bucket, embedding AS q_emb, v_norm AS q_norm
+           |      FROM e WHERE vec_id >= 1900),
+           |c AS (SELECT vec_id AS c_id, bucket, embedding AS c_emb, v_norm AS c_norm
+           |      FROM e WHERE NOT (vec_id >= 1900)),
+           |j AS (
+           |  SELECT c_id, q_id,
+           |    round(${seqDot("c_emb", "q_emb")} / (c_norm * q_norm), 6) AS sim
+           |  FROM c JOIN p USING (bucket))
+           |SELECT c_id, count(*) AS n_probe_hits, max(sim) AS top_sim,
+           |  min(q_id) AS first_probe
+           |FROM j WHERE sim >= 0.35 GROUP BY c_id ORDER BY c_id""".stripMargin
+      }),
+
     // Exact multi-percentile stats per group (linear interpolation — the
     // same definition as DuckDB's quantile_cont; median precedent is the
     // long-green q_file_stats)

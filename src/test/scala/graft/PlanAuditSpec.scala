@@ -94,6 +94,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("semantic decontam: probe side broadcasts, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.semanticDecontam(
+        emb, org.apache.spark.sql.functions.col("vec_id") >= 1900, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("dup ngram chars: partial aggregation before the gram shuffle, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.dupNgramChars(docs)

@@ -303,6 +303,21 @@ class OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("c_id") == 1L)
   }
 
+  test("semantic decontam: near-identical cross-split vector flagged, distant one not") {
+    // probe 100 ≈ corpus 0 (same direction — same LSH bucket, cosine ≈ 1);
+    // corpus 1 is orthogonal to every probe
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0.01f, 0f, 0.02f), 0),
+      (1L, Seq(0f, 0f, 1f, 0f), 0),
+      (100L, Seq(0.99f, 0.011f, 0f, 0.02f), 1),
+      (101L, Seq(0f, 1f, 0f, 0f), 1)))
+    val out = Similarity.semanticDecontam(e, col("vec_id") >= 100L, 0.9)
+      .collect()
+    assert(out.map(_.getAs[Long]("c_id")).toSeq == Seq(0L))
+    assert(out.head.getAs[Double]("top_sim") > 0.99)
+    assert(out.head.getAs[Long]("first_probe") == 100L)
+  }
+
   test("kmeans: deterministic assignment, full coverage, shuffle-free argmin") {
     val rng = new Random(99)
     // three well-separated blobs in 8-d
