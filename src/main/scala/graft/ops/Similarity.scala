@@ -147,6 +147,94 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** PRODUCT-QUANTIZATION ANN (the ADC scan of an IVF-PQ index): train
+    * `m` per-subspace codebooks with the deterministic Lloyd kmeans
+    * ([[Clustering.kmeans]]), encode every corpus vector as `m` small
+    * codes in ONE map-side pass (argmin over broadcast centroid
+    * literals, no shuffle, no join), and answer probes by asymmetric
+    * distance computation: per-probe lookup tables (`m`×`k` quantized
+    * `-2·q⋅c + |c|²` entries, computed on the driver from the
+    * benchmark-sized probe set — the same driver-state shape as the
+    * centroids themselves) summed per candidate via `element_at` on
+    * literal arrays.
+    *
+    * Scale shape: the scored stream carries only `(q_id, c_id,
+    * adc_micro)` longs — codes and LUTs never shuffle, payload vectors
+    * never leave the scan. The per-probe top-k window shuffles id
+    * triples, not vectors. At 100 TB this is the rerank half of IVF-PQ:
+    * bound the candidate stream first with [[ivfSearch]]'s coarse
+    * partition pruning, then ADC-scan only the probed lists.
+    *
+    * Determinism (oracle-reproducible): subspace training is the
+    * integer-quantized Lloyd; code assignment ties break to the lower
+    * code id (struct `array_min`); LUT entries are `floor(score·1e6)`
+    * longs computed with the same sequential fold as the SQL twin; the
+    * ADC sum is exact integer addition. */
+  def pqSearch(emb: DataFrame, probePred: Column, m: Int = 4, k: Int = 8,
+      iters: Int = 2, topK: Int = 5): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def subSlice(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+
+    // train: m deterministic Lloyd runs over the sliced column
+    val models = (0 until m).map { j =>
+      Clustering.kmeans(
+        emb.select(col("vec_id"), subSlice(j).as("embedding")), k, iters)
+    }
+
+    // encode: one scan, m argmin expressions -> array of m codes
+    def argminCode(j: Int): Column = {
+      val scored = models(j).centroids.zipWithIndex.map { case (cv, c) =>
+        val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
+        struct(
+          (lit(-2.0) * GraftColumnBridge.column(VecDot(
+            GraftColumnBridge.expression(subSlice(j)),
+            GraftColumnBridge.expression(typedLit(cv)))) + lit(normSq)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    val codes = emb.select(col("vec_id").as("c_id"),
+      array((0 until m).map(argminCode): _*).as("codes"))
+
+    // per-probe LUTs on the driver: same fold order as the SQL twin
+    def partMicro(vec: Seq[Float], j: Int, cv: Seq[Double]): Long = {
+      var s = 0.0
+      var i = 0
+      while (i < subDim) { s += vec(j * subDim + i).toDouble * cv(i); i += 1 }
+      val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
+      math.floor((-2.0 * s + normSq) * 1e6).toLong
+    }
+    val probeLuts: Seq[(Long, Seq[Seq[Long]])] = emb.filter(probePred)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map { r =>
+        val vec = r.getSeq[Float](1)
+        val luts = (0 until m).map { j =>
+          models(j).centroids.map(cv => partMicro(vec, j, cv))
+        }
+        (r.getLong(0), luts)
+      }.sortBy(_._1)
+
+    // ADC: explode per-probe (q_id, sum of LUT lookups) structs map-side
+    val perProbe = probeLuts.map { case (qid, luts) =>
+      val adc = (0 until m).map { j =>
+        element_at(typedLit(luts(j)), col("codes").getItem(j) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("q_id"), adc.as("adc_micro"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc_micro"), col("c_id"))
+    codes
+      .select(col("c_id"), explode(array(perProbe: _*)).as("s"))
+      .select(col("s.q_id").as("q_id"), col("c_id"),
+        col("s.adc_micro").as("adc_micro"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("q_id", "c_id", "adc_micro", "rn")
+      .orderBy("q_id", "rn")
+  }
+
   /** INT8 QUANTIZATION stats for embedding export (the serving/ANN-index
     * prep step): per vector, symmetric absmax quantization — `scale` =
     * max |x_i|, `q_i = round_half_up(x_i / scale · 127)` ∈ [-127, 127].

@@ -222,6 +222,92 @@ object PipelineQueries {
          |ORDER BY q_id""".stripMargin
   }
 
+  /** DuckDB oracle twin of [[Similarity.pqSearch]] (m=4 subspaces ×
+    * 16 dims, k=8, iters=2, probes vec_id<10, top-5): one full
+    * per-subspace Lloyd reproduction (same machinery as [[kmeansCtes]],
+    * over `list_slice`s), then the ADC join — per-probe LUT entries
+    * `floor((-2·q⋅c + |c|²)·1e6)` summed over subspaces as exact
+    * integers. */
+  private val pqOracleSql: String = {
+    val m = 4; val k = 8; val subDim = 16; val topK = 5
+    def score(eAlias: String): String =
+      s"""-2.0 * list_reduce(list_transform(range(1, len($eAlias.embedding) + 1),
+         |        i -> CAST($eAlias.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)""".stripMargin
+    def sub(j: Int): String = {
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      s"""p${j}e AS (
+         |  SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
+         |  FROM embeddings),
+         |p${j}c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS c,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM p${j}e WHERE vec_id < $k),
+         |p${j}d1 AS (
+         |  SELECT e.vec_id, e.embedding, p${j}c0.c,
+         |    ${score("e")} AS score
+         |  FROM p${j}e e, p${j}c0),
+         |p${j}a1 AS (
+         |  SELECT vec_id, embedding, c AS cluster FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+         |     FROM p${j}d1)
+         |  WHERE rn = 1),
+         |p${j}s1 AS (
+         |  SELECT cluster, dim,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS cnt
+         |  FROM (SELECT cluster, unnest(embedding) AS x,
+         |          generate_subscripts(embedding, 1) AS dim FROM p${j}a1)
+         |  GROUP BY 1, 2),
+         |p${j}c1n AS (
+         |  SELECT cluster AS c,
+         |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
+         |  FROM p${j}s1 GROUP BY cluster),
+         |p${j}c1 AS (
+         |  SELECT p${j}c0.c, COALESCE(p${j}c1n.cv, p${j}c0.cv) AS cv
+         |  FROM p${j}c0 LEFT JOIN p${j}c1n ON p${j}c0.c = p${j}c1n.c),
+         |p${j}d2 AS (
+         |  SELECT e.vec_id, e.embedding, p${j}c1.c,
+         |    ${score("e")} AS score
+         |  FROM p${j}e e, p${j}c1),
+         |p${j}a2 AS (
+         |  SELECT vec_id, embedding, c AS cluster FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+         |     FROM p${j}d2)
+         |  WHERE rn = 1),
+         |p${j}lut AS (
+         |  SELECT pr.vec_id AS q_id, c1.c AS code,
+         |    CAST(floor((${score("pr")}) * 1000000.0) AS BIGINT) AS part_micro
+         |  FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
+         |        FROM embeddings WHERE vec_id < 10) pr, p${j}c1 c1)""".stripMargin
+    }
+    val subs = (0 until m).map(sub).mkString(",\n")
+    val cands = (0 until m).map(j =>
+      s"SELECT vec_id AS c_id, $j AS sub, cluster AS code FROM p${j}a2")
+      .mkString("\n  UNION ALL ")
+    val luts = (0 until m).map(j =>
+      s"SELECT q_id, $j AS sub, code, part_micro FROM p${j}lut")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $subs,
+       |cands AS (
+       |  $cands),
+       |lut AS (
+       |  $luts),
+       |sc AS (
+       |  SELECT q_id, c_id, CAST(sum(part_micro) AS BIGINT) AS adc_micro
+       |  FROM cands JOIN lut USING (sub, code)
+       |  WHERE c_id <> q_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT q_id, c_id, adc_micro,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, c_id)
+       |      AS INT) AS rn
+       |  FROM sc)
+       |SELECT q_id, c_id, adc_micro, rn FROM r WHERE rn <= $topK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Deterministic Lloyd k-means over embeddings: cluster sizes +
@@ -752,6 +838,12 @@ object PipelineQueries {
     Q("q_ann_lsh",
       (s, d) => Similarity.lshAnn(embeddings(s, d), col("vec_id") < 10),
       Some(lshOracleSql)),
+
+    // Product-quantization ANN: per-subspace Lloyd codebooks, one-pass
+    // encode, ADC scoring via driver LUTs — integer-exact end to end
+    Q("q_ann_pq",
+      (s, d) => Similarity.pqSearch(embeddings(s, d), col("vec_id") < 10),
+      Some(pqOracleSql)),
 
     // SimHash Hamming candidates via pigeonhole block buckets (no
     // all-pairs join, so no probe-set cap needed; portable 60-bit

@@ -94,6 +94,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("pq search: ADC scoring is join-free — codes and LUTs are literals") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.pqSearch(
+        emb, org.apache.spark.sql.functions.col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
   test("semantic decontam: probe side broadcasts, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = graft.ops.Similarity.semanticDecontam(

@@ -318,6 +318,23 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("first_probe") == 100L)
   }
 
+  test("pq search: ADC ranks the near-identical vector first") {
+    // two tight groups in 8-d; probe 0's nearest true neighbor is 1
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f, 0f, 0f, 0.95f, 0.05f, 0f, 0f), 0),
+      (2L, Seq(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f), 1),
+      (3L, Seq(0f, 0f, 0.9f, 0.1f, 0f, 0f, 0.9f, 0.1f), 1)))
+    val out = Similarity.pqSearch(e, col("vec_id") === 0L,
+      m = 2, k = 2, iters = 2, topK = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("c_id") == 1L) // same-group vector wins ADC
+    assert(out.head.getAs[Int]("rn") == 1)
+    // ADC distances ascend with rank
+    val adcs = out.map(_.getAs[Long]("adc_micro")).toSeq
+    assert(adcs == adcs.sorted)
+  }
+
   test("kmeans: deterministic assignment, full coverage, shuffle-free argmin") {
     val rng = new Random(99)
     // three well-separated blobs in 8-d
