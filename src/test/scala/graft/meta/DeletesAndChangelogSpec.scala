@@ -208,6 +208,26 @@ class DeletesAndChangelogSpec extends SparkSpec {
     assert(net2 == Set((3L, "c", "delete"), (3L, "C", "insert")), net2.toString)
   }
 
+  test("rowChanges net mode is a true MULTISET diff: duplicate rows keep their counts") {
+    val dir = Files.createTempDirectory("graft-cdc-multiset").toString + "/t"
+    import org.apache.spark.sql.types._
+    graft.meta.TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    // before: (1,a) ×2, (2,b) ×1 — after the overwrite: (1,a) ×1, (2,b) ×2
+    val t0 = graft.meta.TableWriter.append(spark, dir,
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val t1 = graft.meta.TableWriter.overwrite(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val net = graft.ops.ChangeFeed.rowChanges(
+        spark, graft.meta.IcebergTable.load(dir),
+        t0.snapshotId, t1.snapshotId, net = true)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq
+    // one copy of (1,a) net-gone, one extra copy of (2,b) net-new —
+    // a set-based diff would report nothing at all
+    assert(net.sorted == Seq((1L, "a", "delete"), (2L, "b", "insert")), net.toString)
+  }
+
   test("rowChanges: 50-commit range unions stay shallow (tree reduce)") {
     val dir = Files.createTempDirectory("graft-cdc-50").toString + "/t"
     import org.apache.spark.sql.types._

@@ -80,6 +80,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(res2.expiredSnapshots.isEmpty)
   }
 
+  test("expireSnapshots that loses the CAS deletes NOTHING (publish-first)") {
+    val wh = freshWarehouse()
+    val e = new Engine(spark, wh)
+    val tdir = s"$wh/sales/orders"
+    val md = e.load("sales.orders").metadata
+    def dataFiles() = scala.util.Using.resource(Files.list(Paths.get(tdir, "data")))(
+      _.iterator().asScala.size)
+    val dataBefore = dataFiles()
+    // make the metadata publish fail (same failure point as losing the
+    // version-slot CAS to a concurrent commit): with delete-before-
+    // publish ordering, files would already be gone when this throws.
+    // POSIX permissions don't stop root, so use the immutable flag;
+    // cancel on filesystems that lack it.
+    val metaDir = Paths.get(tdir, "metadata")
+    def chattr(flag: String): Int =
+      new ProcessBuilder("chattr", flag, metaDir.toString)
+        .redirectErrorStream(true).start().waitFor()
+    assume(chattr("+i") == 0, "chattr immutable flag unsupported here")
+    try {
+      intercept[Exception] {
+        e.expireSnapshots("sales.orders",
+          olderThanMs = md.snapshots.last.timestampMs, retainLast = 1)
+      }
+    } finally assert(chattr("-i") == 0)
+    // the failed commit must not have unlinked anything: the surviving
+    // metadata still references every snapshot's files
+    assert(dataFiles() == dataBefore)
+    md.snapshots.foreach { s =>
+      assert(Files.exists(Paths.get(
+        new graft.meta.IcebergTable(tdir, md).resolvePath(s.manifestList))),
+        s"manifest list of ${s.snapshotId} deleted despite failed CAS")
+    }
+  }
+
   test("history + metadataLog relations reflect commits and rollback") {
     val wh = freshWarehouse()
     val e = new Engine(spark, wh)
