@@ -177,10 +177,19 @@ object Similarity {
     val subDim = dim / m
     def subSlice(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
 
-    // train: m deterministic Lloyd runs over the sliced column
-    val models = (0 until m).map { j =>
-      Clustering.kmeans(
-        emb.select(col("vec_id"), subSlice(j).as("embedding")), k, iters)
+    // train: m deterministic Lloyd runs over the sliced column. The
+    // subspaces are independent, so their driver-blocking actions (init
+    // collect + one sums-collect per update) run CONCURRENTLY — Spark
+    // schedules jobs from multiple threads freely, and each result is
+    // identical to the sequential run.
+    val models = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse((0 until m).toList) { j =>
+          Future(Clustering.kmeans(
+            emb.select(col("vec_id"), subSlice(j).as("embedding")), k, iters))
+        }, scala.concurrent.duration.Duration.Inf)
     }
 
     // encode: one scan, m argmin expressions -> array of m codes
