@@ -326,4 +326,42 @@ object Dedup {
           .as("jaccard"))
       .orderBy("a_id", "b_id")
   }
+
+  /** LINE-LEVEL BOILERPLATE REMOVAL (the C4/CCNet corpus-dedup pass):
+    * a "line" (here a `sep`-delimited sentence) appearing in at least
+    * `minDf` DISTINCT documents is boilerplate (navigation chrome,
+    * license banners, repeated templates); every document is rebuilt
+    * without those lines, preserving original line order and spelling.
+    * Returns one row per AFFECTED document: line counts and the
+    * rebuilt text (byte-exact, oracle-verifiable).
+    *
+    * Scale shape: one explode, one (line, doc) distinct-count aggregate
+    * over the LINE VOCABULARY (bounded by distinct lines, not corpus
+    * size), one membership join, one per-doc rebuild aggregate — lines
+    * shuffle once each. At 100 TB the membership test is the same plan
+    * with the line column pre-hashed (shuffles 8-byte hashes instead of
+    * strings) and the boilerplate set broadcast — both drop-in column
+    * swaps on this shape. */
+  def dedupLines(docs: DataFrame, minDf: Long = 2, sep: String = ". "): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), sepRegex)).as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+    val boiler = lines.filter(col("norm") =!= "")
+      .groupBy("norm").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("norm"), lit(true).as("is_b"))
+    lines.join(boiler, Seq("norm"), "left")
+      .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_removed"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN NOT is_b THEN struct(pos, line) END)), " +
+          s"s -> s.line), '$sep')").as("new_text"))
+      .filter(col("n_removed") > 0)
+      .withColumn("new_n_chars", length(col("new_text")))
+      .orderBy("doc_id")
+  }
 }

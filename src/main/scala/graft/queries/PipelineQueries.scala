@@ -1006,6 +1006,29 @@ object PipelineQueries {
              |  round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // Line-level boilerplate removal (C4/CCNet): sentences appearing in
+    // >= 2 distinct docs are dropped, docs rebuilt byte-exactly
+    Q("q_dedup_lines",
+      (s, d) => Dedup.dedupLines(documents(s, d)),
+      Some("""WITH l AS (
+             |  SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             |         unnest(parts) AS line
+             |  FROM (SELECT doc_id, string_split(text, '. ') AS parts
+             |        FROM documents)),
+             |n AS (SELECT doc_id, pos, line, trim(line) AS norm FROM l),
+             |b AS (SELECT norm FROM n WHERE norm <> ''
+             |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+             |f AS (SELECT n.*, (norm IN (SELECT norm FROM b)) AS is_b FROM n),
+             |a AS (SELECT doc_id, count(*) AS n_lines,
+             |        CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_removed,
+             |        COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+             |          '. ' ORDER BY pos), '') AS new_text
+             |      FROM f GROUP BY 1)
+             |SELECT doc_id, n_lines, n_removed, new_text,
+             |  CAST(length(new_text) AS INT) AS new_n_chars
+             |FROM a WHERE n_removed > 0 ORDER BY doc_id""".stripMargin)),
+
     // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
     // filter, char-weighted complement of q_repetition): share of gram
     // chars covered by n-grams occurring more than once in the doc.

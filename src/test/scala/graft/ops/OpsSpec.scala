@@ -100,6 +100,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("dedup lines: cross-doc boilerplate removed, unique lines and order kept") {
+    val docs = docsDf(Seq(
+      (1L, "Cookie banner. unique alpha. Cookie banner. unique beta", "en", "a", 50L),
+      (2L, "Cookie banner. other text here", "en", "b", 30L),
+      (3L, "totally original document", "en", "a", 25L)))
+    val out = Dedup.dedupLines(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("new_text"))).toMap
+    // doc 3 untouched -> absent; both banner copies in doc 1 removed
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 2L)
+    assert(out(1L)._2 == "unique alpha. unique beta")
+    assert(out(2L)._2 == "other text here")
+  }
+
   test("ngram jaccard: identical docs score 1.0") {
     val docs = docsDf(Seq(
       (1L, "abcdefgh", "en", "a", 8L),
