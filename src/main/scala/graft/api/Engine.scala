@@ -94,6 +94,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   def partitions(ref: String): DataFrame =
     MetaRelations.partitions(files(ref))
 
+  /** Spark-Iceberg `t.entries` analog: every manifest entry incl.
+    * deleted tombstones, with the owning manifest path. */
+  def entries(ref: String, snapshotId: Option[Long] = None): DataFrame =
+    MetaRelations.entries(spark, load(ref), snapshotId)
+
+  /** Spark-Iceberg `t.all_data_files` analog: live data files referenced
+    * by ANY snapshot still in the metadata. */
+  def allFiles(ref: String): DataFrame =
+    MetaRelations.allFiles(spark, load(ref))
+
+  /** Spark-Iceberg `t.all_manifests` analog: (snapshot, manifest) pairs
+    * across the whole snapshot log. */
+  def allManifests(ref: String): DataFrame =
+    MetaRelations.allManifests(spark, load(ref))
+
   def schemaHistory(ref: String): DataFrame =
     MetaRelations.schemas(spark, load(ref))
 

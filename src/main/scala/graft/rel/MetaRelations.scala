@@ -205,6 +205,81 @@ object MetaRelations {
     spark.createDataFrame(rows.asJava, schemasSchema)
   }
 
+  val entriesSchema: StructType = StructType(
+    filesSchema.fields.toSeq ++ Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("manifest_path", StringType, nullable = false)))
+
+  private def entryRowFull(e: graft.meta.DataFileEntry, manifest: String): Row =
+    Row(e.filePath, e.fileFormat, e.snapshotId, e.status, e.partition,
+      e.recordCount, e.fileSizeInBytes, e.columnSizes, e.valueCounts,
+      e.nullValueCounts, e.lowerBounds, e.upperBounds, e.equalityIds,
+      e.content, manifest)
+
+  /** `entries` — EVERY manifest entry of a snapshot, data AND delete
+    * manifests, INCLUDING status=2 (deleted) tombstones, with the
+    * owning manifest path (Iceberg's `t$entries` inspection table; the
+    * raw material `files`/`delete_files` filter down from). Distributes
+    * the Avro parse over executors past the same threshold as [[files]]. */
+  def entries(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
+    val ms = t.manifests(snapshotId)
+    val approx = ms.map(m =>
+      m.addedFilesCount + m.existingFilesCount + m.deletedFilesCount).sum
+    if (approx <= DistributeEntriesThreshold) {
+      val rows = ms.flatMap(m =>
+        graft.meta.AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .map(entryRowFull(_, m.manifestPath)))
+      spark.createDataFrame(rows.asJava, entriesSchema)
+    } else {
+      val paths = ms.map(m => (t.resolvePath(m.manifestPath), m.manifestPath))
+      val ds = spark.createDataset(paths)(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING))
+        .repartition(math.min(paths.size, spark.sparkContext.defaultParallelism))
+      ds.mapPartitions { it =>
+        it.flatMap { case (abs, rel) =>
+          graft.meta.AvroManifests.readManifest(abs).iterator
+            .map(entryRowFull(_, rel))
+        }
+      }(org.apache.spark.sql.Encoders.row(entriesSchema)).toDF()
+    }
+  }
+
+  /** `all_files` — live data-file entries referenced by ANY snapshot
+    * still in the metadata (Iceberg's `t$all_data_files`): the union
+    * over each DISTINCT data manifest, so shared manifests are read
+    * once. Like Iceberg's, a file can appear once per manifest that
+    * carries it (rewrite-manifests dedups those). */
+  def allFiles(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val distinctManifests = t.metadata.snapshots
+      .flatMap(s => t.manifests(Some(s.snapshotId)))
+      .filter(_.content == 0)
+      .distinctBy(_.manifestPath)
+    val rows = distinctManifests.flatMap(m =>
+      graft.meta.AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+        .filter(_.status != 2).map(entryRow))
+    spark.createDataFrame(rows.asJava, filesSchema)
+  }
+
+  val allManifestsSchema: StructType = StructType(
+    manifestsSchema.fields.toSeq :+
+      StructField("reference_snapshot_id", LongType, nullable = false))
+
+  /** `all_manifests` — one row per (snapshot, manifest-list entry)
+    * across every snapshot in the metadata (Iceberg's
+    * `t$all_manifests`): which manifests each historical snapshot
+    * references — the provenance view expire/rewrite decisions read. */
+  def allManifests(spark: SparkSession, t: IcebergTable): DataFrame = {
+    val rows = for {
+      s <- t.metadata.snapshots
+      m <- t.manifests(Some(s.snapshotId))
+    } yield Row(m.manifestPath, m.manifestLength, m.partitionSpecId, m.content,
+      m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount,
+      m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount,
+      m.deletedRowsCount, s.snapshotId)
+    spark.createDataFrame(rows.asJava, allManifestsSchema)
+  }
+
   /** S4 — per-partition stats derived from `files` (one shuffle on the
     * partition key, ref `formatters.py:307-320`). */
   def partitions(files: DataFrame): DataFrame = {

@@ -65,7 +65,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Spark-Iceberg `SELECT * FROM t.files` inspection surface):
     * {{{ SELECT * FROM graft.sales.`orders$snapshots` }}} */
   private val MetaIdent =
-    """(.+)\$(files|delete_files|snapshots|manifests|schemas|partitions|history|metadata_log|refs)""".r
+    """(.+)\$(files|delete_files|snapshots|manifests|schemas|partitions|history|metadata_log|refs|entries|all_files|all_manifests)""".r
 
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case MetaIdent(base, kind) =>
@@ -463,6 +463,9 @@ final class GraftMetaTable(tableDir: String, kind: String)
       case "history" => graft.rel.MetaRelations.history(spark, t)
       case "metadata_log" => graft.rel.MetaRelations.metadataLog(spark, tableDir)
       case "refs" => graft.rel.MetaRelations.refs(spark, t)
+      case "entries" => graft.rel.MetaRelations.entries(spark, t)
+      case "all_files" => graft.rel.MetaRelations.allFiles(spark, t)
+      case "all_manifests" => graft.rel.MetaRelations.allManifests(spark, t)
     }
   }
 

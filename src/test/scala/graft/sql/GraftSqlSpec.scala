@@ -117,6 +117,46 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head() >= 1L)
   }
 
+  test("entries / all_files / all_manifests metadata tables") {
+    val wh = warehouse
+    val t = IcebergTable.load(s"$wh/sales/orders")
+
+    // entries: superset of files (includes delete manifests + tombstones)
+    val entries = spark.sql(
+      "SELECT status, content, manifest_path FROM graft.sales.`orders$entries`")
+      .collect()
+    // every live data + delete entry surfaces (this writer rewrites
+    // manifest lists rather than writing status=2 tombstones, so with
+    // no tombstones present the counts are exactly equal)
+    assert(entries.length == t.files().size + t.deleteFiles().size)
+    assert(entries.forall(_.getAs[String]("manifest_path").nonEmpty))
+    assert(entries.filter(_.getAs[Int]("content") == 0).length ==
+      t.files().size)
+
+    // all_files: union over every snapshot — strictly more file paths
+    // than the current snapshot (the overwrite dropped older appends)
+    val curPaths = t.files().map(_.filePath).toSet
+    val allPaths = spark.sql(
+      "SELECT DISTINCT file_path FROM graft.sales.`orders$all_files`")
+      .as[String].collect().toSet
+    assert(curPaths.subsetOf(allPaths))
+    assert(allPaths.size > curPaths.size,
+      "historical snapshots' files missing from all_files")
+
+    // all_manifests: one row per (snapshot, manifest); every snapshot
+    // present, counts match the per-snapshot manifest lists
+    val perSnap = spark.sql(
+      """SELECT reference_snapshot_id, count(*) AS n
+        |FROM graft.sales.`orders$all_manifests`
+        |GROUP BY reference_snapshot_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSnap.keySet == t.metadata.snapshots.map(_.snapshotId).toSet)
+    t.metadata.snapshots.foreach { s =>
+      assert(perSnap(s.snapshotId) ==
+        t.manifests(Some(s.snapshotId)).size.toLong)
+    }
+  }
+
   test("delete-carrying tables read merge-on-read through SQL (V1Scan fallback)") {
     val wh2 = Files.createTempDirectory("graft-sql-del-wh").toString
     FixtureWriter.writeDemo(spark, wh2)
