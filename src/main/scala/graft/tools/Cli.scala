@@ -71,6 +71,9 @@ object Cli {
         case "snapshots"   => emit(engine.snapshots(vargs(0)))
         case "manifests"   => emit(engine.manifests(vargs(0)))
         case "partitions"  => emit(engine.partitions(vargs(0)))
+        case "entries"     => emit(engine.entries(vargs(0), vargs.lift(1).map(_.toLong)))
+        case "all-files"   => emit(engine.allFiles(vargs(0)))
+        case "all-manifests" => emit(engine.allManifests(vargs(0)))
         case "schema"      => emit(engine.schemaHistory(vargs(0)))
         case "schema-diff" => emit(engine.schemaDiff(vargs(0), vargs(1).toInt, vargs(2).toInt))
         case "recent"      => emit(engine.recentOps(vargs(0)))
@@ -214,6 +217,7 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
+      "       entries all-files all-manifests\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +

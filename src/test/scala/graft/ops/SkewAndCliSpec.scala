@@ -100,6 +100,14 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "widen-column", "lake.w", "qty", "int")) == 1)
   }
 
+  test("round-7 CLI verbs: entries / all-files / all-manifests") {
+    val wh = Files.createTempDirectory("graft-cli-wh7b").toString
+    graft.fixtures.FixtureWriter.writeDemo(spark, wh)
+    assert(Cli.run(Array(wh, "entries", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "all-files", "sales.orders")) == 0)
+    assert(Cli.run(Array(wh, "all-manifests", "sales.orders")) == 0)
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
