@@ -109,6 +109,81 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   def allManifests(ref: String): DataFrame =
     MetaRelations.allManifests(spark, load(ref))
 
+  /** Flattened table overview — format version, location, UUID, current
+    * schema, partition spec, sort order, and properties as (section,
+    * name, value) rows (the reference's `table-info` command,
+    * `cli.py` `table_info`: same flattened render shape as its
+    * JSON/CSV output). Pure metadata — no file scan. */
+  def tableInfo(ref: String): DataFrame = {
+    import spark.implicits._
+    val md = load(ref).metadata
+    val overview = Seq(
+      ("overview", "table_name", ref),
+      ("overview", "location", md.location),
+      ("overview", "table_uuid", md.tableUuid),
+      ("overview", "format_version", md.formatVersion.toString),
+      ("overview", "current_snapshot_id",
+        md.currentSnapshotId.map(_.toString).getOrElse("")),
+      ("overview", "snapshot_count", md.snapshots.size.toString),
+      ("overview", "last_updated_ms", md.lastUpdatedMs.toString))
+    val schema = md.currentSchema.fields.map(f =>
+      ("schema", f.name, s"${f.fieldType}${if (f.required) "" else " (optional)"}"))
+    val spec = md.currentSpec.fields.map(f =>
+      ("partition_spec", f.name, f.transform))
+    val sort = md.defaultSortOrder.toSeq.flatMap(_.fields.map(f =>
+      ("sort_order", s"field_${f.sourceId}", s"${f.transform} ${f.direction} ${f.nullOrder}")))
+    val props = md.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+      ("properties", k, v)
+    }
+    (overview ++ schema ++ spec ++ sort ++ props)
+      .toDF("section", "name", "value")
+  }
+
+  /** Deep dive into one snapshot: its manifest-list entries with live
+    * entry counts (the reference's `snapshot <table> <id>` detail view). */
+  def snapshotDetail(ref: String, snapshotId: Long): DataFrame = {
+    val t = load(ref)
+    require(t.metadata.snapshot(snapshotId).isDefined,
+      s"snapshot $snapshotId not found in $ref")
+    MetaRelations.manifests(spark, t, Some(snapshotId))
+  }
+
+  /** Environment / configuration diagnosis as (check, status, detail)
+    * rows — the reference's `doctor` command: warehouse reachability,
+    * table census, engine session facts, and which catalog settings are
+    * present in the environment (network backends surface as typed
+    * errors when used; doctor only REPORTS their configuration). */
+  def doctor(): DataFrame = {
+    import spark.implicits._
+    val whPath = java.nio.file.Paths.get(warehouseDir)
+    val whOk = java.nio.file.Files.isDirectory(whPath)
+    val census =
+      if (!whOk) ("warehouse", "FAIL", s"$warehouseDir is not a directory")
+      else {
+        val n = listTables().count()
+        ("warehouse", if (n > 0) "OK" else "WARN",
+          s"$warehouseDir (${n} tables)")
+      }
+    val session = Seq(
+      ("spark", "OK", s"version ${spark.version}, master ${spark.sparkContext.master}"),
+      ("shuffle_partitions", "OK",
+        spark.conf.get("spark.sql.shuffle.partitions")),
+      ("ansi_mode", "OK", spark.conf.get("spark.sql.ansi.enabled", "true")))
+    val catalogEnv = Seq("ICEBERG_META_URI", "ICEBERG_META_WAREHOUSE").map { k =>
+      sys.env.get(k) match {
+        case Some(_) => (k.toLowerCase, "OK", "set (value hidden)")
+        case None    => (k.toLowerCase, "INFO", "not set — filesystem catalog")
+      }
+    }
+    val cfgFile = graft.meta.CatalogConfig.defaultPath
+    val cfg =
+      if (java.nio.file.Files.exists(cfgFile))
+        Seq(("config_file", "OK", cfgFile.toString))
+      else Seq(("config_file", "INFO", s"$cfgFile absent — defaults in use"))
+    (Seq(census) ++ session ++ catalogEnv ++ cfg)
+      .toDF("check", "status", "detail")
+  }
+
   def schemaHistory(ref: String): DataFrame =
     MetaRelations.schemas(spark, load(ref))
 

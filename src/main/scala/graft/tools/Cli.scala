@@ -71,6 +71,13 @@ object Cli {
         case "snapshots"   => emit(engine.snapshots(vargs(0)))
         case "manifests"   => emit(engine.manifests(vargs(0)))
         case "partitions"  => emit(engine.partitions(vargs(0)))
+        case "table-info"  => emit(engine.tableInfo(vargs(0)))
+        case "snapshot-detail" =>
+          emit(engine.snapshotDetail(vargs(0), vargs(1).toLong))
+        case "doctor"      => emit(engine.doctor())
+        case "demo" =>
+          graft.fixtures.FixtureWriter.writeDemo(spark, warehouse)
+          println(s"demo warehouse seeded at $warehouse")
         case "entries"     => emit(engine.entries(vargs(0), vargs.lift(1).map(_.toLong)))
         case "all-files"   => emit(engine.allFiles(vargs(0)))
         case "all-manifests" => emit(engine.allManifests(vargs(0)))
@@ -217,7 +224,7 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
-      "       entries all-files all-manifests\n" +
+      "       entries all-files all-manifests table-info snapshot-detail doctor demo\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +
       "       test-connection watch read changes delete-files append-parquet\n" +
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +

@@ -108,6 +108,24 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "all-manifests", "sales.orders")) == 0)
   }
 
+  test("round-7 CLI verbs: table-info / snapshot-detail / doctor / demo") {
+    val wh = Files.createTempDirectory("graft-cli-wh7c").toString
+    assert(Cli.run(Array(wh, "demo")) == 0) // seeds the warehouse
+    val e = new graft.api.Engine(spark, wh)
+    val info = e.tableInfo("sales.orders").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(info.exists(r => r._1 == "overview" && r._2 == "format_version" && r._3 == "2"))
+    assert(info.exists(r => r._1 == "schema" && r._2 == "order_id"))
+    assert(info.count(_._1 == "partition_spec") > 0)
+    val snapId = e.load("sales.orders").metadata.currentSnapshotId.get
+    assert(Cli.run(Array(wh, "snapshot-detail", "sales.orders", snapId.toString)) == 0)
+    intercept[IllegalArgumentException] { e.snapshotDetail("sales.orders", 424242L) }
+    val doc = e.doctor().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(doc("warehouse") == "OK")
+    assert(doc("spark") == "OK")
+    assert(Cli.run(Array(wh, "doctor")) == 0)
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
