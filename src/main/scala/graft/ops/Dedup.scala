@@ -327,6 +327,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** INCREMENTAL INGEST DEDUP — the daily-crawl pattern: flag each
+    * document of a new increment whose normalized content digest already
+    * exists in the standing corpus (typically the change feed's inserts
+    * joined against the corpus digest index). The corpus side ships ONLY
+    * distinct 32-hex digests — document text never leaves its scan — and
+    * the increment (usually the small side) hash-joins on the digest.
+    * Returns the increment with an `is_dup` flag; downstream keeps
+    * `!is_dup` and appends. */
+  def incrementalExact(increment: DataFrame, corpus: DataFrame): DataFrame = {
+    val dig = md5(lower(trim(col("text"))))
+    val corpusDigests = corpus.select(dig.as("digest")).distinct()
+    increment.withColumn("digest", dig)
+      .join(corpusDigests.withColumn("seen", lit(true)), Seq("digest"), "left")
+      .withColumn("is_dup", coalesce(col("seen"), lit(false)))
+      .drop("seen")
+  }
+
   /** LINE-LEVEL BOILERPLATE REMOVAL (the C4/CCNet corpus-dedup pass):
     * a "line" (here a `sep`-delimited sentence) appearing in at least
     * `minDf` DISTINCT documents is boilerplate (navigation chrome,

@@ -51,6 +51,30 @@ object TextStats {
       .orderBy("lang", "rank")
   }
 
+  /** OUT-OF-VOCABULARY RATE: per language, the share of token
+    * OCCURRENCES not covered by that language's top-`k` vocabulary —
+    * the tokenizer-coverage check run before committing to a vocab
+    * size. Same plan spine as [[topTokens]]: one (lang, token) hash
+    * aggregate (map-side combinable, bounded by the vocabulary), one
+    * per-lang window over the vocabulary, one final rollup; integral
+    * permille, engine-exact. */
+  def oovRate(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    docs.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .groupBy("lang")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("rank") <= k, col("cnt")).otherwise(lit(0L))).as("covered"),
+        count(lit(1)).as("vocab_size"))
+      .withColumn("oov_permille",
+        expr("((n_tokens - covered) * 1000) DIV n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Quality score in [0,1]: alpha ratio + length credit − punctuation
     * penalty. The exact operation order is mirrored by the DuckDB oracle. */
   def qualityScore(text: Column): Column = {

@@ -451,6 +451,54 @@ object PipelineQueries {
              |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 5
              |ORDER BY lang, rank""".stripMargin)),
 
+    // Out-of-vocabulary rate vs the per-lang top-25 vocab — the
+    // tokenizer-coverage check before fixing a vocab size
+    Q("q_oov_rate",
+      (s, d) => TextStats.oovRate(documents(s, d), 25),
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, tok, cnt,
+             |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+             |  FROM c),
+             |a AS (SELECT lang,
+             |        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |        CAST(sum(CASE WHEN rank <= 25 THEN cnt ELSE 0 END)
+             |          AS BIGINT) AS covered,
+             |        count(*) AS vocab_size
+             |      FROM r GROUP BY 1)
+             |SELECT lang, n_tokens, covered, vocab_size,
+             |  ((n_tokens - covered) * 1000) // n_tokens AS oov_permille
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // Incremental ingest dedup: the newest 1000 doc_ids checked against
+    // the standing corpus by content digest — the daily-crawl append path
+    Q("q_dedup_incremental",
+      (s, d) => graft.ops.Dedup.incrementalExact(
+          documents(s, d).filter(col("doc_id") >= 4000),
+          documents(s, d).filter(col("doc_id") < 4000))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("is_dup"), 1L).otherwise(lit(0L))).as("n_dup"))
+        .withColumn("n_ingested", col("n_new") - col("n_dup"))
+        .orderBy("lang"),
+      Some("""WITH inc AS (
+             |  SELECT lang, md5(lower(trim(text))) AS digest
+             |  FROM documents WHERE doc_id >= 4000),
+             |corp AS (
+             |  SELECT DISTINCT md5(lower(trim(text))) AS digest
+             |  FROM documents WHERE doc_id < 4000)
+             |SELECT lang,
+             |  CAST(count(*) AS BIGINT) AS n_new,
+             |  CAST(sum(CASE WHEN corp.digest IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dup,
+             |  CAST(count(*) - sum(CASE WHEN corp.digest IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ingested
+             |FROM inc LEFT JOIN corp USING (digest)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // CUBE grouping sets over (lang, source) with grouping_id
     // disambiguation (null group keys ordered explicitly — Spark and
     // DuckDB default null ordering differ)

@@ -100,6 +100,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("incremental dedup: new docs matching corpus digests flagged, fresh ones pass") {
+    val corpus = docsDf(Seq(
+      (1L, "existing content one", "en", "a", 20L),
+      (2L, "existing content two", "en", "a", 20L)))
+    val inc = docsDf(Seq(
+      (10L, "EXISTING CONTENT ONE  ", "en", "b", 22L), // dup after normalize
+      (11L, "genuinely new text", "en", "b", 18L)))
+    val out = Dedup.incrementalExact(inc, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(out == Map(10L -> true, 11L -> false))
+  }
+
+  test("oov rate: full vocab covers everything; k=1 leaves the tail out") {
+    val docs = docsDf(Seq(
+      (1L, "the cat and the dog and the bird", "en", "a", 32L)))
+    val full = TextStats.oovRate(docs, 100).collect().head
+    assert(full.getAs[Long]("oov_permille") == 0L)
+    // top-1 = "the" (3 of 8 occurrences) -> 5/8 OOV = 625 permille
+    val top1 = TextStats.oovRate(docs, 1).collect().head
+    assert(top1.getAs[Long]("covered") == 3L)
+    assert(top1.getAs[Long]("oov_permille") == 625L)
+  }
+
   test("dedup lines: cross-doc boilerplate removed, unique lines and order kept") {
     val docs = docsDf(Seq(
       (1L, "Cookie banner. unique alpha. Cookie banner. unique beta", "en", "a", 50L),
