@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINING-EXPORT WRITER — the physical half of [[Sampling.shardAssign]]:
+  * materialize a frame as `nShards` deterministic shard directories of
+  * parquet, each internally ordered by the reproducible hash-shuffle
+  * position. Re-running the export over the same input produces
+  * byte-identical shard CONTENTS (same rows, same order) regardless of
+  * input partitioning — the property a resumable training job needs.
+  *
+  * Scale shape: one hash repartition ON THE SHARD KEY (each output shard
+  * is written by exactly one task — no post-write merge), an in-partition
+  * sort, and a `partitionBy` parquet write. No driver-side data movement.
+  */
+object Export {
+
+  /** Write `df` as `outDir/shard=N/...parquet`, one directory per shard.
+    * Returns the per-shard row counts (shard → rows) read back from the
+    * committed files, so callers can assert completeness cheaply. */
+  def writeShards(df: DataFrame, key: Column, nShards: Int, outDir: String): Map[Int, Long] = {
+    val assigned = Sampling.shardAssign(df, key, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+  }
+}

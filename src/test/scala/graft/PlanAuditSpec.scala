@@ -94,6 +94,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("incremental dedup: digest join, no text on the corpus shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.incrementalExact(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 4000),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 4000))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the corpus side projects digest only before its exchange
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("Aggregate".r.findAllIn(optimized).nonEmpty)
+  }
+
+  test("oov rate: vocabulary-bounded window after a partial-agg shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.oovRate(docs, 25)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("pq search: ADC scoring is join-free — codes and LUTs are literals") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = graft.ops.Similarity.pqSearch(

@@ -100,6 +100,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("writeShards: deterministic sharded export, re-run identical, partitioning-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val docs = docsDf((1L to 40L).map(i => (i, s"doc number $i", "en", "a", 12L)))
+    val counts = Export.writeShards(docs, col("doc_id").cast("string"), 4, s"$dir/a")
+    assert(counts.keySet == Set(0, 1, 2, 3))
+    assert(counts.values.sum == 40L)
+    // same rows land in the same shard regardless of input partitioning,
+    // and within-shard order (shard_pos) is reproduced byte-for-byte
+    Export.writeShards(docs.repartition(7), col("doc_id").cast("string"), 4, s"$dir/b")
+    val a = spark.read.parquet(s"$dir/a").select("shard", "shard_pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val b = spark.read.parquet(s"$dir/b").select("shard", "shard_pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // exactly one data file per shard directory — one writer task each
+    (0 until 4).foreach { s =>
+      val files = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/a/shard=$s")))(
+        _.iterator().asScala.count(_.toString.endsWith(".parquet")))
+      assert(files == 1, s"shard $s has $files parquet files")
+    }
+  }
+
   test("incremental dedup: new docs matching corpus digests flagged, fresh ones pass") {
     val corpus = docsDf(Seq(
       (1L, "existing content one", "en", "a", 20L),
