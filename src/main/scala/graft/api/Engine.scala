@@ -180,7 +180,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       if (java.nio.file.Files.exists(cfgFile))
         Seq(("config_file", "OK", cfgFile.toString))
       else Seq(("config_file", "INFO", s"$cfgFile absent — defaults in use"))
-    (Seq(census) ++ session ++ catalogEnv ++ cfg)
+    val dotenvKeys = graft.meta.CatalogConfig.loadDotEnv().keySet
+    val dotenv =
+      if (dotenvKeys.nonEmpty)
+        Seq((".env", "OK", s"${dotenvKeys.size} variables (values hidden)"))
+      else Seq((".env", "INFO", "no .env in working directory"))
+    (Seq(census) ++ session ++ catalogEnv ++ cfg ++ dotenv)
       .toDF("check", "status", "detail")
   }
 

@@ -81,4 +81,34 @@ object CatalogConfig {
       path: Path = defaultPath,
       env: Map[String, String] = sys.env): CatalogConfig =
     resolve(name, uriArg, warehouseArg, loadFile(name, path), env)
+
+  /** Parse a dotenv-format file (ref: the reference auto-loads `.env`
+    * via python-dotenv, `docs/configuration.md` "`.env` file support"):
+    * `KEY=VALUE` lines, `#` comments, optional `export ` prefix,
+    * single/double quotes stripped, blank lines ignored. Missing file →
+    * empty map (absence is not an error, matching the reference). */
+  def loadDotEnv(path: Path = Paths.get(".env")): Map[String, String] = {
+    if (!Files.exists(path)) Map.empty
+    else Files.readAllLines(path).asScala.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+      .map(l => if (l.startsWith("export ")) l.stripPrefix("export ").trim else l)
+      .flatMap { l =>
+        val i = l.indexOf('=')
+        val k = l.take(i).trim
+        var v = l.drop(i + 1).trim
+        if (v.length >= 2 &&
+            ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+          v = v.substring(1, v.length - 1)
+        if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(k -> v) else None
+      }.toMap
+  }
+
+  /** The environment the reference resolves against: dotenv values with
+    * already-exported shell variables taking precedence (standard dotenv
+    * behavior, ref `docs/configuration.md`). */
+  def envWithDotEnv(
+      envFile: Option[Path] = None,
+      env: Map[String, String] = sys.env): Map[String, String] =
+    loadDotEnv(envFile.getOrElse(Paths.get(".env"))) ++ env
 }

@@ -57,6 +57,37 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
       .warehouse.contains("/flat-wh"))
   }
 
+  test("dotenv: parse, quoting, export prefix, comments; shell env wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dotenv")
+    val f = dir.resolve(".env")
+    java.nio.file.Files.writeString(f,
+      """# catalog settings
+        |ICEBERG_META_WAREHOUSE=/env-wh
+        |export TOKEN="quoted value"
+        |SINGLE='single quoted'
+        |  SPACED  =  trimmed
+        |NOT A VALID KEY=skipped
+        |novalue
+        |""".stripMargin)
+    val d = CatalogConfig.loadDotEnv(f)
+    assert(d("ICEBERG_META_WAREHOUSE") == "/env-wh")
+    assert(d("TOKEN") == "quoted value")
+    assert(d("SINGLE") == "single quoted")
+    assert(d("SPACED") == "trimmed")
+    assert(!d.contains("NOT A VALID KEY") && !d.contains("novalue"))
+    // missing file is not an error
+    assert(CatalogConfig.loadDotEnv(dir.resolve("absent.env")).isEmpty)
+    // already-exported shell variables take precedence (dotenv standard)
+    val merged = CatalogConfig.envWithDotEnv(Some(f),
+      env = Map("TOKEN" -> "from-shell"))
+    assert(merged("TOKEN") == "from-shell")
+    assert(merged("ICEBERG_META_WAREHOUSE") == "/env-wh")
+    // flows into the usual resolution chain: dotenv beats file config
+    val cfg = CatalogConfig.resolve("c", None, None,
+      fileConfig = Map("warehouse" -> "/file-wh"), env = merged)
+    assert(cfg.warehouse.contains("/env-wh"))
+  }
+
   test("catalog SPI: fs config builds FsCatalog, network backends raise clearly") {
     val fs = Catalogs.forConfig(CatalogConfig("c", None, Some("/tmp/wh")))
     assert(fs.isInstanceOf[FsCatalog])
