@@ -73,13 +73,16 @@ object CatalogConfig {
   }
 
   /** File-backed resolve: reads `path`, then applies the usual
-    * arg > env > file priority chain. */
+    * arg > env > file priority chain. The environment auto-includes a
+    * `.env` from the working directory (shell variables win) — the
+    * reference's python-dotenv behavior; pass `env` explicitly to
+    * override. */
   def resolveFromFile(
       name: String,
       uriArg: Option[String] = None,
       warehouseArg: Option[String] = None,
       path: Path = defaultPath,
-      env: Map[String, String] = sys.env): CatalogConfig =
+      env: Map[String, String] = envWithDotEnv()): CatalogConfig =
     resolve(name, uriArg, warehouseArg, loadFile(name, path), env)
 
   /** Parse a dotenv-format file (ref: the reference auto-loads `.env`

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.PortableHash
@@ -22,10 +22,17 @@ import graft.expr.PortableHash
   */
 object Dedup {
 
+  /** THE canonical normalized content digest — every dedup surface
+    * (exact clusters, incremental ingest, streaming dedup) must key on
+    * this one definition, or digest indexes built by one path silently
+    * stop matching another. */
+  def contentDigest(text: Column = col("text")): Column =
+    md5(lower(trim(text)))
+
   /** Exact-duplicate clusters on normalized text: digest-based, so the
     * shuffle key is 32 hex chars regardless of document size. */
   def exactClusters(docs: DataFrame): DataFrame =
-    docs.select(md5(lower(trim(col("text")))).as("digest"), col("doc_id"))
+    docs.select(contentDigest().as("digest"), col("doc_id"))
       .groupBy("digest")
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_dups") > 1)
@@ -336,7 +343,7 @@ object Dedup {
     * Returns the increment with an `is_dup` flag; downstream keeps
     * `!is_dup` and appends. */
   def incrementalExact(increment: DataFrame, corpus: DataFrame): DataFrame = {
-    val dig = md5(lower(trim(col("text"))))
+    val dig = contentDigest()
     val corpusDigests = corpus.select(dig.as("digest")).distinct()
     increment.withColumn("digest", dig)
       .join(corpusDigests.withColumn("seen", lit(true)), Seq("digest"), "left")
@@ -374,9 +381,11 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("is_b"), 1L).otherwise(0L)).as("n_removed"),
-        expr("array_join(transform(array_sort(collect_list(" +
+        // the delimiter goes through the Scala array_join overload, not
+        // the SQL text — a sep containing quotes must not break parsing
+        array_join(expr("transform(array_sort(collect_list(" +
           "CASE WHEN NOT is_b THEN struct(pos, line) END)), " +
-          s"s -> s.line), '$sep')").as("new_text"))
+          "s -> s.line)"), sep).as("new_text"))
       .filter(col("n_removed") > 0)
       .withColumn("new_n_chars", length(col("new_text")))
       .orderBy("doc_id")

@@ -18,8 +18,19 @@ object Export {
 
   /** Write `df` as `outDir/shard=N/...parquet`, one directory per shard.
     * Returns the per-shard row counts (shard → rows) read back from the
-    * committed files, so callers can assert completeness cheaply. */
+    * committed files, so callers can assert completeness cheaply.
+    *
+    * `key` must be UNIQUE per row — the within-shard order is
+    * `(hash(key), key)`, so duplicate keys would tie and break the
+    * byte-identical re-run guarantee silently (ties order by arrival).
+    * The writer verifies this with one cheap aggregate and fails fast
+    * instead. */
   def writeShards(df: DataFrame, key: Column, nShards: Int, outDir: String): Map[Int, Long] = {
+    val Array(total, distinct) = df.agg(
+      count(lit(1)), countDistinct(key)).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(total == distinct,
+      s"writeShards key is not unique ($distinct distinct of $total rows) — " +
+        "duplicate keys tie in the shard order and break deterministic re-runs")
     val assigned = Sampling.shardAssign(df, key, nShards)
     assigned
       .repartition(nShards, col("shard"))

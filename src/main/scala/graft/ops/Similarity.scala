@@ -172,7 +172,17 @@ object Similarity {
     * ADC sum is exact integer addition. */
   def pqSearch(emb: DataFrame, probePred: Column, m: Int = 4, k: Int = 8,
       iters: Int = 2, topK: Int = 5): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    def emptyResult: DataFrame = {
+      import org.apache.spark.sql.types._
+      emb.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("c_id", LongType),
+          StructField("adc_micro", LongType), StructField("rn", IntegerType))))
+    }
+    val firstDim = emb.select(size(col("embedding"))).head(1)
+    if (firstDim.isEmpty) return emptyResult // empty corpus: nothing to index
+    val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subDim = dim / m
     def subSlice(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
@@ -224,6 +234,8 @@ object Similarity {
         }
         (r.getLong(0), luts)
       }.sortBy(_._1)
+
+    if (probeLuts.isEmpty) return emptyResult // legal data-dependent input
 
     // ADC: explode per-probe (q_id, sum of LUT lookups) structs map-side
     val perProbe = probeLuts.map { case (qid, luts) =>

@@ -255,10 +255,29 @@ object MetaRelations {
       .flatMap(s => t.manifests(Some(s.snapshotId)))
       .filter(_.content == 0)
       .distinctBy(_.manifestPath)
-    val rows = distinctManifests.flatMap(m =>
-      graft.meta.AvroManifests.readManifest(t.resolvePath(m.manifestPath))
-        .filter(_.status != 2).map(entryRow))
-    spark.createDataFrame(rows.asJava, filesSchema)
+    // all_files spans EVERY snapshot — the largest of the inspection
+    // relations — so it honors the same distribution threshold as
+    // files()/entries(): past it, ship manifest paths and parse on
+    // executors instead of the driver.
+    val approx = distinctManifests
+      .map(m => m.addedFilesCount + m.existingFilesCount).sum
+    if (approx <= DistributeEntriesThreshold) {
+      val rows = distinctManifests.flatMap(m =>
+        graft.meta.AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .filter(_.status != 2).map(entryRow))
+      spark.createDataFrame(rows.asJava, filesSchema)
+    } else {
+      val paths = distinctManifests.map(m => t.resolvePath(m.manifestPath))
+      spark.createDataset(paths)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(paths.size, spark.sparkContext.defaultParallelism))
+        .mapPartitions { it =>
+          it.flatMap { p =>
+            graft.meta.AvroManifests.readManifest(p).iterator
+              .filter(_.status != 2).map(entryRow)
+          }
+        }(org.apache.spark.sql.Encoders.row(filesSchema))
+        .toDF()
+    }
   }
 
   val allManifestsSchema: StructType = StructType(

@@ -86,7 +86,7 @@ object EventStreams {
   def dedupStream(docs: DataFrame, tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("digest", md5(lower(trim(col("text")))))
+      .withColumn("digest", graft.ops.Dedup.contentDigest())
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 }

@@ -396,6 +396,38 @@ class OpsSpec extends SparkSpec {
     assert(adcs == adcs.sorted)
   }
 
+  test("pq search: empty probe set and empty corpus return empty frames, not errors") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0f, 1f, 0f, 0f), 0)))
+    val noProbes = Similarity.pqSearch(e, col("vec_id") > 100L, m = 2, k = 2)
+    assert(noProbes.collect().isEmpty)
+    assert(noProbes.columns.toSeq == Seq("q_id", "c_id", "adc_micro", "rn"))
+    val noCorpus = Similarity.pqSearch(
+      e.filter(col("vec_id") < 0), col("vec_id") === 0L, m = 2, k = 2)
+    assert(noCorpus.collect().isEmpty)
+  }
+
+  test("writeShards: duplicate shard keys fail fast instead of silent nondeterminism") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-dup").toString
+    val docs = docsDf(Seq(
+      (1L, "a", "en", "a", 1L), (2L, "b", "en", "a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Export.writeShards(docs, col("lang"), 2, s"$dir/x") // lang ties
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("dedup lines: separator containing a quote does not break expression parsing") {
+    val docs = docsDf(Seq(
+      (1L, "dup' part' unique one", "en", "a", 21L),
+      (2L, "dup' other text", "en", "b", 15L)))
+    val out = Dedup.dedupLines(docs, minDf = 2, sep = "' ").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("new_text")).toMap
+    assert(out(1L) == "part' unique one")
+    assert(out(2L) == "other text")
+  }
+
   test("kmeans: deterministic assignment, full coverage, shuffle-free argmin") {
     val rng = new Random(99)
     // three well-separated blobs in 8-d
