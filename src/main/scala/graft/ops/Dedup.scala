@@ -366,6 +366,24 @@ object Dedup {
     * with the line column pre-hashed (shuffles 8-byte hashes instead of
     * strings) and the boilerplate set broadcast — both drop-in column
     * swaps on this shape. */
+  /** Degree distribution of a candidate-pair graph: how many documents
+    * have 1, 2, … near-duplicate neighbors. The shape of this histogram
+    * is the standard pre-dedup corpus diagnostic — a heavy tail means
+    * template spam that [[connectedComponents]] will collapse into huge
+    * clusters (and a candidate count worth capping before the join).
+    * Two keyed aggregations over the (small) edge list; no window.
+    *
+    * Emits `(degree, n_docs)` ordered by degree.
+    *
+    * @param pairs (a_id, b_id) candidate edges, e.g.
+    *              [[minhashCandidates]] output */
+  def degreeHistogram(pairs: DataFrame): DataFrame =
+    pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+
   def dedupLines(docs: DataFrame, minDf: Long = 2, sep: String = ". "): DataFrame = {
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col("doc_id"),

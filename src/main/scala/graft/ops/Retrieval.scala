@@ -87,4 +87,45 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_micro").desc, col("doc_id"))))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` most characteristic terms of
+    * each selected document, scored tf · idf with idf = ln((N+1)/(df+1))
+    * over the FULL corpus (document frequency is corpus-global even when
+    * `selection` narrows the scored documents — that is what makes the
+    * keywords "characteristic" rather than merely frequent).
+    *
+    * Emits `(doc_id, rn, tok, score_milli)` with `rn` the 1-based rank by
+    * (score desc, token) within the document.
+    *
+    * Determinism contract (same as [[bm25]]): the sole float op is `ln`
+    * of exact integers, milli-quantized round-half-up before the integer
+    * multiply by tf — per-term scores are exact BIGINTs, so ordering and
+    * output are engine-exact.
+    *
+    * Scale shape: df is a token-keyed aggregation over the whole corpus
+    * (map-side combinable) joined broadcast into the per-doc tf rows of
+    * ONLY the selected documents; N rides along as a 1-row broadcast
+    * cross-join; the final ranking is a window partitioned by doc_id —
+    * per-document top-k, never a global sort. */
+  def tfidfTopK(docs: DataFrame, selection: Column, k: Int): DataFrame = {
+    val toks = tokens(docs)
+    // N = documents with at least one token (the df universe)
+    val corpus = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = docs.filter(selection)
+      .transform(tokens(_))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_milli").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_milli",
+        floor((log(col("n_docs").cast("double") + 1.0)
+          - log(col("df").cast("double") + 1.0)) * lit(1000.0) + lit(0.5)).cast("long"))
+      .withColumn("score_milli", col("tf") * col("idf_milli"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "rn", "tok", "score_milli")
+      .orderBy("doc_id", "rn")
+  }
 }

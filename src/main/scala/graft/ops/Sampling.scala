@@ -65,6 +65,27 @@ object Sampling {
       .drop("__h", "__k")
   }
 
+  /** Deterministic fixed-SIZE sample per stratum (the reservoir-sampling
+    * use case, made reproducible): every row gets a hash priority from its
+    * key and the k smallest-priority rows of each stratum survive, with
+    * `sample_rank` (1-based) recording the priority order. Equivalent to
+    * a uniform k-reservoir per group but stable across runs, engines and
+    * partitionings — adding rows can only displace, never reshuffle, the
+    * survivors. One window shuffle partitioned by stratum; each group's
+    * rank sort is a per-partition top-k, never a global sort. Ties break
+    * on the key's string form. */
+  def prioritySample(df: DataFrame, strata: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__s").orderBy(col("__p"), col("__k"))
+    df.withColumn("__s", strata)
+      .withColumn("__p", PortableHash.md5Hash60(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__s", "__p", "__k")
+  }
+
   /** Add a `split` column assigning each row to train/val/test (or any
     * weighted partition) by hash bucket — deterministic and stable under
     * re-partitioning. */

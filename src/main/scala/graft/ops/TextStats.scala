@@ -234,6 +234,38 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** BIGRAM FAMILIARITY (a CCNet-style perplexity proxy without the
+    * float log): score each document by how typical its character
+    * bigrams are of the corpus — `familiarity_milli` = the average
+    * corpus-wide occurrence count of the document's bigrams, in
+    * milli-counts (Σ corpus-count(bigram) · 1000 div n_bigrams). Low
+    * scores flag gibberish/encoding junk the way high LM perplexity
+    * does, but the statistic is pure BIGINT arithmetic, so it is exact
+    * in any engine and independent of summation order.
+    *
+    * Scale shape: one char-bigram explode builds the corpus count table
+    * (token-keyed, map-side combinable), a second explode over only the
+    * selected documents joins against it — the bigram alphabet is tiny
+    * (≤ charset²), so the count table is broadcast and the join is
+    * map-side; the per-doc sum is one keyed aggregation. */
+  def bigramFamiliarity(docs: DataFrame, selection: Column): DataFrame = {
+    def bigrams(d: DataFrame) = d
+      .filter(length(col("text")) >= 2)
+      // lower once per row, outside the lambda — inside it, the lowercase
+      // pass would rerun per bigram
+      .withColumn("__t", lower(col("text")))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")).as("bg"))
+    val corpusCounts = bigrams(docs).groupBy("bg").agg(count(lit(1)).as("cnt"))
+    bigrams(docs.filter(selection))
+      .join(broadcast(corpusCounts), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+      .withColumn("familiarity_milli", expr("(sum_cnt * 1000) div n_bigrams"))
+      .select("doc_id", "n_bigrams", "familiarity_milli")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic integer document fingerprint (rolling-hash style over
     * cheap structural features; pure int64 arithmetic). */
   def fingerprint(textCol: String, nChars: Column): Column = {

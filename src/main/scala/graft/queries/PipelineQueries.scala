@@ -1254,5 +1254,121 @@ object PipelineQueries {
              |  list_aggregate(qv, 'max') AS q_max,
              |  CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micro
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Ordered event funnel (view → click → purchase): users completing
+    // each step prefix in order, first-touch semantics — the per-step
+    // cascade joins all key on user_id, one partitioning reused
+    Q("q_funnel",
+      (s, d) => graft.ops.Funnel.funnel(events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s0 AS (
+             |  SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s1 AS (
+             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+             |  FROM events e JOIN s0 USING (user_id)
+             |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= s0.t
+             |  GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s1.t
+             |  GROUP BY 1)
+             |SELECT CAST(0 AS INT) AS step_no, 'view' AS step,
+             |       count(*) AS n_users FROM s0
+             |UNION ALL SELECT 1, 'click', count(*) FROM s1
+             |UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+             |ORDER BY step_no""".stripMargin)),
+
+    // Weekly cohort retention triangle: cohort = first active epoch-week
+    // per user; integer week arithmetic on the nanosecond surface
+    Q("q_retention",
+      (s, d) => graft.ops.Funnel.weeklyRetention(events(s, d), "user_id", "ts"),
+      Some("""WITH e AS (
+             |  SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week
+             |  FROM events GROUP BY 1, 2),
+             |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+             |SELECT cohort_week, week - cohort_week AS week_offset,
+             |       count(*) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic per-stratum reservoir: 5 docs per language by md5
+    // priority — reproducible across engines/partitionings
+    Q("q_sample_reservoir",
+      (s, d) => Sampling.prioritySample(documents(s, d),
+          col("lang"), col("doc_id").cast("string"), 5)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank"),
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 15)
+        s"""WITH p AS (SELECT lang, doc_id, $h AS pr FROM documents),
+           |r AS (
+           |  SELECT lang, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY pr, CAST(doc_id AS VARCHAR)) AS INT) AS sample_rank
+           |  FROM p)
+           |SELECT lang, sample_rank, doc_id FROM r WHERE sample_rank <= 5
+           |ORDER BY lang, sample_rank""".stripMargin
+      }),
+
+    // TF-IDF keyword extraction: top-3 characteristic terms per doc,
+    // idf milli-quantized over the full corpus (same determinism
+    // contract as q_bm25)
+    Q("q_tfidf",
+      (s, d) => graft.ops.Retrieval.tfidfTopK(documents(s, d), col("doc_id") < 50, 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+             |    FROM documents)
+             |  WHERE tok <> ''),
+             |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+             |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE doc_id < 50 GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    tf * CAST(floor((ln(CAST(n_docs AS DOUBLE) + 1.0)
+             |      - ln(CAST(df AS DOUBLE) + 1.0)) * 1000.0 + 0.5) AS BIGINT)
+             |    AS score_milli
+             |  FROM tf JOIN dfreq USING (tok), corpus),
+             |r AS (
+             |  SELECT doc_id, tok, score_milli,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_milli DESC, tok) AS INT) AS rn
+             |  FROM sc)
+             |SELECT doc_id, rn, tok, score_milli FROM r WHERE rn <= 3
+             |ORDER BY doc_id, rn""".stripMargin)),
+
+    // Degree distribution of the minhash candidate graph — the pre-dedup
+    // corpus diagnostic (heavy tail = template spam / cluster blowup)
+    Q("q_graph_degree",
+      (s, d) => Dedup.degreeHistogram(Dedup.minhashCandidates(s, documents(s, d))),
+      Some("WITH " + minhashPairCtes + ",\n" +
+        """nodes AS (
+          |  SELECT a_id AS doc_id FROM pairs
+          |  UNION ALL SELECT b_id FROM pairs),
+          |deg AS (SELECT doc_id, count(*) AS degree FROM nodes GROUP BY 1)
+          |SELECT degree, count(*) AS n_docs FROM deg
+          |GROUP BY 1 ORDER BY degree""".stripMargin)),
+
+    // Bigram familiarity (CCNet-style perplexity proxy, float-free):
+    // average corpus occurrence count of each doc's char bigrams
+    Q("q_familiarity",
+      (s, d) => TextStats.bigramFamiliarity(documents(s, d), col("doc_id") < 200),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lower(text) AS t FROM documents
+             |  WHERE length(text) >= 2),
+             |b AS (
+             |  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+             |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM d)),
+             |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1),
+             |sel AS (SELECT doc_id, bg FROM b WHERE doc_id < 200)
+             |SELECT sel.doc_id, count(*) AS n_bigrams,
+             |  CAST((CAST(sum(cnt) AS BIGINT) * 1000) // count(*) AS BIGINT)
+             |    AS familiarity_milli
+             |FROM sel JOIN c USING (bg)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -518,6 +518,54 @@ class OpsSpec extends SparkSpec {
     assert(bigShare + smallShare <= 1000L)
   }
 
+  test("sampling: prioritySample takes exactly k per stratum, stable under repartition") {
+    val s2 = spark
+    import s2.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val k = 5
+    val once = Sampling.prioritySample(df, col("grp"), col("id").cast("string"), k)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Int]("sample_rank"),
+        r.getAs[Long]("id"))).sorted.toSeq
+    assert(once.count(_._1 == "a") == k && once.count(_._1 == "b") == k)
+    assert(once.filter(_._1 == "a").map(_._2).toSeq == (1 to k))
+    // deterministic: identical survivors from a differently-partitioned input
+    val again = Sampling.prioritySample(df.repartition(7), col("grp"),
+        col("id").cast("string"), k)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Int]("sample_rank"),
+        r.getAs[Long]("id"))).sorted.toSeq
+    assert(once == again)
+  }
+
+  test("dedup: degree histogram counts neighbors on both edge ends") {
+    val s2 = spark
+    import s2.implicits._
+    // star: 1-2, 1-3, 1-4 → node 1 degree 3, nodes 2,3,4 degree 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.degreeHistogram(pairs).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("text: bigram familiarity scores corpus-typical text above gibberish") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the hat"),
+      (2L, "the mat sat on the cat"),
+      (3L, "zqxj qzxv jxqz")).toDF("doc_id", "text")
+    val out = TextStats.bigramFamiliarity(docs, lit(true)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("familiarity_milli")).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    // the English-ish docs share most bigrams; the gibberish doc does not
+    assert(out(3L) < out(0L) && out(3L) < out(1L) && out(3L) < out(2L))
+    // exact integer check on a tiny corpus: "aa" has corpus count 2
+    val tiny = Seq((0L, "aa"), (1L, "aa")).toDF("doc_id", "text")
+    val t = TextStats.bigramFamiliarity(tiny, col("doc_id") === 0L).collect()
+    assert(t.length == 1 && t.head.getAs[Long]("familiarity_milli") == 2000L)
+  }
+
   test("format: byte/compact/path formatting matches the reference shapes") {
     import graft.expr.Format
     val s2 = spark

@@ -29,6 +29,23 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("tfidf: corpus-rare term outranks the ubiquitous one, df stays corpus-global") {
+    val docs = Seq(
+      (0L, "common zebra common common"), // zebra is rare, common is everywhere
+      (1L, "common words here"),
+      (2L, "common more words"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopK(docs, col("doc_id") === 0L, 2).collect()
+    // only the selected doc is scored
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.toSeq == Seq(0L))
+    // rank 1 = zebra (df=1) despite tf=3 for common (df=4 → idf 0)
+    val byRank = out.sortBy(_.getAs[Int]("rn"))
+    assert(byRank.head.getAs[String]("tok") == "zebra")
+    // 'common' appears in every doc: ln((N+1)/(df+1)) = ln(5/5) = 0
+    assert(byRank.find(_.getAs[String]("tok") == "common")
+      .forall(_.getAs[Long]("score_milli") == 0L))
+  }
+
   test("containment: fully-covered test doc = 1.0, disjoint doc = 0.0") {
     val docs = Seq(
       (0L, "a b c d e", "train"),
