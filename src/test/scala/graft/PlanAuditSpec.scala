@@ -161,6 +161,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
   }
 
+  test("tfidf: corpus df and scalars broadcast into tf rows; per-doc window, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Retrieval.tfidfTopK(docs, col("doc_id") < 50, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // ranking is keyed by doc_id — never a single-partition window
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+  }
+
+  test("bigram familiarity: count table broadcast, partial agg before doc shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.bigramFamiliarity(docs, col("doc_id") < 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("prioritySample: window partitioned by stratum, no single-partition sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Sampling.prioritySample(docs,
+        col("lang"), col("doc_id").cast("string"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("funnel: step cascade joins stay keyed (no cartesian, no nested loop)") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val plan = graft.ops.Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,
