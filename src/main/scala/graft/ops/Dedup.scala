@@ -378,8 +378,9 @@ object Dedup {
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def degreeHistogram(pairs: DataFrame): DataFrame =
-    pairs.select(col("a_id").as("doc_id"))
-      .unionAll(pairs.select(col("b_id").as("doc_id")))
+    // explode both ends in ONE pass — a union of two selects would
+    // recompute the candidate-pair lineage once per branch
+    pairs.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
