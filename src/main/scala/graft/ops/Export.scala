@@ -40,4 +40,30 @@ object Export {
       .groupBy("shard").count().collect()
       .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
   }
+
+  /** Write `df` as `outDir/shard=N/...txt` JSON-LINES shards — the
+    * interchange format training loaders consume directly. Same
+    * determinism contract as [[writeShards]] (unique key, one task per
+    * shard, `(hash(key), key)` in-shard order); each line is the row's
+    * columns as a JSON object via `to_json` (codegen'd, executor-side —
+    * no driver serialization). Re-running over the same input yields
+    * byte-identical shard text. Returns shard → line counts. */
+  def writeJsonlShards(
+      df: DataFrame, key: Column, nShards: Int, outDir: String): Map[Int, Long] = {
+    val Array(total, distinct) = df.agg(
+      count(lit(1)), countDistinct(key)).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(total == distinct,
+      s"writeJsonlShards key is not unique ($distinct distinct of $total rows) — " +
+        "duplicate keys tie in the shard order and break deterministic re-runs")
+    val assigned = Sampling.shardAssign(df, key, nShards)
+    val payload = assigned
+      .withColumn("value", to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .select("shard", "value")
+    payload.write.mode("overwrite").partitionBy("shard").text(outDir)
+    df.sparkSession.read.schema("value STRING, shard INT").text(outDir)
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+  }
 }

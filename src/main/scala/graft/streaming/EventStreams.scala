@@ -77,6 +77,48 @@ object EventStreams {
       .select("user_id", "click_ts", "purchase_ts", "value")
   }
 
+  /** Streaming ORDERED FUNNEL: per-user state machine advancing through
+    * `steps` as events arrive, emitting one [[FunnelHit]] the moment a
+    * user completes each next step (`flatMapGroupsWithState` — the
+    * custom-keyed-state shape; state is one `(level, lastTs)` pair per
+    * user, independent of stream volume).
+    *
+    * Within a batch, events are processed in event-time order, so the
+    * completion times match the batch [[graft.ops.Funnel.funnel]]
+    * first-touch semantics exactly when each user's events arrive in
+    * one batch. Across batches the advance is greedy: a LATE event that
+    * event-time-precedes an already-recorded completion cannot retract
+    * it (streaming funnels trade that retraction for bounded state).
+    * Production deployments add `GroupStateTimeout.EventTimeTimeout` to
+    * expire users who stall mid-funnel; kept `NoTimeout` here so the
+    * semantics stay deterministic for the spec. */
+  def funnelProgress(
+      events: Dataset[Event], steps: Seq[String]): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (level, lastTs) = state.getOption
+          .map(s => (s.level, s.last_ts)).getOrElse((0, Long.MinValue))
+        val hits = Seq.newBuilder[FunnelHit]
+        for (e <- rows.toSeq.sortBy(_.ts.getTime) if level < steps.length)
+          if (e.event_type == steps(level) && e.ts.getTime >= lastTs) {
+            hits += FunnelHit(user, level, steps(level), e.ts)
+            lastTs = e.ts.getTime
+            level += 1
+          }
+        state.update(FunnelState(level, lastTs))
+        hits.result().iterator
+      }
+  }
+
+  final case class FunnelState(level: Int, last_ts: Long)
+  final case class FunnelHit(
+      user_id: Long, step_no: Int, step: String, ts: java.sql.Timestamp)
+  implicit val funnelStateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+  implicit val funnelHitEnc: Encoder[FunnelHit] = Encoders.product[FunnelHit]
+
   /** Streaming exact dedup on a content digest:
     * `dropDuplicatesWithinWatermark` keys the state store on the 32-hex
     * digest (never the document body) and EXPIRES state past the

@@ -123,6 +123,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("writeJsonlShards: byte-identical JSONL re-run, valid JSON lines, one file per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = docsDf((1L to 40L).map(i => (i, s"doc number $i", "en", "a", 12L)))
+    val counts = Export.writeJsonlShards(docs, col("doc_id").cast("string"), 4, s"$dir/a")
+    assert(counts.keySet == Set(0, 1, 2, 3) && counts.values.sum == 40L)
+    // re-run from a different partitioning: identical shard text
+    Export.writeJsonlShards(docs.repartition(7), col("doc_id").cast("string"), 4, s"$dir/b")
+    def shardText(d: String, s: Int): Seq[String] = {
+      val p = java.nio.file.Paths.get(s"$d/shard=$s")
+      scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+        st.iterator().asScala.filter(_.toString.endsWith(".txt")).toSeq
+          .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
+      }
+    }
+    (0 until 4).foreach { s =>
+      assert(shardText(s"$dir/a", s) == shardText(s"$dir/b", s), s"shard $s differs")
+    }
+    // every line round-trips as JSON carrying the original columns
+    val parsed = spark.read.json(spark.read.textFile(s"$dir/a"))
+    assert(parsed.count() == 40L)
+    assert(parsed.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+  }
+
   test("incremental dedup: new docs matching corpus digests flagged, fresh ones pass") {
     val corpus = docsDf(Seq(
       (1L, "existing content one", "en", "a", 20L),

@@ -108,6 +108,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user state across batches, order enforced") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // batch 1: user 1 views+clicks (out of arrival order, in event-time
+      // order once sorted); user 2's click precedes any view — no hits
+      input.addData(
+        Event(1, "click", ts("10:05")), Event(1, "view", ts("10:00")),
+        Event(2, "click", ts("10:00")))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (state carried over); user 2 views —
+      // the funnel starts only now
+      input.addData(
+        Event(1, "purchase", ts("10:10")), Event(2, "view", ts("10:06")))
+      q.processAllAvailable()
+      val hits = spark.sql(
+        "SELECT user_id, step_no, step FROM funnel_hits ORDER BY user_id, step_no")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(hits == Seq(
+        (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
+        (2L, 0, "view")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val s2 = spark
     import s2.implicits._
