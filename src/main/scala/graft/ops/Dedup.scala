@@ -60,6 +60,24 @@ object Dedup {
       docs: DataFrame,
       numPerm: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    val sigs = bandSignatures(docs, numPerm, rowsPerBand)
+    val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash LSH band signatures, `(doc_id, band, band_sig)` — the
+    * bucketing half of [[minhashCandidates]], exposed so callers can
+    * build a static index for stream-side matching
+    * ([[rowBandSignatures]] / `EventStreams.nearDupStream`). */
+  def bandSignatures(
+      docs: DataFrame,
+      numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     require(numPerm % rowsPerBand == 0,
       s"numPerm ($numPerm) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(numPerm <= 32, "permutation family is sized for pa <= 65: pa*h must stay under 2^63")
@@ -93,17 +111,50 @@ object Dedup {
         s"aggregate(sort_array(array($members)), CAST(0 AS BIGINT), " +
           "(a, x) -> (a * 31 + x) % 1000000007)").as("band_sig"))
     }
-    val sigs = sigRows
+    sigRows
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
 
-    val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
-    val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
-      .orderBy("a_id", "b_id")
+  /** Per-ROW minhash band signatures — the same `(doc_id, band,
+    * band_sig)` values as [[bandSignatures]], but computed as a pure
+    * projection (higher-order `aggregate` over the row's own shingle
+    * array, no shuffle, no state), which makes it legal inside a
+    * streaming query. The shingle hash uses the documented built-in SQL
+    * twin of the native `Md5Prefix` kernel (`conv(substring(md5(s)..)`,
+    * pinned equal in `VectorExprsSpec`), so signatures match the batch index
+    * bit-for-bit. Rows with fewer than 3 tokens produce no output rows
+    * (same as the batch path's shingle filter). */
+  def rowBandSignatures(
+      docs: DataFrame,
+      numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(numPerm % rowsPerBand == 0,
+      s"numPerm ($numPerm) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(numPerm <= 32, "permutation family is sized for pa <= 65: pa*h must stay under 2^63")
+    val mersenne = 2147483647L
+    val mhCols = (0 until numPerm).map { j =>
+      val pa = 2L * j + 1L
+      val pb = (j * 2654435761L + 104729L) % mersenne
+      expr(s"aggregate(__hs, CAST(9223372036854775807 AS BIGINT), " +
+        s"(a, x) -> least(a, x * $pa + $pb))")
+    }
+    val nBands = numPerm / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), expr(
+        s"aggregate(sort_array(slice(__mh, ${b * rowsPerBand + 1}, $rowsPerBand)), " +
+          "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)").as("band_sig"))
+    }
+    docs
+      .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("__toks")) >= 3)
+      .withColumn("__hs", expr(
+        "transform(transform(sequence(0, size(__toks) - 3), " +
+          "i -> concat(__toks[i], ' ', __toks[i+1], ' ', __toks[i+2])), " +
+          "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("__mh", array(mhCols: _*))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
   /** SimHash bit width: 60 bits (15 md5 hex digits) — the widest portable

@@ -109,8 +109,11 @@ object Retrieval {
     * per-document top-k, never a global sort. */
   def tfidfTopK(docs: DataFrame, selection: Column, k: Int): DataFrame = {
     val toks = tokens(docs)
-    // N = documents with at least one token (the df universe)
-    val corpus = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // N = documents with at least one token (the df universe). A doc has
+    // a token iff its lowercased text contains any [a-z0-9] — counted
+    // with a cheap scan instead of a second full-corpus tokenize
+    val corpus = docs.filter(lower(col("text")).rlike("[a-z0-9]"))
+      .agg(count(lit(1)).as("n_docs"))
     val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val tf = docs.filter(selection)
       .transform(tokens(_))

@@ -119,6 +119,27 @@ object EventStreams {
   implicit val funnelStateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
   implicit val funnelHitEnc: Encoder[FunnelHit] = Encoders.product[FunnelHit]
 
+  /** Streaming NEAR-DUP gate: minhash band signatures of incoming docs
+    * (computed per row — [[graft.ops.Dedup.rowBandSignatures]], a pure
+    * projection so it is legal mid-stream) joined against a precomputed
+    * STATIC band-bucket index of the corpus
+    * ([[graft.ops.Dedup.bandSignatures]] output, typically read from a
+    * table the batch pipeline maintains). Emits one row per
+    * (stream doc, corpus doc, band) bucket collision; stream-static
+    * inner joins are stateless, so state is zero regardless of stream
+    * volume and the corpus index can be broadcast when it fits.
+    * Consumers dedupe multi-band collisions with
+    * `dropDuplicatesWithinWatermark` on (doc_id, corpus_doc_id) — kept
+    * out of this operator so callers choose the watermark. */
+  def nearDupStream(docs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val idx = corpusBands.select(col("doc_id").as("corpus_doc_id"),
+      col("band"), col("band_sig"))
+    graft.ops.Dedup.rowBandSignatures(docs)
+      .join(idx, Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select("doc_id", "corpus_doc_id", "band")
+  }
+
   /** Streaming exact dedup on a content digest:
     * `dropDuplicatesWithinWatermark` keys the state store on the 32-hex
     * digest (never the document body) and EXPIRES state past the

@@ -146,6 +146,23 @@ class OpsSpec extends SparkSpec {
     assert(parsed.columns.sorted.toSeq == docs.columns.sorted.toSeq)
   }
 
+  test("per-row band signatures match the batch aggregation bit-for-bit") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely unrelated content with different words entirely"),
+      (4L, "too short"), // < 3 tokens → no signatures on either path
+      (5L, "中文 文本 内容 测试 multi byte text")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = rows(Dedup.bandSignatures(docs))
+    val perRow = rows(Dedup.rowBandSignatures(docs))
+    assert(batch.nonEmpty && batch == perRow)
+    assert(!batch.exists(_._1 == 4L))
+  }
+
   test("incremental dedup: new docs matching corpus digests flagged, fresh ones pass") {
     val corpus = docsDf(Seq(
       (1L, "existing content one", "en", "a", 20L),

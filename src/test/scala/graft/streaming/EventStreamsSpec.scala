@@ -138,6 +138,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags docs colliding with the static corpus index") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally different reference material about databases"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.bandSignatures(corpus)
+    val input = MemoryStream[Doc]
+    val q = EventStreams.nearDupStream(input.toDF(), index)
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Doc(1, "the quick brown fox jumps over the lazy dog", ts("10:00")), // dup of 100
+        Doc(2, "fresh unseen content nothing like the corpus", ts("10:01")))
+      q.processAllAvailable()
+      val hits = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_doc_id FROM near_dups ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hits == Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val s2 = spark
     import s2.implicits._
