@@ -336,4 +336,41 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with deterministic
+    * k-means ([[Clustering.kmeans]]) and searching for cosine
+    * near-duplicates ONLY within each cluster — the clustering bounds
+    * the otherwise-quadratic pair search, which is the paper's whole
+    * trick.
+    *
+    * Returns the DROPPED rows (keep = everything not returned): for each
+    * vector with a lower-id in-cluster neighbor at `sim >= threshold`,
+    * one row `(vec_id, cluster, dup_of, max_sim)` where `dup_of` is the
+    * lowest such neighbor — the same deterministic min-id survivor rule
+    * as the text-dedup keep pipeline ([[graft.ops.Dedup]]).
+    *
+    * Scale shape: the only all-pairs work is within a cluster, and k
+    * grows with the corpus so per-cluster membership stays bounded (the
+    * paper runs k≈100k at web scale — the cluster-id join key is then
+    * high-cardinality and shuffle-balanced, not skewed). Assignment is
+    * the map-side broadcast-centroid argmin of [[Clustering.assign]];
+    * norms are computed once per row before the join. */
+  def semDeDup(emb: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = Clustering.kmeans(emb.select("vec_id", "embedding"), k, iters)
+      .assignments.withColumn("v_norm", norm("embedding"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("v_norm").as("a_norm"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("v_norm").as("b_norm"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        cosineN("a_emb", "b_emb", "a_norm", "b_norm").as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("cluster", "b_id")
+      .agg(min(col("a_id")).as("dup_of"), max(col("sim")).as("max_sim"))
+      .select(col("b_id").as("vec_id"), col("cluster"), col("dup_of"), col("max_sim"))
+      .orderBy("vec_id")
+  }
 }

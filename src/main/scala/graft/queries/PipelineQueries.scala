@@ -222,6 +222,28 @@ object PipelineQueries {
          |ORDER BY q_id""".stripMargin
   }
 
+  /** DuckDB oracle twin of [[Similarity.semDeDup]] (k=4, iters=2,
+    * threshold 0.35): the kmeans reproduction's final assignment `a2`
+    * partitions the corpus, in-cluster ordered pairs above the rounded
+    * cosine threshold, min-id `dup_of` per dropped vector. */
+  private val semDeDupOracleSql: String = {
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    "WITH " + kmeansCtes + ",\n" +
+      s"""an AS (SELECT vec_id, embedding, cluster,
+         |  sqrt(${seqDot("embedding", "embedding")}) AS v_norm FROM a2),
+         |p AS (
+         |  SELECT a.cluster AS cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${seqDot("a.embedding", "b.embedding")}
+         |      / (a.v_norm * b.v_norm), 6) AS sim
+         |  FROM an a JOIN an b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT b_id AS vec_id, cluster, min(a_id) AS dup_of, max(sim) AS max_sim
+         |FROM p WHERE sim >= 0.35
+         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[Similarity.pqSearch]] (m=4 subspaces ×
     * 16 dims, k=8, iters=2, probes vec_id<10, top-5): one full
     * per-subspace Lloyd reproduction (same machinery as [[kmeansCtes]],
@@ -713,6 +735,13 @@ object PipelineQueries {
              |SELECT a_id, b_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
              |FROM d WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.35
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // SemDeDup (cluster-then-dedup): kmeans partitions the embedding
+    // space, cosine near-dups searched in-cluster only, min-id survivor —
+    // returns the dropped vectors
+    Q("q_semdedup",
+      (s, d) => Similarity.semDeDup(embeddings(s, d), k = 4, iters = 2, threshold = 0.35),
+      Some(semDeDupOracleSql)),
 
     // Embedding-space decontamination: corpus vectors too close (cosine)
     // to any held-out probe vector, candidates via the portable LSH

@@ -419,6 +419,22 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("first_probe") == 100L)
   }
 
+  test("semdedup: in-cluster near-dup dropped with min-id dup_of, cross-cluster twin kept") {
+    // two clusters (k=2, seeded by the two lowest ids): 0/1/2 align on x,
+    // 3 aligns on y. 1 and 2 are near-dups of 0 (dup_of = 0 for both);
+    // 3 has no in-cluster neighbor so it survives even though nothing
+    // else is checked against it
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (1L, Seq(0.99f, 0.01f), 0),
+      (2L, Seq(0.98f, 0.02f), 0)))
+    val out = Similarity.semDeDup(e, k = 2, iters = 2, threshold = 0.9).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getAs[Long]("dup_of") == 0L))
+    assert(out.forall(_.getAs[Double]("max_sim") > 0.9))
+  }
+
   test("pq search: ADC ranks the near-identical vector first") {
     // two tight groups in 8-d; probe 0's nearest true neighbor is 1
     val e = embDf(Seq(
