@@ -133,6 +133,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("semdedup: pair search joins on the cluster key, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.semDeDup(emb, k = 4, iters = 2, threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the dedup is a partial-then-final aggregate over the pair stream
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
   test("dup ngram chars: partial aggregation before the gram shuffle, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.dupNgramChars(docs)
