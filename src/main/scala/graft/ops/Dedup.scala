@@ -402,6 +402,35 @@ object Dedup {
       .drop("seen")
   }
 
+  /** INCREMENTAL NEAR-DEDUP — the minhash twin of [[incrementalExact]]
+    * and the batch twin of `EventStreams.nearDupStream`: a new ingest
+    * shard is checked against the standing corpus's band index without
+    * re-pairing the corpus with itself. One row per FLAGGED increment
+    * doc: the lowest colliding corpus id and how many of the bands
+    * collided (more bands = higher estimated Jaccard); increment docs
+    * absent from the output are clean to append.
+    *
+    * Scale shape: signatures are per-doc (no corpus-global state), so
+    * the corpus side is the incrementally-maintained `(doc_id, band,
+    * band_sig)` index — computed here for self-containment, persisted as
+    * a table in a real pipeline and appended to as shards pass the gate.
+    * The join ships only ids and 8-byte band keys; the increment side of
+    * an ingest batch is small, so it broadcasts. */
+  def incrementalNearDup(
+      increment: DataFrame,
+      corpus: DataFrame,
+      numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val idx = bandSignatures(corpus, numPerm, rowsPerBand)
+      .select(col("doc_id").as("corpus_doc_id"), col("band"), col("band_sig"))
+    bandSignatures(increment, numPerm, rowsPerBand)
+      .join(idx, Seq("band", "band_sig"))
+      .groupBy("doc_id")
+      .agg(min(col("corpus_doc_id")).as("dup_of"),
+        countDistinct(col("band")).as("n_bands"))
+      .orderBy("doc_id")
+  }
+
   /** LINE-LEVEL BOILERPLATE REMOVAL (the C4/CCNet corpus-dedup pass):
     * a "line" (here a `sep`-delimited sentence) appearing in at least
     * `minDf` DISTINCT documents is boilerplate (navigation chrome,

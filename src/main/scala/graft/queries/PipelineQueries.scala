@@ -521,6 +521,22 @@ object PipelineQueries {
              |FROM inc LEFT JOIN corp USING (digest)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Incremental NEAR-dedup: minhash bands of the ingest shard joined
+    // against the standing corpus band index (no corpus self-pairing) —
+    // lowest colliding corpus id + number of colliding bands per new doc
+    Q("q_dedup_incr_near",
+      (s, d) => graft.ops.Dedup.incrementalNearDup(
+        documents(s, d).filter(col("doc_id") >= 4000),
+        documents(s, d).filter(col("doc_id") < 4000)),
+      Some("WITH " + minhashPairCtes + ",\n" +
+        """hits AS (
+          |  SELECT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id, i.band
+          |  FROM flat i JOIN flat c ON i.band = c.band AND i.sig = c.sig
+          |  WHERE i.doc_id >= 4000 AND c.doc_id < 4000)
+          |SELECT doc_id, min(corpus_doc_id) AS dup_of,
+          |  CAST(count(DISTINCT band) AS BIGINT) AS n_bands
+          |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // CUBE grouping sets over (lang, source) with grouping_id
     // disambiguation (null group keys ordered explicitly — Spark and
     // DuckDB default null ordering differ)

@@ -175,6 +175,20 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(10L -> true, 11L -> false))
   }
 
+  test("incremental near-dedup: shard doc colliding with corpus bands flagged with min id") {
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L), // same sig as 1
+      (3L, "completely different corpus material about engines", "en", "a", 50L)))
+    val inc = docsDf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "en", "b", 43L),
+      (11L, "entirely novel text with no corpus overlap at all", "en", "b", 49L)))
+    val out = Dedup.incrementalNearDup(inc, corpus).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+    assert(out.head.getAs[Long]("dup_of") == 1L) // min of the two colliding ids
+    assert(out.head.getAs[Long]("n_bands") == 4L) // identical text -> all 4 bands
+  }
+
   test("oov rate: full vocab covers everything; k=1 leaves the tail out") {
     val docs = docsDf(Seq(
       (1L, "the cat and the dog and the bird", "en", "a", 32L)))
