@@ -497,10 +497,13 @@ object PipelineQueries {
 
     // Incremental ingest dedup: the newest 1000 doc_ids checked against
     // the standing corpus by content digest — the daily-crawl append path
+    // The "new shard" is every 10th doc id — a split that is non-empty
+    // at EVERY scale factor (a fixed id threshold empties the increment
+    // at small sf and silently turns the check vacuous)
     Q("q_dedup_incremental",
       (s, d) => graft.ops.Dedup.incrementalExact(
-          documents(s, d).filter(col("doc_id") >= 4000),
-          documents(s, d).filter(col("doc_id") < 4000))
+          documents(s, d).filter(col("doc_id") % 10 === 0),
+          documents(s, d).filter(col("doc_id") % 10 =!= 0))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"),
           sum(when(col("is_dup"), 1L).otherwise(lit(0L))).as("n_dup"))
@@ -508,10 +511,10 @@ object PipelineQueries {
         .orderBy("lang"),
       Some("""WITH inc AS (
              |  SELECT lang, md5(lower(trim(text))) AS digest
-             |  FROM documents WHERE doc_id >= 4000),
+             |  FROM documents WHERE doc_id % 10 = 0),
              |corp AS (
              |  SELECT DISTINCT md5(lower(trim(text))) AS digest
-             |  FROM documents WHERE doc_id < 4000)
+             |  FROM documents WHERE doc_id % 10 <> 0)
              |SELECT lang,
              |  CAST(count(*) AS BIGINT) AS n_new,
              |  CAST(sum(CASE WHEN corp.digest IS NOT NULL THEN 1 ELSE 0 END)
@@ -526,13 +529,13 @@ object PipelineQueries {
     // lowest colliding corpus id + number of colliding bands per new doc
     Q("q_dedup_incr_near",
       (s, d) => graft.ops.Dedup.incrementalNearDup(
-        documents(s, d).filter(col("doc_id") >= 4000),
-        documents(s, d).filter(col("doc_id") < 4000)),
+        documents(s, d).filter(col("doc_id") % 10 === 0),
+        documents(s, d).filter(col("doc_id") % 10 =!= 0)),
       Some("WITH " + minhashPairCtes + ",\n" +
         """hits AS (
           |  SELECT i.doc_id AS doc_id, c.doc_id AS corpus_doc_id, i.band
           |  FROM flat i JOIN flat c ON i.band = c.band AND i.sig = c.sig
-          |  WHERE i.doc_id >= 4000 AND c.doc_id < 4000)
+          |  WHERE i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
           |SELECT doc_id, min(corpus_doc_id) AS dup_of,
           |  CAST(count(DISTINCT band) AS BIGINT) AS n_bands
           |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin)),
