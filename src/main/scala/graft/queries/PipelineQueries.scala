@@ -765,9 +765,12 @@ object PipelineQueries {
     // Embedding-space decontamination: corpus vectors too close (cosine)
     // to any held-out probe vector, candidates via the portable LSH
     // bucket join — the semantic twin of q_decontam's n-gram containment
+    // Probe split is modular so the probe set is non-empty at EVERY
+    // scale factor (a fixed id threshold empties it at small sf and
+    // silently turns the check vacuous)
     Q("q_semantic_decontam",
       (s, d) => Similarity.semanticDecontam(
-        embeddings(s, d), col("vec_id") >= 1900, 0.35),
+        embeddings(s, d), col("vec_id") % 40 === 0, 0.35),
       Some {
         def seqDot(a: String, b: String): String =
           s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
@@ -780,9 +783,9 @@ object PipelineQueries {
            |    sqrt(${seqDot("embedding", "embedding")}) AS v_norm
            |  FROM embeddings),
            |p AS (SELECT vec_id AS q_id, bucket, embedding AS q_emb, v_norm AS q_norm
-           |      FROM e WHERE vec_id >= 1900),
+           |      FROM e WHERE vec_id % 40 = 0),
            |c AS (SELECT vec_id AS c_id, bucket, embedding AS c_emb, v_norm AS c_norm
-           |      FROM e WHERE NOT (vec_id >= 1900)),
+           |      FROM e WHERE NOT (vec_id % 40 = 0)),
            |j AS (
            |  SELECT c_id, q_id,
            |    round(${seqDot("c_emb", "q_emb")} / (c_norm * q_norm), 6) AS sim
