@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.PortableHash
+
 /** DATA-MIXING WEIGHTS — the mixture-planning step before a training
   * run: a per-group (language) character budget turns into per-source
   * sampling rates and expected sampled volume. All arithmetic is
@@ -39,6 +41,31 @@ object Mixing {
       .withColumn("sampled_chars",
         expr("(src_chars * rate_permille) DIV 1000"))
       .orderBy(groupCol, sourceCol)
+  }
+
+  /** MATERIALIZE the mixture plan — the "act" half of [[mixWeights]]:
+    * a document survives iff its portable 32-bit id hash lands inside
+    * its (group, source)'s `rate_permille` gate, so the surviving
+    * corpus meets the per-group budget in expectation — and the SAME
+    * documents survive on every run and every engine (the gate is the
+    * md5 hash the oracle reproduces, not `rand()`).
+    *
+    * Scale shape: the rate table is one row per (group, source) and is
+    * broadcast; the gate itself is a map-side hash-compare, so beyond
+    * the [[mixWeights]] aggregate there is no extra shuffle over the
+    * corpus. */
+  def applyMixture(
+      docs: DataFrame,
+      budgetChars: Long = 500000L,
+      groupCol: String = "lang",
+      sourceCol: String = "source",
+      sizeCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val rates = mixWeights(docs, budgetChars, groupCol, sourceCol, sizeCol)
+      .select(col(groupCol), col(sourceCol), col("rate_permille"))
+    docs.join(broadcast(rates), Seq(groupCol, sourceCol))
+      .filter(
+        PortableHash.md5Hash32(col(idCol).cast("string")) % 1000 < col("rate_permille"))
   }
 
   /** TEMPERATURE-SCALED MIXTURE WEIGHTS (the multilingual-sampling

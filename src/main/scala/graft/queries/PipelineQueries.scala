@@ -608,6 +608,32 @@ object PipelineQueries {
              |    AS sampled_chars
              |FROM with_lang ORDER BY lang, source""".stripMargin)),
 
+    // Materialized mixture: the deterministic hash-gate APPLICATION of
+    // q_mix_weights — per (lang, source) surviving doc count and chars
+    Q("q_apply_mixture",
+      (s, d) => graft.ops.Mixing.applyMixture(documents(s, d), budgetChars = 500000L)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang", "source"),
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 8)
+        s"""WITH per_src AS (
+           |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+           |  FROM documents GROUP BY lang, source),
+           |rates AS (
+           |  SELECT lang, source,
+           |    least(1000, (500000 * 1000) // CAST(sum(src_chars)
+           |      OVER (PARTITION BY lang) AS BIGINT)) AS rate_permille
+           |  FROM per_src),
+           |kept AS (
+           |  SELECT d.lang, d.source, d.n_chars
+           |  FROM documents d JOIN rates USING (lang, source)
+           |  WHERE $h % 1000 < rate_permille)
+           |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+           |FROM kept GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+      }),
+
     // Temperature-scaled mixture weights (XLM/mT5 α=0.5 reweighting):
     // sqrt is the one fractional power IEEE requires to be correctly
     // rounded, so the quantized weights are engine-exact

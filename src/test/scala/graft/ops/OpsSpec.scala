@@ -189,6 +189,15 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_bands") == 4L) // identical text -> all 4 bands
   }
 
+  test("apply mixture: generous budget keeps everything, zero budget keeps nothing") {
+    val docs = docsDf(Seq(
+      (1L, "aaa", "en", "a", 100L),
+      (2L, "bbb", "en", "b", 300L),
+      (3L, "ccc", "de", "a", 200L)))
+    assert(graft.ops.Mixing.applyMixture(docs, budgetChars = 1000000L).count() == 3)
+    assert(graft.ops.Mixing.applyMixture(docs, budgetChars = 0L).count() == 0)
+  }
+
   test("oov rate: full vocab covers everything; k=1 leaves the tail out") {
     val docs = docsDf(Seq(
       (1L, "the cat and the dog and the bird", "en", "a", 32L)))
