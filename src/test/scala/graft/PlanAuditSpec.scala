@@ -151,6 +151,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("apply mixture: rate table broadcasts, gate is map-side, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Mixing.applyMixture(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("mix weights: one partial-agg shuffle + one small window, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.Mixing.mixWeights(docs)
