@@ -74,4 +74,26 @@ object AsOf {
           rPayload.map(c => col("__r").getField(c).as(s"$rightPrefix$c")))
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
+
+  /** As-of join with a MAX-STALENESS tolerance (pandas `merge_asof
+    * tolerance=`): a prior right row older than `tolerance` (measured in
+    * the ts column's own units, so the column must be numeric) is
+    * discarded — the left row keeps null right columns exactly as if no
+    * prior right row existed. Same single keyed-window shuffle as
+    * [[asofJoin]]; the staleness check is a post-window projection, so
+    * the cost profile is unchanged. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, tolerance: Long, rightPrefix: String = "r_"): DataFrame = {
+    val joined = asofJoin(left, right, key, ts, rightPrefix)
+    val rTs = s"$rightPrefix$ts"
+    val rCols = (ts +: right.columns.toSeq.filterNot(c => c == key || c == ts))
+      .map(rightPrefix + _)
+    // materialize the flag BEFORE the fold nulls rTs out from under it
+    val flagged = joined.withColumn("__stale",
+      col(rTs).isNull || (col(ts) - col(rTs)) > tolerance)
+    rCols.foldLeft(flagged) { (df, c) =>
+      df.withColumn(c,
+        when(col("__stale"), lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
+    }.drop("__stale")
+  }
 }

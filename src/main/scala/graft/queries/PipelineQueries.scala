@@ -905,6 +905,39 @@ object PipelineQueries {
              |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
              |ORDER BY l.event_id""".stripMargin)),
 
+    // As-of join with max-staleness tolerance (pandas merge_asof
+    // tolerance=): attributions older than ~28h are discarded — left
+    // rows keep nulls as if no prior click existed
+    Q("q_asof_tolerance",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("value").as("purchase_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+          .agg(max(col("value")).as("value"))
+        AsOf.asofJoinTolerance(purchases, clicks, "user_id", "ts_us",
+          tolerance = 100000000000L, rightPrefix = "click_")
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |         value AS purchase_value
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (
+             |  SELECT l.event_id, l.user_id, l.ts_us, l.purchase_value,
+             |         r.ts_us AS rts, r.value AS rv
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.user_id = r.user_id AND l.ts_us >= r.ts_us)
+             |SELECT event_id, user_id, ts_us, purchase_value,
+             |  CASE WHEN ts_us - rts <= 100000000000 THEN rts END AS click_ts_us,
+             |  CASE WHEN ts_us - rts <= 100000000000 THEN rv END AS click_value
+             |FROM j ORDER BY event_id""".stripMargin)),
+
     // Two-phase salted aggregation over a hot key (result must be
     // bit-identical to the plain GROUP BY the oracle runs: counts are
     // additive, money sums go through DECIMAL).

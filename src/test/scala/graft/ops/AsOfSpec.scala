@@ -35,6 +35,25 @@ class AsOfSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("r_v")))
   }
 
+  test("tolerance: stale matches null out, fresh ones and never-matched rows unchanged") {
+    val s2 = spark
+    import s2.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // match r@95, gap 5 <= 10 -> kept
+      (2L, "u1", 300L), // match r@95, gap 205 > 10 -> nulled
+      (3L, "u2", 50L)   // no right row at all -> null either way
+    ).toDF("id", "k", "t")
+    val right = Seq(("u1", 95L, 5.0)).toDF("k", "t", "v")
+    val out = AsOf.asofJoinTolerance(left, right, "k", "t", tolerance = 10L)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("r_t") == 95L && out(0).getAs[Double]("r_v") == 5.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("r_t")))
+    assert(out(1).isNullAt(out(1).fieldIndex("r_v")))
+    assert(out(2).isNullAt(out(2).fieldIndex("r_t")))
+    assert(out.map(_.schema.fieldNames.toSeq).distinct.head ==
+      Seq("k", "t", "id", "r_t", "r_v")) // no __stale leak
+  }
+
   test("null right payload fields are attached as-is, not skipped over") {
     val s2 = spark
     import s2.implicits._
