@@ -266,6 +266,72 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Stop words for the Gopher "contains ≥2 stop words" rule (Rae et al.
+    * 2021, appendix A1.1 — reference implements no such filter; this is
+    * the pipeline-extension surface). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher repetition-free quality rules (Rae et al. 2021, A1.1) as a
+    * per-source rule-failure census. Every predicate is integer
+    * cross-multiplication (`10*symbols > words`, not
+    * `symbols/words > 0.1`), so the flags are bit-identical across
+    * engines — no float thresholds anywhere.
+    *
+    * Rules, each failing independently:
+    *   1. word count outside [minWords, maxWords]
+    *   2. mean word length outside [3, 10] chars
+    *   3. symbol-to-word ratio ('#' or '...') above 10%
+    *   4. more than 90% of lines start with a bullet
+    *   5. more than 30% of lines end with an ellipsis
+    *   6. fewer than 80% of words contain an alphabetic char
+    *   7. fewer than 2 distinct stop words present
+    *
+    * Scale shape: a single projection (all rules are codegen'd `Column`
+    * expressions over one row) followed by one map-side-combinable
+    * aggregation keyed on `source` — no shuffle of text, no UDFs. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col("text")
+    val words  = split(trim(t), "\\s+")
+    val nWords = size(words)
+    // chars inside words = total minus whitespace
+    val wChars = length(regexp_replace(t, "\\s", ""))
+    // '...' count: replace() removes non-overlapping matches, so the
+    // length delta is an exact multiple of 3 and the division is lossless
+    val symbols = (length(t) - length(replace(t, lit("#"), lit("")))) +
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / lit(3)).cast("int")
+    val lines  = split(t, "\n", -1)
+    val nLines = size(lines)
+    val bullets = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("• ") || l.startsWith("* ")))
+    val ellLines = size(filter(lines, _.endsWith("...")))
+    val alphaWords = size(filter(words, _.rlike("[A-Za-z]")))
+    val stopw = size(array_intersect(
+      transform(words, lower(_)), lit(GopherStopWords.toArray)))
+    val flags = docs.select(
+      col("source"),
+      (nWords < minWords || nWords > maxWords).as("f_wordcount"),
+      (wChars < nWords * 3 || wChars > nWords * 10).as("f_meanlen"),
+      (symbols * 10 > nWords).as("f_symbol"),
+      (bullets * 10 > nLines * 9).as("f_bullet"),
+      (ellLines * 10 > nLines * 3).as("f_ellipsis"),
+      (alphaWords * 5 < nWords * 4).as("f_alpha"),
+      (stopw < 2).as("f_stopword"))
+    val ruleCols = flags.columns.filter(_.startsWith("f_"))
+    val passAll = ruleCols.map(c => !col(c)).reduce(_ && _)
+    flags
+      .withColumn("f_pass", passAll)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (ruleCols :+ "f_pass").map(c =>
+          sum(col(c).cast("long")).as(c.stripPrefix("f_") match {
+            case "pass" => "pass_all"
+            case r      => s"fail_$r"
+          })): _*)
+      .orderBy("source")
+  }
+
   /** Deterministic integer document fingerprint (rolling-hash style over
     * cheap structural features; pure int64 arithmetic). */
   def fingerprint(textCol: String, nChars: Column): Column = {

@@ -589,6 +589,46 @@ object PipelineQueries {
              |FROM r WHERE rnk * 100 <= n_docs * 20
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Gopher quality rules (Rae et al. 2021 A1.1): per-source census of
+    // which documents fail which heuristic. All rule predicates are
+    // integer cross-multiplications, so the flags (and therefore the
+    // counts) are bit-identical across engines.
+    Q("q_gopher_rules",
+      (s, d) => TextStats.gopherRules(documents(s, d)),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    regexp_split_to_array(trim(text), '\s+') AS words,
+             |    length(regexp_replace(text, '\s', '', 'g')) AS wchars,
+             |    (length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |f AS (
+             |  SELECT source,
+             |    (len(words) < 50 OR len(words) > 100000) AS f_wordcount,
+             |    (wchars < len(words) * 3 OR wchars > len(words) * 10) AS f_meanlen,
+             |    (symbols * 10 > len(words)) AS f_symbol,
+             |    (len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %' OR l LIKE '* %')) * 10
+             |       > len(lines) * 9) AS f_bullet,
+             |    (len(list_filter(lines, l -> l LIKE '%...')) * 10
+             |       > len(lines) * 3) AS f_ellipsis,
+             |    (len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 5
+             |       < len(words) * 4) AS f_alpha,
+             |    (len(list_intersect(list_transform(words, w -> lower(w)),
+             |       ['the','be','to','of','and','that','have','with'])) < 2) AS f_stopword
+             |  FROM t)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CAST(f_wordcount AS INT)) AS BIGINT) AS fail_wordcount,
+             |  CAST(sum(CAST(f_meanlen AS INT)) AS BIGINT) AS fail_meanlen,
+             |  CAST(sum(CAST(f_symbol AS INT)) AS BIGINT) AS fail_symbol,
+             |  CAST(sum(CAST(f_bullet AS INT)) AS BIGINT) AS fail_bullet,
+             |  CAST(sum(CAST(f_ellipsis AS INT)) AS BIGINT) AS fail_ellipsis,
+             |  CAST(sum(CAST(f_alpha AS INT)) AS BIGINT) AS fail_alpha,
+             |  CAST(sum(CAST(f_stopword AS INT)) AS BIGINT) AS fail_stopword,
+             |  CAST(sum(CAST(NOT (f_wordcount OR f_meanlen OR f_symbol OR f_bullet
+             |    OR f_ellipsis OR f_alpha OR f_stopword) AS INT)) AS BIGINT) AS pass_all
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
     // Data-mixing weights: a per-language char budget (500k) turns into
     // per-source sampling rates (permille, integer arithmetic) and
     // expected sampled volume — the mixture-planning step before a

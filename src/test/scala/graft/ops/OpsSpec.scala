@@ -554,6 +554,37 @@ class OpsSpec extends SparkSpec {
     assert(toks(0) == 4)
   }
 
+  test("text: gopher rules flag each heuristic independently") {
+    val docs = docsDf(Seq(
+      (1L, "the cat and dog run", "en", "a", 19L),                   // passes all
+      (2L, "hi there", "en", "b", 8L),                               // too short + no stopwords
+      (3L, "the cat ### and ### dog", "en", "c", 23L),               // symbols (+ alpha)
+      (4L, "- the cat\n- and dog", "en", "d", 19L),                  // bullets (+ meanlen, alpha)
+      (5L, "the end is near...\nand more to come...", "en", "e", 38L), // ellipsis (+ symbols)
+      (6L, "cat dog bird fish", "en", "f", 17L),                     // no stopwords
+      (7L, "supercalifragilistic expialidocious abcdefghijklmnop", "en", "g", 52L))) // long words
+    val out = TextStats.gopherRules(docs, minWords = 3, maxWords = 10)
+      .orderBy("source").collect()
+    def flags(i: Int): Map[String, Long] = {
+      val r = out(i)
+      r.schema.fieldNames.filter(c => c.startsWith("fail_") || c == "pass_all")
+        .map(c => c -> r.getAs[Long](c)).toMap
+    }
+    assert(out.map(_.getAs[String]("source")).toSeq ==
+      Seq("a", "b", "c", "d", "e", "f", "g"))
+    assert(out.forall(_.getAs[Long]("n_docs") == 1L))
+    assert(flags(0).values.sum == 1L && flags(0)("pass_all") == 1L)
+    assert(flags(1)("fail_wordcount") == 1L && flags(1)("fail_stopword") == 1L)
+    assert(flags(2)("fail_symbol") == 1L && flags(2)("fail_alpha") == 1L)
+    assert(flags(3)("fail_bullet") == 1L && flags(3)("fail_meanlen") == 1L &&
+      flags(3)("fail_alpha") == 1L)
+    assert(flags(4)("fail_ellipsis") == 1L && flags(4)("fail_symbol") == 1L)
+    assert(flags(5) == Map("fail_wordcount" -> 0L, "fail_meanlen" -> 0L,
+      "fail_symbol" -> 0L, "fail_bullet" -> 0L, "fail_ellipsis" -> 0L,
+      "fail_alpha" -> 0L, "fail_stopword" -> 1L, "pass_all" -> 0L))
+    assert(flags(6)("fail_meanlen") == 1L && flags(6)("fail_stopword") == 1L)
+  }
+
   test("text: character entropy separates spam from balanced text") {
     val docs = docsDf(Seq(
       (1L, "aaaaaaaa", "en", "a", 8L),   // zero entropy
