@@ -489,4 +489,59 @@ object Dedup {
       .withColumn("new_n_chars", length(col("new_text")))
       .orderBy("doc_id")
   }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm) + a duplicated-span census — the span-granular
+    * complement to document-level near-dedup, approximating Lee et al.
+    * 2021-style substring dedup without a suffix array.
+    *
+    * Each word `k`-gram is hashed portably ([[PortableHash.md5Hash32]]);
+    * in every sliding window of `window` consecutive gram hashes the
+    * minimum is selected (rightmost on ties — encoded by packing
+    * `hash * 2^30 + (2^30-1-pos)` so one integer `min` does both the
+    * value comparison and the tie-break). The selected fingerprints are a
+    * guaranteed cover: any shared span of ≥ `window + k - 1` tokens
+    * yields at least one shared fingerprint. A doc shorter than
+    * `window + k - 1` tokens has no full window and yields none.
+    *
+    * Emits `(doc_id, n_fps, dup_fps)` for docs with ≥1 fingerprint
+    * shared by ≥ `minDocs` docs: `dup_fps / n_fps` estimates the copied
+    * fraction of the document.
+    *
+    * Scale shape: one window shuffle keyed on doc_id (rows are
+    * `(doc_id, pos, long)` — the text never shuffles), one
+    * map-side-combinable census agg keyed on the fingerprint, and one
+    * hash join of the per-doc fingerprint set against the census —
+    * no self-join, no cartesian, and state per doc is its fingerprint
+    * count (~tokens / window · 2), not its length. */
+  def winnowedDupSpans(docs: DataFrame, k: Int = 5, window: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    // 2^30: pos stays below it for any realistic doc, and
+    // hash(<2^32) * 2^30 stays under 2^62 (ANSI mode — overflow throws)
+    val big = 1073741824L
+    val grams = docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k + window - 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    val fps = grams
+      .select(col("doc_id"), col("pos"),
+        (PortableHash.md5Hash32(col("gram")) * lit(big) +
+          (lit(big - 1) - col("pos"))).as("v"))
+      .withColumn("minv", min(col("v")).over(w))
+      .filter(col("pos") >= window - 1)
+      .select(col("doc_id"), expr(s"minv div ${big}L").as("fp"))
+      .distinct()
+    val census = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    fps.join(census, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dup_fps"))
+      .filter(col("dup_fps") > 0)
+      .orderBy("doc_id")
+  }
 }

@@ -1227,6 +1227,40 @@ object PipelineQueries {
              |  CAST(length(new_text) AS INT) AS new_n_chars
              |FROM a WHERE n_removed > 0 ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing (MOSS) fingerprints + duplicated-span census: per doc,
+    // how many selected fingerprints are shared with other docs — the
+    // span-granular copied-fraction estimate. The pack/min/unpack
+    // arithmetic is pure BIGINT, so the oracle reproduces it exactly.
+    Q("q_winnow_spans",
+      (s, d) => Dedup.winnowedDupSpans(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i
+             |        FROM d WHERE len(toks) >= 8)),
+             |v AS (
+             |  SELECT doc_id, pos,
+             |    GRAMHASH * 1073741824 + (1073741823 - pos) AS v
+             |  FROM g),
+             |w AS (
+             |  SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minv
+             |  FROM v),
+             |sel AS (SELECT DISTINCT doc_id, minv // 1073741824 AS fp
+             |        FROM w WHERE pos >= 3),
+             |c AS (SELECT fp, count(*) AS n_docs FROM sel GROUP BY fp)
+             |SELECT s.doc_id, count(*) AS n_fps,
+             |  CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps
+             |FROM sel s JOIN c USING (fp)
+             |GROUP BY s.doc_id
+             |HAVING sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) > 0
+             |ORDER BY doc_id""".stripMargin
+        .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
+
     // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
     // filter, char-weighted complement of q_repetition): share of gram
     // chars covered by n-grams occurring more than once in the doc.

@@ -218,6 +218,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("gopher rules: single projection + one partial-agg shuffle, no UDFs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.gopherRules(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(1500))
+    // partial + final aggregate around exactly one data shuffle (the
+    // trailing orderBy adds a range exchange over 20 rows — harmless)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
+  test("winnowing: doc-keyed window, fingerprint joins keyed, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Dedup.winnowedDupSpans(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,

@@ -554,6 +554,23 @@ class OpsSpec extends SparkSpec {
     assert(toks(0) == 4)
   }
 
+  test("winnowing: shared span yields shared fingerprints, unique doc absent") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(Seq(
+      (1L, shared, "en", "a", shared.length.toLong),
+      (2L, shared + " iota kappa", "en", "a", (shared.length + 11).toLong),
+      (3L, "one two three four five six seven eight nine", "en", "a", 44L),
+      (4L, "too short to window", "en", "a", 19L)))
+    val out = Dedup.winnowedDupSpans(docs, k = 5, window = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_fps"), r.getAs[Long]("dup_fps"))).toMap
+    // the 8-token shared span >= window + k - 1 guarantees a common
+    // fingerprint between docs 1 and 2; docs 3/4 must not appear
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    out.values.foreach { case (n, d) => assert(d <= n) }
+  }
+
   test("text: gopher rules flag each heuristic independently") {
     val docs = docsDf(Seq(
       (1L, "the cat and dog run", "en", "a", 19L),                   // passes all
