@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.expr.{PortableHash, VecOps}
-import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Sampling, Similarity, Skew, TextStats}
+import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Sampling, Selection, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Every
@@ -1554,5 +1554,42 @@ object PipelineQueries {
              |    AS familiarity_milli
              |FROM sel JOIN c USING (bg)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style data selection: per-doc target-vs-raw likelihood ratio
+    // over a hashed-bigram bag (target = lang 'en'). Pure integer
+    // arithmetic end to end: DECIMAL(38,0) on the Spark side is the
+    // exact twin of DuckDB's HUGEINT, so affinity_milli is bit-equal.
+    Q("q_dsir_affinity",
+      (s, d) => Selection.targetAffinity(documents(s, d), col("lang") === "en"),
+      Some {
+        val h = PortableHash.duckDbMd5Number("bg", 8)
+        s"""WITH d AS (
+           |  SELECT doc_id, (lang = 'en') AS is_t,
+           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, is_t, $h % 4096 AS b
+           |  FROM (
+           |    SELECT doc_id, is_t,
+           |      array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+           |        AS bg
+           |    FROM (SELECT doc_id, is_t, toks,
+           |            unnest(range(1, len(toks))) AS i
+           |          FROM d WHERE len(toks) >= 2))),
+           |t AS (SELECT b, count(*) AS n_r,
+           |        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_t
+           |      FROM f GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS tot_r,
+           |               CAST(sum(n_t) AS BIGINT) AS tot_t FROM t),
+           |a AS (SELECT doc_id, count(*) AS n_feats,
+           |        CAST(sum(n_t) AS BIGINT) AS s_t,
+           |        CAST(sum(n_r) AS BIGINT) AS s_r
+           |      FROM f JOIN t USING (b) GROUP BY 1)
+           |SELECT doc_id, n_feats,
+           |  CAST(CAST(s_t AS HUGEINT) * tot_r * 1000
+           |    // (CAST(s_r AS HUGEINT) * tot_t) AS BIGINT) AS affinity_milli
+           |FROM a, tot ORDER BY doc_id""".stripMargin
+      }),
   )
 }
