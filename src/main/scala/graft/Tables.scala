@@ -21,11 +21,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns]; sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), so the
-    * `ts` column surfaces as LongType epoch-nanoseconds. Oracles mirror it
-    * with DuckDB's `epoch_ns(ts)`. */
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` surfaces as LongType epoch-NANOSECONDS regardless of the
+    * parquet physical type — the whole engine (and every oracle's
+    * `epoch_us(ts)` ≡ Spark `ts div 1000`) is written against that
+    * contract. Driver-generated data has shipped both timestamp[ns]
+    * (reads as LONG under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * see [[Sessions]]) and timestamp[us] (reads as TIMESTAMP_NTZ; session
+    * timezone is pinned UTC so the NTZ→epoch conversion is exact). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -263,14 +263,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   /** Namespace health fan-out (ref `cli.py:1131-1163` `health --namespace`):
-    * one report per table in the namespace. */
+    * one report per table in the namespace. Reports build concurrently —
+    * Spark job submission is thread-safe, and each table's health is an
+    * independent metadata-scale query, so the fan-out is latency-bound,
+    * not compute-bound. */
   def healthNamespace(namespace: String): Map[String, HealthReport] = {
-    listTables()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val refs = listTables()
       .filter(col("namespace") === namespace)
       .collect()
       .map(r => s"${r.getString(0)}.${r.getString(1)}")
-      .map(ref => ref -> health(ref))
-      .toMap
+      .toList
+    Await.result(
+      Future.traverse(refs)(ref => Future(ref -> health(ref))),
+      scala.concurrent.duration.Duration.Inf).toMap
   }
 
   def namespaceOverview(): DataFrame =
@@ -530,15 +537,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   /** Register EVERY table in the warehouse as `<ns>_<table>` temp views
-    * (metadata-small loop over the table list) and return the names —
-    * after this, the whole warehouse is queryable with plain
-    * `spark.sql`. Tables whose data files are not materialized
-    * (metadata-only fixtures, foreign-written tables with unreachable
-    * paths) are skipped. */
-  def createAllViews(): Seq[String] =
-    listTables().collect().toSeq.flatMap { r =>
-      scala.util.Try(createView(s"${r.getString(0)}.${r.getString(1)}")).toOption
+    * and return the names — after this, the whole warehouse is queryable
+    * with plain `spark.sql`. The per-table metadata loads + scan-plan
+    * builds run CONCURRENTLY (driver-side Futures — each is small-file
+    * I/O + JSON parse, which pipelines; a 10k-table warehouse would crawl
+    * sequentially); view registration itself stays on the calling thread
+    * (catalog mutation, kept single-threaded by design). Tables whose
+    * data files are not materialized (metadata-only fixtures,
+    * foreign-written tables with unreachable paths) are skipped. */
+  def createAllViews(): Seq[String] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val refs = listTables().collect().toSeq
+      .map(r => s"${r.getString(0)}.${r.getString(1)}")
+    val frames = Await.result(
+      Future.traverse(refs.toList) { ref =>
+        Future(scala.util.Try((ref, readTable(ref))).toOption)
+      }, scala.concurrent.duration.Duration.Inf).flatten
+    frames.map { case (ref, df) =>
+      val name = ref.replace('.', '_')
+      df.createOrReplaceTempView(name)
+      name
     }
+  }
 
   /** Read the data with metadata pruning on `column ∈ [lo, hi]`: files
     * whose min/max bounds exclude the range are never opened; the result

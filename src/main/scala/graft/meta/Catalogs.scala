@@ -54,22 +54,128 @@ final class FsCatalog(warehouseDir: String) extends MetaCatalog {
     IcebergTable.load(tableLocation(ref))
 }
 
+/** Iceberg REST catalog client (the public REST Catalog OpenAPI surface
+  * pyiceberg's `RestCatalog` speaks; ref `catalog.py:99-142` routes
+  * `type: rest` / `uri: http…` configs there). JDK `HttpURLConnection`
+  * only — no extra dependencies — and the existing [[IcebergMeta]] Jackson
+  * parser for the returned metadata.
+  *
+  * Protocol subset: `GET /v1/config` (honoring the server's `prefix`
+  * override, merged defaults < client props < overrides),
+  * `GET /v1/{prefix}/namespaces`, `…/namespaces/{ns}/tables`, and
+  * `…/namespaces/{ns}/tables/{t}` (LoadTableResult: inline `metadata`
+  * preferred, `metadata-location` fallback read as a local path). A
+  * `token` property is sent as a `Bearer` header on every request.
+  */
+final class RestCatalog(
+    baseUri: String,
+    clientProps: Map[String, String] = Map.empty) extends MetaCatalog {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val root = baseUri.stripSuffix("/")
+
+  private def get(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val url = java.net.URI.create(s"$root$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      clientProps.get("token").foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      val code = conn.getResponseCode
+      if (code != 200) throw new IllegalStateException(
+        s"REST catalog GET $path returned HTTP $code")
+      val body = scala.util.Using.resource(conn.getInputStream) { in =>
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      }
+      mapper.readTree(body)
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"REST catalog at $root unreachable (GET $path): ${e.getMessage}", e)
+    } finally conn.disconnect()
+  }
+
+  /** Effective config: server defaults < client properties < server
+    * overrides (the REST spec's merge order). Fetched once, lazily. */
+  lazy val config: Map[String, String] = {
+    val node = get("/v1/config")
+    def toMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      if (n == null || !n.isObject) Map.empty
+      else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    toMap(node.get("defaults")) ++ clientProps ++ toMap(node.get("overrides"))
+  }
+
+  private def prefixed(path: String): String = {
+    val p = config.get("prefix").filter(_.nonEmpty)
+      .map(pre => s"/${enc(pre)}").getOrElse("")
+    s"/v1$p$path"
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  override def name: String = s"rest:$root"
+
+  override def listNamespaces(): Seq[String] = {
+    val arr = get(prefixed("/namespaces")).get("namespaces")
+    (0 until arr.size()).map { i =>
+      val levels = arr.get(i)
+      (0 until levels.size()).map(levels.get(_).asText()).mkString(".")
+    }.sorted
+  }
+
+  override def listTables(): Seq[(String, String)] =
+    listNamespaces().flatMap { ns =>
+      val arr = get(prefixed(s"/namespaces/${enc(ns)}/tables")).get("identifiers")
+      (0 until arr.size()).map(i => ns -> arr.get(i).get("name").asText())
+    }.sorted
+
+  override def loadTable(ref: String): IcebergTable = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
+    val res = get(prefixed(s"/namespaces/${enc(parts(0))}/tables/${enc(parts(1))}"))
+    val md =
+      if (res.has("metadata") && res.get("metadata").isObject)
+        IcebergMeta.parse(res.get("metadata").toString)
+      else {
+        val loc = Option(res.get("metadata-location")).map(_.asText()).getOrElse(
+          throw new IllegalStateException(
+            s"LoadTableResult for $ref has neither metadata nor metadata-location"))
+        IcebergMeta.loadAt(java.nio.file.Paths.get(loc))
+      }
+    // relative manifest/data paths resolve against the table location the
+    // metadata itself declares (REST tables are location-addressed; there
+    // is no catalog-side directory convention to fall back on)
+    new IcebergTable(md.location, md)
+  }
+
+  override def tableLocation(ref: String): String = loadTable(ref).metadata.location
+}
+
 object Catalogs {
 
-  /** Catalog types the reference supports through pyiceberg; everything
-    * except the filesystem warehouse needs network access. */
+  /** Catalog types the reference supports through pyiceberg. REST speaks
+    * plain HTTP and is implemented here ([[RestCatalog]]); sql/glue/hive
+    * need drivers absent in this environment. */
   val NetworkBackends: Set[String] = Set("rest", "sql", "glue", "hive")
 
   /** Build a catalog from resolved [[CatalogConfig]]: a `warehouse` path
-    * (with no network `type`) yields [[FsCatalog]]; a network backend
-    * raises `UnsupportedOperationException` with the backend named, which
-    * [[graft.api.Errors]] maps to a friendly message. */
+    * (with no network `type`) yields [[FsCatalog]]; `type: rest` (or an
+    * `http(s)` uri) yields [[RestCatalog]]; the remaining network
+    * backends raise `UnsupportedOperationException` with the backend
+    * named, which [[graft.api.Errors]] maps to a friendly message. */
   def forConfig(cfg: CatalogConfig): MetaCatalog = {
     val backend = cfg.properties.get("type")
       .orElse(cfg.uri.map(u => u.takeWhile(_ != ':')))
       .map(_.toLowerCase)
     backend match {
-      case Some(b) if NetworkBackends.contains(b) || b == "thrift" || b == "http" || b == "https" =>
+      case Some(b) if b == "rest" || b == "http" || b == "https" =>
+        val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
+          s"catalog '${cfg.name}' is type rest but has no uri"))
+        new RestCatalog(uri, cfg.properties - "type")
+      case Some(b) if NetworkBackends.contains(b) || b == "thrift" =>
         throw new UnsupportedOperationException(
           s"catalog backend '$b' needs network access; configure a filesystem " +
             "warehouse path, or plug a network MetaCatalog implementation in")

@@ -261,11 +261,16 @@ object Dedup {
     * frame, so it is metadata-cheap on either path. Set
     * `driverThreshold = 0` to force the distributed path.
     *
+    * HUB GUARD: the per-hop join is salted adaptively when any node's
+    * degree exceeds `hubDegreeThreshold` — see the inline comment at the
+    * edge materialization below.
+    *
     * @param pairs (a_id, b_id) candidate edges, e.g.
     *              [[minhashCandidates]] output */
   def connectedComponents(
       pairs: DataFrame, maxIters: Int = 50, hopsPerJob: Int = 1,
-      driverThreshold: Long = 100000L): DataFrame = {
+      driverThreshold: Long = 100000L,
+      hubDegreeThreshold: Long = 100000L): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
@@ -293,16 +298,31 @@ object Dedup {
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       return rows.toDF("doc_id", "component")
     }
-    // pre-partition edges by dst ONCE: localCheckpoint captures the hash
-    // partitioning, so every round's edges⋈labels(id) join is already
-    // co-partitioned and the only per-round shuffle is the groupBy(src)
-    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val rawEdges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
+    // HUB GUARD: a template-spam hub (one node with millions of candidate
+    // edges — the heavy tail degreeHistogram detects) would land its whole
+    // neighborhood in ONE reducer of the per-hop edges⋈labels(dst) join.
+    // Detect the max degree once on the materialized edge frame (cheap:
+    // ids only); above the threshold, salt the join — edges carry
+    // pmod(src, S) and the label side replicates S ways, splitting each
+    // hub's rows across S tasks for an S× fan-out of the (id, label) frame
+    // only. Same precedent as ngramJaccard's maxDf: bound the worst bucket.
+    val maxDeg = rawEdges.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head.getLong(0)
+    val nSalt = hubSalts(maxDeg, hubDegreeThreshold)
+    // pre-partition edges by the join key ONCE: localCheckpoint captures
+    // the hash partitioning, so every round's edges⋈labels join is already
+    // co-partitioned and the only per-round shuffle is the groupBy(src)
+    val edges =
+      (if (nSalt == 1) rawEdges.repartition(col("dst"))
+       else rawEdges.withColumn("salt", pmod(col("src"), lit(nSalt.toLong)))
+         .repartition(col("dst"), col("salt")))
+        .localCheckpoint()
     // seed with the 1-hop minimum (own id vs direct neighbors): the first
-    // propagation round comes free with the node-list aggregate; align the
-    // seed's partitioning with edges(dst) (one-time cost)
+    // propagation round comes free with the node-list aggregate (map-side
+    // combinable — a hub as SRC is fine); align the seed's partitioning
+    // with the label-side join key (one-time cost)
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
@@ -311,8 +331,15 @@ object Dedup {
     // one propagation hop over an (id, label, chg) frame; `chg`
     // accumulates across the hops composed into a single job
     def hop(l: DataFrame): DataFrame = {
+      val lSide =
+        if (nSalt == 1) l.select(col("id"), col("label"))
+        else l.select(col("id"), col("label"),
+          explode(expr(s"sequence(CAST(0 AS BIGINT), ${nSalt - 1}L)")).as("lsalt"))
+      val joinCond =
+        if (nSalt == 1) col("dst") === col("id")
+        else col("dst") === col("id") && col("salt") === col("lsalt")
       val nmin = edges
-        .join(l.select(col("id"), col("label")), col("dst") === col("id"))
+        .join(lSide, joinCond)
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         .select(col("src").as("nid"), col("nlabel"))
       l.join(nmin, l("id") === col("nid"), "left")
@@ -341,6 +368,14 @@ object Dedup {
         "raise maxIters (graph diameter exceeds the cap)")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
+
+  /** Salt count for [[connectedComponents]]' hub guard: 1 (no salting)
+    * until the max degree crosses the threshold, then one salt per
+    * threshold-worth of edges, capped at 32 (beyond that the S× label
+    * fan-out costs more than the residual skew). */
+  private[ops] def hubSalts(maxDeg: Long, threshold: Long): Int =
+    if (threshold <= 0 || maxDeg <= threshold) 1
+    else math.min(32L, (maxDeg + threshold - 1) / threshold).toInt
 
   /** Character n-gram sets per document (distinct), for Jaccard dedup. */
   def charNgrams(docs: DataFrame, n: Int): DataFrame =
@@ -420,8 +455,21 @@ object Dedup {
       increment: DataFrame,
       corpus: DataFrame,
       numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    incrementalNearDupAgainstIndex(increment,
+      bandSignatures(corpus, numPerm, rowsPerBand), numPerm, rowsPerBand)
+
+  /** [[incrementalNearDup]] probing a PRE-BUILT `(doc_id, band, band_sig)`
+    * index (a [[NearDupIndex]] table scan, or any frame with that shape) —
+    * the form real pipelines use, where the index persists across ingest
+    * batches and corpus text is never re-aggregated. `numPerm`/
+    * `rowsPerBand` MUST match the index's build parameters. */
+  def incrementalNearDupAgainstIndex(
+      increment: DataFrame,
+      index: DataFrame,
+      numPerm: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val idx = bandSignatures(corpus, numPerm, rowsPerBand)
+    val idx = index
       .select(col("doc_id").as("corpus_doc_id"), col("band"), col("band_sig"))
     bandSignatures(increment, numPerm, rowsPerBand)
       .join(idx, Seq("band", "band_sig"))
@@ -516,6 +564,23 @@ object Dedup {
     * count (~tokens / window · 2), not its length. */
   def winnowedDupSpans(docs: DataFrame, k: Int = 5, window: Int = 4,
       minDocs: Int = 2): DataFrame = {
+    val fps = winnowedFps(docs, k, window).select("doc_id", "fp").distinct()
+    val census = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    fps.join(census, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dup_fps"))
+      .filter(col("dup_fps") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Winnowed fingerprint OCCURRENCES `(doc_id, fp, gpos)` — the selected
+    * gram hash plus the gram's token position, shared by
+    * [[winnowedDupSpans]] (census) and [[winnowRemoval]] (excision).
+    * The tie-break packing (`hash * 2^30 + (2^30-1-pos)`) makes one
+    * integer `min` pick the rightmost minimal gram per window, and the
+    * position is recovered exactly from the packed value. */
+  private def winnowedFps(docs: DataFrame, k: Int, window: Int): DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be positive")
     // 2^30: pos stays below it for any realistic doc, and
     // hash(<2^32) * 2^30 stays under 2^62 (ANSI mode — overflow throws)
@@ -528,20 +593,62 @@ object Dedup {
           s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    val fps = grams
+    grams
       .select(col("doc_id"), col("pos"),
         (PortableHash.md5Hash32(col("gram")) * lit(big) +
           (lit(big - 1) - col("pos"))).as("v"))
       .withColumn("minv", min(col("v")).over(w))
       .filter(col("pos") >= window - 1)
-      .select(col("doc_id"), expr(s"minv div ${big}L").as("fp"))
+      .select(col("doc_id"),
+        expr(s"minv div ${big}L").as("fp"),
+        (lit(big - 1) - pmod(col("minv"), lit(big))).as("gpos"))
       .distinct()
-    val census = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
-    fps.join(census, "fp")
+  }
+
+  /** SPAN-LEVEL DUPLICATE REMOVAL — the excision step [[winnowedDupSpans]]
+    * censuses: every winnowed fingerprint shared by ≥ `minDocs` documents
+    * marks its `k`-token gram span `[gpos, gpos+k-1]`; overlapping marks
+    * merge naturally at the token level, and each affected document is
+    * rebuilt from its unmarked tokens (Lee et al. 2021-style substring
+    * dedup, anchored on the winnowing cover instead of a suffix array).
+    *
+    * The rebuild is exact over the NORMALIZED token stream (lower/trim,
+    * single-space joined — the same normalization the fingerprints hash),
+    * so an oracle can replay it byte-for-byte.
+    *
+    * Emits one row per AFFECTED doc: `(doc_id, n_tokens, n_removed,
+    * new_text)`.
+    *
+    * Scale shape: the fingerprint census and the mark join move
+    * `(doc_id, long)` rows only; the token stream shuffles ONCE (the
+    * per-doc rebuild aggregate), which is the floor for any rebuild; the
+    * mark explode fans out k rows per duplicated fingerprint — bounded by
+    * dup density, not corpus size. */
+  def winnowRemoval(docs: DataFrame, k: Int = 5, window: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val occ = winnowedFps(docs, k, window)
+    val dupFps = occ.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("fp")
+    val marked = occ.join(dupFps, "fp")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("tpos"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("tpos", "tok")))
+    toks.join(marked, Seq("doc_id", "tpos"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(false)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fps"),
-        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("dup_fps"))
-      .filter(col("dup_fps") > 0)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN NOT cut THEN struct(tpos, tok) END)), " +
+          "s -> s.tok)"), " ").as("new_text"))
+      .filter(col("n_removed") > 0)
+      .withColumn("new_n_chars", length(col("new_text")))
       .orderBy("doc_id")
   }
 }

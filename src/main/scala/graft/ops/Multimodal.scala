@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * plus the Spark-side shape of decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic stub
-  * ([[fakeDecodeKernel]]) behind the real distributed plumbing: schema,
-  * partitioning, per-partition batch iteration (the Scala analog of a
-  * `mapInPandas` batch UDF), and column-level feature expressions. Swapping
-  * the stub for a real codec changes one function, not the pipeline.
+  * Images use a REAL codec: `javax.imageio.ImageIO` (JDK-standard —
+  * PNG/BMP/GIF/JPEG) in [[imagesFromIds]] / [[decodeImages]], exercised
+  * per-partition (the Scala analog of a `mapInPandas` batch UDF). Audio/
+  * video codecs are not in the JDK, so the generic byte-payload path keeps
+  * the deterministic [[fakeDecodeKernel]] stand-in behind the same
+  * distributed plumbing; swapping it for a codec changes one function.
   */
 object Multimodal {
 
@@ -105,4 +105,106 @@ object Multimodal {
       "transform(features, x -> CAST(x AS DOUBLE) / " +
         "greatest(CAST(aggregate(features, CAST(0.0 AS DOUBLE), " +
         "(acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) AS DOUBLE), 1e-9))"))
+
+  // ----- real image codec path (javax.imageio — JDK-standard) -----
+
+  /** Deterministic test-image pixel pattern: channel values are small
+    * linear functions of (id, x, y) mod 256, so an oracle can recompute
+    * the per-channel pixel sums arithmetically while the engine recovers
+    * them by decoding the actual encoded bytes. Lossless formats only
+    * (PNG/BMP) — the round-trip must be bit-exact for the sums to match. */
+  @inline def patR(id: Long, x: Int, y: Int): Int = (((id + 2L * x + 3L * y) % 256) + 256).toInt % 256
+  @inline def patG(id: Long, x: Int, y: Int): Int = (((3L * id + 5L * x + 7L * y) % 256) + 256).toInt % 256
+  @inline def patB(id: Long, x: Int, y: Int): Int = (((7L * id + 11L * x + 13L * y) % 256) + 256).toInt % 256
+
+  /** Width/height derived from the id (4..16 / 4..14) so every image has a
+    * distinct small shape the oracle can rederive. */
+  @inline def patW(id: Long): Int = (id % 13).toInt + 4
+  @inline def patH(id: Long): Int = (id % 11).toInt + 4
+
+  /** Encode the deterministic pattern image for `id` with a real codec
+    * (`format` = "png" or "bmp"; both lossless in ImageIO). */
+  def encodePatternImage(id: Long, format: String = "png"): Array[Byte] = {
+    val w = patW(id); val h = patH(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (patR(id, x, y) << 16) | (patG(id, x, y) << 8) | patB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Executor-side image synthesis: each row becomes a media row whose
+    * payload is REAL encoded image bytes (PNG by default). mapPartitions
+    * so codec setup cost amortizes per partition, not per row. */
+  def imagesFromIds(ids: DataFrame, format: String = "png"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("modality", StringType, nullable = false),
+        StructField("mime", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("duration_ms", LongType, nullable = true))), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mime = s"image/$format"
+    ids.select(col("media_id").cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePatternImage(id, format),
+          Row("image", mime, patW(id), patH(id), null))
+      }
+    }(enc).toDF()
+  }
+
+  /** Decode stage with a REAL codec: `ImageIO.read` over the payload bytes,
+    * emitting integer-exact shape + per-channel pixel sums. Undecodable or
+    * null payloads surface as width = -1 rather than poisoning the task —
+    * at 100 TB a corrupt object must be a data fact, not a job failure. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, -1, -1, 0L, 0L, 0L)
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }(enc).toDF()
+  }
 }

@@ -29,29 +29,51 @@ object Overview {
     StructField("total_records", LongType, nullable = true),
     StructField("total_files_size", LongType, nullable = true)))
 
-  /** Walk `<warehouse>/<namespace>/<table>` dirs (ref S2 namespace walk,
-    * `catalog.py:164-189`) and parse each table's metadata JSON only. */
-  def tableFacts(spark: SparkSession, warehouseDir: String): DataFrame = {
+  /** `<warehouse>/<namespace>/<table>` directory pairs, sorted (ref S2
+    * namespace walk, `catalog.py:164-189`) — one cheap listing; the
+    * per-table metadata parses hang off it. */
+  private def tableDirs(warehouseDir: String): Seq[(String, java.nio.file.Path)] = {
     val wh = Paths.get(warehouseDir)
-    val rows = Files.list(wh).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    Files.list(wh).iterator().asScala.filter(Files.isDirectory(_)).toSeq
       .sortBy(_.getFileName.toString).flatMap { ns =>
         Files.list(ns).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-          .sortBy(_.getFileName.toString).flatMap { tbl =>
-            val md: Option[TableMetadata] =
-              try Some(IcebergMeta.load(tbl.toString))
-              catch { case _: Exception => None }
-            md.map { m =>
-              val sum = m.currentSnapshot.map(_.summary).getOrElse(Map.empty)
-              def longProp(k: String): Any =
-                sum.get(k).map(v => Long.box(v.toLong)).orNull
-              Row(ns.getFileName.toString, tbl.getFileName.toString,
-                m.formatVersion, m.lastUpdatedMs, m.snapshots.size,
-                m.currentSchema.fields.size,
-                longProp("total-data-files"), longProp("total-records"),
-                longProp("total-files-size"))
-            }
-          }
+          .sortBy(_.getFileName.toString)
+          .map(tbl => ns.getFileName.toString -> tbl)
       }
+  }
+
+  /** Parse each table's metadata CONCURRENTLY, order-preserving — a
+    * 10k-table warehouse overview is bound by per-table JSON parse +
+    * stat latency, which pipelines; unparseable tables yield None. A
+    * driver-side Future pool, not a Spark job: the work is metadata-scale
+    * (one small file per table) and fan-out is I/O-bound. */
+  private def parMetadata(dirs: Seq[(String, java.nio.file.Path)])
+      : Seq[(String, java.nio.file.Path, Option[TableMetadata])] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(dirs.toList) { case (ns, tbl) =>
+        Future((ns, tbl,
+          try Some(IcebergMeta.load(tbl.toString))
+          catch { case _: Exception => None }))
+      }, scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** Walk the warehouse and parse each table's metadata JSON only
+    * (concurrent per-table parse; see [[parMetadata]]). */
+  def tableFacts(spark: SparkSession, warehouseDir: String): DataFrame = {
+    val rows = parMetadata(tableDirs(warehouseDir)).flatMap { case (ns, tbl, md) =>
+      md.map { m =>
+        val sum = m.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+        def longProp(k: String): Any =
+          sum.get(k).map(v => Long.box(v.toLong)).orNull
+        Row(ns, tbl.getFileName.toString,
+          m.formatVersion, m.lastUpdatedMs, m.snapshots.size,
+          m.currentSchema.fields.size,
+          longProp("total-data-files"), longProp("total-records"),
+          longProp("total-files-size"))
+      }
+    }
     spark.createDataFrame(rows.asJava, tableFactsSchema)
   }
 
@@ -107,16 +129,10 @@ object Overview {
   /** J5 — cross-table schema conflicts: same field name, >1 distinct type
     * across the warehouse (ref `formatters.py:1385-1400`). */
   def schemaConflicts(spark: SparkSession, warehouseDir: String): DataFrame = {
-    val wh = Paths.get(warehouseDir)
-    val rows = Files.list(wh).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-      .sortBy(_.getFileName.toString).flatMap { ns =>
-        Files.list(ns).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-          .sortBy(_.getFileName.toString).flatMap { tbl =>
-            (try Some(IcebergMeta.load(tbl.toString)) catch { case _: Exception => None })
-              .toSeq.flatMap(m => m.currentSchema.fields.map(f =>
-                Row(s"${ns.getFileName}.${tbl.getFileName}", f.name, f.fieldType)))
-          }
-      }
+    val rows = parMetadata(tableDirs(warehouseDir)).flatMap { case (ns, tbl, md) =>
+      md.toSeq.flatMap(m => m.currentSchema.fields.map(f =>
+        Row(s"$ns.${tbl.getFileName}", f.name, f.fieldType)))
+    }
     val schema = StructType(Seq(
       StructField("table_ref", StringType, nullable = false),
       StructField("field_name", StringType, nullable = false),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.expr.{PortableHash, VecOps}
-import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Sampling, Selection, Similarity, Skew, TextStats}
+import graft.ops.{AsOf, Bpe, Clustering, Dedup, Multimodal, Sampling, Selection, Similarity, Skew, TextStats}
 
 /** Training-data-pipeline extension queries over `documents`/`embeddings`
   * (SURVEY §7.2 step 7): dedup, similarity search, text analysis. Every
@@ -15,6 +15,53 @@ import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Sampling, Selection, Simi
   * exact candidate pairs, signatures, and buckets.
   */
 object PipelineQueries {
+
+  /** DuckDB replay of [[Bpe.trainMerges]]: the k merge rounds UNROLL into
+    * chained CTE groups (census → argmax → greedy-merge rewrite per
+    * round; recursive CTEs can't carry a per-round global argmax).
+    * `MATERIALIZED` is load-bearing — DuckDB inlines CTEs by default, and
+    * each round references the previous vocab three times, so inlining
+    * would re-evaluate the whole chain 3^k times. The greedy rewrite uses
+    * the keep-odd-runs formulation (positions p matching (l,r), islands
+    * of consecutive p, keep 1st/3rd/… of each island), which equals the
+    * engine's left-fold merge. */
+  private def bpeOracleSql(n: Int): String = {
+    val head = """WITH vocab0 AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt,
+      |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      val j = i - 1
+      s"""census$i AS MATERIALIZED (
+         |  SELECT syms[CAST(p AS INT)] AS l, syms[CAST(p + 1 AS INT)] AS r, sum(cnt) AS pc
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS p FROM vocab$j)
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (SELECT l, r, pc FROM census$i ORDER BY pc DESC, l, r LIMIT 1),
+         |mat$i AS MATERIALIZED (
+         |  SELECT v.w, v.p FROM
+         |    (SELECT w, syms, unnest(range(1, len(syms))) AS p FROM vocab$j) v, best$i b
+         |  WHERE v.syms[CAST(v.p AS INT)] = b.l AND v.syms[CAST(v.p + 1 AS INT)] = b.r),
+         |keep$i AS MATERIALIZED (
+         |  SELECT w, p FROM (
+         |    SELECT w, p, row_number() OVER (PARTITION BY w, p - rn ORDER BY p) AS k
+         |    FROM (SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn FROM mat$i))
+         |  WHERE k % 2 = 1),
+         |vocab$i AS MATERIALIZED (
+         |  SELECT u.w, any_value(u.cnt) AS cnt,
+         |    list(CASE WHEN kp.p IS NOT NULL THEN (SELECT l || r FROM best$i) ELSE u.sym END ORDER BY u.p)
+         |      FILTER (WHERE dr.p IS NULL) AS syms
+         |  FROM (SELECT w, cnt, syms[CAST(p AS INT)] AS sym, p
+         |        FROM (SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS p FROM vocab$j)) u
+         |  LEFT JOIN keep$i kp ON u.w = kp.w AND u.p = kp.p
+         |  LEFT JOIN keep$i dr ON u.w = dr.w AND u.p = dr.p + 1
+         |  GROUP BY u.w)""".stripMargin
+    }
+    val unions = (1 to n).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(pc AS BIGINT) AS pair_count FROM best$i")
+      .mkString("\nUNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + unions + "\nORDER BY merge_rank"
+  }
 
   /** Shared CTE chain reproducing [[Dedup.minhashCandidates]] (default
     * numPerm=16 / rowsPerBand=4) in DuckDB, ending in a `pairs` CTE —
@@ -1050,29 +1097,28 @@ object PipelineQueries {
       (s, d) => Dedup.simhashCandidates(documents(s, d)),
       Some(simhashOracleSql)),
 
-    // Multimodal decode stage: the mapPartitions batch "codec" (stubbed as
-    // a deterministic code-point fold) re-expressed as integers so the
-    // oracle verifies the distributed plumbing end-to-end
+    // Multimodal decode stage with a REAL codec: executor-side PNG encode
+    // (ImageIO.write of a deterministic (id,x,y)-pattern image) → decode
+    // (ImageIO.read) → integer-exact shape + per-channel pixel sums. The
+    // oracle rederives the sums arithmetically — matching proves actual
+    // image bytes round-tripped through the codec on executors.
     Q("q_multimodal_decode",
-      (s, d) => Multimodal.decodeFeatures(
-          Multimodal.packText(documents(s, d).filter(col("doc_id") < 100)))
-        .select(col("media_id"),
-          expr("CAST(round(CAST(features[0] AS DOUBLE) * 1000.0) AS BIGINT)").as("a_mod"),
-          expr("CAST(round(CAST(features[1] AS DOUBLE) * 1000.0) AS BIGINT)").as("b_mod"),
-          expr("CAST(features[2] AS BIGINT)").as("n_cp"),
-          expr("CAST(features[3] AS BIGINT)").as("first_cp"))
+      (s, d) => Multimodal.decodeImages(
+          Multimodal.imagesFromIds(
+            documents(s, d).filter(col("doc_id") < 100)
+              .select(col("doc_id").as("media_id"))))
         .orderBy("media_id"),
-      Some("""WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-             |cp AS (SELECT doc_id,
-             |  list_transform(range(1, length(text) + 1),
-             |    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cps
-             |  FROM t)
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h
+             |          FROM documents WHERE doc_id < 100)
              |SELECT doc_id AS media_id,
-             |  CAST(list_sum(cps) % 1000 AS BIGINT) AS a_mod,
-             |  CAST(list_reduce(cps, (x, y) -> (x * 31 + y) % 1000000007) % 1000 AS BIGINT) AS b_mod,
-             |  CAST(len(cps) AS BIGINT) AS n_cp,
-             |  CAST(cps[1] AS BIGINT) AS first_cp
-             |FROM cp ORDER BY media_id""".stripMargin)),
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+             |    list_transform(range(0, w), x -> (doc_id + 2*x + 3*y) % 256)))) AS BIGINT) AS sum_r,
+             |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+             |    list_transform(range(0, w), x -> (3*doc_id + 5*x + 7*y) % 256)))) AS BIGINT) AS sum_g,
+             |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+             |    list_transform(range(0, w), x -> (7*doc_id + 11*x + 13*y) % 256)))) AS BIGINT) AS sum_b
+             |FROM d ORDER BY media_id""".stripMargin)),
 
     // Multimodal plumbing: binary payload stats (bytes/frames/digest) over
     // the documents table packed as media rows
@@ -1260,6 +1306,54 @@ object PipelineQueries {
              |HAVING sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) > 0
              |ORDER BY doc_id""".stripMargin
         .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
+
+    // Span-level duplicate REMOVAL: every winnowed fingerprint shared by
+    // ≥2 docs marks its 5-token gram span; affected docs are rebuilt from
+    // the unmarked tokens, byte-exact over the normalized token stream —
+    // the excision step the winnowing census feeds (Lee et al. 2021 shape)
+    Q("q_winnow_removal",
+      (s, d) => Dedup.winnowRemoval(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i
+             |        FROM d WHERE len(toks) >= 8)),
+             |v AS (SELECT doc_id, pos,
+             |  GRAMHASH * 1073741824 + (1073741823 - pos) AS v FROM g),
+             |w AS (SELECT doc_id, pos, min(v) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minv FROM v),
+             |occ AS (SELECT DISTINCT doc_id, minv // 1073741824 AS fp,
+             |          1073741823 - (minv % 1073741824) AS gpos
+             |        FROM w WHERE pos >= 3),
+             |dup AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM occ)
+             |        GROUP BY fp HAVING count(*) >= 2),
+             |marked AS (SELECT DISTINCT o.doc_id, o.gpos + s.x AS tpos
+             |           FROM occ o JOIN dup USING (fp), unnest(range(0, 5)) AS s(x)),
+             |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS tpos, toks[CAST(i + 1 AS INT)] AS tok
+             |         FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d)),
+             |flags AS (SELECT t.doc_id, t.tpos, t.tok, (m.tpos IS NOT NULL) AS cut
+             |          FROM toks t LEFT JOIN marked m ON t.doc_id = m.doc_id AND t.tpos = m.tpos),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |    coalesce(array_to_string(list(tok ORDER BY tpos) FILTER (WHERE NOT cut), ' '), '') AS new_text
+             |  FROM flags GROUP BY doc_id
+             |  HAVING sum(CASE WHEN cut THEN 1 ELSE 0 END) > 0)
+             |SELECT doc_id, n_tokens, n_removed, new_text,
+             |  CAST(length(new_text) AS INTEGER) AS new_n_chars
+             |FROM agg ORDER BY doc_id""".stripMargin
+        .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
+
+    // Deterministic BPE-merge training: 6 rounds of top-(count, pair)
+    // merges — corpus shuffles once into the word census, rounds run on
+    // the vocabulary; DuckDB replays the rounds as unrolled CTE groups
+    Q("q_bpe_merges",
+      (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 6),
+      Some(bpeOracleSql(6))),
 
     // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
     // filter, char-weighted complement of q_repetition): share of gram

@@ -1,0 +1,126 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+import graft.fixtures.FixtureWriter
+
+/** In-process Iceberg-REST-catalog stub (JDK `com.sun.net.httpserver`)
+  * fronting a filesystem fixture warehouse, driven through the real
+  * [[RestCatalog]] client — the offline-testable half of the reference's
+  * pyiceberg REST backend (ref `catalog.py:99-142`). */
+class RestCatalogSpec extends SparkSpec {
+
+  /** Serve the warehouse at `whDir` over the REST catalog protocol with a
+    * `demo` prefix and required bearer token; returns (server, port,
+    * seen-auth-headers buffer). */
+  private def startStub(whDir: String): (HttpServer, Int,
+      scala.collection.mutable.Buffer[String]) = {
+    val fs = new FsCatalog(whDir)
+    val seenAuth = scala.collection.mutable.Buffer.empty[String]
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      seenAuth += Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val path = ex.getRequestURI.getPath
+      val TablesRe = "/v1/demo/namespaces/([^/]+)/tables".r
+      val TableRe = "/v1/demo/namespaces/([^/]+)/tables/([^/]+)".r
+      path match {
+        case "/v1/config" =>
+          // defaults are overridden by the client, overrides override it —
+          // prefix comes back as an override like real servers send it
+          reply(ex, 200,
+            """{"defaults": {"warehouse": "ignored-default"},
+              | "overrides": {"prefix": "demo"}}""".stripMargin)
+        case "/v1/demo/namespaces" =>
+          val ns = fs.listNamespaces()
+            .map(n => "[\"" + n + "\"]").mkString(",")
+          reply(ex, 200, s"""{"namespaces": [$ns]}""")
+        case TableRe(ns, t) =>
+          val dir = fs.tableLocation(s"$ns.$t")
+          val mdPath = IcebergMeta.latestMetadataPath(dir)
+          val md = new String(Files.readAllBytes(mdPath), StandardCharsets.UTF_8)
+          reply(ex, 200,
+            s"""{"metadata-location": "$mdPath", "metadata": $md}""")
+        case TablesRe(ns) =>
+          val ids = fs.listTables().filter(_._1 == ns)
+            .map { case (n, t) =>
+              s"""{"namespace": ["$n"], "name": "$t"}"""
+            }.mkString(",")
+          reply(ex, 200, s"""{"identifiers": [$ids]}""")
+        case _ => reply(ex, 404, """{"error": "not found"}""")
+      }
+    })
+    server.start()
+    (server, server.getAddress.getPort, seenAuth)
+  }
+
+  test("RestCatalog speaks the REST protocol end-to-end against a live HTTP server") {
+    val wh = Files.createTempDirectory("restwh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val (server, port, seenAuth) = startStub(wh)
+    try {
+      val rest = new RestCatalog(s"http://127.0.0.1:$port",
+        Map("token" -> "sesame"))
+      // config merge: server default < client prop < server override
+      assert(rest.config("prefix") == "demo")
+      assert(rest.config("token") == "sesame")
+      assert(rest.config("warehouse") == "ignored-default")
+
+      // catalog walk matches the filesystem truth
+      val fs = new FsCatalog(wh)
+      assert(rest.listNamespaces() == fs.listNamespaces())
+      assert(rest.listTables() == fs.listTables())
+
+      // table load: metadata parses from the inline LoadTableResult and
+      // matches a direct filesystem load
+      val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+      val viaRest = rest.loadTable(ref)
+      val viaFs = fs.loadTable(ref)
+      assert(viaRest.metadata.tableUuid == viaFs.metadata.tableUuid)
+      assert(viaRest.metadata.currentSnapshotId == viaFs.metadata.currentSnapshotId)
+      assert(viaRest.metadata.schemas == viaFs.metadata.schemas)
+
+      // the REST-loaded table drives the real distributed scan machinery
+      val files = graft.rel.MetaRelations.files(spark, viaRest)
+      assert(files.count() > 0)
+
+      // every request carried the bearer token
+      assert(seenAuth.nonEmpty && seenAuth.forall(_ == "Bearer sesame"))
+    } finally server.stop(0)
+  }
+
+  test("forConfig routes rest configs to RestCatalog and keeps typed errors for the rest") {
+    val wh = Files.createTempDirectory("restwh2").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val (server, port, _) = startStub(wh)
+    try {
+      val cat = Catalogs.forConfig(CatalogConfig(
+        "r", Some(s"http://127.0.0.1:$port"), None, Map("type" -> "rest")))
+      assert(cat.isInstanceOf[RestCatalog])
+      assert(cat.listNamespaces().nonEmpty)
+      // uri-scheme detection without an explicit type
+      val cat2 = Catalogs.forConfig(CatalogConfig(
+        "r2", Some(s"http://127.0.0.1:$port"), None))
+      assert(cat2.isInstanceOf[RestCatalog])
+      // other network backends still fail with the typed error
+      intercept[UnsupportedOperationException] {
+        Catalogs.forConfig(CatalogConfig(
+          "g", None, None, Map("type" -> "glue")))
+      }
+      // unreachable server surfaces a clear error, not a hang or NPE
+      val dead = new RestCatalog("http://127.0.0.1:1")
+      val err = intercept[IllegalStateException](dead.listNamespaces())
+      assert(err.getMessage.contains("unreachable"))
+    } finally server.stop(0)
+  }
+}

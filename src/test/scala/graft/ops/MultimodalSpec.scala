@@ -54,6 +54,61 @@ class MultimodalSpec extends SparkSpec {
     assert(g.toSeq == Seq((233 % 1000) / 1000f, (233 % 1000) / 1000f, 1f, 233f))
   }
 
+  // closed-form per-channel sum the oracle uses — the decode path must
+  // recover exactly this from the encoded bytes
+  private def patternSums(id: Long): (Int, Int, Long, Long, Long) = {
+    val w = Multimodal.patW(id); val h = Multimodal.patH(id)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += Multimodal.patR(id, x, y)
+      sg += Multimodal.patG(id, x, y)
+      sb += Multimodal.patB(id, x, y)
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  test("real ImageIO round-trip: PNG encode on executors, decode recovers exact pixels") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (0L until 40L).toDF("media_id").repartition(4)
+    val media = Multimodal.imagesFromIds(ids, "png")
+    // payloads are REAL PNG files (magic bytes), not a stand-in
+    val first = media.orderBy("media_id").select("payload").head.getAs[Array[Byte]](0)
+    assert(first.take(8).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val decoded = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    assert(decoded.length == 40)
+    decoded.foreach { r =>
+      val (w, h, sr, sg, sb) = patternSums(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == sr && r.getLong(4) == sg && r.getLong(5) == sb)
+    }
+  }
+
+  test("real ImageIO round-trip: BMP codec produces identical sums to PNG") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (5L until 15L).toDF("media_id")
+    val viaPng = Multimodal.decodeImages(Multimodal.imagesFromIds(ids, "png"))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    val viaBmp = Multimodal.decodeImages(Multimodal.imagesFromIds(ids, "bmp"))
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(viaPng == viaBmp)
+    // BMP payload really is BMP ("BM" magic)
+    val bmp = Multimodal.imagesFromIds(ids, "bmp")
+      .select("payload").head.getAs[Array[Byte]](0)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+  }
+
+  test("decodeImages surfaces corrupt payloads as width=-1 rows, not task failures") {
+    val s2 = spark
+    import s2.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3)), (100L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeImages(junk).orderBy("media_id").collect()
+    assert(out.forall(r => r.getInt(1) == -1 && r.getLong(3) == 0L))
+  }
+
   test("normalizeFeatures scales to unit max") {
     val norm = Multimodal.normalizeFeatures(
       Multimodal.decodeFeatures(Multimodal.packText(docs)))

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+
+class NearDupIndexSpec extends SparkSpec {
+
+  test("persistent band index: bootstrap once, gate batches, index grows by survivors only") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.nd_index")
+    idx.create()
+
+    // standing corpus on disk, so the plan assertion below can prove the
+    // gate never touches it again after bootstrap
+    val corpusDir = s"$wh/_corpus_parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    idx.bootstrap(spark.read.parquet(corpusDir))
+    val baseRows = idx.signatures.count()
+    assert(baseRows == 2L * 4L) // 16 perms / 4 rows-per-band = 4 bands/doc
+
+    // batch 1: one exact dup of corpus doc 1, one genuinely new doc
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    val flagged1 = idx.check(batch1).collect()
+    assert(flagged1.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(flagged1.head.getAs[Long]("dup_of") == 1L)
+    val surv1 = idx.admit(batch1)
+    assert(surv1.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // index grew by exactly the survivor's signatures
+    assert(idx.signatures.count() == baseRows + 4L)
+
+    // batch 2: a dup of the batch-1 SURVIVOR is caught — the index
+    // remembered it across batches
+    val batch2 = Seq((20L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    val flagged2 = idx.check(batch2).collect()
+    assert(flagged2.length == 1 && flagged2.head.getAs[Long]("dup_of") == 11L)
+
+    // THE POINT of persistence: the gate's plan scans the index table's
+    // files, and the corpus parquet appears nowhere — no corpus text is
+    // re-aggregated on any batch after bootstrap
+    val plan = idx.check(batch2).queryExecution.executedPlan.toString
+    assert(plan.contains("nd_index"), plan.take(2000))
+    assert(!plan.contains("_corpus_parquet"), plan.take(2000))
+
+    // the persisted index is byte-compatible with the in-memory one: a
+    // fresh computation over corpus+survivor matches the table contents
+    val expect = Dedup.bandSignatures(
+        spark.read.parquet(corpusDir).unionByName(surv1))
+      .select("doc_id", "band", "band_sig")
+      .collect().map(_.toSeq).toSet
+    assert(idx.signatures.select("doc_id", "band", "band_sig")
+      .collect().map(_.toSeq).toSet == expect)
+  }
+}

@@ -387,6 +387,63 @@ class OpsSpec extends SparkSpec {
     assert(viaDriver == viaLabelProp)
   }
 
+  test("connected components hub guard: star graph over the degree threshold " +
+      "salts the propagation join and still converges") {
+    val s2 = spark
+    import s2.implicits._
+    // hubSalts is the decision function the guard runs on the measured max
+    // degree — pin its envelope
+    assert(Dedup.hubSalts(100000L, 100000L) == 1)
+    assert(Dedup.hubSalts(100001L, 100000L) == 2)
+    assert(Dedup.hubSalts(350000L, 100000L) == 4)
+    assert(Dedup.hubSalts(100000000L, 100000L) == 32) // capped
+    assert(Dedup.hubSalts(5L, 0L) == 1)               // guard disabled
+    // a 120k-edge star (node 0 is the hub): force the distributed path and
+    // a low threshold so the salted hop actually runs, and verify the
+    // fixpoint still lands every node on the hub's min id
+    val n = 120000
+    val star = s2.range(1, n + 1).select(lit(0L).as("a_id"), col("id").as("b_id"))
+    val comp = Dedup.connectedComponents(star, driverThreshold = 0,
+      hubDegreeThreshold = 10000L)
+    assert(comp.filter(col("component") =!= 0L).count() == 0L)
+    assert(comp.count() == (n + 1).toLong)
+    // salted and unsalted distributed paths agree on a mixed graph
+    val mixed = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (9L, 5L))
+      .toDF("a_id", "b_id")
+    val unsalted = Dedup.connectedComponents(mixed, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.connectedComponents(mixed, driverThreshold = 0,
+        hubDegreeThreshold = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unsalted == salted)
+  }
+
+  test("winnowRemoval excises shared spans and rebuilds the survivors byte-exact") {
+    val s2 = spark
+    import s2.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique lead-in $shared"),
+      (2L, s"$shared different tail words here"),
+      (3L, "totally unrelated content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowRemoval(docs, k = 5, window = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // only the two overlapping docs are affected; the single shared
+    // fingerprint is the "beta gamma delta epsilon zeta" gram (verified
+    // against an independent Python replay of the algorithm), so exactly
+    // its 5-token span is excised from each doc
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((10L, 5L, "unique lead-in alpha eta theta")))
+    assert(out(2L) == ((12L, 5L, "alpha eta theta different tail words here")))
+    // deterministic: a second run rebuilds byte-identical text
+    val again = Dedup.winnowRemoval(
+      docs.select(col("doc_id"), col("text")), k = 5, window = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again(1L) == out(1L)._3 && again(2L) == out(2L)._3)
+  }
+
   test("asof join: reserved and colliding column names fail fast") {
     val s2 = spark
     import s2.implicits._
