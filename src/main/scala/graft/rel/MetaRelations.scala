@@ -53,12 +53,16 @@ object MetaRelations {
   /** `files` relation, pinned to a snapshot (None = current). Small
     * tables parse driver-side (a 5k-row frame split across 32 partitions
     * pays more task overhead than compute); big tables distribute the
-    * manifest reads ([[DistributeEntriesThreshold]]). */
-  def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
+    * manifest reads ([[DistributeEntriesThreshold]]). The threshold is a
+    * parameter so warmup code can force the DISTRIBUTED plan family on a
+    * tiny table (pass 0) — the two paths produce different physical plan
+    * shapes, and codegen warmed on one does not cover the other. */
+  def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None,
+      distributeThreshold: Int = DistributeEntriesThreshold): DataFrame = {
     val dataManifests = t.manifests(snapshotId).filter(_.content == 0)
     val approxEntries = dataManifests
       .map(m => m.addedFilesCount + m.existingFilesCount).sum
-    if (approxEntries <= DistributeEntriesThreshold) {
+    if (approxEntries <= distributeThreshold) {
       val rows = t.files(snapshotId).map(entryRow)
       spark.createDataFrame(rows.asJava, filesSchema)
         .coalesce(math.max(1, rows.size / 50000))

@@ -45,17 +45,29 @@ object MetaBench {
     // shapes once against a 5-file mini table so the timed run measures
     // execution, not Janino compilation (plan-shape codegen is cached)
     spark.range(1000).count()
-    val warmDir = "/tmp/graft-monster-mini"
+    val warmDir = "/tmp/graft-monster-mini2"
     if (!Files.exists(Paths.get(s"$warmDir/metadata/v1.metadata.json"))) {
-      FixtureWriter.writeMonster(warmDir, nCommits = 1, filesPerCommit = 5)
+      // 2 commits so the snapshot-diff warmup below has a pair to diff
+      FixtureWriter.writeMonster(warmDir, nCommits = 2, filesPerCommit = 5)
     }
     locally {
       val t = IcebergTable.load(warmDir)
-      val files = MetaRelations.files(spark, t).cache()
+      // distributeThreshold = 0 forces the EXECUTOR-PARALLEL manifest-scan
+      // plan family the 5000-file monster uses — warming the driver-side
+      // LocalRelation path (what a 5-file table picks naturally) compiles
+      // none of the mapPartitions/cache plan shapes the timed run needs
+      val files = MetaRelations.files(spark, t, distributeThreshold = 0).cache()
       val h = MetaHealth.report(spark, t, files)
       Seq(h.fileStats, h.manifestCensus, h.partitionStats, h.nullRates,
         h.columnShare, h.columnBounds, h.overlap).foreach(_.collect())
+      // the `files` task's projection-collect and the snapshot-diff shapes
+      // are timed too — warm them on the mini table as well
+      files.select("file_path", "record_count", "file_size_in_bytes", "partition")
+        .collect()
       files.unpersist()
+      val snaps = t.metadata.snapshots.map(_.snapshotId)
+      if (snaps.size >= 2)
+        MetaDiff.diff(spark, t, snaps(snaps.size - 2), snaps.last).totals.collect()
     }
 
     def time[A](f: => A): (A, Double) = {
