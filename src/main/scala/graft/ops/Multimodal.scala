@@ -167,6 +167,100 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  // ----- real audio codec path (javax.sound.sampled — JDK-standard) -----
+
+  /** Deterministic 16-bit PCM sample pattern — WAV is lossless, so the
+    * decode below must recover these exact values from the encoded
+    * container. */
+  @inline def patSample(id: Long, i: Int): Int =
+    ((31L * id + 7L * i) % 65536L).toInt - 32768
+  /** 100..599 samples per clip, id-derived. */
+  @inline def patNSamples(id: Long): Int = (id % 500).toInt + 100
+
+  val AudioSampleRate = 8000f
+
+  /** Encode the pattern clip for `id` as a real WAV file (RIFF container,
+    * mono 16-bit little-endian PCM) via `AudioSystem.write`. */
+  def encodePatternWav(id: Long): Array[Byte] = {
+    val n = patNSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = patSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioSampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Executor-side audio synthesis: one media row per id with REAL WAV
+    * bytes as the payload (audio twin of [[imagesFromIds]]). */
+  def audioFromIds(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("modality", StringType, nullable = false),
+        StructField("mime", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = true),
+        StructField("height", IntegerType, nullable = true),
+        StructField("duration_ms", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("media_id").cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val durMs = patNSamples(id).toLong * 1000L / AudioSampleRate.toLong
+        Row(id, encodePatternWav(id), Row("audio", "audio/wav", null, null, durMs))
+      }
+    }(enc).toDF()
+  }
+
+  /** Decode stage with a REAL audio codec: `AudioSystem.getAudioInputStream`
+    * parses the RIFF/WAV container, and the PCM frames are folded into
+    * integer-exact stats `(n_samples, sample_rate, sum_pcm, min_pcm,
+    * max_pcm)`. Undecodable payloads surface as n_samples = -1 rows. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("sum_pcm", LongType, nullable = false),
+      StructField("min_pcm", IntegerType, nullable = false),
+      StructField("max_pcm", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val le = !fmt.isBigEndian
+          var i = 0; var n = 0L; var sum = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          while (i + 2 <= bytes.length) {
+            val lo = bytes(i) & 0xff; val hi = bytes(i + 1) & 0xff
+            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+            n += 1; i += 2
+          }
+          Row(id, n, fmt.getSampleRate.toInt, sum, mn, mx)
+        } catch {
+          case _: Exception => Row(id, -1L, -1, 0L, 0, 0)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Decode stage with a REAL codec: `ImageIO.read` over the payload bytes,
     * emitting integer-exact shape + per-channel pixel sums. Undecodable or
     * null payloads surface as width = -1 rather than poisoning the task —

@@ -1120,6 +1120,31 @@ object PipelineQueries {
              |    list_transform(range(0, w), x -> (7*doc_id + 11*x + 13*y) % 256)))) AS BIGINT) AS sum_b
              |FROM d ORDER BY media_id""".stripMargin)),
 
+    // Multimodal AUDIO decode with a REAL codec: executor-side WAV encode
+    // (AudioSystem.write of a deterministic 16-bit PCM pattern) → decode
+    // (AudioSystem RIFF parse) → integer-exact sample stats the oracle
+    // rederives arithmetically — proof the audio bytes round-tripped
+    // through the codec on executors
+    Q("q_multimodal_audio",
+      (s, d) => Multimodal.decodeAudio(
+          Multimodal.audioFromIds(
+            documents(s, d).filter(col("doc_id") < 100)
+              .select(col("doc_id").as("media_id"))))
+        .orderBy("media_id"),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 500) + 100 AS n
+             |          FROM documents WHERE doc_id < 100),
+             |s AS (SELECT doc_id, n,
+             |  list_transform(range(0, n),
+             |    i -> CAST((31 * doc_id + 7 * i) % 65536 - 32768 AS BIGINT)) AS pcm
+             |  FROM d)
+             |SELECT doc_id AS media_id,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(list_sum(pcm) AS BIGINT) AS sum_pcm,
+             |  CAST(list_min(pcm) AS INTEGER) AS min_pcm,
+             |  CAST(list_max(pcm) AS INTEGER) AS max_pcm
+             |FROM s ORDER BY media_id""".stripMargin)),
+
     // Multimodal plumbing: binary payload stats (bytes/frames/digest) over
     // the documents table packed as media rows
     Q("q_multimodal_stats",

@@ -240,6 +240,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(1500))
   }
 
+  test("winnowRemoval: keyed joins only, one rebuild aggregate, text shuffles once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Dedup.winnowRemoval(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // marks join the token stream on (doc_id, tpos) — a keyed join, and
+    // the rebuild is a per-doc hash aggregate (collect_list of structs)
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(1500))
+  }
+
+  test("bpe census: pair counts partial-aggregate before the shuffle, no UDFs") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    // the per-round census plan: vocab explode → pair groupBy. Partial
+    // aggregation (map-side combine) must sit under the exchange, and the
+    // whole round is built-in expressions — no ScalaUDF anywhere.
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    val census = vocab
+      .select(col("cnt"), explode(expr(
+        "IF(size(syms) < 2, array(), transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] AS l, syms[i+1] AS r)))")).as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")))
+    val plan = census.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("multimodal codecs: decode stages are mapPartitions over (id, payload) only") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (0L until 8L).toDF("media_id")
+    for (decoded <- Seq(
+        graft.ops.Multimodal.decodeImages(graft.ops.Multimodal.imagesFromIds(ids)),
+        graft.ops.Multimodal.decodeAudio(graft.ops.Multimodal.audioFromIds(ids)))) {
+      val plan = decoded.queryExecution.executedPlan.toString
+      // the codec kernels run as per-partition object pipelines with no
+      // shuffle at all — decode is embarrassingly parallel
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(plan.contains("MapPartitions"), plan.take(1500))
+    }
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  test("trainMerges learns the frequency-ordered merges with deterministic ties") {
+    val s2 = spark
+    import s2.implicits._
+    // "aaab" x3 + "aab" x1: pair counts round 1 — (a,a): 2*3+1 = 7,
+    // (a,b): 3+1 = 4 → merge (a,a). Round 2 over {aa,a,b}/{aa,b}:
+    // (aa,a): 3, (aa,b): 1, (a,b): 3 → tie between (aa,a) and (a,b);
+    // lexicographic tie-break picks (a,b)... "a" < "aa" so (a,b) vs
+    // (aa,a): l "a" < "aa" → (a,b) wins.
+    val docs = Seq((1L, "aaab aaab aaab aab")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 7L)))
+    assert(m(1) == ((2, "a", "b", 3L)))
+  }
+
+  test("trainMerges greedy rewrite handles overlapping runs like reference BPE") {
+    val s2 = spark
+    import s2.implicits._
+    // "aaaa": round-1 census counts overlapping (a,a) pairs (3 per word);
+    // the rewrite is greedy non-overlapping → "aa","aa" → round 2 merges
+    // (aa,aa)
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == (("a", "a", 6L)))     // 3 overlapping pairs x 2 words
+    assert(m(1) == (("aa", "aa", 2L)))   // after greedy rewrite
+  }
+
+  test("trainMerges stops early when the vocabulary runs out of pairs") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // only 2 learnable merges exist: (a,b) then (c,d); after that every
+    // word is a single symbol and training must stop, not throw
+    val m = Bpe.trainMerges(docs, nMerges = 10).collect()
+    assert(m.length <= 4) // (a,b), (c,d), then maybe nothing
+    val pairs = m.map(r => (r.getString(1), r.getString(2))).toSet
+    assert(pairs.contains(("a", "b")) && pairs.contains(("c", "d")))
+  }
+
+  test("encodeStats applies learned merges as a pure projection") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "lower lowest"), (2L, "low")).toDF("doc_id", "text")
+    val stats = Bpe.encodeStats(docs, Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // "lower" -> [low, e, r] (3), "lowest" -> [low, e, s, t] (4) = 7
+    assert(stats(1L) == ((2, 7)))
+    assert(stats(2L) == ((1, 1))) // "low" -> [low]
+    // no shuffle, no UDF: pure codegen projection
+    val plan = Bpe.encodeStats(docs, Seq(("l", "o")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(1000))
+  }
+}

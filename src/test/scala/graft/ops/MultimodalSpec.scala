@@ -100,6 +100,31 @@ class MultimodalSpec extends SparkSpec {
     assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
   }
 
+  test("real audio round-trip: WAV encode on executors, decode recovers exact PCM") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (0L until 25L).toDF("media_id").repartition(3)
+    val media = Multimodal.audioFromIds(ids)
+    // payloads are REAL RIFF/WAVE files
+    val first = media.orderBy("media_id").select("payload").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(4), "US-ASCII") == "RIFF")
+    assert(new String(first.slice(8, 12), "US-ASCII") == "WAVE")
+    val decoded = Multimodal.decodeAudio(media).orderBy("media_id").collect()
+    assert(decoded.length == 25)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.patNSamples(id)
+      val samples = (0 until n).map(Multimodal.patSample(id, _))
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getInt(2) == 8000)
+      assert(r.getLong(3) == samples.map(_.toLong).sum)
+      assert(r.getInt(4) == samples.min && r.getInt(5) == samples.max)
+    }
+    // corrupt payload → n_samples = -1, not a task failure
+    val junk = Seq((7L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.decodeAudio(junk).head.getLong(1) == -1L)
+  }
+
   test("decodeImages surfaces corrupt payloads as width=-1 rows, not task failures") {
     val s2 = spark
     import s2.implicits._
