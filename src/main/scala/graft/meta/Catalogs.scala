@@ -154,11 +154,133 @@ final class RestCatalog(
   override def tableLocation(ref: String): String = loadTable(ref).metadata.location
 }
 
+/** JDBC ("sql") catalog — pyiceberg's `SqlCatalog` table layout (ref
+  * `catalog.py:99-142` routes `type: sql` there): one `iceberg_tables`
+  * row per table, `(catalog_name, table_namespace, table_name,
+  * metadata_location, previous_metadata_location)`. Plain `java.sql` over
+  * whatever driver the classpath offers (embedded Derby ships with
+  * Spark, so this is testable offline; any server JDBC URL works the
+  * same way).
+  *
+  * Read surface plus [[register]]/[[drop]] — registration is how
+  * metadata-location catalogs adopt existing tables; data/metadata
+  * writes stay with the engine's own commit path.
+  */
+final class JdbcCatalog(
+    jdbcUrl: String,
+    catalogName: String = "default") extends MetaCatalog {
+
+  val TableName = "iceberg_tables"
+
+  private def withConn[A](f: java.sql.Connection => A): A =
+    scala.util.Using.resource(java.sql.DriverManager.getConnection(jdbcUrl))(f)
+
+  /** Create the `iceberg_tables` table if absent (idempotent). */
+  def init(): Unit = withConn { c =>
+    val meta = c.getMetaData
+    val exists = scala.util.Using.resource(
+      meta.getTables(null, null, TableName.toUpperCase, null))(_.next()) ||
+      scala.util.Using.resource(
+        meta.getTables(null, null, TableName, null))(_.next())
+    if (!exists) scala.util.Using.resource(c.createStatement()) { st =>
+      st.executeUpdate(
+        s"""CREATE TABLE $TableName (
+           |  catalog_name VARCHAR(255) NOT NULL,
+           |  table_namespace VARCHAR(255) NOT NULL,
+           |  table_name VARCHAR(255) NOT NULL,
+           |  metadata_location VARCHAR(1000),
+           |  previous_metadata_location VARCHAR(1000),
+           |  PRIMARY KEY (catalog_name, table_namespace, table_name))"""
+          .stripMargin)
+      ()
+    }
+  }
+
+  /** Adopt a table: point the catalog row at its current metadata file. */
+  def register(ref: String, metadataLocation: String): Unit = {
+    val Array(ns, t) = refParts(ref)
+    withConn { c =>
+      scala.util.Using.resource(c.prepareStatement(
+        s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
+          "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
+        ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
+        ps.setString(4, metadataLocation)
+        ps.executeUpdate()
+      }
+    }
+    ()
+  }
+
+  def drop(ref: String): Unit = {
+    val Array(ns, t) = refParts(ref)
+    withConn { c =>
+      scala.util.Using.resource(c.prepareStatement(
+        s"DELETE FROM $TableName WHERE catalog_name = ? AND " +
+          "table_namespace = ? AND table_name = ?")) { ps =>
+        ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
+        ps.executeUpdate()
+      }
+    }
+    ()
+  }
+
+  private def refParts(ref: String): Array[String] = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
+    parts
+  }
+
+  private def query[A](sql: String, binds: Seq[String])(
+      read: java.sql.ResultSet => A): Seq[A] = withConn { c =>
+    scala.util.Using.resource(c.prepareStatement(sql)) { ps =>
+      binds.zipWithIndex.foreach { case (b, i) => ps.setString(i + 1, b) }
+      scala.util.Using.resource(ps.executeQuery()) { rs =>
+        val out = Seq.newBuilder[A]
+        while (rs.next()) out += read(rs)
+        out.result()
+      }
+    }
+  }
+
+  override def name: String = s"sql:$jdbcUrl"
+
+  override def listNamespaces(): Seq[String] =
+    query(
+      s"SELECT DISTINCT table_namespace FROM $TableName WHERE catalog_name = ? " +
+        "ORDER BY table_namespace",
+      Seq(catalogName))(_.getString(1))
+
+  override def listTables(): Seq[(String, String)] =
+    query(
+      s"SELECT table_namespace, table_name FROM $TableName WHERE catalog_name = ? " +
+        "ORDER BY table_namespace, table_name",
+      Seq(catalogName))(rs => rs.getString(1) -> rs.getString(2))
+
+  private def metadataLocation(ref: String): String = {
+    val Array(ns, t) = refParts(ref)
+    query(
+      s"SELECT metadata_location FROM $TableName WHERE catalog_name = ? " +
+        "AND table_namespace = ? AND table_name = ?",
+      Seq(catalogName, ns, t))(_.getString(1))
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        s"table $ref not found in catalog '$catalogName' at $jdbcUrl"))
+  }
+
+  override def loadTable(ref: String): IcebergTable = {
+    val md = IcebergMeta.loadAt(java.nio.file.Paths.get(metadataLocation(ref)))
+    new IcebergTable(md.location, md)
+  }
+
+  override def tableLocation(ref: String): String =
+    loadTable(ref).metadata.location
+}
+
 object Catalogs {
 
   /** Catalog types the reference supports through pyiceberg. REST speaks
-    * plain HTTP and is implemented here ([[RestCatalog]]); sql/glue/hive
-    * need drivers absent in this environment. */
+    * plain HTTP ([[RestCatalog]]) and `sql` is plain JDBC
+    * ([[JdbcCatalog]] — embedded Derby ships with Spark); glue/hive need
+    * service clients absent in this environment. */
   val NetworkBackends: Set[String] = Set("rest", "sql", "glue", "hive")
 
   /** Build a catalog from resolved [[CatalogConfig]]: a `warehouse` path
@@ -175,6 +297,10 @@ object Catalogs {
         val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' is type rest but has no uri"))
         new RestCatalog(uri, cfg.properties - "type")
+      case Some(b) if b == "sql" || b == "jdbc" =>
+        val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
+          s"catalog '${cfg.name}' is type sql but has no jdbc uri"))
+        new JdbcCatalog(uri, cfg.name)
       case Some(b) if NetworkBackends.contains(b) || b == "thrift" =>
         throw new UnsupportedOperationException(
           s"catalog backend '$b' needs network access; configure a filesystem " +

@@ -20,6 +20,8 @@ import graft.api.{Engine, Errors}
   *      | rewrite-manifests T [targetEntries] | analyze T [k]
   *      | row-changes T s1 s2 | set-sort-order T col[ desc]...
   *      | rollback T snapshotId | orphans T [--remove]
+  *      | bpe docsParquet [nMerges] | winnow-removal docsParquet [minDocs]
+  *      | dedup-gate T shardParquet [--admit]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -212,6 +214,24 @@ object Cli {
             case Some(r) => println(s"update committed as snapshot ${r.snapshotId}")
             case None => println("no rows matched; nothing committed")
           }
+        case "bpe" =>
+          // bpe <docs.parquet> [nMerges] — learn BPE merges from a corpus
+          emit(graft.ops.Bpe.trainMerges(spark.read.parquet(vargs(0)),
+            vargs.lift(1).map(_.toInt).getOrElse(6)))
+        case "winnow-removal" =>
+          // winnow-removal <docs.parquet> [minDocs] — excise duplicated spans
+          emit(graft.ops.Dedup.winnowRemoval(spark.read.parquet(vargs(0)),
+            minDocs = vargs.lift(1).map(_.toInt).getOrElse(2)))
+        case "dedup-gate" =>
+          // dedup-gate <ns.index_table> <shard.parquet> [--admit]
+          // probe (and with --admit, grow) the persistent near-dup index
+          val idx = new graft.ops.NearDupIndex(engine, vargs(0))
+          val shard = spark.read.parquet(vargs(1))
+          if (vargs.lift(2).contains("--admit")) {
+            val kept = idx.admit(shard)
+            println(s"admitted ${kept.count()} docs; " +
+              s"signatures appended to ${vargs(0)}")
+          } else emit(idx.check(shard))
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }
@@ -230,5 +250,5 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       set-property unset-property")
+      "       set-property unset-property bpe winnow-removal dedup-gate")
 }

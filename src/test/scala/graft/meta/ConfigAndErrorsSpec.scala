@@ -88,17 +88,29 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
     assert(cfg.warehouse.contains("/env-wh"))
   }
 
-  test("catalog SPI: fs config builds FsCatalog, network backends raise clearly") {
+  test("catalog SPI: fs/rest/sql configs build real catalogs, the rest raise clearly") {
     val fs = Catalogs.forConfig(CatalogConfig("c", None, Some("/tmp/wh")))
     assert(fs.isInstanceOf[FsCatalog])
     assert(fs.name == "fs:/tmp/wh")
+    // rest and sql are REAL backends now (RestCatalogSpec / JdbcCatalogSpec
+    // drive them end-to-end); here just check the routing
+    val rest = Catalogs.forConfig(CatalogConfig("c", Some("http://h:1"), None,
+      Map("type" -> "rest")))
+    assert(rest.isInstanceOf[RestCatalog])
+    val sql = Catalogs.forConfig(CatalogConfig("c",
+      Some("jdbc:derby:memory:spi;create=true"), None, Map("type" -> "sql")))
+    assert(sql.isInstanceOf[JdbcCatalog])
+    // a rest TYPE with no uri is a config error, not a typed backend error
+    intercept[IllegalArgumentException](
+      Catalogs.forConfig(CatalogConfig("c", None, Some("/wh"),
+        Map("type" -> "rest"))))
+    // service-client backends still raise the typed error
     val e1 = intercept[UnsupportedOperationException](
       Catalogs.forConfig(CatalogConfig("c", Some("thrift://meta:9083"), None)))
     assert(e1.getMessage.contains("'thrift'"))
     val e2 = intercept[UnsupportedOperationException](
-      Catalogs.forConfig(CatalogConfig("c", None, Some("/wh"),
-        Map("type" -> "rest"))))
-    assert(e2.getMessage.contains("'rest'"))
+      Catalogs.forConfig(CatalogConfig("c", None, None, Map("type" -> "glue"))))
+    assert(e2.getMessage.contains("'glue'"))
     intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, None)))
   }

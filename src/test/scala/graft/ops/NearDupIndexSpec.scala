@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.api.Engine
 
+object NearDupIndexSpec {
+  case class StreamDoc(doc_id: Long, text: String)
+}
+
 class NearDupIndexSpec extends SparkSpec {
+  import NearDupIndexSpec.StreamDoc
 
   test("persistent band index: bootstrap once, gate batches, index grows by survivors only") {
     val s2 = spark
@@ -61,5 +66,37 @@ class NearDupIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(idx.signatures.select("doc_id", "band", "band_sig")
       .collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("streaming near-dup gate probes the PERSISTED index as its static side") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("ndidxs").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.stream_index")
+    idx.create()
+    idx.bootstrap(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally different reference material about databases"))
+      .toDF("doc_id", "text"))
+
+    // the stream's static join side IS the index table scan — no corpus
+    // text anywhere in the streaming query
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDoc]
+    val q = graft.streaming.EventStreams.nearDupStream(input.toDF(), idx.signatures)
+      .writeStream.format("memory").queryName("idx_near_dups")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, "the quick brown fox jumps over the lazy dog"), // dup of 100
+        StreamDoc(2, "fresh unseen content nothing like the corpus"))
+      q.processAllAvailable()
+      val hits = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_doc_id FROM idx_near_dups ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hits == Seq((1L, 100L)))
+    } finally q.stop()
   }
 }

@@ -45,6 +45,31 @@ class SkewAndCliSpec extends SparkSpec {
     assert(lines(1) == "4,5") // sales/analytics/staging/legacy, 5 tables
   }
 
+  test("round-8 CLI verbs: bpe / winnow-removal / dedup-gate") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-cli-wh8").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/lake"))
+    val docsDir = s"$wh/_docs_parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with no shared span at all here"))
+      .toDF("doc_id", "text").write.parquet(docsDir)
+    assert(Cli.run(Array(wh, "bpe", docsDir, "3")) == 0)
+    assert(Cli.run(Array(wh, "winnow-removal", docsDir)) == 0)
+    // gate: create + bootstrap an index table, then probe a shard via CLI
+    val e = new graft.api.Engine(spark, wh)
+    val idx = new graft.ops.NearDupIndex(e, "lake.nd_idx")
+    idx.create()
+    idx.bootstrap(spark.read.parquet(docsDir))
+    val shardDir = s"$wh/_shard_parquet"
+    Seq((10L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(shardDir)
+    assert(Cli.run(Array(wh, "dedup-gate", "lake.nd_idx", shardDir)) == 0)
+    assert(Cli.run(Array(wh, "dedup-gate", "lake.nd_idx", shardDir, "--admit")) == 0)
+  }
+
   test("round-5 CLI verbs: read/changes/compact/rollback/orphans") {
     val wh = Files.createTempDirectory("graft-cli-wh5").toString
     FixtureWriter.writeDemo(spark, wh)
