@@ -564,6 +564,11 @@ object Dedup {
     * count (~tokens / window · 2), not its length. */
   def winnowedDupSpans(docs: DataFrame, k: Int = 5, window: Int = 4,
       minDocs: Int = 2): DataFrame = {
+    // both the census and the membership join consume `fps`, but the
+    // distinct's exchange is reused across the two branches (measured:
+    // a localCheckpoint here bought nothing), so no materialization —
+    // unlike winnowRemoval, whose two consumers diverge before any
+    // common exchange and DO need the checkpoint
     val fps = winnowedFps(docs, k, window).select("doc_id", "fp").distinct()
     val census = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
     fps.join(census, "fp")
@@ -579,8 +584,10 @@ object Dedup {
     * [[winnowedDupSpans]] (census) and [[winnowRemoval]] (excision).
     * The tie-break packing (`hash * 2^30 + (2^30-1-pos)`) makes one
     * integer `min` pick the rightmost minimal gram per window, and the
-    * position is recovered exactly from the packed value. */
-  private def winnowedFps(docs: DataFrame, k: Int, window: Int): DataFrame = {
+    * position is recovered exactly from the packed value. Public: the
+    * selection plan is the expensive half of both consumers, and plan
+    * audits pin its shape here. */
+  def winnowedFps(docs: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be positive")
     // 2^30: pos stays below it for any realistic doc, and
     // hash(<2^32) * 2^30 stays under 2^62 (ANSI mode — overflow throws)
@@ -626,7 +633,10 @@ object Dedup {
     * dup density, not corpus size. */
   def winnowRemoval(docs: DataFrame, k: Int = 5, window: Int = 4,
       minDocs: Int = 2): DataFrame = {
-    val occ = winnowedFps(docs, k, window)
+    // same single-evaluation contract as winnowedDupSpans: occurrences
+    // feed both the dup census and the mark join — materialize the
+    // (doc_id, fp, gpos) longs once, not the window pipeline twice
+    val occ = winnowedFps(docs, k, window).localCheckpoint()
     val dupFps = occ.select("doc_id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
