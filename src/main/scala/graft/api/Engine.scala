@@ -18,28 +18,45 @@ import graft.rel.MetaRelations
   */
 object Engine {
   /** Build from resolved catalog config via the catalog SPI
-    * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses work;
-    * network backends raise through the friendly error taxonomy. */
+    * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses,
+    * REST catalogs and JDBC ("sql") catalogs all produce a working
+    * read/analytics engine; the remaining network backends raise
+    * through the friendly error taxonomy. For non-filesystem catalogs
+    * the DDL/write verbs (which need a path-addressed table-directory
+    * convention) keep working only for tables whose metadata location
+    * is a reachable path — the catalog's own pointer is not updated. */
   def forConfig(spark: SparkSession, cfg: graft.meta.CatalogConfig): Engine = {
-    graft.meta.Catalogs.forConfig(cfg) // validates backend + warehouse
-    new Engine(spark, cfg.warehouse.get)
+    val cat = graft.meta.Catalogs.forConfig(cfg)
+    new Engine(spark, cfg.warehouse.getOrElse(""), cat)
   }
 }
 
-final class Engine(val spark: SparkSession, warehouseDir: String) {
+final class Engine(val spark: SparkSession, warehouseDir: String,
+    val catalog: graft.meta.MetaCatalog) {
 
-  def tableDir(ref: String): String = {
-    val parts = ref.split("\\.", 2)
-    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
-    s"$warehouseDir/${parts(0)}/${parts(1)}"
+  /** Filesystem-warehouse engine (the common case, and the reference's
+    * default layout). */
+  def this(spark: SparkSession, warehouseDir: String) =
+    this(spark, warehouseDir, new graft.meta.FsCatalog(warehouseDir))
+
+  def tableDir(ref: String): String = catalog.tableLocation(ref)
+
+  def load(ref: String): IcebergTable = catalog.loadTable(ref)
+
+  /** S2 — namespace walk (through the catalog SPI, so REST/JDBC-backed
+    * engines list what their catalog serves). */
+  def listTables(): DataFrame = {
+    import spark.implicits._
+    catalog.listTables().toDF("namespace", "table_name")
+      .orderBy("namespace", "table_name")
   }
 
-  def load(ref: String): IcebergTable = IcebergTable.load(tableDir(ref))
-
-  /** S2 — namespace walk. */
-  def listTables(): DataFrame =
-    Overview.tableFacts(spark, warehouseDir).select("namespace", "table_name")
-      .orderBy("namespace", "table_name")
+  /** Per-table metadata facts through the catalog: the filesystem
+    * catalog keeps the one-walk fast path; other catalogs load each
+    * table's metadata concurrently (driver Futures, order-preserving). */
+  private def tableFactsDf: org.apache.spark.sql.DataFrame =
+    if (warehouseDir.nonEmpty) Overview.tableFacts(spark, warehouseDir)
+    else Overview.tableFactsFromCatalog(spark, catalog)
 
   /** A8 — one-row table summary (ref `formatters.py:940-979`). */
   def summary(ref: String): DataFrame = {
@@ -281,16 +298,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   def namespaceOverview(): DataFrame =
-    Overview.namespaceRollup(Overview.tableFacts(spark, warehouseDir))
+    Overview.namespaceRollup(tableFactsDf)
 
   /** P7/A11 — format-version census over the warehouse: v1 and v2 tables
     * both parse, so mixed warehouses count correctly
     * (ref `tui/widgets.py:996-1001`, `formatters.py:1438-1494`). */
   def formatVersionCensus(): DataFrame =
-    Overview.formatVersionCensus(Overview.tableFacts(spark, warehouseDir))
+    Overview.formatVersionCensus(tableFactsDf)
 
   def warehouseOverview(): DataFrame =
-    Overview.warehouseRollup(Overview.tableFacts(spark, warehouseDir))
+    Overview.warehouseRollup(tableFactsDf)
 
   def watchPoll(ref: String, seen: Set[Long]): Watch.Poll =
     Watch.poll(spark, tableDir(ref), seen)

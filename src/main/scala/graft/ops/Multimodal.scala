@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * plus the Spark-side shape of decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Images use a REAL codec: `javax.imageio.ImageIO` (JDK-standard —
-  * PNG/BMP/GIF/JPEG) in [[imagesFromIds]] / [[decodeImages]], exercised
-  * per-partition (the Scala analog of a `mapInPandas` batch UDF). Audio/
-  * video codecs are not in the JDK, so the generic byte-payload path keeps
-  * the deterministic [[fakeDecodeKernel]] stand-in behind the same
-  * distributed plumbing; swapping it for a codec changes one function.
+  * All three modalities use REAL JDK codecs, exercised per-partition
+  * (the Scala analog of a `mapInPandas` batch UDF):
+  * images via `javax.imageio.ImageIO` (PNG/BMP — [[imagesFromIds]] /
+  * [[decodeImages]]), audio via `javax.sound.sampled` (WAV/PCM —
+  * [[audioFromIds]] / [[decodeAudio]]), and video via ImageIO's
+  * multi-frame GIF sequence reader/writer ([[videoFromIds]] /
+  * [[sampleFrames]] — decode container → frame-sample → per-frame
+  * features). The generic byte-payload path keeps the deterministic
+  * [[fakeDecodeKernel]] stand-in behind the same distributed plumbing
+  * for payloads with no JDK codec (e.g. compressed video formats).
   */
 object Multimodal {
 
@@ -163,6 +167,140 @@ object Multimodal {
         val id = r.getLong(0)
         Row(id, encodePatternImage(id, format),
           Row("image", mime, patW(id), patH(id), null))
+      }
+    }(enc).toDF()
+  }
+
+  // ----- real video path (multi-frame GIF via javax.imageio) -----
+
+  /** Grayscale frame pattern: GIF is palette-indexed, so frames are
+    * TYPE_BYTE_GRAY (256-gray palette — lossless through the codec) and
+    * the oracle rederives per-frame pixel sums arithmetically. */
+  @inline def patFrame(id: Long, f: Int, x: Int, y: Int): Int =
+    (((7L * id + 13L * f + 3L * x + 5L * y) % 256L) + 256L).toInt % 256
+  /** 2..6 frames per clip, id-derived. */
+  @inline def patNFrames(id: Long): Int = (id % 5).toInt + 2
+
+  /** Encode the pattern clip for `id` as a real multi-frame (animated)
+    * GIF via ImageIO's sequence writer. */
+  def encodePatternGif(id: Long): Array[Byte] = {
+    val w = patW(id); val h = patH(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // the JDK GIF writer defaults to INTERLACED output, and the frame
+      // comes back row-scrambled through the reader — disable it; the
+      // round-trip must be byte-exact for the oracle sums to match
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      // explicit 256-gray palette: GIF stores palette INDICES, so an
+      // indexed image round-trips losslessly — a TYPE_BYTE_GRAY frame
+      // would get re-quantized by the writer's own palette choice
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      var f = 0
+      while (f < patNFrames(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, patFrame(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Executor-side video synthesis: one media row per id with REAL
+    * animated-GIF bytes (video twin of [[imagesFromIds]]). */
+  def videoFromIds(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("modality", StringType, nullable = false),
+        StructField("mime", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false))), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("media_id").cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePatternGif(id),
+          Row("video", "image/gif", patW(id), patH(id),
+            patNFrames(id).toLong * 100L))
+      }
+    }(enc).toDF()
+  }
+
+  /** Decode + FRAME-SAMPLE stage with a real codec: ImageIO's GIF reader
+    * walks the frame sequence; every `stride`-th frame (0, stride,
+    * 2·stride, …) contributes its gray-pixel sum — the standard
+    * video-pipeline shape (decode container → sample frames → per-frame
+    * features) with integer-exact output `(media_id, n_frames,
+    * n_sampled, width, height, sum_sampled)`. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, "stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_sampled", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_sampled", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            var sampled = 0; var sum = 0L
+            var w = -1; var h = -1
+            var f = 0
+            while (f < n) {
+              if (f % stride == 0) {
+                val img = reader.read(f)
+                w = img.getWidth; h = img.getHeight
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    sum += img.getRGB(x, y) & 0xff // gray: b channel = value
+                    x += 1
+                  }
+                  y += 1
+                }
+                sampled += 1
+              }
+              f += 1
+            }
+            Row(id, n, sampled, w, h, sum)
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: Exception => Row(id, -1, 0, -1, -1, 0L)
+        }
       }
     }(enc).toDF()
   }

@@ -77,6 +77,34 @@ object Overview {
     spark.createDataFrame(rows.asJava, tableFactsSchema)
   }
 
+  /** [[tableFacts]] through the catalog SPI — the shape REST/JDBC-backed
+    * engines use, where there is no warehouse directory to walk. Each
+    * table's metadata loads concurrently (order-preserving Futures, like
+    * [[parMetadata]]); unloadable tables are skipped. */
+  def tableFactsFromCatalog(
+      spark: SparkSession, catalog: graft.meta.MetaCatalog): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loaded = Await.result(
+      Future.traverse(catalog.listTables().toList) { case (ns, tbl) =>
+        Future((ns, tbl,
+          try Some(catalog.loadTable(s"$ns.$tbl").metadata)
+          catch { case _: Exception => None }))
+      }, scala.concurrent.duration.Duration.Inf)
+    val rows = loaded.flatMap { case (ns, tbl, md) =>
+      md.map { m =>
+        val sum = m.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+        def longProp(k: String): Any =
+          sum.get(k).map(v => Long.box(v.toLong)).orNull
+        Row(ns, tbl, m.formatVersion, m.lastUpdatedMs, m.snapshots.size,
+          m.currentSchema.fields.size,
+          longProp("total-data-files"), longProp("total-records"),
+          longProp("total-files-size"))
+      }
+    }
+    spark.createDataFrame(rows.asJava, tableFactsSchema)
+  }
+
   /** A10 — per-namespace rollup (ref `formatters.py:1403-1435`). */
   def namespaceRollup(facts: DataFrame): DataFrame =
     facts.groupBy("namespace")

@@ -1120,6 +1120,29 @@ object PipelineQueries {
              |    list_transform(range(0, w), x -> (7*doc_id + 11*x + 13*y) % 256)))) AS BIGINT) AS sum_b
              |FROM d ORDER BY media_id""".stripMargin)),
 
+    // Multimodal VIDEO decode + frame-sample with a REAL container:
+    // executor-side multi-frame GIF encode (ImageIO sequence writer,
+    // grayscale palette → lossless) → frame walk with stride-2 sampling
+    // → integer-exact sampled-pixel sums the oracle rederives
+    Q("q_multimodal_video",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.videoFromIds(
+            documents(s, d).filter(col("doc_id") < 50)
+              .select(col("doc_id").as("media_id"))))
+        .orderBy("media_id"),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h,
+             |                (doc_id % 5) + 2 AS n FROM documents WHERE doc_id < 50)
+             |SELECT doc_id AS media_id,
+             |  CAST(n AS INTEGER) AS n_frames,
+             |  CAST((n + 1) // 2 AS INTEGER) AS n_sampled,
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(list_sum(flatten(list_transform(range(0, n), f ->
+             |    CASE WHEN f % 2 = 0 THEN
+             |      flatten(list_transform(range(0, h), y ->
+             |        list_transform(range(0, w), x -> (7*doc_id + 13*f + 3*x + 5*y) % 256)))
+             |    ELSE [] END))) AS BIGINT) AS sum_sampled
+             |FROM d ORDER BY media_id""".stripMargin)),
+
     // Multimodal AUDIO decode with a REAL codec: executor-side WAV encode
     // (AudioSystem.write of a deterministic 16-bit PCM pattern) → decode
     // (AudioSystem RIFF parse) → integer-exact sample stats the oracle

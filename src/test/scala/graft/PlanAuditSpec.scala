@@ -291,7 +291,8 @@ class PlanAuditSpec extends SparkSpec {
     val ids = (0L until 8L).toDF("media_id")
     for (decoded <- Seq(
         graft.ops.Multimodal.decodeImages(graft.ops.Multimodal.imagesFromIds(ids)),
-        graft.ops.Multimodal.decodeAudio(graft.ops.Multimodal.audioFromIds(ids)))) {
+        graft.ops.Multimodal.decodeAudio(graft.ops.Multimodal.audioFromIds(ids)),
+        graft.ops.Multimodal.sampleFrames(graft.ops.Multimodal.videoFromIds(ids)))) {
       val plan = decoded.queryExecution.executedPlan.toString
       // the codec kernels run as per-partition object pipelines with no
       // shuffle at all — decode is embarrassingly parallel

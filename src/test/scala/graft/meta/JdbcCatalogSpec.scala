@@ -36,6 +36,12 @@ class JdbcCatalogSpec extends SparkSpec {
     // and drives the real distributed scan machinery
     assert(graft.rel.MetaRelations.files(spark, viaJdbc).count() > 0)
 
+    // the ENGINE FACADE runs over the JDBC catalog (no warehouse dir)
+    val eng = new graft.api.Engine(spark, "", cat)
+    assert(eng.listTables().count() == fs.listTables().size.toLong)
+    assert(eng.summary(ref).collect().head.getAs[Long]("file_count") > 0)
+    assert(eng.namespaceOverview().count() >= 1)
+
     // drop removes exactly that row
     cat.drop(ref)
     assert(!cat.listTables().map { case (n, t) => s"$n.$t" }.contains(ref))

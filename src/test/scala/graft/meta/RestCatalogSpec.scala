@@ -96,6 +96,16 @@ class RestCatalogSpec extends SparkSpec {
 
       // every request carried the bearer token
       assert(seenAuth.nonEmpty && seenAuth.forall(_ == "Bearer sesame"))
+
+      // the ENGINE FACADE runs over the REST catalog: list/summary/
+      // overview verbs drive the same analytics with no warehouse dir
+      val eng = graft.api.Engine.forConfig(spark, CatalogConfig(
+        "r", Some(s"http://127.0.0.1:$port"),
+        None, Map("type" -> "rest", "token" -> "sesame")))
+      assert(eng.listTables().count() == fs.listTables().size.toLong)
+      assert(eng.summary(ref).collect().head.getAs[Long]("file_count") > 0)
+      val ov = eng.warehouseOverview().collect()
+      assert(ov.length >= 2) // per-namespace rows + rollup total row
     } finally server.stop(0)
   }
 

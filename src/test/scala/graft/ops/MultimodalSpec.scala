@@ -125,6 +125,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk).head.getLong(1) == -1L)
   }
 
+  test("real video round-trip: multi-frame GIF encode, frame-sampled decode is exact") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (0L until 20L).toDF("media_id").repartition(3)
+    val media = Multimodal.videoFromIds(ids)
+    // payloads are REAL GIF files ("GIF89a" / "GIF87a" magic)
+    val first = media.orderBy("media_id").select("payload").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(3), "US-ASCII") == "GIF")
+    val decoded = Multimodal.sampleFrames(media, stride = 2)
+      .orderBy("media_id").collect()
+    assert(decoded.length == 20)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.patNFrames(id)
+      val w = Multimodal.patW(id); val h = Multimodal.patH(id)
+      val expect = (0 until n by 2).map { f =>
+        (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.patFrame(id, f, x, y).toLong).sum
+      }.sum
+      assert(r.getInt(1) == n && r.getInt(2) == (n + 1) / 2)
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      assert(r.getLong(5) == expect,
+        s"id=$id: got ${r.getLong(5)}, want $expect")
+    }
+    // stride 1 samples every frame
+    val all = Multimodal.sampleFrames(media, stride = 1)
+      .filter(col("media_id") === 4L).head
+    assert(all.getInt(1) == all.getInt(2))
+    // corrupt payload → n_frames = -1, not a task failure
+    val junk = Seq((7L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.sampleFrames(junk).head.getInt(1) == -1)
+  }
+
   test("decodeImages surfaces corrupt payloads as width=-1 rows, not task failures") {
     val s2 = spark
     import s2.implicits._
