@@ -25,7 +25,28 @@ object PipelineQueries {
     * the keep-odd-runs formulation (positions p matching (l,r), islands
     * of consecutive p, keep 1st/3rd/… of each island), which equals the
     * engine's left-fold merge. */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int): String =
+    bpeCtes(n) + "\n" + (1 to n).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(pc AS BIGINT) AS pair_count FROM best$i")
+      .mkString("\nUNION ALL ") + "\nORDER BY merge_rank"
+
+  /** Oracle for the ENCODE half: after replaying the k training rounds,
+    * per-doc token counts are just each word's final symbol count joined
+    * back onto the document token stream — no per-doc merge replay. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    bpeCtes(n) + s""",
+       |toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '')
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_words,
+       |  CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
+       |FROM toks JOIN vocab$n v ON toks.w = v.w
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpeCtes(n: Int): String = {
     val head = """WITH vocab0 AS MATERIALIZED (
       |  SELECT w, count(*) AS cnt,
       |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
@@ -57,10 +78,7 @@ object PipelineQueries {
          |  LEFT JOIN keep$i dr ON u.w = dr.w AND u.p = dr.p + 1
          |  GROUP BY u.w)""".stripMargin
     }
-    val unions = (1 to n).map(i =>
-      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(pc AS BIGINT) AS pair_count FROM best$i")
-      .mkString("\nUNION ALL ")
-    (head +: rounds).mkString(",\n") + "\n" + unions + "\nORDER BY merge_rank"
+    (head +: rounds).mkString(",\n")
   }
 
   /** Shared CTE chain reproducing [[Dedup.minhashCandidates]] (default
@@ -1402,6 +1420,18 @@ object PipelineQueries {
     Q("q_bpe_merges",
       (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 6),
       Some(bpeOracleSql(6))),
+
+    // BPE ENCODE: per-doc token counts under the merges just learned —
+    // the tokenizer applied at corpus scale as a pure projection (the
+    // k-bounded merge list folds into nested codegen array rewrites; no
+    // joins, no shuffle beyond the per-doc aggregate)
+    Q("q_bpe_encode",
+      (s, d) => {
+        val merges = Bpe.trainMerges(documents(s, d), nMerges = 6).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.encodeStats(documents(s, d), merges)
+      },
+      Some(bpeEncodeOracleSql(6))),
 
     // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
     // filter, char-weighted complement of q_repetition): share of gram
