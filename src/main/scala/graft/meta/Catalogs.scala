@@ -277,15 +277,18 @@ final class JdbcCatalog(
 
 object Catalogs {
 
-  /** Catalog types the reference supports through pyiceberg. REST speaks
-    * plain HTTP ([[RestCatalog]]) and `sql` is plain JDBC
-    * ([[JdbcCatalog]] — embedded Derby ships with Spark); glue/hive need
-    * service clients absent in this environment. */
+  /** Catalog types the reference supports through pyiceberg. Three of
+    * the four network backends are real here: REST speaks plain HTTP
+    * ([[RestCatalog]]), `sql` is plain JDBC ([[JdbcCatalog]] — embedded
+    * Derby ships with Spark), and `glue` is AWS JSON-1.1 over HTTP with
+    * SigV4 signing ([[GlueCatalog]], JDK crypto). Only hive (Thrift
+    * binary protocol) still needs a client absent in this environment. */
   val NetworkBackends: Set[String] = Set("rest", "sql", "glue", "hive")
 
   /** Build a catalog from resolved [[CatalogConfig]]: a `warehouse` path
     * (with no network `type`) yields [[FsCatalog]]; `type: rest` (or an
-    * `http(s)` uri) yields [[RestCatalog]]; the remaining network
+    * `http(s)` uri) yields [[RestCatalog]]; `type: sql`/`jdbc:` yields
+    * [[JdbcCatalog]]; `type: glue` yields [[GlueCatalog]]; the remaining
     * backends raise `UnsupportedOperationException` with the backend
     * named, which [[graft.api.Errors]] maps to a friendly message. */
   def forConfig(cfg: CatalogConfig): MetaCatalog = {
@@ -301,6 +304,18 @@ object Catalogs {
         val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' is type sql but has no jdbc uri"))
         new JdbcCatalog(uri, cfg.name)
+      case Some("glue") =>
+        def prop(key: String, env: String): String =
+          cfg.properties.get(key).orElse(sys.env.get(env)).getOrElse(
+            throw new IllegalArgumentException(
+              s"catalog '${cfg.name}' is type glue but has no '$key' " +
+                s"property and $env is unset"))
+        val region = prop("region", "AWS_REGION")
+        new GlueCatalog(
+          cfg.uri.getOrElse(s"https://glue.$region.amazonaws.com"),
+          region,
+          prop("access-key", "AWS_ACCESS_KEY_ID"),
+          prop("secret-key", "AWS_SECRET_ACCESS_KEY"))
       case Some(b) if NetworkBackends.contains(b) || b == "thrift" =>
         throw new UnsupportedOperationException(
           s"catalog backend '$b' needs network access; configure a filesystem " +

@@ -1,0 +1,157 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.JsonNode
+
+/** AWS Glue Data Catalog client — the third network backend the reference
+  * reaches through pyiceberg (ref `catalog.py:99-142`, `type: glue`).
+  * Glue's API is plain HTTP + JSON (AWS JSON 1.1 protocol: `POST /` with
+  * an `X-Amz-Target: AWSGlue.<Op>` header) authenticated with Signature
+  * Version 4 — both publicly documented — so the client is JDK-only:
+  * `HttpURLConnection` + `javax.crypto` HMAC for the signing chain.
+  * Iceberg tables in Glue carry their current metadata file in
+  * `Table.Parameters["metadata_location"]` (the pyiceberg/Glue
+  * convention); the metadata itself parses through [[IcebergMeta]].
+  *
+  * Operations used: `GetDatabases`, `GetTables`, `GetTable`. The
+  * endpoint is injectable so an in-process stub (which RE-DERIVES the
+  * SigV4 signature server-side) can drive the full client offline.
+  */
+final class GlueCatalog(
+    endpoint: String,
+    region: String,
+    accessKey: String,
+    secretKey: String) extends MetaCatalog {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def post(target: String, body: String): JsonNode = {
+    val url = java.net.URI.create(endpoint.stripSuffix("/") + "/").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      val payload = body.getBytes(StandardCharsets.UTF_8)
+      val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+      val amzDate = now.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+      val host =
+        url.getHost + (if (url.getPort > 0) s":${url.getPort}" else "")
+      val headers = SigV4.sign(
+        method = "POST", uri = "/", query = "",
+        headers = Seq(
+          "content-type" -> "application/x-amz-json-1.1",
+          "host" -> host,
+          "x-amz-date" -> amzDate,
+          "x-amz-target" -> s"AWSGlue.$target"),
+        payload = payload,
+        region = region, service = "glue",
+        accessKey = accessKey, secretKey = secretKey)
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setDoOutput(true)
+      headers.foreach { case (k, v) =>
+        if (!k.equalsIgnoreCase("host")) conn.setRequestProperty(k, v)
+      }
+      scala.util.Using.resource(conn.getOutputStream)(_.write(payload))
+      val code = conn.getResponseCode
+      if (code != 200) throw new IllegalStateException(
+        s"Glue $target returned HTTP $code")
+      val resp = scala.util.Using.resource(conn.getInputStream) { in =>
+        new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      }
+      mapper.readTree(resp)
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"Glue endpoint $endpoint unreachable ($target): ${e.getMessage}", e)
+    } finally conn.disconnect()
+  }
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  override def name: String = s"glue:$region"
+
+  override def listNamespaces(): Seq[String] = {
+    val arr = post("GetDatabases", "{}").get("DatabaseList")
+    (0 until arr.size()).map(arr.get(_).get("Name").asText()).sorted
+  }
+
+  override def listTables(): Seq[(String, String)] =
+    listNamespaces().flatMap { db =>
+      val arr = post("GetTables",
+        s"""{"DatabaseName": ${jq(db)}}""").get("TableList")
+      (0 until arr.size()).map(i => db -> arr.get(i).get("Name").asText())
+    }.sorted
+
+  private def metadataLocation(ref: String): String = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
+    val t = post("GetTable",
+      s"""{"DatabaseName": ${jq(parts(0))}, "Name": ${jq(parts(1))}}""")
+      .get("Table")
+    Option(t.get("Parameters")).map(_.get("metadata_location"))
+      .filter(_ != null).map(_.asText())
+      .getOrElse(throw new IllegalStateException(
+        s"Glue table $ref has no metadata_location parameter (not an Iceberg table?)"))
+  }
+
+  override def loadTable(ref: String): IcebergTable = {
+    val md = IcebergMeta.loadAt(java.nio.file.Paths.get(metadataLocation(ref)))
+    new IcebergTable(md.location, md)
+  }
+
+  override def tableLocation(ref: String): String =
+    loadTable(ref).metadata.location
+}
+
+/** AWS Signature Version 4 (the public signing spec): canonical request →
+  * string-to-sign → HMAC key-derivation chain → hex signature, returned
+  * as the full header set including `Authorization`. JDK crypto only. */
+object SigV4 {
+
+  def hexSha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Compute the signature for a request; `headers` must include
+    * `host` and `x-amz-date` (lowercase names). Returns the input
+    * headers plus `Authorization`. */
+  def sign(
+      method: String, uri: String, query: String,
+      headers: Seq[(String, String)], payload: Array[Byte],
+      region: String, service: String,
+      accessKey: String, secretKey: String): Seq[(String, String)] = {
+    val sorted = headers.map { case (k, v) => (k.toLowerCase, v.trim) }
+      .sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sorted.map(_._1).mkString(";")
+    val amzDate = sorted.find(_._1 == "x-amz-date").map(_._2)
+      .getOrElse(throw new IllegalArgumentException("x-amz-date header required"))
+    val dateStamp = amzDate.take(8)
+    val canonicalRequest = Seq(
+      method, uri, query, canonicalHeaders, signedHeaders,
+      hexSha256(payload)).mkString("\n")
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val stringToSign = Seq(
+      "AWS4-HMAC-SHA256", amzDate, scope,
+      hexSha256(canonicalRequest.getBytes(StandardCharsets.UTF_8))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + secretKey).getBytes(StandardCharsets.UTF_8),
+      dateStamp), region), service), "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+    headers :+ ("Authorization" ->
+      (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+        s"SignedHeaders=$signedHeaders, Signature=$signature"))
+  }
+}

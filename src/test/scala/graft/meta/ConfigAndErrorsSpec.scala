@@ -104,13 +104,15 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, Some("/wh"),
         Map("type" -> "rest"))))
-    // service-client backends still raise the typed error
+    // hive/thrift — the one remaining service-client backend — still
+    // raises the typed error (glue routes to GlueCatalog now; see
+    // GlueCatalogSpec)
     val e1 = intercept[UnsupportedOperationException](
       Catalogs.forConfig(CatalogConfig("c", Some("thrift://meta:9083"), None)))
     assert(e1.getMessage.contains("'thrift'"))
     val e2 = intercept[UnsupportedOperationException](
-      Catalogs.forConfig(CatalogConfig("c", None, None, Map("type" -> "glue"))))
-    assert(e2.getMessage.contains("'glue'"))
+      Catalogs.forConfig(CatalogConfig("c", None, None, Map("type" -> "hive"))))
+    assert(e2.getMessage.contains("'hive'"))
     intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, None)))
   }

@@ -122,10 +122,11 @@ class RestCatalogSpec extends SparkSpec {
       val cat2 = Catalogs.forConfig(CatalogConfig(
         "r2", Some(s"http://127.0.0.1:$port"), None))
       assert(cat2.isInstanceOf[RestCatalog])
-      // other network backends still fail with the typed error
+      // hive — the one remaining service-client backend — still fails
+      // with the typed error (glue routes to GlueCatalog now)
       intercept[UnsupportedOperationException] {
         Catalogs.forConfig(CatalogConfig(
-          "g", None, None, Map("type" -> "glue")))
+          "h", None, None, Map("type" -> "hive")))
       }
       // unreachable server surfaces a clear error, not a hang or NPE
       val dead = new RestCatalog("http://127.0.0.1:1")
