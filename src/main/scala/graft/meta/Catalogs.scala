@@ -277,20 +277,22 @@ final class JdbcCatalog(
 
 object Catalogs {
 
-  /** Catalog types the reference supports through pyiceberg. Three of
-    * the four network backends are real here: REST speaks plain HTTP
+  /** Catalog types the reference supports through pyiceberg — ALL four
+    * network backends are real here: REST speaks plain HTTP
     * ([[RestCatalog]]), `sql` is plain JDBC ([[JdbcCatalog]] — embedded
-    * Derby ships with Spark), and `glue` is AWS JSON-1.1 over HTTP with
-    * SigV4 signing ([[GlueCatalog]], JDK crypto). Only hive (Thrift
-    * binary protocol) still needs a client absent in this environment. */
+    * Derby ships with Spark), `glue` is AWS JSON-1.1 over HTTP with
+    * SigV4 signing ([[GlueCatalog]], JDK crypto), and `hive` is Thrift
+    * binary protocol over a raw socket ([[HiveCatalog]], hand-rolled
+    * codec pinned against the published wire format). */
   val NetworkBackends: Set[String] = Set("rest", "sql", "glue", "hive")
 
   /** Build a catalog from resolved [[CatalogConfig]]: a `warehouse` path
     * (with no network `type`) yields [[FsCatalog]]; `type: rest` (or an
     * `http(s)` uri) yields [[RestCatalog]]; `type: sql`/`jdbc:` yields
-    * [[JdbcCatalog]]; `type: glue` yields [[GlueCatalog]]; the remaining
-    * backends raise `UnsupportedOperationException` with the backend
-    * named, which [[graft.api.Errors]] maps to a friendly message. */
+    * [[JdbcCatalog]]; `type: glue` yields [[GlueCatalog]]; `type: hive`
+    * (or a `thrift://` uri) yields [[HiveCatalog]]. Misconfigured
+    * backends raise `IllegalArgumentException`, which
+    * [[graft.api.Errors]] maps to a friendly message. */
   def forConfig(cfg: CatalogConfig): MetaCatalog = {
     val backend = cfg.properties.get("type")
       .orElse(cfg.uri.map(u => u.takeWhile(_ != ':')))
@@ -316,10 +318,13 @@ object Catalogs {
           region,
           prop("access-key", "AWS_ACCESS_KEY_ID"),
           prop("secret-key", "AWS_SECRET_ACCESS_KEY"))
-      case Some(b) if NetworkBackends.contains(b) || b == "thrift" =>
-        throw new UnsupportedOperationException(
-          s"catalog backend '$b' needs network access; configure a filesystem " +
-            "warehouse path, or plug a network MetaCatalog implementation in")
+      case Some(b) if b == "hive" || b == "thrift" =>
+        val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
+          s"catalog '${cfg.name}' is type hive but has no thrift uri"))
+        val hp = uri.stripPrefix("thrift://").split(":", 2)
+        require(hp.length == 2 && hp(1).nonEmpty && hp(1).forall(_.isDigit),
+          s"hive uri must be thrift://host:port: $uri")
+        new HiveCatalog(hp(0), hp(1).toInt)
       case _ =>
         val wh = cfg.warehouse.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' resolves to no warehouse path"))

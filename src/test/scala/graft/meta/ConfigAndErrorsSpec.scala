@@ -104,15 +104,12 @@ class ConfigAndErrorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, Some("/wh"),
         Map("type" -> "rest"))))
-    // hive/thrift — the one remaining service-client backend — still
-    // raises the typed error (glue routes to GlueCatalog now; see
-    // GlueCatalogSpec)
-    val e1 = intercept[UnsupportedOperationException](
-      Catalogs.forConfig(CatalogConfig("c", Some("thrift://meta:9083"), None)))
-    assert(e1.getMessage.contains("'thrift'"))
-    val e2 = intercept[UnsupportedOperationException](
+    // hive routes to the real thrift client now (HiveCatalogSpec drives
+    // it end-to-end); a thrift uri without a port is a config error
+    assert(Catalogs.forConfig(CatalogConfig("c", Some("thrift://meta:9083"), None))
+      .isInstanceOf[HiveCatalog])
+    intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, None, Map("type" -> "hive"))))
-    assert(e2.getMessage.contains("'hive'"))
     intercept[IllegalArgumentException](
       Catalogs.forConfig(CatalogConfig("c", None, None)))
   }

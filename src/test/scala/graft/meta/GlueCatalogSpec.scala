@@ -137,9 +137,5 @@ class GlueCatalogSpec extends SparkSpec {
       Catalogs.forConfig(CatalogConfig("g", None, None,
         Map("type" -> "glue", "access-key" -> "a", "secret-key" -> "s")))
     }
-    // hive/thrift remains the one typed-error backend
-    val e = intercept[UnsupportedOperationException](
-      Catalogs.forConfig(CatalogConfig("h", None, None, Map("type" -> "hive"))))
-    assert(e.getMessage.contains("'hive'"))
   }
 }

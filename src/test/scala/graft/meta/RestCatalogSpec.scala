@@ -122,9 +122,9 @@ class RestCatalogSpec extends SparkSpec {
       val cat2 = Catalogs.forConfig(CatalogConfig(
         "r2", Some(s"http://127.0.0.1:$port"), None))
       assert(cat2.isInstanceOf[RestCatalog])
-      // hive — the one remaining service-client backend — still fails
-      // with the typed error (glue routes to GlueCatalog now)
-      intercept[UnsupportedOperationException] {
+      // every network backend is real now; a misconfigured one (hive
+      // with no uri) is a config error, not a typed block
+      intercept[IllegalArgumentException] {
         Catalogs.forConfig(CatalogConfig(
           "h", None, None, Map("type" -> "hive")))
       }
