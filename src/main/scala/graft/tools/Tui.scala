@@ -1,0 +1,194 @@
+package graft.tools
+
+import java.io.{InputStream, PrintStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Sessions
+import graft.api.Engine
+
+/** Interactive terminal UI mirroring the reference TUI's shape (ref
+  * `tui/app.py`: sidebar table browser + tabbed detail panes with the
+  * same key bindings — `q` quit, `r` reload, `1`-`7` for
+  * Summary/Snapshots/Schema/Files/Manifests/Health/Tree, `j`/`k`/arrows
+  * + Enter in the browser). Plain ANSI — no curses dependency: each
+  * keypress re-renders the full frame (alternate screen buffer, cursor
+  * home), which is exactly how the reference's framework repaints too.
+  *
+  * Everything below the event loop is PURE: `renderFrame` maps (engine
+  * state, selection, active tab) to a string frame, and the loop reads
+  * keys from an injectable `InputStream` and writes frames to an
+  * injectable `PrintStream` — so specs drive scripted sessions and
+  * assert on captured frames without a terminal. Presentation only; all
+  * analytics come from the [[Engine]] verbs.
+  *
+  * Usage: `runMain graft.tools.Tui <warehouseDir>` (a real terminal
+  * should be in raw/cbreak mode: `stty -icanon -echo`; the main below
+  * attempts that and restores on exit).
+  */
+object Tui {
+
+  val Tabs: Vector[String] = Vector(
+    "Summary", "Snapshots", "Schema", "Files", "Manifests", "Health", "Tree")
+
+  // ---- pure text-layout helpers ----
+
+  private def clip(s: String, w: Int): String =
+    if (s.length <= w) s else s.take(math.max(0, w - 1)) + "…"
+
+  /** Box with a title row, fixed outer width `w`. */
+  def box(title: String, lines: Seq[String], w: Int): Seq[String] = {
+    val inner = w - 2
+    val top = "┌" + clip(s"─ $title ", inner).padTo(inner, '─') + "┐"
+    val body = lines.map(l => "│" + clip(l, inner).padTo(inner, ' ') + "│")
+    val bottom = "└" + "─" * inner + "┘"
+    top +: body :+ bottom
+  }
+
+  /** Two column blocks side by side, padded to equal height. */
+  def sideBySide(left: Seq[String], right: Seq[String]): Seq[String] = {
+    val h = math.max(left.size, right.size)
+    val lw = left.map(_.length).maxOption.getOrElse(0)
+    val l = left.padTo(h, "").map(_.padTo(lw, ' '))
+    val r = right.padTo(h, "")
+    l.zip(r).map { case (a, b) => a + " " + b }
+  }
+
+  /** Column-aligned text table of a DataFrame's first `maxRows` rows. */
+  def renderDf(df: DataFrame, maxRows: Int = 12): Seq[String] = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(maxRows).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "∅" else clip(v.toString, 40)))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: rows.map(_(i).length)).max
+    }
+    def line(vs: Seq[String]) =
+      vs.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
+    if (rows.isEmpty) Seq(line(cols), "(no rows)")
+    else line(cols) +: rows.map(line)
+  }
+
+  // ---- screen state + frame rendering ----
+
+  // width default fits the full 7-label tab bar (~90 chars) in the
+  // detail box beside the 28-char sidebar
+  final case class State(
+      refs: Vector[String], selected: Int, tab: Int, width: Int = 128)
+
+  def initial(engine: Engine): State = State(
+    engine.catalog.listTables().map { case (n, t) => s"$n.$t" }.toVector,
+    selected = 0, tab = 0)
+
+  /** One full frame: title bar, sidebar + active tab pane, key footer. */
+  def renderFrame(engine: Engine, st: State): String = {
+    val ref = st.refs.lift(st.selected)
+    val sidebar = box("Catalog",
+      st.refs.zipWithIndex.map { case (r, i) =>
+        (if (i == st.selected) "▶ " else "  ") + r
+      }, 28)
+    val tabBar = Tabs.zipWithIndex.map { case (t, i) =>
+      if (i == st.tab) s"[${i + 1}:$t]" else s" ${i + 1}:$t "
+    }.mkString(" ")
+    val pane: Seq[String] = ref match {
+      case None => Seq("(empty warehouse)")
+      case Some(r) =>
+        try paneLines(engine, r, st.tab)
+        catch { case e: Exception => Seq(s"error: ${e.getMessage}") }
+    }
+    val detail = box(ref.getOrElse("detail"), tabBar +: "" +: pane,
+      st.width - 30)
+    val body = sideBySide(sidebar, detail)
+    val footer =
+      "j/k:move  Enter:open  1-7:tab  r:reload  q:quit"
+    (s"iceberg-meta — Iceberg Metadata Explorer" +: body :+ footer)
+      .mkString("\n")
+  }
+
+  /** The active tab's content — each one is the corresponding Engine
+    * verb (the same frames the CLI/JSON sinks serve). */
+  private def paneLines(engine: Engine, ref: String, tab: Int): Seq[String] =
+    Tabs(tab) match {
+      case "Summary"   => renderDf(engine.summary(ref))
+      case "Snapshots" => renderDf(engine.recentOps(ref))
+      case "Schema"    => engine.renderSchema(ref).linesIterator.toSeq
+      case "Files"     => renderDf(engine.files(ref)
+        .select("file_path", "record_count", "file_size_in_bytes"))
+      case "Manifests" => renderDf(engine.manifests(ref)
+        .select("manifest_path", "added_files_count", "existing_files_count"))
+      case "Health"    =>
+        val h = engine.health(ref)
+        box("file stats", renderDf(h.fileStats, 4), 64) ++
+          box("partition skew", renderDf(h.partitionStats, 6), 64) ++
+          box("null rates", renderDf(h.nullRates, 6), 64)
+      case "Tree"      => engine.renderTree(ref).linesIterator.toSeq.take(30)
+      case other       => Seq(s"unknown tab $other")
+    }
+
+  // ---- event loop (injectable IO) ----
+
+  /** Read one key; arrow keys (ESC [ A/B) normalize to 'k'/'j'. Returns
+    * -1 on EOF. */
+  private def readKey(in: InputStream): Int = in.read() match {
+    case 0x1b =>
+      if (in.read() == '[') in.read() match {
+        case 'A' => 'k'
+        case 'B' => 'j'
+        case _ => 0
+      } else 0
+    case c => c
+  }
+
+  /** Run the UI until 'q' or EOF. Each accepted key repaints the frame
+    * (clear + home on ANSI terminals; specs just capture the frames). */
+  def loop(engine: Engine, in: InputStream, out: PrintStream,
+      ansi: Boolean = true): State = {
+    var st = initial(engine)
+    def paint(): Unit = {
+      if (ansi) out.print("[2J[H")
+      out.println(renderFrame(engine, st))
+      out.flush()
+    }
+    paint()
+    var done = false
+    while (!done) {
+      readKey(in) match {
+        case -1 | 'q' => done = true
+        case 'j' if st.refs.nonEmpty =>
+          st = st.copy(selected = (st.selected + 1) % st.refs.size); paint()
+        case 'k' if st.refs.nonEmpty =>
+          st = st.copy(selected =
+            (st.selected - 1 + st.refs.size) % st.refs.size); paint()
+        case c if c >= '1' && c <= '7' =>
+          st = st.copy(tab = c - '1'); paint()
+        case '\r' | '\n' => paint() // open = repaint detail of selection
+        case 'r' => st = initial(engine).copy(
+          selected = st.selected.min(math.max(0,
+            initial(engine).refs.size - 1)), tab = st.tab); paint()
+        case _ => () // ignore unbound keys
+      }
+    }
+    st
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Tui <warehouseDir>")
+    val spark = {
+      val b = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+      Sessions.required.foreach { case (k, v) => b.config(k, v) }
+      b.getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = new Engine(spark, args(0))
+    // best-effort cbreak mode; restore on exit (no-op without a tty)
+    def stty(mode: String): Unit =
+      try { new ProcessBuilder("sh", "-c", s"stty $mode < /dev/tty")
+        .inheritIO().start().waitFor(); () }
+      catch { case _: Exception => () }
+    stty("-icanon -echo")
+    try { loop(engine, System.in, System.out); () }
+    finally { stty("icanon echo"); spark.stop() }
+  }
+}
