@@ -300,16 +300,24 @@ object Dedup {
     }
     val rawEdges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // seed with the 1-hop minimum (own id vs direct neighbors): the first
+    // propagation round comes free with the node-list aggregate (map-side
+    // combinable — a hub as SRC is fine). The same aggregate also carries
+    // the HUB-GUARD degree census: rawEdges is the symmetric union, so
+    // per-src degree == per-dst degree, and counting here folds what was
+    // a dedicated full edge-frame pass into the seed job. The max is then
+    // read off the materialized node-sized frame (metadata-cheap).
+    val seed = rawEdges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"), count(lit(1)).as("deg"))
+      .localCheckpoint()
     // HUB GUARD: a template-spam hub (one node with millions of candidate
     // edges — the heavy tail degreeHistogram detects) would land its whole
     // neighborhood in ONE reducer of the per-hop edges⋈labels(dst) join.
-    // Detect the max degree once on the materialized edge frame (cheap:
-    // ids only); above the threshold, salt the join — edges carry
-    // pmod(src, S) and the label side replicates S ways, splitting each
-    // hub's rows across S tasks for an S× fan-out of the (id, label) frame
-    // only. Same precedent as ngramJaccard's maxDf: bound the worst bucket.
-    val maxDeg = rawEdges.groupBy("dst").agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg"))).head.getLong(0)
+    // Above the threshold, salt the join — edges carry pmod(src, S) and
+    // the label side replicates S ways, splitting each hub's rows across
+    // S tasks for an S× fan-out of the (id, label) frame only. Same
+    // precedent as ngramJaccard's maxDf: bound the worst bucket.
+    val maxDeg = seed.agg(max(col("deg"))).head.getLong(0)
     val nSalt = hubSalts(maxDeg, hubDegreeThreshold)
     // pre-partition edges by the join key ONCE: localCheckpoint captures
     // the hash partitioning, so every round's edges⋈labels join is already
@@ -319,12 +327,9 @@ object Dedup {
        else rawEdges.withColumn("salt", pmod(col("src"), lit(nSalt.toLong)))
          .repartition(col("dst"), col("salt")))
         .localCheckpoint()
-    // seed with the 1-hop minimum (own id vs direct neighbors): the first
-    // propagation round comes free with the node-list aggregate (map-side
-    // combinable — a hub as SRC is fine); align the seed's partitioning
-    // with the label-side join key (one-time cost)
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("m"))
+    // align the seed's partitioning with the label-side join key
+    // (one-time cost over the node-sized frame)
+    var labels = seed
       .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
       .repartition(col("id"))
       .localCheckpoint()
@@ -468,10 +473,17 @@ object Dedup {
       increment: DataFrame,
       index: DataFrame,
       numPerm: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4): DataFrame =
+    bandCollisions(bandSignatures(increment, numPerm, rowsPerBand), index)
+
+  /** The collision-join half of [[incrementalNearDupAgainstIndex]], over
+    * ALREADY-COMPUTED batch signatures — what [[NearDupIndex.check]] calls
+    * after materializing the batch's `(doc_id, band, band_sig)` rows once
+    * (they feed both the bucket-prune census and this join). */
+  def bandCollisions(batchSigs: DataFrame, index: DataFrame): DataFrame = {
     val idx = index
       .select(col("doc_id").as("corpus_doc_id"), col("band"), col("band_sig"))
-    bandSignatures(increment, numPerm, rowsPerBand)
+    batchSigs.select("doc_id", "band", "band_sig")
       .join(idx, Seq("band", "band_sig"))
       .groupBy("doc_id")
       .agg(min(col("corpus_doc_id")).as("dup_of"),
@@ -641,12 +653,22 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("fp")
+    // marked feeds two consumers below (the rebuild gate and the token
+    // join); it is dup-density-bounded longs, so materialize once
     val marked = occ.join(dupFps, "fp")
       .select(col("doc_id"),
         explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("tpos"))
       .distinct()
       .withColumn("cut", lit(true))
-    val toks = docs.select(col("doc_id"),
+      .localCheckpoint()
+    // REBUILD GATE: only docs that actually carry a duplicated span enter
+    // the token explode + per-doc reassembly shuffle. On a mostly-clean
+    // corpus (the normal case) the rebuild cost tracks the DUP density,
+    // not the corpus size — without the semi-join, every clean doc's
+    // tokens would shuffle into the groupBy only to be filtered out.
+    val affected = docs.join(
+      marked.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val toks = affected.select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("tpos", "tok")))
     toks.join(marked, Seq("doc_id", "tpos"), "left")
       .withColumn("cut", coalesce(col("cut"), lit(false)))

@@ -57,14 +57,17 @@ object Multimodal {
       floor(length(col("payload")) / frameStride).cast("long").as("n_frames"),
       substring(md5(col("payload")), 1, 8).as("digest8"))
 
-  /** Deterministic fake decode kernel: a real implementation would call an
-    * image/audio codec here (`???` territory — libs absent in this
-    * container). The fake emits a stable 4-dim "embedding" derived from
-    * the payload's UTF-8 code points — integer math (sum + polynomial
-    * left-fold mod prime) that an oracle SQL engine reproduces exactly
-    * from the source text, so even the stub stage is hash-verifiable. */
+  /** Deterministic generic decode kernel — the stand-in for formats with
+    * NO JDK codec (e.g. H.264, FLAC): real codecs for PNG/BMP (ImageIO),
+    * WAV/PCM (javax.sound) and GIF video live in [[decodeImages]] /
+    * [[decodeAudio]] / [[sampleFrames]]. This path emits a
+    * stable 4-dim "embedding" derived from the payload's UTF-8 code
+    * points — integer math (sum + polynomial left-fold mod prime) that an
+    * oracle SQL engine reproduces exactly from the source text, so the
+    * generic stage is hash-verifiable. */
   def fakeDecodeKernel(payload: Array[Byte]): Array[Float] = {
-    // real codec goes here, e.g.: ImageIO.read(new ByteArrayInputStream(payload))
+    // a codec-backed format would instead route through the real decoders
+
     if (payload == null || payload.isEmpty) Array(0f, 0f, 0f, 0f)
     else {
       val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8)

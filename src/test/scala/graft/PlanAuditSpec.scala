@@ -259,6 +259,23 @@ class PlanAuditSpec extends SparkSpec {
     // is pinned in the winnowing test above on winnowedFps directly.)
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       plan.take(1500))
+    // REBUILD GATE: clean docs must never reach the rebuild aggregate —
+    // the doc table is semi-joined against the marked doc_ids BEFORE the
+    // token posexplode, so the rebuild shuffle tracks dup density, not
+    // corpus size
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("winnowRemoval gate: a clean corpus rebuilds zero docs") {
+    val s2 = spark
+    import s2.implicits._
+    // three docs with no shared 5-gram: nothing is marked, so the
+    // semi-join gate must leave the rebuild input EMPTY (0 output rows)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.winnowRemoval(docs).count() == 0L)
   }
 
   test("bpe census: pair counts partial-aggregate before the shuffle, no UDFs") {
