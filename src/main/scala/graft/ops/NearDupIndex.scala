@@ -1,10 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.api.Engine
+import graft.meta.Transforms
 
 /** PERSISTENT near-duplicate band index — the `(doc_id, band, band_sig)`
   * MinHash-LSH index materialized as a Graft table, so incremental and
@@ -20,26 +21,36 @@ import graft.api.Engine
   * `EventStreams.nearDupStream`.
   *
   * Scale shape: the index table carries three fixed-width columns —
-  * `nBands` rows per document, no text — and probing it is a band-bucket
-  * equi-join against the (small) ingest batch, so each gate pass reads
-  * the index's parquet (metadata-pruned like any Graft table scan) and
-  * touches NO corpus documents. Signature parameters are pinned at
-  * construction: an index probed with different (numPerm, rowsPerBand)
-  * than it was built with would silently miss every collision.
+  * `nBands` rows per document, no text — and it is written
+  * `bucket[nBuckets](band_sig)`-partitioned, so a probe PRUNES to the
+  * files whose bucket collides with the batch's band keys instead of
+  * scanning the whole index: at 100 TB the index is corpus-rows × nBands
+  * rows, and a small ingest batch (≤ a few hundred band keys) touches
+  * ~batchBuckets/nBuckets of its files. Each gate pass still touches NO
+  * corpus documents. Signature parameters are pinned at construction: an
+  * index probed with different (numPerm, rowsPerBand) than it was built
+  * with would silently miss every collision. (The BUCKET count, by
+  * contrast, is read back from the table's own partition spec at probe
+  * time — pruning with a different N than the files were written under
+  * would be silently unsound, so the constructor value is only used by
+  * [[create]].)
   */
 final class NearDupIndex(
     val engine: Engine,
     val ref: String,
     val numPerm: Int = 16,
-    val rowsPerBand: Int = 4) {
+    val rowsPerBand: Int = 4,
+    val nBuckets: Int = 32) {
 
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("band", IntegerType, nullable = false),
     StructField("band_sig", LongType, nullable = false)))
 
-  /** Create the (empty) index table. */
-  def create(): Unit = engine.createTable(ref, schema)
+  /** Create the (empty) index table, bucket-partitioned on the probe key
+    * so gate passes prune (see [[probePaths]]). */
+  def create(): Unit =
+    engine.createTable(ref, schema, Seq(s"bucket[$nBuckets](band_sig)"))
 
   /** Seed the index from the standing corpus — the ONLY call that
     * aggregates corpus text; everything after probes the table. */
@@ -53,11 +64,66 @@ final class NearDupIndex(
     * keys; no document text anywhere in this plan). */
   def signatures: DataFrame = engine.readTable(ref)
 
+  /** Bucket count the index TABLE was built with, read from its own
+    * partition spec — NOT the constructor: pruning with a different N
+    * than the files were written under would silently miss collisions.
+    * None = not bucket-partitioned on band_sig (or conflicting specs
+    * after evolution) → probes fall back to the full scan. */
+  private def tableBucketCount(t: graft.meta.IcebergTable): Option[Int] = {
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val sigId = t.metadata.currentSchema.fields
+      .find(_.name == "band_sig").map(_.id)
+    t.metadata.partitionSpecs.flatMap(_.fields)
+      .filter(f => sigId.contains(f.sourceId))
+      .map(_.transform).distinct match {
+      case Seq(BucketRe(n)) => Some(n.toInt)
+      case _ => None
+    }
+  }
+
+  /** Paths of the index files a probe for `batchSigs` must read: the
+    * batch's distinct band-sig buckets (≤ nBuckets ints — a
+    * metadata-scale collect) prune the files relation to colliding
+    * buckets. Files with no recorded bucket value (written before the
+    * table was bucketed) survive conservatively. */
+  def probePaths(batchSigs: DataFrame): Seq[String] = {
+    val t = engine.load(ref)
+    if (t.metadata.currentSnapshotId.isEmpty) return Seq.empty
+    val files = graft.rel.MetaRelations.files(engine.spark, t, None)
+    val keep = tableBucketCount(t) match {
+      case None => files
+      case Some(n) =>
+        val buckets = batchSigs
+          .select(Transforms.column(s"bucket[$n]", col("band_sig"), "long").as("b"))
+          .distinct().collect().map(_.getInt(0).toString).toSeq
+        val pv = col("partition")(Transforms.fieldName("band_sig", s"bucket[$n]"))
+        files.filter(pv.isNull || pv.isin(buckets: _*))
+    }
+    // metadata-scale collect: the surviving PATH LIST parameterizes the
+    // scan, exactly like ScanPlanner.readTableWhere
+    keep.select("file_path").collect()
+      .map(r => t.resolvePath(r.getString(0))).toIndexedSeq
+  }
+
+  /** The index restricted to the files `batchSigs` can collide with —
+    * a bucket-pruned scan with merge-on-read deletes still applied. */
+  private def probeSignatures(batchSigs: DataFrame): DataFrame = {
+    val paths = probePaths(batchSigs)
+    if (paths.isEmpty)
+      engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else ScanPlanner.readFiles(engine.spark, engine.load(ref), paths)
+  }
+
   /** Flag increment docs whose bands collide with the index: one row per
-    * flagged doc `(doc_id, dup_of, n_bands)`; absent docs are clean. */
-  def check(increment: DataFrame): DataFrame =
-    Dedup.incrementalNearDupAgainstIndex(
-      increment, signatures, numPerm, rowsPerBand)
+    * flagged doc `(doc_id, dup_of, n_bands)`; absent docs are clean.
+    * The batch's signatures are materialized ONCE (they feed both the
+    * bucket-prune census and the collision join), and the index side is
+    * the bucket-pruned file subset, not the whole table. */
+  def check(increment: DataFrame): DataFrame = {
+    val batchSigs = Dedup.bandSignatures(increment, numPerm, rowsPerBand)
+      .localCheckpoint()
+    Dedup.bandCollisions(batchSigs, probeSignatures(batchSigs))
+  }
 
   /** Gate one ingest batch: return the docs that do NOT collide with the
     * index, and append exactly those docs' band signatures (one commit)

@@ -68,6 +68,51 @@ class NearDupIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == expect)
   }
 
+  test("bucketed index: a small-batch probe reads strictly fewer files than the table holds") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ndidxb").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.bucketed_index", nBuckets = 8)
+    idx.create()
+    // corpus wide enough that signatures land in (essentially) every
+    // bucket — the bootstrap append then writes one file per bucket value
+    val corpus = (1L to 40L).map(i =>
+      (i, s"corpus document number $i carrying its own distinctive payload " +
+        s"token${i}a token${i}b token${i}c token${i}d"))
+      .toDF("doc_id", "text")
+    idx.bootstrap(corpus)
+    val totalFiles = e.files("ns.bucketed_index").count()
+    assert(totalFiles >= 4, s"expected a multi-file bucketed layout, got $totalFiles")
+
+    // a 1-doc batch has 4 band signatures → at most 4 colliding buckets:
+    // the probe must prune to a strict subset of the index's files
+    val batch = Seq(
+      (1000L, "corpus document number 7 carrying its own distinctive payload " +
+        "token7a token7b token7c token7d")).toDF("doc_id", "text")
+    val probed = idx.probePaths(Dedup.bandSignatures(batch))
+    assert(probed.nonEmpty && probed.size < totalFiles,
+      s"probe read ${probed.size} of $totalFiles files — expected a pruned strict subset")
+
+    // and the pruned probe still CATCHES the duplicate (pruning is sound:
+    // a colliding band's bucket is by construction in the probed set)
+    // (the templated corpus makes several docs near-dups of the probe;
+    // dup_of is the LOWEST colliding corpus id, not necessarily 7)
+    val flagged = idx.check(batch).collect()
+    assert(flagged.length == 1 && flagged.head.getAs[Long]("dup_of") <= 40L)
+
+    // a genuinely new doc through the same pruned path stays clean
+    val fresh = Seq((2000L, "completely novel sentence about unrelated topics " +
+      "with zero shared shingles whatsoever here")).toDF("doc_id", "text")
+    assert(idx.check(fresh).count() == 0L)
+    assert(idx.admit(fresh).count() == 1L)
+    // ...and is remembered: the same text re-probed now collides
+    val again = Seq((2001L, "completely novel sentence about unrelated topics " +
+      "with zero shared shingles whatsoever here")).toDF("doc_id", "text")
+    val hit = idx.check(again).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("dup_of") == 2000L)
+  }
+
   test("streaming near-dup gate probes the PERSISTED index as its static side") {
     val s2 = spark
     import s2.implicits._
