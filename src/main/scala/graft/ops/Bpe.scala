@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016)
@@ -15,18 +15,70 @@ import org.apache.spark.sql.functions._
   * greedily merging non-overlapping occurrences left-to-right.
   *
   * Scale shape: the corpus is touched ONCE (the word-frequency census —
-  * one shuffle of tokens); every merge round after that runs over the
-  * VOCABULARY (distinct words — bounded by language, not corpus size),
-  * with a map-side-combinable pair census and a k-bounded driver collect
-  * of exactly one row per round (the argmax pair — same contract as
-  * k-means centroids). Round frames are `localCheckpoint`ed so plans
-  * don't grow with rounds.
+  * one shuffle of tokens); the pair census is built once from the
+  * vocabulary and then maintained INCREMENTALLY (the classic `learn_bpe`
+  * optimization): after merging (l, r), only the pair counts of words
+  * that actually contained an adjacent (l, r) change, so each round
+  * patches the standing census with the delta from those words instead
+  * of re-exploding every word's symbols. Per round that is ONE
+  * materializing action (the k-bounded argmax collect — same contract as
+  * k-means centroids) whose job folds in the previous round's lazy
+  * census patch and vocab rewrite; lazy `localCheckpoint`s keep plans
+  * from growing with rounds, which is what makes realistic merge counts
+  * (hundreds+) tractable.
   */
 object Bpe {
 
+  /** Adjacent-pair structs of a symbol array, each tagged `sign` — the
+    * explode fodder for the census (sign=+1) and its per-round deltas
+    * (new pairs +1, old pairs -1). The size guard matters: sequence(0,-1)
+    * DESCENDS rather than yielding empty. */
+  private def signedPairs(symsCol: String, sign: Int): Column =
+    expr(s"IF(size($symsCol) < 2, array(), " +
+      s"transform(sequence(0, size($symsCol) - 2), " +
+      s"i -> struct($symsCol[i] AS l, $symsCol[i+1] AS r, $sign AS sign)))")
+
+  /** Does `syms` contain `r` immediately after `l`? The size guard must
+    * short-circuit (And does) — element_at past the end throws in ANSI
+    * mode. Literals go through `lit`, never string-spliced into expr:
+    * l/r come from corpus text. */
+  private def hasAdjacent(syms: Column, l: String, r: String): Column =
+    size(syms) >= 2 && exists(
+      sequence(lit(0), size(syms) - 2),
+      i => element_at(syms, i + 1) === lit(l) && element_at(syms, i + 2) === lit(r))
+
+  /** Greedy left-to-right merge of (l, r) -> l+r: fold the tail of the
+    * symbol array, fusing `s` into the accumulator's last element when
+    * that last element is `l` and `s` is `r`. A fused symbol can never be
+    * `l` again (l+r != l), so the fold IS the non-overlapping greedy. */
+  private def greedyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      array(element_at(syms, 1)),
+      (acc, s) => when(element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
   /** Learned merge table `(merge_rank, lhs, rhs, pair_count)`, ordered by
-    * rank. Stops early (fewer rows) if the vocabulary runs out of pairs. */
-  def trainMerges(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    * rank. Stops early (fewer rows) if the vocabulary runs out of pairs.
+    *
+    * ADAPTIVE (same idiom as `Dedup.connectedComponents`): the corpus-wide
+    * word census always runs distributed (the one corpus shuffle); the
+    * merge-learning loop runs DRIVER-SIDE over the collected census when
+    * the vocabulary fits under `driverVocabThreshold` distinct words —
+    * the vocabulary is language-bounded, not corpus-bounded, so this is
+    * the k-bounded-collect posture (production tokenizer trainers are
+    * built exactly this way: distributed count, bounded merge learning).
+    * The driver loop maintains a pair→words inverted index, so each merge
+    * touches only the words containing the merged pair — 32k merges cost
+    * milliseconds, not 32k Spark jobs. Above the threshold (or with the
+    * threshold set to 0) the loop runs distributed with an incrementally
+    * patched census — one argmax job per round, delta-bounded. Both paths
+    * are integer-exact and byte-identical (ties compare in UTF-8 byte
+    * order on BOTH paths, matching Spark's UTF8String and the oracle's
+    * memcmp). */
+  def trainMerges(docs: DataFrame, nMerges: Int = 6,
+      driverVocabThreshold: Long = 500000L): DataFrame = {
     val spark = docs.sparkSession
     // vocabulary census — the ONLY corpus-wide shuffle
     var vocab = docs
@@ -37,17 +89,23 @@ object Bpe {
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
       .localCheckpoint()
 
+    if (driverVocabThreshold > 0 && vocab.count() <= driverVocabThreshold)
+      return trainMergesDriver(spark, vocab, nMerges)
+
+    // standing pair census, built ONCE — rounds patch it with deltas
+    var census = vocab
+      .select(col("cnt"), explode(signedPairs("syms", 1)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+      .localCheckpoint(false)
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to nMerges if !exhausted) {
-      // single-symbol words contribute no pairs — and must be guarded,
-      // because sequence(0, -1) DESCENDS rather than yielding empty
-      val best = vocab
-        .select(col("cnt"), explode(expr(
-          "IF(size(syms) < 2, array(), transform(sequence(0, size(syms) - 2), " +
-            "i -> struct(syms[i] AS l, syms[i+1] AS r)))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("pc"))
+      // the ONE materializing action per round: TakeOrdered over the
+      // lazily-checkpointed census — computing it also folds in the
+      // previous round's census patch and (first use) lazy vocab rewrite
+      val best = census
         .orderBy(col("pc").desc, col("l"), col("r"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -55,22 +113,118 @@ object Bpe {
         val (l, r, pc) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((rank, l, r, pc))
-        // greedy left-to-right merge: fold the tail of the symbol array,
-        // fusing `s` into the accumulator's last element when that last
-        // element is `l` and `s` is `r`. A fused symbol can never be `l`
-        // again (l+r != l), so the fold IS the non-overlapping greedy.
-        val lc = lit(l); val rc = lit(r); val lrc = lit(l + r)
+        // INCREMENTAL CENSUS PATCH: only words containing an adjacent
+        // (l, r) change any pair count — their old pairs leave, their
+        // rewritten pairs enter. Everything else is untouched, so the
+        // patch explode is bounded by the merged pair's support, not the
+        // vocabulary. The merged pair itself nets to zero (the greedy
+        // rewrite removes every adjacent occurrence) and is filtered.
+        val deltas = vocab
+          .filter(hasAdjacent(col("syms"), l, r))
+          .withColumn("new_syms", greedyMerge(col("syms"), l, r))
+          .select(col("cnt"), explode(concat(
+            signedPairs("new_syms", 1), signedPairs("syms", -1))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt") * col("p.sign")).as("d"))
+        census = census.join(deltas, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("pc"), lit(0L)) + coalesce(col("d"), lit(0L))).as("pc"))
+          .filter(col("pc") > 0)
+          .localCheckpoint(false)
+        // rewrite only affected words (conditional — identity otherwise)
         vocab = vocab.select(col("cnt"),
-          aggregate(
-            slice(col("syms"), lit(2),
-              greatest(size(col("syms")) - 1, lit(0))),
-            array(element_at(col("syms"), 1)),
-            (acc, s) => when(element_at(acc, -1) === lc && s === rc,
-                concat(slice(acc, lit(1), size(acc) - 1), array(lrc)))
-              .otherwise(concat(acc, array(s))))
-            .as("syms"))
-          .localCheckpoint()
+          when(hasAdjacent(col("syms"), l, r), greedyMerge(col("syms"), l, r))
+            .otherwise(col("syms")).as("syms"))
+          .localCheckpoint(false)
       }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** UTF-8 byte order — Spark's UTF8String comparison and the oracle's
+    * memcmp; java.lang.String compareTo (UTF-16 code units) DIVERGES for
+    * supplementary characters, so ties must not use it. */
+  private def bytesLt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-side exact `learn_bpe` over the collected word census: pair
+    * counts plus a pair→words inverted index, so each merge round updates
+    * only the words that contain the merged pair. Semantics are pinned to
+    * the distributed path: overlapping adjacent pairs all count, the
+    * rewrite is greedy left-to-right non-overlapping, ties break by
+    * (count DESC, lhs byte-ASC, rhs byte-ASC). */
+  private def trainMergesDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: DataFrame, nMerges: Int): DataFrame = {
+    import scala.collection.mutable
+    val words: Array[(Long, Array[String])] = vocab.collect().map { r =>
+      (r.getLong(0), r.getSeq[String](1).toArray)
+    }
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // index/unindex a whole word: pair counts carry multiplicity (each
+    // adjacent position counts), the inverted index is a set (dropping a
+    // repeated pair's word twice is a harmless no-op)
+    def indexWord(wi: Int): Unit = {
+      val (cnt, syms) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnt
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    def unindexWord(wi: Int): Unit = {
+      val (cnt, syms) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nv = pairCounts.getOrElse(p, 0L) - cnt
+        if (nv == 0L) pairCounts.remove(p) else pairCounts(p) = nv
+        pairWords.get(p).foreach { s =>
+          s -= wi; if (s.isEmpty) { pairWords.remove(p); () } }
+        i += 1
+      }
+    }
+    words.indices.foreach(indexWord)
+
+    def greedy(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges && pairCounts.nonEmpty) {
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      pairCounts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (bytesLt(p._1, bestP._1) ||
+              (p._1 == bestP._1 && bytesLt(p._2, bestP._2))))) {
+          bestP = p; bestC = c
+        }
+      }
+      val (l, r) = bestP
+      merges += ((rank, l, r, bestC))
+      val affected = pairWords.getOrElse(bestP, mutable.Set.empty).toArray
+      affected.foreach { wi =>
+        unindexWord(wi)
+        words(wi) = (words(wi)._1, greedy(words(wi)._2, l, r))
+        indexWord(wi)
+      }
+      rank += 1
     }
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")

@@ -32,19 +32,26 @@ object PipelineQueries {
 
   /** Oracle for the ENCODE half: after replaying the k training rounds,
     * per-doc token counts are just each word's final symbol count joined
-    * back onto the document token stream — no per-doc merge replay. */
+    * back onto the document token stream — no per-doc merge replay.
+    * LEFT-joined from documents with counts coalesced to 0: the engine
+    * emits (doc_id, 0, 0) for an empty/whitespace-only doc, and an
+    * inner join from the token stream would silently drop that row. */
   private def bpeEncodeOracleSql(n: Int): String =
     bpeCtes(n) + s""",
        |toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
        |    FROM documents)
-       |  WHERE w <> '')
-       |SELECT doc_id,
-       |  CAST(count(*) AS INTEGER) AS n_words,
-       |  CAST(sum(len(v.syms)) AS INTEGER) AS n_tokens
-       |FROM toks JOIN vocab$n v ON toks.w = v.w
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  WHERE w <> ''),
+       |doc_counts AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(len(v.syms)) AS n_tokens
+       |  FROM toks JOIN vocab$n v ON toks.w = v.w
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(c.n_words, 0) AS INTEGER) AS n_words,
+       |  CAST(coalesce(c.n_tokens, 0) AS INTEGER) AS n_tokens
+       |FROM documents d LEFT JOIN doc_counts c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def bpeCtes(n: Int): String = {
     val head = """WITH vocab0 AS MATERIALIZED (
@@ -1414,12 +1421,14 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin
         .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
 
-    // Deterministic BPE-merge training: 6 rounds of top-(count, pair)
-    // merges — corpus shuffles once into the word census, rounds run on
-    // the vocabulary; DuckDB replays the rounds as unrolled CTE groups
+    // Deterministic BPE-merge training: 64 rounds of top-(count, pair)
+    // merges — corpus shuffles once into the word census; rounds patch
+    // the INCREMENTAL pair census (only words containing the merged pair
+    // re-explode), one argmax job per round. DuckDB replays the rounds
+    // as unrolled materialized-CTE groups.
     Q("q_bpe_merges",
-      (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 6),
-      Some(bpeOracleSql(6))),
+      (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 64),
+      Some(bpeOracleSql(64))),
 
     // BPE ENCODE: per-doc token counts under the merges just learned —
     // the tokenizer applied at corpus scale as a pure projection (the

@@ -44,6 +44,23 @@ class BpeSpec extends SparkSpec {
     assert(pairs.contains(("a", "b")) && pairs.contains(("c", "d")))
   }
 
+  test("driver and distributed merge-learning paths are byte-identical") {
+    val s2 = spark
+    import s2.implicits._
+    // a corpus with ties, overlapping runs, repeated merges re-formed by
+    // later rounds, and multi-word docs — threshold 0 forces the
+    // distributed incremental-census path; the default takes the driver
+    // inverted-index path; both must produce the same merge table
+    val docs = Seq(
+      (1L, "banana bandana banana cabana"),
+      (2L, "aaaa aaab abab baba"),
+      (3L, "the theme then anthem the the")).toDF("doc_id", "text")
+    val driver = Bpe.trainMerges(docs, nMerges = 12).collect().map(_.toSeq)
+    val dist = Bpe.trainMerges(docs, nMerges = 12, driverVocabThreshold = 0L)
+      .collect().map(_.toSeq)
+    assert(driver.toSeq == dist.toSeq)
+  }
+
   test("encodeStats applies learned merges as a pure projection") {
     val s2 = spark
     import s2.implicits._
