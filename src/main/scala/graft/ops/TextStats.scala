@@ -243,24 +243,27 @@ object TextStats {
     * does, but the statistic is pure BIGINT arithmetic, so it is exact
     * in any engine and independent of summation order.
     *
-    * Scale shape: one char-bigram explode builds the corpus count table
-    * (token-keyed, map-side combinable), a second explode over only the
-    * selected documents joins against it — the bigram alphabet is tiny
-    * (≤ charset²), so the count table is broadcast and the join is
-    * map-side; the per-doc sum is one keyed aggregation. */
+    * Scale shape: each document's bigram multiset is computed in ONE
+    * pass by the custom codegen kernel [[graft.expr.BigramCounts]] —
+    * a (bigram → count) map per row, so the explode fodder is the
+    * document's DISTINCT-bigram count, not one row per character
+    * position. The corpus count table aggregates those entries
+    * (token-keyed, map-side combinable); the bigram alphabet is tiny
+    * (≤ charset²), so the table is broadcast and the join is map-side;
+    * the per-doc sum is one keyed aggregation of count-weighted rows. */
   def bigramFamiliarity(docs: DataFrame, selection: Column): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     def bigrams(d: DataFrame) = d
       .filter(length(col("text")) >= 2)
-      // lower once per row, outside the lambda — inside it, the lowercase
-      // pass would rerun per bigram
-      .withColumn("__t", lower(col("text")))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(__t) - 1), i -> substring(__t, i, 2))")).as("bg"))
-    val corpusCounts = bigrams(docs).groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        explode(GraftColumnBridge.column(graft.expr.BigramCounts(
+          GraftColumnBridge.expression(lower(col("text")))))).as(Seq("bg", "n")))
+    val corpusCounts = bigrams(docs).groupBy("bg").agg(sum(col("n")).as("cnt"))
     bigrams(docs.filter(selection))
       .join(broadcast(corpusCounts), "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_cnt"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("cnt") * col("n")).as("sum_cnt"))
       .withColumn("familiarity_milli", expr("(sum_cnt * 1000) div n_bigrams"))
       .select("doc_id", "n_bigrams", "familiarity_milli")
       .orderBy("doc_id")
