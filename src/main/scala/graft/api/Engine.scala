@@ -172,10 +172,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     * errors when used; doctor only REPORTS their configuration). */
   def doctor(): DataFrame = {
     import spark.implicits._
-    val whPath = java.nio.file.Paths.get(warehouseDir)
-    val whOk = java.nio.file.Files.isDirectory(whPath)
     val census =
-      if (!whOk) ("warehouse", "FAIL", s"$warehouseDir is not a directory")
+      if (warehouseDir.isEmpty) {
+        // network-catalog-backed engine (REST/Glue/Hive/JDBC): there is
+        // no warehouse directory to stat — the meaningful health check is
+        // whether the catalog answers a listing
+        try {
+          val n = catalog.listTables().size
+          ("catalog", if (n > 0) "OK" else "WARN",
+            s"${catalog.name} (${n} tables)")
+        } catch {
+          case e: Exception =>
+            ("catalog", "FAIL", s"${catalog.name} unreachable: ${e.getMessage}")
+        }
+      } else if (!java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(warehouseDir)))
+        ("warehouse", "FAIL", s"$warehouseDir is not a directory")
       else {
         val n = listTables().count()
         ("warehouse", if (n > 0) "OK" else "WARN",

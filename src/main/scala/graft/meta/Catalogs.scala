@@ -23,6 +23,28 @@ trait MetaCatalog {
   def tableLocation(ref: String): String
 }
 
+/** Shared helper for metadata-location catalogs (REST fallback, JDBC,
+  * Glue, Hive): production tables in those catalogs commonly point
+  * `metadata_location` at s3:// / hdfs:// / gs:// URIs, which this
+  * engine's local reader cannot open — surface that as a clear typed
+  * error instead of `Paths.get`'s opaque InvalidPathException. */
+private[meta] object MetadataLocations {
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
+
+  /** `location` as a local filesystem path, or a descriptive error when
+    * it carries a non-file URI scheme. `backend` names the catalog in
+    * the message (e.g. "glue"). */
+  def localPath(location: String, backend: String): java.nio.file.Path =
+    location match {
+      case SchemeRe("file") => Paths.get(java.net.URI.create(location))
+      case SchemeRe(scheme) => throw new IllegalStateException(
+        s"$backend catalog points table metadata at '$location' — " +
+          s"remote object-store locations ($scheme://) are unsupported by " +
+          "this engine; only local filesystem paths are readable")
+      case _ => Paths.get(location)
+    }
+}
+
 /** Filesystem warehouse catalog: `<warehouse>/<namespace>/<table>/metadata`
   * (ref `catalog.py:164-189` namespace walk). */
 final class FsCatalog(warehouseDir: String) extends MetaCatalog {
@@ -116,26 +138,54 @@ final class RestCatalog(
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
+  /** URL form of a (possibly nested) namespace ref: levels split on '.'
+    * (the client-side ref syntax) and joined with the percent-encoded
+    * 0x1F UNIT SEPARATOR the REST spec prescribes — joining with a
+    * literal '.' would make the server see one single-level namespace
+    * named "a.b" and 404 every nested-namespace table. */
+  private def nsPath(ns: String): String =
+    ns.split("\\.").map(enc).mkString("%1F")
+
   override def name: String = s"rest:$root"
 
+  /** ALL namespaces, nested included: the spec's list endpoint returns
+    * only one level, so each result recurses as `parent=` until the tree
+    * bottoms out (pyiceberg's list_all_tables walks the same way).
+    * Children must be PROPER extensions of their parent (the spec returns
+    * full level arrays) — anything else is dropped, which both rejects
+    * malformed responses and guarantees termination against a server
+    * that ignores the parent param and echoes its top level. */
   override def listNamespaces(): Seq[String] = {
-    val arr = get(prefixed("/namespaces")).get("namespaces")
-    (0 until arr.size()).map { i =>
-      val levels = arr.get(i)
-      (0 until levels.size()).map(levels.get(_).asText()).mkString(".")
-    }.sorted
+    def children(parent: Option[String]): Seq[String] = {
+      val q = parent.map(p => s"?parent=${nsPath(p)}").getOrElse("")
+      val arr = get(prefixed(s"/namespaces$q")).get("namespaces")
+      val listed = (0 until arr.size()).map { i =>
+        val levels = arr.get(i)
+        (0 until levels.size()).map(levels.get(_).asText()).mkString(".")
+      }
+      val here = parent match {
+        case None => listed
+        case Some(p) => listed.filter(ns => ns.startsWith(p + ".") && ns != p)
+      }
+      here ++ here.flatMap(ns => children(Some(ns)))
+    }
+    children(None).distinct.sorted
   }
 
   override def listTables(): Seq[(String, String)] =
     listNamespaces().flatMap { ns =>
-      val arr = get(prefixed(s"/namespaces/${enc(ns)}/tables")).get("identifiers")
+      val arr = get(prefixed(s"/namespaces/${nsPath(ns)}/tables")).get("identifiers")
       (0 until arr.size()).map(i => ns -> arr.get(i).get("name").asText())
     }.sorted
 
   override def loadTable(ref: String): IcebergTable = {
-    val parts = ref.split("\\.", 2)
-    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
-    val res = get(prefixed(s"/namespaces/${enc(parts(0))}/tables/${enc(parts(1))}"))
+    // the LAST dot separates table from (possibly nested) namespace —
+    // splitting on the first would read "a.b.t" as table "b.t" in "a"
+    val cut = ref.lastIndexOf('.')
+    require(cut > 0 && cut < ref.length - 1,
+      s"table ref must be <namespace>.<table>: $ref")
+    val parts = Array(ref.substring(0, cut), ref.substring(cut + 1))
+    val res = get(prefixed(s"/namespaces/${nsPath(parts(0))}/tables/${enc(parts(1))}"))
     val md =
       if (res.has("metadata") && res.get("metadata").isObject)
         IcebergMeta.parse(res.get("metadata").toString)
@@ -143,7 +193,7 @@ final class RestCatalog(
         val loc = Option(res.get("metadata-location")).map(_.asText()).getOrElse(
           throw new IllegalStateException(
             s"LoadTableResult for $ref has neither metadata nor metadata-location"))
-        IcebergMeta.loadAt(java.nio.file.Paths.get(loc))
+        IcebergMeta.loadAt(MetadataLocations.localPath(loc, "rest"))
       }
     // relative manifest/data paths resolve against the table location the
     // metadata itself declares (REST tables are location-addressed; there
@@ -196,17 +246,29 @@ final class JdbcCatalog(
     }
   }
 
-  /** Adopt a table: point the catalog row at its current metadata file. */
+  /** Adopt a table: point the catalog row at its current metadata file.
+    * UPSERT semantics — re-registering an existing ref moves its pointer
+    * (old location preserved as previous_metadata_location) instead of
+    * throwing a raw primary-key violation. */
   def register(ref: String, metadataLocation: String): Unit = {
     val Array(ns, t) = refParts(ref)
     withConn { c =>
-      scala.util.Using.resource(c.prepareStatement(
-        s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
-          "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
-        ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
-        ps.setString(4, metadataLocation)
+      val updated = scala.util.Using.resource(c.prepareStatement(
+        s"UPDATE $TableName SET previous_metadata_location = metadata_location, " +
+          "metadata_location = ? WHERE catalog_name = ? AND " +
+          "table_namespace = ? AND table_name = ?")) { ps =>
+        ps.setString(1, metadataLocation)
+        ps.setString(2, catalogName); ps.setString(3, ns); ps.setString(4, t)
         ps.executeUpdate()
       }
+      if (updated == 0)
+        scala.util.Using.resource(c.prepareStatement(
+          s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
+            "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
+          ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
+          ps.setString(4, metadataLocation)
+          ps.executeUpdate()
+        }
     }
     ()
   }
@@ -261,13 +323,20 @@ final class JdbcCatalog(
     query(
       s"SELECT metadata_location FROM $TableName WHERE catalog_name = ? " +
         "AND table_namespace = ? AND table_name = ?",
-      Seq(catalogName, ns, t))(_.getString(1))
+      Seq(catalogName, ns, t))(rs => Option(rs.getString(1)))
       .headOption.getOrElse(throw new IllegalArgumentException(
         s"table $ref not found in catalog '$catalogName' at $jdbcUrl"))
+      // the column is nullable (mid-commit rows, foreign writers):
+      // surface that as a descriptive error, not Paths.get(null)'s NPE
+      .getOrElse(throw new IllegalStateException(
+        s"table $ref exists in catalog '$catalogName' but its " +
+          "metadata_location is NULL (incomplete registration or " +
+          "in-flight commit) — re-register the table to adopt it"))
   }
 
   override def loadTable(ref: String): IcebergTable = {
-    val md = IcebergMeta.loadAt(java.nio.file.Paths.get(metadataLocation(ref)))
+    val md = IcebergMeta.loadAt(
+      MetadataLocations.localPath(metadataLocation(ref), "sql"))
     new IcebergTable(md.location, md)
   }
 

@@ -101,7 +101,8 @@ final class GlueCatalog(
   }
 
   override def loadTable(ref: String): IcebergTable = {
-    val md = IcebergMeta.loadAt(java.nio.file.Paths.get(metadataLocation(ref)))
+    val md = IcebergMeta.loadAt(
+      MetadataLocations.localPath(metadataLocation(ref), "glue"))
     new IcebergTable(md.location, md)
   }
 

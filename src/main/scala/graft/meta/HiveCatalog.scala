@@ -85,7 +85,8 @@ final class HiveCatalog(host: String, port: Int) extends MetaCatalog {
   }
 
   override def loadTable(ref: String): IcebergTable = {
-    val md = IcebergMeta.loadAt(java.nio.file.Paths.get(metadataLocation(ref)))
+    val md = IcebergMeta.loadAt(
+      MetadataLocations.localPath(metadataLocation(ref), "hive"))
     new IcebergTable(md.location, md)
   }
 

@@ -41,12 +41,57 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(eng.listTables().count() == fs.listTables().size.toLong)
     assert(eng.summary(ref).collect().head.getAs[Long]("file_count") > 0)
     assert(eng.namespaceOverview().count() >= 1)
+    // doctor on a catalog-backed engine reports the CATALOG's health,
+    // not a bogus "warehouse FAIL" for the empty directory string
+    val doc = eng.doctor().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(doc.get("catalog").contains("OK"), doc.toString)
+    assert(!doc.contains("warehouse"), doc.toString)
 
     // drop removes exactly that row
     cat.drop(ref)
     assert(!cat.listTables().map { case (n, t) => s"$n.$t" }.contains(ref))
     val err = intercept[IllegalArgumentException](cat.loadTable(ref))
     assert(err.getMessage.contains("not found"))
+  }
+
+  test("register is an upsert; NULL and remote metadata locations surface typed errors") {
+    val wh = Files.createTempDirectory("jdbcwh3").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val fs = new FsCatalog(wh)
+    val cat = new JdbcCatalog("jdbc:derby:memory:cat5;create=true", "main")
+    cat.init()
+    val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+    val loc = IcebergMeta.latestMetadataPath(fs.tableLocation(ref)).toString
+
+    // re-registering the same ref must MOVE the pointer, not throw a raw
+    // PK violation
+    cat.register(ref, "/elsewhere/v1.metadata.json")
+    cat.register(ref, loc)
+    assert(cat.loadTable(ref).metadata.tableUuid ==
+      fs.loadTable(ref).metadata.tableUuid)
+    assert(cat.listTables().count(_ == (ref.split("\\.", 2) match {
+      case Array(n, t) => (n, t) })) == 1)
+
+    // a production-style s3:// pointer fails with a descriptive error,
+    // not Paths.get's InvalidPathException
+    cat.register("ns.remote", "s3://bucket/warehouse/t/metadata/v1.metadata.json")
+    val remoteErr = intercept[IllegalStateException](cat.loadTable("ns.remote"))
+    assert(remoteErr.getMessage.contains("s3://") &&
+      remoteErr.getMessage.contains("unsupported"), remoteErr.getMessage)
+
+    // a NULL metadata_location row (in-flight commit / foreign writer)
+    // is a descriptive IllegalStateException, not an NPE
+    scala.util.Using.resource(
+      java.sql.DriverManager.getConnection("jdbc:derby:memory:cat5")) { c =>
+      scala.util.Using.resource(c.prepareStatement(
+        "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, " +
+          "metadata_location, previous_metadata_location) VALUES ('main', 'ns', 'hollow', NULL, NULL)")) { ps =>
+        ps.executeUpdate(); ()
+      }
+    }
+    val nullErr = intercept[IllegalStateException](cat.loadTable("ns.hollow"))
+    assert(nullErr.getMessage.contains("metadata_location is NULL"), nullErr.getMessage)
   }
 
   test("forConfig routes sql/jdbc configs to JdbcCatalog") {

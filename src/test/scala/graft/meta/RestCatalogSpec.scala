@@ -15,12 +15,17 @@ import graft.fixtures.FixtureWriter
 class RestCatalogSpec extends SparkSpec {
 
   /** Serve the warehouse at `whDir` over the REST catalog protocol with a
-    * `demo` prefix and required bearer token; returns (server, port,
-    * seen-auth-headers buffer). */
+    * `demo` prefix and required bearer token, PLUS a synthetic nested
+    * namespace `deep.sub` (parent-aware listing; one adopted table
+    * aliasing the first fixture table) so the client's 0x1F level
+    * separator and parent-recursion are exercised against the wire.
+    * Returns (server, port, seen-auth buffer, seen-raw-URI buffer). */
   private def startStub(whDir: String): (HttpServer, Int,
+      scala.collection.mutable.Buffer[String],
       scala.collection.mutable.Buffer[String]) = {
     val fs = new FsCatalog(whDir)
     val seenAuth = scala.collection.mutable.Buffer.empty[String]
+    val seenUris = scala.collection.mutable.Buffer.empty[String]
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     def reply(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -29,8 +34,17 @@ class RestCatalogSpec extends SparkSpec {
       ex.getResponseBody.write(bytes)
       ex.close()
     }
+    // the decoded form of "deep%1Fsub" — the unit-separated level pair
+    val deepSub = "deep\u001Fsub"
+    def firstTableMetadata(): String = {
+      val (n, t) = fs.listTables().head
+      val mdPath = IcebergMeta.latestMetadataPath(fs.tableLocation(s"$n.$t"))
+      val md = new String(Files.readAllBytes(mdPath), StandardCharsets.UTF_8)
+      s"""{"metadata-location": "$mdPath", "metadata": $md}"""
+    }
     server.createContext("/", (ex: HttpExchange) => {
       seenAuth += Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      seenUris += ex.getRequestURI.toString
       val path = ex.getRequestURI.getPath
       val TablesRe = "/v1/demo/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/demo/namespaces/([^/]+)/tables/([^/]+)".r
@@ -42,32 +56,48 @@ class RestCatalogSpec extends SparkSpec {
             """{"defaults": {"warehouse": "ignored-default"},
               | "overrides": {"prefix": "demo"}}""".stripMargin)
         case "/v1/demo/namespaces" =>
-          val ns = fs.listNamespaces()
-            .map(n => "[\"" + n + "\"]").mkString(",")
-          reply(ex, 200, s"""{"namespaces": [$ns]}""")
+          Option(ex.getRequestURI.getQuery) match {
+            case None =>
+              // top level only (the spec's contract): fixture dirs + the
+              // synthetic nested root
+              val ns = (fs.listNamespaces() :+ "deep").sorted
+                .map(n => "[\"" + n + "\"]").mkString(",")
+              reply(ex, 200, s"""{"namespaces": [$ns]}""")
+            case Some("parent=deep") =>
+              reply(ex, 200, """{"namespaces": [["deep", "sub"]]}""")
+            case Some(_) =>
+              reply(ex, 200, """{"namespaces": []}""")
+          }
         case TableRe(ns, t) =>
-          val dir = fs.tableLocation(s"$ns.$t")
-          val mdPath = IcebergMeta.latestMetadataPath(dir)
-          val md = new String(Files.readAllBytes(mdPath), StandardCharsets.UTF_8)
-          reply(ex, 200,
-            s"""{"metadata-location": "$mdPath", "metadata": $md}""")
+          if (ns == deepSub && t == "adopted") reply(ex, 200, firstTableMetadata())
+          else {
+            val dir = fs.tableLocation(s"$ns.$t")
+            val mdPath = IcebergMeta.latestMetadataPath(dir)
+            val md = new String(Files.readAllBytes(mdPath), StandardCharsets.UTF_8)
+            reply(ex, 200,
+              s"""{"metadata-location": "$mdPath", "metadata": $md}""")
+          }
         case TablesRe(ns) =>
-          val ids = fs.listTables().filter(_._1 == ns)
-            .map { case (n, t) =>
-              s"""{"namespace": ["$n"], "name": "$t"}"""
-            }.mkString(",")
-          reply(ex, 200, s"""{"identifiers": [$ids]}""")
+          if (ns == deepSub) reply(ex, 200,
+            """{"identifiers": [{"namespace": ["deep", "sub"], "name": "adopted"}]}""")
+          else {
+            val ids = fs.listTables().filter(_._1 == ns)
+              .map { case (n, t) =>
+                s"""{"namespace": ["$n"], "name": "$t"}"""
+              }.mkString(",")
+            reply(ex, 200, s"""{"identifiers": [$ids]}""")
+          }
         case _ => reply(ex, 404, """{"error": "not found"}""")
       }
     })
     server.start()
-    (server, server.getAddress.getPort, seenAuth)
+    (server, server.getAddress.getPort, seenAuth, seenUris)
   }
 
   test("RestCatalog speaks the REST protocol end-to-end against a live HTTP server") {
     val wh = Files.createTempDirectory("restwh").toString
     FixtureWriter.writeDemo(spark, wh)
-    val (server, port, seenAuth) = startStub(wh)
+    val (server, port, seenAuth, seenUris) = startStub(wh)
     try {
       val rest = new RestCatalog(s"http://127.0.0.1:$port",
         Map("token" -> "sesame"))
@@ -76,10 +106,23 @@ class RestCatalogSpec extends SparkSpec {
       assert(rest.config("token") == "sesame")
       assert(rest.config("warehouse") == "ignored-default")
 
-      // catalog walk matches the filesystem truth
+      // catalog walk matches the filesystem truth PLUS the stub's nested
+      // namespace, discovered through parent-param recursion
       val fs = new FsCatalog(wh)
-      assert(rest.listNamespaces() == fs.listNamespaces())
-      assert(rest.listTables() == fs.listTables())
+      assert(rest.listNamespaces() ==
+        (fs.listNamespaces() ++ Seq("deep", "deep.sub")).sorted)
+      assert(rest.listTables() ==
+        (fs.listTables() :+ ("deep.sub" -> "adopted")).sorted)
+      // the nested listing went over the wire with the spec's 0x1F level
+      // separator, not a literal dot
+      assert(seenUris.exists(_.contains("deep%1Fsub")),
+        seenUris.mkString("\n"))
+
+      // nested-namespace table ref: the LAST dot separates the table
+      val adopted = rest.loadTable("deep.sub.adopted")
+      assert(adopted.metadata.tableUuid ==
+        fs.loadTable(fs.listTables().map { case (n, t) => s"$n.$t" }.head)
+          .metadata.tableUuid)
 
       // table load: metadata parses from the inline LoadTableResult and
       // matches a direct filesystem load
@@ -102,7 +145,7 @@ class RestCatalogSpec extends SparkSpec {
       val eng = graft.api.Engine.forConfig(spark, CatalogConfig(
         "r", Some(s"http://127.0.0.1:$port"),
         None, Map("type" -> "rest", "token" -> "sesame")))
-      assert(eng.listTables().count() == fs.listTables().size.toLong)
+      assert(eng.listTables().count() == fs.listTables().size.toLong + 1L)
       assert(eng.summary(ref).collect().head.getAs[Long]("file_count") > 0)
       val ov = eng.warehouseOverview().collect()
       assert(ov.length >= 2) // per-namespace rows + rollup total row
@@ -112,7 +155,7 @@ class RestCatalogSpec extends SparkSpec {
   test("forConfig routes rest configs to RestCatalog and keeps typed errors for the rest") {
     val wh = Files.createTempDirectory("restwh2").toString
     FixtureWriter.writeDemo(spark, wh)
-    val (server, port, _) = startStub(wh)
+    val (server, port, _, _) = startStub(wh)
     try {
       val cat = Catalogs.forConfig(CatalogConfig(
         "r", Some(s"http://127.0.0.1:$port"), None, Map("type" -> "rest")))
