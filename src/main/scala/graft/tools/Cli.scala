@@ -8,7 +8,15 @@ import graft.api.{Engine, Errors}
 /** Command-line front-end mirroring the reference CLI verbs (ref `cli.py`):
   *
   * {{{
-  * runMain graft.tools.Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]
+  * runMain graft.tools.Cli <warehouse> <verb> [args...] [--json DIR | --csv DIR]
+  *                                            [--catalog NAME] [--config PATH]
+  *
+  * <warehouse>: a warehouse DIRECTORY (filesystem catalog), a catalog
+  * URI routed through the config layer (`http(s)://` REST, `jdbc:` sql,
+  * `thrift://` hive), or `-` to resolve everything from the config file
+  * (`--catalog` names the entry; `--config` overrides the default
+  * ~/.iceberg-meta.json — the same file/env/dotenv chain the library
+  * resolves, so glue credentials etc. flow end-to-end).
   *
   * verbs: list-tables | summary T | health T | files T [snapshotId]
   *      | snapshots T | manifests T | partitions T | schema T
@@ -30,12 +38,26 @@ object Cli {
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
+  /** `--flag value` anywhere in the argument list → (value, rest). */
+  private def extractFlag(
+      args: Array[String], flag: String): (Option[String], Array[String]) = {
+    val i = args.indexOf(flag)
+    if (i >= 0 && i + 1 < args.length)
+      (Some(args(i + 1)), args.patch(i, Nil, 2))
+    else (None, args)
+  }
+
+  private def isCatalogUri(s: String): Boolean =
+    s.matches("^(https?|thrift)://.*") || s.startsWith("jdbc:")
+
   def run(args: Array[String]): Int = {
-    if (args.length < 2) { usage(); return 2 }
-    val (sinkOpt, rest) = args.span(a => a != "--json" && a != "--csv") match {
+    val (cfgPath, args1) = extractFlag(args, "--config")
+    val (catName, args2) = extractFlag(args1, "--catalog")
+    if (args2.length < 2) { usage(); return 2 }
+    val (sinkOpt, rest) = args2.span(a => a != "--json" && a != "--csv") match {
       case (head, Array(flag, dir)) => (Some((flag, dir)), head)
       case (head, Array())          => (None, head)
-      case _                        => (None, args)
+      case _                        => (None, args2)
     }
     val warehouse = rest(0)
     val verb = rest(1)
@@ -48,7 +70,19 @@ object Cli {
     Sessions.required.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new Engine(spark, warehouse)
+    // a catalog URI, `-`, or an explicit --catalog routes through the
+    // FULL config resolution chain (file entry + env + dotenv + uri arg)
+    // into Engine.forConfig — the same path library users take; a plain
+    // directory stays the filesystem engine
+    val engine =
+      if (isCatalogUri(warehouse) || warehouse == "-" || catName.isDefined) {
+        val cfg = graft.meta.CatalogConfig.resolveFromFile(
+          catName.getOrElse("cli"),
+          uriArg = Some(warehouse).filter(isCatalogUri),
+          path = cfgPath.map(java.nio.file.Paths.get(_))
+            .getOrElse(graft.meta.CatalogConfig.defaultPath))
+        Engine.forConfig(spark, cfg)
+      } else new Engine(spark, warehouse)
 
     def emit(df: DataFrame): Unit = sinkOpt match {
       case Some(("--json", dir)) => engine.toJson(df, dir); println(s"wrote JSON to $dir")
@@ -242,7 +276,8 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: Cli <warehouseDir> <verb> [args...] [--json DIR | --csv DIR]\n" +
+    "usage: Cli <warehouseDir|catalogUri|-> <verb> [args...]\n" +
+      "       [--json DIR | --csv DIR] [--catalog NAME] [--config PATH]\n" +
       "verbs: list-tables summary health files snapshots manifests partitions\n" +
       "       entries all-files all-manifests table-info snapshot-detail doctor demo\n" +
       "       schema schema-diff diff recent namespace warehouse tree\n" +

@@ -79,8 +79,27 @@ object Tui {
     engine.catalog.listTables().map { case (n, t) => s"$n.$t" }.toVector,
     selected = 0, tab = 0)
 
-  /** One full frame: title bar, sidebar + active tab pane, key footer. */
-  def renderFrame(engine: Engine, st: State): String = {
+  /** Per-(ref, tab) pane memo — the analog of the reference's per-widget
+    * worker caching (ref `tui/widgets.py:112-119`): revisiting a tab
+    * repaints from the cached lines instead of re-running the engine
+    * verb. Owned by the event loop; `r` (reload) clears it. Failed
+    * computations are NOT cached (the next visit retries). The compute
+    * counter is the spec's observable. */
+  final class PaneCache {
+    private val cache =
+      scala.collection.mutable.HashMap.empty[(String, Int), Seq[String]]
+    private var computes = 0
+    def computeCount: Int = computes
+    def get(ref: String, tab: Int)(compute: => Seq[String]): Seq[String] =
+      cache.getOrElseUpdate((ref, tab), { computes += 1; compute })
+    def clear(): Unit = cache.clear()
+  }
+
+  /** One full frame: title bar, sidebar + active tab pane, key footer.
+    * Pure given the cache contents; pass a shared `cache` to memoize
+    * pane renders across frames. */
+  def renderFrame(engine: Engine, st: State,
+      cache: PaneCache = new PaneCache): String = {
     val ref = st.refs.lift(st.selected)
     val sidebar = box("Catalog",
       st.refs.zipWithIndex.map { case (r, i) =>
@@ -92,7 +111,7 @@ object Tui {
     val pane: Seq[String] = ref match {
       case None => Seq("(empty warehouse)")
       case Some(r) =>
-        try paneLines(engine, r, st.tab)
+        try cache.get(r, st.tab)(paneLines(engine, r, st.tab))
         catch { case e: Exception => Seq(s"error: ${e.getMessage}") }
     }
     val detail = box(ref.getOrElse("detail"), tabBar +: "" +: pane,
@@ -139,13 +158,15 @@ object Tui {
   }
 
   /** Run the UI until 'q' or EOF. Each accepted key repaints the frame
-    * (clear + home on ANSI terminals; specs just capture the frames). */
+    * (clear + home on ANSI terminals; specs just capture the frames).
+    * Pane renders memoize in `cache` — only `r` (reload) re-runs engine
+    * verbs for already-visited (table, tab) pairs. */
   def loop(engine: Engine, in: InputStream, out: PrintStream,
-      ansi: Boolean = true): State = {
+      ansi: Boolean = true, cache: PaneCache = new PaneCache): State = {
     var st = initial(engine)
     def paint(): Unit = {
       if (ansi) out.print("[2J[H")
-      out.println(renderFrame(engine, st))
+      out.println(renderFrame(engine, st, cache))
       out.flush()
     }
     paint()
@@ -161,9 +182,11 @@ object Tui {
         case c if c >= '1' && c <= '7' =>
           st = st.copy(tab = c - '1'); paint()
         case '\r' | '\n' => paint() // open = repaint detail of selection
-        case 'r' => st = initial(engine).copy(
-          selected = st.selected.min(math.max(0,
-            initial(engine).refs.size - 1)), tab = st.tab); paint()
+        case 'r' =>
+          cache.clear() // reload = drop every memoized pane
+          st = initial(engine).copy(
+            selected = st.selected.min(math.max(0,
+              initial(engine).refs.size - 1)), tab = st.tab); paint()
         case _ => () // ignore unbound keys
       }
     }

@@ -132,6 +132,28 @@ class GlueCatalogSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("CLI drives table-info over Glue end-to-end (--catalog entry in a config file)") {
+    val wh = java.nio.file.Files.createTempDirectory("gluewh2").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val (server, port) = startStub(wh)
+    try {
+      val fs = new FsCatalog(wh)
+      val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+      // glue can't be inferred from an https:// uri (that's REST), so the
+      // CLI resolves the named config-file entry: type, endpoint, region
+      // and signing credentials all flow through the file
+      val cfg = java.nio.file.Files.createTempFile("gluecli", ".json")
+      java.nio.file.Files.writeString(cfg,
+        s"""{"catalogs": {"g": {"type": "glue", "uri": "http://127.0.0.1:$port",
+           |  "region": "eu-test-1", "access-key": "$AK", "secret-key": "$SK"}}}"""
+          .stripMargin)
+      assert(graft.tools.Cli.run(Array(
+        "-", "table-info", ref, "--catalog", "g", "--config", cfg.toString)) == 0)
+      assert(graft.tools.Cli.run(Array(
+        "-", "list-tables", "--catalog", "g", "--config", cfg.toString)) == 0)
+    } finally server.stop(0)
+  }
+
   test("forConfig: glue without region/credentials is a config error, not a typed block") {
     intercept[IllegalArgumentException] {
       Catalogs.forConfig(CatalogConfig("g", None, None,

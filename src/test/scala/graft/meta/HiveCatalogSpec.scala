@@ -150,6 +150,22 @@ class HiveCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("CLI drives table-info over the Hive metastore end-to-end (thrift uri arg)") {
+    val wh = Files.createTempDirectory("hivewh2").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val (server, _) = startStub(wh)
+    try {
+      val fs = new FsCatalog(wh)
+      val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+      // the real CLI entrypoint, thrift:// positional arg → config
+      // resolution → HiveCatalog → engine verb, over a live socket
+      assert(graft.tools.Cli.run(Array(
+        s"thrift://127.0.0.1:${server.getLocalPort}", "table-info", ref)) == 0)
+      assert(graft.tools.Cli.run(Array(
+        s"thrift://127.0.0.1:${server.getLocalPort}", "list-tables")) == 0)
+    } finally server.close()
+  }
+
   test("forConfig routes hive configs and rejects malformed ones") {
     assert(Catalogs.forConfig(CatalogConfig(
       "h", Some("thrift://meta:9083"), None)).isInstanceOf[HiveCatalog])

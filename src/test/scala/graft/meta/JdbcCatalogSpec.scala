@@ -55,6 +55,26 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("not found"))
   }
 
+  test("CLI drives table-info over the JDBC catalog end-to-end (jdbc: uri arg)") {
+    val wh = Files.createTempDirectory("jdbcwh4").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val fs = new FsCatalog(wh)
+    // the CLI routes jdbc: uris through forConfig, which names the
+    // catalog after the config entry ("cli" by default) — register under
+    // that name so the CLI's catalog sees the rows
+    val cat = new JdbcCatalog("jdbc:derby:memory:cat6;create=true", "cli")
+    cat.init()
+    fs.listTables().foreach { case (ns, t) =>
+      cat.register(s"$ns.$t",
+        IcebergMeta.latestMetadataPath(fs.tableLocation(s"$ns.$t")).toString)
+    }
+    val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+    assert(graft.tools.Cli.run(Array(
+      "jdbc:derby:memory:cat6", "table-info", ref)) == 0)
+    assert(graft.tools.Cli.run(Array(
+      "jdbc:derby:memory:cat6", "list-tables")) == 0)
+  }
+
   test("register is an upsert; NULL and remote metadata locations surface typed errors") {
     val wh = Files.createTempDirectory("jdbcwh3").toString
     FixtureWriter.writeDemo(spark, wh)

@@ -152,6 +152,30 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("CLI drives table-info over the REST catalog end-to-end (uri arg + config-file token)") {
+    val wh = Files.createTempDirectory("restwh3").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val (server, port, seenAuth, _) = startStub(wh)
+    try {
+      val fs = new FsCatalog(wh)
+      val ref = fs.listTables().map { case (n, t) => s"$n.$t" }.head
+      // config file supplies the token; the positional URI supplies the
+      // endpoint — the full file+arg resolution chain, through the real
+      // CLI entrypoint, against a live HTTP server
+      val cfg = Files.createTempFile("restcli", ".json")
+      Files.writeString(cfg,
+        """{"catalogs": {"cli": {"type": "rest", "token": "sesame"}}}""")
+      val rc = graft.tools.Cli.run(Array(
+        s"http://127.0.0.1:$port", "table-info", ref,
+        "--config", cfg.toString))
+      assert(rc == 0)
+      assert(seenAuth.exists(_ == "Bearer sesame"), seenAuth.mkString(","))
+      // a second verb through the same path: list-tables
+      assert(graft.tools.Cli.run(Array(
+        s"http://127.0.0.1:$port", "list-tables", "--config", cfg.toString)) == 0)
+    } finally server.stop(0)
+  }
+
   test("forConfig routes rest configs to RestCatalog and keeps typed errors for the rest") {
     val wh = Files.createTempDirectory("restwh2").toString
     FixtureWriter.writeDemo(spark, wh)

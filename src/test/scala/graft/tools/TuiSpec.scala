@@ -86,4 +86,25 @@ class TuiSpec extends SparkSpec {
     assert(st.refs.size == before + 1)
     assert(out.contains("zz.late_table"))
   }
+
+  test("pane cache: revisiting a tab repaints without a second engine call; r invalidates") {
+    val e = engine()
+    val cache = new Tui.PaneCache
+    def drive(keys: String): Unit = {
+      val in = new ByteArrayInputStream(keys.getBytes(StandardCharsets.UTF_8))
+      Tui.loop(e, in, new PrintStream(new ByteArrayOutputStream(), true, "UTF-8"),
+        ansi = false, cache = cache)
+      ()
+    }
+    // initial paint computes (table0, Summary); '2' computes Snapshots;
+    // '1' revisits Summary — CACHED, no third compute; Enter repaints
+    // the same pane — still no compute
+    drive("21\rq")
+    assert(cache.computeCount == 2, s"computes=${cache.computeCount}")
+    // reload clears: the repaint after 'r' re-runs the Summary verb
+    drive("q") // fresh loop, same cache: initial paint is a cache hit
+    assert(cache.computeCount == 2, s"computes=${cache.computeCount}")
+    drive("rq")
+    assert(cache.computeCount == 3, s"computes=${cache.computeCount}")
+  }
 }
