@@ -602,6 +602,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       partitionEquals: Map[String, String] = Map.empty): DataFrame =
     ScanPlanner.readTableWhere(spark, load(ref), column, lo, hi, snapshotId, partitionEquals)
 
+  /** Read the data pruned to `column ∈ values` through the partition
+    * spec (identity/bucket/truncate transforms map each value to the
+    * partition value a matching file must carry) — the IN-list probe:
+    * a set of dates, ids, or bucket keys opens only colliding files.
+    * Result equals the unpruned read + IN filter. */
+  def readTableWhereIn(
+      ref: String,
+      column: String,
+      values: Seq[String],
+      snapshotId: Option[Long] = None): DataFrame =
+    ScanPlanner.readTableWhereIn(spark, load(ref), column, values, snapshotId)
+
   // ---- render layer (ref formatters.py render_schema:119-139, tree
   // 1195-1307 — the library analog of the TUI panels: plain-text trees
   // built from collected metadata-scale rows, display layer only) ----

@@ -217,6 +217,53 @@ object ScanPlanner {
     else None
   }
 
+  /** Read the data pruned to `column ∈ values` through the partition
+    * spec: each value maps through every spec field derived from the
+    * column (identity / bucket[N] / truncate[W]) to the partition value
+    * a matching file must carry, and files matching NONE of them are
+    * never opened — the multi-point twin of [[readTableWhere]]'s single
+    * equality (an IN-list probe, e.g. a set of dates or a batch of
+    * bucket keys). Conservative: files with no recorded value for the
+    * key survive, and the exact IN predicate is re-applied row-level, so
+    * the result equals the unpruned filtered read. */
+  def readTableWhereIn(
+      spark: SparkSession,
+      t: IcebergTable,
+      column: String,
+      values: Seq[String],
+      snapshotId: Option[Long] = None): DataFrame = {
+    val src = t.metadata.currentSchema.fields.find(_.name == column)
+      .getOrElse(throw new NoSuchElementException(
+        s"partition predicate column $column not in current schema"))
+    val specFields = t.metadata.partitionSpecs.flatMap(_.fields)
+      .filter(_.sourceId == src.id)
+    val files = graft.rel.MetaRelations.files(spark, t, snapshotId)
+    // one prune condition per spec-field name: the file's recorded value
+    // must be among the transformed literals (or absent — conservative).
+    // A name with conflicting transforms across specs cannot prune.
+    val keep = specFields.groupBy(_.name).toSeq.sortBy(_._1).flatMap {
+      case (pname, sfs) => sfs.map(_.transform).distinct match {
+        case Seq(tr) =>
+          val pvs = values.flatMap(v =>
+            graft.meta.Transforms.literal(tr, v, src.fieldType)).distinct
+          Some(col("partition")(pname).isNull ||
+            col("partition")(pname).isin(pvs: _*))
+        case _ => None
+      }
+    }.foldLeft(lit(true))(_ && _)
+    val pruned = files.filter(keep).select("file_path")
+      .collect().map(r => t.resolvePath(r.getString(0)))
+    val resid = col(column).isin(values.map(lit(_)): _*)
+    if (pruned.isEmpty) {
+      val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot has no data files under ${t.tableDir}"))
+      scanFiles(spark, t, Seq(any)).filter(lit(false))
+    } else
+      applyDeletes(spark, t, snapshotId,
+        scanFiles(spark, t, pruned.toIndexedSeq)).filter(resid)
+  }
+
   /** Read the data with metadata pruning: only files whose bounds may
     * hold `column ∈ [lo, hi]` are opened; the exact range predicate is
     * re-applied row-level (and pushed into the parquet row groups by

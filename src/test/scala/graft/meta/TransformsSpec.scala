@@ -98,6 +98,46 @@ class TransformsSpec extends SparkSpec {
       full.select("order_id", "customer_name").as[(Long, String)].collect().toSet)
   }
 
+  test("readTableWhereIn: an IN-set probe opens only colliding bucket files, row parity") {
+    val wh = Files.createTempDirectory("graft-in-wh").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val tableDir = s"$wh/sales/orders"
+    SchemaEvolution.setPartitionSpec(tableDir, Seq("bucket[8](order_id)"))
+    val rows = (400L until 480L).map(i =>
+      (i, s"Cust $i", s"r${i % 3}", i * 1.5, java.sql.Date.valueOf("2024-05-01"),
+        java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+    val res = TableWriter.append(spark, tableDir, rows.toDF(
+      "order_id", "customer_name", "region", "amount", "order_date", "created_at"))
+
+    val t = IcebergTable.load(tableDir)
+    val newFiles = t.files().filter(_.snapshotId == res.snapshotId)
+    assert(newFiles.size >= 4) // 80 ids across 8 buckets
+
+    // probe three ids: files from the bucketed snapshot outside those
+    // ids' buckets must not be opened; identity-era files survive
+    // conservatively, and the residual IN keeps the result exact
+    val probe = Seq(410L, 411L, 455L)
+    val buckets = probe.map(IcebergTransformOps.bucketLong(_, 8).toString).toSet
+    val in = ScanPlanner.readTableWhereIn(
+      spark, t, "order_id", probe.map(_.toString))
+    val full = ScanPlanner.readTable(spark, t)
+      .filter(col("order_id").isin(probe: _*))
+    assert(in.select("order_id").as[Long].collect().sorted.toSeq ==
+      full.select("order_id").as[Long].collect().sorted.toSeq)
+    assert(in.count() == probe.size.toLong)
+
+    // plan-level check: the scanned file set excludes non-colliding
+    // bucketed files (strictly fewer than the snapshot holds)
+    val scanned = in.queryExecution.executedPlan.toString
+    val excluded = newFiles.filterNot(e =>
+      e.partition.get("order_id_bucket").forall(buckets.contains))
+    assert(excluded.nonEmpty)
+    excluded.foreach { e =>
+      assert(!scanned.contains(e.filePath.split('/').last),
+        s"non-colliding bucket file ${e.filePath} was opened")
+    }
+  }
+
   test("truncate[W] string spec: files keyed by prefix, prune + row parity") {
     val wh = Files.createTempDirectory("graft-trunc-wh").toString
     FixtureWriter.writeDemo(spark, wh)
