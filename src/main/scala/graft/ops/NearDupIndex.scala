@@ -141,4 +141,13 @@ final class NearDupIndex(
       .select(col("doc_id"), col("band"), col("band_sig")))
     survivors
   }
+
+  /** Maintenance: every [[admit]] commits one small file per colliding
+    * bucket, so the file count grows with batch count — fold each
+    * bucket's small files back into one. The rewrite re-stages through
+    * the table's partition spec, so the bucketed layout (and probe
+    * pruning) is preserved. Run periodically, like any ingest table's
+    * compaction. None = nothing small enough to fold. */
+  def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
+    engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
 }

@@ -111,6 +111,17 @@ class NearDupIndexSpec extends SparkSpec {
       "with zero shared shingles whatsoever here")).toDF("doc_id", "text")
     val hit = idx.check(again).collect()
     assert(hit.length == 1 && hit.head.getAs[Long]("dup_of") == 2000L)
+
+    // MAINTENANCE: per-batch appends accrete small files; compaction
+    // folds them per bucket, the layout (and probe pruning) survives
+    val preCompact = e.files("ns.bucketed_index").count()
+    assert(idx.compact().isDefined)
+    val postCompact = e.files("ns.bucketed_index").count()
+    assert(postCompact < preCompact, s"$preCompact -> $postCompact")
+    val hit2 = idx.check(again).collect()
+    assert(hit2.length == 1 && hit2.head.getAs[Long]("dup_of") == 2000L)
+    val probedAfter = idx.probePaths(Dedup.bandSignatures(batch))
+    assert(probedAfter.nonEmpty && probedAfter.size < postCompact)
   }
 
   test("streaming near-dup gate probes the PERSISTED index as its static side") {
