@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -46,6 +46,100 @@ object TextKernelOps {
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
+}
+
+object WinnowKernel {
+  private val Big = 1073741824L // 2^30 — the fp/gpos packing base
+
+  /** Winnowed fingerprint selection for ONE document, single pass — the
+    * kernel behind [[WinnowFps]]. Exactly the rows
+    * `graft.ops.Dedup.winnowedFps` used to produce via posexplode +
+    * doc-keyed window + distinct: tokens are `split(lower(trim(text)),
+    * "\\s+")` (space-only trim and UTF8String lowercase, mirroring the
+    * Spark functions), each k-token gram hashes with the same md5-prefix
+    * kernel, the tie-break packing `hash * 2^30 + (2^30-1-pos)` makes one
+    * integer min pick the rightmost minimal gram per window, and the
+    * sliding window min runs as an O(n) monotonic deque instead of a
+    * sort-based window operator. Emits DISTINCT (fp, gpos) structs. */
+  def winnowFps(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    // Spark trim() strips SPACES only (not \t/\n) — mirror that exactly
+    var b = 0; var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    val toks: Array[String] =
+      if (e <= b) Array("") else lowered.substring(b, e).split("\\s+", -1)
+    val n = toks.length
+    if (n < k + window - 1) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - k + 1
+    val vs = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val h = Md5Ops.md5Prefix(UTF8String.fromString(sb.toString), 8)
+      vs(i) = h * Big + (Big - 1L - i)
+      i += 1
+    }
+    // monotonic deque sliding min over the last `window` gram positions
+    val seen = new java.util.LinkedHashSet[Long]()
+    val dq = new Array[Int](nGrams); var head = 0; var tail = 0
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && vs(dq(tail - 1)) >= vs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - window) head += 1
+      if (i >= window - 1) { seen.add(vs(dq(head))); () }
+      i += 1
+    }
+    val rows = new Array[Any](seen.size)
+    var r = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val m = it.next()
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(
+        m / Big, Big - 1L - (m % Big))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `winnow_fps(text, k, w) -> array<struct<fp, gpos>>`: per-document
+  * winnowed fingerprint occurrences as ONE codegen pass (tokenize → gram
+  * hash → deque sliding min → distinct), replacing the
+  * posexplode + window + distinct pipeline — no per-token row blowup and
+  * no sort, while producing byte-identical fingerprints (same md5-prefix
+  * hash and packing, so the DuckDB oracle replay is unchanged). */
+case class WinnowFps(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("gpos", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1 || window < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k and window must be positive")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.winnowFps(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.WinnowKernel.winnowFps($c, $k, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
 }
 
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram

@@ -601,27 +601,18 @@ object Dedup {
     * audits pin its shape here. */
   def winnowedFps(docs: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be positive")
-    // 2^30: pos stays below it for any realistic doc, and
-    // hash(<2^32) * 2^30 stays under 2^62 (ANSI mode — overflow throws)
-    val big = 1073741824L
-    val grams = docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= k + window - 1)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    grams
-      .select(col("doc_id"), col("pos"),
-        (PortableHash.md5Hash32(col("gram")) * lit(big) +
-          (lit(big - 1) - col("pos"))).as("v"))
-      .withColumn("minv", min(col("v")).over(w))
-      .filter(col("pos") >= window - 1)
-      .select(col("doc_id"),
-        expr(s"minv div ${big}L").as("fp"),
-        (lit(big - 1) - pmod(col("minv"), lit(big))).as("gpos"))
-      .distinct()
+    // the whole selection is PER-DOCUMENT — no cross-doc dependency — so
+    // it runs as one codegen kernel pass (graft.expr.WinnowKernel:
+    // tokenize → md5-prefix gram hash → O(n) deque sliding min →
+    // distinct), replacing the old posexplode + doc-keyed window + global
+    // distinct: no per-token row blowup, no sort, no exchange anywhere in
+    // this plan. Fingerprints are byte-identical (same hash, same
+    // `hash * 2^30 + (2^30-1-pos)` rightmost-minimum packing).
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col("doc_id"),
+        explode(GraftColumnBridge.column(graft.expr.WinnowFps(
+          GraftColumnBridge.expression(col("text")), k, window))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.gpos").as("gpos"))
   }
 
   /** SPAN-LEVEL DUPLICATE REMOVAL — the excision step [[winnowedDupSpans]]

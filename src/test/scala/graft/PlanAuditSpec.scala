@@ -231,14 +231,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(1500))
   }
 
-  test("winnowing: doc-keyed window, fingerprint joins keyed, no cartesian") {
+  test("winnowing: kernel selection needs no window/shuffle, fingerprint joins keyed, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // the fingerprint-selection half (shared by both consumers; pinned
-    // on the builder since winnowRemoval checkpoints it away): one
-    // doc-keyed window, text never joins
+    // on the builder since winnowRemoval checkpoints it away): ONE
+    // codegen kernel pass per document — no window operator, no sort,
+    // no exchange anywhere before the fingerprints exist
     val fpsPlan = graft.ops.Dedup.winnowedFps(docs)
       .queryExecution.executedPlan.toString
-    assert(fpsPlan.contains("Window"), fpsPlan.take(1500))
+    assert(!fpsPlan.contains("Window"), fpsPlan.take(1500))
+    assert(!fpsPlan.contains("Exchange"), fpsPlan.take(1500))
+    assert(!fpsPlan.contains("Sort"), fpsPlan.take(1500))
+    assert(fpsPlan.contains("winnow_fps"), fpsPlan.take(1500))
     assert(!fpsPlan.contains("CartesianProduct"), fpsPlan.take(1500))
     // the census + membership join downstream: keyed joins only
     val plan = graft.ops.Dedup.winnowedDupSpans(docs)
