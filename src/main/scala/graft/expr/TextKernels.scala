@@ -48,6 +48,20 @@ object TextKernelOps {
   }
 }
 
+object TokenizeKernel {
+  /** Tokens exactly as `split(lower(trim(text)), "\\s+")` computes them:
+    * UTF8String lowercase (locale-independent, = Spark `lower`),
+    * space-only trim (Spark `trim` strips ' ' only, not \t/\n), Java
+    * regex split with limit -1 (Spark `split` keeps trailing empties). */
+  def sparkTokens(s: UTF8String): Array[String] = {
+    val lowered = s.toLowerCase.toString
+    var b = 0; var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    if (e <= b) Array("") else lowered.substring(b, e).split("\\s+", -1)
+  }
+}
+
 object WinnowKernel {
   private val Big = 1073741824L // 2^30 — the fp/gpos packing base
 
@@ -62,13 +76,7 @@ object WinnowKernel {
     * sliding window min runs as an O(n) monotonic deque instead of a
     * sort-based window operator. Emits DISTINCT (fp, gpos) structs. */
   def winnowFps(s: UTF8String, k: Int, window: Int): ArrayData = {
-    val lowered = s.toLowerCase.toString
-    // Spark trim() strips SPACES only (not \t/\n) — mirror that exactly
-    var b = 0; var e = lowered.length
-    while (b < e && lowered.charAt(b) == ' ') b += 1
-    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
-    val toks: Array[String] =
-      if (e <= b) Array("") else lowered.substring(b, e).split("\\s+", -1)
+    val toks = TokenizeKernel.sparkTokens(s)
     val n = toks.length
     if (n < k + window - 1) return new GenericArrayData(Array.empty[Any])
     val nGrams = n - k + 1
@@ -139,6 +147,95 @@ case class WinnowFps(child: Expression, k: Int, window: Int)
       s"graft.expr.WinnowKernel.winnowFps($c, $k, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object MinhashKernel {
+  private val Mersenne = 2147483647L
+  private val Mod = 1000000007L
+
+  /** MinHash LSH band signatures for ONE document, single pass — the
+    * kernel behind [[MinhashBands]], producing exactly the
+    * `(band, band_sig)` values of `graft.ops.Dedup.bandSignatures`'s old
+    * explode + groupBy formulation: word 3-shingles of the Spark-
+    * tokenized text, the md5-prefix shingle hash, the fixed
+    * `h*(2j+1) + (j*2654435761 + 104729) % 2^31-1` permutation family
+    * folded to per-band signatures over the SORTED member minima with
+    * the `(a*31 + x) % 1e9+7` polynomial. min() is duplicate-insensitive,
+    * so no shingle distinct is needed; docs under 3 tokens emit no
+    * bands (the old shingle filter). All arithmetic stays under 2^63. */
+  def bandSignatures(s: UTF8String, numPerm: Int, rowsPerBand: Int): ArrayData = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - 3) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      val h = Md5Ops.md5Prefix(UTF8String.fromString(sb.toString), 8)
+      var j = 0
+      while (j < numPerm) {
+        val v = h * (2L * j + 1L) + ((j * 2654435761L + 104729L) % Mersenne)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numPerm / rowsPerBand
+    val rows = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val members = java.util.Arrays.copyOfRange(
+        mins, b * rowsPerBand, (b + 1) * rowsPerBand)
+      java.util.Arrays.sort(members)
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) { acc = (acc * 31L + members(r)) % Mod; r += 1 }
+      rows(b) = org.apache.spark.sql.catalyst.InternalRow(b, acc)
+      b += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `minhash_bands(text, numPerm, rowsPerBand) -> array<struct<band,
+  * band_sig>>`: per-document MinHash LSH band signatures as one codegen
+  * pass — a pure projection (no shuffle, no aggregation state), so the
+  * same expression serves batch signature builds, incremental gates, AND
+  * streaming queries, and the corpus-wide groupBy that used to build
+  * signatures disappears entirely. */
+case class MinhashBands(child: Expression, numPerm: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_sig", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numPerm < 1 || rowsPerBand < 1 || numPerm % rowsPerBand != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs numPerm a positive multiple of rowsPerBand")
+    else if (numPerm > 32)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName permutation family is sized for numPerm <= 32")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.bandSignatures(input.asInstanceOf[UTF8String], numPerm, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.MinhashKernel.bandSignatures($c, $numPerm, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
 }
 

@@ -81,81 +81,33 @@ object Dedup {
     require(numPerm % rowsPerBand == 0,
       s"numPerm ($numPerm) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(numPerm <= 32, "permutation family is sized for pa <= 65: pa*h must stay under 2^63")
-    // Fixed multiplier/offset permutation family over the PORTABLE 32-bit
-    // shingle hash (md5-derived — the DuckDB oracle reproduces it exactly;
-    // see PortableHash). pa <= 2*numPerm+1 and h < 2^32 keep `pa*h + pb`
-    // well under 2^63 (ANSI mode — overflow would throw). All numPerm mins
-    // are computed in ONE map-side-combinable aggregate over the shingle
-    // hashes: min() is duplicate-insensitive, so no distinct is needed, and
-    // the only wide shuffle moves (doc_id, numPerm longs) partials — not
-    // the numPerm× row blowup a permutation cross-join would produce.
-    val mersenne = 2147483647L
-    val minCols = (0 until numPerm).map { j =>
-      val pa = 2L * j + 1L
-      val pb = (j * 2654435761L + 104729L) % mersenne
-      min(col("h") * lit(pa) + lit(pb)).as(s"mh$j")
-    }
-    val sigRows = shingles(docs)
-      .select(col("doc_id"), PortableHash.md5Hash32(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-
-    // band signature = portable polynomial fold of the band's sorted min
-    // values (sorted: band membership is a set, keeping the signature
-    // stable under permutation reordering; the fold keeps the shuffle key
-    // one long instead of a rowsPerBand-long array)
-    val nBands = numPerm / rowsPerBand
-    val bandStructs = (0 until nBands).map { b =>
-      val members = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(", ")
-      struct(lit(b).as("band"), expr(
-        s"aggregate(sort_array(array($members)), CAST(0 AS BIGINT), " +
-          "(a, x) -> (a * 31 + x) % 1000000007)").as("band_sig"))
-    }
-    sigRows
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    // Signatures are PER-DOCUMENT, so they compute as one codegen kernel
+    // pass (graft.expr.MinhashKernel: Spark-tokenize → md5-prefix shingle
+    // hash → all numPerm permutation minima in one sweep → sorted-member
+    // polynomial band fold) — a pure projection. The corpus-wide
+    // groupBy(doc_id) the old explode + min-aggregate formulation paid is
+    // GONE: no shuffle exists until a consumer joins on the band keys.
+    // Values are bit-identical (same hash, same fixed permutation family,
+    // same fold — the DuckDB oracle replay is unchanged), and min() is
+    // duplicate-insensitive so no shingle distinct is needed.
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col("doc_id"),
+        explode(GraftColumnBridge.column(graft.expr.MinhashBands(
+          GraftColumnBridge.expression(col("text")), numPerm, rowsPerBand))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
-  /** Per-ROW minhash band signatures — the same `(doc_id, band,
-    * band_sig)` values as [[bandSignatures]], but computed as a pure
-    * projection (higher-order `aggregate` over the row's own shingle
-    * array, no shuffle, no state), which makes it legal inside a
-    * streaming query. The shingle hash uses the documented built-in SQL
-    * twin of the native `Md5Prefix` kernel (`conv(substring(md5(s)..)`,
-    * pinned equal in `VectorExprsSpec`), so signatures match the batch index
-    * bit-for-bit. Rows with fewer than 3 tokens produce no output rows
-    * (same as the batch path's shingle filter). */
+  /** Per-ROW minhash band signatures — since round 9, [[bandSignatures]]
+    * IS a pure projection (the [[graft.expr.MinhashBands]] kernel: no
+    * shuffle, no aggregation state), so the batch and streaming paths
+    * share one definition and signatures match any persisted index
+    * bit-for-bit by construction. Kept as an alias for the streaming
+    * call sites' intent. */
   def rowBandSignatures(
       docs: DataFrame,
       numPerm: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    require(numPerm % rowsPerBand == 0,
-      s"numPerm ($numPerm) must be a multiple of rowsPerBand ($rowsPerBand)")
-    require(numPerm <= 32, "permutation family is sized for pa <= 65: pa*h must stay under 2^63")
-    val mersenne = 2147483647L
-    val mhCols = (0 until numPerm).map { j =>
-      val pa = 2L * j + 1L
-      val pb = (j * 2654435761L + 104729L) % mersenne
-      expr(s"aggregate(__hs, CAST(9223372036854775807 AS BIGINT), " +
-        s"(a, x) -> least(a, x * $pa + $pb))")
-    }
-    val nBands = numPerm / rowsPerBand
-    val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"), expr(
-        s"aggregate(sort_array(slice(__mh, ${b * rowsPerBand + 1}, $rowsPerBand)), " +
-          "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)").as("band_sig"))
-    }
-    docs
-      .withColumn("__toks", split(lower(trim(col("text"))), "\\s+"))
-      .filter(size(col("__toks")) >= 3)
-      .withColumn("__hs", expr(
-        "transform(transform(sequence(0, size(__toks) - 3), " +
-          "i -> concat(__toks[i], ' ', __toks[i+1], ' ', __toks[i+2])), " +
-          "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("__mh", array(mhCols: _*))
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-  }
+      rowsPerBand: Int = 4): DataFrame =
+    bandSignatures(docs, numPerm, rowsPerBand)
 
   /** SimHash bit width: 60 bits (15 md5 hex digits) — the widest portable
     * hash that keeps every bit-shift product inside signed-64 ANSI math. */
