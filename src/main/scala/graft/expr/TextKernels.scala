@@ -239,6 +239,73 @@ case class MinhashBands(child: Expression, numPerm: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+object SimhashKernel {
+  private val Bits = 60
+
+  /** 60-bit SimHash for ONE document, single pass — the kernel behind
+    * [[Simhash60]], value-identical to the old explode + two-aggregate
+    * pipeline: term frequency over the Spark-tokenized text (each
+    * DISTINCT token hashes once with the md5-prefix 60-bit hash,
+    * weighted by its count), per-bit set-weights S_i, and bit i set iff
+    * 2·S_i > Σcnt (the classic ±1 majority in integer form). */
+  def simhash60(s: UTF8String): Long = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    val tf = new java.util.HashMap[String, Long]()
+    var t = 0
+    while (t < toks.length) {
+      val prev = tf.get(toks(t))
+      tf.put(toks(t), if (prev == null) 1L else prev + 1L)
+      t += 1
+    }
+    var total = 0L
+    val sums = new Array[Long](Bits)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue.longValue()
+      val h = Md5Ops.md5Prefix(UTF8String.fromString(e.getKey), 15)
+      total += cnt
+      var i = 0
+      while (i < Bits) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += cnt
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < Bits) {
+      if (2L * sums(i) > total) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `simhash60(text) -> long`: per-document 60-bit SimHash as one codegen
+  * pass — a pure projection replacing the token explode + per-(doc,tok)
+  * count + 60-bit-sum aggregate (two shuffles) with zero shuffles. */
+case class Simhash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName input must be string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashKernel.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SimhashKernel.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

@@ -113,34 +113,19 @@ object Dedup {
     * hash that keeps every bit-shift product inside signed-64 ANSI math. */
   val SimhashBits = 60
 
-  /** 60-bit SimHash per document: per token-hash, ±1 contributions per bit
-    * (unpivoted to (doc_id, bit) rows — a 64-wide single-pass aggregate
-    * generates pathological whole-stage codegen, so the narrow explode +
-    * two map-side-combinable aggregates is both faster to compile and
-    * scales: the (doc_id, bit) partial sums combine before the shuffle).
-    * Token hash is the portable md5-derived 60-bit integer, so the DuckDB
-    * oracle reproduces the exact signature. */
+  /** 60-bit SimHash per document — one codegen kernel pass
+    * ([[graft.expr.SimhashKernel]]: term frequency, each distinct token
+    * hashed once with the portable md5-derived 60-bit integer, per-bit
+    * majority as `2·S_i > T`), a pure projection. The old formulation's
+    * two shuffles (per-(doc, token) count, per-doc 60-bit-sum aggregate)
+    * are gone; signatures are value-identical, so the DuckDB oracle
+    * replay is unchanged. Docs with null text emit no row (matching the
+    * old explode's behavior). */
   def simhash(docs: DataFrame): DataFrame = {
-    // Term-frequency first: repeated tokens contribute cnt·(±1), so the
-    // hash runs once per DISTINCT (doc, token).
-    val toks = docs.select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), PortableHash.md5Hash60(col("tok")).as("h"), col("cnt"))
-    // ONE hash-aggregate for all 60 bit counters: per doc, the total
-    // token weight T = Σcnt and per-bit set-weight S_i = Σ cnt·bit_i(h).
-    // The classic ± sum per bit is 2·S_i − T, so bit i of the signature
-    // is set iff 2·S_i > T. Versus the explode-60-bits shape this needs
-    // no row fan-out and no (doc, bit) shuffle — the partial aggregate
-    // combines map-side and the single shuffle carries 61 longs per doc.
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(expr(s"cnt * (shiftright(h, $i) & 1)")).as(s"s$i"))
-    val sigExpr = (0 until SimhashBits).map(i =>
-      s"CASE WHEN 2 * s$i > t THEN shiftleft(CAST(1 AS BIGINT), $i) " +
-        "ELSE CAST(0 AS BIGINT) END").mkString(" + ")
-    toks.groupBy("doc_id")
-      .agg(sum(col("cnt")).as("t"), bitSums: _*)
-      .select(col("doc_id"), expr(sigExpr).as("simhash"))
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), GraftColumnBridge.column(graft.expr.Simhash60(
+        GraftColumnBridge.expression(col("text")))).as("simhash"))
   }
 
   /** SimHash near-duplicate candidate pairs by Hamming distance, using
