@@ -306,6 +306,78 @@ case class Simhash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object NgramKernel {
+  /** Word n-gram repetition census for ONE document, single pass — the
+    * kernel behind [[DupNgramStats]]: gram histogram over the
+    * Spark-tokenized text, then (n_grams, gram_chars, dup_chars) where
+    * chars count CODE POINTS (= Spark `length`) and dup weight is the
+    * full char mass of every gram occurring more than once. Docs with
+    * fewer than n tokens return (0, 0, 0) — they can never carry dup
+    * mass, so downstream `dup_chars > 0` filters drop them exactly like
+    * the old pre-explode size filter did. */
+  def dupNgramStats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    if (toks.length < n)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    var nGrams = 0L; var gramChars = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      val g = e.getKey
+      val gc = g.codePointCount(0, g.length).toLong
+      nGrams += c
+      gramChars += c * gc
+      if (c > 1L) dupChars += c * gc
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nGrams, gramChars, dupChars)
+  }
+}
+
+/** `dup_ngram_stats(text, n) -> struct<n_grams, gram_chars, dup_chars>`:
+  * per-document word-n-gram repetition census as one codegen pass — a
+  * pure projection replacing the gram explode + per-(doc, gram) count +
+  * per-doc re-aggregate (two shuffles) with zero shuffles. */
+case class DupNgramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("gram_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "dup_ngram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be positive")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramKernel.dupNgramStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.NgramKernel.dupNgramStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramStats =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

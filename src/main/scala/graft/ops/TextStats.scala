@@ -189,31 +189,26 @@ object TextStats {
     * [[repetitionStats]]. Returns only documents with any duplication,
     * worst first.
     *
-    * Scale shape: one explode (grams never leave their doc's partition
-    * until the (doc, gram) hash aggregate, which is map-side
-    * combinable), one per-doc re-aggregate. Counting is exact integers;
-    * the single ratio is integral permille (`DIV`), so the output is
-    * engine-exact. */
-  def dupNgramChars(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
-      .groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("gc", length(col("gram")).cast("long"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        sum(col("cnt") * col("gc")).as("gram_chars"),
-        sum(when(col("cnt") > 1, col("cnt") * col("gc"))
-          .otherwise(lit(0L))).as("dup_chars"))
+    * Scale shape: the whole census is PER-DOCUMENT, so it runs as one
+    * codegen kernel pass ([[graft.expr.NgramKernel]] — gram histogram +
+    * char mass in a single sweep, chars = code points like Spark
+    * `length`); the old gram explode + (doc, gram) aggregate + per-doc
+    * re-aggregate (two shuffles) is now a pure projection. Counting is
+    * exact integers; the single ratio is integral permille (`DIV`), so
+    * the output is engine-exact. */
+  def dupNgramChars(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), GraftColumnBridge.column(
+        graft.expr.DupNgramStats(
+          GraftColumnBridge.expression(col("text")), n)).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.gram_chars").as("gram_chars"), col("s.dup_chars").as("dup_chars"))
       .filter(col("dup_chars") > 0)
       .withColumn("dup_permille",
         expr("(dup_chars * 1000) DIV gram_chars"))
       .orderBy(col("dup_permille").desc, col("doc_id"))
+  }
 
   /** PATTERN MASKING (PII scrubbing): replace every match of `pattern`
     * with `mask` and report the per-doc redaction count — the

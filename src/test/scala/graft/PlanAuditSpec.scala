@@ -143,11 +143,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
-  test("dup ngram chars: partial aggregation before the gram shuffle, no cartesian") {
+  test("dup ngram chars: kernel projection — no aggregate, no shuffle before the sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.dupNgramChars(docs)
       .queryExecution.executedPlan.toString
-    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // the census is one per-doc kernel pass: no gram explode, no
+    // aggregation anywhere — the only exchange is the final orderBy
+    assert(plan.contains("dup_ngram_stats"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("Generate"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
