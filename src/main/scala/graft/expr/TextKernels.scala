@@ -318,7 +318,7 @@ object NgramKernel {
   def dupNgramStats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = TokenizeKernel.sparkTokens(s)
     if (toks.length < n)
-      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0L)
     val counts = new java.util.HashMap[String, Long]()
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -342,18 +342,23 @@ object NgramKernel {
       gramChars += c * gc
       if (c > 1L) dupChars += c * gc
     }
-    org.apache.spark.sql.catalyst.InternalRow(nGrams, gramChars, dupChars)
+    org.apache.spark.sql.catalyst.InternalRow(
+      nGrams, counts.size.toLong, gramChars, dupChars)
   }
 }
 
-/** `dup_ngram_stats(text, n) -> struct<n_grams, gram_chars, dup_chars>`:
-  * per-document word-n-gram repetition census as one codegen pass — a
-  * pure projection replacing the gram explode + per-(doc, gram) count +
-  * per-doc re-aggregate (two shuffles) with zero shuffles. */
+/** `dup_ngram_stats(text, n) -> struct<n_grams, n_distinct, gram_chars,
+  * dup_chars>`: per-document word-n-gram repetition census as one
+  * codegen pass — a pure projection replacing the gram explode +
+  * per-(doc, gram) count + per-doc re-aggregate (two shuffles) with
+  * zero shuffles. Serves both the count-based repetition ratio
+  * (n_grams/n_distinct) and the Gopher char-weighted fraction
+  * (gram_chars/dup_chars). */
 case class DupNgramStats(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
     StructField("gram_chars", LongType, nullable = false),
     StructField("dup_chars", LongType, nullable = false)))
   override def nullable: Boolean = child.nullable

@@ -166,20 +166,23 @@ object TextStats {
     * ratios flag boilerplate/spam for corpus filtering. One explode +
     * one hash aggregate per doc (map-side combinable; gram strings
     * shuffle once, bounded by corpus token count). */
-  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
-    docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("gram")).as("n_distinct"))
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    // same per-doc kernel as [[dupNgramChars]] (one pass, no explode, no
+    // countDistinct shuffle); short docs come back as all-zero rows and
+    // are filtered like the old pre-explode size gate
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), GraftColumnBridge.column(
+        graft.expr.DupNgramStats(
+          GraftColumnBridge.expression(col("text")), n)).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.n_distinct").as("n_distinct"))
+      .filter(col("n_grams") > 0)
       .withColumn("n_dup", col("n_grams") - col("n_distinct"))
       .withColumn("dup_ratio",
         round(col("n_dup").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")
+  }
 
   /** DUPLICATE N-GRAM CHARACTER FRACTION (the Gopher-style repetition
     * filter): per document, the share of gram characters covered by word

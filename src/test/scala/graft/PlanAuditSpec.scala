@@ -74,12 +74,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
-  test("repetition signal: partial aggregation before the gram shuffle") {
+  test("repetition signal: kernel projection — no aggregate, no gram explode") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.repetitionStats(docs)
       .queryExecution.executedPlan.toString
-    // count + countDistinct over exploded grams must combine map-side
-    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // per-doc kernel pass: no explode rows, no count/countDistinct
+    // aggregation — the only exchange is the final orderBy
+    assert(plan.contains("dup_ngram_stats"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("Generate"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
