@@ -383,6 +383,74 @@ case class DupNgramStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object BucketBagKernel {
+  /** Hashed word-bigram bucket histogram for ONE document — the kernel
+    * behind [[HashedBigramBuckets]]: word bigrams of the Spark-tokenized
+    * text, each hashed with the md5-prefix 32-bit hash mod `buckets`,
+    * counted into (bucket, count) structs. The DSIR-style feature bag as
+    * distinct-bucket rows instead of one exploded row per bigram
+    * occurrence. Docs under 2 tokens emit no buckets (the old size
+    * filter). */
+  def bigramBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[Long, Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      val b = Md5Ops.md5Prefix(UTF8String.fromString(sb.toString), 8) % buckets
+      val prev = counts.get(b)
+      counts.put(b, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val rows = new Array[Any](counts.size)
+    var r = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue.longValue())
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `bigram_buckets(text, N) -> array<struct<b, c>>`: per-document hashed
+  * word-bigram bucket histogram as one codegen pass — the explode fodder
+  * for DSIR-style affinity scoring shrinks from one row per bigram
+  * occurrence to the document's distinct-bucket count. */
+case class HashedBigramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bigram_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (buckets < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName buckets must be positive")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BucketBagKernel.bigramBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.BucketBagKernel.bigramBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBigramBuckets =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

@@ -26,11 +26,14 @@ object Selection {
     * totals — the doc's mean target-vs-raw likelihood ratio in permille.
     * 1000 ≈ typical; above = target-like, below = off-target.
     *
-    * Scale shape: one pass builds the bucket count table (bounded by
-    * `buckets`, so it BROADCASTS into the per-doc scoring join — no
-    * shuffle of the corpus by feature), the totals are a 1-row broadcast,
+    * Scale shape: each document's feature bag is ONE codegen kernel pass
+    * ([[graft.expr.BucketBagKernel]] — hashed-bigram bucket histogram),
+    * so the explode fodder is distinct buckets per doc, not one row per
+    * bigram occurrence. The bucket count table is bounded by `buckets`,
+    * so it BROADCASTS into the count-weighted per-doc scoring join — no
+    * shuffle of the corpus by feature; the totals are a 1-row broadcast,
     * and the per-doc aggregation is map-side combinable. The text never
-    * shuffles; the wide rows are `(doc_id, bucket)` pairs.
+    * shuffles; the wide rows are `(doc_id, bucket, count)` triples.
     *
     * @param target a boolean Column over `docs` rows marking the target
     *               distribution (must select ≥1 bigram, or the
@@ -38,23 +41,22 @@ object Selection {
   def targetAffinity(docs: DataFrame, target: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.GraftColumnBridge
     val feats = docs
       .select(col("doc_id"), target.as("is_t"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("is_t"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+        explode(GraftColumnBridge.column(graft.expr.HashedBigramBuckets(
+          GraftColumnBridge.expression(col("text")), buckets))).as("f"))
       .select(col("doc_id"), col("is_t"),
-        pmod(PortableHash.md5Hash32(col("bg")), lit(buckets.toLong)).as("b"))
+        col("f.b").as("b"), col("f.c").as("c"))
     val table = feats.groupBy("b").agg(
-      count(lit(1)).as("n_r"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+      sum(col("c")).as("n_r"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("n_t"))
     val totals = table.agg(sum("n_r").as("tot_r"), sum("n_t").as("tot_t"))
     feats.join(broadcast(table), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        sum("n_t").as("s_t"), sum("n_r").as("s_r"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("n_t") * col("c")).as("s_t"),
+        sum(col("n_r") * col("c")).as("s_r"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_feats"), expr(
         "CAST(s_t AS DECIMAL(38,0)) * CAST(tot_r AS DECIMAL(38,0)) * 1000 div " +
