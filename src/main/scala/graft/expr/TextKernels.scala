@@ -451,6 +451,66 @@ case class HashedBigramBuckets(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+object AlnumTokenKernel {
+  /** Lowercased alphanumeric token histogram for ONE document — the
+    * kernel behind [[AlnumTokenCounts]]: `split(lower(text),
+    * "[^a-z0-9]+")` tokens (empties dropped, exactly the retrieval
+    * tokenizer) counted into (tok, c) structs — one row per DISTINCT
+    * (doc, token) downstream instead of one per occurrence, which turns
+    * df censuses into plain counts and tf extraction into a projection. */
+  def tokenCounts(s: UTF8String): ArrayData = {
+    val parts = s.toLowerCase.toString.split("[^a-z0-9]+", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty) {
+        val prev = counts.get(p)
+        counts.put(p, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val rows = new Array[Any](counts.size)
+    var r = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue.longValue())
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `alnum_token_counts(text) -> array<struct<tok, c>>`: per-document
+  * lowercased-alphanumeric token histogram as one codegen pass — the
+  * shared tokenizer of the BM25 / TF-IDF retrieval surface with the
+  * per-(doc, token) aggregation already folded in. */
+case class AlnumTokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "alnum_token_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName input must be string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AlnumTokenKernel.tokenCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.AlnumTokenKernel.tokenCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AlnumTokenCounts =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

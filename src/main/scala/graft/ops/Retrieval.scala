@@ -31,6 +31,19 @@ object Retrieval {
     docs.select(col(idCol), explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
       .filter(length(col("tok")) > 0)
 
+  /** Per-doc token HISTOGRAM rows `(doc_id, tok, c)` — the
+    * [[graft.expr.AlnumTokenCounts]] kernel pass: one row per DISTINCT
+    * (doc, token), with the occurrence count folded in. Docs with no
+    * alphanumeric tokens emit no rows (same as [[tokens]]' empty
+    * filter). */
+  private def tokenHist(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col(idCol),
+        explode(GraftColumnBridge.column(graft.expr.AlnumTokenCounts(
+          GraftColumnBridge.expression(col("text"))))).as("t"))
+      .select(col(idCol), col("t.tok").as("tok"), col("t.c").as("c"))
+  }
+
   /** BM25 top-k: rank documents against `queryTerms`.
     *
     * Emits (doc_id, score_micro, rank) where `score_micro` is the
@@ -53,16 +66,27 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     val k1m = math.round(k1 * 1000)
     val bm = math.round(b * 1000)
-    val toks = tokens(docs)
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // per-doc token histograms (kernel pass): doc length is a PROJECTION
+    // over each doc's own histogram array — the old groupBy(doc_id)
+    // count over exploded tokens is gone, and tf needs no (doc, tok)
+    // aggregate. Zero-token docs are excluded like the old empty filter.
+    import org.apache.spark.sql.GraftColumnBridge
+    val withH = docs.select(col("doc_id"),
+        GraftColumnBridge.column(graft.expr.AlnumTokenCounts(
+          GraftColumnBridge.expression(col("text")))).as("h"))
+      .filter(size(col("h")) > 0)
+    val docLen = withH.select(col("doc_id"),
+      expr("aggregate(h, CAST(0 AS BIGINT), (a, x) -> a + x.c)").as("dl"))
     // corpus scalars as a 1-row frame (broadcast), not a driver action
     val corpus = docLen.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
 
-    val qToks = toks.filter(col("tok").isin(queryTerms: _*))
-    val df = qToks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = qToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val qRows = withH.select(col("doc_id"), explode(col("h")).as("t"))
+      .select(col("doc_id"), col("t.tok").as("tok"), col("t.c").as("c"))
+      .filter(col("tok").isin(queryTerms: _*))
+    val df = qRows.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = qRows.select(col("doc_id"), col("tok"), col("c").as("tf"))
 
     val scored = tf
       .join(broadcast(df), "tok")
@@ -108,16 +132,16 @@ object Retrieval {
     * cross-join; the final ranking is a window partitioned by doc_id —
     * per-document top-k, never a global sort. */
   def tfidfTopK(docs: DataFrame, selection: Column, k: Int): DataFrame = {
-    val toks = tokens(docs)
     // N = documents with at least one token (the df universe). A doc has
     // a token iff its lowercased text contains any [a-z0-9] — counted
     // with a cheap scan instead of a second full-corpus tokenize
     val corpus = docs.filter(lower(col("text")).rlike("[a-z0-9]"))
       .agg(count(lit(1)).as("n_docs"))
-    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = docs.filter(selection)
-      .transform(tokens(_))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // histogram rows are one per DISTINCT (doc, token), so df is a plain
+    // count (no countDistinct expansion) and tf is a projection
+    val df = tokenHist(docs).groupBy("tok").agg(count(lit(1)).as("df"))
+    val tf = tokenHist(docs.filter(selection))
+      .select(col("doc_id"), col("tok"), col("c").as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_milli").desc, col("tok"))
     tf.join(broadcast(df), "tok")
