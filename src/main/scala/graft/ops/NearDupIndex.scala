@@ -150,4 +150,52 @@ final class NearDupIndex(
     * compaction. None = nothing small enough to fold. */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
+
+  /** STREAMING gate: run every micro-batch of `docs` through the
+    * [[admit]] logic — bucket-pruned probe against the standing index,
+    * survivors' band signatures appended in one commit, survivors handed
+    * to `onSurvivors` (write them to the corpus table, a sink, etc.).
+    *
+    * Versus `EventStreams.nearDupStream` (a stream-static band join that
+    * re-scans the WHOLE index every micro-batch and only FLAGS
+    * collisions), this is the closed-loop form: each batch's probe reads
+    * only the index files its band keys collide with, and admitted docs
+    * become part of the index for the very next batch.
+    *
+    * Redelivery-safe under foreachBatch's at-least-once (doc_ids must be
+    * stable across redelivery): a doc whose signatures are ALREADY in
+    * the index under its own id was admitted by a previous delivery of
+    * this batch — it passes through to `onSurvivors` again (the sink
+    * sees at-least-once, never loses a survivor) and appends nothing.
+    * The already-indexed check probes the same PRUNED slice as the
+    * collision join — a doc's own signatures live in its own band
+    * buckets — so no full index scan enters the loop. */
+  def admitStream(
+      docs: DataFrame,
+      checkpointDir: String)(
+      onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSigs = Dedup.bandSignatures(batch, numPerm, rowsPerBand)
+          .localCheckpoint()
+        // the bucket-pruned index slice, materialized once — feeds the
+        // collision join AND both already-indexed checks
+        val probed = probeSignatures(batchSigs).localCheckpoint()
+        val indexedIds = probed.select(col("doc_id")).distinct()
+        val flagged = Dedup.bandCollisions(batchSigs, probed)
+          .select(col("doc_id"))
+          .join(indexedIds, Seq("doc_id"), "left_anti") // self-indexed ≠ dup
+        val survivors = batch.join(flagged, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val fresh = survivors.join(indexedIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (fresh.count() > 0)
+          engine.append(ref,
+            Dedup.bandSignatures(fresh, numPerm, rowsPerBand)
+              .select(col("doc_id"), col("band"), col("band_sig")))
+        onSurvivors(survivors)
+      }
+      .start()
 }

@@ -124,6 +124,45 @@ class NearDupIndexSpec extends SparkSpec {
     assert(probedAfter.nonEmpty && probedAfter.size < postCompact)
   }
 
+  test("admitStream: closed-loop micro-batch gate — pruned probe, index grows, dups rejected") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("ndadmit").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.admit_index", nBuckets = 8)
+    idx.create()
+    idx.bootstrap(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+
+    val admitted = scala.collection.mutable.Buffer.empty[Long]
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("ndadmitc").toString
+    val q = idx.admitStream(input.toDF(), ckpt) { surv =>
+      admitted ++= surv.select("doc_id").as[Long].collect(); ()
+    }
+    try {
+      // batch 1: a corpus dup (rejected) + a new doc (admitted + indexed)
+      input.addData(
+        StreamDoc(1, "the quick brown fox jumps over the lazy dog"),
+        StreamDoc(2, "sphinx of black quartz judge my vow tonight"))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(2L), admitted.toString)
+      // batch 2: a dup of the batch-1 SURVIVOR is rejected — the gate
+      // remembered it across micro-batches via the index append
+      input.addData(
+        StreamDoc(3, "sphinx of black quartz judge my vow tonight"),
+        StreamDoc(4, "completely new material unlike anything indexed before"))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(2L, 4L), admitted.toString)
+      // index holds exactly corpus + the two survivors (4 bands each)
+      assert(idx.signatures.select("doc_id").distinct().as[Long]
+        .collect().sorted.toSeq == Seq(100L, 2L, 4L).sorted)
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate probes the PERSISTED index as its static side") {
     val s2 = spark
     import s2.implicits._
