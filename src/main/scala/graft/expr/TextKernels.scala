@@ -511,6 +511,67 @@ case class AlnumTokenCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object CharNgramKernel {
+  /** DISTINCT character n-grams of ONE document, single pass — the
+    * kernel behind [[CharNgramSet]]: code-point sliding window of width
+    * n over the RAW text (same as `substring(text, i, n)` over
+    * `sequence(1, length(text)-n+1)`), deduplicated in-kernel — the
+    * per-doc distinct that used to be a corpus-wide (doc, gram) string
+    * shuffle. Docs under n code points return an empty array. */
+  def charNgramSet(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // code-point start offsets (cp count + 1 entries, last = len)
+    var cp = 0
+    var i = 0
+    while (i < len) { i = str.offsetByCodePoints(i, 1); cp += 1 }
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](cp + 1)
+    i = 0; var c = 0
+    while (c < cp) { offs(c) = i; i = str.offsetByCodePoints(i, 1); c += 1 }
+    offs(cp) = len
+    val seen = new java.util.LinkedHashSet[String]()
+    var g = 0
+    while (g + n <= cp) {
+      seen.add(str.substring(offs(g), offs(g + n)))
+      g += 1
+    }
+    val rows = new Array[Any](seen.size)
+    var r = 0
+    val it = seen.iterator()
+    while (it.hasNext) { rows(r) = UTF8String.fromString(it.next()); r += 1 }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `char_ngram_set(text, n) -> array<string>`: per-document DISTINCT
+  * character n-grams as one codegen pass — the Jaccard gram sets without
+  * the corpus-wide distinct shuffle (dedup happens inside each row). */
+case class CharNgramSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngram_set"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be positive")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgramKernel.charNgramSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.CharNgramKernel.charNgramSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramSet =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

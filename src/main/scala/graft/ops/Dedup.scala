@@ -319,13 +319,16 @@ object Dedup {
     if (threshold <= 0 || maxDeg <= threshold) 1
     else math.min(32L, (maxDeg + threshold - 1) / threshold).toInt
 
-  /** Character n-gram sets per document (distinct), for Jaccard dedup. */
-  def charNgrams(docs: DataFrame, n: Int): DataFrame =
-    docs.filter(length(col("text")) >= n)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
-        .as("gram"))
-      .distinct()
+  /** Character n-gram sets per document (distinct), for Jaccard dedup —
+    * deduplicated IN-KERNEL ([[graft.expr.CharNgramKernel]]) per
+    * document, so the old corpus-wide (doc, gram) distinct shuffle is
+    * gone; the gram join downstream is the only wide shuffle left. */
+  def charNgrams(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col("doc_id"), col("lang"),
+      explode(GraftColumnBridge.column(graft.expr.CharNgramSet(
+        GraftColumnBridge.expression(col("text")), n))).as("gram"))
+  }
 
   /** N-gram Jaccard similarity for same-language doc pairs (pairs with at
     * least one shared gram; gram join is the only wide shuffle).

@@ -177,6 +177,17 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(kernel) == rows(legacy))
   }
 
+  test("CharNgramSet == legacy char-ngram explode + distinct formulation") {
+    val docs = trickyDocs.withColumn("lang", lit("xx"))
+    val n = 4
+    val legacy = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+        .as("gram"))
+      .distinct()
+    assert(rows(graft.ops.Dedup.charNgrams(docs, n)) == rows(legacy))
+  }
+
   test("BigramCounts == legacy char-bigram explode formulation") {
     val docs = trickyDocs
     val legacy = docs
