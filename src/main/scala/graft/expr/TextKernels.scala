@@ -572,6 +572,61 @@ case class CharNgramSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object WordNgramKernel {
+  /** DISTINCT word n-grams of ONE document, single pass — the kernel
+    * behind [[WordNgramSet]]: Spark-tokenized text, n-token grams joined
+    * with ' ' (same as `concat_ws(' ', slice(toks, i, n))`),
+    * deduplicated in-kernel. Docs under n tokens return an empty
+    * array. */
+  def wordNgramSet(s: UTF8String, n: Int): ArrayData = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val rows = new Array[Any](seen.size)
+    var r = 0
+    val it = seen.iterator()
+    while (it.hasNext) { rows(r) = UTF8String.fromString(it.next()); r += 1 }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `word_ngram_set(text, n) -> array<string>`: per-document DISTINCT
+  * word n-grams as one codegen pass — decontamination's gram sets
+  * without the corpus-wide distinct shuffle. */
+case class WordNgramSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngram_set"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be positive")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input must be string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramKernel.wordNgramSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WordNgramKernel.wordNgramSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramSet =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

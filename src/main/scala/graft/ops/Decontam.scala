@@ -21,15 +21,16 @@ object Decontam {
   /** Distinct word n-grams per document: (doc_id, split, gram). Tokens
     * are whitespace-split over lowercased trimmed text (same
     * tokenization as [[Dedup.shingles]]); documents shorter than `n`
-    * tokens carry no grams. */
-  def wordNgrams(docs: DataFrame, split: Column, n: Int): DataFrame =
+    * tokens carry no grams. Deduplicated IN-KERNEL
+    * ([[graft.expr.WordNgramKernel]]) — the old corpus-wide (doc, gram)
+    * distinct shuffle is gone; the cross-split semi join is the only
+    * wide shuffle left. */
+  def wordNgrams(docs: DataFrame, split: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     docs.select(col("doc_id"), split.as("split"),
-        org.apache.spark.sql.functions.split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("split"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-        .as("gram"))
-      .distinct()
+      explode(GraftColumnBridge.column(graft.expr.WordNgramSet(
+        GraftColumnBridge.expression(col("text")), n))).as("gram"))
+  }
 
   /** Containment of each test document's n-grams in the train split.
     * Emits (doc_id, n_grams, n_hit, containment) for every test doc with

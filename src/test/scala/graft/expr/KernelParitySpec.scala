@@ -188,6 +188,20 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(graft.ops.Dedup.charNgrams(docs, n)) == rows(legacy))
   }
 
+  test("WordNgramSet == legacy word-ngram explode + distinct formulation") {
+    val docs = trickyDocs
+    val n = 3
+    val legacy = docs.select(col("doc_id"), lit("train").as("split"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .distinct()
+    assert(rows(graft.ops.Decontam.wordNgrams(docs, lit("train"), n)) ==
+      rows(legacy))
+  }
+
   test("BigramCounts == legacy char-bigram explode formulation") {
     val docs = trickyDocs
     val legacy = docs
