@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expr.PortableHash
 
 /** Document deduplication for training-data pipelines: exact, MinHash+LSH,
   * and SimHash near-duplicate candidate generation.
@@ -37,16 +36,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_dups") > 1)
       .orderBy("digest")
-
-  /** Word 3-shingles of the lower-cased text (deduped downstream on the
-    * shingle hash, so no string-keyed distinct here). */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")).as("shingle"))
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -495,7 +484,7 @@ object Dedup {
     * complement to document-level near-dedup, approximating Lee et al.
     * 2021-style substring dedup without a suffix array.
     *
-    * Each word `k`-gram is hashed portably ([[PortableHash.md5Hash32]]);
+    * Each word `k`-gram is hashed portably ([[graft.expr.PortableHash.md5Hash32]]);
     * in every sliding window of `window` consecutive gram hashes the
     * minimum is selected (rightmost on ties — encoded by packing
     * `hash * 2^30 + (2^30-1-pos)` so one integer `min` does both the
