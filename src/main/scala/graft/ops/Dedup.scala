@@ -243,7 +243,7 @@ object Dedup {
     // the label side replicates S ways, splitting each hub's rows across
     // S tasks for an S× fan-out of the (id, label) frame only. Same
     // precedent as ngramJaccard's maxDf: bound the worst bucket.
-    val maxDeg = seed.agg(max(col("deg"))).head.getLong(0)
+    val maxDeg = seed.agg(max(col("deg"))).head().getLong(0)
     val nSalt = hubSalts(maxDeg, hubDegreeThreshold)
     // pre-partition edges by the join key ONCE: localCheckpoint captures
     // the hash partitioning, so every round's edges⋈labels join is already
