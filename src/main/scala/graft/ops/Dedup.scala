@@ -49,7 +49,11 @@ object Dedup {
       docs: DataFrame,
       numPerm: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val sigs = bandSignatures(docs, numPerm, rowsPerBand)
+    // materialize the signatures ONCE before the self-join: both sides
+    // derive from them, and without this the tokenize+hash kernel runs
+    // twice (same precedent as simhashCandidates' signature checkpoint;
+    // nBands fixed-width rows per doc — never the text)
+    val sigs = bandSignatures(docs, numPerm, rowsPerBand).localCheckpoint()
     val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
