@@ -82,15 +82,19 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
 
-    val qRows = withH.select(col("doc_id"), explode(col("h")).as("t"))
-      .select(col("doc_id"), col("t.tok").as("tok"), col("t.c").as("c"))
+    // dl rides ALONG each histogram row into the query-term filter, so
+    // no corpus-sized docLen join is needed on the scoring path (docLen
+    // above exists only to fold the corpus scalars)
+    val qRows = withH.select(col("doc_id"),
+        expr("aggregate(h, CAST(0 AS BIGINT), (a, x) -> a + x.c)").as("dl"),
+        explode(col("h")).as("t"))
+      .select(col("doc_id"), col("dl"), col("t.tok").as("tok"), col("t.c").as("c"))
       .filter(col("tok").isin(queryTerms: _*))
     val df = qRows.groupBy("tok").agg(count(lit(1)).as("df"))
-    val tf = qRows.select(col("doc_id"), col("tok"), col("c").as("tf"))
+    val tf = qRows.select(col("doc_id"), col("dl"), col("tok"), col("c").as("tf"))
 
     val scored = tf
       .join(broadcast(df), "tok")
-      .join(docLen, "doc_id")
       .crossJoin(broadcast(corpus))
       // ln of exact integers, milli-quantized round-half-up: the sole
       // float op — everything downstream is engine-exact BIGINT math
