@@ -334,7 +334,10 @@ object Dedup {
     *              every bucket is at most maxDf×maxDf. The default keeps
     *              the exact (unpruned) semantics. */
   def ngramJaccard(docs: DataFrame, n: Int, maxDf: Long = Long.MaxValue): DataFrame = {
-    val raw = charNgrams(docs, n)
+    // materialize the per-doc gram sets ONCE: the maxDf census, both
+    // self-join sides and the size census all consume them — without
+    // this the tokenize+dedup kernel would run up to four times
+    val raw = charNgrams(docs, n).localCheckpoint()
     val grams =
       if (maxDf == Long.MaxValue) raw
       else raw.join(

@@ -90,6 +90,9 @@ object Retrieval {
         explode(col("h")).as("t"))
       .select(col("doc_id"), col("dl"), col("t.tok").as("tok"), col("t.c").as("c"))
       .filter(col("tok").isin(queryTerms: _*))
+      // materialized once: df and tf both consume it, and the post-filter
+      // frame is term-posting-sized (never the corpus)
+      .localCheckpoint()
     val df = qRows.groupBy("tok").agg(count(lit(1)).as("df"))
     val tf = qRows.select(col("doc_id"), col("dl"), col("tok"), col("c").as("tf"))
 
