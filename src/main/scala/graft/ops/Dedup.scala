@@ -334,10 +334,12 @@ object Dedup {
     *              every bucket is at most maxDf×maxDf. The default keeps
     *              the exact (unpruned) semantics. */
   def ngramJaccard(docs: DataFrame, n: Int, maxDf: Long = Long.MaxValue): DataFrame = {
-    // materialize the per-doc gram sets ONCE: the maxDf census, both
-    // self-join sides and the size census all consume them — without
-    // this the tokenize+dedup kernel would run up to four times
-    val raw = charNgrams(docs, n).localCheckpoint()
+    // deliberately NOT materialized: the gram frame is ~n× the corpus
+    // bytes (one n-char string per character position), so checkpointing
+    // it would pin n× the corpus in executor storage at scale — while
+    // re-running the per-doc kernel for each consumer is a cheap CPU
+    // pass. Recompute wins at 100 TB.
+    val raw = charNgrams(docs, n)
     val grams =
       if (maxDf == Long.MaxValue) raw
       else raw.join(
