@@ -627,6 +627,64 @@ case class WordNgramSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object EntropyKernel {
+  /** Shannon character entropy of ONE document in micro-nats, single
+    * pass — the kernel behind [[CharEntropyMicro]], value-identical to
+    * the old explode + (doc, char) count + join + sum pipeline: counts
+    * per code point, per-class term `floor(p·ln(p)·1e6)` as a long
+    * (p = count/total over code points, ln = java.lang.Math.log — the
+    * same libm call Spark's `log` makes), entropy = −Σ terms. Long
+    * summation is order-independent, so the result is engine-exact.
+    * Caller must exclude empty strings (the old length > 0 filter). */
+  def charEntropyMicro(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      val p = c.toDouble / n.toDouble
+      sum += math.floor(p * math.log(p) * 1e6).toLong
+    }
+    -sum
+  }
+}
+
+/** `char_entropy_micro(text) -> long`: per-document character entropy in
+  * micro-nats as one codegen pass — a pure projection replacing the
+  * char explode + per-(doc, char) count + length join + per-doc sum
+  * (two shuffles and a join) with zero shuffles. */
+case class CharEntropyMicro(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_entropy_micro"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName input must be string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyKernel.charEntropyMicro(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.EntropyKernel.charEntropyMicro($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
+    copy(child = newChild)
+}
+
 /** `bigram_counts(string) -> map<string, long>`: per-row character-bigram
   * histogram as a native codegen expression — the no-row-blowup half of
   * [[graft.ops.TextStats.bigramFamiliarity]]'s census (the corpus count

@@ -147,16 +147,14 @@ object TextStats {
     * to micro-units BEFORE the per-doc sum so the DuckDB oracle compares
     * exact integers (same trick as [[Retrieval.bm25]]). */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val chars = docs.filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val lens = docs.select(col("doc_id"), length(col("text")).cast("double").as("n"))
-    counts.join(lens, "doc_id")
-      .withColumn("p", col("c").cast("double") / col("n"))
-      .withColumn("tm", floor(col("p") * log(col("p")) * lit(1e6)).cast("long"))
-      .groupBy("doc_id")
-      .agg((-sum(col("tm"))).as("entropy_micro"))
+    // per-document — one codegen kernel pass (graft.expr.EntropyKernel):
+    // the char explode + (doc, char) count + length join + per-doc sum
+    // pipeline is now a pure projection with identical micro-nat values
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), GraftColumnBridge.column(
+        graft.expr.CharEntropyMicro(
+          GraftColumnBridge.expression(col("text")))).as("entropy_micro"))
       .orderBy("doc_id")
   }
 

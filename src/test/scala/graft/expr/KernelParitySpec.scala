@@ -202,6 +202,21 @@ class KernelParitySpec extends SparkSpec {
       rows(legacy))
   }
 
+  test("CharEntropyMicro == legacy char explode + float-term formulation") {
+    val docs = trickyDocs
+    val chars = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("double").as("n"))
+    val legacy = counts.join(lens, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("tm", floor(col("p") * log(col("p")) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg((-sum(col("tm"))).as("entropy_micro"))
+    assert(rows(graft.ops.TextStats.charEntropy(docs)) == rows(legacy))
+  }
+
   test("BigramCounts == legacy char-bigram explode formulation") {
     val docs = trickyDocs
     val legacy = docs
