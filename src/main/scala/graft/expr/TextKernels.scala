@@ -309,12 +309,13 @@ case class Simhash60(child: Expression) extends UnaryExpression {
 object NgramKernel {
   /** Word n-gram repetition census for ONE document, single pass — the
     * kernel behind [[DupNgramStats]]: gram histogram over the
-    * Spark-tokenized text, then (n_grams, gram_chars, dup_chars) where
-    * chars count CODE POINTS (= Spark `length`) and dup weight is the
-    * full char mass of every gram occurring more than once. Docs with
-    * fewer than n tokens return (0, 0, 0) — they can never carry dup
-    * mass, so downstream `dup_chars > 0` filters drop them exactly like
-    * the old pre-explode size filter did. */
+    * Spark-tokenized text, then (n_grams, n_distinct, gram_chars,
+    * dup_chars) where chars count CODE POINTS (= Spark `length`) and dup
+    * weight is the full char mass of every gram occurring more than
+    * once. Docs with fewer than n tokens return (0, 0, 0, 0) — they can
+    * never carry dup mass, so downstream `dup_chars > 0` /
+    * `n_grams > 0` filters drop them exactly like the old pre-explode
+    * size filter did. */
   def dupNgramStats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = TokenizeKernel.sparkTokens(s)
     if (toks.length < n)

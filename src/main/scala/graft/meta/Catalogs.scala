@@ -32,11 +32,14 @@ private[meta] object MetadataLocations {
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
 
   /** `location` as a local filesystem path, or a descriptive error when
-    * it carries a non-file URI scheme. `backend` names the catalog in
-    * the message (e.g. "glue"). */
+    * it carries a non-file URI scheme (schemes compare case-insensitively
+    * per RFC 3986 — foreign writers do emit File://). `backend` names
+    * the catalog in the message (e.g. "glue"). */
   def localPath(location: String, backend: String): java.nio.file.Path =
     location match {
-      case SchemeRe("file") => Paths.get(java.net.URI.create(location))
+      case SchemeRe(scheme) if scheme.equalsIgnoreCase("file") =>
+        Paths.get(java.net.URI.create(
+          "file" + location.substring(scheme.length)))
       case SchemeRe(scheme) => throw new IllegalStateException(
         s"$backend catalog points table metadata at '$location' — " +
           s"remote object-store locations ($scheme://) are unsupported by " +

@@ -38,14 +38,18 @@ object Bpe {
       s"transform(sequence(0, size($symsCol) - 2), " +
       s"i -> struct($symsCol[i] AS l, $symsCol[i+1] AS r, $sign AS sign)))")
 
-  /** Does `syms` contain `r` immediately after `l`? The size guard must
-    * short-circuit (And does) — element_at past the end throws in ANSI
-    * mode. Literals go through `lit`, never string-spliced into expr:
+  /** Does `syms` contain `r` immediately after `l`? The size guard is a
+    * CaseWhen branch, NOT an And conjunct — Spark does not guarantee And
+    * operand evaluation order in filters, and for size-1 arrays the
+    * unguarded branch would descend sequence(0,-1) into an ANSI
+    * element_at(syms, 2) throw. CaseWhen only evaluates the selected
+    * branch. Literals go through `lit`, never string-spliced into expr:
     * l/r come from corpus text. */
   private def hasAdjacent(syms: Column, l: String, r: String): Column =
-    size(syms) >= 2 && exists(
+    when(size(syms) >= 2, exists(
       sequence(lit(0), size(syms) - 2),
-      i => element_at(syms, i + 1) === lit(l) && element_at(syms, i + 2) === lit(r))
+      i => element_at(syms, i + 1) === lit(l) && element_at(syms, i + 2) === lit(r)))
+      .otherwise(lit(false))
 
   /** Greedy left-to-right merge of (l, r) -> l+r: fold the tail of the
     * symbol array, fusing `s` into the accumulator's last element when

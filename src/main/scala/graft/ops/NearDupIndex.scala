@@ -192,8 +192,11 @@ final class NearDupIndex(
         val fresh = survivors.join(indexedIds, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         if (fresh.count() > 0)
+          // the fresh docs' signatures are already materialized in
+          // batchSigs — append from the checkpoint instead of paying a
+          // second tokenize+hash pass over the batch text
           engine.append(ref,
-            Dedup.bandSignatures(fresh, numPerm, rowsPerBand)
+            batchSigs.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("band"), col("band_sig")))
         onSurvivors(survivors)
       }

@@ -240,14 +240,19 @@ object ScanPlanner {
     val files = graft.rel.MetaRelations.files(spark, t, snapshotId)
     // one prune condition per spec-field name: the file's recorded value
     // must be among the transformed literals (or absent — conservative).
-    // A name with conflicting transforms across specs cannot prune.
+    // A name with conflicting transforms across specs cannot prune, and
+    // neither can one where ANY value fails to map through the transform
+    // (same contract as pruneFiles' single-value None): pruning on a
+    // PARTIAL literal set would drop files holding the unmappable
+    // value's rows while the residual row filter still matches them.
     val keep = specFields.groupBy(_.name).toSeq.sortBy(_._1).flatMap {
       case (pname, sfs) => sfs.map(_.transform).distinct match {
         case Seq(tr) =>
-          val pvs = values.flatMap(v =>
-            graft.meta.Transforms.literal(tr, v, src.fieldType)).distinct
-          Some(col("partition")(pname).isNull ||
-            col("partition")(pname).isin(pvs: _*))
+          val pvs = values.map(v =>
+            graft.meta.Transforms.literal(tr, v, src.fieldType))
+          if (pvs.exists(_.isEmpty)) None
+          else Some(col("partition")(pname).isNull ||
+            col("partition")(pname).isin(pvs.flatten.distinct: _*))
         case _ => None
       }
     }.foldLeft(lit(true))(_ && _)

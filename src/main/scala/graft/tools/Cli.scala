@@ -51,6 +51,11 @@ object Cli {
     s.matches("^(https?|thrift)://.*") || s.startsWith("jdbc:")
 
   def run(args: Array[String]): Int = {
+    // a trailing flag with no value must be a usage error, not a flag
+    // token silently consumed as the warehouse or a verb argument
+    if (args.nonEmpty && (args.last == "--config" || args.last == "--catalog")) {
+      usage(); return 2
+    }
     val (cfgPath, args1) = extractFlag(args, "--config")
     val (catName, args2) = extractFlag(args1, "--catalog")
     if (args2.length < 2) { usage(); return 2 }
