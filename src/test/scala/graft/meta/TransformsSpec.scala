@@ -138,6 +138,29 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("readTableWhereIn: an unmappable value disables pruning for the field (conservative)") {
+    val wh = Files.createTempDirectory("graft-in-wh2").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val tableDir = s"$wh/sales/orders"
+    SchemaEvolution.setPartitionSpec(tableDir, Seq("bucket[8](created_at)"))
+    val rows = (500L until 540L).map(i =>
+      (i, s"Cust $i", s"r${i % 3}", i * 1.5, java.sql.Date.valueOf("2024-06-01"),
+        java.sql.Timestamp.valueOf(s"2024-06-01 10:00:${i % 40}")))
+    TableWriter.append(spark, tableDir, rows.toDF(
+      "order_id", "customer_name", "region", "amount", "order_date", "created_at"))
+    val t = IcebergTable.load(tableDir)
+    // the ISO 'T' form: Transforms.literal (Timestamp.valueOf) cannot
+    // parse it -> the bucket field must emit NO prune condition — while
+    // Spark's residual cast CAN parse it, so matching rows exist. The
+    // pre-fix behavior pruned every value-carrying file (empty isin)
+    // and silently returned zero rows.
+    val in = ScanPlanner.readTableWhereIn(
+      spark, t, "created_at", Seq("2024-06-01T10:00:07"))
+    assert(in.count() == 1L)
+    // 527 % 40 == 7 -> the one row whose created_at second is :07
+    assert(in.select("order_id").collect().map(_.getLong(0)).toSeq == Seq(527L))
+  }
+
   test("truncate[W] string spec: files keyed by prefix, prune + row parity") {
     val wh = Files.createTempDirectory("graft-trunc-wh").toString
     FixtureWriter.writeDemo(spark, wh)

@@ -45,6 +45,11 @@ class SkewAndCliSpec extends SparkSpec {
     assert(lines(1) == "4,5") // sales/analytics/staging/legacy, 5 tables
   }
 
+  test("a trailing --config/--catalog with no value is a usage error") {
+    assert(graft.tools.Cli.run(Array("/tmp/nowhere", "list-tables", "--catalog")) == 2)
+    assert(graft.tools.Cli.run(Array("--config")) == 2)
+  }
+
   test("round-8 CLI verbs: bpe / winnow-removal / dedup-gate") {
     val s2 = spark
     import s2.implicits._
