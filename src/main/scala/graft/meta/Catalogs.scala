@@ -29,7 +29,12 @@ trait MetaCatalog {
   * engine's local reader cannot open — surface that as a clear typed
   * error instead of `Paths.get`'s opaque InvalidPathException. */
 private[meta] object MetadataLocations {
-  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
+  // A scheme prefix with ANY number of slashes after the colon: Hadoop
+  // Path and java.io.File.toURI emit the single-slash form
+  // (`file:/tmp/x`), RFC-style writers the double-slash form — both must
+  // resolve (or error) the same way, never fall through to Paths.get as
+  // a relative literal.
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):(/*)(.*)$".r
 
   /** `location` as a local filesystem path, or a descriptive error when
     * it carries a non-file URI scheme (schemes compare case-insensitively
@@ -37,10 +42,25 @@ private[meta] object MetadataLocations {
     * the catalog in the message (e.g. "glue"). */
   def localPath(location: String, backend: String): java.nio.file.Path =
     location match {
-      case SchemeRe(scheme) if scheme.equalsIgnoreCase("file") =>
-        Paths.get(java.net.URI.create(
-          "file" + location.substring(scheme.length)))
-      case SchemeRe(scheme) => throw new IllegalStateException(
+      case SchemeRe(scheme, slashes, rest) if scheme.equalsIgnoreCase("file") =>
+        if (slashes.length == 2 && rest.nonEmpty) {
+          // exactly two slashes = authority form (`file://host/p`): only
+          // an empty/localhost authority is this machine
+          val authority = rest.takeWhile(_ != '/')
+          if (authority.nonEmpty && !authority.equalsIgnoreCase("localhost"))
+            throw new IllegalStateException(
+              s"$backend catalog points table metadata at '$location' — " +
+                s"file URIs with a remote authority ($authority) are " +
+                "unsupported; only local filesystem paths are readable")
+          Paths.get(rest.dropWhile(_ != '/') match {
+            case "" => "/"
+            case p => p
+          })
+        } else if (slashes.isEmpty) Paths.get(rest) // rare relative form
+        // 1 slash (Hadoop Path / File.toURI) or 3+ (`file:///p`): an
+        // absolute local path with no authority
+        else Paths.get("/" + rest)
+      case SchemeRe(scheme, _, _) => throw new IllegalStateException(
         s"$backend catalog points table metadata at '$location' — " +
           s"remote object-store locations ($scheme://) are unsupported by " +
           "this engine; only local filesystem paths are readable")
@@ -183,7 +203,11 @@ final class RestCatalog(
 
   override def loadTable(ref: String): IcebergTable = {
     // the LAST dot separates table from (possibly nested) namespace —
-    // splitting on the first would read "a.b.t" as table "b.t" in "a"
+    // splitting on the first would read "a.b.t" as table "b.t" in "a".
+    // Consequence (same contract as pyiceberg string identifiers, which
+    // the reference delegates to): a table whose NAME itself contains a
+    // dot is not expressible in dotted-ref form — the trailing segment
+    // is always the table.
     val cut = ref.lastIndexOf('.')
     require(cut > 0 && cut < ref.length - 1,
       s"table ref must be <namespace>.<table>: $ref")
@@ -264,14 +288,33 @@ final class JdbcCatalog(
         ps.setString(2, catalogName); ps.setString(3, ns); ps.setString(4, t)
         ps.executeUpdate()
       }
-      if (updated == 0)
-        scala.util.Using.resource(c.prepareStatement(
-          s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
-            "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
-          ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
-          ps.setString(4, metadataLocation)
-          ps.executeUpdate()
-        }
+      if (updated == 0) {
+        // UPDATE saw no row, but a concurrent register may INSERT in the
+        // gap (no portable MERGE across drivers): absorb the key
+        // violation and settle the race by updating the winner's row
+        val inserted =
+          try {
+            scala.util.Using.resource(c.prepareStatement(
+              s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
+                "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
+              ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
+              ps.setString(4, metadataLocation)
+              ps.executeUpdate()
+            }
+            true
+          } catch {
+            case _: java.sql.SQLIntegrityConstraintViolationException => false
+          }
+        if (!inserted)
+          scala.util.Using.resource(c.prepareStatement(
+            s"UPDATE $TableName SET previous_metadata_location = metadata_location, " +
+              "metadata_location = ? WHERE catalog_name = ? AND " +
+              "table_namespace = ? AND table_name = ?")) { ps =>
+            ps.setString(1, metadataLocation)
+            ps.setString(2, catalogName); ps.setString(3, ns); ps.setString(4, t)
+            ps.executeUpdate()
+          }
+      }
     }
     ()
   }

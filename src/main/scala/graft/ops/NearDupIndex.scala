@@ -86,8 +86,14 @@ final class NearDupIndex(
     * metadata-scale collect) prune the files relation to colliding
     * buckets. Files with no recorded bucket value (written before the
     * table was bucketed) survive conservatively. */
-  def probePaths(batchSigs: DataFrame): Seq[String] = {
-    val t = engine.load(ref)
+  def probePaths(batchSigs: DataFrame): Seq[String] =
+    probePaths(batchSigs, engine.load(ref))
+
+  /** [[probePaths]] against an already-loaded table — the probe paths
+    * (one `load` + metadata parse, a catalog round-trip on network
+    * backends) reuse it instead of re-loading per helper. */
+  private def probePaths(
+      batchSigs: DataFrame, t: graft.meta.IcebergTable): Seq[String] = {
     if (t.metadata.currentSnapshotId.isEmpty) return Seq.empty
     val files = graft.rel.MetaRelations.files(engine.spark, t, None)
     val keep = tableBucketCount(t) match {
@@ -108,10 +114,11 @@ final class NearDupIndex(
   /** The index restricted to the files `batchSigs` can collide with —
     * a bucket-pruned scan with merge-on-read deletes still applied. */
   private def probeSignatures(batchSigs: DataFrame): DataFrame = {
-    val paths = probePaths(batchSigs)
+    val t = engine.load(ref) // ONE load feeds both the prune and the scan
+    val paths = probePaths(batchSigs, t)
     if (paths.isEmpty)
       engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else ScanPlanner.readFiles(engine.spark, engine.load(ref), paths)
+    else ScanPlanner.readFiles(engine.spark, t, paths)
   }
 
   /** Flag increment docs whose bands collide with the index: one row per
@@ -163,13 +170,17 @@ final class NearDupIndex(
     * become part of the index for the very next batch.
     *
     * Redelivery-safe under foreachBatch's at-least-once (doc_ids must be
-    * stable across redelivery): a doc whose signatures are ALREADY in
-    * the index under its own id was admitted by a previous delivery of
-    * this batch — it passes through to `onSurvivors` again (the sink
-    * sees at-least-once, never loses a survivor) and appends nothing.
-    * The already-indexed check probes the same PRUNED slice as the
-    * collision join — a doc's own signatures live in its own band
-    * buckets — so no full index scan enters the loop. */
+    * stable across redelivery): a doc whose FULL band-signature set is
+    * already in the index under its own id was admitted by a previous
+    * delivery of this batch — it passes through to `onSurvivors` again
+    * (the sink sees at-least-once, never loses a survivor) and appends
+    * nothing. Matching on (id, band, band_sig) rather than id presence
+    * means a NEW doc that merely reuses an indexed id (a source restarting
+    * its id sequence) is NOT mistaken for a redelivery: its signatures
+    * differ, so it is gated against the index like any other doc. The
+    * already-indexed check probes the same PRUNED slice as the collision
+    * join — a doc's own signatures live in its own band buckets — so no
+    * full index scan enters the loop. */
   def admitStream(
       docs: DataFrame,
       checkpointDir: String)(
@@ -183,13 +194,21 @@ final class NearDupIndex(
         // the bucket-pruned index slice, materialized once — feeds the
         // collision join AND both already-indexed checks
         val probed = probeSignatures(batchSigs).localCheckpoint()
-        val indexedIds = probed.select(col("doc_id")).distinct()
+        // redelivered iff EVERY band row matches the index under the
+        // doc's own id — id presence alone would mistake an id-reusing
+        // new doc for a redelivery (and silently skip gating it)
+        val nBands = numPerm / rowsPerBand
+        val selfIndexed = batchSigs
+          .join(probed, Seq("doc_id", "band", "band_sig"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .filter(col("n") === nBands).select(col("doc_id"))
+          .localCheckpoint()
         val flagged = Dedup.bandCollisions(batchSigs, probed)
           .select(col("doc_id"))
-          .join(indexedIds, Seq("doc_id"), "left_anti") // self-indexed ≠ dup
+          .join(selfIndexed, Seq("doc_id"), "left_anti") // redelivery ≠ dup
         val survivors = batch.join(flagged, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        val fresh = survivors.join(indexedIds, Seq("doc_id"), "left_anti")
+        val fresh = survivors.join(selfIndexed, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         if (fresh.count() > 0)
           // the fresh docs' signatures are already materialized in

@@ -38,14 +38,21 @@ object Cli {
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
-  /** `--flag value` anywhere in the argument list → (value, rest). */
+  /** `--flag value` anywhere in the argument list → (value, rest).
+    * A following token that is itself a flag (`--config --json`) is a
+    * forgotten value, not a value — surface it as a usage error instead
+    * of silently swallowing the next flag. */
   private def extractFlag(
       args: Array[String], flag: String): (Option[String], Array[String]) = {
     val i = args.indexOf(flag)
-    if (i >= 0 && i + 1 < args.length)
+    if (i >= 0 && i + 1 < args.length && !args(i + 1).startsWith("--"))
       (Some(args(i + 1)), args.patch(i, Nil, 2))
+    else if (i >= 0) throw new UsageException(s"$flag requires a value")
     else (None, args)
   }
+
+  /** Bad invocation shape — caught in [[run]] → usage + exit 2. */
+  private final class UsageException(msg: String) extends RuntimeException(msg)
 
   private def isCatalogUri(s: String): Boolean =
     s.matches("^(https?|thrift)://.*") || s.startsWith("jdbc:")
@@ -56,8 +63,16 @@ object Cli {
     if (args.nonEmpty && (args.last == "--config" || args.last == "--catalog")) {
       usage(); return 2
     }
-    val (cfgPath, args1) = extractFlag(args, "--config")
-    val (catName, args2) = extractFlag(args1, "--catalog")
+    val (cfgPath, catName, args2) =
+      try {
+        val (c, a1) = extractFlag(args, "--config")
+        val (n, a2) = extractFlag(a1, "--catalog")
+        (c, n, a2)
+      } catch {
+        case e: UsageException =>
+          System.err.println(s"error: ${e.getMessage}")
+          usage(); return 2
+      }
     if (args2.length < 2) { usage(); return 2 }
     val (sinkOpt, rest) = args2.span(a => a != "--json" && a != "--csv") match {
       case (head, Array(flag, dir)) => (Some((flag, dir)), head)

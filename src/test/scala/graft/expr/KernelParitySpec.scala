@@ -37,8 +37,11 @@ class KernelParitySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
-  private def rows(df: DataFrame): Set[Seq[Any]] =
-    df.collect().map(_.toSeq).toSet
+  // row MULTISET, not set: a kernel that regressed to emit a duplicate
+  // row of a correct value (e.g. a gram twice for one doc from the
+  // in-kernel dedup paths) must fail parity, not have toSet mask it
+  private def rows(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).map { case (r, g) => r -> g.length }
 
   test("MinhashBands == legacy explode + min-aggregate formulation") {
     val docs = trickyDocs

@@ -160,6 +160,23 @@ class NearDupIndexSpec extends SparkSpec {
       // index holds exactly corpus + the two survivors (4 bands each)
       assert(idx.signatures.select("doc_id").distinct().as[Long]
         .collect().sorted.toSeq == Seq(100L, 2L, 4L).sorted)
+      // batch 3: id REUSE — doc_id 2 is already indexed, but this text
+      // is a corpus dup. The already-indexed check matches SIGNATURES,
+      // not id presence, so the reused id gets gated like any doc and
+      // the dup is rejected (id-presence matching would admit it)
+      input.addData(
+        StreamDoc(2, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(2L, 4L), admitted.toString)
+      // batch 4: REDELIVERY — same (id, text) as an admitted survivor
+      // passes through again (at-least-once sink contract) but appends
+      // no second copy of its signatures
+      val preRows = idx.signatures.count()
+      input.addData(
+        StreamDoc(4, "completely new material unlike anything indexed before"))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(2L, 4L, 4L), admitted.toString)
+      assert(idx.signatures.count() == preRows)
     } finally q.stop()
   }
 

@@ -50,6 +50,14 @@ class SkewAndCliSpec extends SparkSpec {
     assert(graft.tools.Cli.run(Array("--config")) == 2)
   }
 
+  test("a mid-args --config/--catalog followed by another flag is a usage error") {
+    // the forgotten value must NOT silently swallow the next flag
+    assert(graft.tools.Cli.run(
+      Array("/tmp/nowhere", "list-tables", "--config", "--json")) == 2)
+    assert(graft.tools.Cli.run(
+      Array("--catalog", "--config", "x.json", "/tmp/nowhere", "list-tables")) == 2)
+  }
+
   test("round-8 CLI verbs: bpe / winnow-removal / dedup-gate") {
     val s2 = spark
     import s2.implicits._
