@@ -2,6 +2,8 @@ package graft.expr
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.SparkSpec
 
@@ -13,7 +15,13 @@ import graft.SparkSpec
   * trailing whitespace, unicode with multi-byte code points, surrogate
   * pairs (UTF-16 vs code-point counting), and degenerate empties. The
   * corpus-scale guard is the DuckDB oracle; this pins the corners no
-  * real corpus reliably covers. */
+  * real corpus reliably covers.
+  *
+  * Every check runs TWICE: once over the hand-picked corpus above, and
+  * once over a seeded ScalaCheck corpus (fixed `Seed` → deterministic,
+  * replayable) drawing from a token alphabet biased toward the same
+  * hazards — so the pins also sweep combinations nobody thought to
+  * hand-write. */
 class KernelParitySpec extends SparkSpec {
 
   private def trickyDocs: DataFrame = {
@@ -37,14 +45,41 @@ class KernelParitySpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  /** 60 ScalaCheck-generated docs from a FIXED seed: random mixes of
+    * hazard tokens (multi-byte, surrogate-pair, punctuated, digit,
+    * single-char) joined by random separator runs (space, tab, newline,
+    * multi-space), plus whitespace-only and empty edge draws. */
+  private def randomDocs: DataFrame = {
+    val s2 = spark
+    import s2.implicits._
+    val token = Gen.oneOf(
+      "a", "ab", "héllo", "née", "你好", "𝕊𝕡𝕒𝕣𝕜", "x1", "punct.mid,tok!",
+      "UPPER", "MiXeD", "0042", "naïve", "€uro", "éclair", "ß")
+    val sep = Gen.oneOf(" ", "  ", "   ", "\t", "\n", " \t ")
+    val doc = for {
+      n <- Gen.choose(0, 24)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.lazyZip(seps :+ "").map(_ + _).mkString + trail
+    val docs = (0 until 60).map { i =>
+      // one deterministic draw per index — reseeding per doc keeps the
+      // corpus stable under ScalaCheck's internal iteration-order changes
+      val text = doc(Gen.Parameters.default, Seed(0xCAFE + i.toLong))
+        .getOrElse("fallback doc text")
+      (i + 100L, text)
+    }
+    docs.toDF("doc_id", "text")
+  }
+
   // row MULTISET, not set: a kernel that regressed to emit a duplicate
   // row of a correct value (e.g. a gram twice for one doc from the
   // in-kernel dedup paths) must fail parity, not have toSet mask it
   private def rows(df: DataFrame): Map[Seq[Any], Int] =
     df.collect().map(_.toSeq).groupBy(identity).map { case (r, g) => r -> g.length }
 
-  test("MinhashBands == legacy explode + min-aggregate formulation") {
-    val docs = trickyDocs
+  private def checkMinhash(docs: DataFrame): Unit = {
     val numPerm = 16; val rowsPerBand = 4
     // legacy: shingle explode -> portable hash -> groupBy(doc) mins ->
     // sorted-member polynomial band fold (the pre-round-9 pipeline)
@@ -77,8 +112,7 @@ class KernelParitySpec extends SparkSpec {
       rows(legacy))
   }
 
-  test("Simhash60 == legacy term-frequency + bit-majority formulation") {
-    val docs = trickyDocs
+  private def checkSimhash(docs: DataFrame): Unit = {
     val bits = graft.ops.Dedup.SimhashBits
     val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
@@ -95,8 +129,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(graft.ops.Dedup.simhash(docs)) == rows(legacy))
   }
 
-  test("WinnowFps == legacy posexplode + window-min formulation") {
-    val docs = trickyDocs
+  private def checkWinnow(docs: DataFrame): Unit = {
     val k = 5; val window = 4
     val big = 1073741824L
     val grams = docs.select(col("doc_id"),
@@ -120,8 +153,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(graft.ops.Dedup.winnowedFps(docs, k, window)) == rows(legacy))
   }
 
-  test("DupNgramStats == legacy gram explode + two-aggregate formulation") {
-    val docs = trickyDocs
+  private def checkDupNgrams(docs: DataFrame): Unit = {
     val n = 3
     val legacy = docs.select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -148,8 +180,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(kernel) == rows(legacy))
   }
 
-  test("AlnumTokenCounts == legacy tokenize + (doc, tok) count formulation") {
-    val docs = trickyDocs
+  private def checkAlnumTokens(docs: DataFrame): Unit = {
     val legacy = docs.select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -161,8 +192,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(kernel) == rows(legacy))
   }
 
-  test("HashedBigramBuckets == legacy bigram explode + pmod formulation") {
-    val docs = trickyDocs
+  private def checkHashedBigrams(docs: DataFrame): Unit = {
     val buckets = 64 // small modulus to force collisions
     val legacy = docs.select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -180,8 +210,8 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(kernel) == rows(legacy))
   }
 
-  test("CharNgramSet == legacy char-ngram explode + distinct formulation") {
-    val docs = trickyDocs.withColumn("lang", lit("xx"))
+  private def checkCharNgrams(docs0: DataFrame): Unit = {
+    val docs = docs0.withColumn("lang", lit("xx"))
     val n = 4
     val legacy = docs.filter(length(col("text")) >= n)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -191,8 +221,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(graft.ops.Dedup.charNgrams(docs, n)) == rows(legacy))
   }
 
-  test("WordNgramSet == legacy word-ngram explode + distinct formulation") {
-    val docs = trickyDocs
+  private def checkWordNgrams(docs: DataFrame): Unit = {
     val n = 3
     val legacy = docs.select(col("doc_id"), lit("train").as("split"),
         split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -205,8 +234,7 @@ class KernelParitySpec extends SparkSpec {
       rows(legacy))
   }
 
-  test("CharEntropyMicro == legacy char explode + float-term formulation") {
-    val docs = trickyDocs
+  private def checkCharEntropy(docs: DataFrame): Unit = {
     val chars = docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
@@ -220,8 +248,7 @@ class KernelParitySpec extends SparkSpec {
     assert(rows(graft.ops.TextStats.charEntropy(docs)) == rows(legacy))
   }
 
-  test("BigramCounts == legacy char-bigram explode formulation") {
-    val docs = trickyDocs
+  private def checkBigramCounts(docs: DataFrame): Unit = {
     val legacy = docs
       .filter(length(col("text")) >= 2)
       .withColumn("__t", lower(col("text")))
@@ -234,5 +261,22 @@ class KernelParitySpec extends SparkSpec {
         explode(GraftColumnBridge.column(BigramCounts(
           GraftColumnBridge.expression(lower(col("text")))))).as(Seq("bg", "n")))
     assert(rows(kernel) == rows(legacy))
+  }
+
+  private val checks: Seq[(String, DataFrame => Unit)] = Seq(
+    "MinhashBands == legacy explode + min-aggregate formulation" -> checkMinhash _,
+    "Simhash60 == legacy term-frequency + bit-majority formulation" -> checkSimhash _,
+    "WinnowFps == legacy posexplode + window-min formulation" -> checkWinnow _,
+    "DupNgramStats == legacy gram explode + two-aggregate formulation" -> checkDupNgrams _,
+    "AlnumTokenCounts == legacy tokenize + (doc, tok) count formulation" -> checkAlnumTokens _,
+    "HashedBigramBuckets == legacy bigram explode + pmod formulation" -> checkHashedBigrams _,
+    "CharNgramSet == legacy char-ngram explode + distinct formulation" -> checkCharNgrams _,
+    "WordNgramSet == legacy word-ngram explode + distinct formulation" -> checkWordNgrams _,
+    "CharEntropyMicro == legacy char explode + float-term formulation" -> checkCharEntropy _,
+    "BigramCounts == legacy char-bigram explode formulation" -> checkBigramCounts _)
+
+  checks.foreach { case (name, check) =>
+    test(name)(check(trickyDocs))
+    test(s"[scalacheck corpus] $name")(check(randomDocs))
   }
 }
