@@ -135,13 +135,37 @@ final class NearDupIndex(
   /** Gate one ingest batch: return the docs that do NOT collide with the
     * index, and append exactly those docs' band signatures (one commit)
     * so subsequent batches — and any live `nearDupStream` readers on the
-    * table — see them. Intra-batch near-duplicates are both admitted
-    * (the gate's contract is "new vs standing corpus", matching
-    * [[Dedup.incrementalNearDup]]); run a batch-local pass first if
-    * intra-batch dedup is wanted. */
-  def admit(increment: DataFrame): DataFrame = {
-    val flagged = check(increment).select(col("doc_id"))
-    val survivors = increment.join(flagged, Seq("doc_id"), "left_anti")
+    * table — see them.
+    *
+    * By default intra-batch near-duplicates are both admitted (the
+    * gate's contract is "new vs standing corpus", matching
+    * [[Dedup.incrementalNearDup]]). `dedupWithinBatch = true` runs the
+    * batch-local pass first: docs sharing a band within the batch form a
+    * collision graph, [[Dedup.connectedComponents]] keeps the min-id doc
+    * of every component (the same keep rule as the corpus dedup
+    * pipeline), and only the kept docs face the index gate — so the
+    * very first post-bootstrap batch can't seed the index with its own
+    * internal duplicates. The intra-batch pair join is band-bucketed
+    * (equi-join on `(band, band_sig)`), never all-pairs. */
+  def admit(
+      increment: DataFrame, dedupWithinBatch: Boolean = false): DataFrame = {
+    val batch =
+      if (!dedupWithinBatch) increment
+      else {
+        val sigs = Dedup.bandSignatures(increment, numPerm, rowsPerBand)
+          .localCheckpoint()
+        val pairs = sigs
+          .select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
+          .join(sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig")),
+            Seq("band", "band_sig"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val drop = Dedup.connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("component")).select("doc_id")
+        increment.join(drop, Seq("doc_id"), "left_anti")
+      }
+    val flagged = check(batch).select(col("doc_id"))
+    val survivors = batch.join(flagged, Seq("doc_id"), "left_anti")
       // one evaluation feeds both the signature append and the caller
       .localCheckpoint()
     engine.append(ref, Dedup.bandSignatures(survivors, numPerm, rowsPerBand)

@@ -124,6 +124,40 @@ class NearDupIndexSpec extends SparkSpec {
     assert(probedAfter.nonEmpty && probedAfter.size < postCompact)
   }
 
+  test("admit with dedupWithinBatch keeps one doc per intra-batch dup group") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ndintra").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.intra_index")
+    idx.create()
+    idx.bootstrap(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"))
+
+    // batch carries an intra-batch dup PAIR (10, 11), a corpus dup (12),
+    // and a clean doc (13). Default admit keeps both 10 and 11; with the
+    // batch-local pass only the min id of the pair survives.
+    val batch = Seq(
+      (10L, "sphinx of black quartz judge my vow tonight"),
+      (11L, "sphinx of black quartz judge my vow tonight"),
+      (12L, "the quick brown fox jumps over the lazy dog"),
+      (13L, "entirely fresh material resembling nothing else at all"))
+      .toDF("doc_id", "text")
+    val surv = idx.admit(batch, dedupWithinBatch = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv == Seq(10L, 13L), surv.toString)
+    // the index holds corpus + exactly the two survivors — the dropped
+    // twin's signatures never entered it
+    assert(idx.signatures.select("doc_id").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(10L, 13L, 100L))
+    // and a later batch still collides against the kept twin
+    val again = Seq((20L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    val hit = idx.check(again).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("dup_of") == 10L)
+  }
+
   test("admitStream: closed-loop micro-batch gate — pruned probe, index grows, dups rejected") {
     val s2 = spark
     import s2.implicits._
