@@ -29,7 +29,7 @@ import graft.api.{Engine, Errors}
   *      | row-changes T s1 s2 | set-sort-order T col[ desc]...
   *      | rollback T snapshotId | orphans T [--remove]
   *      | bpe docsParquet [nMerges] | winnow-removal docsParquet [minDocs]
-  *      | dedup-gate T shardParquet [--admit]
+  *      | dedup-gate T shardParquet [--admit [--intra]]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -277,12 +277,15 @@ object Cli {
           emit(graft.ops.Dedup.winnowRemoval(spark.read.parquet(vargs(0)),
             minDocs = vargs.lift(1).map(_.toInt).getOrElse(2)))
         case "dedup-gate" =>
-          // dedup-gate <ns.index_table> <shard.parquet> [--admit]
-          // probe (and with --admit, grow) the persistent near-dup index
+          // dedup-gate <ns.index_table> <shard.parquet> [--admit [--intra]]
+          // probe (and with --admit, grow) the persistent near-dup index;
+          // --intra also collapses the shard's internal dup groups first
           val idx = new graft.ops.NearDupIndex(engine, vargs(0))
           val shard = spark.read.parquet(vargs(1))
-          if (vargs.lift(2).contains("--admit")) {
-            val kept = idx.admit(shard)
+          val flags = vargs.drop(2).toSet
+          if (flags.contains("--admit")) {
+            val kept = idx.admit(shard,
+              dedupWithinBatch = flags.contains("--intra"))
             println(s"admitted ${kept.count()} docs; " +
               s"signatures appended to ${vargs(0)}")
           } else emit(idx.check(shard))

@@ -81,6 +81,18 @@ class SkewAndCliSpec extends SparkSpec {
       .toDF("doc_id", "text").write.parquet(shardDir)
     assert(Cli.run(Array(wh, "dedup-gate", "lake.nd_idx", shardDir)) == 0)
     assert(Cli.run(Array(wh, "dedup-gate", "lake.nd_idx", shardDir, "--admit")) == 0)
+    // --intra routes through the batch-local keep-min pass
+    val twinDir = s"$wh/_twin_parquet"
+    Seq(
+      (20L, "an intra batch twin sentence appearing twice in this shard"),
+      (21L, "an intra batch twin sentence appearing twice in this shard"))
+      .toDF("doc_id", "text").write.parquet(twinDir)
+    assert(Cli.run(Array(
+      wh, "dedup-gate", "lake.nd_idx", twinDir, "--admit", "--intra")) == 0)
+    val e2 = new graft.api.Engine(spark, wh)
+    val ids = e2.readTable("lake.nd_idx").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(20L) && !ids.contains(21L), ids.toString)
   }
 
   test("round-5 CLI verbs: read/changes/compact/rollback/orphans") {
