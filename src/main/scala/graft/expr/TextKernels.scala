@@ -9,7 +9,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Static text kernels behind custom codegen expressions — per-row loops
   * that a built-in-function formulation would have to express as an
-  * explode (row blowup) or an O(n²) immutable-collection fold. */
+  * explode (row blowup) or an O(n²) immutable-collection fold.
+  *
+  * Memory bound: each kernel's transient state is O(distinct grams of
+  * ONE document) — the same per-document cardinality the legacy explode
+  * plan held in its per-partition aggregation hash map, concentrated
+  * into one row evaluation and released to the GC immediately. Executor
+  * footprint is therefore tasks × largest-doc-distinct-grams, not
+  * corpus-proportional; a pathological multi-GB single document would
+  * pressure either formulation equally. */
 object TextKernelOps {
 
   /** Character-bigram histogram of a string in ONE pass: the same

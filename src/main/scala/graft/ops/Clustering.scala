@@ -99,8 +99,11 @@ object Clustering {
     * engine-exact) — the oracle-friendly digest of the centroid. */
   def clusterStats(model: KmeansModel, quant: Double = 1e6): DataFrame = {
     val P = 1000000007L
-    val sizes = model.assignments.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
-    val fp = quantizedSums(model.assignments, quant)
+    // both aggregates re-derive the assignment projection (k dot
+    // products per row) — materialize it once and share
+    val assigned = model.assignments.localCheckpoint()
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val fp = quantizedSums(assigned, quant)
       .groupBy("cluster")
       .agg((sum((col("sq") % P) * col("dim")) % P).as("centroid_fp"))
     sizes.join(fp, "cluster").orderBy("cluster")

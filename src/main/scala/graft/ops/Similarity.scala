@@ -357,8 +357,13 @@ object Similarity {
     * the map-side broadcast-centroid argmin of [[Clustering.assign]];
     * norms are computed once per row before the join. */
   def semDeDup(emb: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    // materialize the assignment ONCE: both sides of the in-cluster
+    // self-join consume it, and the argmin projection costs k dot
+    // products per row (k ≈ 100k at web scale) — recomputing it per
+    // join side would double the most expensive map pass
     val assigned = Clustering.kmeans(emb.select("vec_id", "embedding"), k, iters)
       .assignments.withColumn("v_norm", norm("embedding"))
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("v_norm").as("a_norm"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
