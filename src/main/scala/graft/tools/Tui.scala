@@ -11,7 +11,9 @@ import graft.api.Engine
   * `tui/app.py`: sidebar table browser + tabbed detail panes with the
   * same key bindings — `q` quit, `r` reload, `1`-`7` for
   * Summary/Snapshots/Schema/Files/Manifests/Health/Tree, `j`/`k`/arrows
-  * + Enter in the browser). Plain ANSI — no curses dependency: each
+  * + Enter in the browser, and the reference's modal screens: `d`
+  * snapshot diff, `s` snapshot detail, `?` help — rendered as overlay
+  * frames the next key dismisses). Plain ANSI — no curses dependency: each
   * keypress re-renders the full frame (alternate screen buffer, cursor
   * home), which is exactly how the reference's framework repaints too.
   *
@@ -71,9 +73,13 @@ object Tui {
   // ---- screen state + frame rendering ----
 
   // width default fits the full 7-label tab bar (~90 chars) in the
-  // detail box beside the 28-char sidebar
+  // detail box beside the 28-char sidebar. `overlay` = an open modal
+  // (title, lines) covering the body, like the reference's pushed
+  // ModalScreens (HelpScreen / DiffScreen / SnapshotDetailScreen,
+  // ref `tui/screens.py`); the next key closes it.
   final case class State(
-      refs: Vector[String], selected: Int, tab: Int, width: Int = 128)
+      refs: Vector[String], selected: Int, tab: Int, width: Int = 128,
+      overlay: Option[(String, Seq[String])] = None)
 
   def initial(engine: Engine): State = State(
     engine.catalog.listTables().map { case (n, t) => s"$n.$t" }.toVector,
@@ -100,6 +106,13 @@ object Tui {
     * pane renders across frames. */
   def renderFrame(engine: Engine, st: State,
       cache: PaneCache = new PaneCache): String = {
+    st.overlay.foreach { case (title, lines) =>
+      // modal covers the app (reference ModalScreen): title bar + the
+      // overlay box + a close hint, nothing else
+      return (s"iceberg-meta — Iceberg Metadata Explorer" +:
+        box(title, lines, st.width) :+ "any key: close")
+        .mkString("\n")
+    }
     val ref = st.refs.lift(st.selected)
     val sidebar = box("Catalog",
       st.refs.zipWithIndex.map { case (r, i) =>
@@ -118,7 +131,7 @@ object Tui {
       st.width - 30)
     val body = sideBySide(sidebar, detail)
     val footer =
-      "j/k:move  Enter:open  1-7:tab  r:reload  q:quit"
+      "j/k:move  Enter:open  1-7:tab  d:diff  s:detail  ?:help  r:reload  q:quit"
     (s"iceberg-meta — Iceberg Metadata Explorer" +: body :+ footer)
       .mkString("\n")
   }
@@ -142,6 +155,66 @@ object Tui {
       case "Tree"      => engine.renderTree(ref).linesIterator.toSeq.take(30)
       case other       => Seq(s"unknown tab $other")
     }
+
+  // ---- modal overlays (the reference's pushed screens) ----
+
+  private val helpLines: Seq[String] = Seq(
+    "q            quit",
+    "r            reload (drops cached panes)",
+    "j/k, arrows  move table selection",
+    "Enter        open selected table",
+    "1-7          Summary/Snapshots/Schema/Files/Manifests/Health/Tree",
+    "d            diff the two most recent snapshots",
+    "s            manifest detail of the most recent snapshot",
+    "?            this help")
+
+  /** `d` — diff of the two most recent snapshots of `ref` (the
+    * reference's no-cursor default in `action_diff`), lower id first
+    * like the reference's swap. Warning lines stand in for `notify()`. */
+  private def diffOverlay(engine: Engine, ref: String): (String, Seq[String]) = {
+    val snaps = engine.load(ref).metadata.snapshots.sortBy(-_.timestampMs)
+    if (snaps.size < 2) ("Diff", Seq("Need at least 2 snapshots to diff"))
+    else {
+      val ids = snaps.take(2).map(_.snapshotId).sorted
+      val d = engine.diff(ref, ids(0), ids(1))
+      (s"Diff ${ids(0)} -> ${ids(1)} (${d.operation})",
+        box("totals", renderDf(d.totals, 4), 72) ++
+          box("added", renderDf(
+            d.added.select("file_path", "record_count"), 6), 72) ++
+          box("deleted", renderDf(
+            d.deleted.select("file_path", "record_count"), 6), 72))
+    }
+  }
+
+  /** `s` — manifest deep dive of the most recent snapshot (the
+    * reference's no-cursor default in `action_snapshot_detail`). */
+  private def detailOverlay(engine: Engine, ref: String): (String, Seq[String]) = {
+    val snaps = engine.load(ref).metadata.snapshots.sortBy(-_.timestampMs)
+    snaps.headOption match {
+      case None => ("Snapshot detail", Seq("No snapshots available"))
+      case Some(s) =>
+        (s"Snapshot ${s.snapshotId} (${s.operation})",
+          renderDf(engine.snapshotDetail(ref, s.snapshotId), 12))
+    }
+  }
+
+  /** Build the overlay for a modal key, catching engine errors into the
+    * overlay body (the frame must render whatever happens). */
+  private def openOverlay(engine: Engine, st: State, key: Int): State = {
+    val ov: (String, Seq[String]) = key match {
+      case '?' => ("Help", helpLines)
+      case _ =>
+        st.refs.lift(st.selected) match {
+          case None => ("Warning", Seq("Select a table first"))
+          case Some(r) =>
+            try if (key == 'd') diffOverlay(engine, r) else detailOverlay(engine, r)
+            catch { case e: Exception =>
+              (if (key == 'd') "Diff" else "Snapshot detail",
+                Seq(s"error: ${e.getMessage}")) }
+        }
+    }
+    st.copy(overlay = Some(ov))
+  }
 
   // ---- event loop (injectable IO) ----
 
@@ -172,7 +245,12 @@ object Tui {
     paint()
     var done = false
     while (!done) {
-      readKey(in) match {
+      val key = readKey(in)
+      if (st.overlay.isDefined && key != -1) {
+        // an open modal swallows the next key and closes (the
+        // reference's modals dismiss back to the app the same way)
+        st = st.copy(overlay = None); paint()
+      } else key match {
         case -1 | 'q' => done = true
         case 'j' if st.refs.nonEmpty =>
           st = st.copy(selected = (st.selected + 1) % st.refs.size); paint()
@@ -182,6 +260,8 @@ object Tui {
         case c if c >= '1' && c <= '7' =>
           st = st.copy(tab = c - '1'); paint()
         case '\r' | '\n' => paint() // open = repaint detail of selection
+        case 'd' | 's' | '?' =>
+          st = openOverlay(engine, st, key); paint()
         case 'r' =>
           cache.clear() // reload = drop every memoized pane
           st = initial(engine).copy(

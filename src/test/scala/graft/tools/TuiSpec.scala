@@ -66,7 +66,7 @@ class TuiSpec extends SparkSpec {
     val (st2, _) = run(e, "[B[B[Aq")
     assert(st2.selected == 1)
     // unbound keys change nothing and don't crash
-    val (st3, _) = run(e, "zx!?q")
+    val (st3, _) = run(e, "zx!~q")
     assert(st3.selected == 0 && st3.tab == 0)
     // EOF (no 'q') also terminates cleanly
     val (st4, _) = run(e, "j")
@@ -85,6 +85,32 @@ class TuiSpec extends SparkSpec {
     val (st, out) = run(e, "rq")
     assert(st.refs.size == before + 1)
     assert(out.contains("zz.late_table"))
+  }
+
+  test("modal screens: ? help, d snapshot diff, s snapshot detail; next key closes") {
+    val e = engine()
+    // help overlay renders the binding list, and the NEXT key only
+    // closes it (the 'j' after '?' must not move the selection)
+    val (st1, out1) = run(e, "?jq")
+    assert(st1.selected == 0 && st1.overlay.isEmpty)
+    assert(out1.contains("this help") && out1.contains("any key: close"))
+
+    // diff on a table with 4 snapshots: the two most recent, lower id
+    // first, with totals/added/deleted boxes (reference DiffScreen)
+    val refs = Tui.initial(e).refs
+    val idx = refs.indexOf("sales.orders")
+    assert(idx >= 0, refs.toString)
+    val (_, out2) = run(e, "j" * idx + "dxq")
+    assert(out2.contains("Diff ") && out2.contains("->"), out2.takeRight(2000))
+    assert(out2.contains("totals") && out2.contains("added") &&
+      out2.contains("deleted"))
+    // after the close key the normal frame (footer) painted again
+    assert(out2.split("any key: close").last.contains("j/k:move"))
+
+    // snapshot detail of the most recent snapshot: manifest columns
+    val (_, out3) = run(e, "j" * idx + "sxq")
+    assert(out3.contains("Snapshot ") && out3.contains("manifest_path"),
+      out3.takeRight(2000))
   }
 
   test("pane cache: revisiting a tab repaints without a second engine call; r invalidates") {
