@@ -72,18 +72,48 @@ object Tui {
 
   // ---- screen state + frame rendering ----
 
+  /** Sidebar tree node — the reference's `TableBrowser` hierarchy
+    * (ref `tui/widgets.py:30-75`): catalog root > namespace > table.
+    * Selecting the root or a namespace shows the warehouse / namespace
+    * OVERVIEW pane (ref `app.py` CatalogRootSelected /
+    * NamespaceSelected); selecting a table shows the tabbed detail. */
+  sealed trait Node { def key: String; def sidebarLine: String }
+  case object RootNode extends Node {
+    val key = ""; val sidebarLine = "Catalog"
+  }
+  final case class NsNode(ns: String) extends Node {
+    def key: String = s"ns:$ns"; def sidebarLine: String = s" $ns"
+  }
+  final case class TableNode(ref: String) extends Node {
+    def key: String = ref
+    def sidebarLine: String = "   " + ref.split("\\.", 2).last
+  }
+
   // width default fits the full 7-label tab bar (~90 chars) in the
   // detail box beside the 28-char sidebar. `overlay` = an open modal
   // (title, lines) covering the body, like the reference's pushed
   // ModalScreens (HelpScreen / DiffScreen / SnapshotDetailScreen,
   // ref `tui/screens.py`); the next key closes it.
   final case class State(
-      refs: Vector[String], selected: Int, tab: Int, width: Int = 128,
-      overlay: Option[(String, Seq[String])] = None)
+      nodes: Vector[Node], selected: Int, tab: Int, width: Int = 128,
+      overlay: Option[(String, Seq[String])] = None) {
+    /** Table refs in sidebar order (spec + navigation convenience). */
+    def refs: Vector[String] = nodes.collect { case TableNode(r) => r }
+    def selectedNode: Option[Node] = nodes.lift(selected)
+    /** The selected TABLE ref, if a table node is selected. */
+    def selectedTable: Option[String] = selectedNode.collect {
+      case TableNode(r) => r
+    }
+  }
 
-  def initial(engine: Engine): State = State(
-    engine.catalog.listTables().map { case (n, t) => s"$n.$t" }.toVector,
-    selected = 0, tab = 0)
+  def initial(engine: Engine): State = {
+    val byNs = engine.catalog.listTables().toVector
+      .groupBy(_._1).toVector.sortBy(_._1)
+    val nodes: Vector[Node] = RootNode +: byNs.flatMap { case (ns, ts) =>
+      NsNode(ns) +: ts.sortBy(_._2).map { case (n, t) => TableNode(s"$n.$t") }
+    }
+    State(nodes, selected = 0, tab = 0)
+  }
 
   /** Per-(ref, tab) pane memo — the analog of the reference's per-widget
     * worker caching (ref `tui/widgets.py:112-119`): revisiting a tab
@@ -113,22 +143,30 @@ object Tui {
         box(title, lines, st.width) :+ "any key: close")
         .mkString("\n")
     }
-    val ref = st.refs.lift(st.selected)
     val sidebar = box("Catalog",
-      st.refs.zipWithIndex.map { case (r, i) =>
-        (if (i == st.selected) "▶ " else "  ") + r
+      st.nodes.zipWithIndex.map { case (n, i) =>
+        (if (i == st.selected) "▶ " else "  ") + n.sidebarLine
       }, 28)
     val tabBar = Tabs.zipWithIndex.map { case (t, i) =>
       if (i == st.tab) s"[${i + 1}:$t]" else s" ${i + 1}:$t "
     }.mkString(" ")
-    val pane: Seq[String] = ref match {
-      case None => Seq("(empty warehouse)")
-      case Some(r) =>
-        try cache.get(r, st.tab)(paneLines(engine, r, st.tab))
-        catch { case e: Exception => Seq(s"error: ${e.getMessage}") }
+    // overview panes (root/namespace) carry no tab bar, mirroring the
+    // reference's _show_detail_view("overview") swap
+    val (title, lines): (String, Seq[String]) = st.selectedNode match {
+      case None => ("detail", Seq("(empty warehouse)"))
+      case Some(node) =>
+        val pane =
+          try cache.get(node.key,
+            if (node.isInstanceOf[TableNode]) st.tab else -1)(
+            paneLines(engine, node, st.tab))
+          catch { case e: Exception => Seq(s"error: ${e.getMessage}") }
+        node match {
+          case RootNode => ("Warehouse", pane)
+          case NsNode(ns) => (s"Namespace: $ns", pane)
+          case TableNode(r) => (r, tabBar +: "" +: pane)
+        }
     }
-    val detail = box(ref.getOrElse("detail"), tabBar +: "" +: pane,
-      st.width - 30)
+    val detail = box(title, lines, st.width - 30)
     val body = sideBySide(sidebar, detail)
     val footer =
       "j/k:move  Enter:open  1-7:tab  d:diff  s:detail  ?:help  r:reload  q:quit"
@@ -136,9 +174,22 @@ object Tui {
       .mkString("\n")
   }
 
-  /** The active tab's content — each one is the corresponding Engine
-    * verb (the same frames the CLI/JSON sinks serve). */
-  private def paneLines(engine: Engine, ref: String, tab: Int): Seq[String] =
+  /** The active pane's content — each one is the corresponding Engine
+    * verb (the same frames the CLI/JSON sinks serve). Root and
+    * namespace nodes render the warehouse / namespace overview
+    * (ref `widgets.py` show_warehouse / show_namespace). */
+  private def paneLines(engine: Engine, node: Node, tab: Int): Seq[String] =
+    node match {
+      case RootNode =>
+        box("warehouse rollup", renderDf(engine.warehouseOverview(), 10), 72) ++
+          box("format versions", renderDf(engine.formatVersionCensus(), 4), 72)
+      case NsNode(ns) =>
+        renderDf(engine.namespaceOverview()
+          .filter(org.apache.spark.sql.functions.col("namespace") === ns), 10)
+      case TableNode(ref) => tablePane(engine, ref, tab)
+    }
+
+  private def tablePane(engine: Engine, ref: String, tab: Int): Seq[String] =
     Tabs(tab) match {
       case "Summary"   => renderDf(engine.summary(ref))
       case "Snapshots" => renderDf(engine.recentOps(ref))
@@ -161,8 +212,8 @@ object Tui {
   private val helpLines: Seq[String] = Seq(
     "q            quit",
     "r            reload (drops cached panes)",
-    "j/k, arrows  move table selection",
-    "Enter        open selected table",
+    "j/k, arrows  move selection (catalog root / namespace / table)",
+    "Enter        open selection (root=warehouse, ns=namespace overview)",
     "1-7          Summary/Snapshots/Schema/Files/Manifests/Health/Tree",
     "d            diff the two most recent snapshots",
     "s            manifest detail of the most recent snapshot",
@@ -204,7 +255,7 @@ object Tui {
     val ov: (String, Seq[String]) = key match {
       case '?' => ("Help", helpLines)
       case _ =>
-        st.refs.lift(st.selected) match {
+        st.selectedTable match {
           case None => ("Warning", Seq("Select a table first"))
           case Some(r) =>
             try if (key == 'd') diffOverlay(engine, r) else detailOverlay(engine, r)
@@ -252,11 +303,11 @@ object Tui {
         st = st.copy(overlay = None); paint()
       } else key match {
         case -1 | 'q' => done = true
-        case 'j' if st.refs.nonEmpty =>
-          st = st.copy(selected = (st.selected + 1) % st.refs.size); paint()
-        case 'k' if st.refs.nonEmpty =>
+        case 'j' if st.nodes.nonEmpty =>
+          st = st.copy(selected = (st.selected + 1) % st.nodes.size); paint()
+        case 'k' if st.nodes.nonEmpty =>
           st = st.copy(selected =
-            (st.selected - 1 + st.refs.size) % st.refs.size); paint()
+            (st.selected - 1 + st.nodes.size) % st.nodes.size); paint()
         case c if c >= '1' && c <= '7' =>
           st = st.copy(tab = c - '1'); paint()
         case '\r' | '\n' => paint() // open = repaint detail of selection
@@ -264,9 +315,10 @@ object Tui {
           st = openOverlay(engine, st, key); paint()
         case 'r' =>
           cache.clear() // reload = drop every memoized pane
-          st = initial(engine).copy(
-            selected = st.selected.min(math.max(0,
-              initial(engine).refs.size - 1)), tab = st.tab); paint()
+          val fresh = initial(engine)
+          st = fresh.copy(
+            selected = st.selected.min(math.max(0, fresh.nodes.size - 1)),
+            tab = st.tab); paint()
         case _ => () // ignore unbound keys
       }
     }

@@ -38,12 +38,19 @@ class TuiSpec extends SparkSpec {
 
   test("browser navigation and tab switching render every pane") {
     val e = engine()
-    // walk down twice, open, then visit all 7 tabs, quit
-    val (st, out) = run(e, "jj\r1234567q")
-    assert(st.selected == 2)
+    // walk down to the FIRST TABLE node (root and a namespace sit above
+    // it in the tree sidebar), open, then visit all 7 tabs, quit
+    val ti = Tui.initial(e).nodes.indexWhere(_.isInstanceOf[Tui.TableNode])
+    assert(ti == 2) // Root, first namespace, first table
+    val (st, out) = run(e, "j" * ti + "\r1234567q")
+    assert(st.selected == ti)
     assert(st.tab == 6) // Tree was last
     assert(out.contains("iceberg-meta — Iceberg Metadata Explorer"))
     assert(out.contains("▶ ")) // selection marker
+    // the walk ALSO painted the warehouse overview (root selected) and
+    // a namespace overview (ns node selected) on the way down
+    assert(out.contains("warehouse rollup") && out.contains("format versions"))
+    assert(out.contains("Namespace: "))
     // every tab label appears highlighted at some point
     Tui.Tabs.zipWithIndex.foreach { case (t, i) =>
       assert(out.contains(s"[${i + 1}:$t]"), s"tab $t never active")
@@ -59,8 +66,8 @@ class TuiSpec extends SparkSpec {
 
   test("selection wraps, arrow keys normalize, unbound keys are ignored") {
     val e = engine()
-    val n = e.catalog.listTables().size
-    // 'k' from the top wraps to the last table; ESC [ B = down arrow
+    val n = Tui.initial(e).nodes.size
+    // 'k' from the top wraps to the last node; ESC [ B = down arrow
     val (st1, _) = run(e, "kq")
     assert(st1.selected == n - 1)
     val (st2, _) = run(e, "[B[B[Aq")
@@ -84,7 +91,8 @@ class TuiSpec extends SparkSpec {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val (st, out) = run(e, "rq")
     assert(st.refs.size == before + 1)
-    assert(out.contains("zz.late_table"))
+    // tree sidebar: new namespace node + short table name
+    assert(out.contains("zz") && out.contains("late_table"))
   }
 
   test("modal screens: ? help, d snapshot diff, s snapshot detail; next key closes") {
@@ -95,11 +103,18 @@ class TuiSpec extends SparkSpec {
     assert(st1.selected == 0 && st1.overlay.isEmpty)
     assert(out1.contains("this help") && out1.contains("any key: close"))
 
+    // d/s from a NON-table node warn instead of crashing (reference
+    // notify("Select a table first"))
+    val (_, outW) = run(e, "dxq")
+    assert(outW.contains("Select a table first"), outW.takeRight(1000))
+
     // diff on a table with 4 snapshots: the two most recent, lower id
     // first, with totals/added/deleted boxes (reference DiffScreen)
-    val refs = Tui.initial(e).refs
-    val idx = refs.indexOf("sales.orders")
-    assert(idx >= 0, refs.toString)
+    val nodes = Tui.initial(e).nodes
+    val idx = nodes.indexWhere {
+      case Tui.TableNode("sales.orders") => true; case _ => false
+    }
+    assert(idx >= 0, nodes.toString)
     val (_, out2) = run(e, "j" * idx + "dxq")
     assert(out2.contains("Diff ") && out2.contains("->"), out2.takeRight(2000))
     assert(out2.contains("totals") && out2.contains("added") &&
@@ -122,15 +137,17 @@ class TuiSpec extends SparkSpec {
         ansi = false, cache = cache)
       ()
     }
-    // initial paint computes (table0, Summary); '2' computes Snapshots;
-    // '1' revisits Summary — CACHED, no third compute; Enter repaints
-    // the same pane — still no compute
-    drive("21\rq")
-    assert(cache.computeCount == 2, s"computes=${cache.computeCount}")
-    // reload clears: the repaint after 'r' re-runs the Summary verb
-    drive("q") // fresh loop, same cache: initial paint is a cache hit
-    assert(cache.computeCount == 2, s"computes=${cache.computeCount}")
+    // walking down to the first table paints root + ns + table panes
+    // (one compute each); '2' computes the table's Snapshots pane
+    val ti = Tui.initial(e).nodes.indexWhere(_.isInstanceOf[Tui.TableNode])
+    drive("j" * ti + "2q")
+    assert(cache.computeCount == ti + 2, s"computes=${cache.computeCount}")
+    // the same walk + tab visits again: every pane is CACHED — no new
+    // computes (tab '1' and Enter repaint memoized panes too)
+    drive("j" * ti + "21\rq")
+    assert(cache.computeCount == ti + 2, s"computes=${cache.computeCount}")
+    // reload clears: the repaint after 'r' re-runs the root overview
     drive("rq")
-    assert(cache.computeCount == 3, s"computes=${cache.computeCount}")
+    assert(cache.computeCount == ti + 3, s"computes=${cache.computeCount}")
   }
 }
