@@ -276,6 +276,10 @@ object Cli {
           // winnow-removal <docs.parquet> [minDocs] — excise duplicated spans
           emit(graft.ops.Dedup.winnowRemoval(spark.read.parquet(vargs(0)),
             minDocs = vargs.lift(1).map(_.toInt).getOrElse(2)))
+        case "tui" =>
+          // interactive UI over the resolved engine (any catalog backend
+          // the config path produced); EOF on stdin exits cleanly
+          Tui.runInteractive(engine)
         case "dedup-gate" =>
           // dedup-gate <ns.index_table> <shard.parquet> [--admit [--intra]]
           // probe (and with --admit, grow) the persistent near-dup index;
@@ -308,5 +312,5 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       set-property unset-property bpe winnow-removal dedup-gate")
+      "       set-property unset-property bpe winnow-removal dedup-gate tui")
 }

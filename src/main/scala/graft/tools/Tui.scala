@@ -325,6 +325,21 @@ object Tui {
     st
   }
 
+  /** Drive the UI on the process terminal over an already-resolved
+    * engine — the `tui` CLI verb's entry (ref `cli.py` `tui` command),
+    * so the TUI runs against ANY catalog backend the config path
+    * resolves. Best-effort cbreak mode, restored on exit (no-op
+    * without a tty); EOF on stdin exits cleanly. */
+  def runInteractive(engine: Engine): Unit = {
+    def stty(mode: String): Unit =
+      try { new ProcessBuilder("sh", "-c", s"stty $mode < /dev/tty")
+        .inheritIO().start().waitFor(); () }
+      catch { case _: Exception => () }
+    stty("-icanon -echo")
+    try { loop(engine, System.in, System.out); () }
+    finally stty("icanon echo")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Tui <warehouseDir>")
     val spark = {
@@ -336,14 +351,7 @@ object Tui {
       b.getOrCreate()
     }
     spark.sparkContext.setLogLevel("ERROR")
-    val engine = new Engine(spark, args(0))
-    // best-effort cbreak mode; restore on exit (no-op without a tty)
-    def stty(mode: String): Unit =
-      try { new ProcessBuilder("sh", "-c", s"stty $mode < /dev/tty")
-        .inheritIO().start().waitFor(); () }
-      catch { case _: Exception => () }
-    stty("-icanon -echo")
-    try { loop(engine, System.in, System.out); () }
-    finally { stty("icanon echo"); spark.stop() }
+    try runInteractive(new Engine(spark, args(0)))
+    finally spark.stop()
   }
 }

@@ -95,6 +95,14 @@ class SkewAndCliSpec extends SparkSpec {
     assert(ids.contains(20L) && !ids.contains(21L), ids.toString)
   }
 
+  test("tui verb drives the interactive UI and exits cleanly on stdin EOF") {
+    val wh = Files.createTempDirectory("graft-cli-tui").toString
+    FixtureWriter.writeDemo(spark, wh)
+    // forked test JVMs get a closed stdin: the loop paints the first
+    // frame (warehouse overview at the tree root) and exits on EOF
+    assert(Cli.run(Array(wh, "tui")) == 0)
+  }
+
   test("round-5 CLI verbs: read/changes/compact/rollback/orphans") {
     val wh = Files.createTempDirectory("graft-cli-wh5").toString
     FixtureWriter.writeDemo(spark, wh)
