@@ -85,6 +85,46 @@ object CatalogConfig {
       env: Map[String, String] = envWithDotEnv()): CatalogConfig =
     resolve(name, uriArg, warehouseArg, loadFile(name, path), env)
 
+  /** The config file's `default_catalog` entry, if present — what an
+    * unnamed invocation resolves to (ref `catalog.py` default-catalog
+    * handling; written by `init`). */
+  def defaultCatalogName(path: Path = defaultPath): Option[String] = {
+    if (!Files.exists(path)) None
+    else {
+      val n = new ObjectMapper().readTree(Files.readString(path))
+        .path("default_catalog")
+      if (n.isTextual) Some(n.asText()) else None
+    }
+  }
+
+  /** Add or update ONE catalog entry in the config file without touching
+    * the others — the write half of `init` (ref `catalog.py:206-219`
+    * `merge_config_file`). The first catalog written (or
+    * `makeDefault = true`) becomes `default_catalog`. */
+  def mergeConfigFile(
+      name: String,
+      props: Map[String, String],
+      makeDefault: Boolean = false,
+      path: Path = defaultPath): Path = {
+    val om = new ObjectMapper()
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (Files.exists(path))
+        om.readTree(Files.readString(path)) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => om.createObjectNode()
+        }
+      else om.createObjectNode()
+    val entry = om.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => entry.put(k, v); () }
+    root.withObject("/catalogs").set(name, entry)
+    if (makeDefault || !root.path("default_catalog").isTextual)
+      root.put("default_catalog", name)
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(path,
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    path
+  }
+
   /** Parse a dotenv-format file (ref: the reference auto-loads `.env`
     * via python-dotenv, `docs/configuration.md` "`.env` file support"):
     * `KEY=VALUE` lines, `#` comments, optional `export ` prefix,

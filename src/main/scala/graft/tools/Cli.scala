@@ -83,6 +83,15 @@ object Cli {
     val verb = rest(1)
     val vargs = rest.drop(2)
 
+    // init runs BEFORE any engine/session exists — it CREATES the config
+    // the other verbs resolve (usage: `Cli - init [--config PATH]`)
+    if (verb == "init")
+      return graft.tools.Init.run(
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out,
+        cfgPath.map(java.nio.file.Paths.get(_))
+          .getOrElse(graft.meta.CatalogConfig.defaultPath))
+
     val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
@@ -96,11 +105,15 @@ object Cli {
     // directory stays the filesystem engine
     val engine =
       if (isCatalogUri(warehouse) || warehouse == "-" || catName.isDefined) {
+        val path = cfgPath.map(java.nio.file.Paths.get(_))
+          .getOrElse(graft.meta.CatalogConfig.defaultPath)
+        // no --catalog → the file's default_catalog (written by init),
+        // falling back to the anonymous "cli" entry name
         val cfg = graft.meta.CatalogConfig.resolveFromFile(
-          catName.getOrElse("cli"),
+          catName.orElse(graft.meta.CatalogConfig.defaultCatalogName(path))
+            .getOrElse("cli"),
           uriArg = Some(warehouse).filter(isCatalogUri),
-          path = cfgPath.map(java.nio.file.Paths.get(_))
-            .getOrElse(graft.meta.CatalogConfig.defaultPath))
+          path = path)
         Engine.forConfig(spark, cfg)
       } else new Engine(spark, warehouse)
 
@@ -312,5 +325,5 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       set-property unset-property bpe winnow-removal dedup-gate tui")
+      "       set-property unset-property bpe winnow-removal dedup-gate tui init")
 }
