@@ -84,6 +84,52 @@ object Mixing {
     * carries one row per source) + one unpartitioned window over the
     * #sources-row aggregate — bounded by source cardinality, never by
     * corpus size. */
+  /** EPOCH / REPEAT-FACTOR PLANNER — the step after mixture weighting:
+    * given a total training-volume budget and the α=0.5
+    * temperature-scaled target shares of [[temperatureWeights]], how
+    * many PASSES over each source does the run make?
+    * `epochs_milli = target DIV available` (milli-epochs: 1000 = one
+    * full pass, 500 = half the source, 2000 = the source twice), capped
+    * at `maxEpochsMilli` — the repeated-data guidance of Muennighoff et
+    * al. 2023 (arXiv:2305.16264): beyond ~4 epochs of repeats the
+    * marginal data stops helping, so the planner refuses to promise
+    * more and reports the shortfall via `planned_chars < target_chars`.
+    *
+    * Output per source: `src_chars` (available), `w_micro` (quantized
+    * sqrt weight), `share_permille` (target share), `target_chars`
+    * (budget × share), `epochs_milli` (capped repeat factor), and
+    * `planned_chars` (what the plan actually delivers).
+    *
+    * Scale shape: identical to [[temperatureWeights]] — one grouped agg
+    * whose shuffle carries a row per source, one window over the
+    * #sources-row aggregate, integral arithmetic end to end (`sqrt` is
+    * IEEE-correctly-rounded, everything else is BIGINT `DIV`). */
+  def epochPlan(
+      docs: DataFrame,
+      budgetChars: Long,
+      maxEpochsMilli: Long = 4000L,
+      sourceCol: String = "source",
+      sizeCol: String = "n_chars"): DataFrame = {
+    require(budgetChars >= 0, "budgetChars must be non-negative")
+    require(maxEpochsMilli > 0, "maxEpochsMilli must be positive")
+    val w = Window.partitionBy()
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(col(sizeCol)).as("src_chars"))
+      .withColumn("w_micro",
+        floor(sqrt(col("src_chars").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("total_w", sum(col("w_micro")).over(w))
+      .withColumn("share_permille", expr("(w_micro * 1000) DIV total_w"))
+      .withColumn("target_chars",
+        expr(s"(${budgetChars}L * share_permille) DIV 1000"))
+      .withColumn("epochs_milli",
+        least(lit(maxEpochsMilli), expr("(target_chars * 1000) DIV src_chars")))
+      .withColumn("planned_chars",
+        expr("(src_chars * epochs_milli) DIV 1000"))
+      .drop("total_w")
+      .orderBy(sourceCol)
+  }
+
   def temperatureWeights(
       docs: DataFrame,
       sourceCol: String = "source",

@@ -97,4 +97,39 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** CROSS-SPLIT LEAKAGE CHECK — the eval-contamination audit a
+    * hash-keyed split needs: splitting on `key` (typically the doc id)
+    * keeps each ROW in exactly one split, but the same CONTENT can
+    * appear under several ids — and then train and test share text.
+    * Groups rows by a content `fingerprint` (the canonical exact-dup
+    * digest, a prefix digest, a minhash band signature — any
+    * deterministic column), assigns splits with [[assignSplit]]'s exact
+    * bucketing, and reports per group-column: `dup_groups` (fingerprint
+    * groups with >1 row), `leak_groups` (those spanning >1 split), and
+    * `leaked_docs` (rows inside leaking groups).
+    *
+    * Scale shape: fingerprint and split are both computed map-side; the
+    * single wide shuffle carries `(group, fingerprint)` pairs — never
+    * text — into a map-side-combinable aggregation, then a second agg
+    * over the group-sized frame. The same shape as exact dedup, with
+    * the split census riding the digest key. */
+  def splitLeakage(
+      df: DataFrame,
+      key: Column,
+      weights: Seq[(String, Double)],
+      fingerprint: Column,
+      groupCol: String = "lang"): DataFrame = {
+    assignSplit(df, key, weights)
+      .select(col(groupCol), fingerprint.as("fp"), col("split"))
+      .groupBy(col(groupCol), col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("dup_groups"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leak_groups"),
+        sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L)).as("leaked_docs"))
+      .orderBy(groupCol)
+  }
 }

@@ -115,6 +115,46 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** TOKEN-BUDGET QUALITY CALIBRATION — the inverse of [[qualityCut]]:
+    * instead of "keep the top P% of documents", answer "what quality
+    * threshold keeps AT MOST `budgetChars` of volume per language?" —
+    * the knob a curation run actually turns when the training budget is
+    * fixed in tokens, not in percentiles.
+    *
+    * Per language: `threshold_milli` (the lowest milli-quantized quality
+    * score still admitted), `kept_docs`, and `kept_chars` (≤ budget).
+    * A language whose single best bin already exceeds the budget emits
+    * no row (nothing can be kept without overshooting).
+    *
+    * Scale shape: the corpus pass is a map-side-combinable aggregation
+    * into (lang, q_milli) bins — at most 1001 bins per language, so the
+    * shuffle carries bins, never documents, and the cumulative window
+    * runs over the tiny bin frame. Compare qualityCut, whose
+    * per-source window ranks every document row: this formulation is
+    * the 100 TB-safe shape for GLOBAL thresholding, trading doc-level
+    * tie-breaking for bin granularity (exact at the milli-score
+    * contract both engines share). */
+  def budgetThreshold(docs: DataFrame, budgetChars: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetChars >= 0, "budgetChars must be non-negative")
+    val bins = docs
+      .select(col("lang"),
+        floor(qualityScore(col("text")) * 1000).cast("long").as("q_milli"),
+        col("n_chars"))
+      .groupBy("lang", "q_milli")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"))
+    val w = Window.partitionBy("lang").orderBy(col("q_milli").desc)
+    bins
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_chars", sum(col("bin_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .groupBy("lang")
+      .agg(min(col("q_milli")).as("threshold_milli"),
+        max(col("cum_docs")).as("kept_docs"),
+        max(col("cum_chars")).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Marker-word occurrence count: `(len(t) − len(replace(t, m, ''))) / len(m)`
     * — integer-valued, hence bit-deterministic. */
   def markerCount(text: Column, marker: String): Column =

@@ -769,6 +769,100 @@ object PipelineQueries {
              |  (w_micro * 1000) // total_w AS share_permille
              |FROM t ORDER BY source""".stripMargin)),
 
+    // Epoch/repeat planner: temperature shares of a 400k-char budget turn
+    // into per-source repeat factors (milli-epochs, capped at 2.0 — the
+    // repeated-data guidance of arXiv:2305.16264); planned < target
+    // reports the shortfall where the cap binds
+    Q("q_epoch_plan",
+      (s, d) => graft.ops.Mixing.epochPlan(documents(s, d),
+        budgetChars = 400000L, maxEpochsMilli = 2000L),
+      Some("""WITH s AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT source, src_chars,
+             |    CAST(floor(sqrt(CAST(src_chars AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS w_micro
+             |  FROM s),
+             |t AS (
+             |  SELECT source, src_chars, w_micro,
+             |    (w_micro * 1000) // CAST(sum(w_micro) OVER () AS BIGINT)
+             |      AS share_permille
+             |  FROM w),
+             |p AS (
+             |  SELECT source, src_chars, w_micro, share_permille,
+             |    (400000 * share_permille) // 1000 AS target_chars
+             |  FROM t)
+             |SELECT source, src_chars, w_micro, share_permille, target_chars,
+             |  least(2000, (target_chars * 1000) // src_chars) AS epochs_milli,
+             |  (src_chars * least(2000, (target_chars * 1000) // src_chars)) // 1000
+             |    AS planned_chars
+             |FROM p ORDER BY source""".stripMargin)),
+
+    // Token-budget quality calibration: per language, the quality
+    // threshold whose kept volume fits a 10k-char budget — binned by
+    // milli-score (≤1001 bins/lang: the shuffle carries bins, not docs)
+    Q("q_budget_threshold",
+      (s, d) => TextStats.budgetThreshold(documents(s, d), budgetChars = 10000L),
+      Some("""WITH t AS (
+             |  SELECT lang, n_chars,
+             |    CAST(floor((0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+             |      + 0.3 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0)
+             |      + 0.2 * (1.0 - least(1.0, CAST(length(regexp_replace(text, '[^.,!?]', '', 'g')) AS DOUBLE) / 50.0)))
+             |      * 1000) AS BIGINT) AS q_milli
+             |  FROM documents),
+             |b AS (
+             |  SELECT lang, q_milli, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS bin_chars
+             |  FROM t GROUP BY 1, 2),
+             |c AS (
+             |  SELECT lang, q_milli,
+             |    CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY q_milli DESC)
+             |      AS BIGINT) AS cum_docs,
+             |    CAST(sum(bin_chars) OVER (PARTITION BY lang ORDER BY q_milli DESC)
+             |      AS BIGINT) AS cum_chars
+             |  FROM b)
+             |SELECT lang, min(q_milli) AS threshold_milli,
+             |  max(cum_docs) AS kept_docs, max(cum_chars) AS kept_chars
+             |FROM c WHERE cum_chars <= 10000
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Cross-split leakage audit: 64-char-prefix content fingerprints
+    // (the SQL-expressible near-dup proxy — template spam shares its
+    // head) whose duplicate groups straddle the 80/10/10 doc-id-hash
+    // split; the engine API takes any fingerprint column (exact digest,
+    // minhash band) through the same digest-keyed shape
+    Q("q_split_leakage",
+      (s, d) => Sampling.splitLeakage(documents(s, d),
+        col("doc_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        md5(lower(trim(substring(col("text"), 1, 64))))),
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(doc_id AS VARCHAR)", 8)
+        val thrs = Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = thrs.init.map { case (n, t) => s"WHEN bucket < $t THEN '$n'" }
+          .mkString(" ")
+        s"""WITH b AS (
+           |  SELECT lang, md5(lower(trim(substr(text, 1, 64)))) AS fp,
+           |    $h % 10000 AS bucket
+           |  FROM documents),
+           |s AS (
+           |  SELECT lang, fp,
+           |    CASE $cases ELSE '${thrs.last._1}' END AS split
+           |  FROM b),
+           |g AS (
+           |  SELECT lang, fp, count(DISTINCT split) AS n_splits,
+           |    count(*) AS n_docs
+           |  FROM s GROUP BY 1, 2 HAVING count(*) > 1)
+           |SELECT lang, count(*) AS dup_groups,
+           |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS leak_groups,
+           |  CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+           |    AS leaked_docs
+           |FROM g GROUP BY 1 ORDER BY lang""".stripMargin
+      }),
+
     // Marker-based language ID vs labeled lang
     Q("q_lang_id",
       (s, d) => TextStats.langId(documents(s, d)),

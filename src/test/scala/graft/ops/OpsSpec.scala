@@ -198,6 +198,69 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Mixing.applyMixture(docs, budgetChars = 0L).count() == 0)
   }
 
+  test("epoch plan: integral milli-epoch arithmetic with the repeat cap binding") {
+    val docs = docsDf(Seq(
+      (1L, "x", "en", "a", 100L),
+      (2L, "x", "en", "b", 400L)))
+    val out = graft.ops.Mixing.epochPlan(docs, budgetChars = 900L, maxEpochsMilli = 2000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // sqrt weights: a=10e6, b=20e6 -> shares 333/666 permille of 900
+    assert(out("a").getAs[Long]("share_permille") == 333L)
+    assert(out("a").getAs[Long]("target_chars") == 299L)
+    // a needs 2.99 epochs of its 100 chars -> capped at 2.0 -> 200 planned
+    assert(out("a").getAs[Long]("epochs_milli") == 2000L)
+    assert(out("a").getAs[Long]("planned_chars") == 200L)
+    // b's 599-char target is 1.497 epochs of 400 -> under the cap
+    assert(out("b").getAs[Long]("epochs_milli") == 1497L)
+    assert(out("b").getAs[Long]("planned_chars") == 598L)
+  }
+
+  test("budget threshold: keeps best bins within budget; infeasible budget emits nothing") {
+    // three docs with strictly ordered quality scores (alpha-heavy ->
+    // mixed -> punctuation-heavy), 100 chars each
+    val docs = docsDf(Seq(
+      (1L, "aaaaaaaaaa", "en", "a", 100L),
+      (2L, "aaaa 1111", "en", "a", 100L),
+      (3L, "....!!!!", "en", "a", 100L)))
+    val k250 = TextStats.budgetThreshold(docs, budgetChars = 250L).collect()
+    assert(k250.length == 1)
+    assert(k250.head.getAs[Long]("kept_docs") == 2L)   // top two fit, third overshoots
+    assert(k250.head.getAs[Long]("kept_chars") == 200L)
+    val k100 = TextStats.budgetThreshold(docs, budgetChars = 100L).collect()
+    assert(k100.head.getAs[Long]("kept_docs") == 1L)
+    // the single best bin already exceeds a 50-char budget -> no row
+    assert(TextStats.budgetThreshold(docs, budgetChars = 50L).isEmpty)
+  }
+
+  test("split leakage: duplicate fingerprints straddling splits are flagged") {
+    val s2 = spark
+    import s2.implicits._
+    val weights = Seq("train" -> 0.5, "test" -> 0.5)
+    // find ids the hash split genuinely separates (deterministic, but
+    // not chosen by hand — the op must flag whatever the split does)
+    val splitOf = Sampling.assignSplit(
+        (1L to 20L).toDF("doc_id"), col("doc_id").cast("string"), weights)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val (idA, idB) = {
+      val byClass = splitOf.groupBy(_._2).map { case (_, m) => m.keys.min }
+      (byClass.head, byClass.last) // one id from each split
+    }
+    val sameSplit = splitOf.collect { case (id, s) if s == splitOf(idA) && id != idA => id }.head
+    val docs = docsDf(Seq(
+      (idA, "leaky duplicated text", "en", "a", 21L),
+      (idB, "leaky duplicated text", "en", "a", 21L),     // same text, other split
+      (idA + 100L, "benign dup", "en", "a", 10L),
+      (idB + 100L, "benign dup", "en", "a", 10L),
+      (sameSplit, "unique document", "en", "a", 15L)))
+    val out = Sampling.splitLeakage(docs, col("doc_id").cast("string"),
+        weights, graft.ops.Dedup.contentDigest()).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("leak_groups") >= 1L)
+    assert(r.getAs[Long]("leaked_docs") >= 2L)
+    assert(r.getAs[Long]("dup_groups") >= r.getAs[Long]("leak_groups"))
+  }
+
   test("oov rate: full vocab covers everything; k=1 leaves the tail out") {
     val docs = docsDf(Seq(
       (1L, "the cat and the dog and the bird", "en", "a", 32L)))
