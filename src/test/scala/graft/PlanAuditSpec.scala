@@ -289,6 +289,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.ops.Dedup.winnowRemoval(docs).count() == 0L)
   }
 
+  test("budget threshold: corpus pass partial-aggregates into bins; window keyed by lang") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.budgetThreshold(docs, budgetChars = 10000L)
+      .queryExecution.executedPlan.toString
+    // the only corpus-sized stage is the (lang, q_milli) bin aggregate —
+    // map-side combined, so the shuffle carries bins, never documents
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(plan.contains("Exchange hashpartitioning(lang"), plan.take(1500))
+    // the cumulative window runs per language over the bin frame — never
+    // an empty partition spec (single-partition global window)
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("windowspecdefinition()"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("epoch plan: one partial-agg shuffle over sources, no cartesian, no UDFs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Mixing.epochPlan(docs, budgetChars = 400000L)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("ScalaUDF"), plan.take(1500))
+  }
+
+  test("split leakage: the wide shuffle is keyed on (group, fingerprint), not text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Sampling.splitLeakage(docs,
+        col("doc_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        md5(lower(trim(substring(col("text"), 1, 64)))))
+      .queryExecution.executedPlan.toString
+    // fingerprint and split are computed map-side; the exchange keys are
+    // the digest pair — the document body never rides a shuffle
+    assert(plan.contains("Exchange hashpartitioning(lang"), plan.take(1500))
+    assert(plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(!_.contains("text#")), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("bpe census: pair counts partial-aggregate before the shuffle, no UDFs") {
     val s2 = spark
     import s2.implicits._
