@@ -333,6 +333,30 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       branch: Option[String] = None): graft.meta.TableWriter.CommitResult =
     graft.meta.TableWriter.append(spark, tableDir(ref), df, branch)
 
+  /** STAGE an append without publishing it (write-audit-publish): the
+    * snapshot lands in the log tagged `wap.id = wapId` but no pointer
+    * moves — readers see nothing. Audit it via the snapshot-pinned reads
+    * (`readTable(ref, Some(id))`, `files(ref, Some(id))`), then
+    * [[publishWap]]/[[cherrypick]] to publish, or leave it for snapshot
+    * expiration to reclaim. */
+  def appendStaged(ref: String, df: DataFrame,
+      wapId: String): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.append(spark, tableDir(ref), df,
+      wapId = Some(wapId))
+
+  /** Publish a staged snapshot onto the main line (metadata-only;
+    * fast-forward when the base hasn't moved, re-apply otherwise). */
+  def cherrypick(ref: String, snapshotId: Long): Maintenance.CherrypickResult =
+    Maintenance.cherrypick(tableDir(ref), snapshotId)
+
+  /** Publish the staged snapshot carrying `wap.id = wapId`. */
+  def publishWap(ref: String, wapId: String): Maintenance.CherrypickResult = {
+    val matches = load(ref).metadata.snapshots
+      .filter(_.summary.get("wap.id").contains(wapId))
+    require(matches.nonEmpty, s"no staged snapshot with wap.id '$wapId' on $ref")
+    cherrypick(ref, matches.map(_.snapshotId).max)
+  }
+
   /** Replace `ref`'s live data with `df` (prior snapshots stay readable). */
   def overwrite(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
     graft.meta.TableWriter.overwrite(spark, tableDir(ref), df)

@@ -41,14 +41,27 @@ object TableWriter {
     * `branch = Some(name)` commits onto that branch ref instead of the
     * main line: the branch head is the parent, the ref moves, and the
     * table's current snapshot is untouched (Iceberg branch-write
-    * semantics — an isolated audit/experiment line on shared data). */
+    * semantics — an isolated audit/experiment line on shared data).
+    *
+    * `wapId = Some(id)` STAGES the commit (Iceberg write-audit-publish,
+    * the `spark.wap.id` flow): the snapshot is written with a `wap.id`
+    * summary prop but NO pointer moves — readers of the table see
+    * nothing until an audit passes and
+    * [[graft.ops.Maintenance.cherrypick]] publishes it; an abandoned
+    * staged snapshot is unreferenced and gets reclaimed by snapshot
+    * expiration. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
       branch: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty,
-      extraProperties: Map[String, String] = Map.empty): CommitResult =
+      extraProperties: Map[String, String] = Map.empty,
+      wapId: Option[String] = None): CommitResult = {
+    require(branch.isEmpty || wapId.isEmpty,
+      "a staged (write-audit-publish) append cannot also target a branch")
     commit(spark, tableDir, Some(df), "append", keepPredicate = _ => true,
       branch = branch, extraSummary = extraSummary,
-      extraProperties = extraProperties, retryOnConflict = true)
+      extraProperties = extraProperties, retryOnConflict = true,
+      wapId = wapId)
+  }
 
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). */
@@ -240,7 +253,8 @@ object TableWriter {
       carryDeletes: Boolean = false,
       extraSummary: Map[String, String] = Map.empty,
       extraProperties: Map[String, String] = Map.empty,
-      retryOnConflict: Boolean = false): CommitResult = {
+      retryOnConflict: Boolean = false,
+      wapId: Option[String] = None): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
@@ -403,7 +417,7 @@ object TableWriter {
         result = publishSnapshot(spark, dir, tableDir, curMd, curBaseV, fields,
           spec.specId, curSnapId, entries, operation, keepPredicate, branch,
           equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes,
-          extraSummary, extraProperties)
+          extraSummary, extraProperties, wapId)
       } catch {
         // append/upsert keep every pre-existing file, so replaying the
         // SAME logical commit on the winner's metadata is exactly the
@@ -515,7 +529,8 @@ object TableWriter {
       equalityData: Option[(DataFrame, Seq[String])],
       carryDeletes: Boolean,
       extraSummary: Map[String, String],
-      extraProperties: Map[String, String] = Map.empty): CommitResult = {
+      extraProperties: Map[String, String] = Map.empty,
+      wapId: Option[String] = None): CommitResult = {
     // fresh per-publish-attempt token (see commit): a conflicting
     // concurrent publisher must never overwrite these artifacts
     val tok = java.util.UUID.randomUUID().toString.take(8)
@@ -621,13 +636,20 @@ object TableWriter {
         "total-data-files" -> live.size.toString,
         "total-records" -> live.map(_.recordCount).sum.toString,
         "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString)
+        ++ wapId.map("wap.id" -> _)
         ++ extraSummary,
       manifestList = listPath)
 
     // main-line commits move current + the `main` ref; branch commits
-    // move ONLY their ref, leaving the table's current snapshot alone
+    // move ONLY their ref, leaving the table's current snapshot alone; a
+    // STAGED (write-audit-publish) commit moves nothing at all — the
+    // snapshot sits in the log awaiting cherrypick or expiration
     val props = md.properties ++ extraProperties
-    val newMd = branch match {
+    val newMd = if (wapId.isDefined) md.copy(
+      lastUpdatedMs = nowMs,
+      properties = props,
+      snapshots = md.snapshots :+ snapshot)
+    else branch match {
       case Some(b) if b != "main" => md.copy(
         lastUpdatedMs = nowMs,
         properties = props,

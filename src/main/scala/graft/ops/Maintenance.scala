@@ -26,9 +26,12 @@ object Maintenance {
       metadataVersion: Int)
 
   /** Expire snapshots with `timestampMs < olderThanMs`, always retaining
-    * the current snapshot and the `retainLast` newest. Unreferenced
-    * manifest lists, manifests, and data files are deleted from disk;
-    * a new metadata version carries only the kept snapshots.
+    * the current snapshot, the `retainLast` newest ANCESTORS of the
+    * current line, and every ref target (Iceberg semantics: retain-last
+    * protects the branch's own history, while unreferenced snapshots —
+    * abandoned WAP stages, rolled-past commits — expire by age alone).
+    * Unreferenced manifest lists, manifests, and data files are deleted
+    * from disk; a new metadata version carries only the kept snapshots.
     *
     * Note: parent pointers of kept snapshots may reference expired ids
     * afterwards (Iceberg allows dangling parents); [[MetaDiff.changes]]
@@ -40,8 +43,12 @@ object Maintenance {
     val (md0, baseV) = graft.meta.IcebergMeta.loadVersioned(tableDir)
     val t = new IcebergTable(tableDir, md0)
     val md = t.metadata
-    val byTimeDesc = md.snapshots.sortBy(-_.timestampMs)
-    val keepIds = (byTimeDesc.take(math.max(retainLast, 1)).map(_.snapshotId) ++
+    val byId = md.snapshots.map(s => s.snapshotId -> s).toMap
+    // current-line ancestry, newest first (current → parents)
+    val mainChain = Iterator.iterate(md.currentSnapshotId)(
+        _.flatMap(id => byId.get(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    val keepIds = (mainChain.take(math.max(retainLast, 1)) ++
       md.currentSnapshotId.toSeq ++
       md.refs.values.map(_.snapshotId) ++ // tagged/branched snapshots never expire
       md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
@@ -108,6 +115,96 @@ object Maintenance {
       lastUpdatedMs = System.currentTimeMillis(),
       currentSnapshotId = Some(snapshotId),
       refs = refs)))
+  }
+
+  final case class CherrypickResult(
+      sourceSnapshotId: Long,
+      publishedSnapshotId: Long,
+      fastForward: Boolean,
+      metadataVersion: Int)
+
+  /** Publish a STAGED snapshot (write-audit-publish: an append committed
+    * with `wapId`, sitting in the log with no ref) onto the main line —
+    * Iceberg's `cherrypick_snapshot` procedure, the "publish" step after
+    * the audit passes.
+    *
+    * Two shapes, both metadata-only (no data file moves or rewrites):
+    *  - **fast-forward** when the staged snapshot's parent is still the
+    *    current snapshot: the pointer simply advances to the staged
+    *    snapshot itself.
+    *  - **re-apply** when other commits landed since staging: the staged
+    *    snapshot's ADDED manifests are attached on top of the current
+    *    snapshot's manifests as a NEW snapshot (valid for `append`
+    *    sources only — an overwrite staged against a stale base cannot
+    *    be replayed safely and is refused). The new snapshot records
+    *    `source-snapshot-id` and `published-wap-id`.
+    *
+    * Cherry-picking a snapshot that is already an ancestor of the
+    * current snapshot (published, or never staged) is refused. */
+  def cherrypick(tableDir: String, snapshotId: Long): CherrypickResult = {
+    val (md0, baseV) = IcebergMeta.loadVersioned(tableDir)
+    val t = new IcebergTable(tableDir, md0)
+    val md = t.metadata
+    val src = md.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"Snapshot $snapshotId not found"))
+
+    // ancestry walk of the current line: already-published ids are refused
+    val byId = md.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = Iterator.iterate(md.currentSnapshotId)(
+        _.flatMap(id => byId.get(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSet
+    require(!ancestors.contains(snapshotId),
+      s"Snapshot $snapshotId is already in the current line — nothing to publish")
+
+    val nowMs = System.currentTimeMillis()
+    if (src.parentSnapshotId == md.currentSnapshotId) {
+      // fast-forward: the table hasn't moved since staging; the staged
+      // snapshot (its wap.id summary and all) becomes current as-is
+      val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
+        lastUpdatedMs = nowMs,
+        currentSnapshotId = Some(snapshotId),
+        refs = md.refs + ("main" -> SnapshotRef(snapshotId, "branch")))))
+      CherrypickResult(snapshotId, snapshotId, fastForward = true, v)
+    } else {
+      require(src.operation == "append",
+        s"cherrypick can re-apply only append snapshots onto a moved base " +
+          s"(snapshot $snapshotId is '${src.operation}')")
+      // the staged commit's own contribution: manifests it added (appends
+      // carry the parent's manifests forward, so filter to this snapshot)
+      val addedManifests = AvroManifests.readManifestList(
+        t.resolvePath(src.manifestList)).filter(_.addedSnapshotId == snapshotId)
+      val addedEntries = addedManifests.flatMap(m =>
+        AvroManifests.readManifest(t.resolvePath(m.manifestPath)))
+      val live = t.files() ++ addedEntries
+      val newSnapId = md.snapshots.map(_.snapshotId).max + 1L
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val dir = Paths.get(tableDir)
+      val listPath = s"metadata/snap-$newSnapId-$tok.avro"
+      AvroManifests.writeManifestList(dir.resolve(listPath).toString,
+        t.manifests() ++ addedManifests)
+      val snapshot = Snapshot(
+        snapshotId = newSnapId,
+        parentSnapshotId = md.currentSnapshotId,
+        timestampMs = nowMs,
+        sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+        operation = "append",
+        summary = Map(
+          "operation" -> "append",
+          "source-snapshot-id" -> snapshotId.toString,
+          "added-data-files" -> addedEntries.size.toString,
+          "added-records" -> addedEntries.map(_.recordCount).sum.toString,
+          "total-data-files" -> live.size.toString,
+          "total-records" -> live.map(_.recordCount).sum.toString,
+          "total-files-size" -> live.map(_.fileSizeInBytes).sum.toString)
+          ++ src.summary.get("wap.id").map("published-wap-id" -> _),
+        manifestList = listPath)
+      val v = writeNextVersion(tableDir, baseV, IcebergMeta.render(md.copy(
+        lastUpdatedMs = nowMs,
+        currentSnapshotId = Some(newSnapId),
+        snapshots = md.snapshots :+ snapshot,
+        refs = md.refs + ("main" -> SnapshotRef(newSnapId, "branch")))))
+      CherrypickResult(snapshotId, newSnapId, fastForward = false, v)
+    }
   }
 
   /** Pin `name` as a TAG on a snapshot (default: current). Tagged

@@ -61,6 +61,14 @@ object GraftProcedures {
         val v = e.rollback(in.getUTF8String(0).toString, in.getLong(1))
         s"rolled back to snapshot ${in.getLong(1)} (metadata v$v)"
       }),
+    "cherrypick_snapshot" -> (Array(p("table", StringType), p("snapshot_id", LongType)),
+      (e, in) => {
+        val r = e.cherrypick(in.getUTF8String(0).toString, in.getLong(1))
+        if (r.fastForward)
+          s"fast-forwarded to staged snapshot ${r.publishedSnapshotId}"
+        else
+          s"re-applied snapshot ${r.sourceSnapshotId} as ${r.publishedSnapshotId}"
+      }),
     "analyze" -> (Array(p("table", StringType), pd("k", IntegerType, "1024")),
       (e, in) => {
         val t = in.getUTF8String(0).toString

@@ -102,6 +102,22 @@ class ProcedureSpec extends SparkSpec {
       ch.size.toLong)
   }
 
+  test("CALL cherrypick_snapshot publishes a staged WAP append") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.lake")
+    spark.sql("CREATE TABLE graftc.lake.wap (id BIGINT)")
+    spark.sql("INSERT INTO graftc.lake.wap VALUES (1), (2)")
+    import spark.implicits._
+    val e = new graft.api.Engine(spark, wh)
+    val staged = e.appendStaged("lake.wap", Seq(3L).toDF("id"), wapId = "w1")
+    assert(spark.sql("SELECT count(*) FROM graftc.lake.wap").as[Long].head() == 2L)
+    val msg = spark.sql(
+      s"CALL graftc.system.cherrypick_snapshot('lake.wap', ${staged.snapshotId})")
+      .as[String].head()
+    assert(msg.contains("fast-forwarded"))
+    assert(spark.sql("SELECT count(*) FROM graftc.lake.wap").as[Long].head() == 3L)
+  }
+
   test("unknown procedure fails with the known list") {
     val wh = warehouse
     val err = intercept[Exception] {
