@@ -572,6 +572,53 @@ object Dedup {
     * per-doc rebuild aggregate), which is the floor for any rebuild; the
     * mark explode fans out k rows per duplicated fingerprint — bounded by
     * dup density, not corpus size. */
+  /** EXACT-substring duplicate spans (Lee et al. 2021 "ExactSubstr"): the
+    * maximal regions of each document whose every `k`-token gram occurs
+    * at least `minOccurs` times in the whole corpus — including
+    * within-document repeats, so self-plagiarized boilerplate is caught
+    * too. The single-node reference algorithm is a suffix array; the
+    * distributed shape is a gram-hash census: [[winnowedFps]] with
+    * `window = 1` degenerates winnowing into ALL gram hashes (the
+    * sliding min over one element is the element), so the same codegen
+    * kernel serves both the sampled (winnowed) and exact surfaces.
+    *
+    * Returns per affected doc: `n_spans` (maximal merged spans),
+    * `dup_tokens` (tokens covered by a duplicated gram), `max_span`
+    * (longest span, in tokens).
+    *
+    * Scale shape: the gram frame is corpus-token-count rows of
+    * (doc_id, fp, gpos) LONGS — text never shuffles; the census
+    * `groupBy(fp)` is the one wide exchange (the honest cost of
+    * exactness — ~(window+1)/2 × the winnowed census). The span merge
+    * windows over MARKED positions only, so its sort is dup-density-
+    * bounded, not corpus-bounded. The gram kernel is recomputed for the
+    * mark join rather than checkpointed: n_tokens × corpus storage loses
+    * to kernel recompute at scale (same call as the Jaccard gram frame). */
+  def exactDupSpans(docs: DataFrame, k: Int = 6, minOccurs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = winnowedFps(docs, k, window = 1)
+    val dupFps = grams.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurs)
+      .select("fp")
+    val marked = grams.join(dupFps, "fp").select("doc_id", "gpos")
+    // fixed-length k intervals [gpos, gpos+k-1]: a new maximal span
+    // starts where the gap to the previous marked gram leaves at least
+    // one uncovered token (gpos > prev + k)
+    val w = Window.partitionBy("doc_id").orderBy("gpos")
+    val spans = marked
+      .withColumn("brk",
+        when(col("gpos") > lag("gpos", 1).over(w) + lit(k), 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("gpos").as("s"), (max("gpos") + lit(k - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).as("max_span"))
+      .orderBy("doc_id")
+  }
+
   def winnowRemoval(docs: DataFrame, k: Int = 5, window: Int = 4,
       minDocs: Int = 2): DataFrame = {
     // same single-evaluation contract as winnowedDupSpans: occurrences

@@ -1515,6 +1515,40 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin
         .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
 
+    // EXACT-substring duplicate spans (Lee et al. ExactSubstr): maximal
+    // doc regions whose every 6-token gram occurs ≥2× corpus-wide
+    // (within-doc repeats included). Distributed as a gram-hash census —
+    // the suffix array's Spark-native twin; the winnowing kernel with
+    // window=1 supplies ALL gram hashes.
+    Q("q_exact_substr",
+      (s, d) => Dedup.exactDupSpans(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 6 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 5)) AS i
+             |        FROM d WHERE len(toks) >= 6)),
+             |h AS (SELECT doc_id, pos, GRAMHASH AS fp FROM g),
+             |dup AS (SELECT fp FROM h GROUP BY fp HAVING count(*) >= 2),
+             |m AS (SELECT doc_id, pos FROM h JOIN dup USING (fp)),
+             |f AS (SELECT doc_id, pos,
+             |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 6
+             |             THEN 1 ELSE 0 END AS brk
+             |      FROM m),
+             |sp AS (SELECT doc_id, pos,
+             |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+             |       FROM f),
+             |spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 5 AS e
+             |          FROM sp GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+             |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
+
     // Deterministic BPE-merge training: 64 rounds of top-(count, pair)
     // merges — corpus shuffles once into the word census; rounds patch
     // the INCREMENTAL pair census (only words containing the merged pair

@@ -289,6 +289,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.ops.Dedup.winnowRemoval(docs).count() == 0L)
   }
 
+  test("exactDupSpans: gram frame is a kernel projection; span window sorts marked rows only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Dedup.exactDupSpans(docs)
+      .queryExecution.executedPlan.toString
+    // the all-grams frame comes from the SAME winnowing kernel (window=1)
+    // — no posexplode of text, no cartesian, keyed joins only
+    assert(plan.contains("winnow_fps"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("Generate posexplode"), plan.take(1500))
+    // exactly one window operator (the span merge), running AFTER the
+    // dup-membership join — its sort sees dup-density-bounded rows
+    assert(plan.sliding("Window".length).count(_ == "Window") >= 1)
+    val windowIdx = plan.indexOf("Window")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && windowIdx >= 0 && windowIdx < joinIdx,
+      s"span window must consume the join output (window@$windowIdx join@$joinIdx)")
+  }
+
   test("budget threshold: corpus pass partial-aggregates into bins; window keyed by lang") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.budgetThreshold(docs, budgetChars = 10000L)

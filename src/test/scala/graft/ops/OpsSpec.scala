@@ -691,6 +691,30 @@ class OpsSpec extends SparkSpec {
     out.values.foreach { case (n, d) => assert(d <= n) }
   }
 
+  test("exactDupSpans: adjacent dup grams merge into one maximal span; " +
+      "within-doc repeats count; clean docs absent") {
+    // docs 1/2 share a 9-token sentence -> its 4 6-grams mark tokens
+    // 0..8 as ONE merged span of 9 in each doc
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    // doc 3 repeats the same 6 tokens twice WITHIN itself (self-dup):
+    // both occurrences are spans (separated by unique filler)
+    val rep = "uno dos tres cuatro cinco seis"
+    val docs = docsDf(Seq(
+      (1L, shared, "en", "a", shared.length.toLong),
+      (2L, shared + " kappa lambda", "en", "a", 0L),
+      (3L, rep + " filler1 filler2 filler3 filler4 filler5 filler6 filler7 " + rep,
+        "en", "a", 0L),
+      (4L, "one two three four five six seven eight nine ten", "en", "a", 0L)))
+    val out = Dedup.exactDupSpans(docs, k = 6, minOccurs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("max_span")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 9L, 9L))) // one merged maximal span, all 9 tokens
+    assert(out(2L) == ((1L, 9L, 9L))) // same span inside the longer doc
+    assert(out(3L) == ((2L, 12L, 6L))) // two separate 6-token self-dup spans
+  }
+
   test("text: gopher rules flag each heuristic independently") {
     val docs = docsDf(Seq(
       (1L, "the cat and dog run", "en", "a", 19L),                   // passes all
