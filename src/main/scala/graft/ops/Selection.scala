@@ -38,6 +38,97 @@ object Selection {
     * @param target a boolean Column over `docs` rows marking the target
     *               distribution (must select ≥1 bigram, or the
     *               ratio's denominator is zero and ANSI mode throws) */
+  /** Distributed QUALITY-CLASSIFIER training — the fastText-style linear
+    * quality filter of CCNet/LLaMA-class pipelines (label a seed of
+    * "good" documents, train a linear model over hashed n-gram features,
+    * score the corpus), made INTEGER-EXACT so it reproduces bit-for-bit
+    * on any engine: batch perceptron instead of logistic SGD. Per round,
+    * every misclassified document contributes `y·c_b` to each of its
+    * feature buckets; weights are integers, margins exact DECIMAL sums —
+    * no learning rate, no float accumulation, no row-order sensitivity.
+    *
+    * Returns the confusion census after `rounds` updates:
+    * `(label, predicted, n_docs)` — the end-to-end proof that the
+    * trained weights separate the seed; callers score a fresh corpus by
+    * reusing the weight map ([[perceptronWeights]]).
+    *
+    * Scale shape: the feature bag is one codegen kernel pass per doc
+    * (distinct-bucket rows, text never shuffles); each round is one
+    * corpus pass — the weight vector (≤ `buckets` longs) rides into the
+    * margin projection as a LITERAL map (no join for scoring), the
+    * misclassified-doc join is keyed on doc_id, and the per-bucket
+    * update collect is `buckets`-bounded. Driver state: `buckets` longs.
+    * Rounds are bounded (3-10 in practice: batch perceptron converges or
+    * cycles quickly on separable-ish data). */
+  def trainQualityPerceptron(docs: DataFrame, positive: Column,
+      buckets: Int = 256, rounds: Int = 3): DataFrame = {
+    val (w, feats) = perceptronWeights(docs, positive, buckets, rounds)
+    feats
+      .withColumn("wc", weightExpr(w) * col("c"))
+      .groupBy("doc_id", "y")
+      .agg(sum("wc").as("margin"))
+      .select(col("y").as("label"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "predicted")
+  }
+
+  /** The trained per-bucket weights after `rounds` batch-perceptron
+    * updates, plus the feature frame (doc_id, y, b, c) they were fit on.
+    * w₀ = 0, so round 1's update is the class-difference count
+    * Σ y·c_b over ALL docs; later rounds update on misclassified docs
+    * only (margin·y ≤ 0). */
+  def perceptronWeights(docs: DataFrame, positive: Column,
+      buckets: Int = 256, rounds: Int = 3)
+      : (Map[Long, Long], DataFrame) = {
+    require(buckets > 0, "buckets must be positive")
+    require(rounds >= 1, "rounds must be >= 1")
+    import org.apache.spark.sql.GraftColumnBridge
+    // recomputed per round (kernel recompute beats caching corpus ×
+    // distinct-buckets rows at scale — same call as the gram frames)
+    def feats = docs
+      .select(col("doc_id"), when(positive, 1L).otherwise(-1L).as("y"),
+        explode(GraftColumnBridge.column(graft.expr.HashedBigramBuckets(
+          GraftColumnBridge.expression(col("text")), buckets))).as("f"))
+      .select(col("doc_id"), col("y"), col("f.b").as("b"), col("f.c").as("c"))
+    var w = Map.empty[Long, Long]
+    var r = 0
+    while (r < rounds) {
+      val miscl =
+        if (w.isEmpty) feats.select("doc_id") // margin 0: all misclassified
+        else feats
+          .withColumn("wc", weightExpr(w) * col("c"))
+          .groupBy("doc_id", "y")
+          .agg(sum("wc").as("margin"))
+          .filter(col("y") * col("margin") <= 0)
+          .select("doc_id")
+      val delta = feats
+        .join(miscl, Seq("doc_id"), "left_semi")
+        .groupBy("b")
+        .agg(sum(col("y") * col("c")).as("dw"))
+        .collect()
+        .map(row => row.getAs[Long]("b") -> row.getAs[Long]("dw"))
+      w = delta.foldLeft(w) { case (acc, (b, dw)) =>
+        acc + (b -> (acc.getOrElse(b, 0L) + dw)) }
+      r += 1
+    }
+    (w, feats)
+  }
+
+  /** The weight vector as a literal-map lookup column over `b` —
+    * scoring is a pure projection, no join. Exact DECIMAL(38,0)
+    * arithmetic so margins cannot overflow under ANSI at corpus scale. */
+  private def weightExpr(w: Map[Long, Long]): Column = {
+    if (w.isEmpty) lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+    else coalesce(
+      element_at(
+        map(w.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+          Seq(lit(b), lit(v).cast("decimal(38,0)")) }: _*),
+        col("b")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+  }
+
   def targetAffinity(docs: DataFrame, target: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")

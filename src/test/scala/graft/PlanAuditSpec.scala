@@ -308,6 +308,21 @@ class PlanAuditSpec extends SparkSpec {
       s"span window must consume the join output (window@$windowIdx join@$joinIdx)")
   }
 
+  test("perceptron training: margin scoring is a literal-map projection, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Selection.trainQualityPerceptron(
+        docs, org.apache.spark.sql.functions.col("lang") === "en",
+        buckets = 64, rounds = 1)
+      .queryExecution.executedPlan.toString
+    // the final confusion pass scores with the collected weight map as a
+    // LITERAL: no join against a weight table, no cartesian — the only
+    // operators are the kernel projection and two hash aggregates
+    assert(plan.contains("bigram_buckets"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("budget threshold: corpus pass partial-aggregates into bins; window keyed by lang") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.budgetThreshold(docs, budgetChars = 10000L)

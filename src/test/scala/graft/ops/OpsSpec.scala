@@ -715,6 +715,37 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 12L, 6L))) // two separate 6-token self-dup spans
   }
 
+  test("perceptron quality training separates disjoint vocabularies; " +
+      "weights score fresh docs") {
+    // two classes with disjoint bigrams: linearly separable, so the
+    // batch perceptron must reach a zero-error confusion matrix
+    val docs = docsDf(Seq(
+      (1L, "good clean prose reads well here", "en", "a", 0L),
+      (2L, "good clean text reads well here", "en", "a", 0L),
+      (3L, "spam junk noise garbage filler spam", "xx", "b", 0L),
+      (4L, "junk noise spam garbage filler junk", "xx", "b", 0L)))
+    val confusion = Selection.trainQualityPerceptron(
+        docs, col("lang") === "en", buckets = 64, rounds = 3)
+      .collect().map(r => (r.getAs[Long]("label"), r.getAs[Long]("predicted"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(confusion == Seq((-1L, -1L, 2L), (1L, 1L, 2L)))
+
+    // the trained weights transfer: a fresh doc from the good vocabulary
+    // scores positive, one from the junk vocabulary negative
+    val (w, _) = Selection.perceptronWeights(
+      docs, col("lang") === "en", buckets = 64, rounds = 3)
+    def score(text: String): Long = {
+      val toks = text.split("\\s+")
+      toks.sliding(2).map(_.mkString(" ")).map { bg =>
+        val b = graft.expr.Md5Ops.md5Prefix(
+          org.apache.spark.unsafe.types.UTF8String.fromString(bg), 8) % 64
+        w.getOrElse(b, 0L)
+      }.sum
+    }
+    assert(score("clean prose reads well") > 0)
+    assert(score("spam junk noise garbage") < 0)
+  }
+
   test("text: gopher rules flag each heuristic independently") {
     val docs = docsDf(Seq(
       (1L, "the cat and dog run", "en", "a", 19L),                   // passes all
