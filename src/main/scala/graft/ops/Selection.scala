@@ -61,8 +61,10 @@ object Selection {
     * Rounds are bounded (3-10 in practice: batch perceptron converges or
     * cycles quickly on separable-ish data). */
   def trainQualityPerceptron(docs: DataFrame, positive: Column,
-      buckets: Int = 256, rounds: Int = 3): DataFrame = {
-    val (w, feats) = perceptronWeights(docs, positive, buckets, rounds)
+      buckets: Int = 256, rounds: Int = 3,
+      driverRowLimit: Int = 2000000): DataFrame = {
+    val (w, feats) = perceptronWeights(docs, positive, buckets, rounds,
+      driverRowLimit)
     feats
       .withColumn("wc", weightExpr(w) * col("c"))
       .groupBy("doc_id", "y")
@@ -78,55 +80,95 @@ object Selection {
     * updates, plus the feature frame (doc_id, y, b, c) they were fit on.
     * w₀ = 0, so round 1's update is the class-difference count
     * Σ y·c_b over ALL docs; later rounds update on misclassified docs
-    * only (margin·y ≤ 0). */
+    * only (margin·y ≤ 0).
+    *
+    * ADAPTIVE (the [[Bpe.trainMerges]] / connected-components pattern):
+    * when the sparse feature census fits under `driverRowLimit` rows it
+    * collects ONCE and every round is an exact driver loop — one Spark
+    * job total instead of one per round. Above the limit, each round is
+    * one distributed corpus pass (per-doc margin via a whole-partition
+    * window, misclassified rows fall through into the bucket update
+    * aggregate — the collect stays `buckets`-bounded either way). Both
+    * paths produce identical integer weights. */
   def perceptronWeights(docs: DataFrame, positive: Column,
-      buckets: Int = 256, rounds: Int = 3)
+      buckets: Int = 256, rounds: Int = 3,
+      driverRowLimit: Int = 2000000)
       : (Map[Long, Long], DataFrame) = {
     require(buckets > 0, "buckets must be positive")
     require(rounds >= 1, "rounds must be >= 1")
     import org.apache.spark.sql.GraftColumnBridge
-    // recomputed per round (kernel recompute beats caching corpus ×
-    // distinct-buckets rows at scale — same call as the gram frames)
+    // recomputed per distributed round (kernel recompute beats caching
+    // corpus × distinct-buckets rows at scale — same as the gram frames)
     def feats = docs
       .select(col("doc_id"), when(positive, 1L).otherwise(-1L).as("y"),
         explode(GraftColumnBridge.column(graft.expr.HashedBigramBuckets(
           GraftColumnBridge.expression(col("text")), buckets))).as("f"))
       .select(col("doc_id"), col("y"), col("f.b").as("b"), col("f.c").as("c"))
-    var w = Map.empty[Long, Long]
-    var r = 0
-    while (r < rounds) {
-      val miscl =
-        if (w.isEmpty) feats.select("doc_id") // margin 0: all misclassified
-        else feats
-          .withColumn("wc", weightExpr(w) * col("c"))
-          .groupBy("doc_id", "y")
-          .agg(sum("wc").as("margin"))
+
+    val head =
+      if (driverRowLimit <= 0) Array.empty[org.apache.spark.sql.Row]
+      else feats.limit(driverRowLimit + 1).collect()
+    if (driverRowLimit > 0 && head.length <= driverRowLimit) {
+      // ---- driver path: exact integer loops over the collected census.
+      // Margins stay in Long: |w| ≤ rounds·Σc and Σ|w·c| is quadratic in
+      // the (limit-bounded) census mass — far inside 2^63 here; the
+      // distributed path's DECIMAL covers the unbounded case.
+      val docsArr = head.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+        case (_, rows) =>
+          (rows.head.getLong(1),
+            rows.map(r => (r.getLong(2), r.getLong(3))))
+      }
+      val w = new scala.collection.mutable.LongMap[Long]()
+      var r = 0
+      while (r < rounds) {
+        val delta = new scala.collection.mutable.LongMap[Long]()
+        docsArr.foreach { case (y, fs) =>
+          var margin = 0L
+          fs.foreach { case (b, c) => margin += w.getOrElse(b, 0L) * c }
+          if (y * margin <= 0L)
+            fs.foreach { case (b, c) =>
+              delta(b) = delta.getOrElse(b, 0L) + y * c }
+        }
+        delta.foreach { case (b, dw) => w(b) = w.getOrElse(b, 0L) + dw }
+        r += 1
+      }
+      (w.toMap, feats)
+    } else {
+      var w = Map.empty[Long, Long]
+      var r = 0
+      while (r < rounds) {
+        // ONE corpus pass per round: the per-doc margin rides a whole-
+        // partition window over the feature rows (no second kernel pass,
+        // no doc_id re-shuffle for a semi-join), misclassified rows fall
+        // through the filter into the per-bucket update aggregate
+        val withMargin =
+          if (w.isEmpty) feats.withColumn("margin", lit(0L)) // w₀ = 0
+          else feats.withColumn("margin",
+            sum(weightExpr(w) * col("c")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        val delta = withMargin
           .filter(col("y") * col("margin") <= 0)
-          .select("doc_id")
-      val delta = feats
-        .join(miscl, Seq("doc_id"), "left_semi")
-        .groupBy("b")
-        .agg(sum(col("y") * col("c")).as("dw"))
-        .collect()
-        .map(row => row.getAs[Long]("b") -> row.getAs[Long]("dw"))
-      w = delta.foldLeft(w) { case (acc, (b, dw)) =>
-        acc + (b -> (acc.getOrElse(b, 0L) + dw)) }
-      r += 1
+          .groupBy("b")
+          .agg(sum(col("y") * col("c")).as("dw"))
+          .collect()
+          .map(row => row.getAs[Long]("b") -> row.getAs[Long]("dw"))
+        w = delta.foldLeft(w) { case (acc, (b, dw)) =>
+          acc + (b -> (acc.getOrElse(b, 0L) + dw)) }
+        r += 1
+      }
+      (w, feats)
     }
-    (w, feats)
   }
 
   /** The weight vector as a literal-map lookup column over `b` —
-    * scoring is a pure projection, no join. Exact DECIMAL(38,0)
-    * arithmetic so margins cannot overflow under ANSI at corpus scale. */
+    * scoring is a pure projection, no join. ONE map `Literal` (not a
+    * buckets-wide CreateMap expression tree, which costs a fresh codegen
+    * compile per round); the looked-up weight is cast to DECIMAL(38,0)
+    * so margins cannot overflow under ANSI at corpus scale. */
   private def weightExpr(w: Map[Long, Long]): Column = {
     if (w.isEmpty) lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-    else coalesce(
-      element_at(
-        map(w.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-          Seq(lit(b), lit(v).cast("decimal(38,0)")) }: _*),
-        col("b")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+    else coalesce(element_at(typedlit(w), col("b")), lit(0L))
+      .cast("decimal(38,0)")
   }
 
   def targetAffinity(docs: DataFrame, target: Column,

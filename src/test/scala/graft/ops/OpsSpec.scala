@@ -744,6 +744,14 @@ class OpsSpec extends SparkSpec {
     }
     assert(score("clean prose reads well") > 0)
     assert(score("spam junk noise garbage") < 0)
+
+    // the adaptive driver path and the distributed per-round path must
+    // produce identical integer weights (driverRowLimit = 0 forces the
+    // distributed loop)
+    val (wDist, _) = Selection.perceptronWeights(
+      docs, col("lang") === "en", buckets = 64, rounds = 3,
+      driverRowLimit = 0)
+    assert(wDist == w)
   }
 
   test("text: gopher rules flag each heuristic independently") {
