@@ -629,9 +629,33 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("fp")
+    rebuildWithoutMarked(docs, occ.join(dupFps, "fp"), k)
+  }
+
+  /** EXACT-substring duplicate REMOVAL — the action half of
+    * [[exactDupSpans]] and the full Lee et al. ExactSubstr dedup: every
+    * token covered by a `k`-gram occurring ≥ `minOccurs` times in the
+    * corpus (within-doc repeats included) is excised, and affected docs
+    * are rebuilt byte-exact over the normalized token stream. Shares the
+    * gated rebuild with [[winnowRemoval]] — only span-carrying docs
+    * enter the token shuffle. */
+  def exactSubstrRemoval(docs: DataFrame, k: Int = 6,
+      minOccurs: Int = 2): DataFrame = {
+    val grams = winnowedFps(docs, k, window = 1)
+    val dupFps = grams.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurs)
+      .select("fp")
+    rebuildWithoutMarked(docs, grams.join(dupFps, "fp"), k)
+  }
+
+  /** Shared excision machinery: expand duplicated gram occurrences
+    * (doc_id, gpos) into marked token positions, then rebuild ONLY the
+    * affected docs without them. */
+  private def rebuildWithoutMarked(docs: DataFrame, dupOcc: DataFrame,
+      k: Int): DataFrame = {
     // marked feeds two consumers below (the rebuild gate and the token
     // join); it is dup-density-bounded longs, so materialize once
-    val marked = occ.join(dupFps, "fp")
+    val marked = dupOcc
       .select(col("doc_id"),
         explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("tpos"))
       .distinct()

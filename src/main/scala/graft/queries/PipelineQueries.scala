@@ -1549,6 +1549,39 @@ object PipelineQueries {
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
         .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
 
+    // The ACTION half of ExactSubstr: every token covered by a ≥2×
+    // 6-gram is excised; affected docs rebuild byte-exact (shares the
+    // semi-join-gated rebuild with winnowRemoval)
+    Q("q_exact_removal",
+      (s, d) => Dedup.exactSubstrRemoval(documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 6 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 5)) AS i
+             |        FROM d WHERE len(toks) >= 6)),
+             |h AS (SELECT doc_id, pos, GRAMHASH AS fp FROM g),
+             |dup AS (SELECT fp FROM h GROUP BY fp HAVING count(*) >= 2),
+             |marked AS (SELECT DISTINCT o.doc_id, o.pos + s.x AS tpos
+             |           FROM h o JOIN dup USING (fp), unnest(range(0, 6)) AS s(x)),
+             |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS tpos, toks[CAST(i + 1 AS INT)] AS tok
+             |         FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d)),
+             |flags AS (SELECT t.doc_id, t.tpos, t.tok, (m.tpos IS NOT NULL) AS cut
+             |          FROM toks t LEFT JOIN marked m ON t.doc_id = m.doc_id AND t.tpos = m.tpos),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |    coalesce(array_to_string(list(tok ORDER BY tpos) FILTER (WHERE NOT cut), ' '), '') AS new_text
+             |  FROM flags GROUP BY doc_id
+             |  HAVING sum(CASE WHEN cut THEN 1 ELSE 0 END) > 0)
+             |SELECT doc_id, n_tokens, n_removed, new_text,
+             |  CAST(length(new_text) AS INTEGER) AS new_n_chars
+             |FROM agg ORDER BY doc_id""".stripMargin
+        .replace("GRAMHASH", PortableHash.duckDbMd5Number("gram", 8)))),
+
     // Deterministic BPE-merge training: 64 rounds of top-(count, pair)
     // merges — corpus shuffles once into the word census; rounds patch
     // the INCREMENTAL pair census (only words containing the merged pair

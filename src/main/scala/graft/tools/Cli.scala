@@ -293,6 +293,21 @@ object Cli {
           // interactive UI over the resolved engine (any catalog backend
           // the config path produced); EOF on stdin exits cleanly
           Tui.runInteractive(engine)
+        case "stage-parquet" =>
+          // stage-parquet <ns.t> <data.parquet> <wapId> — write-audit-
+          // publish: commit an INVISIBLE staged snapshot for auditing
+          val r = engine.appendStaged(vargs(0),
+            spark.read.parquet(vargs(1)), vargs(2))
+          println(s"staged snapshot ${r.snapshotId} (wap.id ${vargs(2)}): " +
+            s"${r.addedFiles} files, ${r.addedRecords} records — " +
+            "invisible until `publish`")
+        case "publish" =>
+          // publish <ns.t> <wapId> — cherry-pick the staged snapshot
+          val r = engine.publishWap(vargs(0), vargs(1))
+          if (r.fastForward)
+            println(s"fast-forwarded to staged snapshot ${r.publishedSnapshotId}")
+          else println(s"re-applied snapshot ${r.sourceSnapshotId} " +
+            s"as ${r.publishedSnapshotId}")
         case "dedup-gate" =>
           // dedup-gate <ns.index_table> <shard.parquet> [--admit [--intra]]
           // probe (and with --admit, grow) the persistent near-dup index;
@@ -325,5 +340,6 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       set-property unset-property bpe winnow-removal dedup-gate tui init")
+      "       set-property unset-property bpe winnow-removal dedup-gate\n" +
+      "       stage-parquet publish tui init")
 }

@@ -691,6 +691,20 @@ class OpsSpec extends SparkSpec {
     out.values.foreach { case (n, d) => assert(d <= n) }
   }
 
+  test("exactSubstrRemoval excises covered tokens byte-exact; clean docs untouched") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // exactly one 6-gram
+    val docs = docsDf(Seq(
+      (1L, "intro words here " + shared + " tail words", "en", "a", 0L),
+      (2L, shared, "en", "a", 0L),
+      (3L, "totally unique sentence with no duplicate grams at all", "en", "a", 0L)))
+    val out = Dedup.exactSubstrRemoval(docs, k = 6, minOccurs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("new_text")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((6L, "intro words here tail words")))
+    assert(out(2L) == ((6L, "")))  // fully duplicated doc empties out
+  }
+
   test("exactDupSpans: adjacent dup grams merge into one maximal span; " +
       "within-doc repeats count; clean docs absent") {
     // docs 1/2 share a 9-token sentence -> its 4 6-grams mark tokens

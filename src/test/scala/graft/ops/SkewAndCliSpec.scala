@@ -184,6 +184,23 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "doctor")) == 0)
   }
 
+  test("CLI stage-parquet + publish drive the WAP loop end-to-end") {
+    val wh = Files.createTempDirectory("graft-cli-wap").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new graft.api.Engine(spark, wh)
+    val before = e.readTable("sales.orders").count()
+    val stage = Files.createTempDirectory("graft-cli-wap-in")
+    e.readTable("sales.orders").limit(1)
+      .withColumn("order_id", org.apache.spark.sql.functions.lit(7777L))
+      .write.mode("overwrite").parquet(stage.toString)
+    assert(Cli.run(Array(wh, "stage-parquet", "sales.orders",
+      stage.toString, "cli-wap")) == 0)
+    assert(e.readTable("sales.orders").count() == before) // still invisible
+    assert(Cli.run(Array(wh, "publish", "sales.orders", "cli-wap")) == 0)
+    assert(e.readTable("sales.orders").count() == before + 1)
+    assert(Cli.run(Array(wh, "publish", "sales.orders", "nope")) == 1)
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)
