@@ -241,6 +241,24 @@ object Bpe {
     * by construction), so application is a pure projection — no joins, no
     * shuffle, whole-stage codegen. Emits `(doc_id, n_words, n_tokens)`:
     * tokens per doc under the learned segmentation. */
+  /** Tokenizer FERTILITY census: tokens-per-word under the learned
+    * segmentation, by language — the standard tokenizer-equity metric
+    * (a high-fertility language pays more sequence length per word, so
+    * mixes/budgets must correct for it). Integer permille, built on the
+    * same pure-projection encode as [[encodeStats]]: one corpus pass,
+    * one lang-keyed partial aggregate. Languages with zero words are
+    * absent (their fertility is undefined). */
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    encodeStats(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum(col("n_words").cast("long")).as("n_words"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .filter(col("n_words") > 0)
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000L div n_words").as("fertility_milli"))
+      .orderBy("lang")
+
   def encodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val segmented = merges.foldLeft(expr(
       "transform(filter(split(lower(trim(text)), '\\\\s+'), w -> w <> ''), " +

@@ -45,6 +45,36 @@ object Similarity {
   private def cosineN(aCol: String, bCol: String, aNorm: String, bNorm: String): Column =
     round(dot(aCol, bCol) / (col(aNorm) * col(bNorm)), 6)
 
+  /** HARD-NEGATIVE mining for contrastive training: for each probe
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label —
+    * the near-miss negatives that make contrastive/embedding training
+    * informative (easy random negatives teach nothing; hard negatives
+    * sit just across the decision boundary).
+    *
+    * Scale shape: the probe set is filter-bounded and BROADCASTS into
+    * one pass over the corpus (the [[knn]] posture); label inequality is
+    * a residual filter on the broadcast pair stream, per-vector norms
+    * are hoisted to the scan side, and the top-k is a per-probe
+    * row_number window — corpus rows shuffle once, keyed by probe. For
+    * corpus-scale probe sets, gate the candidate stream through
+    * [[lshAnn]]/[[ivfSearch]] buckets first. */
+  def hardNegatives(emb: DataFrame, probe: Column, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNorm = emb.withColumn("v_norm", norm("embedding"))
+    val p = withNorm.filter(probe).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), col("v_norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    withNorm.crossJoin(broadcast(p))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("c_id"),
+        col("label").as("c_label"),
+        cosineN("embedding", "q_emb", "v_norm", "q_norm").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Brute-force cosine top-k neighbors of one query vector. */
   def knn(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val withNorm = emb.withColumn("v_norm", norm("embedding"))

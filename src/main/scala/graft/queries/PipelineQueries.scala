@@ -935,6 +935,35 @@ object PipelineQueries {
              |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nq2)), 6) AS sim
              |FROM dsum ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Hard-negative mining for contrastive training: per probe, the 3
+    // most-similar DIFFERENT-label vectors (near-miss negatives)
+    Q("q_hard_negatives",
+      (s, d) => Similarity.hardNegatives(embeddings(s, d), col("vec_id") < 10),
+      Some("""WITH p AS (
+             |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb
+             |      FROM embeddings),
+             |z AS (
+             |  SELECT q_id, q_label, c_id, c_label,
+             |    unnest(list_zip(c.c_emb, p.q_emb)) AS s
+             |  FROM p JOIN c ON c_label <> q_label),
+             |dsum AS (
+             |  SELECT q_id, q_label, c_id, c_label,
+             |    sum(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)) AS dot,
+             |    sum(CAST(s[1] AS DOUBLE) * CAST(s[1] AS DOUBLE)) AS na2,
+             |    sum(CAST(s[2] AS DOUBLE) * CAST(s[2] AS DOUBLE)) AS nq2
+             |  FROM z GROUP BY 1, 2, 3, 4),
+             |r AS (
+             |  SELECT q_id, q_label, c_id, c_label,
+             |    round(dot / (sqrt(na2) * sqrt(nq2)), 6) AS sim,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY round(dot / (sqrt(na2) * sqrt(nq2)), 6) DESC, c_id)
+             |      AS INT) AS rn
+             |  FROM dsum)
+             |SELECT q_id, q_label, c_id, c_label, sim, rn
+             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
     // IVF-style ANN: top-1 neighbor per probe within its coarse partition
     Q("q_ann_ivf",
       (s, d) => Similarity.ivfTop1(embeddings(s, d), col("vec_id") < 10),
@@ -1602,6 +1631,33 @@ object PipelineQueries {
         Bpe.encodeStats(documents(s, d), merges)
       },
       Some(bpeEncodeOracleSql(6))),
+
+    // Tokenizer FERTILITY by language under the learned segmentation:
+    // tokens-per-word permille — the tokenizer-equity metric mixes and
+    // budgets must correct for
+    Q("q_bpe_fertility",
+      (s, d) => {
+        val merges = Bpe.trainMerges(documents(s, d), nMerges = 6).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.fertilityByLang(documents(s, d), merges)
+      },
+      Some(bpeCtes(6) + s""",
+         |toks AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |j AS (
+         |  SELECT d.lang,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens
+         |  FROM toks JOIN vocab6 v ON toks.w = v.w
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT lang, n_words, n_tokens,
+         |  CAST(CAST(n_tokens AS HUGEINT) * 1000 // n_words AS BIGINT)
+         |    AS fertility_milli
+         |FROM j WHERE n_words > 0 ORDER BY lang""".stripMargin)),
 
     // Duplicate 3-gram CHARACTER fraction (the Gopher repetition
     // filter, char-weighted complement of q_repetition): share of gram

@@ -537,6 +537,34 @@ class OpsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("sim") > 0.99)
   }
 
+  test("similarity: hard negatives are the nearest DIFFERENT-label vectors") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f), 0),      // probe, label 0
+      (1L, Seq(0.95f, 0.05f, 0f), 0), // same label: excluded even if nearest
+      (2L, Seq(0.9f, 0.1f, 0f), 1),   // hard negative (near-miss)
+      (3L, Seq(0f, 1f, 0f), 1),       // easy negative
+      (4L, Seq(-1f, 0f, 0f), 2)))     // opposite
+    val out = Similarity.hardNegatives(e, col("vec_id") === 0L, k = 2).collect()
+    assert(out.map(_.getAs[Long]("c_id")).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getAs[Int]("c_label") != 0))
+    assert(out.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2))
+  }
+
+  test("bpe fertility: multi-token words raise a language's permille") {
+    val docs = docsDf(Seq(
+      (1L, "aa aa aa aa", "aa-lang", "s", 0L),
+      (2L, "xy zq xy zq", "xx-lang", "s", 0L)))
+    // one merge round learns (a,a) -> every "aa" word becomes ONE token;
+    // "xy"/"zq" words stay two single-char tokens each
+    val merges = Bpe.trainMerges(docs, nMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "a")))
+    val out = Bpe.fertilityByLang(docs, merges).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("fertility_milli")).toMap
+    assert(out("aa-lang") == 1000L) // 4 words -> 4 tokens
+    assert(out("xx-lang") == 2000L) // 4 words -> 8 tokens
+  }
+
   test("similarity: ivf top-1 searches only the probe's partition") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 0),
