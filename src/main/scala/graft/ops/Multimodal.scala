@@ -406,6 +406,54 @@ object Multimodal {
     * emitting integer-exact shape + per-channel pixel sums. Undecodable or
     * null payloads surface as width = -1 rather than poisoning the task —
     * at 100 TB a corrupt object must be a data fact, not a job failure. */
+  /** Nearest-neighbor image RESIZE — the canonical preprocess step of a
+    * multimodal training pipeline (decode → resample to the model's
+    * input grid → features), with the same executor-side batch-kernel
+    * posture as [[decodeImages]]: real ImageIO decode per payload,
+    * integer-exact NN sampling (`src = out·srcDim / outDim`, floor
+    * division — no float interpolation, so the resampled channel sums
+    * reproduce exactly from the source pattern), corrupt payloads
+    * surface as -1 rows, not task failures. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, -1, -1, 0L, 0L, 0L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val rgb = img.getRGB(x * w / outW, sy)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, outW, outH, sr, sg, sb)
+        }
+      }
+    }(enc).toDF()
+  }
+
   def decodeImages(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -134,6 +134,48 @@ object TextStats {
     * the 100 TB-safe shape for GLOBAL thresholding, trading doc-level
     * tie-breaking for bin granularity (exact at the milli-score
     * contract both engines share). */
+  /** Corpus DRIFT monitor: distribution shift between two slices of a
+    * corpus (yesterday vs today's crawl, split A vs B) over hashed
+    * word-bigram buckets — the ingestion-time canary that a source
+    * changed character before it poisons a training mix. Integer-exact:
+    * per bucket, the cross-multiplied proportion gap
+    * `drift_micro = |n_a·T_b − n_b·T_a| · 1e6 / (T_a·T_b)` (micro units
+    * of absolute probability difference; wide products in DECIMAL(38,0),
+    * one integral division per bucket), reported for the `topK` most
+    * drifted buckets. Σ drift_micro over ALL buckets would be 1e6 × the
+    * total-variation distance × 2.
+    *
+    * Scale shape: one kernel pass per doc (distinct-bucket rows), one
+    * buckets-bounded partial aggregate, totals broadcast as a 1-row
+    * frame, top-k via a window over ≤`buckets` rows. Text never
+    * shuffles. */
+  def corpusDrift(docs: DataFrame, sliceA: Column,
+      buckets: Int = 256, topK: Int = 20): DataFrame = {
+    require(buckets > 0 && topK > 0, "buckets and topK must be positive")
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val feats = docs
+      .select(sliceA.as("is_a"),
+        explode(GraftColumnBridge.column(graft.expr.HashedBigramBuckets(
+          GraftColumnBridge.expression(col("text")), buckets))).as("f"))
+      .select(col("is_a"), col("f.b").as("b"), col("f.c").as("c"))
+    val byBucket = feats.groupBy("b").agg(
+      sum(when(col("is_a"), col("c")).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), col("c")).otherwise(0L)).as("n_b"))
+    val totals = byBucket.agg(
+      sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val w = Window.orderBy(col("drift_micro").desc, col("b"))
+    byBucket.crossJoin(broadcast(totals))
+      .select(col("b"), col("n_a"), col("n_b"), expr(
+        "abs(CAST(n_a AS DECIMAL(38,0)) * tot_b - " +
+          "CAST(n_b AS DECIMAL(38,0)) * tot_a) * 1000000 div " +
+          "(CAST(tot_a AS DECIMAL(38,0)) * CAST(tot_b AS DECIMAL(38,0)))")
+        .cast("long").as("drift_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .orderBy("rn")
+  }
+
   def budgetThreshold(docs: DataFrame, budgetChars: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetChars >= 0, "budgetChars must be non-negative")

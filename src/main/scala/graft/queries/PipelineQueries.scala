@@ -1268,6 +1268,30 @@ object PipelineQueries {
              |    list_transform(range(0, w), x -> (7*doc_id + 11*x + 13*y) % 256)))) AS BIGINT) AS sum_b
              |FROM d ORDER BY media_id""".stripMargin)),
 
+    // Multimodal image RESIZE: decode → integer-exact nearest-neighbor
+    // resample to a fixed 8×6 grid (the model-input-normalization step)
+    // → channel sums the oracle rederives by sampling the source pattern
+    Q("q_multimodal_resize",
+      (s, d) => Multimodal.resizeImages(
+          Multimodal.imagesFromIds(
+            documents(s, d).filter(col("doc_id") < 100)
+              .select(col("doc_id").as("media_id"))), 8, 6)
+        .orderBy("media_id"),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h
+             |          FROM documents WHERE doc_id < 100)
+             |SELECT doc_id AS media_id,
+             |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+             |  CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+             |    list_transform(range(0, 8), x ->
+             |      (doc_id + 2*((x*w)//8) + 3*((y*h)//6)) % 256)))) AS BIGINT) AS sum_r,
+             |  CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+             |    list_transform(range(0, 8), x ->
+             |      (3*doc_id + 5*((x*w)//8) + 7*((y*h)//6)) % 256)))) AS BIGINT) AS sum_g,
+             |  CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+             |    list_transform(range(0, 8), x ->
+             |      (7*doc_id + 11*((x*w)//8) + 13*((y*h)//6)) % 256)))) AS BIGINT) AS sum_b
+             |FROM d ORDER BY media_id""".stripMargin)),
+
     // Multimodal VIDEO decode + frame-sample with a REAL container:
     // executor-side multi-frame GIF encode (ImageIO sequence writer,
     // grayscale palette → lossless) → frame walk with stride-2 sampling
@@ -2001,6 +2025,43 @@ object PipelineQueries {
              |    AS familiarity_milli
              |FROM sel JOIN c USING (bg)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus DRIFT monitor: per-bucket cross-multiplied proportion gap
+    // between two corpus slices over hashed-bigram buckets (micro units
+    // of absolute probability difference) — the ingestion canary for a
+    // source changing character. Integer-exact (DECIMAL/HUGEINT).
+    Q("q_corpus_drift",
+      (s, d) => TextStats.corpusDrift(documents(s, d), col("doc_id") % 2 === 0),
+      Some {
+        val h = PortableHash.duckDbMd5Number("bg", 8)
+        s"""WITH d AS (
+           |  SELECT doc_id, (doc_id % 2 = 0) AS is_a,
+           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT is_a, $h % 256 AS b
+           |  FROM (
+           |    SELECT doc_id, is_a,
+           |      array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bg
+           |    FROM (SELECT doc_id, is_a, toks, unnest(range(1, len(toks))) AS i
+           |          FROM d WHERE len(toks) >= 2))),
+           |t AS (SELECT b,
+           |        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |        CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           |      FROM f GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+           |               CAST(sum(n_b) AS BIGINT) AS tot_b FROM t),
+           |sc AS (SELECT b, n_a, n_b,
+           |        CAST(abs(CAST(n_a AS HUGEINT) * tot_b - CAST(n_b AS HUGEINT) * tot_a)
+           |          * 1000000 // (CAST(tot_a AS HUGEINT) * tot_b) AS BIGINT)
+           |          AS drift_micro
+           |       FROM t, tot),
+           |r AS (SELECT b, n_a, n_b, drift_micro,
+           |        CAST(row_number() OVER (ORDER BY drift_micro DESC, b) AS INT) AS rn
+           |      FROM sc)
+           |SELECT b, n_a, n_b, drift_micro, rn FROM r WHERE rn <= 20
+           |ORDER BY rn""".stripMargin
+      }),
 
     // DSIR-style data selection: per-doc target-vs-raw likelihood ratio
     // over a hashed-bigram bag (target = lang 'en'). Pure integer

@@ -158,6 +158,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(junk).head.getInt(1) == -1)
   }
 
+  test("resizeImages: nearest-neighbor resample matches source-pattern sampling; corrupt rows survive") {
+    val s2 = spark
+    import s2.implicits._
+    val ids = (0L until 20L).toDF("media_id")
+    val out = Multimodal.resizeImages(Multimodal.imagesFromIds(ids, "png"), 8, 6)
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val (sx, sy) = (x * w / 8, y * h / 6)
+        sr += (id + 2 * sx + 3 * sy) % 256
+        sg += (3 * id + 5 * sx + 7 * sy) % 256
+        sb += (7 * id + 11 * sx + 13 * sy) % 256
+      }
+      assert(r.getInt(1) == 8 && r.getInt(2) == 6)
+      assert(r.getLong(3) == sr && r.getLong(4) == sg && r.getLong(5) == sb)
+    }
+    // corrupt payload → -1 row, not a task failure
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val bad = Multimodal.resizeImages(junk, 8, 6).collect().head
+    assert(bad.getInt(1) == -1)
+  }
+
   test("decodeImages surfaces corrupt payloads as width=-1 rows, not task failures") {
     val s2 = spark
     import s2.implicits._

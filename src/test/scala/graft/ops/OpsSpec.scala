@@ -796,6 +796,27 @@ class OpsSpec extends SparkSpec {
     assert(wDist == w)
   }
 
+  test("corpusDrift: disjoint slices drift hard, identical slices drift zero") {
+    val disjoint = docsDf(Seq(
+      (0L, "alpha beta alpha beta alpha beta", "en", "a", 0L),
+      (2L, "alpha beta alpha beta", "en", "a", 0L),
+      (1L, "uno dos uno dos uno dos", "xx", "b", 0L),
+      (3L, "uno dos uno dos", "xx", "b", 0L)))
+    val top = TextStats.corpusDrift(disjoint, col("doc_id") % 2 === 0,
+      buckets = 64, topK = 5).collect()
+    // every bucket is exclusive to one slice: drift = its full share
+    assert(top.nonEmpty)
+    top.foreach(r => assert(r.getAs[Long]("n_a") == 0L || r.getAs[Long]("n_b") == 0L))
+    assert(top.head.getAs[Long]("drift_micro") > 400000L) // >40% of one side
+
+    val same = docsDf(Seq(
+      (0L, "alpha beta gamma delta", "en", "a", 0L),
+      (1L, "alpha beta gamma delta", "en", "a", 0L)))
+    val zero = TextStats.corpusDrift(same, col("doc_id") % 2 === 0,
+      buckets = 64, topK = 5).collect()
+    assert(zero.forall(_.getAs[Long]("drift_micro") == 0L))
+  }
+
   test("text: gopher rules flag each heuristic independently") {
     val docs = docsDf(Seq(
       (1L, "the cat and dog run", "en", "a", 19L),                   // passes all
