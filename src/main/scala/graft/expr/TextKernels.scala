@@ -721,3 +721,91 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): BigramCounts =
     copy(child = newChild)
 }
+
+object BpeEncodeKernel {
+  /** Per-document BPE segmentation counts under a learned merge list —
+    * the kernel behind [[BpeEncodeCounts]]. Byte-identical to the old
+    * nested `transform`/`aggregate` array-rewrite projection it
+    * replaces (same tokenization, same per-merge greedy left fold over
+    * the word's code-point symbols), but a bounded imperative loop
+    * instead of an O(merges)-deep lambda tree whose generated code
+    * defeated the janino cache (fresh LambdaVariable ids → full
+    * recompile on every fresh plan). */
+  def encodeCounts(s: UTF8String, ls: Array[String], rs: Array[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = TokenizeKernel.sparkTokens(s)
+    var nw = 0; var nt = 0
+    var ti = 0
+    while (ti < toks.length) {
+      val w = toks(ti)
+      if (w.nonEmpty) {
+        nw += 1
+        // symbols start as single code points (Spark substring semantics)
+        var syms = new java.util.ArrayList[String](w.length)
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          val n = Character.charCount(cp)
+          syms.add(w.substring(ci, ci + n))
+          ci += n
+        }
+        var mi = 0
+        while (mi < ls.length) {
+          val l = ls(mi); val r = rs(mi)
+          val next = new java.util.ArrayList[String](syms.size)
+          var si = 0
+          while (si < syms.size) {
+            val sym = syms.get(si)
+            if (si > 0 && !next.isEmpty && next.get(next.size - 1) == l
+                && sym == r)
+              next.set(next.size - 1, l + r)
+            else next.add(sym)
+            si += 1
+          }
+          syms = next
+          mi += 1
+        }
+        nt += syms.size
+      }
+      ti += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, nt))
+  }
+}
+
+/** `bpe_encode_counts(text) -> struct<n_words:int, n_tokens:int>`: apply
+  * a learned BPE merge list to every word of a document in one kernel
+  * pass, emitting word/token counts — the corpus-scale tokenizer-apply
+  * step as a pure projection ([[graft.ops.Bpe.encodeStats]]). */
+case class BpeEncodeCounts(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode_counts"
+
+  private lazy val ls: Array[String] = merges.map(_._1).toArray
+  private lazy val rs: Array[String] = merges.map(_._2).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName input must be string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeKernel.encodeCounts(input.asInstanceOf[UTF8String], ls, rs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lsRef = ctx.addReferenceObj("bpeLs", ls, "java.lang.String[]")
+    val rsRef = ctx.addReferenceObj("bpeRs", rs, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.BpeEncodeKernel.encodeCounts($c, $lsRef, $rsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeCounts =
+    copy(child = newChild)
+}

@@ -249,34 +249,35 @@ object Bpe {
     * one lang-keyed partial aggregate. Languages with zero words are
     * absent (their fertility is undefined). */
   def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    encodeStats(docs, merges)
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    // lang rides the SAME projection as the kernel (no join back to
+    // documents); one corpus pass, one lang-keyed partial aggregate
+    docs.select(col("lang"), encodeCountsCol(merges).as("s"))
       .groupBy("lang")
-      .agg(sum(col("n_words").cast("long")).as("n_words"),
-        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .agg(sum(col("s.n_words").cast("long")).as("n_words"),
+        sum(col("s.n_tokens").cast("long")).as("n_tokens"))
       .filter(col("n_words") > 0)
       .select(col("lang"), col("n_words"), col("n_tokens"),
         expr("n_tokens * 1000L div n_words").as("fertility_milli"))
       .orderBy("lang")
 
-  def encodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val segmented = merges.foldLeft(expr(
-      "transform(filter(split(lower(trim(text)), '\\\\s+'), w -> w <> ''), " +
-        "w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))")) {
-      case (wordsCol, (l, r)) =>
-        transform(wordsCol, w =>
-          aggregate(
-            slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-            array(element_at(w, 1)),
-            (acc, s) => when(element_at(acc, -1) === lit(l) && s === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s)))))
-    }
-    docs.select(col("doc_id"), segmented.as("segs"))
-      .select(col("doc_id"),
-        size(col("segs")).as("n_words"),
-        aggregate(col("segs"), lit(0),
-          (acc, w) => acc + size(w)).as("n_tokens"))
-      .orderBy("doc_id")
+  /** The learned segmentation's per-doc counts as ONE kernel call
+    * ([[graft.expr.BpeEncodeCounts]]). This replaced an O(merges)-deep
+    * nested `transform`/`aggregate` lambda tree: byte-identical output,
+    * but the old tree's generated code embedded fresh LambdaVariable ids
+    * on every plan, defeating the janino codegen cache — each fresh
+    * DataFrame paid a multi-second recompile (8 s/run at sf0.1 under
+    * the bench's build-per-pass pattern; the kernel compiles in
+    * milliseconds). */
+  private def encodeCountsCol(merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.expr.BpeEncodeCounts(
+      GraftColumnBridge.expression(col("text")), merges))
   }
+
+  def encodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"), encodeCountsCol(merges).as("s"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        col("s.n_tokens").as("n_tokens"))
+      .orderBy("doc_id")
 }
