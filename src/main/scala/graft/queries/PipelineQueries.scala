@@ -1646,7 +1646,7 @@ object PipelineQueries {
 
     // BPE ENCODE: per-doc token counts under the merges just learned —
     // the tokenizer applied at corpus scale as a pure projection (the
-    // k-bounded merge list folds into nested codegen array rewrites; no
+    // k-bounded merge list rides a single native kernel call; no
     // joins, no shuffle beyond the per-doc aggregate)
     Q("q_bpe_encode",
       (s, d) => {
