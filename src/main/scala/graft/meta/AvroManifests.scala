@@ -51,7 +51,13 @@ final case class DataFileEntry(
     /** For content=2 EQUALITY delete files: the schema field ids whose
       * values identify rows to delete (Iceberg spec `equality_ids`).
       * Empty for data files and position deletes. */
-    equalityIds: Seq[Int] = Seq.empty)
+    equalityIds: Seq[Int] = Seq.empty,
+    /** Commit sequence of the snapshot that ADDED this file (Iceberg's
+      * `data_sequence_number`), persisted ON the entry so delete
+      * scoping survives expiration of the adding snapshot (a carried
+      * delete manifest can outlive its snapshot's log entry). -1 =
+      * legacy entry — readers fall back to the snapshot-log lookup. */
+    sequenceNumber: Long = -1L)
 
 object AvroManifests {
 
@@ -73,6 +79,7 @@ object AvroManifests {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":"long"},
+      |{"name":"sequence_number","type":"long","default":-1},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
       |  {"name":"content","type":"int"},
       |  {"name":"file_path","type":"string"},
@@ -156,6 +163,7 @@ object AvroManifests {
       val r = new GenericData.Record(ManifestSchema)
       r.put("status", e.status)
       r.put("snapshot_id", e.snapshotId)
+      r.put("sequence_number", e.sequenceNumber)
       r.put("data_file", df)
       w.append(r)
     }
@@ -218,6 +226,8 @@ object AvroManifests {
         // default; Avro surfaces int arrays as java.util.List[Integer]
         Option(df.get("equality_ids"))
           .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map(_.toInt))
-          .getOrElse(Seq.empty))
+          .getOrElse(Seq.empty),
+        // pre-sequence manifests resolve through the schema default (-1)
+        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(-1L))
     }
 }

@@ -144,13 +144,14 @@ object TableWriter {
     Files.createDirectories(dir.resolve("data"))
     Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
 
+    val delSeq = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L
     val entry = DataFileEntry(
       status = 1, snapshotId = snapId, content = 1,
       filePath = relPath, fileFormat = "PARQUET", partition = Map.empty,
       recordCount = nDeleted, fileSizeInBytes = Files.size(dir.resolve(relPath)),
       columnSizes = Map.empty, valueCounts = Map.empty,
       nullValueCounts = Map.empty, lowerBounds = Map.empty,
-      upperBounds = Map.empty)
+      upperBounds = Map.empty, sequenceNumber = delSeq)
     val delManifestPath = s"metadata/manifest-$snapId-$tok-deletes.avro"
     AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
     val delManifest = ManifestFile(
@@ -172,7 +173,7 @@ object TableWriter {
       snapshotId = snapId,
       parentSnapshotId = md.currentSnapshotId,
       timestampMs = nowMs,
-      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+      sequenceNumber = delSeq,
       operation = "delete",
       summary = Map(
         "operation" -> "delete",
@@ -534,6 +535,14 @@ object TableWriter {
     // fresh per-publish-attempt token (see commit): a conflicting
     // concurrent publisher must never overwrite these artifacts
     val tok = java.util.UUID.randomUUID().toString.take(8)
+    // this commit's sequence — stamped on the snapshot AND on every entry
+    // it writes (Iceberg data_sequence_number), so delete scoping holds
+    // even after the adding snapshot is expired from the log
+    val newSeq = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L
+    val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    def withSeq(e: DataFileEntry): DataFileEntry =
+      if (e.sequenceNumber >= 0) e
+      else e.copy(sequenceNumber = seqBySnapshot.getOrElse(e.snapshotId, -1L))
 
     // ---- 3. carried-forward entries (append keeps whole manifests;
     // overwrite/replace rewrite kept entries into an `existing` manifest).
@@ -554,8 +563,10 @@ object TableWriter {
       // forward untouched (incl. delete manifests)
       manifests ++= parentId.map(id => t.manifests(Some(id))).getOrElse(Seq.empty)
     } else if (kept.nonEmpty) {
-      // rewrite kept entries as `existing` under their original snapshot
-      val existing = kept.map(e => e.copy(status = 0))
+      // rewrite kept entries as `existing` under their original snapshot,
+      // materializing their sequence while the adding snapshot is still
+      // in the log (legacy entries carry -1)
+      val existing = kept.map(e => withSeq(e).copy(status = 0))
       val keptPath = s"metadata/manifest-$snapId-$tok-existing.avro"
       AvroManifests.writeManifest(dir.resolve(keptPath).toString, existing)
       manifests += ManifestFile(
@@ -576,7 +587,8 @@ object TableWriter {
     }
     if (newEntries.nonEmpty) {
       val addedPath = s"metadata/manifest-$snapId-$tok.avro"
-      AvroManifests.writeManifest(dir.resolve(addedPath).toString, newEntries)
+      AvroManifests.writeManifest(dir.resolve(addedPath).toString,
+        newEntries.map(_.copy(sequenceNumber = newSeq)))
       manifests += ManifestFile(
         addedPath, Files.size(dir.resolve(addedPath)),
         partitionSpecId = specId, content = 0, addedSnapshotId = snapId,
@@ -607,7 +619,8 @@ object TableWriter {
         recordCount = nKeys, fileSizeInBytes = Files.size(dir.resolve(relPath)),
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
-        upperBounds = Map.empty, equalityIds = keyFields.map(_.id))
+        upperBounds = Map.empty, equalityIds = keyFields.map(_.id),
+        sequenceNumber = newSeq)
       val delManifestPath = s"metadata/manifest-$snapId-$tok-eqdeletes.avro"
       AvroManifests.writeManifest(dir.resolve(delManifestPath).toString, Seq(entry))
       manifests += ManifestFile(
@@ -627,7 +640,7 @@ object TableWriter {
       snapshotId = snapId,
       parentSnapshotId = parentId,
       timestampMs = nowMs,
-      sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+      sequenceNumber = newSeq,
       operation = operation,
       summary = Map(
         "operation" -> operation,

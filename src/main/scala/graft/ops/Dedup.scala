@@ -596,11 +596,7 @@ object Dedup {
     * to kernel recompute at scale (same call as the Jaccard gram frame). */
   def exactDupSpans(docs: DataFrame, k: Int = 6, minOccurs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = winnowedFps(docs, k, window = 1)
-    val dupFps = grams.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minOccurs)
-      .select("fp")
-    val marked = grams.join(dupFps, "fp").select("doc_id", "gpos")
+    val marked = exactDupOccurrences(docs, k, minOccurs).select("doc_id", "gpos")
     // fixed-length k intervals [gpos, gpos+k-1]: a new maximal span
     // starts where the gap to the previous marked gram leaves at least
     // one uncovered token (gpos > prev + k)
@@ -640,12 +636,20 @@ object Dedup {
     * gated rebuild with [[winnowRemoval]] — only span-carrying docs
     * enter the token shuffle. */
   def exactSubstrRemoval(docs: DataFrame, k: Int = 6,
-      minOccurs: Int = 2): DataFrame = {
+      minOccurs: Int = 2): DataFrame =
+    rebuildWithoutMarked(docs, exactDupOccurrences(docs, k, minOccurs), k)
+
+  /** Shared ExactSubstr census: every (doc_id, fp, gpos) gram occurrence
+    * whose hash occurs ≥ `minOccurs` times corpus-wide — one definition
+    * feeding both the span report and the removal, so the two surfaces
+    * cannot desynchronize. */
+  private def exactDupOccurrences(docs: DataFrame, k: Int,
+      minOccurs: Int): DataFrame = {
     val grams = winnowedFps(docs, k, window = 1)
     val dupFps = grams.groupBy("fp").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurs)
       .select("fp")
-    rebuildWithoutMarked(docs, grams.join(dupFps, "fp"), k)
+    grams.join(dupFps, "fp")
   }
 
   /** Shared excision machinery: expand duplicated gram occurrences

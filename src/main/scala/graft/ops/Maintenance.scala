@@ -155,6 +155,13 @@ object Maintenance {
       .takeWhile(_.isDefined).map(_.get).toSet
     require(!ancestors.contains(snapshotId),
       s"Snapshot $snapshotId is already in the current line — nothing to publish")
+    // duplicate-WAP guard (Iceberg's DuplicateWAPCommitException): a
+    // snapshot published earlier via RE-APPLY is not an ancestor itself —
+    // its content rides a new snapshot stamped source-snapshot-id — so a
+    // retried publish would attach the same manifests twice
+    require(!md.snapshots.exists(
+        _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
+      s"Snapshot $snapshotId was already published (duplicate WAP commit)")
 
     val nowMs = System.currentTimeMillis()
     if (src.parentSnapshotId == md.currentSnapshotId) {
@@ -171,14 +178,32 @@ object Maintenance {
           s"(snapshot $snapshotId is '${src.operation}')")
       // the staged commit's own contribution: manifests it added (appends
       // carry the parent's manifests forward, so filter to this snapshot)
-      val addedManifests = AvroManifests.readManifestList(
+      val stagedManifests = AvroManifests.readManifestList(
         t.resolvePath(src.manifestList)).filter(_.addedSnapshotId == snapshotId)
-      val addedEntries = addedManifests.flatMap(m =>
-        AvroManifests.readManifest(t.resolvePath(m.manifestPath)))
-      val live = t.files() ++ addedEntries
       val newSnapId = md.snapshots.map(_.snapshotId).max + 1L
+      val newSeq = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L
       val tok = java.util.UUID.randomUUID().toString.take(8)
       val dir = Paths.get(tableDir)
+      // RE-SEQUENCE the published entries under the NEW snapshot: scan
+      // planning resolves a file's sequence via its adding snapshot, and
+      // rows keeping the STAGED commit's (older) sequence would be
+      // retroactively hit by equality deletes committed between staging
+      // and publish — and collapse to sequence 0 once the unreferenced
+      // staged snapshot expires. Iceberg's cherry-pick assigns the new
+      // commit's sequence for exactly this reason; the manifests are
+      // metadata-scale, so the rewrite is cheap.
+      var addedEntries = Seq.empty[graft.meta.DataFileEntry]
+      val addedManifests = stagedManifests.zipWithIndex.map { case (m, i) =>
+        val entries = AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .map(_.copy(snapshotId = newSnapId, sequenceNumber = newSeq))
+        addedEntries ++= entries
+        val relPath = f"metadata/manifest-$newSnapId-$tok-pick-$i%02d.avro"
+        AvroManifests.writeManifest(dir.resolve(relPath).toString, entries)
+        m.copy(manifestPath = relPath,
+          manifestLength = Files.size(dir.resolve(relPath)),
+          addedSnapshotId = newSnapId)
+      }
+      val live = t.files() ++ addedEntries
       val listPath = s"metadata/snap-$newSnapId-$tok.avro"
       AvroManifests.writeManifestList(dir.resolve(listPath).toString,
         t.manifests() ++ addedManifests)
@@ -186,7 +211,7 @@ object Maintenance {
         snapshotId = newSnapId,
         parentSnapshotId = md.currentSnapshotId,
         timestampMs = nowMs,
-        sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+        sequenceNumber = newSeq,
         operation = "append",
         summary = Map(
           "operation" -> "append",
@@ -253,9 +278,12 @@ object Maintenance {
     if (dels.isEmpty) return None
 
     val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    def entrySeq(e: graft.meta.DataFileEntry, legacyDefault: Long): Long =
+      if (e.sequenceNumber >= 0) e.sequenceNumber
+      else seqBySnapshot.getOrElse(e.snapshotId, legacyDefault)
     val liveData = t.files()
     val livePaths = liveData.map(_.filePath).toSet
-    val minLiveSeq = liveData.map(e => seqBySnapshot.getOrElse(e.snapshotId, 0L))
+    val minLiveSeq = liveData.map(e => entrySeq(e, 0L))
       .minOption.getOrElse(Long.MaxValue)
 
     // position deletes: one scan over all position-delete parquet, keyed
@@ -278,7 +306,7 @@ object Maintenance {
     def dangling(e: graft.meta.DataFileEntry): Boolean = e.content match {
       case 1 => targetsByDelFile.get(e.filePath)
         .exists(ts => ts.intersect(livePaths).isEmpty)
-      case 2 => minLiveSeq >= seqBySnapshot.getOrElse(e.snapshotId, Long.MaxValue)
+      case 2 => minLiveSeq >= entrySeq(e, Long.MaxValue)
       case _ => false
     }
 

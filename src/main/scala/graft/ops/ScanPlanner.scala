@@ -132,6 +132,11 @@ object ScanPlanner {
     val prefix = s"file:${t.tableDir}/"
     val seqBySnapshot = t.metadata.snapshots
       .map(s => s.snapshotId -> s.sequenceNumber).toMap
+    // entry-stamped sequence first (survives snapshot expiration);
+    // legacy entries (-1) fall back to the snapshot-log lookup
+    def entrySeq(e: graft.meta.DataFileEntry, legacyDefault: Long): Long =
+      if (e.sequenceNumber >= 0) e.sequenceNumber
+      else seqBySnapshot.getOrElse(e.snapshotId, legacyDefault)
 
     // lineage must be captured ON THE SCAN — the hidden _metadata column
     // does not survive the delete joins
@@ -147,7 +152,7 @@ object ScanPlanner {
       if (eqDels.isEmpty) withLin
       else {
         val seqByRelPath: Map[String, Long] = t.files(snapshotId)
-          .map(e => e.filePath -> seqBySnapshot.getOrElse(e.snapshotId, 0L)).toMap
+          .map(e => e.filePath -> entrySeq(e, 0L)).toMap
         val pathCol = if (needLineage) col("__gr_path")
           else expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
         withLin.withColumn("__seq",
@@ -175,7 +180,7 @@ object ScanPlanner {
     else {
       val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
       val applied = eqDels
-        .groupBy(e => (e.equalityIds, seqBySnapshot.getOrElse(e.snapshotId, Long.MaxValue)))
+        .groupBy(e => (e.equalityIds, entrySeq(e, Long.MaxValue)))
         .foldLeft(afterPos) { case (acc, ((ids, delSeq), files)) =>
           require(ids.nonEmpty,
             s"equality delete file without equality_ids: ${files.head.filePath}")

@@ -166,8 +166,12 @@ object Selection {
     * compile per round); the looked-up weight is cast to DECIMAL(38,0)
     * so margins cannot overflow under ANSI at corpus scale. */
   private def weightExpr(w: Map[Long, Long]): Column = {
+    // try_element_at, not element_at: under ANSI a bucket absent from
+    // the weight map (scoring a fresh corpus, or a non-deterministic
+    // training frame growing a bucket between rounds) must score 0, not
+    // throw MAP_KEY_DOES_NOT_EXIST
     if (w.isEmpty) lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-    else coalesce(element_at(typedlit(w), col("b")), lit(0L))
+    else coalesce(try_element_at(typedlit(w), col("b")), lit(0L))
       .cast("decimal(38,0)")
   }
 

@@ -165,11 +165,14 @@ object TextStats {
     val totals = byBucket.agg(
       sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     val w = Window.orderBy(col("drift_micro").desc, col("b"))
+    // nullif guard: an EMPTY slice (first run, wrong predicate) must
+    // surface as NULL drift rows, not an ANSI divide-by-zero that kills
+    // the canary itself
     byBucket.crossJoin(broadcast(totals))
       .select(col("b"), col("n_a"), col("n_b"), expr(
         "abs(CAST(n_a AS DECIMAL(38,0)) * tot_b - " +
           "CAST(n_b AS DECIMAL(38,0)) * tot_a) * 1000000 div " +
-          "(CAST(tot_a AS DECIMAL(38,0)) * CAST(tot_b AS DECIMAL(38,0)))")
+          "nullif(CAST(tot_a AS DECIMAL(38,0)) * CAST(tot_b AS DECIMAL(38,0)), 0)")
         .cast("long").as("drift_micro"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)

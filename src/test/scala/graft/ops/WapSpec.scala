@@ -93,6 +93,38 @@ class WapSpec extends SparkSpec {
     assert(stagedOnly.nonEmpty && stagedOnly.subsetOf(liveFiles))
   }
 
+  test("publishing the same staged snapshot twice is refused (duplicate WAP commit)") {
+    val e = freshEngine()
+    val staged = e.appendStaged("sales.orders", batch(925L), wapId = "audit-dup")
+    e.append("sales.orders", batch(955L)) // move the base → re-apply path
+    e.cherrypick("sales.orders", staged.snapshotId)
+    val rows = e.readTable("sales.orders").count()
+    val err = intercept[IllegalArgumentException] {
+      e.cherrypick("sales.orders", staged.snapshotId)
+    }
+    assert(err.getMessage.contains("duplicate WAP commit"))
+    assert(e.readTable("sales.orders").count() == rows)
+  }
+
+  test("re-applied publish re-sequences: rows escape deletes committed during the audit") {
+    val e = freshEngine()
+    val staged = e.appendStaged("sales.orders", batch(970L), wapId = "audit-seq")
+    // while the audit runs, an UPSERT on the same key commits an
+    // equality delete at a NEWER sequence than the staged snapshot's
+    e.upsert("sales.orders", batch(970L), Seq("order_id"))
+    e.publishWap("sales.orders", "audit-seq")
+    // the published row must carry the PUBLISH commit's sequence (newer
+    // than the delete), so both the upserted and the published row live
+    assert(e.readTable("sales.orders")
+      .filter(col("order_id") === 970L).count() == 2)
+    // and must stay alive after the unreferenced staged snapshot expires
+    // (its sequence must not collapse to 0 under old equality deletes)
+    e.expireSnapshots("sales.orders",
+      olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+    assert(e.readTable("sales.orders")
+      .filter(col("order_id") === 970L).count() == 2)
+  }
+
   test("cherrypick refuses already-published snapshots and unknown wap ids") {
     val e = freshEngine()
     val cur = e.load("sales.orders").metadata.currentSnapshotId.get
