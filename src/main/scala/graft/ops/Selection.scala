@@ -76,6 +76,26 @@ object Selection {
       .orderBy("label", "predicted")
   }
 
+  /** The APPLY half of the quality filter: per-document margin and
+    * predicted label under the trained weights — what a pipeline
+    * actually gates on (keep `predicted = 1`, or threshold on the
+    * margin for precision/recall control). Same one-pass literal-map
+    * scoring projection as the trainer's rounds; docs without features
+    * (< 2 tokens) are absent. */
+  def scoreQuality(docs: DataFrame, positive: Column,
+      buckets: Int = 256, rounds: Int = 3,
+      driverRowLimit: Int = 2000000): DataFrame = {
+    val (w, feats) = perceptronWeights(docs, positive, buckets, rounds,
+      driverRowLimit)
+    feats
+      .withColumn("wc", weightExpr(w) * col("c"))
+      .groupBy("doc_id")
+      .agg(sum("wc").cast("long").as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
+      .orderBy("doc_id")
+  }
+
   /** The trained per-bucket weights after `rounds` batch-perceptron
     * updates, plus the feature frame (doc_id, y, b, c) they were fit on.
     * w₀ = 0, so round 1's update is the class-difference count

@@ -1955,47 +1955,20 @@ object PipelineQueries {
     Q("q_quality_train",
       (s, d) => Selection.trainQualityPerceptron(
         documents(s, d), col("lang") === "en"),
-      Some {
-        val h = PortableHash.duckDbMd5Number("bg", 8)
-        s"""WITH d AS (
-           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-           |  FROM documents),
-           |f0 AS (
-           |  SELECT doc_id, y, $h % 256 AS b
-           |  FROM (
-           |    SELECT doc_id, y,
-           |      array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bg
-           |    FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
-           |          FROM d WHERE len(toks) >= 2))),
-           |f AS MATERIALIZED (
-           |  SELECT doc_id, y, b, count(*) AS c FROM f0 GROUP BY 1, 2, 3),
-           |w1 AS MATERIALIZED (
-           |  SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM f GROUP BY b),
-           |m2 AS (SELECT doc_id, y, sum(w * c) AS margin
-           |       FROM f JOIN w1 USING (b) GROUP BY 1, 2),
-           |d2 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS dw
-           |       FROM f JOIN (SELECT doc_id FROM m2 WHERE y * margin <= 0)
-           |         USING (doc_id) GROUP BY b),
-           |w2 AS MATERIALIZED (
-           |  SELECT w1.b, w1.w + coalesce(d2.dw, 0) AS w
-           |  FROM w1 LEFT JOIN d2 ON w1.b = d2.b),
-           |m3 AS (SELECT doc_id, y, sum(w * c) AS margin
-           |       FROM f JOIN w2 USING (b) GROUP BY 1, 2),
-           |d3 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS dw
-           |       FROM f JOIN (SELECT doc_id FROM m3 WHERE y * margin <= 0)
-           |         USING (doc_id) GROUP BY b),
-           |w3 AS MATERIALIZED (
-           |  SELECT w2.b, w2.w + coalesce(d3.dw, 0) AS w
-           |  FROM w2 LEFT JOIN d3 ON w2.b = d3.b),
-           |mf AS (SELECT doc_id, y, sum(w * c) AS margin
-           |       FROM f JOIN w3 USING (b) GROUP BY 1, 2)
-           |SELECT CAST(y AS BIGINT) AS label,
+      Some(perceptronCtes +
+        """SELECT CAST(y AS BIGINT) AS label,
            |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted,
            |  count(*) AS n_docs
-           |FROM mf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      }),
+           |FROM mf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The APPLY half: per-doc margin + predicted label under the SAME
+    // trained weights — what the pipeline gates on
+    Q("q_quality_scores",
+      (s, d) => Selection.scoreQuality(documents(s, d), col("lang") === "en"),
+      Some(perceptronCtes +
+        """SELECT doc_id, CAST(margin AS BIGINT) AS margin,
+           |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted
+           |FROM mf ORDER BY doc_id""".stripMargin)),
     // Degree distribution of the minhash candidate graph — the pre-dedup
     // corpus diagnostic (heavy tail = template spam / cluster blowup)
     Q("q_graph_degree",
@@ -2100,4 +2073,46 @@ object PipelineQueries {
            |FROM a, tot ORDER BY doc_id""".stripMargin
       }),
   )
+
+  /** Shared oracle CTE chain replaying 3 batch-perceptron rounds over
+    * hashed-bigram features (256 buckets, target lang='en'), ending in
+    * `mf(doc_id, y, margin)` — consumed by both the confusion census
+    * (q_quality_train) and the per-doc scores (q_quality_scores). */
+  private lazy val perceptronCtes: String = {
+    val h = PortableHash.duckDbMd5Number("bg", 8)
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, y, $h % 256 AS b
+       |  FROM (
+       |    SELECT doc_id, y,
+       |      array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bg
+       |    FROM (SELECT doc_id, y, toks, unnest(range(1, len(toks))) AS i
+       |          FROM d WHERE len(toks) >= 2))),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, y, b, count(*) AS c FROM f0 GROUP BY 1, 2, 3),
+       |w1 AS MATERIALIZED (
+       |  SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM f GROUP BY b),
+       |m2 AS (SELECT doc_id, y, sum(w * c) AS margin
+       |       FROM f JOIN w1 USING (b) GROUP BY 1, 2),
+       |d2 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS dw
+       |       FROM f JOIN (SELECT doc_id FROM m2 WHERE y * margin <= 0)
+       |         USING (doc_id) GROUP BY b),
+       |w2 AS MATERIALIZED (
+       |  SELECT w1.b, w1.w + coalesce(d2.dw, 0) AS w
+       |  FROM w1 LEFT JOIN d2 ON w1.b = d2.b),
+       |m3 AS (SELECT doc_id, y, sum(w * c) AS margin
+       |       FROM f JOIN w2 USING (b) GROUP BY 1, 2),
+       |d3 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS dw
+       |       FROM f JOIN (SELECT doc_id FROM m3 WHERE y * margin <= 0)
+       |         USING (doc_id) GROUP BY b),
+       |w3 AS MATERIALIZED (
+       |  SELECT w2.b, w2.w + coalesce(d3.dw, 0) AS w
+       |  FROM w2 LEFT JOIN d3 ON w2.b = d3.b),
+       |mf AS (SELECT doc_id, y, sum(w * c) AS margin
+       |       FROM f JOIN w3 USING (b) GROUP BY 1, 2)
+       |""".stripMargin
+  }
 }
