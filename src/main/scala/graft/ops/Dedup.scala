@@ -463,6 +463,26 @@ object Dedup {
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")
 
+  /** PROVENANCE attribution of the near-dup graph: candidate-pair
+    * counts per (source, source) — which feeds are copying which (a
+    * heavy diagonal = internal template spam; a heavy off-diagonal pair
+    * = mirrored feeds, deduplicate them jointly before mixing). Source
+    * pairs are canonically ordered. Both mapping joins are keyed on
+    * doc_id against the metadata-small (doc_id, source) projection —
+    * text never enters; output is ≤ |sources|² rows. */
+  def dupSourcePairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(srcs.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   def dedupLines(docs: DataFrame, minDf: Long = 2, sep: String = ". "): DataFrame = {
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col("doc_id"),

@@ -1969,6 +1969,21 @@ object PipelineQueries {
         """SELECT doc_id, CAST(margin AS BIGINT) AS margin,
            |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted
            |FROM mf ORDER BY doc_id""".stripMargin)),
+    // Provenance attribution of the near-dup graph: candidate pairs per
+    // canonical (source, source) — which feeds copy which
+    Q("q_dup_sources",
+      (s, d) => Dedup.dupSourcePairs(
+        Dedup.minhashCandidates(s, documents(s, d)), documents(s, d)),
+      Some("WITH " + minhashPairCtes + ",\n" +
+        """m AS (
+          |  SELECT least(da.source, db.source) AS source_a,
+          |         greatest(da.source, db.source) AS source_b
+          |  FROM pairs p
+          |  JOIN documents da ON da.doc_id = p.a_id
+          |  JOIN documents db ON db.doc_id = p.b_id)
+          |SELECT source_a, source_b, count(*) AS n_pairs
+          |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Degree distribution of the minhash candidate graph — the pre-dedup
     // corpus diagnostic (heavy tail = template spam / cluster blowup)
     Q("q_graph_degree",
