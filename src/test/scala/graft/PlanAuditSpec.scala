@@ -323,6 +323,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("hard negatives: probe set broadcasts, corpus scans once, no shuffle-heavy join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.hardNegatives(
+        emb, org.apache.spark.sql.functions.col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("corpus drift: kernel projection, buckets-bounded aggregate, totals broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.TextStats.corpusDrift(
+        docs, org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bigram_buckets"), plan.take(1500))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500)) // 1-row totals
+    assert(!plan.contains("CartesianProduct") || plan.contains("Broadcast"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("bpe fertility + dup sources: kernel projections and keyed joins only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fPlan = graft.ops.Bpe.fertilityByLang(docs, Seq(("a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(fPlan.contains("bpe_encode_counts"), fPlan.take(1500))
+    assert(!fPlan.contains("Join"), fPlan.take(1500)) // lang rides the projection
+    val sPlan = graft.ops.Dedup.dupSourcePairs(
+        graft.ops.Dedup.minhashCandidates(spark, docs), docs)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("CartesianProduct"), sPlan.take(1500))
+    assert(!sPlan.contains("BroadcastNestedLoopJoin"), sPlan.take(1500))
+  }
+
   test("budget threshold: corpus pass partial-aggregates into bins; window keyed by lang") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.budgetThreshold(docs, budgetChars = 10000L)
