@@ -218,6 +218,51 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       .toDF("check", "status", "detail")
   }
 
+  /** Maintenance ADVISOR: one row per upkeep action with whether the
+    * table's current metadata recommends running it and why — the
+    * actionable extension of the reference's advisory flags
+    * (`compaction_recommended`, stale/hog warnings): the reference can
+    * only tell the user to run maintenance elsewhere; this engine names
+    * the verb that fixes it. Driver-side over metadata-scale state —
+    * no Spark job. */
+  def advise(ref: String): DataFrame = {
+    import spark.implicits._
+    val t = load(ref)
+    val files = t.files()
+    val dels = t.deleteFiles()
+    val manifests = t.manifests().filter(_.content == 0)
+    val smallByPartition = files
+      .filter(_.fileSizeInBytes < 32L * 1024 * 1024)
+      .groupBy(_.partition).map(_._2.size)
+    val smallGroups = smallByPartition.count(_ >= 2)
+    val nSnapshots = t.metadata.snapshots.size
+    val orphans = Maintenance.orphanFiles(tableDir(ref)).size
+    val hasNdv = graft.ops.Stats.storedNdv(t).nonEmpty
+    val targetManifests = math.max(1, (files.size + 4999) / 5000)
+    def row(action: String, hit: Boolean, why: String) =
+      (action, if (hit) "RECOMMENDED" else "OK", why)
+    Seq(
+      row("compact", smallGroups > 0,
+        if (smallGroups > 0) s"$smallGroups partition(s) hold ≥2 sub-32MB files"
+        else "no partition holds 2+ small files"),
+      row("prune-deletes", dels.nonEmpty,
+        if (dels.nonEmpty) s"${dels.size} delete file(s) pending merge-on-read"
+        else "no delete files"),
+      row("rewrite-manifests", manifests.size > targetManifests,
+        s"${manifests.size} data manifest(s) for ${files.size} files " +
+          s"(target ≤ $targetManifests)"),
+      row("expire", nSnapshots >= 50,
+        s"$nSnapshots snapshot(s) in the log" +
+          (if (nSnapshots >= 50) " — snapshot hog (reference threshold 50)" else "")),
+      row("orphans --remove", orphans > 0,
+        if (orphans > 0) s"$orphans unreferenced file(s) under data/"
+        else "no orphan files"),
+      row("analyze", !hasNdv,
+        if (hasNdv) "NDV statistics present"
+        else "no stored NDV statistics — ANALYZE enables better planning"))
+      .toDF("action", "status", "reason")
+  }
+
   def schemaHistory(ref: String): DataFrame =
     MetaRelations.schemas(spark, load(ref))
 

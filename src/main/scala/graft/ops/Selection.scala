@@ -180,18 +180,36 @@ object Selection {
     }
   }
 
+  /** The trained classifier's margin for a `text` column as ONE pure
+    * projection (kernel feature bag → literal-map weight fold) — no
+    * aggregate, no join, no state, so it drops into ANY plan including
+    * a STREAMING one ([[graft.streaming.EventStreams.qualityGateStream]]):
+    * train offline with [[perceptronWeights]], gate the ingest stream
+    * with the frozen weights. Docs under 2 tokens score 0. */
+  def marginColumn(w: Map[Long, Long], textCol: Column,
+      buckets: Int = 256): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val bag = GraftColumnBridge.column(graft.expr.HashedBigramBuckets(
+      GraftColumnBridge.expression(textCol), buckets))
+    aggregate(bag,
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+      (acc, f) => acc + weightExprOn(w, f.getField("b")) * f.getField("c"))
+  }
+
   /** The weight vector as a literal-map lookup column over `b` —
     * scoring is a pure projection, no join. ONE map `Literal` (not a
     * buckets-wide CreateMap expression tree, which costs a fresh codegen
     * compile per round); the looked-up weight is cast to DECIMAL(38,0)
     * so margins cannot overflow under ANSI at corpus scale. */
-  private def weightExpr(w: Map[Long, Long]): Column = {
+  private def weightExpr(w: Map[Long, Long]): Column = weightExprOn(w, col("b"))
+
+  private def weightExprOn(w: Map[Long, Long], bucket: Column): Column = {
     // try_element_at, not element_at: under ANSI a bucket absent from
     // the weight map (scoring a fresh corpus, or a non-deterministic
     // training frame growing a bucket between rounds) must score 0, not
     // throw MAP_KEY_DOES_NOT_EXIST
     if (w.isEmpty) lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-    else coalesce(try_element_at(typedlit(w), col("b")), lit(0L))
+    else coalesce(try_element_at(typedlit(w), bucket), lit(0L))
       .cast("decimal(38,0)")
   }
 

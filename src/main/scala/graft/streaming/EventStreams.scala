@@ -152,4 +152,17 @@ object EventStreams {
       .withColumn("digest", graft.ops.Dedup.contentDigest())
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming QUALITY gate under a frozen trained classifier: keep only
+    * documents the batch-trained perceptron
+    * ([[graft.ops.Selection.perceptronWeights]]) scores positive. The
+    * margin is one stateless kernel projection (feature bag → literal-map
+    * weight fold — no join, no aggregate, no state store), so the gate
+    * composes with any watermark/dedup stage and scales with the stream
+    * alone. The train-offline / gate-online split is the standard
+    * quality-filter deployment (CCNet/LLaMA-style). */
+  def qualityGateStream(docs: DataFrame, weights: Map[Long, Long],
+      buckets: Int = 256, textCol: String = "text"): DataFrame =
+    docs.filter(
+      graft.ops.Selection.marginColumn(weights, col(textCol), buckets) > 0)
 }

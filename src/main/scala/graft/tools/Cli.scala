@@ -293,6 +293,9 @@ object Cli {
           // interactive UI over the resolved engine (any catalog backend
           // the config path produced); EOF on stdin exits cleanly
           Tui.runInteractive(engine)
+        case "advise" =>
+          // advise <ns.t> — which maintenance verbs the table needs now
+          emit(engine.advise(vargs(0)))
         case "stage-parquet" =>
           // stage-parquet <ns.t> <data.parquet> <wapId> — write-audit-
           // publish: commit an INVISIBLE staged snapshot for auditing
@@ -341,5 +344,5 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal dedup-gate\n" +
-      "       stage-parquet publish tui init")
+      "       stage-parquet publish advise tui init")
 }

@@ -201,6 +201,36 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "publish", "sales.orders", "nope")) == 1)
   }
 
+  test("advise names the maintenance verbs the table actually needs") {
+    val wh = Files.createTempDirectory("graft-cli-advise").toString
+    FixtureWriter.writeDemo(spark, wh)
+    val e = new graft.api.Engine(spark, wh)
+    // the overwrite left one file per partition: append a second small
+    // file into an existing partition to create the compaction condition
+    val s2 = spark
+    import s2.implicits._
+    e.append("sales.orders", Seq(
+      (800L, "Adv One", "us-east", 5.0, java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      .toDF("order_id", "customer_name", "region", "amount", "order_date", "created_at"))
+    val before = e.advise("sales.orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // now us-east holds two tiny files, and no NDV stats are stored
+    assert(before("compact") == "RECOMMENDED")
+    assert(before("analyze") == "RECOMMENDED")
+    assert(before("prune-deletes") == "OK")
+    assert(before("orphans --remove") == "OK")
+
+    // acting on the advice clears it
+    e.rewriteSmallFiles("sales.orders")
+    graft.ops.Stats.analyzeTable(spark, e.tableDir("sales.orders"))
+    val after = e.advise("sales.orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("compact") == "OK")
+    assert(after("analyze") == "OK")
+    assert(Cli.run(Array(wh, "advise", "sales.orders")) == 0)
+  }
+
   test("CLI maps missing table to a friendly nonzero exit") {
     val wh = Files.createTempDirectory("graft-cli-wh2").toString
     FixtureWriter.writeDemo(spark, wh)

@@ -16,6 +16,39 @@ class EventStreamsSpec extends SparkSpec {
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
   final case class Pur(user_id: Long, ts: Timestamp, value: Double)
 
+  test("streaming quality gate: frozen perceptron weights filter the ingest stream") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    // train OFFLINE on a labeled seed with disjoint vocabularies
+    val seed = Seq(
+      (1L, "good clean prose reads well here", "en", "a", 0L),
+      (2L, "good clean text reads well here", "en", "a", 0L),
+      (3L, "spam junk noise garbage filler spam", "xx", "b", 0L),
+      (4L, "junk noise spam garbage filler junk", "xx", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (w, _) = graft.ops.Selection.perceptronWeights(
+      seed, org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = 64, rounds = 3)
+
+    // gate ONLINE: the stream keeps positive-margin docs only
+    val input = MemoryStream[Doc]
+    val q = EventStreams.qualityGateStream(input.toDF(), w, buckets = 64)
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      input.addData(
+        Doc(10, "clean prose reads well", ts("10:00")),
+        Doc(11, "spam junk noise garbage", ts("10:01")),
+        Doc(12, "good clean text here", ts("10:02")))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM quality_gate ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(10L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-digest docs across batches within the watermark") {
     val s2 = spark
     import s2.implicits._
