@@ -232,21 +232,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     val dels = t.deleteFiles()
     val manifests = t.manifests().filter(_.content == 0)
     val smallByPartition = files
-      .filter(_.fileSizeInBytes < 32L * 1024 * 1024)
+      .filter(_.fileSizeInBytes < graft.ops.MetaHealth.SmallFileBytes)
       .groupBy(_.partition).map(_._2.size)
     val smallGroups = smallByPartition.count(_ >= 2)
     val nSnapshots = t.metadata.snapshots.size
     val orphans = Maintenance.orphanFiles(tableDir(ref)).size
     val hasNdv = graft.ops.Stats.storedNdv(t).nonEmpty
-    val targetManifests = math.max(1, (files.size + 4999) / 5000)
+    val te = Maintenance.DefaultTargetEntries
+    val targetManifests = math.max(1, (files.size + te - 1) / te)
     def row(action: String, hit: Boolean, why: String) =
       (action, if (hit) "RECOMMENDED" else "OK", why)
     Seq(
       row("compact", smallGroups > 0,
         if (smallGroups > 0) s"$smallGroups partition(s) hold ≥2 sub-32MB files"
         else "no partition holds 2+ small files"),
-      row("prune-deletes", dels.nonEmpty,
-        if (dels.nonEmpty) s"${dels.size} delete file(s) pending merge-on-read"
+      // MoR deletes are folded into rewritten files by INCREMENTAL
+      // compaction (prune-deletes only drops the then-dangling entries) —
+      // name the verb that actually clears the state
+      row("compact-incremental", dels.nonEmpty,
+        if (dels.nonEmpty) s"${dels.size} delete file(s) pending merge-on-read " +
+          "— fold via incremental compaction, then prune-deletes"
         else "no delete files"),
       row("rewrite-manifests", manifests.size > targetManifests,
         s"${manifests.size} data manifest(s) for ${files.size} files " +

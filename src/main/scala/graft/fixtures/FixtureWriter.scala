@@ -136,7 +136,8 @@ object FixtureWriter {
           recordCount = rows.size.toLong,
           fileSizeInBytes = Files.size(target),
           columnSizes = colSizes, valueCounts = valueCounts,
-          nullValueCounts = nullCounts, lowerBounds = lower, upperBounds = upper)
+          nullValueCounts = nullCounts, lowerBounds = lower, upperBounds = upper,
+          sequenceNumber = ci + 1L)
       }
 
       val manifestPath = s"metadata/manifest-$snapId.avro"
@@ -427,7 +428,8 @@ object FixtureWriter {
         valueCounts = Map(1 -> rows.size.toLong, 2 -> rows.size.toLong),
         nullValueCounts = Map(1 -> 0L, 2 -> 0L),
         lowerBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L)),
-        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L + 99L + i)))
+        upperBounds = Map(1 -> IcebergDecode.encode("long", i * 1000L + 99L + i)),
+        sequenceNumber = 1L)
     }
     val dataManifestPath = s"metadata/manifest-$dataSnap.avro"
     AvroManifests.writeManifest(dir.resolve(dataManifestPath).toString, dataEntries)
@@ -454,7 +456,7 @@ object FixtureWriter {
         recordCount = positions.size.toLong, fileSizeInBytes = size,
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
-        upperBounds = Map.empty)
+        upperBounds = Map.empty, sequenceNumber = 2L)
     }
     // an EQUALITY delete file (content=2): deletes rows of ANY data file
     // whose row_id matches — here two rows of data file 2
@@ -470,7 +472,8 @@ object FixtureWriter {
         recordCount = rows.size.toLong, fileSizeInBytes = size,
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, lowerBounds = Map.empty,
-        upperBounds = Map.empty, equalityIds = Seq(1)))
+        upperBounds = Map.empty, equalityIds = Seq(1),
+        sequenceNumber = 2L))
     }
     val allDeleteEntries = deleteEntries ++ eqEntries
     val delManifestPath = s"metadata/manifest-$delSnap-deletes.avro"
@@ -559,7 +562,8 @@ object FixtureWriter {
           valueCounts = schema.map(c => c.id -> rowsPerFile).toMap,
           nullValueCounts = schema.map(c => c.id -> (if (c.id == 2) fi % 3L else 0L)).toMap,
           lowerBounds = Map(1 -> IcebergDecode.encode("long", lo)),
-          upperBounds = Map(1 -> IcebergDecode.encode("long", hi)))
+          upperBounds = Map(1 -> IcebergDecode.encode("long", hi)),
+          sequenceNumber = ci + 1L)
       }
       val manifestPath = s"metadata/manifest-$snapId.avro"
       AvroManifests.writeManifest(dir.resolve(manifestPath).toString, entries)

@@ -57,7 +57,19 @@ final case class DataFileEntry(
       * scoping survives expiration of the adding snapshot (a carried
       * delete manifest can outlive its snapshot's log entry). -1 =
       * legacy entry — readers fall back to the snapshot-log lookup. */
-    sequenceNumber: Long = -1L)
+    sequenceNumber: Long = -1L) {
+
+  /** THE sequence-resolution rule, shared by scan planning, dangling-
+    * delete pruning, and commit-time materialization: the entry's own
+    * stamped sequence wins; a legacy entry (-1) resolves through the
+    * snapshot log; an entry whose adding snapshot has been expired
+    * resolves to `legacyDefault` (0 for data files — old; MaxValue for
+    * delete files — conservative). One definition so the three
+    * consumers cannot diverge on the scoping rule. */
+  def resolvedSeq(seqBySnapshot: Map[Long, Long], legacyDefault: Long): Long =
+    if (sequenceNumber >= 0) sequenceNumber
+    else seqBySnapshot.getOrElse(snapshotId, legacyDefault)
+}
 
 object AvroManifests {
 

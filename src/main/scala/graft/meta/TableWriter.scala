@@ -542,7 +542,7 @@ object TableWriter {
     val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
     def withSeq(e: DataFileEntry): DataFileEntry =
       if (e.sequenceNumber >= 0) e
-      else e.copy(sequenceNumber = seqBySnapshot.getOrElse(e.snapshotId, -1L))
+      else e.copy(sequenceNumber = e.resolvedSeq(seqBySnapshot, -1L))
 
     // ---- 3. carried-forward entries (append keeps whole manifests;
     // overwrite/replace rewrite kept entries into an `existing` manifest).

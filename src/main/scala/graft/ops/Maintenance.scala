@@ -48,9 +48,23 @@ object Maintenance {
     val mainChain = Iterator.iterate(md.currentSnapshotId)(
         _.flatMap(id => byId.get(id).flatMap(_.parentSnapshotId)))
       .takeWhile(_.isDefined).map(_.get).toSeq
+    // LEGACY-ENTRY guard: a live manifest entry without a stamped
+    // sequence (pre-upgrade manifests, carried forward verbatim by cheap
+    // appends) resolves its delete-scoping sequence through the snapshot
+    // log — expiring its adding snapshot would collapse that resolution
+    // and mis-scope equality deletes. Retain such snapshots until
+    // maintenance (compaction / rewrite-manifests) materializes the
+    // sequences onto the entries.
+    val legacyRefs = md.currentSnapshotId.toSeq.flatMap { _ =>
+      t.manifests().flatMap(m =>
+        AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+          .filter(e => e.sequenceNumber < 0 && e.status != 2)
+          .map(_.snapshotId))
+    }.toSet
     val keepIds = (mainChain.take(math.max(retainLast, 1)) ++
       md.currentSnapshotId.toSeq ++
       md.refs.values.map(_.snapshotId) ++ // tagged/branched snapshots never expire
+      legacyRefs ++
       md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
     val expired = md.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty)
@@ -158,9 +172,11 @@ object Maintenance {
     // duplicate-WAP guard (Iceberg's DuplicateWAPCommitException): a
     // snapshot published earlier via RE-APPLY is not an ancestor itself —
     // its content rides a new snapshot stamped source-snapshot-id — so a
-    // retried publish would attach the same manifests twice
-    require(!md.snapshots.exists(
-        _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
+    // retried publish would attach the same manifests twice. Scoped to
+    // the CURRENT ancestry: after a rollback past the publish, nothing
+    // from the stage is live and re-publishing is legitimate.
+    require(!md.snapshots.exists(s2 => ancestors.contains(s2.snapshotId) &&
+        s2.summary.get("source-snapshot-id").contains(snapshotId.toString)),
       s"Snapshot $snapshotId was already published (duplicate WAP commit)")
 
     val nowMs = System.currentTimeMillis()
@@ -279,8 +295,7 @@ object Maintenance {
 
     val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
     def entrySeq(e: graft.meta.DataFileEntry, legacyDefault: Long): Long =
-      if (e.sequenceNumber >= 0) e.sequenceNumber
-      else seqBySnapshot.getOrElse(e.snapshotId, legacyDefault)
+      e.resolvedSeq(seqBySnapshot, legacyDefault)
     val liveData = t.files()
     val livePaths = liveData.map(_.filePath).toSet
     val minLiveSeq = liveData.map(e => entrySeq(e, 0L))
@@ -395,6 +410,9 @@ object Maintenance {
   def removeOrphans(tableDir: String): Int =
     orphanFiles(tableDir).count(p => Files.deleteIfExists(Paths.get(p)))
 
+  /** Default manifest bin-packing target (entries per manifest). */
+  val DefaultTargetEntries: Int = 5000
+
   final case class RewriteManifestsResult(
       manifestsBefore: Int,
       manifestsAfter: Int,
@@ -421,7 +439,7 @@ object Maintenance {
     * SURVEY §7.3); no data file is opened. */
   def rewriteManifests(
       tableDir: String,
-      targetEntries: Int = 5000): Option[RewriteManifestsResult] = {
+      targetEntries: Int = DefaultTargetEntries): Option[RewriteManifestsResult] = {
     require(targetEntries > 0, "targetEntries must be positive")
     val (md0, baseV) = graft.meta.IcebergMeta.loadVersioned(tableDir)
     val t = new IcebergTable(tableDir, md0)
@@ -436,9 +454,16 @@ object Maintenance {
     val targetCount = math.max(1, (entries.size + targetEntries - 1) / targetEntries)
     if (dataManifests.size <= targetCount) return None
 
-    val sorted = entries.sortBy(e =>
-      (e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
-        e.filePath))
+    // materialize legacy sequences while the adding snapshots are still
+    // in the log — the migration path that unblocks expiration of
+    // snapshots pinned by the legacy-entry guard
+    val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    val sorted = entries
+      .map(e => if (e.sequenceNumber >= 0) e
+        else e.copy(sequenceNumber = e.resolvedSeq(seqBySnapshot, -1L)))
+      .sortBy(e =>
+        (e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+          e.filePath))
     val perManifest = (sorted.size + targetCount - 1) / targetCount
     val snapId = md.snapshots.map(_.snapshotId).max + 1L
     val tok = java.util.UUID.randomUUID().toString.take(8)

@@ -135,8 +135,7 @@ object ScanPlanner {
     // entry-stamped sequence first (survives snapshot expiration);
     // legacy entries (-1) fall back to the snapshot-log lookup
     def entrySeq(e: graft.meta.DataFileEntry, legacyDefault: Long): Long =
-      if (e.sequenceNumber >= 0) e.sequenceNumber
-      else seqBySnapshot.getOrElse(e.snapshotId, legacyDefault)
+      e.resolvedSeq(seqBySnapshot, legacyDefault)
 
     // lineage must be captured ON THE SCAN — the hidden _metadata column
     // does not survive the delete joins

@@ -19,25 +19,6 @@ import graft.expr.PortableHash
   */
 object Selection {
 
-  /** Hashed-bigram target affinity: for each doc,
-    * `affinity_milli = 1000 · (Σ_b c_b·n_t(b)) · R / ((Σ_b c_b·n_r(b)) · T)`
-    * where `c_b` is the doc's count of feature bucket `b`, `n_t`/`n_r`
-    * the target/raw corpus counts of that bucket, and `T`/`R` their
-    * totals — the doc's mean target-vs-raw likelihood ratio in permille.
-    * 1000 ≈ typical; above = target-like, below = off-target.
-    *
-    * Scale shape: each document's feature bag is ONE codegen kernel pass
-    * ([[graft.expr.BucketBagKernel]] — hashed-bigram bucket histogram),
-    * so the explode fodder is distinct buckets per doc, not one row per
-    * bigram occurrence. The bucket count table is bounded by `buckets`,
-    * so it BROADCASTS into the count-weighted per-doc scoring join — no
-    * shuffle of the corpus by feature; the totals are a 1-row broadcast,
-    * and the per-doc aggregation is map-side combinable. The text never
-    * shuffles; the wide rows are `(doc_id, bucket, count)` triples.
-    *
-    * @param target a boolean Column over `docs` rows marking the target
-    *               distribution (must select ≥1 bigram, or the
-    *               ratio's denominator is zero and ANSI mode throws) */
   /** Distributed QUALITY-CLASSIFIER training — the fastText-style linear
     * quality filter of CCNet/LLaMA-class pipelines (label a seed of
     * "good" documents, train a linear model over hashed n-gram features,
@@ -65,10 +46,7 @@ object Selection {
       driverRowLimit: Int = 2000000): DataFrame = {
     val (w, feats) = perceptronWeights(docs, positive, buckets, rounds,
       driverRowLimit)
-    feats
-      .withColumn("wc", weightExpr(w) * col("c"))
-      .groupBy("doc_id", "y")
-      .agg(sum("wc").as("margin"))
+    marginFrame(w, feats)
       .select(col("y").as("label"),
         when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
       .groupBy("label", "predicted")
@@ -87,14 +65,29 @@ object Selection {
       driverRowLimit: Int = 2000000): DataFrame = {
     val (w, feats) = perceptronWeights(docs, positive, buckets, rounds,
       driverRowLimit)
-    feats
-      .withColumn("wc", weightExpr(w) * col("c"))
-      .groupBy("doc_id")
-      .agg(sum("wc").cast("long").as("margin"))
+    // the DECIMAL margin SATURATES into the long output instead of an
+    // ANSI CAST_OVERFLOW — sign (the gate) is always preserved, and the
+    // oracle replays the same clamp
+    val maxL = lit(Long.MaxValue).cast("decimal(38,0)")
+    val minL = lit(Long.MinValue).cast("decimal(38,0)")
+    marginFrame(w, feats)
+      .select(col("doc_id"),
+        when(col("margin") > maxL, maxL)
+          .when(col("margin") < minL, minL)
+          .otherwise(col("margin")).cast("long").as("margin"))
       .select(col("doc_id"), col("margin"),
         when(col("margin") > 0, 1L).otherwise(-1L).as("predicted"))
       .orderBy("doc_id")
   }
+
+  /** Shared per-doc margin frame `(doc_id, y, margin)` under frozen
+    * weights — one literal-map projection + one per-doc aggregate,
+    * consumed by the confusion census and the per-doc scores. */
+  private def marginFrame(w: Map[Long, Long], feats: DataFrame): DataFrame =
+    feats
+      .withColumn("wc", weightExpr(w) * col("c"))
+      .groupBy("doc_id", "y")
+      .agg(sum("wc").as("margin"))
 
   /** The trained per-bucket weights after `rounds` batch-perceptron
     * updates, plus the feature frame (doc_id, y, b, c) they were fit on.
@@ -213,6 +206,25 @@ object Selection {
       .cast("decimal(38,0)")
   }
 
+  /** Hashed-bigram target affinity: for each doc,
+    * `affinity_milli = 1000 · (Σ_b c_b·n_t(b)) · R / ((Σ_b c_b·n_r(b)) · T)`
+    * where `c_b` is the doc's count of feature bucket `b`, `n_t`/`n_r`
+    * the target/raw corpus counts of that bucket, and `T`/`R` their
+    * totals — the doc's mean target-vs-raw likelihood ratio in permille.
+    * 1000 ≈ typical; above = target-like, below = off-target.
+    *
+    * Scale shape: each document's feature bag is ONE codegen kernel pass
+    * ([[graft.expr.BucketBagKernel]] — hashed-bigram bucket histogram),
+    * so the explode fodder is distinct buckets per doc, not one row per
+    * bigram occurrence. The bucket count table is bounded by `buckets`,
+    * so it BROADCASTS into the count-weighted per-doc scoring join — no
+    * shuffle of the corpus by feature; the totals are a 1-row broadcast,
+    * and the per-doc aggregation is map-side combinable. The text never
+    * shuffles; the wide rows are `(doc_id, bucket, count)` triples.
+    *
+    * @param target a boolean Column over `docs` rows marking the target
+    *               distribution (must select ≥1 bigram, or the
+    *               ratio's denominator is zero and ANSI mode throws) */
   def targetAffinity(docs: DataFrame, target: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")

@@ -340,8 +340,7 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("bigram_buckets"), plan.take(1500))
     assert(plan.contains("BroadcastExchange"), plan.take(1500)) // 1-row totals
-    assert(!plan.contains("CartesianProduct") || plan.contains("Broadcast"),
-      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 

@@ -218,15 +218,25 @@ class SkewAndCliSpec extends SparkSpec {
     // now us-east holds two tiny files, and no NDV stats are stored
     assert(before("compact") == "RECOMMENDED")
     assert(before("analyze") == "RECOMMENDED")
-    assert(before("prune-deletes") == "OK")
+    assert(before("compact-incremental") == "OK")
     assert(before("orphans --remove") == "OK")
 
-    // acting on the advice clears it
-    e.rewriteSmallFiles("sales.orders")
+    // a MoR delete flips the incremental-compaction advice on
+    e.deleteWhere("sales.orders",
+      org.apache.spark.sql.functions.col("order_id") === 800L)
+    val withDel = e.advise("sales.orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(withDel("compact-incremental") == "RECOMMENDED")
+
+    // acting on the advice clears it: incremental compaction folds the
+    // delete into rewritten files, pruning drops the dangling entry
+    e.rewriteSmallFilesIncremental("sales.orders")
+    e.pruneDanglingDeletes("sales.orders")
     graft.ops.Stats.analyzeTable(spark, e.tableDir("sales.orders"))
     val after = e.advise("sales.orders").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after("compact") == "OK")
+    assert(after("compact-incremental") == "OK")
     assert(after("analyze") == "OK")
     assert(Cli.run(Array(wh, "advise", "sales.orders")) == 0)
   }
