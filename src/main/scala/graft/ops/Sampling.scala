@@ -86,6 +86,24 @@ object Sampling {
       .drop("__s", "__p", "__k")
   }
 
+  /** CLUSTER-BALANCED downsampling: cap every LEARNED kmeans cluster at
+    * `cap` members by hash priority — the diversity-preserving sample
+    * (a dominant topic cluster cannot crowd out the tail; DoReMi/
+    * cluster-balanced selection shape). The clustering is the
+    * deterministic integer-quantized Lloyd of [[Clustering.kmeans]];
+    * the per-cluster cap is [[prioritySample]]'s stable hash reservoir.
+    * One narrow iteration shuffle per Lloyd round + one window shuffle
+    * keyed by cluster — embeddings never collect. */
+  def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int,
+      cap: Int): DataFrame = {
+    val model = Clustering.kmeans(emb, k, iters)
+    prioritySample(model.assignments,
+      col("cluster"), col("vec_id").cast("string"), cap)
+      .select(col("cluster").cast("int").as("cluster"),
+        col("sample_rank"), col("vec_id"))
+      .orderBy("cluster", "sample_rank")
+  }
+
   /** Add a `split` column assigning each row to train/val/test (or any
     * weighted partition) by hash bucket — deterministic and stable under
     * re-partitioning. */

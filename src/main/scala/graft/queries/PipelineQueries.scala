@@ -919,6 +919,26 @@ object PipelineQueries {
              |JOIN sz sb ON sb.doc_id = b_id
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Cluster-balanced downsampling: every learned kmeans cluster capped
+    // at 30 members by stable hash priority — dominant topics cannot
+    // crowd out the tail of a training mix
+    Q("q_cluster_sample",
+      (s, d) => Sampling.clusterBalancedSample(embeddings(s, d),
+        k = 4, iters = 2, cap = 30),
+      Some {
+        val h = PortableHash.duckDbMd5Number("CAST(vec_id AS VARCHAR)", 15)
+        "WITH " + kmeansCtes + ",\n" +
+          s"""p AS (SELECT CAST(cluster AS INT) AS cluster, vec_id, $h AS pr
+             |      FROM a2),
+             |r AS (
+             |  SELECT cluster, vec_id,
+             |    CAST(row_number() OVER (PARTITION BY cluster
+             |      ORDER BY pr, CAST(vec_id AS VARCHAR)) AS INT) AS sample_rank
+             |  FROM p)
+             |SELECT cluster, sample_rank, vec_id FROM r WHERE sample_rank <= 30
+             |ORDER BY cluster, sample_rank""".stripMargin
+      }),
+
     // Brute-force cosine top-5 of query vector 0
     Q("q_embed_knn",
       (s, d) => Similarity.knn(embeddings(s, d), 0L, 5),
