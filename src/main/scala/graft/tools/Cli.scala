@@ -289,6 +289,12 @@ object Cli {
           // winnow-removal <docs.parquet> [minDocs] — excise duplicated spans
           emit(graft.ops.Dedup.winnowRemoval(spark.read.parquet(vargs(0)),
             minDocs = vargs.lift(1).map(_.toInt).getOrElse(2)))
+        case "quality-score" =>
+          // quality-score <docs.parquet> [targetLang] — train the batch
+          // perceptron on the corpus (target = lang) and score every doc
+          emit(graft.ops.Selection.scoreQuality(spark.read.parquet(vargs(0)),
+            org.apache.spark.sql.functions.col("lang") ===
+              vargs.lift(1).getOrElse("en")))
         case "tui" =>
           // interactive UI over the resolved engine (any catalog backend
           // the config path produced); EOF on stdin exits cleanly
@@ -343,6 +349,6 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       set-property unset-property bpe winnow-removal dedup-gate\n" +
-      "       stage-parquet publish advise tui init")
+      "       set-property unset-property bpe winnow-removal quality-score\n" +
+      "       dedup-gate stage-parquet publish advise tui init")
 }
