@@ -662,7 +662,14 @@ object Dedup {
   /** Shared ExactSubstr census: every (doc_id, fp, gpos) gram occurrence
     * whose hash occurs ≥ `minOccurs` times corpus-wide — one definition
     * feeding both the span report and the removal, so the two surfaces
-    * cannot desynchronize. */
+    * cannot desynchronize.
+    *
+    * Deliberately census-agg + join rather than a `count over (partition
+    * by fp)` window (measured ~12% faster at sf0.1): the window has NO
+    * map-side partial aggregation, so a hot fingerprint — template spam,
+    * boilerplate headers — pins one reducer at corpus scale, while the
+    * aggregate pre-combines hot keys on the map side. The local win
+    * loses to the 100 TB skew hazard. */
   private def exactDupOccurrences(docs: DataFrame, k: Int,
       minOccurs: Int): DataFrame = {
     val grams = winnowedFps(docs, k, window = 1)
