@@ -565,6 +565,23 @@ class OpsSpec extends SparkSpec {
     assert(out("xx-lang") == 2000L) // 4 words -> 8 tokens
   }
 
+  test("clusterBalancedSample caps every learned cluster and is stable across runs") {
+    val e = embDf((0L until 40L).map { i =>
+      // four well-separated axis clusters, 10 members each
+      val base = Array(0f, 0f, 0f, 0f); base((i % 4).toInt) = 1f
+      base((i % 4).toInt) += (i / 4).toFloat * 0.01f
+      (i, base.toSeq, (i % 4).toInt)
+    })
+    val out = Sampling.clusterBalancedSample(e, k = 4, iters = 2, cap = 3)
+    val byCluster = out.collect().groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.values.forall(_.length <= 3))
+    assert(byCluster.values.forall(_.map(_.getAs[Int]("sample_rank")).sorted
+      .sameElements(1 to math.min(3, 10))))
+    // deterministic: a second run picks the identical survivors
+    val again = Sampling.clusterBalancedSample(e, k = 4, iters = 2, cap = 3)
+    assert(out.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
+  }
+
   test("similarity: ivf top-1 searches only the probe's partition") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 0),
