@@ -253,9 +253,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
         if (dels.nonEmpty) s"${dels.size} delete file(s) pending merge-on-read " +
           "— fold via incremental compaction, then prune-deletes"
         else "no delete files"),
-      row("rewrite-manifests", manifests.size > targetManifests,
-        s"${manifests.size} data manifest(s) for ${files.size} files " +
-          s"(target ≤ $targetManifests)"),
+      {
+        // legacy (sequence = -1) entries resolve delete scoping through
+        // the snapshot log, so their snapshots are PINNED against
+        // expiration until rewrite-manifests materializes the sequences
+        // onto the entries (the WR20 upgrade note)
+        val legacy = (files ++ dels).count(_.sequenceNumber < 0)
+        row("rewrite-manifests",
+          manifests.size > targetManifests || legacy > 0,
+          if (legacy > 0)
+            s"$legacy legacy entr${if (legacy == 1) "y" else "ies"} without a " +
+              "stamped data_sequence_number — legacy entries pin snapshots " +
+              "against expiration until rewrite materializes sequences"
+          else s"${manifests.size} data manifest(s) for ${files.size} files " +
+            s"(target ≤ $targetManifests)")
+      },
       row("expire", nSnapshots >= 50,
         s"$nSnapshots snapshot(s) in the log" +
           (if (nSnapshots >= 50) " — snapshot hog (reference threshold 50)" else "")),

@@ -54,18 +54,30 @@ object Maintenance {
     // log — expiring its adding snapshot would collapse that resolution
     // and mis-scope equality deletes. Retain such snapshots until
     // maintenance (compaction / rewrite-manifests) materializes the
-    // sequences onto the entries.
-    val legacyRefs = md.currentSnapshotId.toSeq.flatMap { _ =>
-      t.manifests().flatMap(m =>
-        AvroManifests.readManifest(t.resolvePath(m.manifestPath))
-          .filter(e => e.sequenceNumber < 0 && e.status != 2)
-          .map(_.snapshotId))
-    }.toSet
-    val keepIds = (mainChain.take(math.max(retainLast, 1)) ++
+    // sequences onto the entries. EVERY retained snapshot's manifests
+    // are scanned, not just the current one: a branch/tag head is itself
+    // retained, but its legacy entries resolve through OTHER snapshots —
+    // expiring those would silently over-apply equality deletes on
+    // branch-pinned reads. Fixpoint: a legacy-pinned snapshot is itself
+    // retained, so ITS legacy entries pin further (metadata-scale loop).
+    def legacyPins(snapshotIds: Set[Long]): Set[Long] =
+      snapshotIds.flatMap { id =>
+        t.manifests(Some(id)).flatMap(m =>
+          AvroManifests.readManifest(t.resolvePath(m.manifestPath))
+            .filter(e => e.sequenceNumber < 0 && e.status != 2)
+            .map(_.snapshotId))
+      }
+    val baseKeep = (mainChain.take(math.max(retainLast, 1)) ++
       md.currentSnapshotId.toSeq ++
       md.refs.values.map(_.snapshotId) ++ // tagged/branched snapshots never expire
-      legacyRefs ++
       md.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)).toSet
+    var keepIds = baseKeep
+    var frontier = baseKeep.filter(byId.contains)
+    while (frontier.nonEmpty) {
+      val pinned = legacyPins(frontier).filter(byId.contains) -- keepIds
+      keepIds ++= pinned
+      frontier = pinned
+    }
     val expired = md.snapshots.filterNot(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty)
       return ExpireResult(Seq.empty, 0, 0, 0, baseV)

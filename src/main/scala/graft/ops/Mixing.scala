@@ -119,11 +119,20 @@ object Mixing {
       .withColumn("w_micro",
         floor(sqrt(col("src_chars").cast("double")) * lit(1e6)).cast("long"))
       .withColumn("total_w", sum(col("w_micro")).over(w))
-      .withColumn("share_permille", expr("(w_micro * 1000) DIV total_w"))
+      // nullif-guard every divisor (like corpusDrift): a source whose
+      // docs sum to zero chars — or an all-empty corpus — surfaces as
+      // NULL rows instead of an ANSI DIVIDE_BY_ZERO killing the plan
+      .withColumn("share_permille",
+        expr("(w_micro * 1000) DIV nullif(total_w, 0)"))
       .withColumn("target_chars",
         expr(s"(${budgetChars}L * share_permille) DIV 1000"))
+      // `least` IGNORES nulls, so the zero-source case must be an
+      // explicit CASE branch (CaseWhen evaluates only the selected arm —
+      // the DIV never runs on a zero divisor)
       .withColumn("epochs_milli",
-        least(lit(maxEpochsMilli), expr("(target_chars * 1000) DIV src_chars")))
+        when(col("src_chars") === 0, lit(null).cast("long"))
+          .otherwise(least(lit(maxEpochsMilli),
+            expr("(target_chars * 1000) DIV src_chars"))))
       .withColumn("planned_chars",
         expr("(src_chars * epochs_milli) DIV 1000"))
       .drop("total_w")
@@ -142,10 +151,12 @@ object Mixing {
         floor(sqrt(col("src_chars").cast("double")) * lit(1e6)).cast("long"))
       .withColumn("total_chars", sum(col("src_chars")).over(w))
       .withColumn("total_w", sum(col("w_micro")).over(w))
+      // same nullif guard as epochPlan — an all-empty corpus is a NULL
+      // share, not a DIVIDE_BY_ZERO
       .withColumn("natural_permille",
-        expr("(src_chars * 1000) DIV total_chars"))
+        expr("(src_chars * 1000) DIV nullif(total_chars, 0)"))
       .withColumn("share_permille",
-        expr("(w_micro * 1000) DIV total_w"))
+        expr("(w_micro * 1000) DIV nullif(total_w, 0)"))
       .drop("total_chars", "total_w")
       .orderBy(sourceCol)
   }

@@ -402,10 +402,6 @@ object Multimodal {
     }(enc).toDF()
   }
 
-  /** Decode stage with a REAL codec: `ImageIO.read` over the payload bytes,
-    * emitting integer-exact shape + per-channel pixel sums. Undecodable or
-    * null payloads surface as width = -1 rather than poisoning the task —
-    * at 100 TB a corrupt object must be a data fact, not a job failure. */
   /** Nearest-neighbor image RESIZE — the canonical preprocess step of a
     * multimodal training pipeline (decode → resample to the model's
     * input grid → features), with the same executor-side batch-kernel

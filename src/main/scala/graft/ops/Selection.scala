@@ -121,10 +121,25 @@ object Selection {
     val head =
       if (driverRowLimit <= 0) Array.empty[org.apache.spark.sql.Row]
       else feats.limit(driverRowLimit + 1).collect()
-    if (driverRowLimit > 0 && head.length <= driverRowLimit) {
+    // margin-overflow guard: |w(b)| ≤ rounds·M and |margin| ≤ rounds·M²
+    // where M = Σ|c| over the census — the ROW limit bounds rows, not
+    // count mass, so a few pathological documents with huge bucket
+    // counts could wrap Long (Scala Long does not trap) and flip margin
+    // signs. M ≤ √(Long.Max/rounds) keeps every product exact; above
+    // it, fall through to the distributed path's DECIMAL(38,0) margins.
+    val safeMass = math.sqrt(Long.MaxValue.toDouble / rounds).toLong
+    val massSafe = driverRowLimit > 0 && head.length <= driverRowLimit && {
+      var m = 0L
+      var i = 0
+      while (i < head.length && m >= 0 && m <= safeMass) {
+        m += math.abs(head(i).getLong(3)); i += 1
+      }
+      m >= 0 && m <= safeMass
+    }
+    if (massSafe) {
       // ---- driver path: exact integer loops over the collected census.
-      // Margins stay in Long: |w| ≤ rounds·Σc and Σ|w·c| is quadratic in
-      // the (limit-bounded) census mass — far inside 2^63 here; the
+      // Margins stay in Long: the mass guard above makes every
+      // intermediate product and sum provably inside 2^63; the
       // distributed path's DECIMAL covers the unbounded case.
       val docsArr = head.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
         case (_, rows) =>

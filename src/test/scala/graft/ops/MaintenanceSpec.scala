@@ -257,4 +257,64 @@ class MaintenanceSpec extends SparkSpec {
     assert(snap.operation == "replace")
     assert(snap.summary("total-data-files").toInt == afterFiles.size)
   }
+
+  /** Simulate a pre-upgrade writer: strip the stamped sequence from every
+    * manifest entry of `snapshotId`, so delete scoping must resolve
+    * through the snapshot log again. */
+  private def stripSequences(t: graft.meta.IcebergTable, snapshotId: Long): Unit =
+    t.manifests(Some(snapshotId)).foreach { m =>
+      val p = t.resolvePath(m.manifestPath)
+      val stripped = graft.meta.AvroManifests.readManifest(p)
+        .map(_.copy(sequenceNumber = -1L))
+      graft.meta.AvroManifests.writeManifest(p, stripped)
+    }
+
+  test("ref-pinned legacy entries keep their resolving snapshots through expiration") {
+    val wh = Files.createTempDirectory("graft-legacy-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.t", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    // A1: upsert — data file + equality delete, both at sequence 1
+    e.upsert("ns.t", Seq((1L, "one")).toDF("k", "v"), Seq("k"))
+    // A2: plain append at sequence 2, carrying A1's manifests forward
+    e.append("ns.t", Seq((2L, "two")).toDF("k", "v"))
+    val a1 = e.load("ns.t").metadata.snapshots.head.snapshotId
+    val a2 = e.load("ns.t").metadata.currentSnapshotId.get
+    stripSequences(e.load("ns.t"), a2)
+    e.createTag("ns.t", "audit", Some(a2))
+    // main moves on — the current snapshot carries only fresh stamps
+    e.overwrite("ns.t", Seq((9L, "nine")).toDF("k", "v"))
+    assert(e.readTable("ns.t", Some(a2)).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+
+    // expire everything age allows: the tag head survives as a ref, and
+    // the guard must ALSO retain the snapshots the tag's legacy entries
+    // resolve their delete-scoping sequences through — losing A1 would
+    // collapse the equality delete's scope to everything (rows vanish)
+    e.expireSnapshots("ns.t", olderThanMs = Long.MaxValue, retainLast = 1)
+    val mdAfter = e.load("ns.t").metadata
+    assert(mdAfter.snapshots.exists(_.snapshotId == a1),
+      "legacy-resolving snapshot A1 expired despite the ref-pinned legacy entries")
+    assert(e.readTable("ns.t", Some(a2)).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L),
+      "ref-pinned read lost rows after expiration (equality delete over-applied)")
+  }
+
+  test("advise recommends rewrite-manifests when live entries carry legacy sequences") {
+    val wh = Files.createTempDirectory("graft-advise-legacy-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.t", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType))
+    e.append("ns.t", Seq(1L, 2L).toDF("k"))
+    // fresh writers stamp every entry: no legacy recommendation
+    val before = e.advise("ns.t").filter(col("action") === "rewrite-manifests")
+      .collect().head
+    assert(!before.getString(2).contains("legacy"))
+    stripSequences(e.load("ns.t"), e.load("ns.t").metadata.currentSnapshotId.get)
+    val row = e.advise("ns.t").filter(col("action") === "rewrite-manifests")
+      .collect().head
+    assert(row.getString(1) == "RECOMMENDED", row.mkString("|"))
+    assert(row.getString(2).contains("legacy"), row.mkString("|"))
+  }
 }

@@ -215,6 +215,23 @@ class OpsSpec extends SparkSpec {
     assert(out("b").getAs[Long]("planned_chars") == 598L)
   }
 
+  test("epoch plan / temperature weights: zero-char sources surface as NULL, not DIVIDE_BY_ZERO") {
+    // a source whose docs sum to zero chars — under ANSI mode an
+    // unguarded DIV would kill the whole plan
+    val docs = docsDf(Seq(
+      (1L, "", "en", "a", 0L),
+      (2L, "x", "en", "b", 400L)))
+    val plan = graft.ops.Mixing.epochPlan(docs, budgetChars = 900L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(plan("a").isNullAt(plan("a").fieldIndex("epochs_milli")))
+    assert(plan("b").getAs[Long]("epochs_milli") > 0L)
+    // all-empty corpus: every share is NULL, nothing throws
+    val empty = docsDf(Seq((1L, "", "en", "a", 0L)))
+    val rows = graft.ops.Mixing.temperatureWeights(empty).collect()
+    assert(rows.length == 1 &&
+      rows.head.isNullAt(rows.head.fieldIndex("share_permille")))
+  }
+
   test("budget threshold: keeps best bins within budget; infeasible budget emits nothing") {
     // three docs with strictly ordered quality scores (alpha-heavy ->
     // mixed -> punctuation-heavy), 100 chars each
