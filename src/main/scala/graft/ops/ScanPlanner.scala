@@ -75,7 +75,7 @@ object ScanPlanner {
   def readTable(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
     require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
-    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
+    readSplit(spark, t, snapshotId, paths)
   }
 
   /** Merge-on-read scan of an explicit SUBSET of the snapshot's data
@@ -86,7 +86,7 @@ object ScanPlanner {
   def readFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
       snapshotId: Option[Long] = None): DataFrame = {
     require(paths.nonEmpty, "readFiles needs at least one path")
-    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths))
+    readSplit(spark, t, snapshotId, paths)
   }
 
   /** [[readTable]] with row lineage kept: two extra columns `__gr_path`
@@ -99,8 +99,74 @@ object ScanPlanner {
       snapshotId: Option[Long] = None): DataFrame = {
     val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
     require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
-    applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths),
-      keepLineage = true)
+    readSplit(spark, t, snapshotId, paths, keepLineage = true)
+  }
+
+  /** FILE-SCOPED merge-on-read: split the requested files into the
+    * DELETE-UNTOUCHED set (scanned bare — vectorized parquet read, no
+    * anti-joins above it, stays inside whole-stage codegen) and the
+    * DELETE-HIT set (the full [[applyDeletes]] machinery), unioned.
+    * On a 100 TB table one row-level DELETE typically touches a handful
+    * of files; without the split EVERY file's rows flow through the
+    * anti-join stages — with it, delete debt costs IO proportional to
+    * the files that actually carry it.
+    *
+    * The hit set is computed driver-side from metadata plus one
+    * metadata-scale pass over the position-delete parquet (distinct
+    * `file_path` targets — the same read [[Maintenance.pruneDanglingDeletes]]
+    * does); an equality delete hits every file whose commit sequence is
+    * strictly below the delete's (Iceberg v2 scoping), so files at or
+    * above the NEWEST equality-delete sequence escape it structurally. */
+  private def readSplit(
+      spark: SparkSession,
+      t: IcebergTable,
+      snapshotId: Option[Long],
+      paths: Seq[String],
+      keepLineage: Boolean = false): DataFrame = {
+    val allDels = t.deleteFiles(snapshotId)
+    if (allDels.isEmpty)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
+
+    val (eqDels, posDels) = allDels.partition(_.content == 2)
+    val seqBySnapshot = t.metadata.snapshots
+      .map(s => s.snapshotId -> s.sequenceNumber).toMap
+    val posTargets: Set[String] =
+      if (posDels.isEmpty) Set.empty
+      else spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    // a data file escapes ALL equality deletes iff its sequence is >= the
+    // newest delete's (apply requires dataSeq < delSeq); legacy entries
+    // (-1 → snapshot-log fallback, else 0) conservatively read as hit
+    val maxEqSeq = eqDels.map(_.resolvedSeq(seqBySnapshot, Long.MaxValue))
+      .maxOption.getOrElse(Long.MinValue)
+    val requested = paths.toSet
+    val entries = t.files(snapshotId)
+      .filter(e => requested.contains(t.resolvePath(e.filePath)))
+    val (hit, clean) = entries.partition(e =>
+      posTargets.contains(e.filePath) ||
+        e.resolvedSeq(seqBySnapshot, 0L) < maxEqSeq)
+
+    def lineaged(df: DataFrame): DataFrame =
+      if (!keepLineage) df
+      else {
+        val prefix = s"file:${t.tableDir}/"
+        df.withColumn("__gr_path",
+            expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+          .withColumn("__gr_pos", col("_metadata.row_index"))
+      }
+    val parts = Seq(
+      if (clean.isEmpty) None
+      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath))))),
+      if (hit.isEmpty) None
+      else Some(applyDeletes(spark, t, snapshotId,
+        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath))), keepLineage))
+    ).flatten
+    // a caller-supplied path outside the snapshot's live set (shouldn't
+    // happen from engine call sites) falls back to the unsplit read
+    if (parts.isEmpty)
+      applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
+    else parts.reduce(_.unionByName(_))
   }
 
   /** Scan `paths` through the table's CURRENT schema when it is

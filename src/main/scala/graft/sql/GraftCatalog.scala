@@ -432,7 +432,10 @@ class GraftScanBuilder(
 
   override def build(): Scan =
     if (t.deleteFiles(snapshotId).nonEmpty)
-      // merge-on-read fallback: correctness over vectorization
+      // merge-on-read fallback — itself FILE-SCOPED: inside the wrapped
+      // plan, delete-untouched files scan bare (vectorized parquet, no
+      // anti-joins) and only delete-hit files pay the MoR machinery
+      // (ScanPlanner.readSplit)
       new GraftMorV1Scan(t, snapshotId, required, pushed.toSeq)
     else {
       val live = t.files(snapshotId)

@@ -437,6 +437,50 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("file-scoped MoR: delete-untouched files scan bare; only hit files pay the anti-join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-morsplit-wh").toString
+    val e = new graft.api.Engine(spark, wh)
+    e.createTable("ns.t", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    e.append("ns.t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    e.append("ns.t", Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+    e.deleteWhere("ns.t", col("k") === 3L) // position delete on file 2 only
+
+    val df = e.readTable("ns.t")
+    assert(df.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+
+    val t = e.load("ns.t")
+    val hitPaths = spark.read.parquet(
+        t.deleteFiles().map(d => t.resolvePath(d.filePath)): _*)
+      .select("file_path").distinct().as[String].collect()
+      .map(rel => t.resolvePath(rel)).toSet
+    val cleanPaths = t.files().map(f => t.resolvePath(f.filePath)).toSet -- hitPaths
+    assert(hitPaths.size == 1 && cleanPaths.nonEmpty)
+
+    def scannedFiles(p: LogicalPlan): Set[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.map(_.replaceFirst("^file:/+", "/")).toSet
+
+    val plan = df.queryExecution.optimizedPlan
+    val antis = plan.collect { case j @ Join(_, _, LeftAnti, _, _) => j }
+    assert(antis.size == 1, s"expected exactly one anti-join:\n$plan")
+    val underAnti = scannedFiles(antis.head)
+    // the delete-hit file (and the delete parquet) are inside the
+    // anti-join subtree; the untouched file is NOT — it scans bare
+    assert(hitPaths.subsetOf(underAnti), s"$hitPaths vs $underAnti")
+    assert(cleanPaths.forall(p => !underAnti.contains(p)),
+      s"untouched file dragged through the anti-join: $underAnti")
+    assert(cleanPaths.subsetOf(scannedFiles(plan)))
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,
