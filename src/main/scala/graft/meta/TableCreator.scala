@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
 object TableCreator {
 
   /** Spark column type → Iceberg primitive type name. The write surface
-    * is flat primitive schemas (same contract as [[TableWriter]]). */
+    * is flat schemas of primitives, `binary` (opaque multimodal
+    * payloads) and `list<primitive>` (embedding vectors — see
+    * [[create]], which allocates the list's element-id). */
   def iceType(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
@@ -26,9 +28,10 @@ object TableCreator {
     case DateType => "date"
     case TimestampType => "timestamp"
     case BooleanType => "boolean"
+    case BinaryType => "binary"
     case other => throw new IllegalArgumentException(
       s"unsupported column type ${other.simpleString} " +
-        "(the write surface is flat primitive schemas)")
+        "(the write surface is flat primitive/binary/list<primitive> schemas)")
   }
 
   /** Create the table at `tableDir`. `partitionDecls` use the
@@ -44,14 +47,29 @@ object TableCreator {
     require(!Files.isDirectory(dir.resolve("metadata")),
       s"table already exists at $tableDir")
     require(schema.fields.nonEmpty, "schema cannot be empty")
+    // list element-ids are allocated AFTER every top-level id (Iceberg
+    // field ids are schema-unique across nesting levels)
+    var nextId = schema.fields.length
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      SchemaField(i + 1, f.name, required = false, iceType(f.dataType), f.name)
+      f.dataType match {
+        case ArrayType(el, _) =>
+          val prim = iceType(el)
+          require(!prim.contains('<') && prim != "binary",
+            s"list element of ${f.name} must be a primitive, got ${el.simpleString}")
+          nextId += 1
+          SchemaField(i + 1, f.name, required = false, s"list<$prim>", f.name,
+            s"""{"type":"list","element-id":$nextId,"element":"$prim","element-required":false}""")
+        case dt =>
+          SchemaField(i + 1, f.name, required = false, iceType(dt), f.name)
+      }
     }.toSeq
     val specFields = partitionDecls.map(Transforms.parseDecl).zipWithIndex.map {
       case ((src, transform), i) =>
         val sf = fields.find(_.name == src).getOrElse(
           throw new IllegalArgumentException(
             s"partition source $src is not a column of the schema"))
+        require(!sf.fieldType.startsWith("list<") && sf.fieldType != "binary",
+          s"cannot partition on non-primitive column $src (${sf.fieldType})")
         SpecField(Transforms.fieldName(src, transform), transform, sf.id, 1000 + i)
     }
     val md = TableMetadata(

@@ -197,10 +197,29 @@ object TableWriter {
 
   private def topLevelFields(md: TableMetadata): Seq[SchemaField] = {
     val s = md.currentSchema
-    require(s.fields.forall(f => !f.path.contains('.')),
-      "write path supports flat schemas only (nested top-level fields present)")
-    s.fields
+    val top = s.fields.filter(f => !f.path.contains('.'))
+    // list<primitive> columns flatten an `element` child into the parsed
+    // view — that's the ONE nesting the write path accepts (plus binary);
+    // struct/map tables (externally written) are refused as before
+    s.fields.filterNot(f => !f.path.contains('.')).foreach { f =>
+      require(f.name == "element" &&
+        top.exists(tf => f.path == s"${tf.path}.element" &&
+          tf.fieldType.startsWith("list<")),
+        "write path supports flat primitive/binary/list<primitive> schemas " +
+          s"only (nested field ${f.path} present)")
+    }
+    top.foreach { f =>
+      require(graft.ops.ScanPlanner.sparkType(f.fieldType).nonEmpty,
+        s"write path cannot express column ${f.name}: ${f.fieldType}")
+    }
+    top
   }
+
+  /** Types whose min/max stats can be encoded as Iceberg bound bytes —
+    * binary and list columns get value/null counts and sizes, no bounds
+    * (Iceberg allows absent bounds; pruning stays conservative). */
+  private def statable(fieldType: String): Boolean =
+    !fieldType.startsWith("list<") && fieldType != "binary"
 
   private def boundBytes(iceType: String, v: Any): Array[Byte] = iceType match {
     case "date" => IcebergDecode.encode("date",
@@ -351,10 +370,12 @@ object TableWriter {
         // ---- 2. per-file stats: one distributed agg keyed by file name
         val staged = spark.read.option("basePath", stage.toString)
           .parquet(stage.toString)
-        val statAggs = fields.flatMap { f => Seq(
-          count(col(f.name)).as(s"vc_${f.id}"),
-          min(col(f.name)).as(s"lo_${f.id}"),
-          max(col(f.name)).as(s"hi_${f.id}")) }
+        val statAggs = fields.flatMap { f =>
+          count(col(f.name)).as(s"vc_${f.id}") +: (
+            if (statable(f.fieldType)) Seq(
+              min(col(f.name)).as(s"lo_${f.id}"),
+              max(col(f.name)).as(s"hi_${f.id}"))
+            else Seq.empty) }
         val partKeys = partDims.map { case (pname, _, _) =>
           col(s"__p_$pname").cast("string").as(s"__p_$pname") }
         val stats = staged
@@ -372,10 +393,10 @@ object TableWriter {
             StandardCopyOption.REPLACE_EXISTING)
           val nrows = row.getAs[Long]("nrows")
           val sizes = colBytes.getOrElse(stagedPath, Map.empty)
-          val lower = fields.flatMap { f =>
+          val lower = fields.filter(f => statable(f.fieldType)).flatMap { f =>
             Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
           }.toMap
-          val upper = fields.flatMap { f =>
+          val upper = fields.filter(f => statable(f.fieldType)).flatMap { f =>
             Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
           }.toMap
           DataFileEntry(
@@ -477,10 +498,12 @@ object TableWriter {
       files.map { case (rel, part) =>
         canon(dir.resolve(rel).toString) -> (rel, part)
       }.toMap
-    val statAggs = fields.flatMap { f => Seq(
-      count(col(f.name)).as(s"vc_${f.id}"),
-      min(col(f.name)).as(s"lo_${f.id}"),
-      max(col(f.name)).as(s"hi_${f.id}")) }
+    val statAggs = fields.flatMap { f =>
+      count(col(f.name)).as(s"vc_${f.id}") +: (
+        if (statable(f.fieldType)) Seq(
+          min(col(f.name)).as(s"lo_${f.id}"),
+          max(col(f.name)).as(s"hi_${f.id}"))
+        else Seq.empty) }
     val stats = spark.read.parquet(byAbs.keys.toSeq: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("nrows"), statAggs: _*)
@@ -502,10 +525,10 @@ object TableWriter {
         valueCounts = fields.map(f => f.id -> nrows).toMap,
         nullValueCounts = fields.map(f =>
           f.id -> (nrows - row.getAs[Long](s"vc_${f.id}"))).toMap,
-        lowerBounds = fields.flatMap { f =>
+        lowerBounds = fields.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
         }.toMap,
-        upperBounds = fields.flatMap { f =>
+        upperBounds = fields.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
         }.toMap)
     }

@@ -271,19 +271,36 @@ object ScanPlanner {
   private val PrimitiveSparkTypes: Map[String, DataType] = Map(
     "long" -> LongType, "int" -> IntegerType, "double" -> DoubleType,
     "float" -> FloatType, "string" -> StringType, "date" -> DateType,
-    "timestamp" -> TimestampType, "boolean" -> BooleanType)
+    "timestamp" -> TimestampType, "boolean" -> BooleanType,
+    "binary" -> BinaryType)
 
-  /** The current Iceberg schema as a Spark read schema, when every field
-    * is a top-level primitive (tables with nested types fall back to
-    * parquet inference — their files all share one schema version in
-    * this engine's write surface). */
+  private val ListRe = """list<(\w+)>""".r
+
+  /** An engine-writable field type as a Spark type: primitives, `binary`
+    * (opaque multimodal payloads), and `list<primitive>` (embedding
+    * vectors). None for anything else. */
+  def sparkType(fieldType: String): Option[DataType] = fieldType match {
+    case ListRe(el) => PrimitiveSparkTypes.get(el).map(ArrayType(_, containsNull = true))
+    case other => PrimitiveSparkTypes.get(other)
+  }
+
+  /** The current Iceberg schema as a Spark read schema, when every
+    * TOP-LEVEL field is engine-expressible (primitive / binary /
+    * list<primitive> — flattened list children ride along in the parsed
+    * view and are skipped). Tables with struct/map types fall back to
+    * parquet inference. */
   def currentSparkSchema(t: IcebergTable): Option[StructType] = {
     val s = t.metadata.currentSchema
     val top = s.fields.filter(f => !f.path.contains('.'))
-    if (top.size == s.fields.size &&
-        top.forall(f => PrimitiveSparkTypes.contains(f.fieldType)))
-      Some(StructType(top.map(f =>
-        StructField(f.name, PrimitiveSparkTypes(f.fieldType), nullable = true))))
+    // every non-top field must be a list element of a top field — any
+    // other nesting (struct members, map entries) falls back to inference
+    val listElementsOnly = s.fields.forall(f =>
+      !f.path.contains('.') || (f.name == "element" &&
+        top.exists(tf => f.path == s"${tf.path}.element")))
+    val mapped = top.map(f => f -> sparkType(f.fieldType))
+    if (listElementsOnly && mapped.forall(_._2.nonEmpty))
+      Some(StructType(mapped.map { case (f, dt) =>
+        StructField(f.name, dt.get, nullable = true) }))
     else None
   }
 

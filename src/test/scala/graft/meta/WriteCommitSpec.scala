@@ -288,4 +288,57 @@ class WriteCommitSpec extends SparkSpec {
     assert(res.addedFiles >= 2) // one partition value, split into >=2 bins
     assert(e.files("lab.big").agg(sum("record_count")).as[Long].head() == rowsBefore)
   }
+
+  test("array<float> and binary columns round-trip through the engine write path") {
+    val wh = Files.createTempDirectory("graft-vec-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ml.vectors", new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("cluster", org.apache.spark.sql.types.IntegerType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+      .add("payload", org.apache.spark.sql.types.BinaryType),
+      Seq("cluster"))
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 2.0f), Array[Byte](1, 2)),
+      (2L, 0, Seq(3.0f, 4.0f), Array[Byte](3)),
+      (3L, 1, Seq(5.0f, 6.0f), null))
+    e.append("ml.vectors", rows.toDF("vec_id", "cluster", "embedding", "payload"))
+
+    // metadata round-trips: load → (render happened at commit) → reload
+    val t = e.load("ml.vectors")
+    val embField = t.metadata.currentSchema.fields.find(_.name == "embedding").get
+    assert(embField.fieldType == "list<float>")
+    // per-file stats: value counts on every column, bounds only on the
+    // primitive ones (absent bounds keep pruning conservative)
+    val entry = t.files().head
+    assert(entry.valueCounts.contains(embField.id))
+    assert(!entry.lowerBounds.contains(embField.id))
+    assert(entry.lowerBounds.contains(
+      t.metadata.currentSchema.fields.find(_.name == "vec_id").get.id))
+
+    val back = e.readTable("ml.vectors").orderBy("vec_id").collect()
+    assert(back.map(_.getSeq[Float](2)).toSeq ==
+      Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f)))
+    assert(back(0).getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2))
+    assert(back(2).isNullAt(3))
+    // identity(cluster) partition pruning still works next to the arrays
+    val pruned = graft.ops.ScanPlanner.readTableWhere(
+      spark, t, "cluster", Some(1.0), Some(1.0))
+    assert(pruned.select("vec_id").as[Long].collect().toSeq == Seq(3L))
+    assert(pruned.inputFiles.length < e.readTable("ml.vectors").inputFiles.length)
+
+    // a second append + upsert on the same table keeps working
+    e.upsert("ml.vectors", Seq((2L, 0, Seq(9.0f, 9.0f), Array[Byte](9)))
+      .toDF("vec_id", "cluster", "embedding", "payload"), Seq("vec_id"))
+    val after = e.readTable("ml.vectors").orderBy("vec_id").collect()
+    assert(after.length == 3 && after(1).getSeq[Float](2) == Seq(9.0f, 9.0f))
+
+    // struct/map schemas stay refused
+    intercept[IllegalArgumentException] {
+      e.createTable("ml.bad", new org.apache.spark.sql.types.StructType()
+        .add("s", new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType)))
+    }
+  }
 }
