@@ -51,15 +51,37 @@ object Similarity {
     * informative (easy random negatives teach nothing; hard negatives
     * sit just across the decision boundary).
     *
-    * Scale shape: the probe set is filter-bounded and BROADCASTS into
-    * one pass over the corpus (the [[knn]] posture); label inequality is
-    * a residual filter on the broadcast pair stream, per-vector norms
-    * are hoisted to the scan side, and the top-k is a per-probe
-    * row_number window — corpus rows shuffle once, keyed by probe. For
-    * corpus-scale probe sets, gate the candidate stream through
-    * [[lshAnn]]/[[ivfSearch]] buckets first. */
-  def hardNegatives(emb: DataFrame, probe: Column, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * ADAPTIVE (the engine's standard pattern, with the usual ANN caveat
+    * that the two paths differ in RECALL, not determinism): when
+    * |probes|·|corpus| fits under `exactPairBudget`, the mining is the
+    * exact broadcast scan ([[hardNegativesExact]]); above it — the
+    * 100 TB posture, where an all-pairs scan is compute-infeasible — it
+    * routes through the learned IVF index ([[hardNegativesIvf]]): one
+    * kmeans coarse quantizer, each probe searched only against its
+    * `nProbe` nearest clusters' inverted lists. Both paths are
+    * deterministic and oracle-reproducible; pass `exactPairBudget = 0`
+    * to force the IVF route. */
+  def hardNegatives(emb: DataFrame, probe: Column, k: Int = 3,
+      kClusters: Int = 4, iters: Int = 2, nProbe: Int = 2,
+      exactPairBudget: Long = 20000000L): DataFrame = {
+    val route =
+      exactPairBudget > 0 && {
+        // two metadata-cheap counts decide the route (parquet counts are
+        // footer-served; the filter count is one column-pruned pass)
+        val corpusN = emb.count()
+        val probeN = emb.filter(probe).count()
+        probeN * corpusN <= exactPairBudget
+      }
+    if (route) hardNegativesExact(emb, probe, k)
+    else hardNegativesIvf(emb, probe, k, kClusters, iters, nProbe)
+  }
+
+  /** Exact mining: the probe set BROADCASTS into one pass over the
+    * corpus (the [[knn]] posture); label inequality is a residual filter
+    * on the broadcast pair stream, per-vector norms are hoisted to the
+    * scan side, and the top-k is a per-probe row_number window — corpus
+    * rows shuffle once, keyed by probe. */
+  def hardNegativesExact(emb: DataFrame, probe: Column, k: Int = 3): DataFrame = {
     val withNorm = emb.withColumn("v_norm", norm("embedding"))
     val p = withNorm.filter(probe).select(
       col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -70,6 +92,63 @@ object Similarity {
       .select(col("q_id"), col("q_label"), col("vec_id").as("c_id"),
         col("label").as("c_label"),
         cosineN("embedding", "q_emb", "v_norm", "q_norm").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-row array of the `nProbe` nearest centroid ids, by the same
+    * `-2·v⋅c + |c|²` score and (score, id) tie order as
+    * [[Clustering.assign]] — `array_sort` over (score, id) structs is
+    * the multi-probe generalization of assign's `array_min`. */
+  private def probedClusters(centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (cv, j) =>
+      val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(-2.0) * GraftColumnBridge.column(VecDot(
+          GraftColumnBridge.expression(col("embedding")),
+          GraftColumnBridge.expression(typedLit(cv)))) + lit(normSq)).as("d"),
+        lit(j).as("c"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe).getField("c")
+  }
+
+  /** IVF-ROUTED hard-negative mining — the scale path: the corpus is
+    * assigned once to a learned kmeans coarse quantizer (map-side argmin
+    * over broadcast centroid literals, [[Clustering.assign]]); each
+    * probe explodes to its `nProbe` nearest clusters and candidates come
+    * from an EQUI-JOIN on the cluster key — never an all-pairs product —
+    * with the label filter and per-probe top-k window on the joined
+    * stream. At 100 TB the corpus side is the persisted ANN index table
+    * ([[AnnIndex]]) bucketed on the cluster id, so a probe batch reads
+    * only the probed lists' files. Recall tunes with kClusters/nProbe;
+    * a candidate belongs to exactly one cluster, so no pair ever
+    * duplicates across probed lists. */
+  def hardNegativesIvf(emb: DataFrame, probe: Column, k: Int = 3,
+      kClusters: Int = 4, iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val cents = Clustering.kmeans(
+      emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
+    hardNegativesRouted(Clustering.assign(emb, cents)
+      .withColumn("v_norm", norm("embedding")), cents, probe, k, nProbe)
+  }
+
+  /** The join half of [[hardNegativesIvf]] over an ALREADY-ASSIGNED
+    * corpus (`cluster` + `v_norm` columns present) — what a persisted
+    * index serves without re-running kmeans. */
+  private[ops] def hardNegativesRouted(assigned: DataFrame,
+      centroids: Seq[Seq[Double]], probe: Column, k: Int, nProbe: Int): DataFrame = {
+    val probes = assigned.filter(probe)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("v_norm").as("q_norm"),
+        explode(probedClusters(centroids, nProbe)).as("cluster"))
+    val cands = assigned.select(col("cluster"), col("vec_id").as("c_id"),
+      col("label").as("c_label"), col("embedding").as("c_emb"),
+      col("v_norm").as("c_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(cands, Seq("cluster"))
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")

@@ -294,6 +294,48 @@ object PipelineQueries {
          |ORDER BY q_id""".stripMargin
   }
 
+  /** DuckDB oracle twin of [[Similarity.hardNegativesIvf]] (k=3,
+    * kClusters=4, iters=2, nProbe=2): the kmeans reproduction's final
+    * assignment `a2` partitions the corpus; each probe routes to its 2
+    * nearest UPDATED centroids (`c1`) by the same (score, id) order as
+    * the multi-probe `array_sort`; candidates come from the cluster
+    * equi-join with the label filter; per-probe top-3 by (sim DESC, id). */
+  private val hardNegIvfOracleSql: String = {
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    "WITH " + kmeansCtes + ",\n" +
+      s"""an AS (SELECT a2.vec_id, a2.embedding, a2.cluster, em.label,
+         |  sqrt(${seqDot("a2.embedding", "a2.embedding")}) AS v_norm
+         |  FROM a2 JOIN embeddings em ON em.vec_id = a2.vec_id),
+         |pscore AS (
+         |  SELECT e.vec_id, c1.c,
+         |    -2.0 * list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+         |  FROM e, c1 WHERE e.vec_id < 10),
+         |route AS (
+         |  SELECT vec_id AS q_id, c AS cluster FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS cr
+         |     FROM pscore)
+         |  WHERE cr <= 2),
+         |p AS (SELECT r.q_id, r.cluster, an.label AS q_label,
+         |        an.embedding AS q_emb, an.v_norm AS q_norm
+         |      FROM route r JOIN an ON an.vec_id = r.q_id),
+         |c AS (SELECT vec_id AS c_id, cluster, label AS c_label,
+         |        embedding AS c_emb, v_norm AS c_norm FROM an),
+         |j AS (
+         |  SELECT q_id, q_label, c_id, c_label,
+         |    round(${seqDot("c_emb", "q_emb")} / (c_norm * q_norm), 6) AS sim
+         |  FROM p JOIN c USING (cluster) WHERE c_label <> q_label),
+         |r AS (SELECT q_id, q_label, c_id, c_label, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, c_id) AS INT) AS rn
+         |  FROM j)
+         |SELECT q_id, q_label, c_id, c_label, sim, rn FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[Similarity.semDeDup]] (k=4, iters=2,
     * threshold 0.35): the kmeans reproduction's final assignment `a2`
     * partitions the corpus, in-cluster ordered pairs above the rounded
@@ -1007,6 +1049,14 @@ object PipelineQueries {
              |      ORDER BY round(dot / (sqrt(na2) * sqrt(nq2)), 6) DESC, c_id) AS rn
              |  FROM dsum)
              |SELECT q_id, label, c_id, sim FROM r WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
+    // Hard negatives ROUTED through the learned IVF index: forced
+    // distributed route (exactPairBudget=0) — probes search only their 2
+    // nearest clusters' inverted lists via the cluster equi-join
+    Q("q_hard_neg_ivf",
+      (s, d) => Similarity.hardNegatives(embeddings(s, d), col("vec_id") < 10,
+        exactPairBudget = 0L),
+      Some(hardNegIvfOracleSql)),
 
     // IVF ANN with the LEARNED kmeans coarse quantizer (top-1 neighbor
     // per probe within its trained cluster)

@@ -333,6 +333,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("hard negatives above the pair budget: cluster-key equi-join, never a cross join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.Similarity.hardNegatives(
+      emb, org.apache.spark.sql.functions.col("vec_id") < 10,
+      exactPairBudget = 0L) // force the IVF route
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side joins on the cluster key — an equi-join Spark can
+    // hash/broadcast — not the exact path's probe cross join
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("cluster"), plan.take(2000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*cluster".r
+      .findFirstIn(plan).nonEmpty, plan.take(2000))
+  }
+
   test("corpus drift: kernel projection, buckets-bounded aggregate, totals broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.ops.TextStats.corpusDrift(
