@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Engine
+
+/** PERSISTENT IVF-Flat index — the embeddings twin of [[NearDupIndex]]:
+  * the learned coarse quantizer (centroids) and every vector's inverted-
+  * list assignment materialized as a Graft table, so repeated mining /
+  * search / semdedup runs SKIP re-clustering entirely and probes read
+  * only the probed lists' files.
+  *
+  * Layout: one row per vector `(vec_id, label, cluster, v_norm,
+  * embedding)`, identity-partitioned on `cluster` — the partition IS the
+  * inverted list, so a probe batch touching `nProbe` clusters prunes the
+  * scan to those clusters' files through the table's own partition spec
+  * (no bloom/bucket indirection needed; the cluster id is the exact
+  * list key). The vectors ride INLINE (the table owns `list<float>`
+  * payloads — genuine IVF-Flat, no join back to a corpus table at probe
+  * time), with the per-vector norm precomputed once at admission.
+  * Centroids persist in the table PROPERTIES (`Double.toString` exact
+  * round-trip), read back on every probe — at IVF scale (k ≈ √N) the
+  * centroid matrix is driver-state-sized, the same contract as
+  * [[Clustering.kmeans]]'s per-iteration collect.
+  *
+  * Lifecycle: [[create]] once, [[bootstrap]] from the standing corpus
+  * (the ONLY call that runs kmeans), then [[admit]] per ingest batch —
+  * new vectors are assigned to the FROZEN centroids (map-side argmin,
+  * no retrain, one append commit) and land in their lists for the very
+  * next probe. Re-train by rebuilding: quantizer drift under
+  * distribution shift is a rebuild decision, not an incremental one
+  * (the standard IVF posture). [[compact]] folds per-batch small files
+  * exactly like the near-dup index.
+  */
+final class AnnIndex(
+    val engine: Engine,
+    val ref: String,
+    val kClusters: Int = 4,
+    val iters: Int = 2) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("label", IntegerType, nullable = true),
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("v_norm", DoubleType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = false)))
+
+  private val CentroidsProp = "graft.ann.centroids"
+
+  /** Create the (empty) index table, identity-partitioned on the cluster
+    * id — each partition is one inverted list. */
+  def create(): Unit =
+    engine.createTable(ref, schema, Seq("cluster"))
+
+  private def assignedRows(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    Clustering.assign(emb, cents)
+      .withColumn("v_norm", Similarity.norm("embedding"))
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("cluster"), col("v_norm"), col("embedding"))
+
+  /** Train the quantizer and seed every corpus vector's assignment — the
+    * ONLY call that runs kmeans. One commit carries the assignments AND
+    * the centroid matrix (as a table property), so the index is
+    * self-contained from its first snapshot. */
+  def bootstrap(emb: DataFrame): Seq[Seq[Double]] = {
+    val cents = Clustering.kmeans(
+      emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
+    graft.meta.TableWriter.append(engine.spark, engine.tableDir(ref),
+      assignedRows(emb, cents),
+      extraProperties = Map(CentroidsProp -> renderCentroids(cents)))
+    cents
+  }
+
+  /** `Double.toString` round-trips every finite double exactly, so the
+    * persisted quantizer is bit-identical to the trained one. */
+  private def renderCentroids(cents: Seq[Seq[Double]]): String =
+    cents.map(_.map(_.toString).mkString(",")).mkString(";")
+
+  /** The frozen quantizer, read from the table's own metadata — probes
+    * and admissions never re-cluster. */
+  def centroids: Seq[Seq[Double]] = {
+    val raw = engine.load(ref).metadata.properties.getOrElse(CentroidsProp,
+      throw new IllegalStateException(
+        s"$ref has no persisted centroids — bootstrap() the index first"))
+    raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+  }
+
+  /** The standing index (all lists). */
+  def signatures: DataFrame = engine.readTable(ref)
+
+  /** The index restricted to `clusters`' inverted lists: file pruning
+    * through the identity partition spec ([[ScanPlanner.readTableWhereIn]])
+    * — a probe touching 2 of k lists reads ~2/k of the index files. */
+  def candidates(clusters: Seq[Int]): DataFrame =
+    ScanPlanner.readTableWhereIn(engine.spark, engine.load(ref),
+      "cluster", clusters.map(_.toString))
+      .filter(col("cluster").isin(clusters: _*))
+
+  /** Assign an ingest batch to the frozen centroids and append it to the
+    * lists — one map-side argmin projection + one commit, no kmeans.
+    * Returns the assigned rows (what landed). */
+  def admit(newVecs: DataFrame): DataFrame = {
+    val rows = assignedRows(newVecs, centroids).localCheckpoint()
+    engine.append(ref, rows)
+    rows
+  }
+
+  /** ANN top-`k` cosine search: probes (index rows matching `probePred`)
+    * route to their `nProbe` nearest lists, candidates come from the
+    * PRUNED list scan joined on the cluster key, per-probe top-k by
+    * (sim DESC, id). No kmeans — centroids come from table properties;
+    * the only pre-query job is the probes' routed-cluster census
+    * (metadata-scale: ≤ kClusters ints). */
+  def search(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val cents = centroids
+    val probes = signatures.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"),
+        explode(Similarity.probedClusters(cents, nProbe)).as("cluster"))
+      .localCheckpoint() // feeds the prune census AND the join
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val cands = candidates(probed).select(col("cluster"),
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("v_norm").as("c_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    probes.join(cands, Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("cluster"), col("c_id"),
+        Similarity.cosineFromNorms("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "cluster", "c_id", "sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Index-served hard-negative mining: [[Similarity.hardNegativesRouted]]
+    * with the probe side from the index and the candidate side from the
+    * PRUNED list scan — same results as `hardNegativesIvf` over the raw
+    * corpus with this index's quantizer, no kmeans, no full-index scan. */
+  def hardNegatives(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val cents = centroids
+    val probes = signatures.filter(probePred).localCheckpoint()
+    val probed = probes
+      .select(explode(Similarity.probedClusters(cents, nProbe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.hardNegativesRouted(probes, candidates(probed), cents,
+      k, nProbe)
+  }
+
+  /** Fold per-batch small files back into one per list (the identity
+    * partition layout is preserved by the rewrite). */
+  def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
+    engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
+}

@@ -29,6 +29,10 @@ object Clustering {
 
   final case class KmeansModel(centroids: Seq[Seq[Double]], assignments: DataFrame)
 
+  /** Census of [[kmeans]] invocations — the persisted-index specs assert
+    * a probe/admit run never re-clusters ([[AnnIndex]]'s contract). */
+  private[graft] val kmeansRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def dot(v: Column, c: Column): Column =
     GraftColumnBridge.column(VecDot(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(c)))
@@ -82,6 +86,7 @@ object Clustering {
     * them; initial centroids are the k lowest-id vectors. */
   def kmeans(emb: DataFrame, k: Int, iters: Int, quant: Double = 1e6): KmeansModel = {
     require(k >= 1 && iters >= 1)
+    kmeansRuns.incrementAndGet()
     val idCol = emb.columns.head // vec_id by convention
     var cents: Seq[Seq[Double]] = emb.orderBy(idCol).limit(k)
       .select("embedding").collect()

@@ -42,8 +42,12 @@ object Similarity {
     * three. Norms are per-vector properties — computing them inside the
     * pair join redoes O(dim) work |pairs| times; hoisting them to the scan
     * side is the difference between O(pairs·dim) and O(3·pairs·dim). */
-  private def cosineN(aCol: String, bCol: String, aNorm: String, bNorm: String): Column =
+  private[ops] def cosineFromNorms(
+      aCol: String, bCol: String, aNorm: String, bNorm: String): Column =
     round(dot(aCol, bCol) / (col(aNorm) * col(bNorm)), 6)
+
+  private def cosineN(aCol: String, bCol: String, aNorm: String, bNorm: String): Column =
+    cosineFromNorms(aCol, bCol, aNorm, bNorm)
 
   /** HARD-NEGATIVE mining for contrastive training: for each probe
     * vector, the `k` most-similar vectors carrying a DIFFERENT label —
@@ -101,7 +105,7 @@ object Similarity {
     * `-2·v⋅c + |c|²` score and (score, id) tie order as
     * [[Clustering.assign]] — `array_sort` over (score, id) structs is
     * the multi-probe generalization of assign's `array_min`. */
-  private def probedClusters(centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+  private[ops] def probedClusters(centroids: Seq[Seq[Double]], nProbe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (cv, j) =>
       val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
       struct(
@@ -128,20 +132,22 @@ object Similarity {
       kClusters: Int = 4, iters: Int = 2, nProbe: Int = 2): DataFrame = {
     val cents = Clustering.kmeans(
       emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
-    hardNegativesRouted(Clustering.assign(emb, cents)
-      .withColumn("v_norm", norm("embedding")), cents, probe, k, nProbe)
+    val assigned = Clustering.assign(emb, cents)
+      .withColumn("v_norm", norm("embedding"))
+    hardNegativesRouted(assigned.filter(probe), assigned, cents, k, nProbe)
   }
 
-  /** The join half of [[hardNegativesIvf]] over an ALREADY-ASSIGNED
-    * corpus (`cluster` + `v_norm` columns present) — what a persisted
-    * index serves without re-running kmeans. */
-  private[ops] def hardNegativesRouted(assigned: DataFrame,
-      centroids: Seq[Seq[Double]], probe: Column, k: Int, nProbe: Int): DataFrame = {
-    val probes = assigned.filter(probe)
+  /** The join half of [[hardNegativesIvf]] over ALREADY-ASSIGNED rows
+    * (`cluster` + `v_norm` columns present) — what the persisted
+    * [[AnnIndex]] serves without re-running kmeans, with the candidate
+    * side pruned to the probed lists' files. */
+  private[ops] def hardNegativesRouted(probeRows: DataFrame, corpus: DataFrame,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int): DataFrame = {
+    val probes = probeRows
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("v_norm").as("q_norm"),
         explode(probedClusters(centroids, nProbe)).as("cluster"))
-    val cands = assigned.select(col("cluster"), col("vec_id").as("c_id"),
+    val cands = corpus.select(col("cluster"), col("vec_id").as("c_id"),
       col("label").as("c_label"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))

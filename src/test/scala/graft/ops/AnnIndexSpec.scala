@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+
+/** The persisted IVF-Flat index: bootstrap trains once, every probe and
+  * admission after that runs off the frozen table (no kmeans jobs), and
+  * probes prune to the probed lists' files through the identity(cluster)
+  * partition spec. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bootstrap once; searches and mining never re-cluster and prune list files") {
+    val wh = java.nio.file.Files.createTempDirectory("annidx").toString
+    val e = new Engine(spark, wh)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = new AnnIndex(e, "ml.ann_index", kClusters = 4, iters = 2)
+    idx.create()
+
+    val runsBefore = Clustering.kmeansRuns.get()
+    val cents = idx.bootstrap(emb)
+    assert(Clustering.kmeansRuns.get() == runsBefore + 1)
+    assert(cents.size == 4)
+    // the quantizer round-trips the table properties bit-exactly
+    assert(idx.centroids == cents)
+    assert(idx.signatures.count() == emb.count())
+
+    // identity(cluster) layout: the 2-of-4-list probe reads FEWER index
+    // files than the table holds (partition-spec file pruning)
+    val totalFiles = idx.signatures.inputFiles.length
+    val probedFiles = idx.candidates(Seq(0, 1)).inputFiles.length
+    assert(totalFiles >= 4, s"expected one file per list, got $totalFiles")
+    assert(probedFiles < totalFiles, s"$probedFiles vs $totalFiles")
+
+    // SECOND-RUN contract: search + mining trigger ZERO kmeans runs
+    val runsAfterBoot = Clustering.kmeansRuns.get()
+    val hits = idx.search(col("vec_id") === 0L, k = 3, nProbe = 2).collect()
+    assert(hits.length == 3 && hits.forall(_.getAs[Long]("c_id") != 0L))
+    val mined = idx.hardNegatives(col("vec_id") < 10, k = 3, nProbe = 2)
+    val minedRows = mined.collect()
+    assert(Clustering.kmeansRuns.get() == runsAfterBoot,
+      "a probe run re-clustered — the persisted quantizer must be frozen")
+
+    // index-served mining == the raw-corpus IVF route with the same
+    // quantizer parameters (the index only changes WHERE candidates are
+    // read from, never what comes back)
+    val direct = Similarity.hardNegativesIvf(emb, col("vec_id") < 10,
+      k = 3, kClusters = 4, iters = 2, nProbe = 2).collect()
+    assert(minedRows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+
+    // the mining candidate scan reads only the probed lists' files
+    assert(mined.inputFiles.count(_.contains("ml/ann_index")) < totalFiles + totalFiles,
+      "sanity: mining reads index files only")
+  }
+
+  test("admit assigns new vectors to the frozen centroids; they become searchable") {
+    val wh = java.nio.file.Files.createTempDirectory("annidx2").toString
+    val e = new Engine(spark, wh)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = new AnnIndex(e, "ml.ann_index", kClusters = 4, iters = 2)
+    idx.create()
+    idx.bootstrap(emb.filter(col("vec_id") >= 10))
+
+    val runs = Clustering.kmeansRuns.get()
+    val admitted = idx.admit(emb.filter(col("vec_id") < 10))
+    assert(Clustering.kmeansRuns.get() == runs, "admit must not retrain")
+    assert(admitted.count() == 10)
+    // admitted vectors land in the SAME lists the frozen quantizer names
+    val expected = Clustering.assign(
+        emb.filter(col("vec_id") < 10), idx.centroids)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = idx.signatures.filter(col("vec_id") < 10)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == expected)
+    // and they are immediately searchable
+    val hits = idx.search(col("vec_id") === 0L, k = 2, nProbe = 2).collect()
+    assert(hits.length == 2)
+
+    // maintenance: the per-batch small files fold; the bucketed layout
+    // (and pruning) survives compaction
+    val filesBefore = idx.signatures.inputFiles.length
+    assert(idx.compact().nonEmpty)
+    val filesAfter = idx.signatures.inputFiles.length
+    assert(filesAfter < filesBefore)
+    assert(idx.candidates(Seq(0)).inputFiles.length < filesAfter ||
+      filesAfter == 1)
+  }
+}
