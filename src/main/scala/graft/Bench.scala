@@ -56,7 +56,10 @@ object Bench {
     // shared box (round 5 saw a sustained multi-minute spike poison BOTH
     // runs of six consecutive queries); spreading a query's repeats ~25 s
     // apart makes the min a far better steady-state estimator.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=distributed skips the main passes
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("distributed")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = 3
     val times = Array.fill(names.length, passes)(0.0)
     for (p <- 0 until passes; ((name, fn), i) <- names.zipWithIndex) {
@@ -78,10 +81,57 @@ object Bench {
     val total = times.map(_.min).sum
     val totalFirst = times.map(_.head).sum
     val perQuery = names.zipWithIndex.map { case ((k, _), i) => (k, times(i).min) }
+
+    // FORCED-DISTRIBUTED section (SPARK_GRAFT_BENCH_DISTRIBUTED=1): the
+    // adaptive operators (components, perceptron, BPE) normally take
+    // their driver paths at bench scale, so the distributed code — the
+    // path that matters at 100 TB — would only ever get spec coverage.
+    // This times them with driver thresholds 0 (one pass each; these are
+    // multi-job loops where run-to-run noise amortizes across jobs).
+    val distributed: Seq[(String, Double)] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("1")) Seq.empty
+      else {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, sfDir)
+        def timed(name: String)(body: => Unit): (String, Double) = {
+          val t0 = System.nanoTime()
+          try body catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] distributed $name FAILED: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] distributed $name%-18s $dt%8.2f s")
+          (name, dt)
+        }
+        Seq(
+          timed("d_components") {
+            graft.ops.Dedup.connectedComponents(
+                graft.ops.Dedup.minhashCandidates(spark, docs),
+                driverThreshold = 0L)
+              .groupBy("component").agg(count(lit(1))).count()
+          },
+          timed("d_perceptron") {
+            graft.ops.Selection.trainQualityPerceptron(
+              docs, col("lang") === "en", driverRowLimit = 0).count()
+          },
+          timed("d_bpe_serial16") {
+            graft.ops.Bpe.trainMerges(docs, nMerges = 16,
+              driverVocabThreshold = 0L, batchK = 1).count()
+          },
+          timed("d_bpe_batched64") {
+            graft.ops.Bpe.trainMerges(docs, nMerges = 64,
+              driverVocabThreshold = 0L, batchK = 8).count()
+          })
+      }
+    val distJson =
+      if (distributed.isEmpty) ""
+      else distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
+        .mkString(""","distributed":{""", ",", "}")
+
     val detailJson = perQuery
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }
       .mkString(
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"sf":"$sfDir"$distJson,"queries":{""",
         ",", "}}")
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))

@@ -29,39 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Adjacent-pair structs of a symbol array, each tagged `sign` — the
-    * explode fodder for the census (sign=+1) and its per-round deltas
-    * (new pairs +1, old pairs -1). The size guard matters: sequence(0,-1)
-    * DESCENDS rather than yielding empty. */
-  private def signedPairs(symsCol: String, sign: Int): Column =
-    expr(s"IF(size($symsCol) < 2, array(), " +
-      s"transform(sequence(0, size($symsCol) - 2), " +
-      s"i -> struct($symsCol[i] AS l, $symsCol[i+1] AS r, $sign AS sign)))")
+  // per-word operations ride native kernels ([[graft.expr.BpeWordOps]]):
+  // the loop builds a fresh plan every round, and higher-order-function
+  // lambdas would embed fresh LambdaVariable ids in the generated code —
+  // a full janino recompile per round (~0.2 s, dominating the sub-0.1 s
+  // jobs). Kernel call sites generate identical text across rounds
+  // (merge literals ride the references array), so the codegen cache hits.
+  private def kernel(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def symsExpr: org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(col("syms"))
 
-  /** Does `syms` contain `r` immediately after `l`? The size guard is a
-    * CaseWhen branch, NOT an And conjunct — Spark does not guarantee And
-    * operand evaluation order in filters, and for size-1 arrays the
-    * unguarded branch would descend sequence(0,-1) into an ANSI
-    * element_at(syms, 2) throw. CaseWhen only evaluates the selected
-    * branch. Literals go through `lit`, never string-spliced into expr:
-    * l/r come from corpus text. */
-  private def hasAdjacent(syms: Column, l: String, r: String): Column =
-    when(size(syms) >= 2, exists(
-      sequence(lit(0), size(syms) - 2),
-      i => element_at(syms, i + 1) === lit(l) && element_at(syms, i + 2) === lit(r)))
-      .otherwise(lit(false))
-
-  /** Greedy left-to-right merge of (l, r) -> l+r: fold the tail of the
-    * symbol array, fusing `s` into the accumulator's last element when
-    * that last element is `l` and `s` is `r`. A fused symbol can never be
-    * `l` again (l+r != l), so the fold IS the non-overlapping greedy. */
-  private def greedyMerge(syms: Column, l: String, r: String): Column =
-    aggregate(
-      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-      array(element_at(syms, 1)),
-      (acc, s) => when(element_at(acc, -1) === lit(l) && s === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(s))))
+  private def adjacentAny(merges: Seq[(String, String)]): Column =
+    kernel(graft.expr.BpeAdjacentAny(symsExpr, merges))
+  private def batchMerge(merges: Seq[(String, String)]): Column =
+    kernel(graft.expr.BpeBatchMerge(symsExpr, merges))
+  private def pairDeltas(merges: Seq[(String, String)]): Column =
+    kernel(graft.expr.BpePairDeltas(symsExpr, merges))
+  private def pairStructs: Column = kernel(graft.expr.BpePairStructs(symsExpr))
+  private def trigramStructs: Column = kernel(graft.expr.BpeTrigramStructs(symsExpr))
 
   /** Learned merge table `(merge_rank, lhs, rhs, pair_count)`, ordered by
     * rank. Stops early (fewer rows) if the vocabulary runs out of pairs.
@@ -77,12 +63,16 @@ object Bpe {
     * touches only the words containing the merged pair — 32k merges cost
     * milliseconds, not 32k Spark jobs. Above the threshold (or with the
     * threshold set to 0) the loop runs distributed with an incrementally
-    * patched census — one argmax job per round, delta-bounded. Both paths
-    * are integer-exact and byte-identical (ties compare in UTF-8 byte
-    * order on BOTH paths, matching Spark's UTF8String and the oracle's
-    * memcmp). */
+    * patched census, learning UP TO `batchK` merges per round when the
+    * batch-safety proof allows ([[acceptBatch]] — provably identical to
+    * the serial loop; chain-structured corpora where each merge feeds
+    * the next degrade gracefully to singleton rounds at one job each).
+    * Both paths are integer-exact and byte-identical (ties compare in
+    * UTF-8 byte order on BOTH paths, matching Spark's UTF8String and
+    * the oracle's memcmp). */
   def trainMerges(docs: DataFrame, nMerges: Int = 6,
-      driverVocabThreshold: Long = 500000L): DataFrame = {
+      driverVocabThreshold: Long = 500000L, batchK: Int = 8): DataFrame = {
+    require(batchK >= 1, "batchK must be >= 1")
     val spark = docs.sparkSession
     // vocabulary census — the ONLY corpus-wide shuffle
     var vocab = docs
@@ -91,6 +81,11 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      // the word census is LANGUAGE-bounded (millions of rows at any
+      // corpus scale), so the per-round loop state lives in a handful of
+      // partitions — 32-task stages on a 50k-row frame would pay ~10×
+      // the scheduling overhead of the actual work, every round
+      .coalesce(8)
       .localCheckpoint()
 
     if (driverVocabThreshold > 0 && vocab.count() <= driverVocabThreshold)
@@ -98,53 +93,182 @@ object Bpe {
 
     // standing pair census, built ONCE — rounds patch it with deltas
     var census = vocab
-      .select(col("cnt"), explode(signedPairs("syms", 1)).as("p"))
+      .select(col("cnt"), explode(pairStructs).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("pc"))
+      .coalesce(8)
       .localCheckpoint(false)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
-    for (rank <- 1 to nMerges if !exhausted) {
-      // the ONE materializing action per round: TakeOrdered over the
-      // lazily-checkpointed census — computing it also folds in the
-      // previous round's census patch and (first use) lazy vocab rewrite
-      val best = census
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batchK, nMerges - merges.size)
+      // materializing action 1: TakeOrdered over the lazily-checkpointed
+      // census (folds in the previous round's patch + vocab rewrite).
+      // Collecting DEEPER than the batch (4× + guard) costs nothing at
+      // this row width but sharpens the safety proof twice over: threats
+      // among the extra rows are checked against their EXACT counts, and
+      // the uncollected-pair guard drops to the much smaller tail count.
+      val depth = want * 4 + 1
+      val t0 = System.nanoTime()
+      val top = census
         .orderBy(col("pc").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(depth).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tArgmax = System.nanoTime()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, pc) =
-          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-        merges += ((rank, l, r, pc))
-        // INCREMENTAL CENSUS PATCH: only words containing an adjacent
-        // (l, r) change any pair count — their old pairs leave, their
-        // rewritten pairs enter. Everything else is untouched, so the
-        // patch explode is bounded by the merged pair's support, not the
-        // vocabulary. The merged pair itself nets to zero (the greedy
-        // rewrite removes every adjacent occurrence) and is filtered.
+        val considered = top.take(want)
+        val guard = if (top.length == depth) Some(top.last._3) else None
+        val accepted = acceptBatch(vocab, considered.toSeq,
+          top.drop(want).toSeq, guard)
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(f"[bpe] argmax ${(tArgmax - t0) / 1e9}%.2fs " +
+            f"accept ${(System.nanoTime() - tArgmax) / 1e9}%.2fs " +
+            s"accepted ${accepted.size}/$want: " +
+            accepted.map(p => s"${p._1}+${p._2}").mkString(" "))
+        accepted.foreach { case (l, r, pc) =>
+          merges += ((merges.size + 1, l, r, pc))
+        }
+        // BATCHED INCREMENTAL CENSUS PATCH: only words containing an
+        // adjacent occurrence of SOME accepted pair change any count —
+        // their old pairs leave, their rewritten pairs enter (one
+        // kernel pass emits both signed sets). Accepted pairs are
+        // pairwise symbol-disjoint (incl. merged symbols), so per-word
+        // rewrites compose in any order and each merged pair nets to
+        // zero (filtered by pc > 0 below).
+        val pairs = accepted.map(p => (p._1, p._2))
         val deltas = vocab
-          .filter(hasAdjacent(col("syms"), l, r))
-          .withColumn("new_syms", greedyMerge(col("syms"), l, r))
-          .select(col("cnt"), explode(concat(
-            signedPairs("new_syms", 1), signedPairs("syms", -1))).as("p"))
+          .filter(adjacentAny(pairs))
+          .select(col("cnt"), explode(pairDeltas(pairs)).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("cnt") * col("p.sign")).as("d"))
         census = census.join(deltas, Seq("l", "r"), "full_outer")
           .select(col("l"), col("r"),
             (coalesce(col("pc"), lit(0L)) + coalesce(col("d"), lit(0L))).as("pc"))
           .filter(col("pc") > 0)
+          .coalesce(8)
           .localCheckpoint(false)
-        // rewrite only affected words (conditional — identity otherwise)
-        vocab = vocab.select(col("cnt"),
-          when(hasAdjacent(col("syms"), l, r), greedyMerge(col("syms"), l, r))
-            .otherwise(col("syms")).as("syms"))
+        vocab = vocab.select(col("cnt"), batchMerge(pairs).as("syms"))
           .localCheckpoint(false)
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** BATCH SAFETY — the longest prefix of the collected census order that
+    * provably replays the serial `learn_bpe` loop exactly. Serial picks
+    * the census argmax, patches, repeats; a later candidate `c_j` may be
+    * applied in the same round iff nothing an earlier accepted merge
+    * changes could out-rank it at its serial step:
+    *
+    *  1. SYMBOL-DISJOINTNESS: `{l_j, r_j, l_j+r_j}` must not intersect
+    *     any accepted `{l_i, r_i, l_i+r_i}` — then c_j's own count is
+    *     untouched (merging (l,r)→lr only perturbs pairs adjacent to l,
+    *     r, or lr), per-word rewrites commute, and no two merges can
+    *     manufacture the same symbol.
+    *  2. CREATED/BOOSTED THREATS: merge i creates pairs `(x, lr_i)` /
+    *     `(lr_i, y)`, each bounded by the max single-context trigram
+    *     support of (l_i, r_i) — `maxCreated_i`, measured in ONE vocab
+    *     pass ([[trigramMaxes]]; every created adjacency maps injectively
+    *     to a pre-merge trigram occurrence, so the bound survives batch
+    *     composition). A pair holds two symbols, so it can gain from at
+    *     most TWO accepted merges — its exact gain bound when its
+    *     symbols are known, the two largest accepted maxCreated values
+    *     when not. c_j stays the serial argmax if its count strictly
+    *     exceeds (threat's old count + its gain bound) for every
+    *     possible threat: collected pairs (the batch window plus a 4×
+    *     tail) use their exact counts; everything deeper is bounded by
+    *     the last collected row. Pairs sharing l_i/r_i only LOSE
+    *     occurrences and sit after c_j in tie order — never threats.
+    *
+    * Acceptance stops at the FIRST failure (serial picks strictly in
+    * census order, so a skipped candidate would fork history). A
+    * singleton prefix skips the trigram pass entirely — that round costs
+    * exactly the serial loop's one job. */
+  private def acceptBatch(
+      vocab: DataFrame,
+      considered: Seq[(String, String, Long)],
+      tail: Seq[(String, String, Long)],
+      guardCount: Option[Long]): Seq[(String, String, Long)] = {
+    // longest symbol-disjoint prefix (driver-side, no job)
+    var symbols = Set.empty[String]
+    val disjoint = considered.takeWhile { case (l, r, _) =>
+      val mine = Set(l, r, l + r)
+      val ok = mine.intersect(symbols).isEmpty
+      if (ok) symbols ++= mine
+      ok
+    }
+    if (disjoint.size <= 1) return considered.take(1)
+
+    // the ONE extra job of a multi-merge round — skipped entirely when
+    // the chain structure forces a singleton batch
+    val maxCreated = trigramMaxes(vocab, disjoint.map(p => (p._1, p._2)))
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // gain of a KNOWN pair = Σ maxCreated over the accepted merged
+    // symbols it actually contains (≤ 2 — merged symbols are distinct);
+    // an UNKNOWN pair's gain is bounded by the two largest accepted
+    // maxCreated values
+    val acceptedBoost = scala.collection.mutable.Map.empty[String, Long]
+    def top2Boost: Long = acceptedBoost.values.toSeq.sorted.takeRight(2).sum
+    def gainOf(pl: String, pr: String): Long =
+      acceptedBoost.getOrElse(pl, 0L) + acceptedBoost.getOrElse(pr, 0L)
+    var stopped = false
+    disjoint.zipWithIndex.foreach { case (cand @ (l, r, pc), idx) =>
+      if (!stopped) {
+        val ok = accepted.isEmpty || {
+          // uncollected pairs: old count ≤ guard (none exist if the
+          // whole census fit inside the collect)
+          val uncollectedOk = guardCount.forall(g => pc > g + top2Boost)
+          // every other COLLECTED pair checks against its exact count +
+          // its exact possible gain (0 unless it carries an accepted
+          // merged symbol)
+          val collectedOk = (considered.drop(idx + 1) ++ tail).forall {
+            case (pl, pr, ppc) =>
+              val gain = gainOf(pl, pr)
+              gain == 0L || pc > ppc + gain
+          }
+          uncollectedOk && collectedOk
+        }
+        if (ok) {
+          accepted += cand
+          acceptedBoost(l + r) = maxCreated.getOrElse((l, r), 0L)
+        } else stopped = true
+      }
+    }
+    accepted.toSeq
+  }
+
+  /** Per-pair upper bound on any single created pair's count after a
+    * greedy merge of (l, r): the max weighted support of one trigram
+    * context — `max_x Σ cnt·#(x,l,r)` for left neighbors, `max_y` of
+    * `(l,r,y)` for right (self-junctions `…l r l r…` land in the left
+    * group via x = r). One vocab pass for the whole candidate set,
+    * collect is ≤ 2·|pairs| rows. */
+  private def trigramMaxes(
+      vocab: DataFrame, pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    val plit = typedLit(pairs)
+    // each trigram contributes to at most two (pair, context) cells —
+    // emitted in ONE pass and aggregated in two exchanges (sum per
+    // context, max per pair) instead of a union of two agg chains. The
+    // side tag inside ctx keeps left and right context classes distinct.
+    val tri = vocab
+      .select(col("cnt"), explode(trigramStructs).as("t"))
+      .select(col("cnt"), col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+    tri.select(col("cnt"), explode(array(
+        struct(col("b").as("l"), col("c").as("r"),
+          concat(lit("L "), col("a")).as("ctx")),
+        struct(col("a").as("l"), col("b").as("r"),
+          concat(lit("R "), col("c")).as("ctx")))).as("x"))
+      .filter(array_contains(plit,
+        struct(col("x.l").as("_1"), col("x.r").as("_2"))))
+      .groupBy(col("x.l").as("l"), col("x.r").as("r"), col("x.ctx").as("ctx"))
+      .agg(sum(col("cnt")).as("s"))
+      .groupBy("l", "r").agg(max(col("s")).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
   }
 
   /** UTF-8 byte order — Spark's UTF8String comparison and the oracle's

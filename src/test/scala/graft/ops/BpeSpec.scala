@@ -61,6 +61,38 @@ class BpeSpec extends SparkSpec {
     assert(driver.toSeq == dist.toSeq)
   }
 
+  test("batched distributed merges replay the serial path exactly") {
+    val s2 = spark
+    import s2.implicits._
+    // corpora chosen to stress every batch hazard: chained merges whose
+    // created pair immediately out-ranks the remaining census (th→the),
+    // the same concatenation reachable by two different splits, ties,
+    // self-pairs with overlapping runs, and a fully-disjoint set where
+    // batching actually fires multi-merge rounds
+    val corpora = Seq(
+      "the theme then anthem the the there these them",
+      "ab ab ab abc abc bc bc cd cd cd de de ef",
+      "aaaa aaab abab baba bbbb",
+      "xy xy xy za za za qr qr qr mn mn mn uv uv uv",
+      "wiki wiki wiki pedia pedia encyclopedia data data base")
+    corpora.zipWithIndex.foreach { case (text, i) =>
+      val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
+      val serial = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
+        batchK = 1).collect().map(_.toSeq).toSeq
+      val batched = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
+        batchK = 8).collect().map(_.toSeq).toSeq
+      assert(batched == serial, s"corpus $i diverged:\n$batched\nvs\n$serial")
+    }
+  }
+
+  test("batched distributed path matches the driver path on real corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val driver = Bpe.trainMerges(docs, nMerges = 24).collect().map(_.toSeq).toSeq
+    val batched = Bpe.trainMerges(docs, nMerges = 24, driverVocabThreshold = 0L,
+      batchK = 8).collect().map(_.toSeq).toSeq
+    assert(batched == driver)
+  }
+
   test("encodeStats applies learned merges as a pure projection") {
     val s2 = spark
     import s2.implicits._
