@@ -151,6 +151,15 @@ final class AnnIndex(
       k, nProbe)
   }
 
+  /** Index-served SemDeDup: the in-cluster cosine pair search over the
+    * PERSISTED assignments — same dropped-rows contract as
+    * [[Similarity.semDeDup]] with this index's quantizer, no kmeans, no
+    * assignment recompute (the k-dot-products-per-row argmin, the most
+    * expensive map pass of the from-scratch run, was paid once at
+    * admission). */
+  def semDeDup(threshold: Double): DataFrame =
+    Similarity.semDeDupAssigned(signatures, threshold)
+
   /** Fold per-batch small files back into one per list (the identity
     * partition layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =

@@ -479,6 +479,13 @@ object Similarity {
     val assigned = Clustering.kmeans(emb.select("vec_id", "embedding"), k, iters)
       .assignments.withColumn("v_norm", norm("embedding"))
       .localCheckpoint()
+    semDeDupAssigned(assigned, threshold)
+  }
+
+  /** The pair-search half of [[semDeDup]] over ALREADY-ASSIGNED rows
+    * (`cluster` + `v_norm` present) — what the persisted [[AnnIndex]]
+    * serves without re-running kmeans. */
+  private[ops] def semDeDupAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("v_norm").as("a_norm"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),

@@ -54,6 +54,15 @@ class AnnIndexSpec extends SparkSpec {
     // the mining candidate scan reads only the probed lists' files
     assert(mined.inputFiles.count(_.contains("ml/ann_index")) < totalFiles + totalFiles,
       "sanity: mining reads index files only")
+
+    // index-served SemDeDup == the from-scratch run with the same
+    // quantizer parameters, and it too never re-clusters
+    val runsBefore2 = Clustering.kmeansRuns.get()
+    val viaIndex = idx.semDeDup(0.35).collect().map(_.toSeq).toSeq
+    assert(Clustering.kmeansRuns.get() == runsBefore2, "semDeDup re-clustered")
+    val scratch = Similarity.semDeDup(emb, k = 4, iters = 2, threshold = 0.35)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == scratch)
   }
 
   test("admit assigns new vectors to the frozen centroids; they become searchable") {
