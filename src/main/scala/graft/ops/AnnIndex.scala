@@ -160,6 +160,76 @@ final class AnnIndex(
   def semDeDup(threshold: Double): DataFrame =
     Similarity.semDeDupAssigned(signatures, threshold)
 
+  /** SEMANTIC admission gate — the embedding twin of
+    * [[NearDupIndex.admit]]: return the batch vectors that are NOT
+    * cosine near-duplicates (`sim >= threshold`) of anything already in
+    * the index, and append exactly those in one commit so later batches
+    * (and live [[admitStream]] readers) see them. The candidate side is
+    * the PRUNED list scan (only the batch's probed clusters' files);
+    * `dedupWithinBatch = true` first drops intra-batch near-dups by the
+    * SemDeDup min-id rule, so a batch cannot seed the index with its own
+    * internal duplicates. Returns the admitted rows (index schema).
+    *
+    * Redelivery-safe (vec_ids stable across redelivery): a vector whose
+    * own (id, cluster, norm) row is already indexed was admitted by a
+    * previous delivery — it passes through as a survivor again
+    * (at-least-once for the caller) and appends nothing; its own index
+    * row never flags it (the `c_id != vec_id` filter), and a NEW vector
+    * reusing an indexed id lands in a different cluster or norm and is
+    * gated normally. */
+  def admitIfNovel(newVecs: DataFrame, threshold: Double,
+      dedupWithinBatch: Boolean = false): DataFrame = {
+    val cents = centroids
+    if (newVecs.isEmpty) return assignedRows(newVecs, cents) // empty micro-batch
+    val assigned0 = assignedRows(newVecs, cents).localCheckpoint()
+    val assigned =
+      if (!dedupWithinBatch) assigned0
+      else assigned0.join(
+          Similarity.semDeDupAssigned(assigned0, threshold).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+    val probed = assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // the pruned index slice, materialized once — feeds the collision
+    // join AND the redelivery check
+    val cands = candidates(probed).select(col("cluster"),
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("v_norm").as("c_norm"))
+      .localCheckpoint()
+    val flagged = assigned.join(cands, Seq("cluster"))
+      .filter(col("c_id") =!= col("vec_id"))
+      .filter(Similarity.cosineFromNorms(
+        "c_emb", "embedding", "c_norm", "v_norm") >= threshold)
+      .select("vec_id").distinct()
+    val survivors = assigned.join(flagged, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val selfIndexed = survivors
+      .join(cands.select(col("c_id").as("vec_id"), col("cluster"),
+          col("c_norm").as("v_norm")),
+        Seq("vec_id", "cluster", "v_norm"), "left_semi")
+      .select("vec_id")
+    val fresh = survivors.join(selfIndexed, Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty) { engine.append(ref, fresh); () }
+    survivors
+  }
+
+  /** STREAMING semantic gate: every micro-batch of `vecs` runs through
+    * [[admitIfNovel]] — frozen-centroid assignment, pruned-list cosine
+    * probe, survivors appended in one commit and handed to
+    * `onSurvivors` — so an embedding stream deduplicates semantically
+    * against an index that grows with its own admissions. */
+  def admitStream(
+      vecs: DataFrame, threshold: Double, checkpointDir: String,
+      dedupWithinBatch: Boolean = false)(
+      onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onSurvivors(admitIfNovel(batch, threshold, dedupWithinBatch))
+      }
+      .start()
+
   /** Fold per-batch small files back into one per list (the identity
     * partition layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =

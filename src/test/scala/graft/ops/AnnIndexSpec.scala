@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.api.Engine
 
+object AnnIndexSpec {
+  case class Vec(vec_id: Long, label: Int, embedding: Seq[Float])
+}
+
 /** The persisted IVF-Flat index: bootstrap trains once, every probe and
   * admission after that runs off the frozen table (no kmeans jobs), and
   * probes prune to the probed lists' files through the identity(cluster)
@@ -63,6 +67,65 @@ class AnnIndexSpec extends SparkSpec {
     val scratch = Similarity.semDeDup(emb, k = 4, iters = 2, threshold = 0.35)
       .collect().map(_.toSeq).toSeq
     assert(viaIndex == scratch)
+  }
+
+  test("semantic admission gate: near-dups of the index rejected, novel vectors admitted, closed loop") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("annadmit").toString
+    val e = new Engine(spark, wh)
+    // controlled 4-dim corpus: two well-separated directions
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.gate_index", kClusters = 2, iters = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+    val runs = Clustering.kmeansRuns.get()
+
+    // batch 1: an exact copy of an indexed vector (sim 1.0 -> rejected),
+    // a genuinely novel direction (admitted), and two intra-batch
+    // near-dups (min-id survives under dedupWithinBatch)
+    val batch1 = Seq(
+      (10L, 0, v(1, 0, 0, 0)),          // dup of 100 -> rejected
+      (11L, 1, v(0, 1, 0, 0)),          // novel -> admitted
+      (12L, 1, v(0, 0.99, 0.05, 0)),    // near-dup of 11 within batch -> dropped
+      (13L, 0, v(0.5, 0.5, 0.5, 0.5)))  // novel -> admitted
+    val surv1 = idx.admitIfNovel(
+      batch1.toDF("vec_id", "label", "embedding"), 0.95, dedupWithinBatch = true)
+    assert(surv1.select("vec_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    // admitted vectors are now part of the index
+    assert(idx.signatures.count() == 6)
+    // batch 2: a near-dup of batch-1 survivor 11 is now gated
+    val surv2 = idx.admitIfNovel(
+      Seq((20L, 1, v(0, 0.98, 0, 0))).toDF("vec_id", "label", "embedding"), 0.95)
+    assert(surv2.isEmpty && idx.signatures.count() == 6)
+    // redelivery of batch 1: survivors flow again, index unchanged
+    val redeliver = idx.admitIfNovel(
+      batch1.toDF("vec_id", "label", "embedding"), 0.95, dedupWithinBatch = true)
+    assert(redeliver.select("vec_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    assert(idx.signatures.count() == 6)
+    assert(Clustering.kmeansRuns.get() == runs, "the gate must not re-cluster")
+
+    // streaming twin: the same gate as a closed micro-batch loop
+    import AnnIndexSpec.Vec
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+    val ckpt = java.nio.file.Files.createTempDirectory("annadmitc").toString
+    val admitted = scala.collection.mutable.Buffer.empty[Long]
+    val q = idx.admitStream(input.toDF(), 0.95, ckpt) { surv =>
+      admitted ++= surv.select("vec_id").as[Long].collect(); ()
+    }
+    try {
+      input.addData(Vec(30L, 0, v(0, 0, 0, 1)))      // novel -> admitted
+      q.processAllAvailable()
+      input.addData(Vec(31L, 0, v(0, 0, 0.05, 0.99))) // near-dup of 30 -> gated
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(30L), admitted.toString)
+      assert(idx.signatures.count() == 7)
+    } finally q.stop()
   }
 
   test("admit assigns new vectors to the frozen centroids; they become searchable") {

@@ -77,4 +77,64 @@ class ScanPlannerSpec extends SparkSpec {
     assert(df.count() == 0L)
     assert(df.columns.contains("order_id")) // schema preserved
   }
+
+  test("file-scoped MoR: mixed equality-delete sequences split files exactly; legacy entries stay hit") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-morseq-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.t", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    e.upsert("ns.t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))  // F1 + eqD @1
+    e.append("ns.t", Seq((2L, "two")).toDF("k", "v"))          // F2 @2
+    e.upsert("ns.t", Seq((1L, "b")).toDF("k", "v"), Seq("k"))  // F3 + eqD @3
+    e.append("ns.t", Seq((3L, "three")).toDF("k", "v"))        // F4 @4
+
+    def collect(): Seq[(Long, String)] = e.readTable("ns.t")
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(collect() == Seq((1L, "b"), (2L, "two"), (3L, "three")))
+
+    def scannedUnderAnti(): (Set[String], Set[String]) = {
+      val plan = e.readTable("ns.t").queryExecution.optimizedPlan
+      def files(p: LogicalPlan): Set[String] = p.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            h.location.inputFiles.filter(_.contains("/data/data-")).toSet
+          case _ => Set.empty[String]
+        }
+      }.flatten.map(_.replaceFirst("^file:/+", "/")).toSet
+      val under = plan.collect { case j @ Join(_, _, LeftAnti, _, _) => files(j) }
+        .flatten.toSet
+      (files(plan), under)
+    }
+    val t = e.load("ns.t")
+    def pathsAtSeq(wanted: Long*): Set[String] = {
+      val seqBy = t.metadata.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+      t.files().filter(f => wanted.contains(f.resolvedSeq(seqBy, 0L)))
+        .map(f => t.resolvePath(f.filePath)).toSet
+    }
+    val (all, under) = scannedUnderAnti()
+    // the newest equality delete applies at sequence 3: files at seq 1-2
+    // carry the debt, files at seq >= 3 escape structurally
+    assert(pathsAtSeq(1L, 2L).subsetOf(under), s"$under")
+    assert(pathsAtSeq(3L, 4L).forall(p => !under.contains(p)), s"$under")
+    assert(pathsAtSeq(3L, 4L).subsetOf(all))
+
+    // strip the seq-4 file's stamped sequence: a legacy (-1) entry still
+    // resolves through the snapshot log here, but whatever it resolves
+    // to must never move a file OUT of the anti-join branch wrongly —
+    // rows stay identical either way
+    val a4 = t.metadata.currentSnapshotId.get
+    t.manifests(Some(a4)).foreach { m =>
+      val p = t.resolvePath(m.manifestPath)
+      val entries = graft.meta.AvroManifests.readManifest(p)
+        .map(en => if (en.content == 0) en.copy(sequenceNumber = -1L) else en)
+      graft.meta.AvroManifests.writeManifest(p, entries)
+    }
+    assert(collect() == Seq((1L, "b"), (2L, "two"), (3L, "three")))
+  }
 }
