@@ -95,13 +95,18 @@ object Bench {
         val docs = Tables.documents(spark, sfDir)
         def timed(name: String)(body: => Unit): (String, Double) = {
           val t0 = System.nanoTime()
-          try body catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] distributed $name FAILED: ${e.getMessage}")
-          }
+          val ok =
+            try { body; true } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] distributed $name FAILED: ${e.getMessage}")
+                false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] distributed $name%-18s $dt%8.2f s")
-          (name, dt)
+          System.err.println(f"[bench] distributed $name%-18s $dt%8.2f s" +
+            (if (ok) "" else " (FAILED)"))
+          // a crash must not read as a speedup in the committed JSON —
+          // failures record as NEGATIVE time-to-crash
+          (name, if (ok) dt else -dt)
         }
         Seq(
           timed("d_components") {
@@ -135,9 +140,14 @@ object Bench {
         ",", "}}")
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-    try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] detail write failed: $e") }
+    // a distributed-only dev run (SPARK_GRAFT_BENCH_ONLY) must not
+    // clobber the canonical checked-in detail file with an empty suite
+    val skipDetail = names.isEmpty &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")
+    if (!skipDetail)
+      try java.nio.file.Files.write(detailPath, (detailJson + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] detail write failed: $e") }
     val slowest = perQuery.sortBy(-_._2).take(12)
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }
       .mkString("{", ",", "}")

@@ -196,18 +196,26 @@ final class AnnIndex(
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
       .localCheckpoint()
+    // redelivered iff the vector's own (id, cluster, norm) row is
+    // already indexed — such a vector was ADMITTED by a previous
+    // delivery and must never be flagged (not even by its co-delivered
+    // near-dups' now-indexed rows: a redelivered batch of mutual
+    // near-dups would otherwise flag each other and silently shrink the
+    // survivor set a retrying sink depends on). New vectors still gate
+    // against ALL index rows, including redelivered ones'.
+    val selfIndexed = assigned
+      .join(cands.select(col("c_id").as("vec_id"), col("cluster"),
+          col("c_norm").as("v_norm")),
+        Seq("vec_id", "cluster", "v_norm"), "left_semi")
+      .select("vec_id").localCheckpoint()
     val flagged = assigned.join(cands, Seq("cluster"))
       .filter(col("c_id") =!= col("vec_id"))
       .filter(Similarity.cosineFromNorms(
         "c_emb", "embedding", "c_norm", "v_norm") >= threshold)
       .select("vec_id").distinct()
+      .join(selfIndexed, Seq("vec_id"), "left_anti") // redelivery ≠ dup
     val survivors = assigned.join(flagged, Seq("vec_id"), "left_anti")
       .localCheckpoint()
-    val selfIndexed = survivors
-      .join(cands.select(col("c_id").as("vec_id"), col("cluster"),
-          col("c_norm").as("v_norm")),
-        Seq("vec_id", "cluster", "v_norm"), "left_semi")
-      .select("vec_id")
     val fresh = survivors.join(selfIndexed, Seq("vec_id"), "left_anti")
     if (!fresh.isEmpty) { engine.append(ref, fresh); () }
     survivors

@@ -219,9 +219,12 @@ object Bpe {
     disjoint.zipWithIndex.foreach { case (cand @ (l, r, pc), idx) =>
       if (!stopped) {
         val ok = accepted.isEmpty || {
-          // uncollected pairs: old count ≤ guard (none exist if the
-          // whole census fit inside the collect)
-          val uncollectedOk = guardCount.forall(g => pc > g + top2Boost)
+          // pairs outside the collect: an EXISTING uncollected pair's
+          // old count is ≤ guard, and a merge-CREATED pair starts from
+          // old count 0 — so even when the whole census fit the collect
+          // (guardCount None) created pairs remain threats and the
+          // check must run with guard 0, never vacuously pass
+          val uncollectedOk = pc > guardCount.getOrElse(0L) + top2Boost
           // every other COLLECTED pair checks against its exact count +
           // its exact possible gain (0 unless it carries an accepted
           // merged symbol)

@@ -143,6 +143,12 @@ object ScanPlanner {
     val requested = paths.toSet
     val entries = t.files(snapshotId)
       .filter(e => requested.contains(t.resolvePath(e.filePath)))
+    // a requested path OUTSIDE the snapshot's live set has no entry to
+    // classify — splitting would silently DROP its rows. Engine call
+    // sites always pass live paths, but fall back to the unsplit read
+    // (which scans every given path) whenever containment is partial.
+    if (entries.size != requested.size)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
     val (hit, clean) = entries.partition(e =>
       posTargets.contains(e.filePath) ||
         e.resolvedSeq(seqBySnapshot, 0L) < maxEqSeq)
@@ -352,8 +358,9 @@ object ScanPlanner {
           s"snapshot has no data files under ${t.tableDir}"))
       scanFiles(spark, t, Seq(any)).filter(lit(false))
     } else
-      applyDeletes(spark, t, snapshotId,
-        scanFiles(spark, t, pruned.toIndexedSeq)).filter(resid)
+      // the file-scoped split applies to pruned scans too: surviving
+      // delete-untouched files scan bare, only hit files pay anti-joins
+      readSplit(spark, t, snapshotId, pruned.toIndexedSeq).filter(resid)
   }
 
   /** Read the data with metadata pruning: only files whose bounds may
@@ -378,8 +385,9 @@ object ScanPlanner {
     val df =
       if (pruned.nonEmpty)
         // deletes apply to the pruned subset too — a deleted row must not
-        // reappear just because the scan was narrowed
-        applyDeletes(spark, t, snapshotId, scanFiles(spark, t, pruned.toIndexedSeq))
+        // reappear just because the scan was narrowed; the file-scoped
+        // split keeps the untouched survivors on the bare vectorized path
+        readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
       else {
         // everything pruned: the correct result is EMPTY with the table's
         // schema — read it from any live file, scan nothing

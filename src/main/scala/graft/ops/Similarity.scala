@@ -64,17 +64,23 @@ object Similarity {
     * kmeans coarse quantizer, each probe searched only against its
     * `nProbe` nearest clusters' inverted lists. Both paths are
     * deterministic and oracle-reproducible; pass `exactPairBudget = 0`
-    * to force the IVF route. */
+    * to force the IVF route, `Long.MaxValue` to PIN the exact route
+    * (skips the routing counts entirely — what an oracle-paired caller
+    * that must never change results with data size should pass). */
   def hardNegatives(emb: DataFrame, probe: Column, k: Int = 3,
       kClusters: Int = 4, iters: Int = 2, nProbe: Int = 2,
       exactPairBudget: Long = 20000000L): DataFrame = {
+    if (exactPairBudget == Long.MaxValue) return hardNegativesExact(emb, probe, k)
     val route =
       exactPairBudget > 0 && {
         // two metadata-cheap counts decide the route (parquet counts are
-        // footer-served; the filter count is one column-pruned pass)
+        // footer-served; the filter count is one column-pruned pass).
+        // Division, not multiplication: probeN·corpusN overflows Long at
+        // real scale, and a wrapped-negative product would silently pick
+        // the all-pairs path on exactly the corpora that can't afford it
         val corpusN = emb.count()
         val probeN = emb.filter(probe).count()
-        probeN * corpusN <= exactPairBudget
+        probeN == 0L || corpusN <= exactPairBudget / probeN
       }
     if (route) hardNegativesExact(emb, probe, k)
     else hardNegativesIvf(emb, probe, k, kClusters, iters, nProbe)

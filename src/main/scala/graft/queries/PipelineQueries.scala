@@ -1000,7 +1000,10 @@ object PipelineQueries {
     // Hard-negative mining for contrastive training: per probe, the 3
     // most-similar DIFFERENT-label vectors (near-miss negatives)
     Q("q_hard_negatives",
-      (s, d) => Similarity.hardNegatives(embeddings(s, d), col("vec_id") < 10),
+      // route PINNED exact: the oracle models the exact top-k, so this
+      // query must never flip to the IVF route as the corpus grows
+      (s, d) => Similarity.hardNegatives(embeddings(s, d), col("vec_id") < 10,
+        exactPairBudget = Long.MaxValue),
       Some("""WITH p AS (
              |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
              |  FROM embeddings WHERE vec_id < 10),

@@ -110,6 +110,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.signatures.count() == 6)
     assert(Clustering.kmeansRuns.get() == runs, "the gate must not re-cluster")
 
+    // redelivery of a batch of MUTUAL near-dups (admitted together under
+    // the default dedupWithinBatch=false) must surface the same
+    // survivors — their own now-indexed rows are redelivery evidence,
+    // not duplicates of each other (round-10 review counterexample: a
+    // foreachBatch retry after the index append would otherwise lose
+    // the rows downstream permanently)
+    val mutual = Seq(
+      (40L, 0, v(0.6, 0, 0.8, 0)), (41L, 0, v(0.55, 0, 0.835, 0)))
+      .toDF("vec_id", "label", "embedding")
+    val first = idx.admitIfNovel(mutual, 0.95)
+    assert(first.select("vec_id").as[Long].collect().sorted.toSeq == Seq(40L, 41L))
+    val again = idx.admitIfNovel(mutual, 0.95)
+    assert(again.select("vec_id").as[Long].collect().sorted.toSeq == Seq(40L, 41L),
+      "redelivered mutual near-dups flagged each other")
+    assert(idx.signatures.count() == 8) // appended once, not twice
+
     // streaming twin: the same gate as a closed micro-batch loop
     import AnnIndexSpec.Vec
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
@@ -124,7 +140,7 @@ class AnnIndexSpec extends SparkSpec {
       input.addData(Vec(31L, 0, v(0, 0, 0.05, 0.99))) // near-dup of 30 -> gated
       q.processAllAvailable()
       assert(admitted.sorted.toSeq == Seq(30L), admitted.toString)
-      assert(idx.signatures.count() == 7)
+      assert(idx.signatures.count() == 9)
     } finally q.stop()
   }
 

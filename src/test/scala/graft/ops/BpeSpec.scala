@@ -74,7 +74,12 @@ class BpeSpec extends SparkSpec {
       "ab ab ab abc abc bc bc cd cd cd de de ef",
       "aaaa aaab abab baba bbbb",
       "xy xy xy za za za qr qr qr mn mn mn uv uv uv",
-      "wiki wiki wiki pedia pedia encyclopedia data data base")
+      "wiki wiki wiki pedia pedia encyclopedia data data base",
+      // the whole census fits the collect (guardCount None) AND a
+      // merge-CREATED pair ((az,y), old count 0) ties the next resident
+      // pair and wins the tie — the created-pair threat must be checked
+      // even without a guard row (round-10 review counterexample)
+      "azy azy azy azy azy mn mn mn mn mn")
     corpora.zipWithIndex.foreach { case (text, i) =>
       val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
       val serial = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
