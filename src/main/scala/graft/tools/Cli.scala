@@ -330,6 +330,31 @@ object Cli {
             println(s"admitted ${kept.count()} docs; " +
               s"signatures appended to ${vargs(0)}")
           } else emit(idx.check(shard))
+        case "ann-index" =>
+          // ann-index <ns.idx> <embeddings.parquet> [k] — create and
+          // bootstrap the persisted IVF-Flat index from a corpus
+          val idx = new graft.ops.AnnIndex(engine, vargs(0),
+            kClusters = vargs.lift(2).map(_.toInt).getOrElse(4))
+          idx.create()
+          idx.bootstrap(spark.read.parquet(vargs(1)))
+          println(s"indexed ${idx.signatures.count()} vectors " +
+            s"in ${idx.kClusters} lists at ${vargs(0)}")
+        case "ann-gate" =>
+          // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra] —
+          // semantic admission: keep batch vectors that are not cosine
+          // near-dups of the index, append them to it
+          val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          val kept = idx.admitIfNovel(spark.read.parquet(vargs(1)),
+            vargs(2).toDouble,
+            dedupWithinBatch = vargs.drop(3).contains("--intra"))
+          println(s"admitted ${kept.count()} vectors into ${vargs(0)}")
+        case "ann-search" =>
+          // ann-search <ns.idx> <vecId> [k] — ANN top-k neighbors of one
+          // indexed vector off the frozen quantizer (no re-clustering)
+          val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          emit(idx.search(
+            org.apache.spark.sql.functions.col("vec_id") === vargs(1).toLong,
+            k = vargs.lift(2).map(_.toInt).getOrElse(3)))
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }
@@ -350,5 +375,6 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
-      "       dedup-gate stage-parquet publish advise tui init")
+      "       dedup-gate ann-index ann-gate ann-search\n" +
+      "       stage-parquet publish advise tui init")
 }

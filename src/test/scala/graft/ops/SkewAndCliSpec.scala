@@ -247,4 +247,27 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "summary", "nope.missing")) == 1)
     assert(Cli.run(Array(wh)) == 2) // too few args
   }
+
+  test("round-10 CLI verbs: ann-index / ann-gate / ann-search") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-cli-wh10").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/ml"))
+    val embDir = s"$wh/_emb_parquet"
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding").write.parquet(embDir)
+    assert(Cli.run(Array(wh, "ann-index", "ml.idx", embDir, "2")) == 0)
+    assert(Cli.run(Array(wh, "ann-search", "ml.idx", "100", "2")) == 0)
+    val batchDir = s"$wh/_batch_parquet"
+    Seq((10L, 0, v(1, 0, 0, 0)), (11L, 1, v(0, 1, 0, 0)))
+      .toDF("vec_id", "label", "embedding").write.parquet(batchDir)
+    assert(Cli.run(Array(wh, "ann-gate", "ml.idx", batchDir, "0.95")) == 0)
+    // the gate admitted only the novel vector
+    val e = new graft.api.Engine(spark, wh)
+    val idx = new graft.ops.AnnIndex(e, "ml.idx")
+    assert(idx.signatures.count() == 5)
+  }
 }
