@@ -90,6 +90,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched merges replay serial on seeded random corpora (interaction stress)") {
+    val s2 = spark
+    import s2.implicits._
+    // tiny alphabets make merge interactions (chains, created-pair ties,
+    // re-formed symbols) near-certain; the seed is FIXED so the corpus —
+    // and any failure — reproduces exactly
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 6).foreach { i =>
+      val alphabet = "ab" + ("cde".take(1 + rnd.nextInt(3)))
+      val words = Seq.fill(12 + rnd.nextInt(8)) {
+        Seq.fill(2 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+      val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
+      val serial = Bpe.trainMerges(docs, 12, driverVocabThreshold = 0L,
+        batchK = 1).collect().map(_.toSeq).toSeq
+      val batched = Bpe.trainMerges(docs, 12, driverVocabThreshold = 0L,
+        batchK = 8).collect().map(_.toSeq).toSeq
+      assert(batched == serial,
+        s"seeded corpus $i diverged\ntext: $text\n$batched\nvs\n$serial")
+    }
+  }
+
   test("batched distributed path matches the driver path on real corpus text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val driver = Bpe.trainMerges(docs, nMerges = 24).collect().map(_.toSeq).toSeq
