@@ -128,18 +128,39 @@ object Bench {
               driverVocabThreshold = 0L, batchK = 8).count()
           })
       }
+    val detailPathEarly = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    // A run WITHOUT the distributed knob must not erase the previous
+    // run's forced-distributed timings from the committed sidecar (the
+    // driver runs without the knob, and the d_* numbers are the only
+    // wall-clock signal on the 100 TB code paths): carry the existing
+    // `distributed` object forward verbatim when this run didn't
+    // produce a fresh one.
     val distJson =
-      if (distributed.isEmpty) ""
-      else distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
-        .mkString(""","distributed":{""", ",", "}")
+      if (distributed.nonEmpty)
+        distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
+          .mkString(""","distributed":{""", ",", "}")
+      else {
+        val carried =
+          try {
+            val prev = new String(
+              java.nio.file.Files.readAllBytes(detailPathEarly), "UTF-8")
+            """"distributed":\{[^}]*\}""".r.findFirstIn(prev)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        carried match {
+          case Some(obj) =>
+            System.err.println("[bench] carrying previous distributed section forward")
+            "," + obj
+          case None => ""
+        }
+      }
 
     val detailJson = perQuery
       .map { case (k, t) => "\"" + k + "\":" + r3(t) }
       .mkString(
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$passes,"agg":"min","total_first_run":${r3(totalFirst)},"sf":"$sfDir"$distJson,"queries":{""",
         ",", "}}")
-    val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val detailPath = detailPathEarly
     // a distributed-only dev run (SPARK_GRAFT_BENCH_ONLY) must not
     // clobber the canonical checked-in detail file with an empty suite
     val skipDetail = names.isEmpty &&

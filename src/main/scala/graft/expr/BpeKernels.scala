@@ -24,11 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-overlapping rewrite, overlapping adjacent pairs all counted. */
 object BpeWordOps {
 
+  // null-element-safe: the type check admits array<string> with nullable
+  // elements (Spark array builders default to containsNull = true), so a
+  // null element must read back as null — not as whatever an unchecked
+  // getUTF8String returns for an unset slot — and every symbol compare
+  // below null-guards its receiver (a null symbol matches nothing)
   private def toArr(a: ArrayData): Array[UTF8String] = {
     val n = a.numElements()
     val out = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { out(i) = a.getUTF8String(i); i += 1 }
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
     out
   }
 
@@ -41,7 +49,8 @@ object BpeWordOps {
     var o = 0
     var i = 0
     while (i < n) {
-      if (i + 1 < n && syms(i).equals(l) && syms(i + 1).equals(r)) {
+      if (i + 1 < n && syms(i) != null && syms(i).equals(l) &&
+          syms(i + 1) != null && syms(i + 1).equals(r)) {
         out(o) = m; o += 1; i += 2
       } else { out(o) = syms(i); o += 1; i += 1 }
     }
@@ -72,7 +81,8 @@ object BpeWordOps {
     while (i < syms.length - 1) {
       var j = 0
       while (j < lhs.length) {
-        if (syms(i).equals(lhs(j)) && syms(i + 1).equals(rhs(j))) return true
+        if (syms(i) != null && syms(i).equals(lhs(j)) &&
+            syms(i + 1) != null && syms(i + 1).equals(rhs(j))) return true
         j += 1
       }
       i += 1

@@ -221,6 +221,66 @@ object TableWriter {
   private def statable(fieldType: String): Boolean =
     !fieldType.startsWith("list<") && fieldType != "binary"
 
+  private def isList(f: SchemaField): Boolean = f.fieldType.startsWith("list<")
+
+  /** The field id a column's STATS key by: the Iceberg spec keys
+    * value/null counts and column sizes by the LEAF field, so a
+    * `list<primitive>` column's metrics live under its ELEMENT field id
+    * — an external Iceberg reader never looks them up under the list
+    * wrapper's id. Primitive / binary columns are their own leaf. */
+  private def statIds(md: TableMetadata): Map[Int, Int] = {
+    val all = md.currentSchema.fields
+    topLevelFields(md).map { f =>
+      f.id -> (if (!isList(f)) f.id
+        else all.find(_.path == s"${f.path}.element").map(_.id).getOrElse(f.id))
+    }.toMap
+  }
+
+  /** Per-file stat aggregation columns: `vc_` = non-null count for
+    * primitive/binary columns; for list columns the ELEMENT totals —
+    * `vc_` = total element count (null elements included, the spec's
+    * value_count for the element leaf) and `nc_` = null element count —
+    * plus min/max for bound-encodable types. */
+  private def statAggsFor(fields: Seq[SchemaField]): Seq[org.apache.spark.sql.Column] =
+    fields.flatMap { f =>
+      val vc =
+        if (isList(f))
+          sum(coalesce(size(col(f.name)), lit(0))).cast("long").as(s"vc_${f.id}")
+        else count(col(f.name)).as(s"vc_${f.id}")
+      val nc =
+        if (isList(f)) Seq(
+          sum(coalesce(size(filter(col(f.name), _.isNull)), lit(0)))
+            .cast("long").as(s"nc_${f.id}"))
+        else Seq.empty
+      val bounds =
+        if (statable(f.fieldType)) Seq(
+          min(col(f.name)).as(s"lo_${f.id}"),
+          max(col(f.name)).as(s"hi_${f.id}"))
+        else Seq.empty
+      (vc +: nc) ++ bounds
+    }
+
+  /** (value_counts, null_value_counts) for one file's stats row, keyed
+    * by the LEAF stat id ([[statIds]]). */
+  private def countStats(
+      fields: Seq[SchemaField], sid: Map[Int, Int],
+      row: org.apache.spark.sql.Row, nrows: Long): (Map[Int, Long], Map[Int, Long]) = (
+    fields.map(f => sid(f.id) ->
+      (if (isList(f)) row.getAs[Long](s"vc_${f.id}") else nrows)).toMap,
+    fields.map(f => sid(f.id) ->
+      (if (isList(f)) row.getAs[Long](s"nc_${f.id}")
+       else nrows - row.getAs[Long](s"vc_${f.id}"))).toMap)
+
+  /** column_sizes keyed by the leaf stat id; list columns' bytes live in
+    * parquet footers under the `name.list.element` path. */
+  private def sizeStats(
+      fields: Seq[SchemaField], sid: Map[Int, Int],
+      sizes: Map[String, Long]): Map[Int, Long] =
+    fields.flatMap(f =>
+      sizes.get(f.name)
+        .orElse(if (isList(f)) sizes.get(s"${f.name}.list.element") else None)
+        .map(sid(f.id) -> _)).toMap
+
   private def boundBytes(iceType: String, v: Any): Array[Byte] = iceType match {
     case "date" => IcebergDecode.encode("date",
       v.asInstanceOf[Date].toLocalDate.toEpochDay.toInt)
@@ -287,6 +347,7 @@ object TableWriter {
     val tok = java.util.UUID.randomUUID().toString.take(8)
 
     val fields = topLevelFields(md)
+    val sid = statIds(md)
     val spec = md.currentSpec
     require(spec.fields.forall(sf => Transforms.isSupported(sf.transform)),
       s"write path supports identity/bucket[N]/truncate[W] partitioning only " +
@@ -370,12 +431,7 @@ object TableWriter {
         // ---- 2. per-file stats: one distributed agg keyed by file name
         val staged = spark.read.option("basePath", stage.toString)
           .parquet(stage.toString)
-        val statAggs = fields.flatMap { f =>
-          count(col(f.name)).as(s"vc_${f.id}") +: (
-            if (statable(f.fieldType)) Seq(
-              min(col(f.name)).as(s"lo_${f.id}"),
-              max(col(f.name)).as(s"hi_${f.id}"))
-            else Seq.empty) }
+        val statAggs = statAggsFor(fields)
         val partKeys = partDims.map { case (pname, _, _) =>
           col(s"__p_$pname").cast("string").as(s"__p_$pname") }
         val stats = staged
@@ -399,6 +455,7 @@ object TableWriter {
           val upper = fields.filter(f => statable(f.fieldType)).flatMap { f =>
             Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
           }.toMap
+          val (vCounts, nvCounts) = countStats(fields, sid, row, nrows)
           DataFileEntry(
             status = 1, snapshotId = snapId, content = 0,
             filePath = relPath, fileFormat = "PARQUET",
@@ -410,11 +467,9 @@ object TableWriter {
                 .getOrElse(Transforms.NullPartitionValue) }.toMap,
             recordCount = nrows,
             fileSizeInBytes = Files.size(dir.resolve(relPath)),
-            columnSizes = fields.flatMap(f =>
-              sizes.get(f.name).map(f.id -> _)).toMap,
-            valueCounts = fields.map(f => f.id -> nrows).toMap,
-            nullValueCounts = fields.map(f =>
-              f.id -> (nrows - row.getAs[Long](s"vc_${f.id}"))).toMap,
+            columnSizes = sizeStats(fields, sid, sizes),
+            valueCounts = vCounts,
+            nullValueCounts = nvCounts,
             lowerBounds = lower, upperBounds = upper)
         }
       case _ => Seq.empty
@@ -473,7 +528,7 @@ object TableWriter {
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
     val fields = topLevelFields(md)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
-    val newEntries = entriesForFiles(spark, dir, fields, snapId, files)
+    val newEntries = entriesForFiles(spark, dir, fields, statIds(md), snapId, files)
     publishSnapshot(spark, dir, tableDir, md, baseV, fields,
       md.currentSpec.specId, snapId, newEntries, operation,
       keepPredicate = e => !removePaths.contains(e.filePath),
@@ -488,6 +543,7 @@ object TableWriter {
       spark: SparkSession,
       dir: Path,
       fields: Seq[SchemaField],
+      sid: Map[Int, Int],
       snapId: Long,
       files: Seq[(String, Map[String, String])]): Seq[DataFileEntry] = {
     if (files.isEmpty) return Seq.empty
@@ -498,12 +554,7 @@ object TableWriter {
       files.map { case (rel, part) =>
         canon(dir.resolve(rel).toString) -> (rel, part)
       }.toMap
-    val statAggs = fields.flatMap { f =>
-      count(col(f.name)).as(s"vc_${f.id}") +: (
-        if (statable(f.fieldType)) Seq(
-          min(col(f.name)).as(s"lo_${f.id}"),
-          max(col(f.name)).as(s"hi_${f.id}"))
-        else Seq.empty) }
+    val statAggs = statAggsFor(fields)
     val stats = spark.read.parquet(byAbs.keys.toSeq: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("nrows"), statAggs: _*)
@@ -516,15 +567,15 @@ object TableWriter {
         s"stats pass surfaced unknown file $abs"))
       val nrows = row.getAs[Long]("nrows")
       val sizes = colBytes.getOrElse(abs, Map.empty)
+      val (vCounts, nvCounts) = countStats(fields, sid, row, nrows)
       DataFileEntry(
         status = 1, snapshotId = snapId, content = 0,
         filePath = relPath, fileFormat = "PARQUET", partition = partition,
         recordCount = nrows,
         fileSizeInBytes = Files.size(dir.resolve(relPath)),
-        columnSizes = fields.flatMap(f => sizes.get(f.name).map(f.id -> _)).toMap,
-        valueCounts = fields.map(f => f.id -> nrows).toMap,
-        nullValueCounts = fields.map(f =>
-          f.id -> (nrows - row.getAs[Long](s"vc_${f.id}"))).toMap,
+        columnSizes = sizeStats(fields, sid, sizes),
+        valueCounts = vCounts,
+        nullValueCounts = nvCounts,
         lowerBounds = fields.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
         }.toMap,

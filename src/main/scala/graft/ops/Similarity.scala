@@ -55,21 +55,24 @@ object Similarity {
     * informative (easy random negatives teach nothing; hard negatives
     * sit just across the decision boundary).
     *
-    * ADAPTIVE (the engine's standard pattern, with the usual ANN caveat
-    * that the two paths differ in RECALL, not determinism): when
-    * |probes|·|corpus| fits under `exactPairBudget`, the mining is the
+    * EXACT by default, adaptive by OPT-IN (the two paths differ in
+    * RECALL, not determinism — so the default must never flip behavior
+    * as the corpus grows; a caller whose corpus outgrows the all-pairs
+    * scan opts into routing by passing a finite `exactPairBudget`):
+    * when |probes|·|corpus| fits under the budget, the mining is the
     * exact broadcast scan ([[hardNegativesExact]]); above it — the
     * 100 TB posture, where an all-pairs scan is compute-infeasible — it
     * routes through the learned IVF index ([[hardNegativesIvf]]): one
     * kmeans coarse quantizer, each probe searched only against its
     * `nProbe` nearest clusters' inverted lists. Both paths are
-    * deterministic and oracle-reproducible; pass `exactPairBudget = 0`
-    * to force the IVF route, `Long.MaxValue` to PIN the exact route
-    * (skips the routing counts entirely — what an oracle-paired caller
-    * that must never change results with data size should pass). */
+    * deterministic and oracle-reproducible; `exactPairBudget = 0`
+    * forces the IVF route, the default `Long.MaxValue` PINS the exact
+    * route (skips the routing counts entirely). A budget-driven flip to
+    * the routed path logs a warning, so the recall change is never
+    * silent. */
   def hardNegatives(emb: DataFrame, probe: Column, k: Int = 3,
       kClusters: Int = 4, iters: Int = 2, nProbe: Int = 2,
-      exactPairBudget: Long = 20000000L): DataFrame = {
+      exactPairBudget: Long = Long.MaxValue): DataFrame = {
     if (exactPairBudget == Long.MaxValue) return hardNegativesExact(emb, probe, k)
     val route =
       exactPairBudget > 0 && {
@@ -83,7 +86,13 @@ object Similarity {
         probeN == 0L || corpusN <= exactPairBudget / probeN
       }
     if (route) hardNegativesExact(emb, probe, k)
-    else hardNegativesIvf(emb, probe, k, kClusters, iters, nProbe)
+    else {
+      if (exactPairBudget > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hardNegatives: pair count exceeds exactPairBudget=$exactPairBudget" +
+            " — routing through the IVF index (approximate recall)")
+      hardNegativesIvf(emb, probe, k, kClusters, iters, nProbe)
+    }
   }
 
   /** Exact mining: the probe set BROADCASTS into one pass over the

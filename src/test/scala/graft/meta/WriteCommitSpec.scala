@@ -310,9 +310,18 @@ class WriteCommitSpec extends SparkSpec {
     val embField = t.metadata.currentSchema.fields.find(_.name == "embedding").get
     assert(embField.fieldType == "list<float>")
     // per-file stats: value counts on every column, bounds only on the
-    // primitive ones (absent bounds keep pruning conservative)
+    // primitive ones (absent bounds keep pruning conservative). The
+    // list column's counts key by its ELEMENT field id (the Iceberg
+    // spec keys nested-column stats by the leaf — an external reader
+    // looks them up under the element, never the list wrapper), and the
+    // value is the total ELEMENT count: 3 rows × 2 floats = 6.
+    val elemField = t.metadata.currentSchema.fields
+      .find(_.path == s"${embField.path}.element").get
     val entry = t.files().head
-    assert(entry.valueCounts.contains(embField.id))
+    assert(!entry.valueCounts.contains(embField.id))
+    assert(entry.valueCounts.get(elemField.id).contains(
+      entry.recordCount * 2))
+    assert(entry.nullValueCounts.get(elemField.id).contains(0L))
     assert(!entry.lowerBounds.contains(embField.id))
     assert(entry.lowerBounds.contains(
       t.metadata.currentSchema.fields.find(_.name == "vec_id").get.id))

@@ -55,9 +55,20 @@ class AnnIndexSpec extends SparkSpec {
       k = 3, kClusters = 4, iters = 2, nProbe = 2).collect()
     assert(minedRows.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
 
-    // the mining candidate scan reads only the probed lists' files
-    assert(mined.inputFiles.count(_.contains("ml/ann_index")) < totalFiles + totalFiles,
-      "sanity: mining reads index files only")
+    // the mining CANDIDATE scan opens only the probed lists' files: a
+    // single probe routes to 2 of the 4 lists, so the pruned slice —
+    // derived exactly as hardNegatives derives it — must open strictly
+    // fewer files than the table holds (fails if list pruning breaks;
+    // the full `mined` plan can't carry this assert because its PROBE
+    // side is a vec_id filter over all files by design)
+    val oneProbeClusters = idx.signatures.filter(col("vec_id") === 0L)
+      .select(explode(Similarity.probedClusters(cents, 2)).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(oneProbeClusters.size == 2)
+    val minedCandFiles = idx.candidates(oneProbeClusters).inputFiles.length
+    assert(minedCandFiles < totalFiles,
+      s"candidate scan opened $minedCandFiles of $totalFiles index files " +
+        "— list pruning broke")
 
     // index-served SemDeDup == the from-scratch run with the same
     // quantizer parameters, and it too never re-clusters
