@@ -22,6 +22,15 @@ import graft.meta.IcebergTable
   * do get read. */
 object ScanPlanner {
 
+  /** Above this many live data files, the equality-delete per-file
+    * sequence map ships as a broadcast join against the files relation
+    * instead of a `typedLit` literal (a literal over millions of paths
+    * bloats the plan text and the driver). Session-tunable so parity
+    * tests can force the join form on small tables. */
+  private[graft] def eqSeqLiteralMaxFiles(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.eqDeleteSeqLiteralMaxFiles")
+      .map(_.toInt).getOrElse(1000)
+
   /** File paths of `snapshot` whose `[lower, upper]` bounds for `column`
     * may intersect `[lo, hi]` (missing bounds keep the file — pruning
     * must be conservative), plus files matching `partitionEquals` when
@@ -222,12 +231,28 @@ object ScanPlanner {
     val df =
       if (eqDels.isEmpty) withLin
       else {
-        val seqByRelPath: Map[String, Long] = t.files(snapshotId)
-          .map(e => e.filePath -> entrySeq(e, 0L)).toMap
+        val pairs: Seq[(String, Long)] = t.files(snapshotId)
+          .map(e => e.filePath -> entrySeq(e, 0L))
         val pathCol = if (needLineage) col("__gr_path")
           else expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
-        withLin.withColumn("__seq",
-          coalesce(element_at(typedLit(seqByRelPath), pathCol), lit(0L)))
+        // the per-file commit sequence rides along as a literal
+        // path→sequence map while the table is metadata-small; above the
+        // threshold (millions of live files would bloat the literal into
+        // the plan itself) it becomes a BROADCAST JOIN against the files
+        // relation — same values, the map just ships as a broadcast
+        // relation instead of plan text
+        if (pairs.size <= eqSeqLiteralMaxFiles(spark))
+          withLin.withColumn("__seq",
+            coalesce(element_at(typedLit(pairs.toMap), pathCol), lit(0L)))
+        else {
+          import spark.implicits._
+          val seqRel = pairs.toDF("__seq_path", "__seq_val")
+          withLin.withColumn("__seq_key", pathCol)
+            .join(broadcast(seqRel),
+              col("__seq_key") === col("__seq_path"), "left")
+            .withColumn("__seq", coalesce(col("__seq_val"), lit(0L)))
+            .drop("__seq_key", "__seq_path", "__seq_val")
+        }
       }
 
     val afterPos = if (posDels.isEmpty) df

@@ -137,4 +137,39 @@ class ScanPlannerSpec extends SparkSpec {
     }
     assert(collect() == Seq((1L, "b"), (2L, "two"), (3L, "three")))
   }
+
+  test("equality-delete sequence map: broadcast-join form above the file threshold, same rows as the literal") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-moreqbc-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.bc", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    e.upsert("ns.bc", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    e.append("ns.bc", Seq((2L, "two")).toDF("k", "v"))
+    e.upsert("ns.bc", Seq((1L, "b")).toDF("k", "v"), Seq("k"))
+    e.append("ns.bc", Seq((3L, "three")).toDF("k", "v"))
+
+    def rows(): Seq[(Long, String)] = e.readTable("ns.bc")
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    // metadata-small default: the sequence map is a plan literal
+    val litPlan = e.readTable("ns.bc").queryExecution.executedPlan.toString
+    assert(!litPlan.contains("__seq_path"), litPlan.take(2000))
+    val expected = rows()
+    assert(expected == Seq((1L, "b"), (2L, "two"), (3L, "three")))
+
+    // force the at-scale form: the map ships as a BROADCAST JOIN against
+    // the files relation — same rows, no plan-text literal
+    spark.conf.set("spark.graft.eqDeleteSeqLiteralMaxFiles", "0")
+    try {
+      val df = e.readTable("ns.bc")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__seq_path"), plan.take(3000))
+      assert("BroadcastHashJoin.*__seq_path".r.findFirstIn(plan).nonEmpty ||
+        plan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(df.select("k", "v").as[(Long, String)].collect().sorted.toSeq
+        == expected)
+    } finally spark.conf.unset("spark.graft.eqDeleteSeqLiteralMaxFiles")
+  }
 }
