@@ -277,6 +277,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       row("analyze", !hasNdv,
         if (hasNdv) "NDV statistics present"
         else "no stored NDV statistics — ANALYZE enables better planning"))
+      .++(
+        // ANN-index tables carry a frozen coarse quantizer: the drift
+        // canary compares admission occupancy against the bootstrap
+        // distribution and names the rebuild when they diverge
+        graft.ops.AnnIndex.drift(t).map(d =>
+          row("ann-rebuild", d.recommended, d.reason)))
       .toDF("action", "status", "reason")
   }
 

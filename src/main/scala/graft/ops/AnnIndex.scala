@@ -47,7 +47,7 @@ final class AnnIndex(
     StructField("v_norm", DoubleType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = false)))
 
-  private val CentroidsProp = "graft.ann.centroids"
+  private val CentroidsProp = AnnIndex.CentroidsProp
 
   /** Create the (empty) index table, identity-partitioned on the cluster
     * id — each partition is one inverted list. */
@@ -67,9 +67,18 @@ final class AnnIndex(
   def bootstrap(emb: DataFrame): Seq[Seq[Double]] = {
     val cents = Clustering.kmeans(
       emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
+    val rows = assignedRows(emb, cents).localCheckpoint()
+    // the bootstrap per-cluster occupancy persists alongside the
+    // quantizer — the reference distribution the drift canary
+    // ([[AnnIndex.drift]]) compares later admissions against
+    val bootCounts = rows.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     graft.meta.TableWriter.append(engine.spark, engine.tableDir(ref),
-      assignedRows(emb, cents),
-      extraProperties = Map(CentroidsProp -> renderCentroids(cents)))
+      rows,
+      extraProperties = Map(
+        CentroidsProp -> renderCentroids(cents),
+        AnnIndex.BootCountsProp ->
+          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")))
     cents
   }
 
@@ -113,13 +122,37 @@ final class AnnIndex(
     * (sim DESC, id). No kmeans — centroids come from table properties;
     * the only pre-query job is the probes' routed-cluster census
     * (metadata-scale: ≤ kClusters ints). */
-  def search(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val cents = centroids
-    val probes = signatures.filter(probePred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("v_norm").as("q_norm"),
-        explode(Similarity.probedClusters(cents, nProbe)).as("cluster"))
-      .localCheckpoint() // feeds the prune census AND the join
+  def search(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame =
+    searchProbes(
+      signatures.filter(probePred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("v_norm").as("q_norm"),
+          explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
+      k, excludeSelf = true)
+
+  /** ANN search for EXTERNAL query vectors — the serving path: assign
+    * caller-supplied `(vec_id, embedding)` rows to the FROZEN centroids
+    * map-side and probe the `nProbe` nearest lists, WITHOUT admitting
+    * them (the index is never mutated, no kmeans runs). Unlike the
+    * predicate overload, candidate rows sharing a probe's `vec_id` are
+    * NOT excluded — external ids are a separate namespace from index
+    * ids. */
+  def search(probeVecs: DataFrame, k: Int, nProbe: Int): DataFrame =
+    searchProbes(
+      probeVecs
+        .withColumn("q_norm", Similarity.norm("embedding"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("q_norm"),
+          explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
+      k, excludeSelf = false)
+
+  /** Shared probe tail: census the routed clusters (metadata-scale
+    * collect — ≤ kClusters ints), equi-join the probes against the
+    * PRUNED list scan on the cluster key, per-probe top-k by
+    * (sim DESC, id). */
+  private def searchProbes(probes0: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val probes = probes0.localCheckpoint() // feeds the prune census AND the join
     val probed = probes.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val cands = candidates(probed).select(col("cluster"),
@@ -128,7 +161,7 @@ final class AnnIndex(
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     probes.join(cands, Seq("cluster"))
-      .filter(col("q_id") =!= col("c_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .select(col("q_id"), col("cluster"), col("c_id"),
         Similarity.cosineFromNorms("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(w))
@@ -180,22 +213,34 @@ final class AnnIndex(
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
       dedupWithinBatch: Boolean = false): DataFrame = {
     val cents = centroids
-    if (newVecs.isEmpty) return assignedRows(newVecs, cents) // empty micro-batch
-    val assigned0 = assignedRows(newVecs, cents).localCheckpoint()
+    // FUSED driver plumbing (the gate fronts micro-batch streams, where
+    // fixed per-job driver overhead dominates small batches): exactly
+    // THREE Spark jobs before the append — (1) the cluster census,
+    // which doubles as the emptiness probe, (2) the survivor
+    // checkpoint, (3) the fresh-rows emptiness probe — pinned by
+    // AnnIndexSpec's job census. Batch-scale intermediates are cache()d
+    // (materialized as a side effect of those jobs, no job of their
+    // own) and released before return; the survivor checkpoint cuts
+    // their lineage so the released caches are never recomputed.
+    val assigned0 = assignedRows(newVecs, cents).cache()
     val assigned =
       if (!dedupWithinBatch) assigned0
       else assigned0.join(
           Similarity.semDeDupAssigned(assigned0, threshold).select("vec_id"),
           Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-    val probed = assigned.select("cluster").distinct()
+    // job 1 — the PRE-dedup census: decides the probed lists (a
+    // superset of the post-dedup batch's clusters — same results,
+    // at most a few extra metadata-small list files) and doubles as
+    // the empty-micro-batch probe
+    val probed = assigned0.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    // the pruned index slice, materialized once — feeds the collision
-    // join AND the redelivery check
+    if (probed.isEmpty) { assigned0.unpersist(); return assigned0 }
+    // the pruned index slice — feeds the collision join AND the
+    // redelivery check; cached, materialized by jobs 2-3
     val cands = candidates(probed).select(col("cluster"),
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
-      .localCheckpoint()
+      .cache()
     // redelivered iff the vector's own (id, cluster, norm) row is
     // already indexed — such a vector was ADMITTED by a previous
     // delivery and must never be flagged (not even by its co-delivered
@@ -207,17 +252,27 @@ final class AnnIndex(
       .join(cands.select(col("c_id").as("vec_id"), col("cluster"),
           col("c_norm").as("v_norm")),
         Seq("vec_id", "cluster", "v_norm"), "left_semi")
-      .select("vec_id").localCheckpoint()
+      .select("vec_id")
     val flagged = assigned.join(cands, Seq("cluster"))
       .filter(col("c_id") =!= col("vec_id"))
       .filter(Similarity.cosineFromNorms(
         "c_emb", "embedding", "c_norm", "v_norm") >= threshold)
       .select("vec_id").distinct()
       .join(selfIndexed, Seq("vec_id"), "left_anti") // redelivery ≠ dup
-    val survivors = assigned.join(flagged, Seq("vec_id"), "left_anti")
+    // job 2 — one eager checkpoint carries the survivor rows AND their
+    // redelivery flag, so the fresh-rows split below never re-runs the
+    // collision join
+    val flaggedSurv = assigned.join(flagged, Seq("vec_id"), "left_anti")
+      .join(selfIndexed.withColumn("__gr_self", lit(true)),
+        Seq("vec_id"), "left")
+      .withColumn("__gr_self", coalesce(col("__gr_self"), lit(false)))
       .localCheckpoint()
-    val fresh = survivors.join(selfIndexed, Seq("vec_id"), "left_anti")
+    val survivors = flaggedSurv.drop("__gr_self")
+    val fresh = flaggedSurv.filter(!col("__gr_self")).drop("__gr_self")
+    // job 3 — emptiness probe on the checkpointed rows (limit-1 scan)
     if (!fresh.isEmpty) { engine.append(ref, fresh); () }
+    assigned0.unpersist()
+    cands.unpersist()
     survivors
   }
 
@@ -242,4 +297,76 @@ final class AnnIndex(
     * partition layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
+
+  /** The quantizer drift canary for THIS index — [[AnnIndex.drift]]. */
+  def drift: Option[AnnIndex.Drift] = AnnIndex.drift(engine.load(ref))
+}
+
+object AnnIndex {
+  /** Table property carrying the frozen coarse quantizer (exact
+    * `Double.toString` round-trip). */
+  val CentroidsProp = "graft.ann.centroids"
+
+  /** Table property carrying the bootstrap per-cluster occupancy
+    * (`cluster:count,...`) — the reference distribution the drift
+    * canary compares admissions against. */
+  val BootCountsProp = "graft.ann.bootCounts"
+
+  /** Total-variation distance between the admission-share and
+    * bootstrap-share distributions above which a quantizer rebuild is
+    * recommended. */
+  val DriftTvThreshold = 0.3
+
+  final case class Drift(
+      admitted: Long, tv: Double, recommended: Boolean, reason: String)
+
+  /** QUANTIZER DRIFT canary — the trigger for the index's documented
+    * rebuild-not-retrain posture: the frozen coarse quantizer was
+    * learned from the bootstrap corpus, so when the stream of ADMITTED
+    * vectors occupies the inverted lists very differently from the
+    * bootstrap distribution, the centroids no longer describe the data
+    * and the index should be REBUILT (bootstrap again), not patched.
+    *
+    * Driver-side over METADATA only — no Spark job: current per-cluster
+    * occupancy is read from the files relation's partition values ×
+    * record counts (the partition IS the inverted list), the bootstrap
+    * occupancy from the persisted property; admissions are their
+    * difference. The signal is the total-variation distance between the
+    * admission share and the bootstrap share. None for tables that are
+    * not a bootstrapped ANN index. */
+  def drift(t: graft.meta.IcebergTable): Option[Drift] = {
+    val props = t.metadata.properties
+    if (!props.contains(CentroidsProp)) return None
+    val boot: Map[Int, Long] = props.get(BootCountsProp) match {
+      case Some(raw) if raw.nonEmpty =>
+        raw.split(',').map { kv =>
+          val Array(c, n) = kv.split(':')
+          c.toInt -> n.toLong
+        }.toMap
+      case _ => return None // pre-canary index: no reference distribution
+    }
+    val current: Map[Int, Long] = t.files()
+      .groupBy(_.partition.getOrElse("cluster", "?"))
+      .collect { case (c, es) if c.forall(ch => ch.isDigit || ch == '-') =>
+        c.toInt -> es.map(_.recordCount).sum }
+      .toMap
+    val clusters = (boot.keySet ++ current.keySet).toSeq.sorted
+    val admittedBy = clusters.map(c =>
+      c -> math.max(0L, current.getOrElse(c, 0L) - boot.getOrElse(c, 0L))).toMap
+    val admitted = admittedBy.values.sum
+    val bootTotal = boot.values.sum.toDouble
+    if (admitted == 0L)
+      return Some(Drift(0L, 0.0, recommended = false,
+        "no admissions since bootstrap"))
+    val tv = 0.5 * clusters.map { c =>
+      math.abs(admittedBy(c).toDouble / admitted -
+        boot.getOrElse(c, 0L) / bootTotal)
+    }.sum
+    val rec = tv >= DriftTvThreshold
+    Some(Drift(admitted, tv, rec,
+      f"$admitted admissions, TV(admit‖bootstrap)=$tv%.3f " +
+        (if (rec) f"≥ $DriftTvThreshold%.1f — admissions occupy lists unlike the " +
+          "bootstrap corpus; rebuild the quantizer (bootstrap a fresh index)"
+        else f"< $DriftTvThreshold%.1f — admissions match the bootstrap distribution")))
+  }
 }

@@ -31,6 +31,13 @@ object ScanPlanner {
     spark.conf.getOption("spark.graft.eqDeleteSeqLiteralMaxFiles")
       .map(_.toInt).getOrElse(1000)
 
+  /** Snapshots at or under this many data files (per the snapshot
+    * summary) prune partition IN-probes driver-side with no Spark
+    * action; larger snapshots go through the executor-parallel files
+    * relation. Mirrors [[graft.rel.MetaRelations]]'s >2000-entry
+    * distributed-parse contract. */
+  private[graft] val DriverPruneMaxFiles = 2000L
+
   /** File paths of `snapshot` whose `[lower, upper]` bounds for `column`
     * may intersect `[lo, hi]` (missing bounds keep the file — pruning
     * must be conservative), plus files matching `partitionEquals` when
@@ -355,7 +362,6 @@ object ScanPlanner {
         s"partition predicate column $column not in current schema"))
     val specFields = t.metadata.partitionSpecs.flatMap(_.fields)
       .filter(_.sourceId == src.id)
-    val files = graft.rel.MetaRelations.files(spark, t, snapshotId)
     // one prune condition per spec-field name: the file's recorded value
     // must be among the transformed literals (or absent — conservative).
     // A name with conflicting transforms across specs cannot prune, and
@@ -363,19 +369,42 @@ object ScanPlanner {
     // (same contract as pruneFiles' single-value None): pruning on a
     // PARTIAL literal set would drop files holding the unmappable
     // value's rows while the residual row filter still matches them.
-    val keep = specFields.groupBy(_.name).toSeq.sortBy(_._1).flatMap {
-      case (pname, sfs) => sfs.map(_.transform).distinct match {
-        case Seq(tr) =>
-          val pvs = values.map(v =>
-            graft.meta.Transforms.literal(tr, v, src.fieldType))
-          if (pvs.exists(_.isEmpty)) None
-          else Some(col("partition")(pname).isNull ||
-            col("partition")(pname).isin(pvs.flatten.distinct: _*))
-        case _ => None
+    val groups: Seq[(String, Option[Set[String]])] =
+      specFields.groupBy(_.name).toSeq.sortBy(_._1).map {
+        case (pname, sfs) => pname -> (sfs.map(_.transform).distinct match {
+          case Seq(tr) =>
+            val pvs = values.map(v =>
+              graft.meta.Transforms.literal(tr, v, src.fieldType))
+            if (pvs.exists(_.isEmpty)) None
+            else Some(pvs.flatten.distinct.toSet)
+          case _ => None
+        })
       }
-    }.foldLeft(lit(true))(_ && _)
-    val pruned = files.filter(keep).select("file_path")
-      .collect().map(r => t.resolvePath(r.getString(0)))
+    // metadata-SMALL snapshots (summary-gated, no manifest read needed
+    // to decide) prune entirely on the driver — zero Spark actions, the
+    // difference between ~0.3 s and ~0 for index probes on micro-batch
+    // streams; above the threshold the files RELATION prunes with its
+    // executor-parallel manifest parse (the >2000-entry contract)
+    val totalFiles: Option[Long] = snapshotId
+      .flatMap(id => t.metadata.snapshot(id))
+      .orElse(t.metadata.currentSnapshot)
+      .flatMap(_.summary.get("total-data-files"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val pruned: Array[String] =
+      if (totalFiles.exists(_ <= DriverPruneMaxFiles))
+        t.files(snapshotId).iterator.filter(e => groups.forall {
+          case (pname, allowed) =>
+            allowed.forall(av => e.partition.get(pname).forall(av.contains))
+        }).map(e => t.resolvePath(e.filePath)).toArray
+      else {
+        val keep = groups.flatMap { case (pname, allowed) =>
+          allowed.map(av => col("partition")(pname).isNull ||
+            col("partition")(pname).isin(av.toSeq: _*))
+        }.foldLeft(lit(true))(_ && _)
+        graft.rel.MetaRelations.files(spark, t, snapshotId)
+          .filter(keep).select("file_path")
+          .collect().map(r => t.resolvePath(r.getString(0)))
+      }
     val resid = col(column).isin(values.map(lit(_)): _*)
     if (pruned.isEmpty) {
       val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))

@@ -155,6 +155,173 @@ class AnnIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("external-probe search: brute-force neighbors from pruned lists, no kmeans, no admission") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("annext").toString
+    val e = new Engine(spark, wh)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two well-separated directions -> 2 clean clusters of 2
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.ext_index", kClusters = 2, iters = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+    val runs = Clustering.kmeansRuns.get()
+    val countBefore = idx.signatures.count()
+
+    // 3 EXTERNAL query vectors (ids overlap index ids on purpose — a
+    // separate namespace, so none may be self-excluded)
+    val probes = Seq(
+      (100L, v(0.95, 0.05, 0, 0)), (7L, v(0.8, 0.2, 0, 0)),
+      (8L, v(0, 0.05, 0.95, 0)))
+      .toDF("vec_id", "embedding")
+    val res = idx.search(probes, k = 2, nProbe = 1)
+    val hits = res.collect()
+
+    // brute-force expectation: directions are orthogonal, so each
+    // probe's global top-2 lives entirely in its own cluster — the
+    // 1-probed-list search must return exactly the brute-force result
+    val expected = {
+      val corpusV = corpus.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](2).map(_.toDouble)))
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      probes.collect().flatMap { p =>
+        val q = p.getSeq[Float](1).map(_.toDouble)
+        corpusV.map { case (cid, cv) => (p.getLong(0), cid, cos(q, cv)) }
+          .sortBy { case (_, cid, s) => (-s, cid) }.take(2)
+      }.map { case (qid, cid, s) => (qid, cid, s) }.toSet
+    }
+    assert(hits.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+      r.getAs[Double]("sim"))).toSet == expected)
+
+    // serving contract: no kmeans, no mutation, pruned list reads
+    assert(Clustering.kmeansRuns.get() == runs, "external search re-clustered")
+    assert(idx.signatures.count() == countBefore, "external search mutated the index")
+    val totalFiles = idx.signatures.inputFiles.length
+    val oneProbe = idx.search(probes.limit(1), k = 2, nProbe = 1)
+    assert(oneProbe.inputFiles.count(_.contains("ml/ext_index")) < totalFiles,
+      "external probe did not prune to its routed list's files")
+  }
+
+  test("admitIfNovel runs exactly 3 jobs before the append (fused driver plumbing)") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("annjobs").toString
+    val e = new Engine(spark, wh)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.jobs_index", kClusters = 2, iters = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+
+    // count driver ACTIONS, not raw jobs: one SQL action = one distinct
+    // spark.sql.execution.id across however many AQE-stage / broadcast
+    // sub-jobs it spawns — the per-action plan+submit overhead is what
+    // dominates small micro-batches. An all-rejected batch never
+    // appends, so every action it runs is gate overhead; the fused
+    // formulation pins that at 3 (census, survivor checkpoint,
+    // emptiness probe).
+    val execIds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        execIds.putIfAbsent(if (id == null) s"rdd-${js.jobId}" else id, "?"); ()
+      }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execIds.put(s.executionId.toString, s.description); ()
+          case _ => ()
+        }
+    }
+    // the listener bus is async — poll until the count is stable
+    def stableCount(): Int = {
+      var prev = -1
+      var cur = execIds.size()
+      var spins = 0
+      while (cur != prev && spins < 100) {
+        prev = cur; Thread.sleep(100); cur = execIds.size(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // let any straggler events from the setup phase drain, then zero
+      Thread.sleep(500); execIds.clear()
+      val rejected = idx.admitIfNovel(
+        Seq((10L, 0, v(1, 0, 0, 0))).toDF("vec_id", "label", "embedding"), 0.95)
+      assert(rejected.isEmpty)
+      val gateActions = stableCount() - 1 // minus the isEmpty assert's own action
+      assert(gateActions <= 3,
+        s"gate ran $gateActions driver actions — fused plumbing regressed: " +
+          execIds.toString)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(idx.signatures.count() == 4) // nothing appended
+  }
+
+  test("drift canary: shifted admissions flip the advisor, in-distribution do not") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("anndrift").toString
+    val e = new Engine(spark, wh)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.drift_index", kClusters = 2, iters = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+
+    def adviseRow(): (String, String) = {
+      val r = e.advise("ml.drift_index")
+        .filter(col("action") === "ann-rebuild").collect()
+      assert(r.length == 1, "advise must surface the ann-rebuild canary for index tables")
+      (r.head.getString(1), r.head.getString(2))
+    }
+    // fresh index: no admissions, nothing to flag
+    val d0 = idx.drift.get
+    assert(d0.admitted == 0L && !d0.recommended)
+    assert(adviseRow()._1 == "OK")
+
+    // IN-DISTRIBUTION admissions (one per direction): shares match the
+    // bootstrap 50/50 split exactly -> TV = 0 -> still OK
+    idx.admit(Seq((10L, 0, v(0.95, 0.05, 0, 0)), (11L, 1, v(0, 0, 0.95, 0.05)))
+      .toDF("vec_id", "label", "embedding"))
+    val d1 = idx.drift.get
+    assert(d1.admitted == 2L && d1.tv == 0.0 && !d1.recommended, d1.toString)
+    assert(adviseRow()._1 == "OK")
+
+    // SHIFTED admissions: 4 more vectors all in one direction ->
+    // admission share 5/6 vs bootstrap 1/2 -> TV ≈ 0.33 ≥ 0.3 ->
+    // the advisor names the rebuild
+    idx.admit((20L to 23L).map(i => (i, 0, v(1, 0.01 * i, 0, 0)))
+      .toDF("vec_id", "label", "embedding"))
+    val d2 = idx.drift.get
+    assert(d2.admitted == 6L && d2.recommended, d2.toString)
+    val (st, why) = adviseRow()
+    assert(st == "RECOMMENDED" && why.contains("rebuild"), (st, why).toString)
+
+    // a plain (non-index) table never grows the canary row
+    e.createTable("ml.plain", new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType), Seq.empty)
+    e.append("ml.plain", Seq(1L).toDF("id"))
+    assert(e.advise("ml.plain")
+      .filter(col("action") === "ann-rebuild").collect().isEmpty)
+  }
+
   test("admit assigns new vectors to the frozen centroids; they become searchable") {
     val wh = java.nio.file.Files.createTempDirectory("annidx2").toString
     val e = new Engine(spark, wh)
