@@ -88,8 +88,24 @@ object Bench {
     // path that matters at 100 TB — would only ever get spec coverage.
     // This times them with driver thresholds 0 (one pass each; these are
     // multi-job loops where run-to-run noise amortizes across jobs).
+    // A knob-less run MEASURES the section too when the previous sidecar
+    // lacks it (carry-forward of nothing must fall back to measuring —
+    // the d_* numbers are the only wall-clock signal on the 100 TB code
+    // paths and must never exist only in git history).
+    val detailPathEarly = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val prevDetail: Option[String] =
+      try Some(new String(
+        java.nio.file.Files.readAllBytes(detailPathEarly), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val prevDistObj = prevDetail.flatMap(
+      """"distributed":\{[^}]*\}""".r.findFirstIn(_))
+    val runDistributed =
+      sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("1") ||
+        (prevDistObj.isEmpty &&
+          !sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("0"))
     val distributed: Seq[(String, Double)] =
-      if (!sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("1")) Seq.empty
+      if (!runDistributed) Seq.empty
       else {
         import org.apache.spark.sql.functions._
         val docs = Tables.documents(spark, sfDir)
@@ -128,31 +144,47 @@ object Bench {
               driverVocabThreshold = 0L, batchK = 8).count()
           })
       }
-    val detailPathEarly = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-    // A run WITHOUT the distributed knob must not erase the previous
-    // run's forced-distributed timings from the committed sidecar (the
-    // driver runs without the knob, and the d_* numbers are the only
-    // wall-clock signal on the 100 TB code paths): carry the existing
-    // `distributed` object forward verbatim when this run didn't
-    // produce a fresh one.
-    val distJson =
-      if (distributed.nonEmpty)
-        distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
-          .mkString(""","distributed":{""", ",", "}")
+    // The commit a distributed section was MEASURED at rides in the
+    // sidecar (`distributed_commit`): a run without the knob carries the
+    // previous section forward — it must not erase the only wall-clock
+    // signal on the 100 TB code paths — but a carried section whose
+    // measuring commit differs from HEAD is tagged `distributed_stale`,
+    // so stale d_* timings are never presented as measured-at-HEAD.
+    def gitHead(): Option[String] = scala.util.Try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+      if (!head.startsWith("ref: ")) head
       else {
-        val carried =
-          try {
-            val prev = new String(
-              java.nio.file.Files.readAllBytes(detailPathEarly), "UTF-8")
-            """"distributed":\{[^}]*\}""".r.findFirstIn(prev)
-          } catch { case scala.util.control.NonFatal(_) => None }
-        carried match {
-          case Some(obj) =>
-            System.err.println("[bench] carrying previous distributed section forward")
-            "," + obj
-          case None => ""
+        val ref = head.drop(5).trim
+        val refPath = java.nio.file.Paths.get(".git", ref.split('/'): _*)
+        if (java.nio.file.Files.exists(refPath))
+          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+        else { // packed refs
+          val src = scala.io.Source.fromFile(".git/packed-refs")
+          try src.getLines()
+            .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head }
+            .get
+          finally src.close()
         }
+      }
+    }.toOption
+    val distJson =
+      if (distributed.nonEmpty) {
+        val commit = gitHead().map(h =>
+          s""","distributed_commit":"$h"""").getOrElse("")
+        distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
+          .mkString(""","distributed":{""", ",", "}") + commit
+      } else prevDistObj match {
+        case Some(obj) =>
+          System.err.println("[bench] carrying previous distributed section forward")
+          val prevCommit = prevDetail.flatMap(
+            """"distributed_commit":"([0-9a-f]+)"""".r
+              .findFirstMatchIn(_).map(_.group(1)))
+          val fresh = prevCommit.exists(c => gitHead().contains(c))
+          "," + obj +
+            prevCommit.map(c => s""","distributed_commit":"$c"""").getOrElse("") +
+            (if (fresh) "" else ""","distributed_stale":true""")
+        case None => ""
       }
 
     val detailJson = perQuery

@@ -281,7 +281,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
         // ANN-index tables carry a frozen coarse quantizer: the drift
         // canary compares admission occupancy against the bootstrap
         // distribution and names the rebuild when they diverge
-        graft.ops.AnnIndex.drift(t).map(d =>
+        graft.ops.AnnIndex.drift(t, Some(spark)).map(d =>
           row("ann-rebuild", d.recommended, d.reason)))
       .toDF("action", "status", "reason")
   }

@@ -240,16 +240,22 @@ object TableWriter {
     * primitive/binary columns; for list columns the ELEMENT totals —
     * `vc_` = total element count (null elements included, the spec's
     * value_count for the element leaf) and `nc_` = null element count —
-    * plus min/max for bound-encodable types. */
+    * plus min/max for bound-encodable types. A NULL top-level array
+    * counts as ONE null value at the element leaf (both counts): that
+    * is what parquet-footer-derived Iceberg metrics record (the leaf
+    * chunk carries one def-level-0 entry for the null list), so external
+    * readers see the same numbers either way. */
   private def statAggsFor(fields: Seq[SchemaField]): Seq[org.apache.spark.sql.Column] =
     fields.flatMap { f =>
+      def nullArrays = count_if(col(f.name).isNull)
       val vc =
         if (isList(f))
-          sum(coalesce(size(col(f.name)), lit(0))).cast("long").as(s"vc_${f.id}")
+          (sum(coalesce(size(col(f.name)), lit(0))) + nullArrays)
+            .cast("long").as(s"vc_${f.id}")
         else count(col(f.name)).as(s"vc_${f.id}")
       val nc =
         if (isList(f)) Seq(
-          sum(coalesce(size(filter(col(f.name), _.isNull)), lit(0)))
+          (sum(coalesce(size(filter(col(f.name), _.isNull)), lit(0))) + nullArrays)
             .cast("long").as(s"nc_${f.id}"))
         else Seq.empty
       val bounds =

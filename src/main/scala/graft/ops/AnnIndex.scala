@@ -38,14 +38,27 @@ final class AnnIndex(
     val engine: Engine,
     val ref: String,
     val kClusters: Int = 4,
-    val iters: Int = 2) {
+    val iters: Int = 2,
+    val pqM: Int = 0,
+    val pqK: Int = 16) {
 
+  /** With `pqM > 0` the index is IVF-PQ: every row additionally carries
+    * `codes` — `pqM` per-subspace product-quantization codes (one byte
+    * each at realistic `pqK`) — and probes ADC-scan the codes with an
+    * exact rerank instead of reading the full vectors
+    * ([[Similarity.ivfPqRouted]]). `pqM`/`pqK` matter only at
+    * [[create]]/[[bootstrap]] time; every read path detects PQ from the
+    * persisted codebooks property, so a default-constructed handle
+    * serves an existing PQ index correctly. */
   val schema: StructType = StructType(Seq(
     StructField("vec_id", LongType, nullable = false),
     StructField("label", IntegerType, nullable = true),
     StructField("cluster", IntegerType, nullable = false),
     StructField("v_norm", DoubleType, nullable = false),
-    StructField("embedding", ArrayType(FloatType), nullable = false)))
+    StructField("embedding", ArrayType(FloatType), nullable = false)) ++
+    (if (pqM > 0)
+      Seq(StructField("codes", ArrayType(IntegerType), nullable = false))
+    else Nil))
 
   private val CentroidsProp = AnnIndex.CentroidsProp
 
@@ -54,20 +67,31 @@ final class AnnIndex(
   def create(): Unit =
     engine.createTable(ref, schema, Seq("cluster"))
 
-  private def assignedRows(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
-    Clustering.assign(emb, cents)
+  private def assignedRows(emb: DataFrame, cents: Seq[Seq[Double]],
+      cbs: Option[Seq[Seq[Seq[Double]]]]): DataFrame = {
+    val base = Clustering.assign(emb, cents)
       .withColumn("v_norm", Similarity.norm("embedding"))
       .select(col("vec_id"), col("label").cast("int").as("label"),
         col("cluster"), col("v_norm"), col("embedding"))
+    // PQ indexes carry the codes INLINE — encoded once at admission
+    // (map-side argmin over the frozen codebook literals), never
+    // recomputed at probe time
+    cbs.fold(base)(cb =>
+      base.withColumn("codes", Similarity.pqCodes(cb, "embedding")))
+  }
 
-  /** Train the quantizer and seed every corpus vector's assignment — the
-    * ONLY call that runs kmeans. One commit carries the assignments AND
-    * the centroid matrix (as a table property), so the index is
+  /** Train the quantizer (and, for `pqM > 0`, the per-subspace PQ
+    * codebooks) and seed every corpus vector's assignment — the ONLY
+    * call that runs kmeans. One commit carries the assignments AND the
+    * centroid matrix / codebooks (as table properties), so the index is
     * self-contained from its first snapshot. */
   def bootstrap(emb: DataFrame): Seq[Seq[Double]] = {
     val cents = Clustering.kmeans(
       emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
-    val rows = assignedRows(emb, cents).localCheckpoint()
+    val cbs =
+      if (pqM <= 0) None
+      else Some(Similarity.trainCodebooks(emb, pqM, pqK, iters))
+    val rows = assignedRows(emb, cents, cbs).localCheckpoint()
     // the bootstrap per-cluster occupancy persists alongside the
     // quantizer — the reference distribution the drift canary
     // ([[AnnIndex.drift]]) compares later admissions against
@@ -78,7 +102,9 @@ final class AnnIndex(
       extraProperties = Map(
         CentroidsProp -> renderCentroids(cents),
         AnnIndex.BootCountsProp ->
-          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")))
+          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
+        cbs.map(cb => AnnIndex.PqCodebooksProp ->
+          cb.map(renderCentroids).mkString("|")))
     cents
   }
 
@@ -96,6 +122,15 @@ final class AnnIndex(
     raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
   }
 
+  /** The frozen PQ codebooks (`codebooks(j)(c)` = centroid `c` of
+    * subspace `j`), read from the table's own metadata — None for a
+    * flat (non-PQ) index. Exact `Double.toString` round-trip, like the
+    * coarse quantizer. */
+  def codebooks: Option[Seq[Seq[Seq[Double]]]] =
+    engine.load(ref).metadata.properties.get(AnnIndex.PqCodebooksProp)
+      .map(_.split('|').toSeq.map(sub =>
+        sub.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))))
+
   /** The standing index (all lists). */
   def signatures: DataFrame = engine.readTable(ref)
 
@@ -107,11 +142,12 @@ final class AnnIndex(
       "cluster", clusters.map(_.toString))
       .filter(col("cluster").isin(clusters: _*))
 
-  /** Assign an ingest batch to the frozen centroids and append it to the
-    * lists — one map-side argmin projection + one commit, no kmeans.
-    * Returns the assigned rows (what landed). */
+  /** Assign an ingest batch to the frozen centroids (and, for a PQ
+    * index, encode it against the frozen codebooks) and append it to
+    * the lists — one map-side argmin projection + one commit, no
+    * kmeans. Returns the assigned rows (what landed). */
   def admit(newVecs: DataFrame): DataFrame = {
-    val rows = assignedRows(newVecs, centroids).localCheckpoint()
+    val rows = assignedRows(newVecs, centroids, codebooks).localCheckpoint()
     engine.append(ref, rows)
     rows
   }
@@ -121,14 +157,18 @@ final class AnnIndex(
     * PRUNED list scan joined on the cluster key, per-probe top-k by
     * (sim DESC, id). No kmeans — centroids come from table properties;
     * the only pre-query job is the probes' routed-cluster census
-    * (metadata-scale: ≤ kClusters ints). */
-  def search(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame =
+    * (metadata-scale: ≤ kClusters ints). On a PQ index the scan is the
+    * ADC shortlist + exact rerank (`rerank` candidates per probe;
+    * 0 = max(4·k, 16)) and the result carries an extra `adc_micro`
+    * column. */
+  def search(probePred: Column, k: Int = 3, nProbe: Int = 2,
+      rerank: Int = 0): DataFrame =
     searchProbes(
       signatures.filter(probePred)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("v_norm").as("q_norm"),
           explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
-      k, excludeSelf = true)
+      k, excludeSelf = true, rerank)
 
   /** ANN search for EXTERNAL query vectors — the serving path: assign
     * caller-supplied `(vec_id, embedding)` rows to the FROZEN centroids
@@ -138,36 +178,95 @@ final class AnnIndex(
     * NOT excluded — external ids are a separate namespace from index
     * ids. */
   def search(probeVecs: DataFrame, k: Int, nProbe: Int): DataFrame =
+    search(probeVecs, k, nProbe, 0)
+
+  /** [[search(probeVecs*)]] with an explicit PQ rerank budget. */
+  def search(probeVecs: DataFrame, k: Int, nProbe: Int, rerank: Int): DataFrame =
     searchProbes(
       probeVecs
         .withColumn("q_norm", Similarity.norm("embedding"))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("q_norm"),
           explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
-      k, excludeSelf = false)
+      k, excludeSelf = false, rerank)
 
   /** Shared probe tail: census the routed clusters (metadata-scale
-    * collect — ≤ kClusters ints), equi-join the probes against the
-    * PRUNED list scan on the cluster key, per-probe top-k by
-    * (sim DESC, id). */
+    * collect — ≤ kClusters ints), then search the PRUNED list scan.
+    *
+    * Flat index: equi-join probes against the pruned lists on the
+    * cluster key, per-probe top-k by (sim DESC, id).
+    *
+    * PQ index (codebooks persisted): the FAISS IVF-PQ serving shape —
+    * the scoring pass reads `(cluster, vec_id, codes)` ONLY (column
+    * pruning keeps the 4·dim-byte vectors out of the dominant list IO),
+    * ADC-shortlists `rerank` candidates per probe by exact integer LUT
+    * sums, and only the shortlist joins back to the inline vectors for
+    * the exact cosine rerank. With `rerank` covering the probed lists
+    * the result equals the flat scan; the extra `adc_micro` column
+    * rides in the output. */
   private def searchProbes(probes0: DataFrame, k: Int,
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean, rerank: Int = 0): DataFrame = {
     val probes = probes0.localCheckpoint() // feeds the prune census AND the join
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    codebooks match {
+      case Some(cbs) =>
+        val candCodes = candidates(probed).select(col("cluster"),
+          col("vec_id").as("c_id"), col("codes"))
+        val candVecs = candidates(probed).select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+        val r = if (rerank > 0) rerank else math.max(4 * k, 16)
+        Similarity.ivfPqRouted(probes, candCodes, candVecs, cbs, k, r,
+          excludeSelf)
+      case None =>
+        val cands = candidates(probed).select(col("cluster"),
+          col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("v_norm").as("c_norm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+        probes.join(cands, Seq("cluster"))
+          .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
+          .select(col("q_id"), col("cluster"), col("c_id"),
+            Similarity.cosineFromNorms("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select("q_id", "cluster", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+    }
+  }
+
+  /** Index-served SEMANTIC DECONTAMINATION — the persisted-index route
+    * for [[Similarity.semanticDecontam]] against a 100 TB corpus: the
+    * benchmark/test probe vectors (external `(vec_id, embedding)` rows,
+    * never admitted) route to their `nProbe` nearest lists, and the
+    * contaminated-corpus scan reads ONLY the probed lists' files. Same
+    * output contract as `semanticDecontam`: one row per flagged corpus
+    * vector — hit count, best similarity, lowest matching probe id —
+    * ordered by vector id. The cosine gate is EXACT over the pruned
+    * lists (recall tunes with nProbe, the IVF posture), and the
+    * benchmark-sized probe side broadcasts. */
+  def decontam(probeVecs: DataFrame, threshold: Double,
+      nProbe: Int = 2): DataFrame = {
+    val probes = probeVecs
+      .withColumn("q_norm", Similarity.norm("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q_norm"),
+        explode(Similarity.probedClusters(centroids, nProbe)).as("cluster"))
+      .localCheckpoint()
     val probed = probes.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val cands = candidates(probed).select(col("cluster"),
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    probes.join(cands, Seq("cluster"))
-      .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
-      .select(col("q_id"), col("cluster"), col("c_id"),
+    cands.join(broadcast(probes), Seq("cluster"))
+      .select(col("c_id"), col("q_id"),
         Similarity.cosineFromNorms("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("q_id", "cluster", "c_id", "sim", "rn")
-      .orderBy("q_id", "rn")
+      .filter(col("sim") >= threshold)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_probe_hits"),
+        max(col("sim")).as("top_sim"),
+        min(col("q_id")).as("first_probe"))
+      .orderBy("c_id")
   }
 
   /** Index-served hard-negative mining: [[Similarity.hardNegativesRouted]]
@@ -213,6 +312,7 @@ final class AnnIndex(
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
       dedupWithinBatch: Boolean = false): DataFrame = {
     val cents = centroids
+    val cbs = codebooks
     // FUSED driver plumbing (the gate fronts micro-batch streams, where
     // fixed per-job driver overhead dominates small batches): exactly
     // THREE Spark jobs before the append — (1) the cluster census,
@@ -222,7 +322,7 @@ final class AnnIndex(
     // (materialized as a side effect of those jobs, no job of their
     // own) and released before return; the survivor checkpoint cuts
     // their lineage so the released caches are never recomputed.
-    val assigned0 = assignedRows(newVecs, cents).cache()
+    val assigned0 = assignedRows(newVecs, cents, cbs).cache()
     val assigned =
       if (!dedupWithinBatch) assigned0
       else assigned0.join(
@@ -253,6 +353,9 @@ final class AnnIndex(
           col("c_norm").as("v_norm")),
         Seq("vec_id", "cluster", "v_norm"), "left_semi")
       .select("vec_id")
+      // distinct: the flag attaches via a LEFT join below, so a batch
+      // that carries duplicate vec_id rows must not multiply survivors
+      .distinct()
     val flagged = assigned.join(cands, Seq("cluster"))
       .filter(col("c_id") =!= col("vec_id"))
       .filter(Similarity.cosineFromNorms(
@@ -299,7 +402,8 @@ final class AnnIndex(
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
 
   /** The quantizer drift canary for THIS index — [[AnnIndex.drift]]. */
-  def drift: Option[AnnIndex.Drift] = AnnIndex.drift(engine.load(ref))
+  def drift: Option[AnnIndex.Drift] =
+    AnnIndex.drift(engine.load(ref), Some(engine.spark))
 }
 
 object AnnIndex {
@@ -312,10 +416,20 @@ object AnnIndex {
     * canary compares admissions against. */
   val BootCountsProp = "graft.ann.bootCounts"
 
+  /** Table property carrying the frozen per-subspace PQ codebooks
+    * (`sub|sub`, each `centroid;centroid`, each `comp,comp` — exact
+    * `Double.toString` round-trip). Present iff the index is IVF-PQ. */
+  val PqCodebooksProp = "graft.ann.pqCodebooks"
+
   /** Total-variation distance between the admission-share and
     * bootstrap-share distributions above which a quantizer rebuild is
     * recommended. */
   val DriftTvThreshold = 0.3
+
+  /** Census of driver-side `t.files()` walks taken by [[drift]] — specs
+    * assert the walk is skipped above the summary gate. */
+  private[graft] val driftDriverWalks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   final case class Drift(
       admitted: Long, tv: Double, recommended: Boolean, reason: String)
@@ -327,14 +441,20 @@ object AnnIndex {
     * bootstrap distribution, the centroids no longer describe the data
     * and the index should be REBUILT (bootstrap again), not patched.
     *
-    * Driver-side over METADATA only — no Spark job: current per-cluster
-    * occupancy is read from the files relation's partition values ×
-    * record counts (the partition IS the inverted list), the bootstrap
+    * Current per-cluster occupancy comes from partition values × record
+    * counts (the partition IS the inverted list), the bootstrap
     * occupancy from the persisted property; admissions are their
-    * difference. The signal is the total-variation distance between the
-    * admission share and the bootstrap share. None for tables that are
-    * not a bootstrapped ANN index. */
-  def drift(t: graft.meta.IcebergTable): Option[Drift] = {
+    * difference. Metadata-SMALL snapshots (summary-gated, the same
+    * `total-data-files` contract as [[ScanPlanner]]'s driver prune) walk
+    * `t.files()` on the driver — zero Spark actions; above the gate the
+    * files RELATION aggregates executor-parallel (the >2000-entry
+    * contract), collecting one row per inverted list. The signal is the
+    * total-variation distance between the admission share and the
+    * bootstrap share. None for tables that are not a bootstrapped ANN
+    * index. */
+  def drift(t: graft.meta.IcebergTable,
+      spark: Option[org.apache.spark.sql.SparkSession] = None,
+      maxDriverFiles: Long = ScanPlanner.DriverPruneMaxFiles): Option[Drift] = {
     val props = t.metadata.properties
     if (!props.contains(CentroidsProp)) return None
     val boot: Map[Int, Long] = props.get(BootCountsProp) match {
@@ -345,10 +465,27 @@ object AnnIndex {
         }.toMap
       case _ => return None // pre-canary index: no reference distribution
     }
-    val current: Map[Int, Long] = t.files()
-      .groupBy(_.partition.getOrElse("cluster", "?"))
-      .collect { case (c, es) if c.forall(ch => ch.isDigit || ch == '-') =>
-        c.toInt -> es.map(_.recordCount).sum }
+    val totalFiles: Option[Long] = t.metadata.currentSnapshot
+      .flatMap(_.summary.get("total-data-files"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val rawCounts: Seq[(String, Long)] = spark match {
+      case Some(s) if !totalFiles.exists(_ <= maxDriverFiles) =>
+        graft.rel.MetaRelations.files(s, t)
+          .groupBy(element_at(col("partition"), lit("cluster")).as("c"))
+          .agg(sum(col("record_count")).as("n"))
+          .collect().toSeq
+          .map(r => Option(r.getString(0)).getOrElse("?") -> r.getLong(1))
+      case _ =>
+        driftDriverWalks.incrementAndGet()
+        t.files()
+          .groupBy(_.partition.getOrElse("cluster", "?"))
+          .toSeq.map { case (c, es) => c -> es.map(_.recordCount).sum }
+    }
+    // non-numeric partition values (a foreign identity(cluster) layout)
+    // are skipped, never thrown on — Try, not a character-class guard,
+    // so "" or "1-2" cannot crash advise
+    val current: Map[Int, Long] = rawCounts
+      .flatMap { case (c, n) => scala.util.Try(c.toInt).toOption.map(_ -> n) }
       .toMap
     val clusters = (boot.keySet ++ current.keySet).toSeq.sorted
     val admittedBy = clusters.map(c =>

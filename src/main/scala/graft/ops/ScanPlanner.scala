@@ -253,7 +253,10 @@ object ScanPlanner {
             coalesce(element_at(typedLit(pairs.toMap), pathCol), lit(0L)))
         else {
           import spark.implicits._
-          val seqRel = pairs.toDF("__seq_path", "__seq_val")
+          // same keying as the literal branch's `.toMap` — a path that
+          // ever appeared twice in t.files() must not duplicate data rows
+          // through the join
+          val seqRel = pairs.toMap.toSeq.sortBy(_._1).toDF("__seq_path", "__seq_val")
           withLin.withColumn("__seq_key", pathCol)
             .join(broadcast(seqRel),
               col("__seq_key") === col("__seq_path"), "left")

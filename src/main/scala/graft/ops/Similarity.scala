@@ -315,37 +315,10 @@ object Similarity {
     val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subDim = dim / m
-    def subSlice(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
 
-    // train: m deterministic Lloyd runs over the sliced column. The
-    // subspaces are independent, so their driver-blocking actions (init
-    // collect + one sums-collect per update) run CONCURRENTLY — Spark
-    // schedules jobs from multiple threads freely, and each result is
-    // identical to the sequential run.
-    val models = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.traverse((0 until m).toList) { j =>
-          Future(Clustering.kmeans(
-            emb.select(col("vec_id"), subSlice(j).as("embedding")), k, iters))
-        }, scala.concurrent.duration.Duration.Inf)
-    }
-
-    // encode: one scan, m argmin expressions -> array of m codes
-    def argminCode(j: Int): Column = {
-      val scored = models(j).centroids.zipWithIndex.map { case (cv, c) =>
-        val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
-        struct(
-          (lit(-2.0) * GraftColumnBridge.column(VecDot(
-            GraftColumnBridge.expression(subSlice(j)),
-            GraftColumnBridge.expression(typedLit(cv)))) + lit(normSq)).as("d"),
-          lit(c).as("c"))
-      }
-      array_min(array(scored: _*)).getField("c")
-    }
+    val codebooks = trainCodebooks(emb, m, k, iters)
     val codes = emb.select(col("vec_id").as("c_id"),
-      array((0 until m).map(argminCode): _*).as("codes"))
+      pqCodes(codebooks, "embedding").as("codes"))
 
     // per-probe LUTs on the driver: same fold order as the SQL twin
     def partMicro(vec: Seq[Float], j: Int, cv: Seq[Double]): Long = {
@@ -360,7 +333,7 @@ object Similarity {
       .map { r =>
         val vec = r.getSeq[Float](1)
         val luts = (0 until m).map { j =>
-          models(j).centroids.map(cv => partMicro(vec, j, cv))
+          codebooks(j).map(cv => partMicro(vec, j, cv))
         }
         (r.getLong(0), luts)
       }.sortBy(_._1)
@@ -384,6 +357,148 @@ object Similarity {
       .filter(col("rn") <= topK)
       .select("q_id", "c_id", "adc_micro", "rn")
       .orderBy("q_id", "rn")
+  }
+
+  /** Train `m` per-subspace PQ codebooks (k centroids each) with the
+    * deterministic Lloyd kmeans — m independent runs over sliced
+    * columns whose driver-blocking actions (init collect + one
+    * sums-collect per update) run CONCURRENTLY; Spark schedules jobs
+    * from multiple threads freely and each result is identical to the
+    * sequential run. Returns `codebooks(j)(c)` = centroid `c` of
+    * subspace `j`. */
+  private[ops] def trainCodebooks(
+      emb: DataFrame, m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    Await.result(
+      Future.traverse((0 until m).toList) { j =>
+        Future(Clustering.kmeans(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
+          k, iters).centroids)
+      }, scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** PQ ENCODE as one map-side projection: array of `m` per-subspace
+    * argmin codes over the broadcast codebook literals — same
+    * `-2·v⋅c + |c|²` score and (score, id) tie order as
+    * [[Clustering.assign]], no shuffle, no join. */
+  private[ops] def pqCodes(
+      codebooks: Seq[Seq[Seq[Double]]], vecCol: String): Column = {
+    val subDim = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      val scored = cb.zipWithIndex.map { case (cv, c) =>
+        val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
+        struct(
+          (lit(-2.0) * GraftColumnBridge.column(VecDot(
+            GraftColumnBridge.expression(sub),
+            GraftColumnBridge.expression(typedLit(cv)))) + lit(normSq)).as("d"),
+          lit(c).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }: _*)
+  }
+
+  /** Per-probe ADC lookup table as one map-side projection on the PROBE
+    * rows (the distributed twin of [[pqSearch]]'s driver LUTs, for probe
+    * sets that are DataFrames rather than driver collections):
+    * `lut(j)(c) = floor((-2·q_j⋅c + |c|²)·1e6)` longs — the same
+    * sequential-fold arithmetic as the driver version, so ADC sums stay
+    * integer-exact and oracle-reproducible. m×k longs per probe row. */
+  private[ops] def pqLut(
+      codebooks: Seq[Seq[Seq[Double]]], vecCol: String): Column = {
+    val subDim = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      array(cb.map { cv =>
+        val normSq = cv.foldLeft(0.0)((a, x) => a + x * x)
+        floor((lit(-2.0) * GraftColumnBridge.column(VecDot(
+          GraftColumnBridge.expression(sub),
+          GraftColumnBridge.expression(typedLit(cv)))) + lit(normSq)) * lit(1e6))
+          .cast("long")
+      }: _*)
+    }: _*)
+  }
+
+  /** The ADC-scan + exact-rerank core of IVF-PQ search over
+    * ALREADY-ROUTED probes and ALREADY-ENCODED candidates — what the
+    * persisted [[AnnIndex]] serves off its pruned lists.
+    *
+    * Scale shape (the FAISS IVF-PQ serving posture): the candidate
+    * SCORING stream carries `(cluster, c_id, codes)` only — full
+    * vectors never enter the ADC join, so list IO during scoring is the
+    * m-byte code column, not the 4·dim-byte payload (a 16-32× cut at
+    * 100 TB). Each probe's m×k LUT is one map-side projection; the ADC
+    * sum is m `element_at` lookups per pair, exact integer addition.
+    * Only the top-`rerank` shortlist per probe (by ADC asc, id) joins
+    * back to the inline vectors for the EXACT cosine rerank, and the
+    * final top-`k` orders by (sim DESC, id) — with `rerank` covering
+    * the probed lists, the result is identical to the flat scan.
+    *
+    * Inputs: `probes` = (q_id, q_emb, q_norm, cluster) one row per
+    * routed list; `candCodes` = (cluster, c_id, codes);
+    * `candVecs` = (c_id, c_emb, c_norm). */
+  private[ops] def ivfPqRouted(
+      probes: DataFrame, candCodes: DataFrame, candVecs: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val m = codebooks.length
+    val pLut = probes.select(col("q_id"), col("cluster"),
+      pqLut(codebooks, "q_emb").as("__lut"))
+    val adc = (0 until m).map(j =>
+      element_at(col("__lut").getItem(j), col("codes").getItem(j) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_micro"), col("c_id"))
+    val shortlist = pLut.join(candCodes, Seq("cluster"))
+      .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
+      .select(col("q_id"), col("cluster"), col("c_id"), adc.as("adc_micro"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .drop("arn")
+    // q_emb/q_norm are functional on q_id (the routing explode copied
+    // them per list) — one row per probe for the rerank join
+    val qVecs = probes.select(col("q_id"), col("q_emb"), col("q_norm"))
+      .dropDuplicates("q_id")
+    val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    shortlist.join(qVecs, Seq("q_id")).join(candVecs, Seq("c_id"))
+      .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+      .withColumn("rn", row_number().over(wSim))
+      .filter(col("rn") <= k)
+      .select("q_id", "cluster", "c_id", "adc_micro", "sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** From-scratch IVF-PQ top-k search (the oracle-facing twin of
+    * [[graft.ops.AnnIndex]]'s persisted PQ serving path): coarse kmeans
+    * quantizer, per-subspace PQ codebooks, probes routed to their
+    * `nProbe` nearest lists, ADC shortlist of `rerank` candidates per
+    * probe, exact cosine rerank to `topK`. Deterministic end to end —
+    * integer LUT sums, (adc, id) then (sim DESC, id) tie orders. */
+  def ivfPqSearch(emb: DataFrame, probePred: Column, kClusters: Int = 4,
+      iters: Int = 2, m: Int = 4, pqK: Int = 8, nProbe: Int = 2,
+      rerank: Int = 10, topK: Int = 5): DataFrame = {
+    val coarse = Clustering.kmeans(
+      emb.select(col("vec_id"), col("embedding")), kClusters, iters)
+    // both join sides and the probe filter consume the assignment — the
+    // k-dot-products-per-row argmin is paid once
+    val assigned = coarse.assignments
+      .withColumn("v_norm", norm("embedding")).localCheckpoint()
+    val codebooks = trainCodebooks(emb, m, pqK, iters)
+    val probes = assigned.filter(probePred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"),
+        explode(probedClusters(coarse.centroids, nProbe)).as("cluster"))
+    val candCodes = assigned.select(col("cluster"), col("vec_id").as("c_id"),
+      pqCodes(codebooks, "embedding").as("codes"))
+    val candVecs = assigned.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+    ivfPqRouted(probes, candCodes, candVecs, codebooks, topK, rerank,
+      excludeSelf = true)
   }
 
   /** INT8 QUANTIZATION stats for embedding export (the serving/ANN-index

@@ -358,6 +358,68 @@ object PipelineQueries {
          |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
   }
 
+  /** Score expression against a codebook/centroid CTE's `cv` list —
+    * shared by the PQ reproductions. */
+  private def pqScoreSql(eAlias: String): String =
+    s"""-2.0 * list_reduce(list_transform(range(1, len($eAlias.embedding) + 1),
+       |        i -> CAST($eAlias.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+       |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)""".stripMargin
+
+  /** One subspace's full PQ reproduction chain (slice → init → assign →
+    * integer-quantized update → assign → per-probe LUT), shared by
+    * q_ann_pq and q_ann_ivfpq: CTEs `p{j}e..p{j}a2` (final codes in
+    * `p{j}a2.cluster`) and `p{j}lut` (probes vec_id<10, entries
+    * `floor((-2·q⋅c + |c|²)·1e6)` BIGINTs). */
+  private def pqSubCtes(j: Int, k: Int, subDim: Int): String = {
+    val lo = j * subDim + 1; val hi = (j + 1) * subDim
+    def score(eAlias: String): String = pqScoreSql(eAlias)
+    s"""p${j}e AS (
+       |  SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
+       |  FROM embeddings),
+       |p${j}c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM p${j}e WHERE vec_id < $k),
+       |p${j}d1 AS (
+       |  SELECT e.vec_id, e.embedding, p${j}c0.c,
+       |    ${score("e")} AS score
+       |  FROM p${j}e e, p${j}c0),
+       |p${j}a1 AS (
+       |  SELECT vec_id, embedding, c AS cluster FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |     FROM p${j}d1)
+       |  WHERE rn = 1),
+       |p${j}s1 AS (
+       |  SELECT cluster, dim,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS sq,
+       |    count(*) AS cnt
+       |  FROM (SELECT cluster, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS dim FROM p${j}a1)
+       |  GROUP BY 1, 2),
+       |p${j}c1n AS (
+       |  SELECT cluster AS c,
+       |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
+       |  FROM p${j}s1 GROUP BY cluster),
+       |p${j}c1 AS (
+       |  SELECT p${j}c0.c, COALESCE(p${j}c1n.cv, p${j}c0.cv) AS cv
+       |  FROM p${j}c0 LEFT JOIN p${j}c1n ON p${j}c0.c = p${j}c1n.c),
+       |p${j}d2 AS (
+       |  SELECT e.vec_id, e.embedding, p${j}c1.c,
+       |    ${score("e")} AS score
+       |  FROM p${j}e e, p${j}c1),
+       |p${j}a2 AS (
+       |  SELECT vec_id, embedding, c AS cluster FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+       |     FROM p${j}d2)
+       |  WHERE rn = 1),
+       |p${j}lut AS (
+       |  SELECT pr.vec_id AS q_id, c1.c AS code,
+       |    CAST(floor((${score("pr")}) * 1000000.0) AS BIGINT) AS part_micro
+       |  FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
+       |        FROM embeddings WHERE vec_id < 10) pr, p${j}c1 c1)""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[Similarity.pqSearch]] (m=4 subspaces ×
     * 16 dims, k=8, iters=2, probes vec_id<10, top-5): one full
     * per-subspace Lloyd reproduction (same machinery as [[kmeansCtes]],
@@ -366,58 +428,7 @@ object PipelineQueries {
     * integers. */
   private val pqOracleSql: String = {
     val m = 4; val k = 8; val subDim = 16; val topK = 5
-    def score(eAlias: String): String =
-      s"""-2.0 * list_reduce(list_transform(range(1, len($eAlias.embedding) + 1),
-         |        i -> CAST($eAlias.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
-         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y)""".stripMargin
-    def sub(j: Int): String = {
-      val lo = j * subDim + 1; val hi = (j + 1) * subDim
-      s"""p${j}e AS (
-         |  SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
-         |  FROM embeddings),
-         |p${j}c0 AS (
-         |  SELECT CAST(vec_id AS INT) AS c,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM p${j}e WHERE vec_id < $k),
-         |p${j}d1 AS (
-         |  SELECT e.vec_id, e.embedding, p${j}c0.c,
-         |    ${score("e")} AS score
-         |  FROM p${j}e e, p${j}c0),
-         |p${j}a1 AS (
-         |  SELECT vec_id, embedding, c AS cluster FROM
-         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
-         |     FROM p${j}d1)
-         |  WHERE rn = 1),
-         |p${j}s1 AS (
-         |  SELECT cluster, dim,
-         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
-         |      AS BIGINT)) AS BIGINT) AS sq,
-         |    count(*) AS cnt
-         |  FROM (SELECT cluster, unnest(embedding) AS x,
-         |          generate_subscripts(embedding, 1) AS dim FROM p${j}a1)
-         |  GROUP BY 1, 2),
-         |p${j}c1n AS (
-         |  SELECT cluster AS c,
-         |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
-         |  FROM p${j}s1 GROUP BY cluster),
-         |p${j}c1 AS (
-         |  SELECT p${j}c0.c, COALESCE(p${j}c1n.cv, p${j}c0.cv) AS cv
-         |  FROM p${j}c0 LEFT JOIN p${j}c1n ON p${j}c0.c = p${j}c1n.c),
-         |p${j}d2 AS (
-         |  SELECT e.vec_id, e.embedding, p${j}c1.c,
-         |    ${score("e")} AS score
-         |  FROM p${j}e e, p${j}c1),
-         |p${j}a2 AS (
-         |  SELECT vec_id, embedding, c AS cluster FROM
-         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
-         |     FROM p${j}d2)
-         |  WHERE rn = 1),
-         |p${j}lut AS (
-         |  SELECT pr.vec_id AS q_id, c1.c AS code,
-         |    CAST(floor((${score("pr")}) * 1000000.0) AS BIGINT) AS part_micro
-         |  FROM (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding
-         |        FROM embeddings WHERE vec_id < 10) pr, p${j}c1 c1)""".stripMargin
-    }
+    def sub(j: Int): String = pqSubCtes(j, k, subDim)
     val subs = (0 until m).map(sub).mkString(",\n")
     val cands = (0 until m).map(j =>
       s"SELECT vec_id AS c_id, $j AS sub, cluster AS code FROM p${j}a2")
@@ -442,6 +453,77 @@ object PipelineQueries {
        |  FROM sc)
        |SELECT q_id, c_id, adc_micro, rn FROM r WHERE rn <= $topK
        |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[Similarity.ivfPqSearch]] (coarse kmeans
+    * k=4/iters=2, m=4 subspaces × 16 dims, pqK=8, probes vec_id<10,
+    * nProbe=2, rerank=10, topK=5) — the full IVF-PQ serving shape: the
+    * coarse reproduction's final assignment `a2` partitions the corpus
+    * into inverted lists; each probe routes to its 2 nearest UPDATED
+    * centroids (`c1`, same (score, id) order as the multi-probe
+    * `array_sort`); the ADC scan sums per-subspace LUT BIGINTs over
+    * candidates in the ROUTED lists only; the top-10 shortlist per
+    * probe (adc ASC, id) reranks by exact rounded cosine; final top-5
+    * by (sim DESC, id). */
+  private val ivfPqOracleSql: String = {
+    val m = 4; val pqK = 8; val subDim = 16; val nProbe = 2
+    val rerank = 10; val topK = 5
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    val subs = (0 until m).map(pqSubCtes(_, pqK, subDim)).mkString(",\n")
+    val cands = (0 until m).map(j =>
+      s"SELECT vec_id AS c_id, $j AS sub, cluster AS code FROM p${j}a2")
+      .mkString("\n  UNION ALL ")
+    val luts = (0 until m).map(j =>
+      s"SELECT q_id, $j AS sub, code, part_micro FROM p${j}lut")
+      .mkString("\n  UNION ALL ")
+    "WITH " + kmeansCtes + ",\n" + subs + ",\n" +
+      s"""an AS (SELECT vec_id, embedding, cluster,
+         |  sqrt(${seqDot("embedding", "embedding")}) AS v_norm FROM a2),
+         |pscore AS (
+         |  SELECT e.vec_id, c1.c,
+         |    -2.0 * list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+         |  FROM e, c1 WHERE e.vec_id < 10),
+         |route AS (
+         |  SELECT vec_id AS q_id, c AS cluster FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS cr
+         |     FROM pscore)
+         |  WHERE cr <= $nProbe),
+         |cands AS (
+         |  $cands),
+         |lut AS (
+         |  $luts),
+         |sc AS (
+         |  SELECT r.q_id, a2c.cluster, cd.c_id,
+         |    CAST(sum(part_micro) AS BIGINT) AS adc_micro
+         |  FROM route r
+         |  JOIN a2 a2c ON a2c.cluster = r.cluster
+         |  JOIN cands cd ON cd.c_id = a2c.vec_id
+         |  JOIN lut ON lut.q_id = r.q_id AND lut.sub = cd.sub AND lut.code = cd.code
+         |  WHERE cd.c_id <> r.q_id
+         |  GROUP BY 1, 2, 3),
+         |short AS (
+         |  SELECT q_id, cluster, c_id, adc_micro,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, c_id) AS arn
+         |  FROM sc),
+         |rr AS (
+         |  SELECT s.q_id, s.cluster, s.c_id, s.adc_micro,
+         |    round(${seqDot("c.embedding", "q.embedding")}
+         |      / (c.v_norm * q.v_norm), 6) AS sim
+         |  FROM short s
+         |  JOIN an c ON c.vec_id = s.c_id
+         |  JOIN an q ON q.vec_id = s.q_id
+         |  WHERE s.arn <= $rerank),
+         |fin AS (
+         |  SELECT q_id, cluster, c_id, adc_micro, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |      AS INT) AS rn
+         |  FROM rr)
+         |SELECT q_id, cluster, c_id, adc_micro, sim, rn FROM fin WHERE rn <= $topK
+         |ORDER BY q_id, rn""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -1310,6 +1392,12 @@ object PipelineQueries {
     Q("q_ann_pq",
       (s, d) => Similarity.pqSearch(embeddings(s, d), col("vec_id") < 10),
       Some(pqOracleSql)),
+
+    // Full IVF-PQ serving shape (the persisted AnnIndex's PQ search,
+    // from-scratch twin): coarse-routed ADC shortlist + exact rerank
+    Q("q_ann_ivfpq",
+      (s, d) => Similarity.ivfPqSearch(embeddings(s, d), col("vec_id") < 10),
+      Some(ivfPqOracleSql)),
 
     // SimHash Hamming candidates via pigeonhole block buckets (no
     // all-pairs join, so no probe-set cap needed; portable 60-bit

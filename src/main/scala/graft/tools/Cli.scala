@@ -349,12 +349,22 @@ object Cli {
             dedupWithinBatch = vargs.drop(3).contains("--intra"))
           println(s"admitted ${kept.count()} vectors into ${vargs(0)}")
         case "ann-search" =>
-          // ann-search <ns.idx> <vecId> [k] — ANN top-k neighbors of one
-          // indexed vector off the frozen quantizer (no re-clustering)
+          // ann-search <ns.idx> <vecId|probes.parquet> [k] [nProbe] —
+          // ANN top-k neighbors off the frozen quantizer (no
+          // re-clustering): a numeric argument probes by an INDEXED
+          // vector's id; a parquet path serves EXTERNAL query vectors
+          // ((vec_id, embedding) rows) without admitting them — the
+          // index is never mutated
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
-          emit(idx.search(
-            org.apache.spark.sql.functions.col("vec_id") === vargs(1).toLong,
-            k = vargs.lift(2).map(_.toInt).getOrElse(3)))
+          val k = vargs.lift(2).map(_.toInt).getOrElse(3)
+          val nProbe = vargs.lift(3).map(_.toInt).getOrElse(2)
+          emit(scala.util.Try(vargs(1).toLong) match {
+            case scala.util.Success(id) =>
+              idx.search(
+                org.apache.spark.sql.functions.col("vec_id") === id, k, nProbe)
+            case scala.util.Failure(_) =>
+              idx.search(spark.read.parquet(vargs(1)), k, nProbe)
+          })
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }

@@ -320,6 +320,199 @@ class AnnIndexSpec extends SparkSpec {
     e.append("ml.plain", Seq(1L).toDF("id"))
     assert(e.advise("ml.plain")
       .filter(col("action") === "ann-rebuild").collect().isEmpty)
+
+    // SCALE contract: above the summary gate the occupancy census runs
+    // through the files RELATION (executor-parallel), never a driver
+    // t.files() walk — and both paths agree exactly
+    val t = e.load("ml.drift_index")
+    val walks0 = AnnIndex.driftDriverWalks.get()
+    val viaRelation = AnnIndex.drift(t, Some(spark), maxDriverFiles = 0L).get
+    assert(AnnIndex.driftDriverWalks.get() == walks0,
+      "drift walked t.files() on the driver above the gate")
+    val viaDriver = AnnIndex.drift(t, None, maxDriverFiles = 0L).get
+    assert(AnnIndex.driftDriverWalks.get() == walks0 + 1)
+    assert(viaRelation == viaDriver && viaRelation == d2)
+  }
+
+  test("IVF-PQ index: persisted codebooks, code-only ADC scan, exact-rerank parity") {
+    val wh = java.nio.file.Files.createTempDirectory("annpq").toString
+    val e = new Engine(spark, wh)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pq = new AnnIndex(e, "ml.pq_index", kClusters = 4, iters = 2,
+      pqM = 4, pqK = 8)
+    pq.create()
+    val runsBefore = Clustering.kmeansRuns.get()
+    pq.bootstrap(emb)
+    // 1 coarse + pqM subspace kmeans runs, ALL at bootstrap
+    assert(Clustering.kmeansRuns.get() == runsBefore + 5)
+    // codebooks round-trip from table properties
+    val cbs = pq.codebooks.get
+    assert(cbs.length == 4 && cbs.forall(_.length == 8) &&
+      cbs.forall(_.forall(_.length == 16)))
+    // every row carries its codes, encoded by the frozen codebooks
+    val storedCodes = pq.signatures.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val expectedCodes = emb.select(col("vec_id"),
+        Similarity.pqCodes(cbs, "embedding").as("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(storedCodes == expectedCodes)
+
+    // serving: no kmeans; index-served == the from-scratch ivfPqSearch
+    // with the same parameters (k=5, nProbe=2, rerank=10 — the q_ann_ivfpq
+    // oracle query's shape)
+    val runs = Clustering.kmeansRuns.get()
+    val served = pq.search(col("vec_id") < 10, k = 5, nProbe = 2, rerank = 10)
+    val servedRows = served.collect()
+    assert(Clustering.kmeansRuns.get() == runs, "PQ search re-clustered")
+    val scratch = Similarity.ivfPqSearch(emb, col("vec_id") < 10).collect()
+    assert(servedRows.map(_.toSeq).toSeq == scratch.map(_.toSeq).toSeq)
+
+    // the ADC scoring pass reads CODES, never the 4·dim vector payload
+    // (the 16-32× list-IO cut that makes IVF-PQ the 100 TB posture) —
+    // some index scan in the plan carries codes WITHOUT embedding
+    val plan = served.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no code-only scan in plan:\n${readSchemas.mkString("\n")}")
+    // and probes still prune to the probed lists' files (a single probe
+    // routes to 1 of the 4 lists — the 10-probe search above touches
+    // every list by design, so it can't carry this assert)
+    val totalFiles = pq.signatures.inputFiles.length
+    val oneServed = pq.search(col("vec_id") === 0L, k = 2, nProbe = 1)
+    assert(oneServed.inputFiles.count(_.contains("ml/pq_index")) < totalFiles,
+      "PQ search did not prune to the probed lists' files")
+
+    // with the rerank budget covering the probed lists, PQ == FLAT
+    // exactly (the exact rerank sees every candidate the flat scan sees)
+    val flat = new AnnIndex(e, "ml.flat_twin", kClusters = 4, iters = 2)
+    flat.create()
+    flat.bootstrap(emb)
+    val flatRows = flat.search(col("vec_id") < 10, k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("cluster"),
+        r.getAs[Long]("c_id"), r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+      .toSeq
+    val pqFull = pq.search(col("vec_id") < 10, k = 5, nProbe = 2,
+        rerank = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("cluster"),
+        r.getAs[Long]("c_id"), r.getAs[Double]("sim"), r.getAs[Int]("rn")))
+      .toSeq
+    assert(pqFull == flatRows)
+
+    // recall@5 vs the flat scan climbs with the rerank budget — pinned
+    // at two points of the (deterministic) curve on this fixture. The
+    // synthetic near-random vectors are PQ's WORST case (pairwise
+    // distances concentrate, so 8-code subspaces barely discriminate);
+    // measured: rerank 20→0.48, 80→0.88, 250(full)→1.00. Real clustered
+    // embeddings sit far above this floor at the same budgets.
+    val flatPairs = flatRows.map(t => (t._1, t._3)).toSet
+    def recallAt(rerank: Int): Double = {
+      val got = pq.search(col("vec_id") < 10, k = 5, nProbe = 2, rerank = rerank)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      got.intersect(flatPairs).size.toDouble / flatPairs.size
+    }
+    val r20 = recallAt(20)
+    val r80 = recallAt(80)
+    assert(r20 >= 0.45, f"recall@5 $r20%.2f at rerank=20")
+    assert(r80 >= 0.85, f"recall@5 $r80%.2f at rerank=80")
+    assert(r80 >= r20, "recall must not degrade with a larger rerank budget")
+  }
+
+  test("PQ admission: frozen-codebook encode, gate appends schema-complete rows") {
+    val wh = java.nio.file.Files.createTempDirectory("annpqadmit").toString
+    val e = new Engine(spark, wh)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pq = new AnnIndex(e, "ml.pq_admit", kClusters = 4, iters = 2,
+      pqM = 4, pqK = 8)
+    pq.create()
+    pq.bootstrap(emb.filter(col("vec_id") >= 10))
+    val cbs = pq.codebooks.get
+    val runs = Clustering.kmeansRuns.get()
+    val admitted = pq.admit(emb.filter(col("vec_id") < 10))
+    assert(Clustering.kmeansRuns.get() == runs, "PQ admit retrained")
+    assert(admitted.count() == 10)
+    // admitted rows were encoded against the FROZEN codebooks
+    val stored = pq.signatures.filter(col("vec_id") < 10)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val expected = emb.filter(col("vec_id") < 10).select(col("vec_id"),
+        Similarity.pqCodes(cbs, "embedding").as("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == expected)
+    // the semantic gate: redelivered rows pass through without a second
+    // append; a genuinely novel vector lands WITH its codes
+    val redelivered = pq.admitIfNovel(emb.filter(col("vec_id") < 10), 0.95)
+    assert(redelivered.count() == 10)
+    assert(pq.signatures.count() == emb.count())
+    val s2 = spark
+    import s2.implicits._
+    val novel = Seq((90001L, 0, Seq.tabulate(64)(i =>
+      if (i % 2 == 0) 0.7f else -0.7f)))
+      .toDF("vec_id", "label", "embedding")
+    val surv = pq.admitIfNovel(novel, 0.95)
+    assert(surv.count() == 1)
+    val landed = pq.signatures.filter(col("vec_id") === 90001L)
+      .select("codes").collect()
+    assert(landed.length == 1 && landed.head.getSeq[Int](0).length == 4)
+  }
+
+  test("index-served decontamination: pruned reads, brute-force parity on separated fixture") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("anndecon").toString
+    val e = new Engine(spark, wh)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two well-separated directions -> 2 clean inverted lists
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.decon_index", kClusters = 2, iters = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+    val runs = Clustering.kmeansRuns.get()
+    val countBefore = idx.signatures.count()
+
+    // benchmark probes: one contaminates direction A (hits 100 and 101),
+    // one sits in direction B (hits 102 and 103 at lower sim)
+    val probes = Seq(
+      (7L, v(0.95, 0.05, 0, 0)), (8L, v(0, 0, 0.97, 0.03)))
+      .toDF("vec_id", "embedding")
+    val flagged = idx.decontam(probes, threshold = 0.97, nProbe = 1)
+    val rows = flagged.collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("n_probe_hits"),
+        r.getAs[Double]("top_sim"), r.getAs[Long]("first_probe")))
+
+    // brute-force expectation over the whole corpus (directions are
+    // orthogonal, so nProbe=1 loses nothing on this fixture)
+    val expected = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val probeV = probes.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      corpus.collect().flatMap { c =>
+        val cv = c.getSeq[Float](2).map(_.toDouble)
+        val hits = probeV.map { case (qid, qv) => (qid, cos(cv, qv)) }
+          .filter(_._2 >= 0.97)
+        if (hits.isEmpty) Nil
+        else Seq((c.getLong(0), hits.length.toLong, hits.map(_._2).max,
+          hits.map(_._1).min))
+      }.sortBy(_._1).toSeq
+    }
+    assert(rows.toSeq == expected)
+
+    // serving contract: no kmeans, no mutation, pruned list reads
+    assert(Clustering.kmeansRuns.get() == runs, "decontam re-clustered")
+    assert(idx.signatures.count() == countBefore, "decontam mutated the index")
+    val totalFiles = idx.signatures.inputFiles.length
+    val onePruned = idx.decontam(probes.filter(col("vec_id") === 7L),
+      threshold = 0.97, nProbe = 1)
+    assert(onePruned.inputFiles.count(_.contains("ml/decon_index")) < totalFiles,
+      "decontam did not prune to the probed lists' files")
   }
 
   test("admit assigns new vectors to the frozen centroids; they become searchable") {

@@ -269,5 +269,16 @@ class SkewAndCliSpec extends SparkSpec {
     val e = new graft.api.Engine(spark, wh)
     val idx = new graft.ops.AnnIndex(e, "ml.idx")
     assert(idx.signatures.count() == 5)
+
+    // EXTERNAL-probe form: a parquet path of (vec_id, embedding) rows
+    // drives the serving overload — no kmeans, index unmutated
+    val probesDir = s"$wh/_probes_parquet"
+    Seq((7L, v(0.95, 0.05, 0, 0)), (8L, v(0, 0.05, 0.95, 0)))
+      .toDF("vec_id", "embedding").write.parquet(probesDir)
+    val runs = graft.ops.Clustering.kmeansRuns.get()
+    assert(Cli.run(Array(wh, "ann-search", "ml.idx", probesDir, "2", "1")) == 0)
+    assert(graft.ops.Clustering.kmeansRuns.get() == runs,
+      "CLI external-probe search re-clustered")
+    assert(idx.signatures.count() == 5, "CLI external-probe search mutated the index")
   }
 }
