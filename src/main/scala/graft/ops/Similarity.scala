@@ -566,6 +566,43 @@ object Similarity {
       .orderBy("c_id")
   }
 
+  /** IVF-ROUTED semantic decontamination — the from-scratch twin of
+    * [[graft.ops.AnnIndex.decontam]] (the oracle-facing reference for
+    * the persisted-index route): the coarse quantizer trains on the
+    * CORPUS (the rows a decontamination run protects — probes are
+    * external to the index), each probe routes to its `nProbe` nearest
+    * lists, and the exact cosine gate runs over the cluster equi-join —
+    * never an all-pairs product. Same output contract as
+    * [[semanticDecontam]]; recall tunes with kClusters/nProbe instead
+    * of LSH planes. At 100 TB the corpus side is the persisted
+    * [[graft.ops.AnnIndex]], so the scan reads only the probed lists'
+    * files. */
+  def semanticDecontamIvf(emb: DataFrame, probePred: Column,
+      threshold: Double, kClusters: Int = 4, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val model = Clustering.kmeans(
+      emb.filter(!probePred).select(col("vec_id"), col("embedding")),
+      kClusters, iters)
+    val cands = model.assignments
+      .withColumn("v_norm", norm("embedding"))
+      .select(col("cluster"), col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+    val probes = emb.filter(probePred)
+      .withColumn("q_norm", norm("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q_norm"),
+        explode(probedClusters(model.centroids, nProbe)).as("cluster"))
+    cands.join(broadcast(probes), Seq("cluster"))
+      .select(col("c_id"), col("q_id"),
+        cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_probe_hits"),
+        max(col("sim")).as("top_sim"),
+        min(col("q_id")).as("first_probe"))
+      .orderBy("c_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {

@@ -237,6 +237,28 @@ object PipelineQueries {
        |          generate_subscripts(embedding, 1) AS dim FROM $aName)
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** [[kmeansCtes]] over a FILTERED source (`WHERE srcWhere`) with a
+    * generic lowest-`k`-ids init (row_number, not a hardcoded id bound —
+    * the filtered corpus's low ids need not start at 0). Same stages,
+    * same tie orders, ends at assignment `a2` under updated centroids
+    * `c1`. */
+  private def kmeansCtesOver(srcWhere: String, k: Int): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE $srcWhere),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT $k)),
+       |${kmAssignStage("d1", "a1", "c0")},
+       |${kmSumStage("s1", "a1")},
+       |c1n AS (
+       |  SELECT cluster AS c,
+       |    list(CAST(sq AS DOUBLE) / (cnt * 1000000.0) ORDER BY dim) AS cv
+       |  FROM s1 GROUP BY cluster),
+       |c1 AS (
+       |  SELECT c0.c, COALESCE(c1n.cv, c0.cv) AS cv
+       |  FROM c0 LEFT JOIN c1n ON c0.c = c1n.c),
+       |${kmAssignStage("d2", "a2", "c1")}""".stripMargin
+
   /** CTE chain reproducing [[Clustering.kmeans]] (k=4, iters=2, quant=1e6)
     * through the final assignment `a2` under updated centroids `c1`: same
     * init (4 lowest ids), same sequential score folds, same
@@ -1209,6 +1231,46 @@ object PipelineQueries {
            |SELECT c_id, count(*) AS n_probe_hits, max(sim) AS top_sim,
            |  min(q_id) AS first_probe
            |FROM j WHERE sim >= 0.35 GROUP BY c_id ORDER BY c_id""".stripMargin
+      }),
+
+    // IVF-ROUTED decontamination — the from-scratch twin of the
+    // persisted AnnIndex.decontam route: the quantizer trains on the
+    // CORPUS (probes are external to an index), probes route to their 2
+    // nearest lists, exact cosine over the cluster equi-join
+    Q("q_semantic_decontam_ivf",
+      (s, d) => Similarity.semanticDecontamIvf(
+        embeddings(s, d), col("vec_id") % 40 === 0, 0.35),
+      Some {
+        def seqDot(a: String, b: String): String =
+          s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+            s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        "WITH " + kmeansCtesOver("NOT (vec_id % 40 = 0)", 4) + ",\n" +
+          s"""an AS (SELECT vec_id, embedding, cluster,
+             |  sqrt(${seqDot("embedding", "embedding")}) AS v_norm FROM a2),
+             |pe AS (SELECT vec_id, embedding,
+             |    sqrt(${seqDot("embedding", "embedding")}) AS q_norm
+             |  FROM embeddings WHERE vec_id % 40 = 0),
+             |pscore AS (
+             |  SELECT pe.vec_id, c1.c,
+             |    -2.0 * list_reduce(list_transform(range(1, len(pe.embedding) + 1),
+             |        i -> CAST(pe.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+             |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+             |  FROM pe, c1),
+             |route AS (
+             |  SELECT vec_id AS q_id, c AS cluster FROM
+             |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS cr
+             |     FROM pscore)
+             |  WHERE cr <= 2),
+             |j AS (
+             |  SELECT an.vec_id AS c_id, r.q_id,
+             |    round(${seqDot("an.embedding", "pe.embedding")}
+             |      / (an.v_norm * pe.q_norm), 6) AS sim
+             |  FROM route r
+             |  JOIN an ON an.cluster = r.cluster
+             |  JOIN pe ON pe.vec_id = r.q_id)
+             |SELECT c_id, count(*) AS n_probe_hits, max(sim) AS top_sim,
+             |  min(q_id) AS first_probe
+             |FROM j WHERE sim >= 0.35 GROUP BY c_id ORDER BY c_id""".stripMargin
       }),
 
     // Exact multi-percentile stats per group (linear interpolation — the

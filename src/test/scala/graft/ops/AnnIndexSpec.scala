@@ -513,6 +513,25 @@ class AnnIndexSpec extends SparkSpec {
       threshold = 0.97, nProbe = 1)
     assert(onePruned.inputFiles.count(_.contains("ml/decon_index")) < totalFiles,
       "decontam did not prune to the probed lists' files")
+
+    // index-served decontamination == the from-scratch IVF route with
+    // the same quantizer parameters (the q_semantic_decontam_ivf shape:
+    // quantizer trained on the CORPUS, probes external) — the index
+    // only changes WHERE candidates are read from, never what comes back
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probePred = col("vec_id") % 40 === 0
+    val big = new AnnIndex(e, "ml.decon_big", kClusters = 4, iters = 2)
+    big.create()
+    big.bootstrap(emb.filter(!probePred))
+    val runs2 = Clustering.kmeansRuns.get()
+    val viaIndex = big.decontam(
+        emb.filter(probePred).select("vec_id", "embedding"), 0.35, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(Clustering.kmeansRuns.get() == runs2, "index decontam re-clustered")
+    val scratch = Similarity.semanticDecontamIvf(emb, probePred, 0.35)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == scratch)
+    assert(viaIndex.nonEmpty, "vacuous parity: fixture produced no hits")
   }
 
   test("admit assigns new vectors to the frozen centroids; they become searchable") {
