@@ -452,8 +452,11 @@ object Similarity {
     val adc = (0 until m).map(j =>
       element_at(col("__lut").getItem(j), col("codes").getItem(j) + 1))
       .reduce(_ + _)
+    // the probe side (LUTs included) is query-batch-sized — BROADCAST
+    // it, so the code scan streams map-side and only the (q_id, c_id,
+    // adc_micro) id-triples shuffle into the per-probe top-R window
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_micro"), col("c_id"))
-    val shortlist = pLut.join(candCodes, Seq("cluster"))
+    val shortlist = candCodes.join(broadcast(pLut), Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .select(col("q_id"), col("cluster"), col("c_id"), adc.as("adc_micro"))
       .withColumn("arn", row_number().over(wAdc))
@@ -463,8 +466,11 @@ object Similarity {
     // them per list) — one row per probe for the rerank join
     val qVecs = probes.select(col("q_id"), col("q_emb"), col("q_norm"))
       .dropDuplicates("q_id")
+    // |probes|·rerank shortlist rows + their probe vectors BROADCAST
+    // against the streaming vector scan — the big pruned lists never
+    // shuffle for the rerank either
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    shortlist.join(qVecs, Seq("q_id")).join(candVecs, Seq("c_id"))
+    candVecs.join(broadcast(shortlist.join(qVecs, Seq("q_id"))), Seq("c_id"))
       .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(wSim))
