@@ -150,17 +150,22 @@ object Bench {
     // signal on the 100 TB code paths — but a carried section whose
     // measuring commit differs from HEAD is tagged `distributed_stale`,
     // so stale d_* timings are never presented as measured-at-HEAD.
-    def gitHead(): Option[String] = scala.util.Try {
+    // .git is looked up next to the SIDECAR as well as under the cwd —
+    // a measurement run launched from outside the repo root must still
+    // record its commit, or every later carry-forward would tag the
+    // fresh section stale forever
+    def gitHeadAt(root: java.nio.file.Path): Option[String] = scala.util.Try {
+      val git = root.resolve(".git")
       val head = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(".git/HEAD")), "UTF-8").trim
+        git.resolve("HEAD")), "UTF-8").trim
       if (!head.startsWith("ref: ")) head
       else {
         val ref = head.drop(5).trim
-        val refPath = java.nio.file.Paths.get(".git", ref.split('/'): _*)
+        val refPath = ref.split('/').foldLeft(git)(_.resolve(_))
         if (java.nio.file.Files.exists(refPath))
           new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
         else { // packed refs
-          val src = scala.io.Source.fromFile(".git/packed-refs")
+          val src = scala.io.Source.fromFile(git.resolve("packed-refs").toFile)
           try src.getLines()
             .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head }
             .get
@@ -168,6 +173,10 @@ object Bench {
         }
       }
     }.toOption
+    def gitHead(): Option[String] =
+      gitHeadAt(java.nio.file.Paths.get(""))
+        .orElse(Option(detailPathEarly.toAbsolutePath.getParent)
+          .flatMap(gitHeadAt))
     val distJson =
       if (distributed.nonEmpty) {
         val commit = gitHead().map(h =>

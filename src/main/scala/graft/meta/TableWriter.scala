@@ -240,14 +240,15 @@ object TableWriter {
     * primitive/binary columns; for list columns the ELEMENT totals —
     * `vc_` = total element count (null elements included, the spec's
     * value_count for the element leaf) and `nc_` = null element count —
-    * plus min/max for bound-encodable types. A NULL top-level array
-    * counts as ONE null value at the element leaf (both counts): that
-    * is what parquet-footer-derived Iceberg metrics record (the leaf
-    * chunk carries one def-level-0 entry for the null list), so external
-    * readers see the same numbers either way. */
+    * plus min/max for bound-encodable types. A NULL top-level array and
+    * an EMPTY array each count as ONE null value at the element leaf
+    * (both counts): that is what parquet-footer-derived Iceberg metrics
+    * record (the leaf chunk carries one below-max-def-level entry for a
+    * null or empty list), so external readers see the same numbers
+    * either way. */
   private def statAggsFor(fields: Seq[SchemaField]): Seq[org.apache.spark.sql.Column] =
     fields.flatMap { f =>
-      def nullArrays = count_if(col(f.name).isNull)
+      def nullArrays = count_if(coalesce(size(col(f.name)), lit(0)) === 0)
       val vc =
         if (isList(f))
           (sum(coalesce(size(col(f.name)), lit(0))) + nullArrays)

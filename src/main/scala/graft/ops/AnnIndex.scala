@@ -211,9 +211,13 @@ final class AnnIndex(
       .collect().map(_.getInt(0)).toSeq.sorted
     codebooks match {
       case Some(cbs) =>
-        val candCodes = candidates(probed).select(col("cluster"),
+        // ONE metadata load / snapshot pin for both passes: the code
+        // scan and the vector scan are projections of the same pruned
+        // relation, so a commit landing mid-search cannot skew them
+        val cand = candidates(probed)
+        val candCodes = cand.select(col("cluster"),
           col("vec_id").as("c_id"), col("codes"))
-        val candVecs = candidates(probed).select(col("vec_id").as("c_id"),
+        val candVecs = cand.select(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
         val r = if (rerank > 0) rerank else math.max(4 * k, 16)
         Similarity.ivfPqRouted(probes, candCodes, candVecs, cbs, k, r,
@@ -258,15 +262,9 @@ final class AnnIndex(
     val cands = candidates(probed).select(col("cluster"),
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
-    cands.join(broadcast(probes), Seq("cluster"))
-      .select(col("c_id"), col("q_id"),
-        Similarity.cosineFromNorms("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
-      .filter(col("sim") >= threshold)
-      .groupBy("c_id")
-      .agg(count(lit(1)).as("n_probe_hits"),
-        max(col("sim")).as("top_sim"),
-        min(col("q_id")).as("first_probe"))
-      .orderBy("c_id")
+    // the gate + output contract is the SHARED helper — the from-scratch
+    // twin (q_semantic_decontam_ivf) and this route cannot diverge
+    Similarity.routedDecontamHits(cands, probes, threshold)
   }
 
   /** Index-served hard-negative mining: [[Similarity.hardNegativesRouted]]

@@ -316,7 +316,7 @@ object Similarity {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subDim = dim / m
 
-    val codebooks = trainCodebooks(emb, m, k, iters)
+    val codebooks = trainCodebooks(emb, m, k, iters, knownDim = dim)
     val codes = emb.select(col("vec_id").as("c_id"),
       pqCodes(codebooks, "embedding").as("codes"))
 
@@ -367,10 +367,15 @@ object Similarity {
     * sequential run. Returns `codebooks(j)(c)` = centroid `c` of
     * subspace `j`. */
   private[ops] def trainCodebooks(
-      emb: DataFrame, m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+      emb: DataFrame, m: Int, k: Int, iters: Int,
+      knownDim: Int = -1): Seq[Seq[Seq[Double]]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // callers that already probed the dimension pass it — no second
+    // driver-blocking head() job per training call
+    val dim =
+      if (knownDim > 0) knownDim
+      else emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subDim = dim / m
     Await.result(
@@ -466,11 +471,15 @@ object Similarity {
     // them per list) — one row per probe for the rerank join
     val qVecs = probes.select(col("q_id"), col("q_emb"), col("q_norm"))
       .dropDuplicates("q_id")
-    // |probes|·rerank shortlist rows + their probe vectors BROADCAST
-    // against the streaming vector scan — the big pruned lists never
-    // shuffle for the rerank either
+    // the |probes|·rerank ID-TRIPLE shortlist and the |probes|-sized
+    // probe vectors broadcast SEPARATELY against the streaming vector
+    // scan — joining them first would duplicate every probe's 4·dim-byte
+    // vector onto each of its shortlist rows, unbounded in the
+    // large-rerank (flat-parity) mode; apart, both stay metadata-small
+    // and the big pruned lists never shuffle for the rerank either
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    candVecs.join(broadcast(shortlist.join(qVecs, Seq("q_id"))), Seq("c_id"))
+    candVecs.join(broadcast(shortlist), Seq("c_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
       .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(wSim))
@@ -598,6 +607,17 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("q_norm"),
         explode(probedClusters(model.centroids, nProbe)).as("cluster"))
+    routedDecontamHits(cands, probes, threshold)
+  }
+
+  /** The decontamination OUTPUT CONTRACT, shared by the from-scratch IVF
+    * route and the persisted-index route ([[graft.ops.AnnIndex.decontam]])
+    * so the twins cannot silently diverge: broadcast the routed probe
+    * rows into the candidate stream on the cluster key, exact cosine
+    * gate, one row per flagged corpus vector — hit count, best
+    * similarity, lowest matching probe id — ordered by vector id. */
+  private[ops] def routedDecontamHits(cands: DataFrame, probes: DataFrame,
+      threshold: Double): DataFrame =
     cands.join(broadcast(probes), Seq("cluster"))
       .select(col("c_id"), col("q_id"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
@@ -607,7 +627,6 @@ object Similarity {
         max(col("sim")).as("top_sim"),
         min(col("q_id")).as("first_probe"))
       .orderBy("c_id")
-  }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */

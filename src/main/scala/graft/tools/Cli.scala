@@ -358,13 +358,19 @@ object Cli {
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
           val k = vargs.lift(2).map(_.toInt).getOrElse(3)
           val nProbe = vargs.lift(3).map(_.toInt).getOrElse(2)
-          emit(scala.util.Try(vargs(1).toLong) match {
-            case scala.util.Success(id) =>
-              idx.search(
-                org.apache.spark.sql.functions.col("vec_id") === id, k, nProbe)
-            case scala.util.Failure(_) =>
-              idx.search(spark.read.parquet(vargs(1)), k, nProbe)
-          })
+          // a path-looking argument (separator/extension) or an existing
+          // file wins over the id parse — so an all-digit probe dir is
+          // never misread as a vec_id, and a mistyped id still fails
+          // fast with a NumberFormatException instead of a confusing
+          // missing-path error from the parquet reader
+          val arg = vargs(1)
+          val isPath = arg.exists(c => c == '/' || c == '.') ||
+            java.nio.file.Files.exists(java.nio.file.Paths.get(arg))
+          emit(
+            if (isPath) idx.search(spark.read.parquet(arg), k, nProbe)
+            else idx.search(
+              org.apache.spark.sql.functions.col("vec_id") === arg.toLong,
+              k, nProbe))
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }

@@ -289,10 +289,11 @@ class WriteCommitSpec extends SparkSpec {
     assert(e.files("lab.big").agg(sum("record_count")).as[Long].head() == rowsBefore)
   }
 
-  test("a NULL top-level array counts as one null value at the element leaf") {
-    // parquet-footer-derived Iceberg metrics record a null list as one
-    // def-level-0 entry at the element leaf — external readers must see
-    // the same value_count/null_value_count from our rendered manifests
+  test("NULL and EMPTY top-level arrays each count as one null value at the element leaf") {
+    // parquet-footer-derived Iceberg metrics record a null OR empty list
+    // as one below-max-def-level entry at the element leaf — external
+    // readers must see the same value_count/null_value_count from our
+    // rendered manifests
     val s2 = spark
     import s2.implicits._
     val wh = Files.createTempDirectory("graft-nullarr-wh").toString
@@ -304,15 +305,16 @@ class WriteCommitSpec extends SparkSpec {
     e.append("ml.nullarr", Seq[(Long, Seq[Option[Float]])](
       (1L, Seq(Some(1.0f), Some(2.0f))), // 2 non-null elements
       (2L, Seq(Some(3.0f), None)),       // 1 non-null + 1 null element
-      (3L, null))                        // null LIST: 1 null at the leaf
+      (3L, null),                        // null LIST: 1 null at the leaf
+      (4L, Seq.empty))                   // EMPTY list: 1 null at the leaf
       .toDF("vec_id", "xs")
       .select(col("vec_id"), col("xs").cast("array<float>")))
     val t = e.load("ml.nullarr")
     val elemId = t.metadata.currentSchema.fields
       .find(_.path == "xs.element").get.id
     val entries = t.files()
-    assert(entries.map(_.valueCounts(elemId)).sum == 5L)     // 2 + 2 + 1
-    assert(entries.map(_.nullValueCounts(elemId)).sum == 2L) // 1 + 1
+    assert(entries.map(_.valueCounts(elemId)).sum == 6L)     // 2 + 2 + 1 + 1
+    assert(entries.map(_.nullValueCounts(elemId)).sum == 3L) // 1 + 1 + 1
   }
 
   test("array<float> and binary columns round-trip through the engine write path") {
