@@ -127,6 +127,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(1500))
   }
 
+  test("ivf-pq search: probe side broadcasts into both passes, no sort-merge, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.ivfPqSearch(
+        emb, org.apache.spark.sql.functions.col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    // ADC join (codes × LUTs on the cluster key) AND the rerank join
+    // (vectors × id-triple shortlist) both build on the broadcast probe
+    // side — the big scans stream map-side, never shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // per-probe top-R and top-k run the rank-limit pushdown: a partial
+    // window group limit bounds the rows BEFORE each shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("ivf-routed decontam: probe side broadcasts, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.ops.Similarity.semanticDecontamIvf(
+        emb, org.apache.spark.sql.functions.col("vec_id") % 40 === 0, 0.35)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("semantic decontam: probe side broadcasts, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = graft.ops.Similarity.semanticDecontam(
