@@ -331,14 +331,20 @@ object Cli {
               s"signatures appended to ${vargs(0)}")
           } else emit(idx.check(shard))
         case "ann-index" =>
-          // ann-index <ns.idx> <embeddings.parquet> [k] — create and
-          // bootstrap the persisted IVF-Flat index from a corpus
+          // ann-index <ns.idx> <embeddings.parquet> [k] [pqM] [pqK] —
+          // create and bootstrap the persisted ANN index from a corpus:
+          // IVF-Flat by default, IVF-PQ when pqM > 0 (pqM per-subspace
+          // codebooks of pqK codes, codes stored per row, probes
+          // ADC-scan + exact-rerank)
           val idx = new graft.ops.AnnIndex(engine, vargs(0),
-            kClusters = vargs.lift(2).map(_.toInt).getOrElse(4))
+            kClusters = vargs.lift(2).map(_.toInt).getOrElse(4),
+            pqM = vargs.lift(3).map(_.toInt).getOrElse(0),
+            pqK = vargs.lift(4).map(_.toInt).getOrElse(16))
           idx.create()
           idx.bootstrap(spark.read.parquet(vargs(1)))
           println(s"indexed ${idx.signatures.count()} vectors " +
-            s"in ${idx.kClusters} lists at ${vargs(0)}")
+            s"in ${idx.kClusters} lists at ${vargs(0)}" +
+            (if (idx.pqM > 0) s" (ivf-pq m=${idx.pqM} k=${idx.pqK})" else ""))
         case "ann-gate" =>
           // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra] —
           // semantic admission: keep batch vectors that are not cosine
@@ -348,6 +354,15 @@ object Cli {
             vargs(2).toDouble,
             dedupWithinBatch = vargs.drop(3).contains("--intra"))
           println(s"admitted ${kept.count()} vectors into ${vargs(0)}")
+        case "ann-decontam" =>
+          // ann-decontam <ns.idx> <probes.parquet> <threshold> [nProbe] —
+          // index-served decontamination: flag indexed corpus vectors
+          // whose cosine to any probe reaches the threshold, reading
+          // only the probed lists' files; probes are never admitted
+          val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          emit(idx.decontam(spark.read.parquet(vargs(1)),
+            vargs(2).toDouble,
+            nProbe = vargs.lift(3).map(_.toInt).getOrElse(2)))
         case "ann-search" =>
           // ann-search <ns.idx> <vecId|probes.parquet> [k] [nProbe] —
           // ANN top-k neighbors off the frozen quantizer (no
@@ -391,6 +406,6 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
-      "       dedup-gate ann-index ann-gate ann-search\n" +
+      "       dedup-gate ann-index ann-gate ann-search ann-decontam\n" +
       "       stage-parquet publish advise tui init")
 }

@@ -454,6 +454,15 @@ class AnnIndexSpec extends SparkSpec {
     val landed = pq.signatures.filter(col("vec_id") === 90001L)
       .select("codes").collect()
     assert(landed.length == 1 && landed.head.getSeq[Int](0).length == 4)
+
+    // compaction rewrites the per-batch small files; the codes column
+    // and the PQ serving path survive the rewrite
+    val filesBefore = pq.signatures.inputFiles.length
+    assert(pq.compact().nonEmpty)
+    assert(pq.signatures.inputFiles.length < filesBefore)
+    assert(pq.signatures.filter(col("codes").isNull).count() == 0)
+    assert(pq.search(col("vec_id") === 90001L, k = 2, nProbe = 2)
+      .collect().length == 2)
   }
 
   test("index-served decontamination: pruned reads, brute-force parity on separated fixture") {

@@ -280,5 +280,18 @@ class SkewAndCliSpec extends SparkSpec {
     assert(graft.ops.Clustering.kmeansRuns.get() == runs,
       "CLI external-probe search re-clustered")
     assert(idx.signatures.count() == 5, "CLI external-probe search mutated the index")
+
+    // index-served decontamination from the CLI: same probes file,
+    // never admitted, no re-clustering
+    assert(Cli.run(Array(wh, "ann-decontam", "ml.idx", probesDir, "0.9", "1")) == 0)
+    assert(graft.ops.Clustering.kmeansRuns.get() == runs)
+    assert(idx.signatures.count() == 5)
+
+    // IVF-PQ from the CLI: pqM/pqK ride the ann-index verb, the search
+    // verb serves the PQ path off the persisted codebooks
+    assert(Cli.run(Array(wh, "ann-index", "ml.pq", embDir, "2", "2", "2")) == 0)
+    val pq = new graft.ops.AnnIndex(e, "ml.pq")
+    assert(pq.codebooks.exists(_.length == 2))
+    assert(Cli.run(Array(wh, "ann-search", "ml.pq", "100", "2")) == 0)
   }
 }
