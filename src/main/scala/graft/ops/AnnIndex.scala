@@ -86,11 +86,20 @@ final class AnnIndex(
     * centroid matrix / codebooks (as table properties), so the index is
     * self-contained from its first snapshot. */
   def bootstrap(emb: DataFrame): Seq[Seq[Double]] = {
-    val cents = Clustering.kmeans(
-      emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids
-    val cbs =
-      if (pqM <= 0) None
-      else Some(Similarity.trainCodebooks(emb, pqM, pqK, iters))
+    // the coarse quantizer and (for a PQ index) the codebooks are
+    // independent trainings — run them concurrently, like
+    // [[Similarity.ivfPqSearch]]; results identical to the sequential run
+    val (cents, cbs) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val centsF = Future(Clustering.kmeans(
+        emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids)
+      val cbF = Future(
+        if (pqM <= 0) None
+        else Some(Similarity.trainCodebooks(emb, pqM, pqK, iters)))
+      (Await.result(centsF, scala.concurrent.duration.Duration.Inf),
+        Await.result(cbF, scala.concurrent.duration.Duration.Inf))
+    }
     val rows = assignedRows(emb, cents, cbs).localCheckpoint()
     // the bootstrap per-cluster occupancy persists alongside the
     // quantizer — the reference distribution the drift canary

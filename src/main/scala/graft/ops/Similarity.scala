@@ -497,13 +497,22 @@ object Similarity {
   def ivfPqSearch(emb: DataFrame, probePred: Column, kClusters: Int = 4,
       iters: Int = 2, m: Int = 4, pqK: Int = 8, nProbe: Int = 2,
       rerank: Int = 10, topK: Int = 5): DataFrame = {
-    val coarse = Clustering.kmeans(
-      emb.select(col("vec_id"), col("embedding")), kClusters, iters)
+    // the coarse quantizer and the PQ codebooks are independent
+    // trainings — run them CONCURRENTLY (wall-clock = the slower one,
+    // not the sum; each result identical to the sequential run)
+    val (coarse, codebooks) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val coarseF = Future(Clustering.kmeans(
+        emb.select(col("vec_id"), col("embedding")), kClusters, iters))
+      val cbF = Future(trainCodebooks(emb, m, pqK, iters))
+      (Await.result(coarseF, scala.concurrent.duration.Duration.Inf),
+        Await.result(cbF, scala.concurrent.duration.Duration.Inf))
+    }
     // both join sides and the probe filter consume the assignment — the
     // k-dot-products-per-row argmin is paid once
     val assigned = coarse.assignments
       .withColumn("v_norm", norm("embedding")).localCheckpoint()
-    val codebooks = trainCodebooks(emb, m, pqK, iters)
     val probes = assigned.filter(probePred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("v_norm").as("q_norm"),
