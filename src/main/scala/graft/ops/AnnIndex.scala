@@ -6,20 +6,25 @@ import org.apache.spark.sql.types._
 
 import graft.api.Engine
 
-/** PERSISTENT IVF-Flat index — the embeddings twin of [[NearDupIndex]]:
-  * the learned coarse quantizer (centroids) and every vector's inverted-
-  * list assignment materialized as a Graft table, so repeated mining /
-  * search / semdedup runs SKIP re-clustering entirely and probes read
-  * only the probed lists' files.
+/** PERSISTENT IVF-Flat / IVF-PQ index — the embeddings twin of
+  * [[NearDupIndex]]: the learned coarse quantizer (centroids) and every
+  * vector's inverted-list assignment materialized as a Graft table, so
+  * repeated mining / search / semdedup runs SKIP re-clustering entirely
+  * and probes read only the probed lists' files.
   *
   * Layout: one row per vector `(vec_id, label, cluster, v_norm,
-  * embedding)`, identity-partitioned on `cluster` — the partition IS the
-  * inverted list, so a probe batch touching `nProbe` clusters prunes the
-  * scan to those clusters' files through the table's own partition spec
-  * (no bloom/bucket indirection needed; the cluster id is the exact
-  * list key). The vectors ride INLINE (the table owns `list<float>`
-  * payloads — genuine IVF-Flat, no join back to a corpus table at probe
-  * time), with the per-vector norm precomputed once at admission.
+  * embedding[, codes])`, identity-partitioned on `cluster` — the
+  * partition IS the inverted list, so a probe batch touching `nProbe`
+  * clusters prunes the scan to those clusters' files through the
+  * table's own partition spec (no bloom/bucket indirection needed; the
+  * cluster id is the exact list key). The vectors ride INLINE (the
+  * table owns `list<float>` payloads — no join back to a corpus table
+  * at probe time), with the per-vector norm precomputed once at
+  * admission. With `pqM > 0` the index is IVF-PQ: per-subspace
+  * product-quantization `codes` ride each row, the scoring pass of a
+  * probe reads codes only (column pruning keeps the 4·dim-byte vectors
+  * out of the dominant list IO), and the inline vectors serve the exact
+  * rerank of the shortlist — the FAISS IVF-PQ serving shape.
   * Centroids persist in the table PROPERTIES (`Double.toString` exact
   * round-trip), read back on every probe — at IVF scale (k ≈ √N) the
   * centroid matrix is driver-state-sized, the same contract as
@@ -122,23 +127,37 @@ final class AnnIndex(
   private def renderCentroids(cents: Seq[Seq[Double]]): String =
     cents.map(_.map(_.toString).mkString(",")).mkString(";")
 
-  /** The frozen quantizer, read from the table's own metadata — probes
-    * and admissions never re-cluster. */
-  def centroids: Seq[Seq[Double]] = {
-    val raw = engine.load(ref).metadata.properties.getOrElse(CentroidsProp,
+  private def parseCentroids(props: Map[String, String]): Seq[Seq[Double]] = {
+    val raw = props.getOrElse(CentroidsProp,
       throw new IllegalStateException(
         s"$ref has no persisted centroids — bootstrap() the index first"))
     raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
   }
+
+  private def parseCodebooks(
+      props: Map[String, String]): Option[Seq[Seq[Seq[Double]]]] =
+    props.get(AnnIndex.PqCodebooksProp)
+      .map(_.split('|').toSeq.map(sub =>
+        sub.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))))
+
+  /** The frozen quantizer, read from the table's own metadata — probes
+    * and admissions never re-cluster. */
+  def centroids: Seq[Seq[Double]] =
+    parseCentroids(engine.load(ref).metadata.properties)
 
   /** The frozen PQ codebooks (`codebooks(j)(c)` = centroid `c` of
     * subspace `j`), read from the table's own metadata — None for a
     * flat (non-PQ) index. Exact `Double.toString` round-trip, like the
     * coarse quantizer. */
   def codebooks: Option[Seq[Seq[Seq[Double]]]] =
-    engine.load(ref).metadata.properties.get(AnnIndex.PqCodebooksProp)
-      .map(_.split('|').toSeq.map(sub =>
-        sub.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))))
+    parseCodebooks(engine.load(ref).metadata.properties)
+
+  /** Both frozen quantizers off ONE metadata load — the per-micro-batch
+    * hot paths ([[admit]], [[admitIfNovel]]) read table metadata once. */
+  private def quantizers: (Seq[Seq[Double]], Option[Seq[Seq[Seq[Double]]]]) = {
+    val props = engine.load(ref).metadata.properties
+    (parseCentroids(props), parseCodebooks(props))
+  }
 
   /** The standing index (all lists). */
   def signatures: DataFrame = engine.readTable(ref)
@@ -156,7 +175,8 @@ final class AnnIndex(
     * the lists — one map-side argmin projection + one commit, no
     * kmeans. Returns the assigned rows (what landed). */
   def admit(newVecs: DataFrame): DataFrame = {
-    val rows = assignedRows(newVecs, centroids, codebooks).localCheckpoint()
+    val (cents, cbs) = quantizers
+    val rows = assignedRows(newVecs, cents, cbs).localCheckpoint()
     engine.append(ref, rows)
     rows
   }
@@ -318,8 +338,7 @@ final class AnnIndex(
     * gated normally. */
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
       dedupWithinBatch: Boolean = false): DataFrame = {
-    val cents = centroids
-    val cbs = codebooks
+    val (cents, cbs) = quantizers
     // FUSED driver plumbing (the gate fronts micro-batch streams, where
     // fixed per-job driver overhead dominates small batches): exactly
     // THREE Spark jobs before the append — (1) the cluster census,
