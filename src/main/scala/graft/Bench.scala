@@ -147,36 +147,56 @@ object Bench {
     // The commit a distributed section was MEASURED at rides in the
     // sidecar (`distributed_commit`): a run without the knob carries the
     // previous section forward — it must not erase the only wall-clock
-    // signal on the 100 TB code paths — but a carried section whose
-    // measuring commit differs from HEAD is tagged `distributed_stale`,
-    // so stale d_* timings are never presented as measured-at-HEAD.
-    // .git is looked up next to the SIDECAR as well as under the cwd —
-    // a measurement run launched from outside the repo root must still
-    // record its commit, or every later carry-forward would tag the
-    // fresh section stale forever
-    def gitHeadAt(root: java.nio.file.Path): Option[String] = scala.util.Try {
-      val git = root.resolve(".git")
-      val head = new String(java.nio.file.Files.readAllBytes(
-        git.resolve("HEAD")), "UTF-8").trim
-      if (!head.startsWith("ref: ")) head
-      else {
-        val ref = head.drop(5).trim
-        val refPath = ref.split('/').foldLeft(git)(_.resolve(_))
-        if (java.nio.file.Files.exists(refPath))
-          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
-        else { // packed refs
-          val src = scala.io.Source.fromFile(git.resolve("packed-refs").toFile)
-          try src.getLines()
-            .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head }
-            .get
-          finally src.close()
+    // signal on the 100 TB code paths — but a carried section is tagged
+    // `distributed_stale` when src/main CHANGED since the measuring
+    // commit, so stale d_* timings are never presented as measured-at-
+    // HEAD. Staleness is a source diff, NOT commit equality: committing
+    // the refreshed sidecar itself moves HEAD, so an equality check
+    // could never pass for a checked-in sidecar and would re-tag (and
+    // re-dirty) it on every knob-less run.
+    // The repo root is looked up next to the SIDECAR as well as under
+    // the cwd — a measurement run launched from outside the repo root
+    // must still record its commit, or every later carry-forward would
+    // tag the fresh section stale forever.
+    val gitRoots: Seq[java.nio.file.Path] =
+      java.nio.file.Paths.get("") +:
+        Option(detailPathEarly.toAbsolutePath.getParent).toSeq
+    // the git BINARY is authoritative (resolves worktree/submodule
+    // `.git` FILES and packed refs alike); the manual loose/packed-ref
+    // parse is the no-git-installed fallback
+    def gitOut(root: java.nio.file.Path, cmd: String*): Option[String] =
+      scala.util.Try {
+        val p = new ProcessBuilder(
+          (Seq("git", "-C", root.toAbsolutePath.toString) ++ cmd): _*).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        require(p.waitFor() == 0); out
+      }.toOption
+    def gitHeadAt(root: java.nio.file.Path): Option[String] =
+      gitOut(root, "rev-parse", "HEAD").orElse(scala.util.Try {
+        val git = root.resolve(".git")
+        val head = new String(java.nio.file.Files.readAllBytes(
+          git.resolve("HEAD")), "UTF-8").trim
+        if (!head.startsWith("ref: ")) head
+        else {
+          val ref = head.drop(5).trim
+          val refPath = ref.split('/').foldLeft(git)(_.resolve(_))
+          if (java.nio.file.Files.exists(refPath))
+            new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+          else { // packed refs
+            val src = scala.io.Source.fromFile(git.resolve("packed-refs").toFile)
+            try src.getLines()
+              .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head }
+              .get
+            finally src.close()
+          }
         }
-      }
-    }.toOption
-    def gitHead(): Option[String] =
-      gitHeadAt(java.nio.file.Paths.get(""))
-        .orElse(Option(detailPathEarly.toAbsolutePath.getParent)
-          .flatMap(gitHeadAt))
+      }.toOption)
+    def gitHead(): Option[String] = gitRoots.flatMap(gitHeadAt).headOption
+    // None = could not tell (no git binary / unknown commit) → stale
+    def srcUnchangedSince(commit: String): Option[Boolean] =
+      gitRoots.flatMap(r =>
+        gitOut(r, "diff", "--name-only", s"$commit..HEAD", "--",
+          "src/main")).headOption.map(_.isEmpty)
     val distJson =
       if (distributed.nonEmpty) {
         val commit = gitHead().map(h =>
@@ -189,7 +209,8 @@ object Bench {
           val prevCommit = prevDetail.flatMap(
             """"distributed_commit":"([0-9a-f]+)"""".r
               .findFirstMatchIn(_).map(_.group(1)))
-          val fresh = prevCommit.exists(c => gitHead().contains(c))
+          val fresh = prevCommit.exists(c =>
+            gitHead().contains(c) || srcUnchangedSince(c).contains(true))
           "," + obj +
             prevCommit.map(c => s""","distributed_commit":"$c"""").getOrElse("") +
             (if (fresh) "" else ""","distributed_stale":true""")

@@ -91,20 +91,13 @@ final class AnnIndex(
     * centroid matrix / codebooks (as table properties), so the index is
     * self-contained from its first snapshot. */
   def bootstrap(emb: DataFrame): Seq[Seq[Double]] = {
-    // the coarse quantizer and (for a PQ index) the codebooks are
-    // independent trainings — run them concurrently, like
-    // [[Similarity.ivfPqSearch]]; results identical to the sequential run
-    val (cents, cbs) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val centsF = Future(Clustering.kmeans(
-        emb.select(col("vec_id"), col("embedding")), kClusters, iters).centroids)
-      val cbF = Future(
-        if (pqM <= 0) None
-        else Some(Similarity.trainCodebooks(emb, pqM, pqK, iters)))
-      (Await.result(centsF, scala.concurrent.duration.Duration.Inf),
-        Await.result(cbF, scala.concurrent.duration.Duration.Inf))
-    }
+    // the coarse quantizer and (for a PQ index) the codebooks train
+    // CONCURRENTLY through the one shared site
+    // ([[Similarity.trainCoarseAndCodebooks]]) — results identical to
+    // the sequential run
+    val (model, cbs) =
+      Similarity.trainCoarseAndCodebooks(emb, kClusters, iters, pqM, pqK)
+    val cents = model.centroids
     val rows = assignedRows(emb, cents, cbs).localCheckpoint()
     // the bootstrap per-cluster occupancy persists alongside the
     // quantizer — the reference distribution the drift canary
@@ -152,30 +145,64 @@ final class AnnIndex(
   def codebooks: Option[Seq[Seq[Seq[Double]]]] =
     parseCodebooks(engine.load(ref).metadata.properties)
 
-  /** Both frozen quantizers off ONE metadata load — the per-micro-batch
-    * hot paths ([[admit]], [[admitIfNovel]]) read table metadata once. */
-  private def quantizers: (Seq[Seq[Double]], Option[Seq[Seq[Seq[Double]]]]) = {
-    val props = engine.load(ref).metadata.properties
-    (parseCentroids(props), parseCodebooks(props))
+  /** ONE metadata load pinning a whole serving/admission call: the
+    * snapshot (every candidate scan), the frozen coarse quantizer, and
+    * the PQ codebooks all come off the SAME load, so a [[bootstrap]]
+    * commit landing mid-call cannot mix quantizer generations (probes
+    * routed by old centroids but ADC-scored with new codebooks, or a
+    * census taken against a different snapshot than the scan). */
+  private def pinned: (graft.meta.IcebergTable, Seq[Seq[Double]],
+      Option[Seq[Seq[Seq[Double]]]]) = {
+    val t = engine.load(ref)
+    val props = t.metadata.properties
+    (t, parseCentroids(props), parseCodebooks(props))
   }
 
   /** The standing index (all lists). */
   def signatures: DataFrame = engine.readTable(ref)
 
+  /** [[candidates]] against an already-pinned table — every internal
+    * serving path routes here so the candidate scan shares its caller's
+    * metadata load ([[pinned]]). */
+  private def candidatesOf(t: graft.meta.IcebergTable,
+      clusters: Seq[Int]): DataFrame =
+    ScanPlanner.readTableWhereIn(engine.spark, t,
+      "cluster", clusters.map(_.toString))
+      .filter(col("cluster").isin(clusters: _*))
+
   /** The index restricted to `clusters`' inverted lists: file pruning
     * through the identity partition spec ([[ScanPlanner.readTableWhereIn]])
     * — a probe touching 2 of k lists reads ~2/k of the index files. */
   def candidates(clusters: Seq[Int]): DataFrame =
-    ScanPlanner.readTableWhereIn(engine.spark, engine.load(ref),
-      "cluster", clusters.map(_.toString))
-      .filter(col("cluster").isin(clusters: _*))
+    candidatesOf(engine.load(ref), clusters)
+
+  /** Route EXTERNAL `(vec_id, embedding)` probes to their `nProbe`
+    * nearest frozen lists and census the routed clusters
+    * (metadata-scale collect — ≤ kClusters ints). The localCheckpoint
+    * feeds the census AND the downstream probe join off one
+    * materialization. Shared by the external [[search]] overloads and
+    * [[decontam]] — the routing contract lives in one place. */
+  private def routedProbes(probeVecs: DataFrame, cents: Seq[Seq[Double]],
+      nProbe: Int): (DataFrame, Seq[Int]) = {
+    val probes = probeVecs
+      .withColumn("q_norm", Similarity.norm("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q_norm"),
+        explode(Similarity.probedClusters(cents, nProbe)).as("cluster"))
+      .localCheckpoint()
+    (probes, censusOf(probes))
+  }
+
+  private def censusOf(probes: DataFrame): Seq[Int] =
+    probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
 
   /** Assign an ingest batch to the frozen centroids (and, for a PQ
     * index, encode it against the frozen codebooks) and append it to
     * the lists — one map-side argmin projection + one commit, no
     * kmeans. Returns the assigned rows (what landed). */
   def admit(newVecs: DataFrame): DataFrame = {
-    val (cents, cbs) = quantizers
+    val (_, cents, cbs) = pinned
     val rows = assignedRows(newVecs, cents, cbs).localCheckpoint()
     engine.append(ref, rows)
     rows
@@ -191,13 +218,16 @@ final class AnnIndex(
     * 0 = max(4·k, 16)) and the result carries an extra `adc_micro`
     * column. */
   def search(probePred: Column, k: Int = 3, nProbe: Int = 2,
-      rerank: Int = 0): DataFrame =
-    searchProbes(
-      signatures.filter(probePred)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("v_norm").as("q_norm"),
-          explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
-      k, excludeSelf = true, rerank)
+      rerank: Int = 0): DataFrame = {
+    val (t, cents, cbs) = pinned
+    val probes = ScanPlanner.readTable(engine.spark, t).filter(probePred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"),
+        explode(Similarity.probedClusters(cents, nProbe)).as("cluster"))
+      .localCheckpoint()
+    searchRouted(t, cbs, probes, censusOf(probes), k,
+      excludeSelf = true, rerank)
+  }
 
   /** ANN search for EXTERNAL query vectors — the serving path: assign
     * caller-supplied `(vec_id, embedding)` rows to the FROZEN centroids
@@ -210,17 +240,14 @@ final class AnnIndex(
     search(probeVecs, k, nProbe, 0)
 
   /** [[search(probeVecs*)]] with an explicit PQ rerank budget. */
-  def search(probeVecs: DataFrame, k: Int, nProbe: Int, rerank: Int): DataFrame =
-    searchProbes(
-      probeVecs
-        .withColumn("q_norm", Similarity.norm("embedding"))
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("q_norm"),
-          explode(Similarity.probedClusters(centroids, nProbe)).as("cluster")),
-      k, excludeSelf = false, rerank)
+  def search(probeVecs: DataFrame, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val (t, cents, cbs) = pinned
+    val (probes, probed) = routedProbes(probeVecs, cents, nProbe)
+    searchRouted(t, cbs, probes, probed, k, excludeSelf = false, rerank)
+  }
 
-  /** Shared probe tail: census the routed clusters (metadata-scale
-    * collect — ≤ kClusters ints), then search the PRUNED list scan.
+  /** Shared search tail over ALREADY-ROUTED, already-censused probes —
+    * the table and codebooks come from the caller's [[pinned]] load.
     *
     * Flat index: equi-join probes against the pruned lists on the
     * cluster key, per-probe top-k by (sim DESC, id).
@@ -233,26 +260,24 @@ final class AnnIndex(
     * the exact cosine rerank. With `rerank` covering the probed lists
     * the result equals the flat scan; the extra `adc_micro` column
     * rides in the output. */
-  private def searchProbes(probes0: DataFrame, k: Int,
-      excludeSelf: Boolean, rerank: Int = 0): DataFrame = {
-    val probes = probes0.localCheckpoint() // feeds the prune census AND the join
-    val probed = probes.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    codebooks match {
-      case Some(cbs) =>
-        // ONE metadata load / snapshot pin for both passes: the code
-        // scan and the vector scan are projections of the same pruned
-        // relation, so a commit landing mid-search cannot skew them
-        val cand = candidates(probed)
+  private def searchRouted(t: graft.meta.IcebergTable,
+      cbs: Option[Seq[Seq[Seq[Double]]]], probes: DataFrame,
+      probed: Seq[Int], k: Int, excludeSelf: Boolean,
+      rerank: Int): DataFrame = {
+    cbs match {
+      case Some(cb) =>
+        // both passes are projections of the same pinned pruned
+        // relation — the code scan and the vector scan cannot skew
+        val cand = candidatesOf(t, probed)
         val candCodes = cand.select(col("cluster"),
           col("vec_id").as("c_id"), col("codes"))
         val candVecs = cand.select(col("vec_id").as("c_id"),
           col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
         val r = if (rerank > 0) rerank else math.max(4 * k, 16)
-        Similarity.ivfPqRouted(probes, candCodes, candVecs, cbs, k, r,
+        Similarity.ivfPqRouted(probes, candCodes, candVecs, cb, k, r,
           excludeSelf)
       case None =>
-        val cands = candidates(probed).select(col("cluster"),
+        val cands = candidatesOf(t, probed).select(col("cluster"),
           col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("v_norm").as("c_norm"))
         val w = org.apache.spark.sql.expressions.Window
@@ -280,15 +305,9 @@ final class AnnIndex(
     * benchmark-sized probe side broadcasts. */
   def decontam(probeVecs: DataFrame, threshold: Double,
       nProbe: Int = 2): DataFrame = {
-    val probes = probeVecs
-      .withColumn("q_norm", Similarity.norm("embedding"))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("q_norm"),
-        explode(Similarity.probedClusters(centroids, nProbe)).as("cluster"))
-      .localCheckpoint()
-    val probed = probes.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val cands = candidates(probed).select(col("cluster"),
+    val (t, cents, _) = pinned
+    val (probes, probed) = routedProbes(probeVecs, cents, nProbe)
+    val cands = candidatesOf(t, probed).select(col("cluster"),
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
     // the gate + output contract is the SHARED helper — the from-scratch
@@ -301,12 +320,13 @@ final class AnnIndex(
     * PRUNED list scan — same results as `hardNegativesIvf` over the raw
     * corpus with this index's quantizer, no kmeans, no full-index scan. */
   def hardNegatives(probePred: Column, k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val cents = centroids
-    val probes = signatures.filter(probePred).localCheckpoint()
+    val (t, cents, _) = pinned
+    val probes = ScanPlanner.readTable(engine.spark, t)
+      .filter(probePred).localCheckpoint()
     val probed = probes
       .select(explode(Similarity.probedClusters(cents, nProbe)).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    Similarity.hardNegativesRouted(probes, candidates(probed), cents,
+    Similarity.hardNegativesRouted(probes, candidatesOf(t, probed), cents,
       k, nProbe)
   }
 
@@ -338,7 +358,7 @@ final class AnnIndex(
     * gated normally. */
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
       dedupWithinBatch: Boolean = false): DataFrame = {
-    val (cents, cbs) = quantizers
+    val (pinnedT, cents, cbs) = pinned
     // FUSED driver plumbing (the gate fronts micro-batch streams, where
     // fixed per-job driver overhead dominates small batches): exactly
     // THREE Spark jobs before the append — (1) the cluster census,
@@ -362,8 +382,9 @@ final class AnnIndex(
       .collect().map(_.getInt(0)).toSeq.sorted
     if (probed.isEmpty) { assigned0.unpersist(); return assigned0 }
     // the pruned index slice — feeds the collision join AND the
-    // redelivery check; cached, materialized by jobs 2-3
-    val cands = candidates(probed).select(col("cluster"),
+    // redelivery check; cached, materialized by jobs 2-3; pinned to the
+    // same metadata load as the quantizers above
+    val cands = candidatesOf(pinnedT, probed).select(col("cluster"),
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       col("v_norm").as("c_norm"))
       .cache()

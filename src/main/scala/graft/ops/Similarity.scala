@@ -476,9 +476,18 @@ object Similarity {
     // scan — joining them first would duplicate every probe's 4·dim-byte
     // vector onto each of its shortlist rows, unbounded in the
     // large-rerank (flat-parity) mode; apart, both stay metadata-small
-    // and the big pruned lists never shuffle for the rerank either
+    // and the big pruned lists never shuffle for the rerank either.
+    // The shortlist hint itself is GATED on the rerank budget: in the
+    // flat-parity / audit mode (rerank covering the probed lists, e.g.
+    // Int.MaxValue) the shortlist is candidate-sized, and forcing it to
+    // the driver would OOM exactly where the flat scan succeeds — there
+    // the rerank join falls back to shuffle (AQE may still pick a
+    // broadcast from the OBSERVED size)
+    val bcastShortlist = rerank <= probes.sparkSession.conf
+      .get("spark.graft.ann.rerankBroadcastMax", "65536").toInt
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    candVecs.join(broadcast(shortlist), Seq("c_id"))
+    candVecs.join(if (bcastShortlist) broadcast(shortlist) else shortlist,
+        Seq("c_id"))
       .join(broadcast(qVecs), Seq("q_id"))
       .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
@@ -486,6 +495,25 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("q_id", "cluster", "c_id", "adc_micro", "sim", "rn")
       .orderBy("q_id", "rn")
+  }
+
+  /** Train the coarse IVF quantizer and (for `pqM > 0`) the per-subspace
+    * PQ codebooks CONCURRENTLY — independent trainings, so wall-clock is
+    * the slower one, not the sum; each result identical to its
+    * sequential run. The ONE concurrency site shared by [[ivfPqSearch]]
+    * and [[graft.ops.AnnIndex.bootstrap]] — error-handling or timeout
+    * changes land in both paths. */
+  private[ops] def trainCoarseAndCodebooks(
+      emb: DataFrame, kClusters: Int, iters: Int, pqM: Int,
+      pqK: Int): (Clustering.KmeansModel, Option[Seq[Seq[Seq[Double]]]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val coarseF = Future(Clustering.kmeans(
+      emb.select(col("vec_id"), col("embedding")), kClusters, iters))
+    val cbF = Future(
+      if (pqM <= 0) None else Some(trainCodebooks(emb, pqM, pqK, iters)))
+    (Await.result(coarseF, scala.concurrent.duration.Duration.Inf),
+      Await.result(cbF, scala.concurrent.duration.Duration.Inf))
   }
 
   /** From-scratch IVF-PQ top-k search (the oracle-facing twin of
@@ -497,18 +525,8 @@ object Similarity {
   def ivfPqSearch(emb: DataFrame, probePred: Column, kClusters: Int = 4,
       iters: Int = 2, m: Int = 4, pqK: Int = 8, nProbe: Int = 2,
       rerank: Int = 10, topK: Int = 5): DataFrame = {
-    // the coarse quantizer and the PQ codebooks are independent
-    // trainings — run them CONCURRENTLY (wall-clock = the slower one,
-    // not the sum; each result identical to the sequential run)
-    val (coarse, codebooks) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val coarseF = Future(Clustering.kmeans(
-        emb.select(col("vec_id"), col("embedding")), kClusters, iters))
-      val cbF = Future(trainCodebooks(emb, m, pqK, iters))
-      (Await.result(coarseF, scala.concurrent.duration.Duration.Inf),
-        Await.result(cbF, scala.concurrent.duration.Duration.Inf))
-    }
+    val (coarse, cbsOpt) = trainCoarseAndCodebooks(emb, kClusters, iters, m, pqK)
+    val codebooks = cbsOpt.get // pqM > 0 here by construction
     // both join sides and the probe filter consume the assignment — the
     // k-dot-products-per-row argmin is paid once
     val assigned = coarse.assignments

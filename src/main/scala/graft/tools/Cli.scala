@@ -373,14 +373,14 @@ object Cli {
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
           val k = vargs.lift(2).map(_.toInt).getOrElse(3)
           val nProbe = vargs.lift(3).map(_.toInt).getOrElse(2)
-          // a path-looking argument (separator/extension) or an existing
-          // file wins over the id parse — so an all-digit probe dir is
-          // never misread as a vec_id, and a mistyped id still fails
-          // fast with a NumberFormatException instead of a confusing
-          // missing-path error from the parquet reader
+          // disambiguation is purely SYNTACTIC — an integer-shaped
+          // argument is a vec_id, anything else a parquet path — so the
+          // same command means the same thing in every cwd (a filesystem
+          // probe would silently flip "7" to a path query wherever a
+          // local file named "7" happens to exist). An all-digit probe
+          // dir is addressed the standard unix way: `./7`
           val arg = vargs(1)
-          val isPath = arg.exists(c => c == '/' || c == '.') ||
-            java.nio.file.Files.exists(java.nio.file.Paths.get(arg))
+          val isPath = scala.util.Try(arg.toLong).isFailure
           emit(
             if (isPath) idx.search(spark.read.parquet(arg), k, nProbe)
             else idx.search(
