@@ -17,6 +17,13 @@ import graft.rel.MetaRelations
   * directory (`<warehouse>/<ns>/<table>/metadata/v*.metadata.json`).
   */
 object Engine {
+  /** Census of [[Engine.load]] calls (metadata loads) — specs pin the
+    * one-load-per-serving-call contract of hot paths like
+    * [[graft.ops.AnnIndex]]'s search/decontam (a second load mid-call
+    * could mix quantizer generations across passes). */
+  private[graft] val loadCensus =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build from resolved catalog config via the catalog SPI
     * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses,
     * REST catalogs and JDBC ("sql") catalogs all produce a working
@@ -41,7 +48,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
 
   def tableDir(ref: String): String = catalog.tableLocation(ref)
 
-  def load(ref: String): IcebergTable = catalog.loadTable(ref)
+  def load(ref: String): IcebergTable = {
+    Engine.loadCensus.incrementAndGet()
+    catalog.loadTable(ref)
+  }
 
   /** S2 — namespace walk (through the catalog SPI, so REST/JDBC-backed
     * engines list what their catalog serves). */

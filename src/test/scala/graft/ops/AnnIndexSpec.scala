@@ -418,6 +418,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(r80 >= r20, "recall must not degrade with a larger rerank budget")
   }
 
+  test("serving calls pin ONE metadata load — quantizers and scans share a snapshot") {
+    val wh = java.nio.file.Files.createTempDirectory("annload").toString
+    val e = new Engine(spark, wh)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pq = new AnnIndex(e, "ml.pin_idx", kClusters = 4, iters = 2,
+      pqM = 4, pqK = 8)
+    pq.create()
+    pq.bootstrap(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def loadsOf(body: => Unit): Long = {
+      val before = Engine.loadCensus.get()
+      body
+      Engine.loadCensus.get() - before
+    }
+    // a bootstrap() commit landing between two metadata reads could mix
+    // quantizer generations (probes routed by the OLD centroids but
+    // ADC-scored with the NEW codebooks against new codes) — so every
+    // serving/mining call must read table metadata exactly once, and the
+    // candidate scans must be projections of that same pinned snapshot
+    assert(loadsOf(
+      pq.search(col("vec_id") < 5, k = 3, nProbe = 2).collect()) == 1L,
+      "predicate search must pin one metadata load")
+    assert(loadsOf(pq.search(probes, 3, 2).collect()) == 1L,
+      "external-probe search must pin one metadata load")
+    assert(loadsOf(pq.decontam(probes, 0.3).collect()) == 1L,
+      "index-served decontam must pin one metadata load")
+    assert(loadsOf(
+      pq.hardNegatives(col("vec_id") < 5, k = 3, nProbe = 2).collect()) == 1L,
+      "index-served mining must pin one metadata load")
+  }
+
   test("PQ admission: frozen-codebook encode, gate appends schema-complete rows") {
     val wh = java.nio.file.Files.createTempDirectory("annpqadmit").toString
     val e = new Engine(spark, wh)
