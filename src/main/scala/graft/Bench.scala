@@ -181,13 +181,15 @@ object Bench {
     // the refreshed sidecar itself moves HEAD, so an equality check
     // could never pass for a checked-in sidecar and would re-tag (and
     // re-dirty) it on every knob-less run.
-    // The repo root is looked up next to the SIDECAR as well as under
-    // the cwd — a measurement run launched from outside the repo root
-    // must still record its commit, or every later carry-forward would
-    // tag the fresh section stale forever.
+    // The repo that matters is the one holding the SIDECAR — its parent
+    // is consulted FIRST and the cwd is only a fallback (a run launched
+    // from inside some unrelated checkout must not stamp that repo's
+    // HEAD as this sidecar's measuring commit). Pathspecs carry the
+    // `:(top)` magic so they anchor at the repo toplevel no matter
+    // which subdirectory the consulted root happens to be.
     val gitRoots: Seq[java.nio.file.Path] =
-      java.nio.file.Paths.get("") +:
-        Option(detailPathEarly.toAbsolutePath.getParent).toSeq
+      Option(detailPathEarly.toAbsolutePath.getParent).toSeq :+
+        java.nio.file.Paths.get("")
     // the git BINARY is authoritative (resolves worktree/submodule
     // `.git` FILES and packed refs alike); the manual loose/packed-ref
     // parse is the no-git-installed fallback
@@ -219,14 +221,25 @@ object Bench {
         }
       }.toOption)
     def gitHead(): Option[String] = gitRoots.flatMap(gitHeadAt).headOption
-    // None = could not tell (no git binary / unknown commit) → stale
+    // ONE-commit diff — against the WORKTREE, not HEAD: the question is
+    // "does the source differ NOW from what the stamp was measured at",
+    // and uncommitted src/main edits are exactly as stale-making as
+    // committed ones. None = could not tell (no git binary) → stale
     def srcUnchangedSince(commit: String): Option[Boolean] =
       gitRoots.flatMap(r =>
-        gitOut(r, "diff", "--name-only", s"$commit..HEAD", "--",
-          "src/main")).headOption.map(_.isEmpty)
+        gitOut(r, "diff", "--name-only", commit, "--",
+          ":(top)src/main")).headOption.map(_.isEmpty)
+    // a measurement from a DIRTY src/main must not stamp HEAD (the
+    // stamped commit would not contain the measured code, poisoning
+    // every later staleness verdict) — no stamp reads as stale, the
+    // conservative direction
+    def srcClean(): Boolean =
+      gitRoots.flatMap(r =>
+        gitOut(r, "status", "--porcelain", "--",
+          ":(top)src/main")).headOption.exists(_.isEmpty)
     val distJson =
       if (distributed.nonEmpty) {
-        val commit = gitHead().map(h =>
+        val commit = (if (srcClean()) gitHead() else None).map(h =>
           s""","distributed_commit":"$h"""").getOrElse("")
         distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
           .mkString(""","distributed":{""", ",", "}") + commit
@@ -236,8 +249,10 @@ object Bench {
           val prevCommit = prevDetail.flatMap(
             """"distributed_commit":"([0-9a-f]+)"""".r
               .findFirstMatchIn(_).map(_.group(1)))
+          // the worktree diff subsumes the HEAD-equality check (empty
+          // iff nothing changed, committed OR uncommitted)
           val fresh = prevCommit.exists(c =>
-            gitHead().contains(c) || srcUnchangedSince(c).contains(true))
+            srcUnchangedSince(c).contains(true))
           "," + obj +
             prevCommit.map(c => s""","distributed_commit":"$c"""").getOrElse("") +
             (if (fresh) "" else ""","distributed_stale":true""")

@@ -477,14 +477,21 @@ object Similarity {
     // vector onto each of its shortlist rows, unbounded in the
     // large-rerank (flat-parity) mode; apart, both stay metadata-small
     // and the big pruned lists never shuffle for the rerank either.
-    // The shortlist hint itself is GATED on the rerank budget: in the
-    // flat-parity / audit mode (rerank covering the probed lists, e.g.
-    // Int.MaxValue) the shortlist is candidate-sized, and forcing it to
-    // the driver would OOM exactly where the flat scan succeeds — there
-    // the rerank join falls back to shuffle (AQE may still pick a
-    // broadcast from the OBSERVED size)
-    val bcastShortlist = rerank <= probes.sparkSession.conf
-      .get("spark.graft.ann.rerankBroadcastMax", "65536").toInt
+    // The shortlist hint itself is GATED on its worst-case SIZE —
+    // probe rows × rerank, the PRODUCT, not rerank alone (a 100k-probe
+    // batch at a modest rerank is as driver-fatal as one probe at
+    // Int.MaxValue): above the row budget the rerank join falls back to
+    // shuffle (AQE may still pick a broadcast from the OBSERVED size).
+    // The probe count is one cheap job — every caller hands probes off
+    // a localCheckpoint, so nothing recomputes
+    val shortlistBudget = probes.sparkSession.conf
+      .get("spark.graft.ann.shortlistBroadcastMaxRows", "4194304").toLong
+    val bcastShortlist = {
+      val probeRows = probes.count().max(1L) // ≥ distinct q_ids (rows are per list)
+      // divide, don't multiply — rerank may be Int.MaxValue
+      rerank.toLong <= shortlistBudget &&
+        probeRows <= shortlistBudget / rerank.toLong.max(1L)
+    }
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     candVecs.join(if (bcastShortlist) broadcast(shortlist) else shortlist,
         Seq("c_id"))

@@ -373,19 +373,25 @@ object Cli {
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
           val k = vargs.lift(2).map(_.toInt).getOrElse(3)
           val nProbe = vargs.lift(3).map(_.toInt).getOrElse(2)
-          // disambiguation is purely SYNTACTIC — an integer-shaped
-          // argument is a vec_id, anything else a parquet path — so the
-          // same command means the same thing in every cwd (a filesystem
-          // probe would silently flip "7" to a path query wherever a
-          // local file named "7" happens to exist). An all-digit probe
+          // disambiguation is purely SYNTACTIC — an integer argument is
+          // a vec_id, an argument with path syntax (separator or
+          // extension) is a parquet path, anything else fails fast with
+          // a clear message — so the same command means the same thing
+          // in every cwd (a filesystem probe would silently flip "7" to
+          // a path query wherever a local file named "7" happens to
+          // exist) and a mistyped id ("12a3") never reaches the parquet
+          // reader's confusing missing-path error. An all-digit probe
           // dir is addressed the standard unix way: `./7`
           val arg = vargs(1)
-          val isPath = scala.util.Try(arg.toLong).isFailure
-          emit(
-            if (isPath) idx.search(spark.read.parquet(arg), k, nProbe)
-            else idx.search(
-              org.apache.spark.sql.functions.col("vec_id") === arg.toLong,
-              k, nProbe))
+          emit(scala.util.Try(arg.toLong).toOption match {
+            case Some(id) => idx.search(
+              org.apache.spark.sql.functions.col("vec_id") === id, k, nProbe)
+            case None if arg.exists(c => c == '/' || c == '.') =>
+              idx.search(spark.read.parquet(arg), k, nProbe)
+            case None => throw new IllegalArgumentException(
+              s"ann-search: '$arg' is neither an integer vec_id nor a " +
+                "parquet path (prefix a bare directory name with ./)")
+          })
         case other =>
           usage(); throw new IllegalArgumentException(s"unknown verb: $other")
       }
