@@ -184,62 +184,18 @@ object Bench {
     // The repo that matters is the one holding the SIDECAR — its parent
     // is consulted FIRST and the cwd is only a fallback (a run launched
     // from inside some unrelated checkout must not stamp that repo's
-    // HEAD as this sidecar's measuring commit). Pathspecs carry the
-    // `:(top)` magic so they anchor at the repo toplevel no matter
-    // which subdirectory the consulted root happens to be.
-    val gitRoots: Seq[java.nio.file.Path] =
+    // HEAD as this sidecar's measuring commit). All git questions —
+    // HEAD, worktree-vs-stamp src diff, dirtiness — go through the
+    // unit-tested [[graft.tools.GitInfo]].
+    val git = new graft.tools.GitInfo(
       Option(detailPathEarly.toAbsolutePath.getParent).toSeq :+
-        java.nio.file.Paths.get("")
-    // the git BINARY is authoritative (resolves worktree/submodule
-    // `.git` FILES and packed refs alike); the manual loose/packed-ref
-    // parse is the no-git-installed fallback
-    def gitOut(root: java.nio.file.Path, cmd: String*): Option[String] =
-      scala.util.Try {
-        val p = new ProcessBuilder(
-          (Seq("git", "-C", root.toAbsolutePath.toString) ++ cmd): _*).start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-        require(p.waitFor() == 0); out
-      }.toOption
-    def gitHeadAt(root: java.nio.file.Path): Option[String] =
-      gitOut(root, "rev-parse", "HEAD").orElse(scala.util.Try {
-        val git = root.resolve(".git")
-        val head = new String(java.nio.file.Files.readAllBytes(
-          git.resolve("HEAD")), "UTF-8").trim
-        if (!head.startsWith("ref: ")) head
-        else {
-          val ref = head.drop(5).trim
-          val refPath = ref.split('/').foldLeft(git)(_.resolve(_))
-          if (java.nio.file.Files.exists(refPath))
-            new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
-          else { // packed refs
-            val src = scala.io.Source.fromFile(git.resolve("packed-refs").toFile)
-            try src.getLines()
-              .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head }
-              .get
-            finally src.close()
-          }
-        }
-      }.toOption)
-    def gitHead(): Option[String] = gitRoots.flatMap(gitHeadAt).headOption
-    // ONE-commit diff — against the WORKTREE, not HEAD: the question is
-    // "does the source differ NOW from what the stamp was measured at",
-    // and uncommitted src/main edits are exactly as stale-making as
-    // committed ones. None = could not tell (no git binary) → stale
-    def srcUnchangedSince(commit: String): Option[Boolean] =
-      gitRoots.flatMap(r =>
-        gitOut(r, "diff", "--name-only", commit, "--",
-          ":(top)src/main")).headOption.map(_.isEmpty)
-    // a measurement from a DIRTY src/main must not stamp HEAD (the
-    // stamped commit would not contain the measured code, poisoning
-    // every later staleness verdict) — no stamp reads as stale, the
-    // conservative direction
-    def srcClean(): Boolean =
-      gitRoots.flatMap(r =>
-        gitOut(r, "status", "--porcelain", "--",
-          ":(top)src/main")).headOption.exists(_.isEmpty)
+        java.nio.file.Paths.get(""))
     val distJson =
       if (distributed.nonEmpty) {
-        val commit = (if (srcClean()) gitHead() else None).map(h =>
+        // a measurement from a DIRTY src/main must not stamp HEAD (the
+        // stamp would not contain the measured code) — no stamp reads
+        // as stale later, the conservative direction
+        val commit = (if (git.srcClean) git.head else None).map(h =>
           s""","distributed_commit":"$h"""").getOrElse("")
         distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
           .mkString(""","distributed":{""", ",", "}") + commit
@@ -252,7 +208,7 @@ object Bench {
           // the worktree diff subsumes the HEAD-equality check (empty
           // iff nothing changed, committed OR uncommitted)
           val fresh = prevCommit.exists(c =>
-            srcUnchangedSince(c).contains(true))
+            git.srcUnchangedSince(c).contains(true))
           "," + obj +
             prevCommit.map(c => s""","distributed_commit":"$c"""").getOrElse("") +
             (if (fresh) "" else ""","distributed_stale":true""")
