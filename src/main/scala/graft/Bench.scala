@@ -164,11 +164,20 @@ object Bench {
           },
           timed("d_bpe_serial16") {
             graft.ops.Bpe.trainMerges(docs, nMerges = 16,
-              driverVocabThreshold = 0L, batchK = 1).count()
+              driverVocabThreshold = 0L, batchK = 1,
+              trackedPairThreshold = 0L).count()
           },
           timed("d_bpe_batched64") {
             graft.ops.Bpe.trainMerges(docs, nMerges = 64,
-              driverVocabThreshold = 0L, batchK = 8).count()
+              driverVocabThreshold = 0L, batchK = 8,
+              trackedPairThreshold = 0L).count()
+          },
+          // the realistic-merge-count tier: distributed vocab, driver-
+          // tracked exact census — argmax off the ordered set (zero
+          // jobs), one delta job per round, maximal batches
+          timed("d_bpe_tracked512") {
+            graft.ops.Bpe.trainMerges(docs, nMerges = 512,
+              driverVocabThreshold = 0L, batchK = 32).count()
           })
       }
     // The commit a distributed section was MEASURED at rides in the

@@ -52,26 +52,43 @@ object Bpe {
   /** Learned merge table `(merge_rank, lhs, rhs, pair_count)`, ordered by
     * rank. Stops early (fewer rows) if the vocabulary runs out of pairs.
     *
-    * ADAPTIVE (same idiom as `Dedup.connectedComponents`): the corpus-wide
-    * word census always runs distributed (the one corpus shuffle); the
-    * merge-learning loop runs DRIVER-SIDE over the collected census when
-    * the vocabulary fits under `driverVocabThreshold` distinct words —
-    * the vocabulary is language-bounded, not corpus-bounded, so this is
-    * the k-bounded-collect posture (production tokenizer trainers are
-    * built exactly this way: distributed count, bounded merge learning).
-    * The driver loop maintains a pair→words inverted index, so each merge
-    * touches only the words containing the merged pair — 32k merges cost
-    * milliseconds, not 32k Spark jobs. Above the threshold (or with the
-    * threshold set to 0) the loop runs distributed with an incrementally
-    * patched census, learning UP TO `batchK` merges per round when the
-    * batch-safety proof allows ([[acceptBatch]] — provably identical to
-    * the serial loop; chain-structured corpora where each merge feeds
-    * the next degrade gracefully to singleton rounds at one job each).
-    * Both paths are integer-exact and byte-identical (ties compare in
-    * UTF-8 byte order on BOTH paths, matching Spark's UTF8String and
-    * the oracle's memcmp). */
+    * ADAPTIVE, in THREE tiers (same idiom as `Dedup.connectedComponents`):
+    * the corpus-wide word census always runs distributed (the one corpus
+    * shuffle); where the merge-learning loop runs depends on what fits on
+    * the driver —
+    *
+    *  1. VOCAB fits (`≤ driverVocabThreshold` distinct words): the whole
+    *     loop runs driver-side over the collected census with a
+    *     pair→words inverted index ([[trainMergesDriver]]) — the
+    *     vocabulary is language-bounded, not corpus-bounded, so this is
+    *     the k-bounded-collect posture (production tokenizer trainers are
+    *     built exactly this way: distributed count, bounded merge
+    *     learning); 32k merges cost milliseconds, not 32k Spark jobs.
+    *  2. Vocab too big but the PAIR CENSUS fits (`≤ trackedPairThreshold`
+    *     distinct adjacent pairs — the census is a far smaller object
+    *     than the vocab: pairs of learned symbols vs whole words carrying
+    *     their symbol arrays): the vocab stays DISTRIBUTED and the census
+    *     is TRACKED on the driver ([[trainMergesTracked]]) — argmax is a
+    *     driver-side ordered-set head (zero Spark jobs), each round runs
+    *     ONE distributed job (the delta collect over only the words that
+    *     contained an accepted pair), and the batch-safety proof checks
+    *     every threat against its EXACT count (no uncollected-pair
+    *     guard), so batches run maximal. This is the realistic-merge-
+    *     count tier: 32k merges never pay a distributed census argmax or
+    *     a census patch shuffle.
+    *  3. Neither fits: the fully distributed loop with an incrementally
+    *     patched census, learning UP TO `batchK` merges per round when
+    *     the batch-safety proof allows ([[acceptBatch]] — provably
+    *     identical to the serial loop; chain-structured corpora where
+    *     each merge feeds the next degrade gracefully to singleton
+    *     rounds at one job each).
+    *
+    * Setting a threshold to 0 disables its tier. All three paths are
+    * integer-exact and byte-identical (ties compare in UTF-8 byte order
+    * everywhere, matching Spark's UTF8String and the oracle's memcmp). */
   def trainMerges(docs: DataFrame, nMerges: Int = 6,
-      driverVocabThreshold: Long = 500000L, batchK: Int = 8): DataFrame = {
+      driverVocabThreshold: Long = 500000L, batchK: Int = 8,
+      trackedPairThreshold: Long = 2000000L): DataFrame = {
     require(batchK >= 1, "batchK must be >= 1")
     val spark = docs.sparkSession
     // vocabulary census — the ONLY corpus-wide shuffle
@@ -91,11 +108,29 @@ object Bpe {
     if (driverVocabThreshold > 0 && vocab.count() <= driverVocabThreshold)
       return trainMergesDriver(spark, vocab, nMerges)
 
-    // standing pair census, built ONCE — rounds patch it with deltas
-    var census = vocab
+    // the initial pair census — collected whole for the tracked tier,
+    // kept distributed for tier 3
+    val censusPlan = vocab
       .select(col("cnt"), explode(pairStructs).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("cnt")).as("pc"))
+
+    if (trackedPairThreshold > 0) {
+      // size probe and bootstrap in ONE job: collect at most threshold+1
+      // rows — exactly threshold+1 back means the census is too big and
+      // tier 3 takes over (one wasted aggregation, paid once)
+      val lim =
+        if (trackedPairThreshold >= Int.MaxValue - 1L) Int.MaxValue - 1
+        else (trackedPairThreshold + 1).toInt
+      val rows = censusPlan.limit(lim).collect()
+      if (rows.length <= trackedPairThreshold)
+        return trainMergesTracked(spark, vocab,
+          rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))),
+          nMerges, batchK)
+    }
+
+    // standing pair census, built ONCE — rounds patch it with deltas
+    var census = censusPlan
       .coalesce(8)
       .localCheckpoint(false)
 
@@ -277,10 +312,175 @@ object Bpe {
   /** UTF-8 byte order — Spark's UTF8String comparison and the oracle's
     * memcmp; java.lang.String compareTo (UTF-16 code units) DIVERGES for
     * supplementary characters, so ties must not use it. */
-  private def bytesLt(a: String, b: String): Boolean =
+  private def bytesCompare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def bytesLt(a: String, b: String): Boolean = bytesCompare(a, b) < 0
+
+  /** The serial census order — (count DESC, lhs byte-ASC, rhs byte-ASC) —
+    * as an ordering over `(count, lhs, rhs)` tuples, shared by the
+    * tracked tier's standing ordered set. */
+  private val censusOrder: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val cl = bytesCompare(x._2, y._2)
+          if (cl != 0) cl else bytesCompare(x._3, y._3)
+        }
+      }
+    }
+
+  /** TIER 2 — DRIVER-TRACKED census over a DISTRIBUTED vocab: the merge
+    * loop for realistic merge counts (32k+) when the vocabulary is too
+    * big to collect but its pair census is not.
+    *
+    * The exact pair census lives in driver memory as a count map plus an
+    * ordered set in serial census order, so the per-round argmax is an
+    * ordered-set head — ZERO Spark jobs — and the only distributed work
+    * per round is the DELTA job: one pass over the (kernel-filtered)
+    * words that contained an accepted pair, whose signed pair deltas
+    * collect back and patch the tracked census (delta size is bounded by
+    * the affected words' adjacent-pair variety, census-scale at worst,
+    * typically tiny). The vocab itself is rewritten lazily
+    * (`localCheckpoint(false)`) and materializes as a side effect of the
+    * NEXT round's delta job, so plans stay constant-size across
+    * thousands of rounds; dropped rounds' checkpoint blocks are
+    * reclaimed by Spark's ContextCleaner once unreferenced, the same
+    * contract as the tier-3 loop.
+    *
+    * Batching replays the serial loop under the SAME proof obligations
+    * as [[acceptBatch]], but with the census fully known every threat
+    * class sharpens to exactness: candidate prefixes come off the exact
+    * global order (never a collect window), existing pairs that could
+    * gain occurrences (their lhs/rhs equals an accepted merged symbol —
+    * possible when a merge re-creates a string that already exists as a
+    * symbol) are checked against their EXACT counts, and the only
+    * bounded class left is merge-CREATED pairs, which start from count 0
+    * and are bounded by the accepted trigram maxes ([[trigramMaxes]], the
+    * one extra job of a multi-merge round). No uncollected-pair guard
+    * exists, so acceptance is maximal given the trigram bounds —
+    * strictly more merges per round than tier 3 can prove safe. */
+  private def trainMergesTracked(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab0: DataFrame,
+      census0: Array[((String, String), Long)],
+      nMerges: Int, batchK: Int): DataFrame = {
+    import scala.collection.mutable
+    var vocab = vocab0
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val order = mutable.TreeSet.empty[(Long, String, String)](censusOrder)
+    census0.foreach { case (p, c) =>
+      counts(p) = c
+      order += ((c, p._1, p._2))
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && order.nonEmpty && !exhausted) {
+      val want = math.min(batchK, nMerges - merges.size)
+      // candidate prefix straight off the EXACT census order: contiguous
+      // (serial picks strictly in census order — a skipped pair would
+      // fork history), stopping at the first symbol-non-disjoint pair
+      val prefix = mutable.ArrayBuffer.empty[(String, String, Long)]
+      var symbols = Set.empty[String]
+      val it = order.iterator
+      var open = true
+      while (open && prefix.size < want && it.hasNext) {
+        val (c, l, r) = it.next()
+        val mine = Set(l, r, l + r)
+        if (mine.intersect(symbols).isEmpty) {
+          prefix += ((l, r, c)); symbols ++= mine
+        } else open = false
+      }
+      val t0 = System.nanoTime()
+      val accepted: Seq[(String, String, Long)] =
+        if (prefix.size <= 1) prefix.toSeq
+        else {
+          // the ONE extra job of a multi-merge round
+          val maxCreated = trigramMaxes(vocab, prefix.map(p => (p._1, p._2)).toSeq)
+          // exact threat lists: census pairs whose lhs/rhs IS a potential
+          // merged symbol (one census scan per multi-merge round)
+          val prefixSyms: Set[String] = prefix.map(p => p._1 + p._2).toSet
+          val threats = mutable.HashMap.empty[String,
+            mutable.ArrayBuffer[((String, String), Long)]]
+          counts.foreach { case (p, c) =>
+            if (prefixSyms.contains(p._1))
+              threats.getOrElseUpdate(p._1, mutable.ArrayBuffer.empty) += ((p, c))
+            if (p._2 != p._1 && prefixSyms.contains(p._2))
+              threats.getOrElseUpdate(p._2, mutable.ArrayBuffer.empty) += ((p, c))
+          }
+          val acceptedBoost = mutable.Map.empty[String, Long]
+          def top2Boost: Long =
+            acceptedBoost.values.toSeq.sorted.takeRight(2).sum
+          def gainOf(pl: String, pr: String): Long =
+            acceptedBoost.getOrElse(pl, 0L) + acceptedBoost.getOrElse(pr, 0L)
+          val acc = mutable.ArrayBuffer.empty[(String, String, Long)]
+          var stopped = false
+          prefix.foreach { case cand @ (l, r, pc) =>
+            if (!stopped) {
+              val ok = acc.isEmpty || {
+                // merge-CREATED pairs start from count 0 — the only
+                // threat class without an exact count
+                val createdOk = pc > top2Boost
+                // every EXISTING pair that could gain checks exactly
+                val existingOk = acceptedBoost.keysIterator.forall(s =>
+                  threats.getOrElse(s, mutable.ArrayBuffer.empty).forall {
+                    case ((pl, pr), ppc) => pc > ppc + gainOf(pl, pr)
+                  })
+                createdOk && existingOk
+              }
+              if (ok) {
+                acc += cand
+                acceptedBoost(l + r) = maxCreated.getOrElse((l, r), 0L)
+              } else stopped = true
+            }
+          }
+          acc.toSeq
+        }
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.foreach { case (l, r, pc) =>
+          merges += ((merges.size + 1, l, r, pc))
+        }
+        // the round's ONE materializing job: signed pair deltas from the
+        // words that contained an accepted pair (folds in the previous
+        // round's lazy vocab rewrite), collected and patched into the
+        // tracked census
+        val pairs = accepted.map(p => (p._1, p._2))
+        val deltas = vocab
+          .filter(adjacentAny(pairs))
+          .select(col("cnt"), explode(pairDeltas(pairs)).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt") * col("p.sign")).as("d"))
+          .collect()
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(
+            f"[bpe] tracked round ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+              s"accepted ${accepted.size}/$want deltas ${deltas.length}: " +
+              accepted.map(p => s"${p._1}+${p._2}").mkString(" "))
+        deltas.foreach { row =>
+          val p = (row.getString(0), row.getString(1))
+          val d = row.getLong(2)
+          if (d != 0L) {
+            val old = counts.getOrElse(p, 0L)
+            if (old != 0L) order.remove((old, p._1, p._2))
+            val nv = old + d
+            if (nv > 0L) { counts(p) = nv; order += ((nv, p._1, p._2)) }
+            else counts.remove(p)
+          }
+        }
+        vocab = vocab.select(col("cnt"), batchMerge(pairs).as("syms"))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
 
   /** Driver-side exact `learn_bpe` over the collected word census: pair
     * counts plus a pair→words inverted index, so each merge round updates

@@ -1867,6 +1867,16 @@ object PipelineQueries {
       (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 64),
       Some(bpeOracleSql(64))),
 
+    // The TRACKED-census tier (vocab threshold 0 forces it: distributed
+    // vocab, driver-side exact census, zero-job argmax, batched rounds)
+    // replays the same serial loop byte-for-byte — so it answers to the
+    // SAME unrolled-CTE DuckDB replay, putting the realistic-merge-count
+    // tier under the oracle gate, not just under specs
+    Q("q_bpe_merges_tracked",
+      (s, d) => Bpe.trainMerges(documents(s, d), nMerges = 16,
+        driverVocabThreshold = 0L, batchK = 8),
+      Some(bpeOracleSql(16))),
+
     // BPE ENCODE: per-doc token counts under the merges just learned —
     // the tokenizer applied at corpus scale as a pure projection (the
     // k-bounded merge list rides a single native kernel call; no

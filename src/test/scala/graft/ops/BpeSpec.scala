@@ -56,9 +56,14 @@ class BpeSpec extends SparkSpec {
       (2L, "aaaa aaab abab baba"),
       (3L, "the theme then anthem the the")).toDF("doc_id", "text")
     val driver = Bpe.trainMerges(docs, nMerges = 12).collect().map(_.toSeq)
-    val dist = Bpe.trainMerges(docs, nMerges = 12, driverVocabThreshold = 0L)
-      .collect().map(_.toSeq)
+    val dist = Bpe.trainMerges(docs, nMerges = 12, driverVocabThreshold = 0L,
+      trackedPairThreshold = 0L).collect().map(_.toSeq)
     assert(driver.toSeq == dist.toSeq)
+    // the tracked-census tier (distributed vocab, driver-side exact
+    // census) must land on the same bytes
+    val tracked = Bpe.trainMerges(docs, nMerges = 12, driverVocabThreshold = 0L)
+      .collect().map(_.toSeq)
+    assert(driver.toSeq == tracked.toSeq)
   }
 
   test("batched distributed merges replay the serial path exactly") {
@@ -83,10 +88,15 @@ class BpeSpec extends SparkSpec {
     corpora.zipWithIndex.foreach { case (text, i) =>
       val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
       val serial = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
-        batchK = 1).collect().map(_.toSeq).toSeq
+        batchK = 1, trackedPairThreshold = 0L).collect().map(_.toSeq).toSeq
       val batched = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
-        batchK = 8).collect().map(_.toSeq).toSeq
+        batchK = 8, trackedPairThreshold = 0L).collect().map(_.toSeq).toSeq
       assert(batched == serial, s"corpus $i diverged:\n$batched\nvs\n$serial")
+      // the tracked tier batches under the SAME proof with exact threat
+      // counts — every hazard corpus must still replay serial
+      val tracked = Bpe.trainMerges(docs, 16, driverVocabThreshold = 0L,
+        batchK = 8).collect().map(_.toSeq).toSeq
+      assert(tracked == serial, s"tracked corpus $i diverged:\n$tracked\nvs\n$serial")
     }
   }
 
@@ -105,11 +115,15 @@ class BpeSpec extends SparkSpec {
       val text = Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
       val docs = Seq((i.toLong, text)).toDF("doc_id", "text")
       val serial = Bpe.trainMerges(docs, 12, driverVocabThreshold = 0L,
-        batchK = 1).collect().map(_.toSeq).toSeq
+        batchK = 1, trackedPairThreshold = 0L).collect().map(_.toSeq).toSeq
       val batched = Bpe.trainMerges(docs, 12, driverVocabThreshold = 0L,
-        batchK = 8).collect().map(_.toSeq).toSeq
+        batchK = 8, trackedPairThreshold = 0L).collect().map(_.toSeq).toSeq
       assert(batched == serial,
         s"seeded corpus $i diverged\ntext: $text\n$batched\nvs\n$serial")
+      val tracked = Bpe.trainMerges(docs, 12, driverVocabThreshold = 0L,
+        batchK = 8).collect().map(_.toSeq).toSeq
+      assert(tracked == serial,
+        s"seeded corpus $i tracked diverged\ntext: $text\n$tracked\nvs\n$serial")
     }
   }
 
@@ -117,8 +131,64 @@ class BpeSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val driver = Bpe.trainMerges(docs, nMerges = 24).collect().map(_.toSeq).toSeq
     val batched = Bpe.trainMerges(docs, nMerges = 24, driverVocabThreshold = 0L,
-      batchK = 8).collect().map(_.toSeq).toSeq
+      batchK = 8, trackedPairThreshold = 0L).collect().map(_.toSeq).toSeq
     assert(batched == driver)
+    val tracked = Bpe.trainMerges(docs, nMerges = 24, driverVocabThreshold = 0L,
+      batchK = 8).collect().map(_.toSeq).toSeq
+    assert(tracked == driver)
+  }
+
+  test("tracked census argmax runs zero Spark jobs — round cost is the delta job") {
+    val s2 = spark
+    import s2.implicits._
+    // five fully-disjoint merges: the tracked tier must learn them in ONE
+    // round, and the whole run must fit in 4 driver actions — the eager
+    // vocab checkpoint, the census bootstrap collect, the round's trigram
+    // pass, and the round's delta job. A distributed-census loop cannot
+    // do this: its argmax alone is one TakeOrdered action per round.
+    val docs = Seq((1L, "xy xy xy za za za qr qr qr mn mn mn uv uv uv"))
+      .toDF("doc_id", "text")
+    // count executions that RUN at least one job — a lazy checkpoint
+    // registers a (job-less) SQL execution, which is plan-only overhead,
+    // not a driver action
+    val execIds = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val descs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        val key = if (id == null) s"rdd-${js.jobId}" else id
+        execIds.putIfAbsent(key, descs.getOrDefault(key, "?")); ()
+      }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            descs.put(s.executionId.toString, s.description)
+            execIds.computeIfPresent(s.executionId.toString,
+              (_, _) => s.description); ()
+          case _ => ()
+        }
+    }
+    def stableCount(): Int = {
+      var prev = -1; var cur = execIds.size(); var spins = 0
+      while (cur != prev && spins < 100) {
+        prev = cur; Thread.sleep(100); cur = execIds.size(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(500); execIds.clear(); descs.clear()
+      val m = Bpe.trainMerges(docs, nMerges = 5, driverVocabThreshold = 0L,
+        batchK = 8).collect()
+      assert(m.length == 5)
+      assert(m.map(r => (r.getString(1), r.getString(2))).toSet ==
+        Set(("x", "y"), ("z", "a"), ("q", "r"), ("m", "n"), ("u", "v")))
+      val actions = stableCount() - 1 // minus the final collect's action
+      assert(actions <= 4,
+        s"tracked run took $actions driver actions — the zero-job argmax " +
+          s"regressed: $execIds")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("encodeStats applies learned merges as a pure projection") {
