@@ -64,9 +64,13 @@ object TableWriter {
   }
 
   /** Replace the table's live data with `df` (new snapshot; prior
-    * snapshots stay readable — time travel). */
-  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): CommitResult =
-    commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => false)
+    * snapshots stay readable — time travel). `extraProperties` land in
+    * the SAME commit, so data and the metadata that describes it (e.g. a
+    * rebuilt ANN quantizer) can never be observed apart. */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+      extraProperties: Map[String, String] = Map.empty): CommitResult =
+    commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => false,
+      extraProperties = extraProperties)
 
   /** MERGE-style UPSERT as one row-delta commit: `df`'s rows are
     * appended AND an equality-delete file on `keyCols` is committed in

@@ -443,6 +443,48 @@ final class AnnIndex(
       }
       .start()
 
+  /** REBUILD the quantizer — the action [[AnnIndex.drift]] recommends
+    * when admissions have outgrown the bootstrap distribution: retrain
+    * the coarse centroids (and, for a PQ index, the PQ codebooks) from
+    * the index's CURRENT vectors, reassign every row to the fresh lists,
+    * and replace the table's data AND quantizer/baseline properties in
+    * ONE overwrite commit — a reader pinned to the old snapshot keeps a
+    * consistent old-quantizer view, and the next [[pinned]] load serves
+    * the new one; no mixed-generation state is ever observable. The
+    * drift baseline resets to the rebuilt occupancy (a post-rebuild
+    * [[drift]] reads "no admissions since bootstrap").
+    *
+    * Structural parameters come from the PERSISTED state, not the
+    * handle — k from the stored centroid count, PQ-ness and its M/K
+    * from the stored codebook dims — so a default-constructed handle
+    * rebuilds an existing index faithfully (the same contract as the
+    * serving paths); only the training iteration count rides the
+    * handle. Training is deterministic ([[Clustering.kmeans]]'s
+    * lowest-id init), so a rebuild over unchanged rows reproduces a
+    * from-scratch bootstrap of the same vectors exactly. */
+  def rebuild(): Seq[Seq[Double]] = {
+    val (t, oldCents, oldCbs) = pinned
+    val current = ScanPlanner.readTable(engine.spark, t)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val (model, cbs) = Similarity.trainCoarseAndCodebooks(current,
+      oldCents.length, iters,
+      oldCbs.map(_.length).getOrElse(0),
+      oldCbs.map(_.head.length).getOrElse(pqK))
+    val cents = model.centroids
+    val rows = assignedRows(current, cents, cbs).localCheckpoint()
+    val bootCounts = rows.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    graft.meta.TableWriter.overwrite(engine.spark, engine.tableDir(ref),
+      rows,
+      extraProperties = Map(
+        CentroidsProp -> renderCentroids(cents),
+        AnnIndex.BootCountsProp ->
+          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
+        cbs.map(cb => AnnIndex.PqCodebooksProp ->
+          cb.map(renderCentroids).mkString("|")))
+    cents
+  }
+
   /** Fold per-batch small files back into one per list (the identity
     * partition layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =

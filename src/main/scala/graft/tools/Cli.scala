@@ -345,6 +345,16 @@ object Cli {
           println(s"indexed ${idx.signatures.count()} vectors " +
             s"in ${idx.kClusters} lists at ${vargs(0)}" +
             (if (idx.pqM > 0) s" (ivf-pq m=${idx.pqM} k=${idx.pqK})" else ""))
+        case "ann-rebuild" =>
+          // ann-rebuild <ns.idx> — act on the advisor's ann-rebuild row:
+          // retrain the quantizer (and PQ codebooks) from the index's
+          // current vectors and swap data + quantizer in one commit;
+          // the drift baseline resets
+          val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          val cents = idx.rebuild()
+          println(s"rebuilt ${vargs(0)}: ${cents.length} lists, " +
+            s"drift baseline reset" +
+            (if (idx.codebooks.isDefined) " (ivf-pq codes re-encoded)" else ""))
         case "ann-gate" =>
           // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra] —
           // semantic admission: keep batch vectors that are not cosine
@@ -412,6 +422,6 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
-      "       dedup-gate ann-index ann-gate ann-search ann-decontam\n" +
+      "       dedup-gate ann-index ann-gate ann-search ann-decontam ann-rebuild\n" +
       "       stage-parquet publish advise tui init")
 }

@@ -609,4 +609,70 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.candidates(Seq(0)).inputFiles.length < filesAfter ||
       filesAfter == 1)
   }
+
+  test("rebuild retrains from current rows in one commit and resets the drift baseline") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("annrebuild").toString
+    val e = new Engine(spark, wh)
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
+      (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+    val idx = new AnnIndex(e, "ml.rb_index", kClusters = 2, iters = 2,
+      pqM = 2, pqK = 2)
+    idx.create()
+    idx.bootstrap(corpus)
+    // shifted admissions push the canary over the rebuild threshold
+    idx.admit((20L to 25L).map(i => (i, 0, v(1, 0.01 * i, 0, 0)))
+      .toDF("vec_id", "label", "embedding"))
+    assert(idx.drift.get.recommended)
+
+    // the rebuild runs on a DEFAULT-constructed handle: k and PQ-ness
+    // must come from the persisted state, not the handle's defaults
+    val handle = new AnnIndex(e, "ml.rb_index")
+    val runs = Clustering.kmeansRuns.get()
+    val snapsBefore = e.load("ml.rb_index").metadata.snapshots.size
+    val cents = handle.rebuild()
+    val afterRebuild = Clustering.kmeansRuns.get()
+    assert(afterRebuild > runs, "rebuild must retrain")
+    assert(cents.length == 2, "k must come from the persisted centroids")
+    assert(handle.codebooks.exists(_.length == 2),
+      "PQ-ness and M must come from the persisted codebooks")
+
+    // ONE overwrite commit carries data + quantizer + baseline together
+    val t = e.load("ml.rb_index")
+    assert(t.metadata.snapshots.size == snapsBefore + 1)
+    assert(t.metadata.currentSnapshot.get.operation == "overwrite")
+
+    // the baseline reset: all 10 rows are the new bootstrap population
+    val d = handle.drift.get
+    assert(d.admitted == 0L && !d.recommended, d.toString)
+    assert(handle.signatures.count() == 10)
+
+    // deterministic training: the rebuilt index IS a fresh bootstrap of
+    // the same vectors — quantizer, codebooks, and served results all
+    // reproduce a from-scratch twin exactly
+    val e2 = new Engine(spark, java.nio.file.Files.createTempDirectory("annrb2").toString)
+    val twin = new AnnIndex(e2, "ml.rb_twin", kClusters = 2, iters = 2,
+      pqM = 2, pqK = 2)
+    twin.create()
+    twin.bootstrap(corpus.union(
+      (20L to 25L).map(i => (i, 0, v(1, 0.01 * i, 0, 0)))
+        .toDF("vec_id", "label", "embedding")))
+    val afterTwin = Clustering.kmeansRuns.get()
+    // a rebuild IS a bootstrap: same training job census
+    assert(afterTwin - afterRebuild == afterRebuild - runs)
+    assert(handle.centroids == twin.centroids)
+    assert(handle.codebooks == twin.codebooks)
+    val probes = Seq((900L, 0, v(0.95, 0.05, 0, 0)), (901L, 1, v(0, 0, 1, 0.05)))
+      .toDF("vec_id", "label", "embedding")
+    assert(
+      handle.search(probes, 3, 2).collect().map(_.toSeq).toSeq ==
+        twin.search(probes, 3, 2).collect().map(_.toSeq).toSeq)
+
+    // serving after the rebuild stays frozen (no kmeans)
+    assert(Clustering.kmeansRuns.get() == afterTwin)
+  }
 }

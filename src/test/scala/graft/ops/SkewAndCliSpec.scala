@@ -293,5 +293,20 @@ class SkewAndCliSpec extends SparkSpec {
     val pq = new graft.ops.AnnIndex(e, "ml.pq")
     assert(pq.codebooks.exists(_.length == 2))
     assert(Cli.run(Array(wh, "ann-search", "ml.pq", "100", "2")) == 0)
+
+    // ann-rebuild from the CLI: retrains (kmeans runs), keeps every row
+    // and the index's PQ-ness, lands exactly one overwrite commit, and
+    // resets the drift baseline
+    val rowsBefore = pq.signatures.count()
+    val snapsBefore = e.load("ml.pq").metadata.snapshots.size
+    val runsBefore2 = graft.ops.Clustering.kmeansRuns.get()
+    assert(Cli.run(Array(wh, "ann-rebuild", "ml.pq")) == 0)
+    assert(graft.ops.Clustering.kmeansRuns.get() > runsBefore2)
+    assert(pq.signatures.count() == rowsBefore)
+    assert(pq.codebooks.exists(_.length == 2))
+    val t2 = e.load("ml.pq")
+    assert(t2.metadata.snapshots.size == snapsBefore + 1)
+    assert(t2.metadata.currentSnapshot.get.operation == "overwrite")
+    assert(graft.ops.AnnIndex.drift(t2, Some(spark)).get.admitted == 0L)
   }
 }
