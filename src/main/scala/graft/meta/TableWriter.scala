@@ -66,11 +66,17 @@ object TableWriter {
   /** Replace the table's live data with `df` (new snapshot; prior
     * snapshots stay readable — time travel). `extraProperties` land in
     * the SAME commit, so data and the metadata that describes it (e.g. a
-    * rebuilt ANN quantizer) can never be observed apart. */
+    * rebuilt ANN quantizer) can never be observed apart.
+    * `expectedCurrentSnapshotId` makes the replace CONDITIONAL: when `df`
+    * was derived from a pinned snapshot read, passing that snapshot's id
+    * turns an interleaved writer (whose rows this overwrite would
+    * silently erase) into a [[CommitConflictException]]. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
-      extraProperties: Map[String, String] = Map.empty): CommitResult =
+      extraProperties: Map[String, String] = Map.empty,
+      expectedCurrentSnapshotId: Option[Long] = None): CommitResult =
     commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => false,
-      extraProperties = extraProperties)
+      extraProperties = extraProperties,
+      expectedCurrentSnapshotId = expectedCurrentSnapshotId)
 
   /** MERGE-style UPSERT as one row-delta commit: `df`'s rows are
     * appended AND an equality-delete file on `keyCols` is committed in
@@ -345,12 +351,28 @@ object TableWriter {
       extraSummary: Map[String, String] = Map.empty,
       extraProperties: Map[String, String] = Map.empty,
       retryOnConflict: Boolean = false,
-      wapId: Option[String] = None): CommitResult = {
+      wapId: Option[String] = None,
+      expectedCurrentSnapshotId: Option[Long] = None): CommitResult = {
 
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
+    // CAS precondition for commits whose DATA was derived from an earlier
+    // pinned load (e.g. an ANN rebuild trained on a snapshot read): if the
+    // table advanced in between, replaying this commit would silently
+    // erase the interleaved writes — surface the conflict instead. Checked
+    // against the commit's OWN load here and re-checked on every retry
+    // reload below, so no retry can paper over it.
+    def checkExpected(cur: Option[Long]): Unit =
+      expectedCurrentSnapshotId.foreach { exp =>
+        if (!cur.contains(exp))
+          throw new CommitConflictException(
+            s"table advanced past the caller's pinned snapshot $exp " +
+              s"(current: ${cur.getOrElse("none")}) — recompute from the " +
+              "current snapshot and retry")
+      }
+    checkExpected(md.currentSnapshotId)
     // per-ATTEMPT unique token in every artifact name: two concurrent
     // writers compute the same next snapId, and snapId-only names would
     // let the CAS loser clobber the winner's already-published data and
@@ -496,6 +518,7 @@ object TableWriter {
           require(m.currentSchemaId == md.currentSchemaId &&
             m.defaultSpecId == md.defaultSpecId,
             "concurrent schema/spec evolution during commit — retry aborted")
+          checkExpected(m.currentSnapshotId)
           (m, v, m.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L)
         }
       val entries =

@@ -99,20 +99,27 @@ final class AnnIndex(
       Similarity.trainCoarseAndCodebooks(emb, kClusters, iters, pqM, pqK)
     val cents = model.centroids
     val rows = assignedRows(emb, cents, cbs).localCheckpoint()
-    // the bootstrap per-cluster occupancy persists alongside the
-    // quantizer — the reference distribution the drift canary
-    // ([[AnnIndex.drift]]) compares later admissions against
+    graft.meta.TableWriter.append(engine.spark, engine.tableDir(ref),
+      rows, extraProperties = quantizerProps(cents, rows, cbs))
+    cents
+  }
+
+  /** The persisted quantizer state of one training run, assembled in ONE
+    * place for [[bootstrap]] and [[rebuild]] (the encodings must never
+    * diverge between the two commit paths): the coarse centroids, the
+    * per-cluster occupancy of `rows` — the reference distribution the
+    * drift canary ([[AnnIndex.drift]]) compares later admissions
+    * against — and, for a PQ index, the codebooks. */
+  private def quantizerProps(cents: Seq[Seq[Double]], rows: DataFrame,
+      cbs: Option[Seq[Seq[Seq[Double]]]]): Map[String, String] = {
     val bootCounts = rows.groupBy("cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    graft.meta.TableWriter.append(engine.spark, engine.tableDir(ref),
-      rows,
-      extraProperties = Map(
-        CentroidsProp -> renderCentroids(cents),
-        AnnIndex.BootCountsProp ->
-          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
-        cbs.map(cb => AnnIndex.PqCodebooksProp ->
-          cb.map(renderCentroids).mkString("|")))
-    cents
+    Map(
+      CentroidsProp -> renderCentroids(cents),
+      AnnIndex.BootCountsProp ->
+        bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
+      cbs.map(cb => AnnIndex.PqCodebooksProp ->
+        cb.map(renderCentroids).mkString("|"))
   }
 
   /** `Double.toString` round-trips every finite double exactly, so the
@@ -461,7 +468,16 @@ final class AnnIndex(
     * serving paths); only the training iteration count rides the
     * handle. Training is deterministic ([[Clustering.kmeans]]'s
     * lowest-id init), so a rebuild over unchanged rows reproduces a
-    * from-scratch bootstrap of the same vectors exactly. */
+    * from-scratch bootstrap of the same vectors exactly.
+    *
+    * CAS-guarded against concurrent admissions: the rows being written
+    * were derived from the PINNED snapshot, and retraining is the
+    * longest window in the engine — an [[admit]]/[[admitIfNovel]] batch
+    * landing inside it would be silently erased by an unconditional
+    * replace. The overwrite therefore carries the pinned snapshot id as
+    * its precondition and a mid-rebuild admission surfaces as
+    * [[graft.meta.CommitConflictException]] (rerun the rebuild; it picks
+    * up the admitted rows). */
   def rebuild(): Seq[Seq[Double]] = {
     val (t, oldCents, oldCbs) = pinned
     val current = ScanPlanner.readTable(engine.spark, t)
@@ -472,16 +488,9 @@ final class AnnIndex(
       oldCbs.map(_.head.length).getOrElse(pqK))
     val cents = model.centroids
     val rows = assignedRows(current, cents, cbs).localCheckpoint()
-    val bootCounts = rows.groupBy("cluster").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     graft.meta.TableWriter.overwrite(engine.spark, engine.tableDir(ref),
-      rows,
-      extraProperties = Map(
-        CentroidsProp -> renderCentroids(cents),
-        AnnIndex.BootCountsProp ->
-          bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
-        cbs.map(cb => AnnIndex.PqCodebooksProp ->
-          cb.map(renderCentroids).mkString("|")))
+      rows, extraProperties = quantizerProps(cents, rows, cbs),
+      expectedCurrentSnapshotId = t.metadata.currentSnapshotId)
     cents
   }
 
@@ -592,7 +601,7 @@ object AnnIndex {
     Some(Drift(admitted, tv, rec,
       f"$admitted admissions, TV(admit‖bootstrap)=$tv%.3f " +
         (if (rec) f"≥ $DriftTvThreshold%.1f — admissions occupy lists unlike the " +
-          "bootstrap corpus; rebuild the quantizer (bootstrap a fresh index)"
+          "bootstrap corpus; rebuild the quantizer (AnnIndex.rebuild / CLI ann-rebuild)"
         else f"< $DriftTvThreshold%.1f — admissions match the bootstrap distribution")))
   }
 }

@@ -241,42 +241,58 @@ object Bpe {
     // the ONE extra job of a multi-merge round — skipped entirely when
     // the chain structure forces a singleton batch
     val maxCreated = trigramMaxes(vocab, disjoint.map(p => (p._1, p._2)))
-    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    // gain of a KNOWN pair = Σ maxCreated over the accepted merged
-    // symbols it actually contains (≤ 2 — merged symbols are distinct);
-    // an UNKNOWN pair's gain is bounded by the two largest accepted
-    // maxCreated values
-    val acceptedBoost = scala.collection.mutable.Map.empty[String, Long]
-    def top2Boost: Long = acceptedBoost.values.toSeq.sorted.takeRight(2).sum
-    def gainOf(pl: String, pr: String): Long =
-      acceptedBoost.getOrElse(pl, 0L) + acceptedBoost.getOrElse(pr, 0L)
+    // pairs outside the collect: an EXISTING uncollected pair's old
+    // count is ≤ guard, and a merge-CREATED pair starts from old count
+    // 0 — so even when the whole census fit the collect (guardCount
+    // None) created pairs remain threats and the check must run with
+    // guard 0, never vacuously pass. Every COLLECTED pair checks
+    // against its exact count + its exact possible gain.
+    acceptBatchLoop(disjoint, maxCreated, guardCount.getOrElse(0L),
+      (idx, pc, boosts) =>
+        (considered.drop(idx + 1) ++ tail).forall { case (pl, pr, ppc) =>
+          val gain = boosts.getOrElse(pl, 0L) + boosts.getOrElse(pr, 0L)
+          gain == 0L || pc > ppc + gain
+        })
+  }
+
+  /** The ACCEPTANCE half of the batch-safety proof, shared verbatim by
+    * both distributed tiers (the proof must never fork between them):
+    * walk the symbol-disjoint candidate prefix in census order, accept
+    * while (a) a merge-CREATED pair — old count at most `createdBase`
+    * (the uncollected guard; 0 when the census is fully known) — cannot
+    * out-rank the candidate even with the two largest accepted trigram
+    * boosts, and (b) the tier's EXISTING-pair threat clause
+    * `existingOk(idx, pc, boosts)` holds (tier 3: the collected window +
+    * tail at exact counts; tracked tier: every indexed pair carrying an
+    * accepted merged symbol at exact counts). Acceptance stops at the
+    * FIRST failure — serial picks strictly in census order, so a skipped
+    * candidate would fork history.
+    *
+    * `boosts` maps each accepted MERGED symbol to its trigram bound —
+    * the gain of a known pair is the sum over the (≤ 2) accepted merged
+    * symbols it contains, and a zero-gain pair is never a threat (its
+    * count and tie rank are unchanged by disjointness). */
+  private def acceptBatchLoop(
+      candidates: Seq[(String, String, Long)],
+      maxCreated: Map[(String, String), Long],
+      createdBase: Long,
+      existingOk: (Int, Long, scala.collection.Map[String, Long]) => Boolean)
+      : Seq[(String, String, Long)] = {
+    val boosts = scala.collection.mutable.Map.empty[String, Long]
+    def top2Boost: Long = boosts.values.toSeq.sorted.takeRight(2).sum
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var stopped = false
-    disjoint.zipWithIndex.foreach { case (cand @ (l, r, pc), idx) =>
+    candidates.zipWithIndex.foreach { case (cand @ (l, r, pc), idx) =>
       if (!stopped) {
-        val ok = accepted.isEmpty || {
-          // pairs outside the collect: an EXISTING uncollected pair's
-          // old count is ≤ guard, and a merge-CREATED pair starts from
-          // old count 0 — so even when the whole census fit the collect
-          // (guardCount None) created pairs remain threats and the
-          // check must run with guard 0, never vacuously pass
-          val uncollectedOk = pc > guardCount.getOrElse(0L) + top2Boost
-          // every other COLLECTED pair checks against its exact count +
-          // its exact possible gain (0 unless it carries an accepted
-          // merged symbol)
-          val collectedOk = (considered.drop(idx + 1) ++ tail).forall {
-            case (pl, pr, ppc) =>
-              val gain = gainOf(pl, pr)
-              gain == 0L || pc > ppc + gain
-          }
-          uncollectedOk && collectedOk
-        }
+        val ok = acc.isEmpty ||
+          (pc > createdBase + top2Boost && existingOk(idx, pc, boosts))
         if (ok) {
-          accepted += cand
-          acceptedBoost(l + r) = maxCreated.getOrElse((l, r), 0L)
+          acc += cand
+          boosts(l + r) = maxCreated.getOrElse((l, r), 0L)
         } else stopped = true
       }
     }
-    accepted.toSeq
+    acc.toSeq
   }
 
   /** Per-pair upper bound on any single created pair's count after a
@@ -362,8 +378,8 @@ object Bpe {
     * bounded class left is merge-CREATED pairs, which start from count 0
     * and are bounded by the accepted trigram maxes ([[trigramMaxes]], the
     * one extra job of a multi-merge round). No uncollected-pair guard
-    * exists, so acceptance is maximal given the trigram bounds —
-    * strictly more merges per round than tier 3 can prove safe. */
+    * exists, so acceptance is maximal given the trigram bounds — never
+    * fewer merges per round than tier 3 can prove safe. */
   private def trainMergesTracked(
       spark: org.apache.spark.sql.SparkSession,
       vocab0: DataFrame,
@@ -373,9 +389,27 @@ object Bpe {
     var vocab = vocab0
     val counts = mutable.HashMap.empty[(String, String), Long]
     val order = mutable.TreeSet.empty[(Long, String, String)](censusOrder)
+    // symbol → pairs containing it, maintained INCREMENTALLY with the
+    // census (not rebuilt per round — a per-round census scan would make
+    // driver CPU O(rounds × census) at the tier's own scale): the
+    // acceptance loop's exact existing-threat lookups read only the
+    // accepted merged symbols' buckets
+    val bySym = mutable.HashMap.empty[String, mutable.HashSet[(String, String)]]
+    def indexPair(p: (String, String)): Unit = {
+      bySym.getOrElseUpdate(p._1, mutable.HashSet.empty) += p
+      if (p._2 != p._1)
+        bySym.getOrElseUpdate(p._2, mutable.HashSet.empty) += p
+    }
+    def unindexPair(p: (String, String)): Unit =
+      Seq(p._1, p._2).distinct.foreach { s =>
+        bySym.get(s).foreach { set =>
+          set -= p; if (set.isEmpty) { bySym.remove(s); () }
+        }
+      }
     census0.foreach { case (p, c) =>
       counts(p) = c
       order += ((c, p._1, p._2))
+      indexPair(p)
     }
 
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -402,44 +436,18 @@ object Bpe {
         else {
           // the ONE extra job of a multi-merge round
           val maxCreated = trigramMaxes(vocab, prefix.map(p => (p._1, p._2)).toSeq)
-          // exact threat lists: census pairs whose lhs/rhs IS a potential
-          // merged symbol (one census scan per multi-merge round)
-          val prefixSyms: Set[String] = prefix.map(p => p._1 + p._2).toSet
-          val threats = mutable.HashMap.empty[String,
-            mutable.ArrayBuffer[((String, String), Long)]]
-          counts.foreach { case (p, c) =>
-            if (prefixSyms.contains(p._1))
-              threats.getOrElseUpdate(p._1, mutable.ArrayBuffer.empty) += ((p, c))
-            if (p._2 != p._1 && prefixSyms.contains(p._2))
-              threats.getOrElseUpdate(p._2, mutable.ArrayBuffer.empty) += ((p, c))
-          }
-          val acceptedBoost = mutable.Map.empty[String, Long]
-          def top2Boost: Long =
-            acceptedBoost.values.toSeq.sorted.takeRight(2).sum
-          def gainOf(pl: String, pr: String): Long =
-            acceptedBoost.getOrElse(pl, 0L) + acceptedBoost.getOrElse(pr, 0L)
-          val acc = mutable.ArrayBuffer.empty[(String, String, Long)]
-          var stopped = false
-          prefix.foreach { case cand @ (l, r, pc) =>
-            if (!stopped) {
-              val ok = acc.isEmpty || {
-                // merge-CREATED pairs start from count 0 — the only
-                // threat class without an exact count
-                val createdOk = pc > top2Boost
-                // every EXISTING pair that could gain checks exactly
-                val existingOk = acceptedBoost.keysIterator.forall(s =>
-                  threats.getOrElse(s, mutable.ArrayBuffer.empty).forall {
-                    case ((pl, pr), ppc) => pc > ppc + gainOf(pl, pr)
-                  })
-                createdOk && existingOk
-              }
-              if (ok) {
-                acc += cand
-                acceptedBoost(l + r) = maxCreated.getOrElse((l, r), 0L)
-              } else stopped = true
-            }
-          }
-          acc.toSeq
+          // the SHARED acceptance loop with the census fully known:
+          // createdBase 0 (no uncollected existing pairs), and the
+          // existing-threat clause reads exact counts through the
+          // incrementally maintained symbol index — only pairs carrying
+          // an accepted merged symbol can gain, everything else keeps
+          // its count and serial rank by disjointness
+          acceptBatchLoop(prefix.toSeq, maxCreated, 0L,
+            (_, pc, boosts) => boosts.keysIterator.forall(s =>
+              bySym.get(s).forall(_.forall { p =>
+                val gain = boosts.getOrElse(p._1, 0L) + boosts.getOrElse(p._2, 0L)
+                gain == 0L || pc > counts(p) + gain
+              })))
         }
       if (accepted.isEmpty) exhausted = true
       else {
@@ -469,8 +477,13 @@ object Bpe {
             val old = counts.getOrElse(p, 0L)
             if (old != 0L) order.remove((old, p._1, p._2))
             val nv = old + d
-            if (nv > 0L) { counts(p) = nv; order += ((nv, p._1, p._2)) }
-            else counts.remove(p)
+            if (nv > 0L) {
+              counts(p) = nv; order += ((nv, p._1, p._2))
+              if (old == 0L) indexPair(p)
+            } else {
+              counts.remove(p)
+              if (old != 0L) unindexPair(p)
+            }
           }
         }
         vocab = vocab.select(col("cnt"), batchMerge(pairs).as("syms"))

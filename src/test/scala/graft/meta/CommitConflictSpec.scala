@@ -80,4 +80,31 @@ class CommitConflictSpec extends SparkSpec {
     assert(graft.ops.ScanPlanner.readTable(
       spark, IcebergTable.load(dir)).count() == 3L)
   }
+
+  test("conditional overwrite: a table that advanced past the pinned snapshot conflicts") {
+    // the rebuild-style flow: derive rows from a pinned snapshot read,
+    // replace conditionally on that snapshot still being current — an
+    // interleaved append must surface as a conflict, never be erased
+    val dir = Files.createTempDirectory("graft-cas4").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(StructField("id", LongType))))
+    TableWriter.append(spark, dir, Seq(1L, 2L).toDF("id"))
+    val pinned = IcebergMeta.load(dir).currentSnapshotId.get
+
+    // interleaved writer lands between the pinned load and the replace
+    TableWriter.append(spark, dir, Seq(3L).toDF("id"))
+    val e = intercept[CommitConflictException](
+      TableWriter.overwrite(spark, dir, Seq(9L).toDF("id"),
+        expectedCurrentSnapshotId = Some(pinned)))
+    assert(e.getMessage.contains(pinned.toString))
+    // nothing was erased: the interleaved row is still live
+    assert(graft.ops.ScanPlanner.readTable(
+      spark, IcebergTable.load(dir)).count() == 3L)
+
+    // re-pinned on the CURRENT snapshot the replace goes through
+    val cur = IcebergMeta.load(dir).currentSnapshotId.get
+    TableWriter.overwrite(spark, dir, Seq(9L).toDF("id"),
+      expectedCurrentSnapshotId = Some(cur))
+    assert(graft.ops.ScanPlanner.readTable(
+      spark, IcebergTable.load(dir)).count() == 1L)
+  }
 }
