@@ -457,11 +457,23 @@ object Similarity {
     val adc = (0 until m).map(j =>
       element_at(col("__lut").getItem(j), col("codes").getItem(j) + 1))
       .reduce(_ + _)
-    // the probe side (LUTs included) is query-batch-sized — BROADCAST
-    // it, so the code scan streams map-side and only the (q_id, c_id,
-    // adc_micro) id-triples shuffle into the per-probe top-R window
+    // ONE cheap count (every caller hands probes off a localCheckpoint)
+    // powers every probe-side broadcast gate below: the LUT rows, the
+    // rerank probe vectors, and the shortlist product budget. The probe
+    // side is usually query-batch-sized and broadcasting it keeps the
+    // big pruned code scan map-side — but a corpus-sized probe file
+    // (decontamination against a 20M-row test set) must fall back to a
+    // shuffle join instead of OOMing the driver, so the hint is GATED
+    // on the row count (LUT/vector rows are ~0.5-1 KB each, so the row
+    // budget bounds broadcast bytes too; AQE may still elect a
+    // broadcast from the observed size).
+    val probeRows = probes.count().max(1L) // ≥ distinct q_ids (rows are per list)
+    val probeBudget = probes.sparkSession.conf
+      .get("spark.graft.ann.probeBroadcastMaxRows", "262144").toLong
+    def gatedProbeSide(df: DataFrame): DataFrame =
+      if (probeRows <= probeBudget) broadcast(df) else df
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_micro"), col("c_id"))
-    val shortlist = candCodes.join(broadcast(pLut), Seq("cluster"))
+    val shortlist = candCodes.join(gatedProbeSide(pLut), Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .select(col("q_id"), col("cluster"), col("c_id"), adc.as("adc_micro"))
       .withColumn("arn", row_number().over(wAdc))
@@ -482,20 +494,15 @@ object Similarity {
     // batch at a modest rerank is as driver-fatal as one probe at
     // Int.MaxValue): above the row budget the rerank join falls back to
     // shuffle (AQE may still pick a broadcast from the OBSERVED size).
-    // The probe count is one cheap job — every caller hands probes off
-    // a localCheckpoint, so nothing recomputes
     val shortlistBudget = probes.sparkSession.conf
       .get("spark.graft.ann.shortlistBroadcastMaxRows", "4194304").toLong
-    val bcastShortlist = {
-      val probeRows = probes.count().max(1L) // ≥ distinct q_ids (rows are per list)
-      // divide, don't multiply — rerank may be Int.MaxValue
-      rerank.toLong <= shortlistBudget &&
-        probeRows <= shortlistBudget / rerank.toLong.max(1L)
-    }
+    // divide, don't multiply — rerank may be Int.MaxValue
+    val bcastShortlist = rerank.toLong <= shortlistBudget &&
+      probeRows <= shortlistBudget / rerank.toLong.max(1L)
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     candVecs.join(if (bcastShortlist) broadcast(shortlist) else shortlist,
         Seq("c_id"))
-      .join(broadcast(qVecs), Seq("q_id"))
+      .join(gatedProbeSide(qVecs), Seq("q_id"))
       .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(wSim))
@@ -646,13 +653,21 @@ object Similarity {
 
   /** The decontamination OUTPUT CONTRACT, shared by the from-scratch IVF
     * route and the persisted-index route ([[graft.ops.AnnIndex.decontam]])
-    * so the twins cannot silently diverge: broadcast the routed probe
-    * rows into the candidate stream on the cluster key, exact cosine
-    * gate, one row per flagged corpus vector — hit count, best
-    * similarity, lowest matching probe id — ordered by vector id. */
+    * so the twins cannot silently diverge: the routed probe rows join
+    * into the candidate stream on the cluster key, exact cosine gate,
+    * one row per flagged corpus vector — hit count, best similarity,
+    * lowest matching probe id — ordered by vector id. The probe
+    * broadcast is GATED on the same row budget as the PQ serving path
+    * (`spark.graft.ann.probeBroadcastMaxRows`): benchmark-sized probe
+    * sets stream the corpus scan map-side, a corpus-sized probe file
+    * falls back to a shuffle join instead of OOMing the driver. */
   private[ops] def routedDecontamHits(cands: DataFrame, probes: DataFrame,
-      threshold: Double): DataFrame =
-    cands.join(broadcast(probes), Seq("cluster"))
+      threshold: Double): DataFrame = {
+    val probeBudget = probes.sparkSession.conf
+      .get("spark.graft.ann.probeBroadcastMaxRows", "262144").toLong
+    val probeSide =
+      if (probes.count() <= probeBudget) broadcast(probes) else probes
+    cands.join(probeSide, Seq("cluster"))
       .select(col("c_id"), col("q_id"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .filter(col("sim") >= threshold)
@@ -661,6 +676,7 @@ object Similarity {
         max(col("sim")).as("top_sim"),
         min(col("q_id")).as("first_probe"))
       .orderBy("c_id")
+  }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, searched
     * within coarse partitions (LSH-bucket/IVF shape: no full cross join). */

@@ -70,12 +70,18 @@ final class GitInfo(roots: Seq[Path]) {
   /** Whether `src/main` is IDENTICAL in the current worktree to its
     * state at `commit` — a ONE-commit diff against the worktree, not
     * HEAD, because uncommitted edits are exactly as stale-making as
-    * committed ones. None = could not tell (no git binary, unknown
-    * commit) — callers treat that as "changed". */
+    * committed ones. `git diff` is blind to UNTRACKED files, and a
+    * brand-new source file changes behavior exactly like an edit, so
+    * the untracked census joins the verdict. None = could not tell (no
+    * git binary, unknown commit) — callers treat that as "changed". */
   def srcUnchangedSince(commit: String): Option[Boolean] =
-    roots.flatMap(r =>
-      out(r, "diff", "--name-only", commit, "--", SrcPathspec))
-      .headOption.map(_.isEmpty)
+    roots.flatMap { r =>
+      for {
+        diff <- out(r, "diff", "--name-only", commit, "--", SrcPathspec)
+        untracked <- out(r, "ls-files", "--others", "--exclude-standard",
+          "--", SrcPathspec)
+      } yield diff.isEmpty && untracked.isEmpty
+    }.headOption
 
   /** Whether the worktree is clean under `src/main` — a measurement
     * from a dirty tree must not stamp HEAD (the stamp would not contain

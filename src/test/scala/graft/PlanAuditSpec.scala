@@ -161,6 +161,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("probe-side broadcast gate: above-budget probes fall back without changing results") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = org.apache.spark.sql.functions.col("vec_id") % 40 === 0
+    val decontam0 = graft.ops.Similarity.semanticDecontamIvf(emb, pred, 0.35)
+      .collect().map(_.toSeq).toSeq
+    val pq0 = graft.ops.Similarity.ivfPqSearch(
+        emb, org.apache.spark.sql.functions.col("vec_id") < 10)
+      .collect().map(_.toSeq).toSeq
+    // budget 0 forces every probe-side broadcast hint OFF (a corpus-
+    // sized probe file at 100 TB must shuffle, not OOM the driver) —
+    // results must be identical either way
+    spark.conf.set("spark.graft.ann.probeBroadcastMaxRows", "0")
+    try {
+      assert(graft.ops.Similarity.semanticDecontamIvf(emb, pred, 0.35)
+        .collect().map(_.toSeq).toSeq == decontam0)
+      assert(graft.ops.Similarity.ivfPqSearch(
+          emb, org.apache.spark.sql.functions.col("vec_id") < 10)
+        .collect().map(_.toSeq).toSeq == pq0)
+    } finally spark.conf.unset("spark.graft.ann.probeBroadcastMaxRows")
+  }
+
   test("semdedup: pair search joins on the cluster key, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = graft.ops.Similarity.semDeDup(emb, k = 4, iters = 2, threshold = 0.35)

@@ -58,6 +58,23 @@ class GitInfoSpec extends AnyFunSuite {
     assert(gi.srcClean)
   }
 
+  test("an UNTRACKED file under src/main stales the stamp (diff alone is blind to it)") {
+    val (dir, src) = scratchRepo()
+    val gi = new GitInfo(Seq(dir))
+    val seed = gi.head.get
+    // a brand-new source file changes behavior exactly like an edit,
+    // but `git diff <commit>` never lists untracked paths
+    Files.write(src.resolve("B.scala"), "object B\n".getBytes("UTF-8"))
+    assert(gi.srcUnchangedSince(seed).contains(false),
+      "an untracked src/main file must read as changed")
+    assert(!gi.srcClean)
+    // an untracked file OUTSIDE src/main changes nothing
+    Files.write(dir.resolve("NOTES.md"), "notes\n".getBytes("UTF-8"))
+    Files.delete(src.resolve("B.scala"))
+    assert(gi.srcUnchangedSince(seed).contains(true))
+    assert(gi.srcClean)
+  }
+
   test("a sidecar-only commit does not stale the stamp (the self-falsifying loop)") {
     val (dir, _) = scratchRepo()
     val gi = new GitInfo(Seq(dir))
