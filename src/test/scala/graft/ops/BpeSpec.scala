@@ -138,6 +138,25 @@ class BpeSpec extends SparkSpec {
     assert(tracked == driver)
   }
 
+  test("tracked tier replays the driver path at merge DEPTH (long words, 48 merges)") {
+    val s2 = spark
+    import s2.implicits._
+    // long words over a tiny alphabet sustain dozens of interacting
+    // merge rounds (symbols re-form, chains feed chains) without the
+    // vocabulary exhausting — the deepest interaction stress in the
+    // suite; seed fixed so any failure reproduces exactly
+    val rnd = new scala.util.Random(20260815L)
+    val words = Seq.fill(40)(
+      Seq.fill(4 + rnd.nextInt(9))("abc" (rnd.nextInt(3))).mkString)
+    val text = Seq.fill(120)(words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val driver = Bpe.trainMerges(docs, nMerges = 48).collect().map(_.toSeq).toSeq
+    assert(driver.size == 48, s"fixture exhausted at ${driver.size} merges")
+    val tracked = Bpe.trainMerges(docs, nMerges = 48, driverVocabThreshold = 0L,
+      batchK = 16).collect().map(_.toSeq).toSeq
+    assert(tracked == driver)
+  }
+
   test("tracked census argmax runs zero Spark jobs — round cost is the delta job") {
     val s2 = spark
     import s2.implicits._
