@@ -104,9 +104,12 @@ object Bench {
     // CANONICAL checked-in sidecar: a run pointing SPARK_GRAFT_BENCH_DETAIL
     // at a fresh output file is a dev redirect, not evidence that the
     // 100 TB wall-clock signal is missing — it must not silently opt
-    // into the multi-minute distributed section
+    // into the multi-minute distributed section. A distributed-ONLY dev
+    // run, though, IS an explicit request for the section (the pre-gate
+    // recipe), knob or not.
     val runDistributed =
       sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("1") ||
+        sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("distributed") ||
         (prevDistObj.isEmpty &&
           !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL") &&
           !sys.env.get("SPARK_GRAFT_BENCH_DISTRIBUTED").contains("0"))
@@ -212,10 +215,16 @@ object Bench {
         // it writes must SAY so (`distributed_dirty`), not merely omit
         // the stamp: this run's own sidecar would otherwise present
         // dirty-tree timings indistinguishable from a clean measurement
-        // (the stale tag only appears once a LATER run carries them)
-        val commit = (if (git.srcClean) git.head else None) match {
-          case Some(h) => s""","distributed_commit":"$h""""
-          case None => ""","distributed_dirty":true"""
+        // (the stale tag only appears once a LATER run carries them).
+        // "Could not ask git" is NOT dirtiness — recording an
+        // affirmative dirty claim for an unknown state would fabricate
+        // a fact, so that case gets its own marker.
+        val commit = git.srcCleanStatus match {
+          case Some(true) => git.head
+            .map(h => s""","distributed_commit":"$h"""")
+            .getOrElse(""","distributed_git_unknown":true""")
+          case Some(false) => ""","distributed_dirty":true"""
+          case None => ""","distributed_git_unknown":true"""
         }
         distributed.map { case (k, t) => "\"" + k + "\":" + r3(t) }
           .mkString(""","distributed":{""", ",", "}") + commit
@@ -229,8 +238,15 @@ object Bench {
           // iff nothing changed, committed OR uncommitted)
           val fresh = prevCommit.exists(c =>
             git.srcUnchangedSince(c).contains(true))
+          // a measured-on-dirty-tree (or unknown-git) marker is a
+          // stronger fact than generic staleness — it must survive the
+          // carry, not be downgraded to the stale tag alone
+          val carriedMarkers = Seq("distributed_dirty", "distributed_git_unknown")
+            .filter(m => prevDetail.exists(_.contains("\"" + m + "\":true")))
+            .map(m => s""","$m":true""").mkString
           "," + obj +
             prevCommit.map(c => s""","distributed_commit":"$c"""").getOrElse("") +
+            carriedMarkers +
             (if (fresh) "" else ""","distributed_stale":true""")
         case None => ""
       }

@@ -463,17 +463,17 @@ object Similarity {
     // side is usually query-batch-sized and broadcasting it keeps the
     // big pruned code scan map-side — but a corpus-sized probe file
     // (decontamination against a 20M-row test set) must fall back to a
-    // shuffle join instead of OOMing the driver, so the hint is GATED
-    // on the row count (LUT/vector rows are ~0.5-1 KB each, so the row
-    // budget bounds broadcast bytes too; AQE may still elect a
-    // broadcast from the observed size).
+    // shuffle join instead of OOMing the driver. Gates are BYTE-aware
+    // ([[gatedProbeBroadcast]]): a LUT row weighs m·k longs and a
+    // vector row dim floats, so a row budget alone would still pass
+    // driver-fatal broadcasts at FAISS-typical m=16/k=256 or dim=768.
     val probeRows = probes.count().max(1L) // ≥ distinct q_ids (rows are per list)
-    val probeBudget = probes.sparkSession.conf
-      .get("spark.graft.ann.probeBroadcastMaxRows", "262144").toLong
-    def gatedProbeSide(df: DataFrame): DataFrame =
-      if (probeRows <= probeBudget) broadcast(df) else df
+    val dim = codebooks.map(_.head.length).sum.toLong
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_micro"), col("c_id"))
-    val shortlist = candCodes.join(gatedProbeSide(pLut), Seq("cluster"))
+    val shortlist = candCodes.join(
+        gatedProbeBroadcast(pLut, probeRows,
+          m.toLong * codebooks.head.length * 8 + 32),
+        Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
       .select(col("q_id"), col("cluster"), col("c_id"), adc.as("adc_micro"))
       .withColumn("arn", row_number().over(wAdc))
@@ -502,7 +502,7 @@ object Similarity {
     val wSim = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     candVecs.join(if (bcastShortlist) broadcast(shortlist) else shortlist,
         Seq("c_id"))
-      .join(gatedProbeSide(qVecs), Seq("q_id"))
+      .join(gatedProbeBroadcast(qVecs, probeRows, dim * 4 + 48), Seq("q_id"))
       .select(col("q_id"), col("cluster"), col("c_id"), col("adc_micro"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
       .withColumn("rn", row_number().over(wSim))
@@ -643,11 +643,15 @@ object Similarity {
       .withColumn("v_norm", norm("embedding"))
       .select(col("cluster"), col("vec_id").as("c_id"),
         col("embedding").as("c_emb"), col("v_norm").as("c_norm"))
+    // checkpointed like AnnIndex.routedProbes: the broadcast gate's
+    // stats pass and the cluster join read ONE materialization instead
+    // of re-evaluating the probe lineage (a corpus scan) twice
     val probes = emb.filter(probePred)
       .withColumn("q_norm", norm("embedding"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("q_norm"),
         explode(probedClusters(model.centroids, nProbe)).as("cluster"))
+      .localCheckpoint()
     routedDecontamHits(cands, probes, threshold)
   }
 
@@ -657,16 +661,19 @@ object Similarity {
     * into the candidate stream on the cluster key, exact cosine gate,
     * one row per flagged corpus vector — hit count, best similarity,
     * lowest matching probe id — ordered by vector id. The probe
-    * broadcast is GATED on the same row budget as the PQ serving path
-    * (`spark.graft.ann.probeBroadcastMaxRows`): benchmark-sized probe
-    * sets stream the corpus scan map-side, a corpus-sized probe file
-    * falls back to a shuffle join instead of OOMing the driver. */
+    * broadcast runs through the SAME byte-aware gate as the PQ serving
+    * path ([[gatedProbeBroadcast]]): benchmark-sized probe sets stream
+    * the corpus scan map-side, a corpus-sized probe file falls back to
+    * a shuffle join instead of OOMing the driver. Row count and vector
+    * width come from ONE stats pass over the (caller-checkpointed)
+    * probe frame. */
   private[ops] def routedDecontamHits(cands: DataFrame, probes: DataFrame,
       threshold: Double): DataFrame = {
-    val probeBudget = probes.sparkSession.conf
-      .get("spark.graft.ann.probeBroadcastMaxRows", "262144").toLong
-    val probeSide =
-      if (probes.count() <= probeBudget) broadcast(probes) else probes
+    val stats = probes
+      .agg(count(lit(1)).as("n"), max(size(col("q_emb"))).as("d")).head
+    val probeRows = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 0L else stats.getInt(1).toLong
+    val probeSide = gatedProbeBroadcast(probes, probeRows, dim * 4 + 48)
     cands.join(probeSide, Seq("cluster"))
       .select(col("c_id"), col("q_id"),
         cosineN("c_emb", "q_emb", "c_norm", "q_norm").as("sim"))
@@ -676,6 +683,21 @@ object Similarity {
         max(col("sim")).as("top_sim"),
         min(col("q_id")).as("first_probe"))
       .orderBy("c_id")
+  }
+
+  /** The ONE probe-side broadcast gate (PQ LUT join, rerank vector join,
+    * decontamination probe join all route here — a budget edit cannot
+    * diverge the twins): hint a broadcast only when the probe side's
+    * ESTIMATED bytes (`rows × bytesPerRow`, payload-aware — a LUT row
+    * weighs m·k longs, a vector row dim floats) fit
+    * `spark.graft.ann.probeBroadcastMaxBytes` (default 128 MiB). Above
+    * the budget the join falls back to shuffle (AQE may still elect a
+    * broadcast from the OBSERVED size); 0 forces every hint off. */
+  private def gatedProbeBroadcast(df: DataFrame, rows: Long,
+      bytesPerRow: Long): DataFrame = {
+    val budget = df.sparkSession.conf
+      .get("spark.graft.ann.probeBroadcastMaxBytes", "134217728").toLong
+    if (rows <= budget / bytesPerRow.max(1L)) broadcast(df) else df
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, searched

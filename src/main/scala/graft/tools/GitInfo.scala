@@ -83,13 +83,19 @@ final class GitInfo(roots: Seq[Path]) {
       } yield diff.isEmpty && untracked.isEmpty
     }.headOption
 
+  /** Whether the worktree is clean under `src/main`, as a TRI-state:
+    * Some(true)/Some(false) when git answered, None when it could not
+    * (no binary, not a repo) — callers that RECORD a verdict must not
+    * turn "unknown" into an affirmative "dirty" claim. */
+  def srcCleanStatus: Option[Boolean] =
+    roots.flatMap(r =>
+      out(r, "status", "--porcelain", "--", SrcPathspec))
+      .headOption.map(_.isEmpty)
+
   /** Whether the worktree is clean under `src/main` — a measurement
     * from a dirty tree must not stamp HEAD (the stamp would not contain
     * the measured code, poisoning every later staleness verdict).
     * False when no root answers: no stamp reads as stale, the
     * conservative direction. */
-  def srcClean: Boolean =
-    roots.flatMap(r =>
-      out(r, "status", "--porcelain", "--", SrcPathspec))
-      .headOption.exists(_.isEmpty)
+  def srcClean: Boolean = srcCleanStatus.contains(true)
 }

@@ -172,14 +172,14 @@ class PlanAuditSpec extends SparkSpec {
     // budget 0 forces every probe-side broadcast hint OFF (a corpus-
     // sized probe file at 100 TB must shuffle, not OOM the driver) —
     // results must be identical either way
-    spark.conf.set("spark.graft.ann.probeBroadcastMaxRows", "0")
+    spark.conf.set("spark.graft.ann.probeBroadcastMaxBytes", "0")
     try {
       assert(graft.ops.Similarity.semanticDecontamIvf(emb, pred, 0.35)
         .collect().map(_.toSeq).toSeq == decontam0)
       assert(graft.ops.Similarity.ivfPqSearch(
           emb, org.apache.spark.sql.functions.col("vec_id") < 10)
         .collect().map(_.toSeq).toSeq == pq0)
-    } finally spark.conf.unset("spark.graft.ann.probeBroadcastMaxRows")
+    } finally spark.conf.unset("spark.graft.ann.probeBroadcastMaxBytes")
   }
 
   test("semdedup: pair search joins on the cluster key, no cartesian") {
