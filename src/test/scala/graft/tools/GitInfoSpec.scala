@@ -106,11 +106,17 @@ class GitInfoSpec extends AnyFunSuite {
     val gi = new GitInfo(Seq(dir))
     // unknown commit → None (callers read None as stale), never Some(true)
     assert(gi.srcUnchangedSince("0" * 40).isEmpty)
-    // a non-repo root alone answers nothing
+    // a non-repo root alone answers nothing: the boolean view stays
+    // conservative (not clean), while the TRI-state distinguishes
+    // "unknown" from an affirmative "dirty" — recording callers (the
+    // bench's distributed_dirty vs distributed_git_unknown markers)
+    // depend on that difference
     val nowhere = new GitInfo(Seq(Files.createTempDirectory("notarepo")))
     assert(nowhere.head.isEmpty)
     assert(nowhere.srcUnchangedSince("0" * 40).isEmpty)
     assert(!nowhere.srcClean)
+    assert(nowhere.srcCleanStatus.isEmpty)
+    assert(gi.srcCleanStatus.contains(true))
     // ...but a later root still answers: the first root that RESOLVES
     // wins, not the first root listed
     val ordered = new GitInfo(Seq(
