@@ -100,7 +100,7 @@ final class AnnIndex(
     val cents = model.centroids
     val rows = assignedRows(emb, cents, cbs).localCheckpoint()
     graft.meta.TableWriter.append(engine.spark, engine.tableDir(ref),
-      rows, extraProperties = quantizerProps(cents, rows, cbs))
+      rows, extraProperties = quantizerProps(cents, rows, cbs, iters))
     cents
   }
 
@@ -109,13 +109,17 @@ final class AnnIndex(
     * diverge between the two commit paths): the coarse centroids, the
     * per-cluster occupancy of `rows` — the reference distribution the
     * drift canary ([[AnnIndex.drift]]) compares later admissions
-    * against — and, for a PQ index, the codebooks. */
+    * against — the kmeans iteration count that produced the quantizer
+    * (so a later [[rebuild]] retrains at the SAME depth instead of a
+    * default-constructed handle's), and, for a PQ index, the
+    * codebooks. */
   private def quantizerProps(cents: Seq[Seq[Double]], rows: DataFrame,
-      cbs: Option[Seq[Seq[Seq[Double]]]]): Map[String, String] = {
+      cbs: Option[Seq[Seq[Seq[Double]]]], trainedIters: Int): Map[String, String] = {
     val bootCounts = rows.groupBy("cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     Map(
       CentroidsProp -> renderCentroids(cents),
+      AnnIndex.ItersProp -> trainedIters.toString,
       AnnIndex.BootCountsProp ->
         bootCounts.map { case (c, n) => s"$c:$n" }.mkString(",")) ++
       cbs.map(cb => AnnIndex.PqCodebooksProp ->
@@ -463,10 +467,15 @@ final class AnnIndex(
     *
     * Structural parameters come from the PERSISTED state, not the
     * handle — k from the stored centroid count, PQ-ness and its M/K
-    * from the stored codebook dims — so a default-constructed handle
-    * rebuilds an existing index faithfully (the same contract as the
-    * serving paths); only the training iteration count rides the
-    * handle. Training is deterministic ([[Clustering.kmeans]]'s
+    * from the stored codebook dims, and the training ITERATION COUNT
+    * from the stored [[AnnIndex.ItersProp]] — so a default-constructed
+    * handle rebuilds an existing index faithfully (the same contract as
+    * the serving paths) at the bootstrap's own training depth rather
+    * than silently downgrading to the handle default. `itersOverride`
+    * retrains deeper or shallower on purpose (and becomes the persisted
+    * depth for the NEXT rebuild); indexes persisted before the property
+    * existed fall back to the handle's `iters`. Training is
+    * deterministic ([[Clustering.kmeans]]'s
     * lowest-id init), so a rebuild over unchanged rows reproduces a
     * from-scratch bootstrap of the same vectors exactly.
     *
@@ -478,18 +487,21 @@ final class AnnIndex(
     * its precondition and a mid-rebuild admission surfaces as
     * [[graft.meta.CommitConflictException]] (rerun the rebuild; it picks
     * up the admitted rows). */
-  def rebuild(): Seq[Seq[Double]] = {
+  def rebuild(itersOverride: Option[Int] = None): Seq[Seq[Double]] = {
     val (t, oldCents, oldCbs) = pinned
+    val trainIters = itersOverride
+      .orElse(t.metadata.properties.get(AnnIndex.ItersProp).map(_.toInt))
+      .getOrElse(iters)
     val current = ScanPlanner.readTable(engine.spark, t)
       .select(col("vec_id"), col("label"), col("embedding"))
     val (model, cbs) = Similarity.trainCoarseAndCodebooks(current,
-      oldCents.length, iters,
+      oldCents.length, trainIters,
       oldCbs.map(_.length).getOrElse(0),
       oldCbs.map(_.head.length).getOrElse(pqK))
     val cents = model.centroids
     val rows = assignedRows(current, cents, cbs).localCheckpoint()
     graft.meta.TableWriter.overwrite(engine.spark, engine.tableDir(ref),
-      rows, extraProperties = quantizerProps(cents, rows, cbs),
+      rows, extraProperties = quantizerProps(cents, rows, cbs, trainIters),
       expectedCurrentSnapshotId = t.metadata.currentSnapshotId)
     cents
   }
@@ -513,6 +525,12 @@ object AnnIndex {
     * (`cluster:count,...`) — the reference distribution the drift
     * canary compares admissions against. */
   val BootCountsProp = "graft.ann.bootCounts"
+
+  /** Table property carrying the kmeans iteration count that trained the
+    * persisted quantizer — [[AnnIndex.rebuild]] retrains at this depth
+    * so a default-constructed handle (CLI `ann-rebuild`) cannot silently
+    * produce a shallower quantizer than the original bootstrap. */
+  val ItersProp = "graft.ann.iters"
 
   /** Table property carrying the frozen per-subspace PQ codebooks
     * (`sub|sub`, each `centroid;centroid`, each `comp,comp` — exact

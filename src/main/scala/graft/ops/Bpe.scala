@@ -49,6 +49,17 @@ object Bpe {
   private def pairStructs: Column = kernel(graft.expr.BpePairStructs(symsExpr))
   private def trigramStructs: Column = kernel(graft.expr.BpeTrigramStructs(symsExpr))
 
+  /** Whether a `limit(lim).collect()` size probe proves the pair census
+    * fits the tracked tier. Both clauses are load-bearing: `<= threshold`
+    * is the declared budget, and `< lim` proves the collect was NOT
+    * exhausted — when `threshold >= Int.MaxValue - 1` the limit clamps to
+    * `Int.MaxValue - 1 <= threshold`, so a census LARGER than the clamp
+    * would come back exactly `lim` rows, pass the budget check alone, and
+    * silently train on a truncated census. */
+  private[graft] def trackedTierFits(rowsLen: Int, lim: Int,
+      threshold: Long): Boolean =
+    rowsLen <= threshold && rowsLen < lim
+
   /** Learned merge table `(merge_rank, lhs, rhs, pair_count)`, ordered by
     * rank. Stops early (fewer rows) if the vocabulary runs out of pairs.
     *
@@ -123,7 +134,7 @@ object Bpe {
         if (trackedPairThreshold >= Int.MaxValue - 1L) Int.MaxValue - 1
         else (trackedPairThreshold + 1).toInt
       val rows = censusPlan.limit(lim).collect()
-      if (rows.length <= trackedPairThreshold)
+      if (trackedTierFits(rows.length, lim, trackedPairThreshold))
         return trainMergesTracked(spark, vocab,
           rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))),
           nMerges, batchK)

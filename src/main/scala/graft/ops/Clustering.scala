@@ -33,6 +33,12 @@ object Clustering {
     * a probe/admit run never re-clusters ([[AnnIndex]]'s contract). */
   private[graft] val kmeansRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Iteration count of the LATEST [[kmeans]] run — the rebuild specs
+    * assert `AnnIndex.rebuild` retrains at the PERSISTED bootstrap depth
+    * instead of a default-constructed handle's. */
+  private[graft] val lastKmeansIters =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   private def dot(v: Column, c: Column): Column =
     GraftColumnBridge.column(VecDot(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(c)))
@@ -87,6 +93,7 @@ object Clustering {
   def kmeans(emb: DataFrame, k: Int, iters: Int, quant: Double = 1e6): KmeansModel = {
     require(k >= 1 && iters >= 1)
     kmeansRuns.incrementAndGet()
+    lastKmeansIters.set(iters)
     val idCol = emb.columns.head // vec_id by convention
     var cents: Seq[Seq[Double]] = emb.orderBy(idCol).limit(k)
       .select("embedding").collect()

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Engine
+import graft.meta.Transforms
+
+/** PERSISTENT dedup component assignment — the `(doc_id, component)`
+  * frame [[Dedup.connectedComponents]] produces, materialized as a Graft
+  * table and maintained INCREMENTALLY: each ingest batch's candidate
+  * edges fold in through [[Dedup.incrementalComponents]] and the table
+  * is updated by one MERGE-style row-delta commit over exactly the
+  * affected docs. A 100 TB corpus never re-runs global label propagation
+  * after bootstrap — the per-batch cost is two passes over this table
+  * (one pruned) plus a batch-bounded contracted-graph clustering.
+  *
+  * Lifecycle mirrors [[NearDupIndex]] (the two compose: `NearDupIndex
+  * .admit` gates a batch and its collision pairs are exactly the new
+  * edges this index folds): [[create]] once, [[bootstrap]] from the
+  * standing corpus' candidate pairs, then per batch [[fold]].
+  *
+  * Storage is SPARSE: only non-trivial memberships (`doc_id !=
+  * component`) are stored — singleton docs are implicit, so the table
+  * holds only duplicate docs (typically a small fraction of the corpus).
+  * Labels can only DECREASE under the min-id invariant, so a stored row
+  * never becomes trivial and sparseness is maintained by filtering
+  * inserts alone.
+  *
+  * Scale shape: the table is `bucket[nBuckets](component)`-partitioned,
+  * so [[fold]]'s relabel pass — the one that rewrites WHOLE components —
+  * prunes to the merged-away labels' buckets (a batch merges a handful
+  * of components, so this reads a handful of buckets, not the corpus
+  * assignment). The endpoint-resolution pass is one scan of the table
+  * with the batch's id set pushed down, emitting batch-bounded rows.
+  * The update commit is merge-on-read ([[Engine.upsert]]): an equality
+  * delete on `doc_id` plus the delta rows, no data-file rewrite.
+  */
+final class ComponentIndex(
+    val engine: Engine,
+    val ref: String,
+    val nBuckets: Int = 32) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("component", LongType, nullable = false)))
+
+  /** Create the (empty) assignment table, bucket-partitioned on the
+    * RELABEL key (see class doc for why `component`, not `doc_id`). */
+  def create(): Unit =
+    engine.createTable(ref, schema, Seq(s"bucket[$nBuckets](component)"))
+
+  /** Seed the assignment from the standing corpus' candidate pairs —
+    * the ONLY call that runs global connected components. A pair-free
+    * corpus (every doc a singleton) seeds nothing; [[fold]] works off
+    * the empty table. */
+  def bootstrap(pairs: DataFrame): Unit = {
+    val rows = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component")).localCheckpoint()
+    if (!rows.isEmpty) engine.append(ref, rows)
+    ()
+  }
+
+  private def emptyStore: DataFrame =
+    engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** The table's live rows off an already-pinned load — empty-safe (a
+    * fresh or fully-singleton index has no snapshot or no files). */
+  private def storeOf(t: graft.meta.IcebergTable): DataFrame = {
+    if (t.metadata.currentSnapshotId.isEmpty) return emptyStore
+    val paths = t.files().map(e => t.resolvePath(e.filePath))
+    if (paths.isEmpty) emptyStore
+    else ScanPlanner.readFiles(engine.spark, t, paths)
+  }
+
+  /** The standing sparse assignment (non-trivial memberships only). */
+  def assignments: DataFrame = storeOf(engine.load(ref))
+
+  /** Bucket count the table was built with, read from its own partition
+    * spec — pruning with a different N than the files were written
+    * under would be silently unsound. None → full-scan fallback. */
+  private def tableBucketCount(t: graft.meta.IcebergTable): Option[Int] = {
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val compId = t.metadata.currentSchema.fields
+      .find(_.name == "component").map(_.id)
+    t.metadata.partitionSpecs.flatMap(_.fields)
+      .filter(f => compId.contains(f.sourceId))
+      .map(_.transform).distinct match {
+      case Seq(BucketRe(n)) => Some(n.toInt)
+      case _ => None
+    }
+  }
+
+  /** Paths of the files a relabel of `labels`' components must read:
+    * the labels' buckets (batch-bounded) prune the files relation.
+    * Files with no recorded bucket value survive conservatively. */
+  def relabelPaths(labels: Seq[Long]): Seq[String] =
+    relabelPaths(labels, engine.load(ref))
+
+  private def relabelPaths(
+      labels: Seq[Long], t: graft.meta.IcebergTable): Seq[String] = {
+    if (t.metadata.currentSnapshotId.isEmpty) return Seq.empty
+    val files = graft.rel.MetaRelations.files(engine.spark, t, None)
+    val keep = tableBucketCount(t) match {
+      case None => files
+      case Some(n) =>
+        val spark = engine.spark
+        import spark.implicits._
+        val buckets = labels.toDF("component")
+          .select(Transforms.column(s"bucket[$n]", col("component"), "long").as("b"))
+          .distinct().collect().map(_.getInt(0).toString).toSeq
+        val pv = col("partition")(Transforms.fieldName("component", s"bucket[$n]"))
+        files.filter(pv.isNull || pv.isin(buckets: _*))
+    }
+    keep.select("file_path").collect()
+      .map(r => t.resolvePath(r.getString(0))).toIndexedSeq
+  }
+
+  /** The assignment restricted to the files `labels`' relabel can touch
+    * — a bucket-pruned scan with merge-on-read deletes still applied. */
+  private def relabelRows(
+      labels: Seq[Long], t: graft.meta.IcebergTable): DataFrame = {
+    val paths = relabelPaths(labels, t)
+    if (paths.isEmpty)
+      engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else ScanPlanner.readFiles(engine.spark, t, paths)
+  }
+
+  /** Fold one batch's candidate edges into the standing assignment:
+    * compute the delta ([[Dedup.incrementalComponents]], sparse
+    * convention, relabel served from the bucket-pruned read), commit the
+    * non-trivial delta rows as ONE merge-on-read upsert keyed on
+    * `doc_id`, and return the FULL delta (trivial rows included — the
+    * caller-facing "what changed" view). An empty delta commits
+    * nothing. */
+  def fold(newEdges: DataFrame): DataFrame = {
+    // ONE load pins the whole fold: resolution scan, pruned relabel
+    // read, and the files the upsert's conflict check sees
+    val t = engine.load(ref)
+    val store = storeOf(t)
+    val delta = Dedup.incrementalComponents(store, newEdges,
+      sparseAssign = true,
+      relabelSource = Some(labels => relabelRows(labels, t)))
+      .localCheckpoint()
+    val upserts = delta.filter(col("doc_id") =!= col("component"))
+    if (!upserts.isEmpty) engine.upsert(ref, upserts, Seq("doc_id"))
+    delta
+  }
+
+  /** Fold per-batch small files back into one per bucket (the bucketed
+    * layout is preserved by the rewrite). */
+  def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
+    engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
+}

@@ -304,6 +304,144 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW candidate
+    * edges into a STANDING component assignment without re-running the
+    * corpus-wide label propagation — the missing piece between
+    * [[connectedComponents]] (global, from scratch) and the persisted
+    * ingest surfaces ([[incrementalNearDup]], [[NearDupIndex]]) that
+    * already produce batch-vs-corpus candidate PAIRS but until now left
+    * component maintenance to a full recompute.
+    *
+    * `assign` is a standing `(doc_id, component)` frame with the
+    * [[connectedComponents]] labeling invariant (component = MIN doc_id
+    * of its members); `newEdges` is the batch's `(a_id, b_id)` candidate
+    * pairs — batch↔batch and batch↔corpus alike, endpoints absent from
+    * `assign` are implicitly singleton. Returns the DELTA: one row per
+    * doc that is NEW or whose component CHANGED; rows of untouched
+    * components never appear (and never shuffle). The caller merges
+    * `assign.join(delta, "doc_id", "left_anti") ∪ delta`.
+    *
+    * Scale shape (assign is corpus-sized, edges are batch-sized):
+    *   1. endpoints resolve to their standing components through a
+    *      broadcast SEMI-join of `assign` against the batch's id set —
+    *      one pass over the assignment table, no shuffle of it;
+    *   2. edges CONTRACT to the component graph (old labels + new ids),
+    *      and [[connectedComponents]] runs on that batch-bounded graph
+    *      (its adaptive driver tier absorbs realistic batches);
+    *   3. members of MERGED components relabel through a broadcast hash
+    *      join on `component` — the second and last pass over `assign`,
+    *      again shuffle-free; winners keep their label and do not appear.
+    * The min-id invariant is preserved by construction: the contracted
+    * graph's labels are minima over merged components' labels and new
+    * doc ids, i.e. exactly the min member id of each merged set.
+    *
+    * `sparseAssign = true` switches the assignment convention to the
+    * PERSISTED-index form ([[ComponentIndex]]): `assign` stores only
+    * NON-TRIVIAL rows (`doc_id != component` — at typical dup rates a
+    * 3-10× smaller table), so a merged-away label's own row is implicit
+    * and the delta must emit it explicitly. Labels can only decrease
+    * (min-id invariant), so a stored row never becomes trivial — the
+    * sparse store is maintained by filtering INSERTS only.
+    *
+    * `relabelSource`, when given, serves step 3's member lookup from a
+    * PRUNED read instead of the full `assign` frame: it receives the
+    * merged-away labels (batch-bounded, collected on the driver) and
+    * returns the `(doc_id, component)` rows of those components —
+    * [[ComponentIndex]] passes its bucket-pruned file read, so the
+    * relabel pass touches only the merged components' buckets.
+    *
+    * `resolveInMaxIds`: batches at or under this many distinct endpoint
+    * ids resolve through a LITERAL `IN` filter instead of the broadcast
+    * semi-join — the predicate pushes into the parquet scan
+    * (row-group min/max skipping on doc_id-clustered files), where a
+    * semi-join's build side never reaches the reader. Same
+    * literal-vs-join threshold idiom as the eq-delete sequence map
+    * (`ScanPlanner`); 0 disables the literal path. */
+  def incrementalComponents(assign: DataFrame, newEdges: DataFrame,
+      sparseAssign: Boolean = false,
+      relabelSource: Option[Seq[Long] => DataFrame] = None,
+      resolveInMaxIds: Int = 1000): DataFrame = {
+    // batch-bounded and consumed twice (resolution + new-doc anti) —
+    // materialize once
+    val e = newEdges.select(col("a_id"), col("b_id")).localCheckpoint()
+    val ids = e.select(col("a_id").as("doc_id"))
+      .union(e.select(col("b_id").as("doc_id"))).distinct()
+      .localCheckpoint()
+    // the batch's footprint in the standing assignment: a pushed-down
+    // IN literal for small batches, a broadcast semi-join above the
+    // threshold — either way the corpus side is scan-only (no shuffle,
+    // no wide row)
+    val touched = (
+      if (resolveInMaxIds > 0 && ids.count() <= resolveInMaxIds) {
+        val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
+        assign.filter(col("doc_id").isin(idSeq: _*))
+      } else assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    ).localCheckpoint()
+    // contract edges onto the component graph: endpoint → its standing
+    // label, absent endpoint → itself (implicit singleton). `touched` is
+    // batch-bounded, so both resolution joins broadcast it.
+    val contracted = e
+      .join(broadcast(touched.select(col("doc_id").as("a_id"),
+        col("component").as("ca"))), Seq("a_id"), "left")
+      .join(broadcast(touched.select(col("doc_id").as("b_id"),
+        col("component").as("cb"))), Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("a_id"),
+        coalesce(col("cb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // components of the CONTRACTED graph: nodes are old labels and new
+    // ids, so each resulting label is the min doc_id of its merged set
+    val m = connectedComponents(contracted)
+      .select(col("doc_id").as("node"), col("component").as("new_comp"))
+      .localCheckpoint()
+    // members of components that LOST their label relabel in one
+    // broadcast join pass over the assignment; winners stay put
+    val mergedAway = m.filter(col("node") =!= col("new_comp"))
+      .select(col("node").as("component"), col("new_comp"))
+      .localCheckpoint()
+    val relabelRows = relabelSource match {
+      case None => assign
+      case Some(read) =>
+        // batch-bounded label collect parameterizes the pruned read;
+        // nothing to relabel → nothing to read
+        val labels = mergedAway.select("component").collect()
+          .map(_.getLong(0)).toIndexedSeq
+        if (labels.isEmpty)
+          assign.limit(0)
+        else read(labels)
+    }
+    val relabeled = relabelRows
+      .join(broadcast(mergedAway), Seq("component"))
+      .select(col("doc_id"), col("new_comp").as("component"))
+    // new docs: batch ids absent from the standing assignment; their
+    // contracted node is their own id (labels are existing doc ids, so
+    // no collision). A genuinely NEW doc always survives contraction
+    // (its node can't equal an existing label), so the inner join is
+    // total over new docs — ids absent from `m` are implicit winners or
+    // singletons whose edges all landed inside one standing component
+    // (possible only under `sparseAssign`), i.e. NOT changes: emitting
+    // a trivial row for them would break fold idempotence. */
+    val newIds = ids
+      .join(touched.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val newRows = newIds
+      .join(broadcast(m), col("doc_id") === col("node"))
+      .select(col("doc_id"), col("new_comp").as("component"))
+    // sparse store: a merged-away label's own (L, L) row is implicit in
+    // the assignment, so its relabel must be emitted here — but only
+    // for labels that ARE standing components (batch ids absent from
+    // the store are already covered by newRows)
+    val ownRows =
+      if (!sparseAssign) assign.limit(0).select(col("doc_id"), col("component"))
+      else mergedAway
+        .join(broadcast(touched.select("component").distinct()),
+          Seq("component"), "left_semi")
+        .join(broadcast(newIds),
+          col("component") === newIds("doc_id"), "left_anti")
+        .select(col("component").as("doc_id"),
+          col("new_comp").as("component"))
+    relabeled.unionByName(newRows).unionByName(ownRows)
+  }
+
   /** Salt count for [[connectedComponents]]' hub guard: 1 (no salting)
     * until the max degree crosses the threshold, then one salt per
     * threshold-worth of edges, capped at 32 (beyond that the S× label

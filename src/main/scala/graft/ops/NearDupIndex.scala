@@ -204,10 +204,21 @@ final class NearDupIndex(
     * differ, so it is gated against the index like any other doc. The
     * already-indexed check probes the same PRUNED slice as the collision
     * join — a doc's own signatures live in its own band buckets — so no
-    * full index scan enters the loop. */
+    * full index scan enters the loop.
+    *
+    * `components`, when given, maintains the persisted dup-cluster
+    * assignment alongside the gate: each micro-batch's collision pairs
+    * `(doc_id, dup_of)` fold into the [[ComponentIndex]]
+    * ([[Dedup.incrementalComponents]] under the hood), so rejected docs
+    * keep a provenance row in the assignment ledger and transitive dup
+    * chains close ACROSS micro-batches. Redelivery-safe for free: a
+    * redelivered batch's pairs are already absorbed and the fold is an
+    * idempotent no-op (no commit). Collision-free batches never load
+    * the component table at all. */
   def admitStream(
       docs: DataFrame,
-      checkpointDir: String)(
+      checkpointDir: String,
+      components: Option[ComponentIndex] = None)(
       onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -227,9 +238,15 @@ final class NearDupIndex(
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
           .filter(col("n") === nBands).select(col("doc_id"))
           .localCheckpoint()
-        val flagged = Dedup.bandCollisions(batchSigs, probed)
-          .select(col("doc_id"))
+        val collisionsPlan = Dedup.bandCollisions(batchSigs, probed)
           .join(selfIndexed, Seq("doc_id"), "left_anti") // redelivery ≠ dup
+        // with a component ledger attached the collision pairs are
+        // consumed twice (gate + fold) — materialize once; without one,
+        // keep the original lazy single-consumer shape (no extra job)
+        val collisions =
+          if (components.isDefined) collisionsPlan.localCheckpoint()
+          else collisionsPlan
+        val flagged = collisions.select(col("doc_id"))
         val survivors = batch.join(flagged, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val fresh = survivors.join(selfIndexed, Seq("doc_id"), "left_anti")
@@ -241,6 +258,14 @@ final class NearDupIndex(
           engine.append(ref,
             batchSigs.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("band"), col("band_sig")))
+        // dup-cluster ledger: fold this batch's collision pairs into the
+        // persisted assignment (idempotent across redeliveries; skipped
+        // entirely — no table load — when the batch had no collisions)
+        components.foreach { comps =>
+          if (!collisions.isEmpty)
+            comps.fold(collisions
+              .select(col("doc_id").as("a_id"), col("dup_of").as("b_id")))
+        }
         onSurvivors(survivors)
       }
       .start()

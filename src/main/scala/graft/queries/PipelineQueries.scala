@@ -1444,6 +1444,34 @@ object PipelineQueries {
           |GROUP BY lang ORDER BY lang""".stripMargin),
       ),
 
+    // INCREMENTAL dedup components: docs with doc_id % 7 == 0 arrive as
+    // a LATER batch — the standing assignment is built from old-only
+    // candidate edges, the batch's edges fold in through
+    // Dedup.incrementalComponents (two broadcast-join passes over the
+    // standing table, the contracted component graph is all that
+    // re-clusters), and the merged view must be INDISTINGUISHABLE from
+    // a from-scratch recompute: the oracle is the same recursive CTE
+    // over ALL pairs as q_dedup_components. (LSH bucket membership is
+    // per-doc, so old-corpus candidates == all-corpus candidates
+    // filtered to old endpoints — one signature pass, split twice.)
+    Q("q_components_incremental",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(s, documents(s, d))
+          .localCheckpoint()
+        val isNew = (c: org.apache.spark.sql.Column) => c % 7 === 0
+        val standing = Dedup.connectedComponents(
+          pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))))
+        val delta = Dedup.incrementalComponents(standing,
+          pairs.filter(isNew(col("a_id")) || isNew(col("b_id"))))
+        standing
+          .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+          .orderBy("component")
+      },
+      Some(componentsOracleSql)),
+
     // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",
       (s, d) => Similarity.lshAnn(embeddings(s, d), col("vec_id") < 10),

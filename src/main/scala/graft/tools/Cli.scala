@@ -30,6 +30,7 @@ import graft.api.{Engine, Errors}
   *      | rollback T snapshotId | orphans T [--remove]
   *      | bpe docsParquet [nMerges] | winnow-removal docsParquet [minDocs]
   *      | dedup-gate T shardParquet [--admit [--intra]]
+  *      | comp-fold T edgesParquet [--bootstrap]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -330,6 +331,20 @@ object Cli {
             println(s"admitted ${kept.count()} docs; " +
               s"signatures appended to ${vargs(0)}")
           } else emit(idx.check(shard))
+        case "comp-fold" =>
+          // comp-fold <ns.comps> <edges.parquet> [--bootstrap] —
+          // maintain the persisted dup-cluster assignment: --bootstrap
+          // creates the table and seeds it with one global
+          // connected-components run over the edges; without it the
+          // edges fold INCREMENTALLY (only affected components relabel,
+          // one merge-on-read upsert) and the delta rows are printed
+          val idx = new graft.ops.ComponentIndex(engine, vargs(0))
+          val edges = spark.read.parquet(vargs(1))
+          if (vargs.drop(2).contains("--bootstrap")) {
+            idx.create(); idx.bootstrap(edges)
+            println(s"bootstrapped ${vargs(0)}: " +
+              s"${idx.assignments.count()} non-trivial memberships")
+          } else emit(idx.fold(edges))
         case "ann-index" =>
           // ann-index <ns.idx> <embeddings.parquet> [k] [pqM] [pqK] —
           // create and bootstrap the persisted ANN index from a corpus:
@@ -346,12 +361,14 @@ object Cli {
             s"in ${idx.kClusters} lists at ${vargs(0)}" +
             (if (idx.pqM > 0) s" (ivf-pq m=${idx.pqM} k=${idx.pqK})" else ""))
         case "ann-rebuild" =>
-          // ann-rebuild <ns.idx> — act on the advisor's ann-rebuild row:
-          // retrain the quantizer (and PQ codebooks) from the index's
-          // current vectors and swap data + quantizer in one commit;
-          // the drift baseline resets
+          // ann-rebuild <ns.idx> [iters] — act on the advisor's
+          // ann-rebuild row: retrain the quantizer (and PQ codebooks)
+          // from the index's current vectors and swap data + quantizer
+          // in one commit; the drift baseline resets. Training depth
+          // defaults to the index's PERSISTED bootstrap iteration count
+          // (never the handle default); [iters] overrides it
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
-          val cents = idx.rebuild()
+          val cents = idx.rebuild(vargs.lift(1).map(_.toInt))
           println(s"rebuilt ${vargs(0)}: ${cents.length} lists, " +
             s"drift baseline reset" +
             (if (idx.codebooks.isDefined) " (ivf-pq codes re-encoded)" else ""))
@@ -422,6 +439,6 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
-      "       dedup-gate ann-index ann-gate ann-search ann-decontam ann-rebuild\n" +
+      "       dedup-gate comp-fold ann-index ann-gate ann-search ann-decontam ann-rebuild\n" +
       "       stage-parquet publish advise tui init")
 }

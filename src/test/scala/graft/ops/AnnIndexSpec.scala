@@ -620,10 +620,14 @@ class AnnIndexSpec extends SparkSpec {
       (100L, 0, v(1, 0, 0, 0)), (101L, 0, v(0.9, 0.1, 0, 0)),
       (102L, 1, v(0, 0, 1, 0)), (103L, 1, v(0, 0, 0.9, 0.1)))
       .toDF("vec_id", "label", "embedding")
-    val idx = new AnnIndex(e, "ml.rb_index", kClusters = 2, iters = 2,
+    // iters = 3 ≠ the handle default (2): the rebuild below must retrain
+    // at the PERSISTED depth, not silently downgrade to the default
+    val idx = new AnnIndex(e, "ml.rb_index", kClusters = 2, iters = 3,
       pqM = 2, pqK = 2)
     idx.create()
     idx.bootstrap(corpus)
+    assert(e.load("ml.rb_index").metadata.properties
+      .get(AnnIndex.ItersProp).contains("3"))
     // shifted admissions push the canary over the rebuild threshold
     idx.admit((20L to 25L).map(i => (i, 0, v(1, 0.01 * i, 0, 0)))
       .toDF("vec_id", "label", "embedding"))
@@ -640,6 +644,12 @@ class AnnIndexSpec extends SparkSpec {
     assert(cents.length == 2, "k must come from the persisted centroids")
     assert(handle.codebooks.exists(_.length == 2),
       "PQ-ness and M must come from the persisted codebooks")
+    assert(Clustering.lastKmeansIters.get() == 3,
+      "training depth must come from the persisted bootstrap iters, " +
+        "not the handle default")
+    assert(e.load("ml.rb_index").metadata.properties
+      .get(AnnIndex.ItersProp).contains("3"),
+      "the rebuilt quantizer re-persists its training depth")
 
     // ONE overwrite commit carries data + quantizer + baseline together
     val t = e.load("ml.rb_index")
@@ -655,7 +665,7 @@ class AnnIndexSpec extends SparkSpec {
     // the same vectors — quantizer, codebooks, and served results all
     // reproduce a from-scratch twin exactly
     val e2 = new Engine(spark, java.nio.file.Files.createTempDirectory("annrb2").toString)
-    val twin = new AnnIndex(e2, "ml.rb_twin", kClusters = 2, iters = 2,
+    val twin = new AnnIndex(e2, "ml.rb_twin", kClusters = 2, iters = 3,
       pqM = 2, pqK = 2)
     twin.create()
     twin.bootstrap(corpus.union(
@@ -674,5 +684,12 @@ class AnnIndexSpec extends SparkSpec {
 
     // serving after the rebuild stays frozen (no kmeans)
     assert(Clustering.kmeansRuns.get() == afterTwin)
+
+    // an explicit override retrains at ITS depth and persists it for
+    // the next rebuild
+    handle.rebuild(Some(4))
+    assert(Clustering.lastKmeansIters.get() == 4)
+    assert(e.load("ml.rb_index").metadata.properties
+      .get(AnnIndex.ItersProp).contains("4"))
   }
 }

@@ -157,6 +157,24 @@ class BpeSpec extends SparkSpec {
     assert(tracked == driver)
   }
 
+  test("tracked-tier size probe rejects an exhausted collect at the limit clamp") {
+    // the probe collects limit(lim) rows where lim = threshold + 1, so
+    // "<= threshold" alone proves the census fits — EXCEPT when the
+    // threshold is at or above the Int.MaxValue - 1 clamp: there
+    // lim <= threshold, a larger census collects exactly lim rows, and
+    // the budget check alone would admit a silently truncated census
+    val clamp = Int.MaxValue - 1
+    // normal regime: threshold 100 → lim 101
+    assert(Bpe.trackedTierFits(100, 101, 100L)) // exactly at budget
+    assert(!Bpe.trackedTierFits(101, 101, 100L)) // probe exhausted → too big
+    // clamped regime: threshold >= clamp → lim == clamp <= threshold
+    assert(Bpe.trackedTierFits(clamp - 1, clamp, Long.MaxValue))
+    assert(!Bpe.trackedTierFits(clamp, clamp, Long.MaxValue),
+      "an exhausted clamped collect must NOT enter the tracked tier")
+    assert(!Bpe.trackedTierFits(clamp, clamp, clamp.toLong),
+      "boundary threshold == clamp: exhausted collect still rejected")
+  }
+
   test("tracked census argmax runs zero Spark jobs — round cost is the delta job") {
     val s2 = spark
     import s2.implicits._

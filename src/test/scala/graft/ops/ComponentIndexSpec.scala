@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+
+class ComponentIndexSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("persisted components: bootstrap, fold batches, stay equal to a " +
+      "from-scratch recompute; store stays sparse; folds are MoR upserts") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidx").toString
+    val e = new Engine(spark, wh)
+    val idx = new ComponentIndex(e, "ns.comp_index", nBuckets = 8)
+    idx.create()
+
+    // standing corpus: {1,2,3}, {10,11}, {20,21}, singleton 40 (implicit)
+    val corpusPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    idx.bootstrap(corpusPairs.toDF("a_id", "b_id"))
+    // SPARSE: only non-trivial memberships stored (no (L, L) rows)
+    assert(asMap(idx.assignments) ==
+      Map(2L -> 1L, 3L -> 1L, 11L -> 10L, 21L -> 20L))
+    val snapsAfterBoot = e.load("ns.comp_index").metadata.snapshots.size
+
+    // batch 1: a new doc joins comp 10; a batch edge bridges comps 1|20
+    val batch1 = Seq((11L, 30L), (3L, 20L))
+    val d1 = asMap(idx.fold(batch1.toDF("a_id", "b_id")))
+    // delta: the new member, and comp 20's members (incl. the implicit
+    // (20, 20) own-row) relabeled to 1; comp 10's standing members and
+    // the untouched winner rows never appear
+    assert(d1 == Map(30L -> 10L, 20L -> 1L, 21L -> 1L))
+    // merged view == from-scratch over all edges so far
+    val all1 = corpusPairs ++ batch1
+    assert(asMap(idx.assignments) ++ Map(1L -> 1L, 10L -> 10L) ==
+      asMap(Dedup.connectedComponents(all1.toDF("a_id", "b_id"))))
+    // ONE merge-on-read commit: equality-delete + delta rows, no rewrite
+    val t1 = e.load("ns.comp_index")
+    assert(t1.metadata.snapshots.size == snapsAfterBoot + 1)
+    assert(t1.metadata.currentSnapshot.get.operation == "overwrite")
+
+    // batch 2: a NEW min-id doc takes over comp 10 (label decreases,
+    // rows move buckets) — the min-id invariant holds across commits
+    val batch2 = Seq((5L, 30L))
+    val d2 = asMap(idx.fold(batch2.toDF("a_id", "b_id")))
+    assert(d2 == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 30L -> 5L))
+    val all2 = all1 ++ batch2
+    assert(asMap(idx.assignments) ++ Map(1L -> 1L, 5L -> 5L) ==
+      asMap(Dedup.connectedComponents(all2.toDF("a_id", "b_id"))))
+    // the store NEVER holds trivial rows
+    assert(idx.assignments.filter(col("doc_id") === col("component")).count() == 0L)
+
+    // idempotence: re-folding absorbed edges is a no-op AND no commit
+    val snapsBefore = e.load("ns.comp_index").metadata.snapshots.size
+    assert(idx.fold((batch1 ++ batch2).toDF("a_id", "b_id")).count() == 0L)
+    assert(e.load("ns.comp_index").metadata.snapshots.size == snapsBefore)
+
+    // compaction folds the per-batch upsert files; assignments survive
+    val before = asMap(idx.assignments)
+    idx.compact()
+    assert(asMap(idx.assignments) == before)
+  }
+
+  test("relabel read prunes to the merged labels' buckets") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxprune").toString
+    val e = new Engine(spark, wh)
+    val idx = new ComponentIndex(e, "ns.comp_prune", nBuckets = 8)
+    idx.create()
+    // enough distinct components that their bucket values differ
+    val pairs = (0L until 40L by 2L).map(i => (i, i + 1L))
+    idx.bootstrap(pairs.toDF("a_id", "b_id"))
+    val allFiles = idx.assignments.inputFiles.length
+    assert(allFiles > 1, s"fixture must span buckets, got $allFiles file(s)")
+    // a single label's relabel reads a strict subset of the files
+    val pruned = idx.relabelPaths(Seq(10L))
+    assert(pruned.nonEmpty && pruned.length < allFiles,
+      s"expected a pruned read, got ${pruned.length}/$allFiles")
+    // a fold that merges ONE pair of components commits correctly off
+    // the pruned read (parity is the point; the prune must not lose rows)
+    val d = asMap(idx.fold(Seq((11L, 13L)).toDF("a_id", "b_id")))
+    assert(d == Map(12L -> 10L, 13L -> 10L))
+    assert(asMap(idx.assignments) ==
+      asMap(Dedup.connectedComponents(
+        (pairs :+ (11L, 13L)).toDF("a_id", "b_id")))
+        .filter { case (k, v) => k != v })
+  }
+
+  test("composes with the near-dup gate: admit survivors, fold the " +
+      "collision pairs, assignments match the batch's dup structure") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxgate").toString
+    val e = new Engine(spark, wh)
+    val gate = new NearDupIndex(e, "ns.gate_idx")
+    val comps = new ComponentIndex(e, "ns.gate_comps")
+    gate.create(); comps.create()
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    gate.bootstrap(corpus)
+    comps.bootstrap(spark.emptyDataFrame
+      .select(lit(0L).as("a_id"), lit(0L).as("b_id")).limit(0))
+
+    // a batch with one dup of corpus doc 1: the gate flags it, and the
+    // flagged (doc, dup_of) pairs are exactly the edges the component
+    // index folds — doc 10 lands in doc 1's component
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "sphinx of black quartz judge my vow tonight"))
+      .toDF("doc_id", "text")
+    val edges = gate.check(batch)
+      .select(col("doc_id").as("a_id"), col("dup_of").as("b_id"))
+    val d = asMap(comps.fold(edges))
+    assert(d == Map(10L -> 1L, 1L -> 1L)) // 1's trivial row is delta-only
+    assert(asMap(comps.assignments) == Map(10L -> 1L))
+  }
+}

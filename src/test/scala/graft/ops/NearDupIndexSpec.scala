@@ -169,12 +169,18 @@ class NearDupIndexSpec extends SparkSpec {
     idx.bootstrap(Seq(
       (100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text"))
+    // the dup-cluster ledger rides along: every micro-batch's collision
+    // pairs fold into the persisted component assignment
+    val comps = new ComponentIndex(e, "ns.admit_comps")
+    comps.create()
+    def compMap = comps.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val admitted = scala.collection.mutable.Buffer.empty[Long]
     val input =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDoc]
     val ckpt = java.nio.file.Files.createTempDirectory("ndadmitc").toString
-    val q = idx.admitStream(input.toDF(), ckpt) { surv =>
+    val q = idx.admitStream(input.toDF(), ckpt, Some(comps)) { surv =>
       admitted ++= surv.select("doc_id").as[Long].collect(); ()
     }
     try {
@@ -184,6 +190,9 @@ class NearDupIndexSpec extends SparkSpec {
         StreamDoc(2, "sphinx of black quartz judge my vow tonight"))
       q.processAllAvailable()
       assert(admitted.sorted == Seq(2L), admitted.toString)
+      // the rejected doc joined its dup target's cluster; the min id
+      // (here the NEW doc's) is the label, per the CC invariant
+      assert(compMap == Map(100L -> 1L), compMap.toString)
       // batch 2: a dup of the batch-1 SURVIVOR is rejected — the gate
       // remembered it across micro-batches via the index append
       input.addData(
@@ -194,6 +203,8 @@ class NearDupIndexSpec extends SparkSpec {
       // index holds exactly corpus + the two survivors (4 bands each)
       assert(idx.signatures.select("doc_id").distinct().as[Long]
         .collect().sorted.toSeq == Seq(100L, 2L, 4L).sorted)
+      // doc 3's rejection opened a second cluster (dup of survivor 2)
+      assert(compMap == Map(100L -> 1L, 3L -> 2L), compMap.toString)
       // batch 3: id REUSE — doc_id 2 is already indexed, but this text
       // is a corpus dup. The already-indexed check matches SIGNATURES,
       // not id presence, so the reused id gets gated like any doc and
@@ -202,15 +213,23 @@ class NearDupIndexSpec extends SparkSpec {
         StreamDoc(2, "the quick brown fox jumps over the lazy dog"))
       q.processAllAvailable()
       assert(admitted.sorted == Seq(2L, 4L), admitted.toString)
+      // ...and the reused id BRIDGES the two clusters in the ledger:
+      // (2, dup_of=100) merges {1,100} with {2,3} under min id 1 — the
+      // transitive dup chain closes ACROSS micro-batches
+      assert(compMap == Map(100L -> 1L, 2L -> 1L, 3L -> 1L), compMap.toString)
       // batch 4: REDELIVERY — same (id, text) as an admitted survivor
       // passes through again (at-least-once sink contract) but appends
       // no second copy of its signatures
       val preRows = idx.signatures.count()
+      val compSnaps = e.load("ns.admit_comps").metadata.snapshots.size
       input.addData(
         StreamDoc(4, "completely new material unlike anything indexed before"))
       q.processAllAvailable()
       assert(admitted.sorted == Seq(2L, 4L, 4L), admitted.toString)
       assert(idx.signatures.count() == preRows)
+      // a collision-free batch never commits to (or loads) the ledger
+      assert(e.load("ns.admit_comps").metadata.snapshots.size == compSnaps)
+      assert(compMap == Map(100L -> 1L, 2L -> 1L, 3L -> 1L), compMap.toString)
     } finally q.stop()
   }
 

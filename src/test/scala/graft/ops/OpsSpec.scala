@@ -498,6 +498,70 @@ class OpsSpec extends SparkSpec {
     assert(unsalted == salted)
   }
 
+  test("incremental components: batch folds match from-scratch, touch only " +
+      "affected components, and are idempotent") {
+    val s2 = spark
+    import s2.implicits._
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def merge(assign: DataFrame, delta: DataFrame): DataFrame = assign
+      .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(delta).localCheckpoint()
+
+    // standing: {1,2,3}, {10,11}, {20,21}
+    val standing = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id"))
+      .localCheckpoint()
+
+    // a NEW doc joins an existing component: the delta is exactly the
+    // new row — untouched components and unchanged members never appear
+    val d1 = Dedup.incrementalComponents(standing,
+      Seq((11L, 30L)).toDF("a_id", "b_id"))
+    assert(asMap(d1) == Map(30L -> 10L))
+
+    // a new doc with the SMALLEST id takes over the merged component's
+    // label (the min-id invariant holds across generations)
+    val d2 = Dedup.incrementalComponents(standing,
+      Seq((0L, 21L)).toDF("a_id", "b_id"))
+    assert(asMap(d2) == Map(0L -> 0L, 20L -> 0L, 21L -> 0L))
+
+    // a batch edge BRIDGES two standing components: the loser's members
+    // relabel, the winner's and bystanders' do not
+    val d3 = Dedup.incrementalComponents(standing,
+      Seq((3L, 10L)).toDF("a_id", "b_id"))
+    assert(asMap(d3) == Map(10L -> 1L, 11L -> 1L))
+
+    // both endpoint-resolution tiers (pushed IN literal vs broadcast
+    // semi-join) produce the identical delta
+    val d3join = Dedup.incrementalComponents(standing,
+      Seq((3L, 10L)).toDF("a_id", "b_id"), resolveInMaxIds = 0)
+    assert(asMap(d3join) == asMap(d3))
+
+    // idempotence: re-folding an already-absorbed batch is a no-op
+    val after = merge(standing, d3)
+    assert(Dedup.incrementalComponents(after,
+      Seq((3L, 10L)).toDF("a_id", "b_id")).count() == 0L)
+
+    // bootstrap: an EMPTY standing assignment reproduces from-scratch
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    val pairs0 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    assert(asMap(Dedup.incrementalComponents(empty, pairs0)) ==
+      asMap(Dedup.connectedComponents(pairs0)))
+
+    // randomized multi-batch fold == one global recompute (seeded)
+    val rnd = new Random(20260815)
+    val edges = Seq.fill(240)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+    val global = asMap(Dedup.connectedComponents(edges.toDF("a_id", "b_id")))
+    var assign = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+      .localCheckpoint()
+    edges.grouped(60).foreach { batch =>
+      assign = merge(assign,
+        Dedup.incrementalComponents(assign, batch.toDF("a_id", "b_id")))
+    }
+    assert(asMap(assign) == global)
+  }
+
   test("winnowRemoval excises shared spans and rebuilds the survivors byte-exact") {
     val s2 = spark
     import s2.implicits._

@@ -93,6 +93,19 @@ class SkewAndCliSpec extends SparkSpec {
     val ids = e2.readTable("lake.nd_idx").select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(ids.contains(20L) && !ids.contains(21L), ids.toString)
+
+    // comp-fold: bootstrap the persisted dup-cluster ledger from edges,
+    // then fold a later batch incrementally — all through the CLI
+    val edgesDir = s"$wh/_edges_parquet"
+    Seq((1L, 2L)).toDF("a_id", "b_id").write.parquet(edgesDir)
+    assert(Cli.run(Array(
+      wh, "comp-fold", "lake.comps", edgesDir, "--bootstrap")) == 0)
+    val moreDir = s"$wh/_edges2_parquet"
+    Seq((2L, 10L)).toDF("a_id", "b_id").write.parquet(moreDir)
+    assert(Cli.run(Array(wh, "comp-fold", "lake.comps", moreDir)) == 0)
+    val comps = e2.readTable("lake.comps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(2L -> 1L, 10L -> 1L), comps.toString)
   }
 
   test("tui verb drives the interactive UI and exits cleanly on stdin EOF") {
