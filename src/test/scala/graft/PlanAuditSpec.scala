@@ -542,6 +542,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(cleanPaths.subsetOf(scannedFiles(plan)))
   }
 
+  test("incremental components: small-batch resolution pushes an IN " +
+      "literal into the assignment scan; no cartesian in any fold job") {
+    val s2 = spark
+    import s2.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("icplan").toString + "/assign"
+    graft.ops.Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id"))
+      .write.parquet(dir)
+    val assign = spark.read.parquet(dir)
+    // the resolution pass materializes INSIDE incrementalComponents
+    // (localCheckpoint), so its plan is only observable through the
+    // query-execution listener — capture every plan the fold runs
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val delta = graft.ops.Dedup.incrementalComponents(assign,
+        Seq((3L, 10L)).toDF("a_id", "b_id"))
+      val got = delta.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(10L -> 1L, 11L -> 1L))
+      // listener events post asynchronously — poll for the scan plan
+      def plans = captured.toArray(Array.empty[String]).toSeq
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!plans.exists(_.contains("In(doc_id")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(plans.exists(p =>
+        p.contains("PushedFilters") && p.contains("In(doc_id")),
+        "resolution IN literal never reached a parquet scan:\n" +
+          plans.map(_.take(300)).mkString("\n---\n"))
+      assert(plans.forall(p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")),
+        plans.filter(p => p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")).mkString("\n").take(2000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,
