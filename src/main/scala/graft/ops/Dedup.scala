@@ -390,14 +390,16 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id"))
     // components of the CONTRACTED graph: nodes are old labels and new
     // ids, so each resulting label is the min doc_id of its merged set
+    // no checkpoint: connectedComponents' result is already a local
+    // relation (driver tier) or a projection over its own checkpointed
+    // labels (distributed tier) — re-evaluating it per consumer below
+    // is cheaper than one more eager materialization job per fold
     val m = connectedComponents(contracted)
       .select(col("doc_id").as("node"), col("component").as("new_comp"))
-      .localCheckpoint()
     // members of components that LOST their label relabel in one
     // broadcast join pass over the assignment; winners stay put
     val mergedAway = m.filter(col("node") =!= col("new_comp"))
       .select(col("node").as("component"), col("new_comp"))
-      .localCheckpoint()
     val relabelRows = relabelSource match {
       case None => assign
       case Some(read) =>
@@ -422,7 +424,6 @@ object Dedup {
     // a trivial row for them would break fold idempotence. */
     val newIds = ids
       .join(touched.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
     val newRows = newIds
       .join(broadcast(m), col("doc_id") === col("node"))
       .select(col("doc_id"), col("new_comp").as("component"))
