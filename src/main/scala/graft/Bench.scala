@@ -148,6 +148,19 @@ object Bench {
         val gateBatch = emb.filter(col("vec_id") % 97 === 0)
           .withColumn("vec_id", col("vec_id") + lit(10000000L))
           .localCheckpoint()
+        // dup-cluster ledger maintenance: candidate pairs prepared
+        // untimed (d_components already times candidate generation) so
+        // d_components_fold isolates the INCREMENTAL path — resolution,
+        // contracted re-cluster, pruned relabel, merge-on-read upsert
+        val compEngine = new graft.api.Engine(spark,
+          java.nio.file.Files.createTempDirectory("bench_comps").toString)
+        val compIdx = new graft.ops.ComponentIndex(compEngine, "bench.comps")
+        val compPairs = graft.ops.Dedup.minhashCandidates(spark, docs)
+          .localCheckpoint()
+        // a 2% batch: ingest batches are small relative to the corpus,
+        // and the fold's cost model (batch-bounded re-cluster + pruned
+        // relabel + one commit) is what this timing is FOR
+        val newDoc = (c: org.apache.spark.sql.Column) => c % 50 === 0
         Seq(
           timed("d_ann_bootstrap") {
             annIdx.create(); annIdx.bootstrap(emb); ()
@@ -166,6 +179,15 @@ object Bench {
                 graft.ops.Dedup.minhashCandidates(spark, docs),
                 driverThreshold = 0L)
               .groupBy("component").agg(count(lit(1))).count()
+          },
+          timed("d_components_bootstrap") {
+            compIdx.create()
+            compIdx.bootstrap(compPairs.filter(
+              !newDoc(col("a_id")) && !newDoc(col("b_id"))))
+          },
+          timed("d_components_fold") {
+            compIdx.fold(compPairs.filter(
+              newDoc(col("a_id")) || newDoc(col("b_id")))).count()
           },
           timed("d_perceptron") {
             graft.ops.Selection.trainQualityPerceptron(

@@ -370,13 +370,19 @@ object Dedup {
     // the batch's footprint in the standing assignment: a pushed-down
     // IN literal for small batches, a broadcast semi-join above the
     // threshold — either way the corpus side is scan-only (no shuffle,
-    // no wide row)
-    val touched = (
-      if (resolveInMaxIds > 0 && ids.count() <= resolveInMaxIds) {
-        val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
-        assign.filter(col("doc_id").isin(idSeq: _*))
-      } else assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
-    ).localCheckpoint()
+    // no wide row). Size probe and id collect fuse into ONE job (the
+    // BPE tracked-tier idiom): collect at most threshold+1 ids —
+    // exactly threshold+1 back means the batch is too big for the
+    // literal path.
+    val touched = ({
+      val probe =
+        if (resolveInMaxIds > 0)
+          ids.limit(resolveInMaxIds + 1).collect().map(_.getLong(0))
+        else Array.empty[Long]
+      if (resolveInMaxIds > 0 && probe.length <= resolveInMaxIds)
+        assign.filter(col("doc_id").isin(probe.toIndexedSeq: _*))
+      else assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    }).localCheckpoint()
     // contract edges onto the component graph: endpoint → its standing
     // label, absent endpoint → itself (implicit singleton). `touched` is
     // batch-bounded, so both resolution joins broadcast it.
