@@ -77,6 +77,13 @@ final class ComponentIndex(
   /** The standing sparse assignment (non-trivial memberships only). */
   def assignments: DataFrame = storeOf(engine.load(ref))
 
+  /** The corpus-dedup DROP list, for free: under the sparse convention
+    * every stored row is a doc that is NOT its component's min-id
+    * survivor — i.e. exactly the docs the keep-min rule drops
+    * (`Dedup`'s pipeline contract). No join, no recompute: one
+    * projection of the ledger. */
+  def dropList: DataFrame = assignments.select("doc_id")
+
   /** Bucket count the table was built with, read from its own partition
     * spec — pruning with a different N than the files were written
     * under would be silently unsound. None → full-scan fallback. */

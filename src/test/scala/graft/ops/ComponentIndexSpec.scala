@@ -63,6 +63,12 @@ class ComponentIndexSpec extends SparkSpec {
     val before = asMap(idx.assignments)
     idx.compact()
     assert(asMap(idx.assignments) == before)
+
+    // the sparse store IS the keep-min drop list: every stored doc is a
+    // non-survivor, every survivor (min id / singleton) is absent
+    assert(idx.dropList.collect().map(_.getLong(0)).toSet == before.keySet)
+    assert(!before.keySet.exists(before.values.toSet.contains),
+      "a component label (survivor) leaked into the drop list")
   }
 
   test("relabel read prunes to the merged labels' buckets") {
