@@ -459,9 +459,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     Delete.updateWhere(spark, tableDir(ref), predicate, assignments)
 
   /** MERGE-style upsert keyed on `keyCols`: one commit appends `df` and
-    * equality-deletes earlier rows with matching keys (merge-on-read). */
-  def upsert(ref: String, df: DataFrame, keyCols: Seq[String]): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols)
+    * equality-deletes earlier rows with matching keys (merge-on-read).
+    * `expectedCurrentSnapshotId` makes it CAS-conditional for rows
+    * derived from a pinned snapshot read ([[graft.meta.TableWriter.upsert]]). */
+  def upsert(ref: String, df: DataFrame, keyCols: Seq[String],
+      expectedCurrentSnapshotId: Option[Long] = None): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols,
+      expectedCurrentSnapshotId)
 
   /** Bootstrap an empty table (engine-native `CREATE TABLE`;
     * [[graft.meta.TableCreator]]). `partitionDecls` use the transform

@@ -82,12 +82,21 @@ object TableWriter {
     * appended AND an equality-delete file on `keyCols` is committed in
     * the same snapshot — existing rows with matching keys disappear
     * (merge-on-read), the new rows survive their own delete because
-    * sequence scoping exempts same-sequence files. No data rewrite. */
+    * sequence scoping exempts same-sequence files. No data rewrite.
+    *
+    * `expectedCurrentSnapshotId` makes the upsert CONDITIONAL (same
+    * contract as [[overwrite]]): when `df` was DERIVED from a pinned
+    * snapshot read, an unconditional retry-rebase would let this
+    * commit's equality delete erase rows a concurrent writer upserted
+    * in between — pass the pinned id and the race surfaces as
+    * [[graft.meta.CommitConflictException]] instead. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
-      keyCols: Seq[String]): CommitResult = {
+      keyCols: Seq[String],
+      expectedCurrentSnapshotId: Option[Long] = None): CommitResult = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => true,
-      equalityDeleteOn = Some(keyCols), retryOnConflict = true)
+      equalityDeleteOn = Some(keyCols), retryOnConflict = true,
+      expectedCurrentSnapshotId = expectedCurrentSnapshotId)
   }
 
   /** Replace a specific set of live files with `df` (compaction commit):

@@ -77,31 +77,29 @@ final class ComponentIndex(
   /** The standing sparse assignment (non-trivial memberships only). */
   def assignments: DataFrame = storeOf(engine.load(ref))
 
-  /** The corpus-dedup DROP list, for free: under the sparse convention
-    * every stored row is a doc that is NOT its component's min-id
-    * survivor — i.e. exactly the docs the keep-min rule drops
-    * (`Dedup`'s pipeline contract). No join, no recompute: one
-    * projection of the ledger. */
+  /** The corpus-dedup DROP list, for free — VALID ONLY when every doc
+    * in the ledger is corpus-resident (bootstrap/fold over edges among
+    * kept docs): under the sparse convention every stored row is a doc
+    * that is NOT its component's min-id survivor, i.e. exactly what the
+    * keep-min rule drops. No join, no recompute: one projection.
+    *
+    * NOT valid for a gate-composed ledger
+    * ([[NearDupIndex.admitStream]]'s `components`): there REJECTED docs
+    * join the ledger without ever entering the corpus, and a rejected
+    * doc with the smallest id becomes the component label — its
+    * corpus-resident dup lands on this list and dropping it would
+    * remove the only retained copy. A gate ledger is dup PROVENANCE;
+    * derive a corpus drop list from it by intersecting with the corpus
+    * and keeping the min CORPUS member per component instead. */
   def dropList: DataFrame = assignments.select("doc_id")
 
-  /** Bucket count the table was built with, read from its own partition
-    * spec — pruning with a different N than the files were written
-    * under would be silently unsound. None → full-scan fallback. */
-  private def tableBucketCount(t: graft.meta.IcebergTable): Option[Int] = {
-    val BucketRe = """bucket\[(\d+)\]""".r
-    val compId = t.metadata.currentSchema.fields
-      .find(_.name == "component").map(_.id)
-    t.metadata.partitionSpecs.flatMap(_.fields)
-      .filter(f => compId.contains(f.sourceId))
-      .map(_.transform).distinct match {
-      case Seq(BucketRe(n)) => Some(n.toInt)
-      case _ => None
-    }
-  }
-
   /** Paths of the files a relabel of `labels`' components must read:
-    * the labels' buckets (batch-bounded) prune the files relation.
-    * Files with no recorded bucket value survive conservatively. */
+    * the labels' buckets prune the files relation. The labels are
+    * driver-known longs, so their bucket values compute DRIVER-SIDE
+    * ([[Transforms.literal]], the partition-prune twin of the column
+    * transform) — no Spark job just to hash a handful of longs. Files
+    * with no recorded bucket value survive conservatively, and an
+    * unmappable label disables the prune rather than guessing. */
   def relabelPaths(labels: Seq[Long]): Seq[String] =
     relabelPaths(labels, engine.load(ref))
 
@@ -109,16 +107,17 @@ final class ComponentIndex(
       labels: Seq[Long], t: graft.meta.IcebergTable): Seq[String] = {
     if (t.metadata.currentSnapshotId.isEmpty) return Seq.empty
     val files = graft.rel.MetaRelations.files(engine.spark, t, None)
-    val keep = tableBucketCount(t) match {
+    val keep = BucketPrune.bucketCount(t, "component") match {
       case None => files
       case Some(n) =>
-        val spark = engine.spark
-        import spark.implicits._
-        val buckets = labels.toDF("component")
-          .select(Transforms.column(s"bucket[$n]", col("component"), "long").as("b"))
-          .distinct().collect().map(_.getInt(0).toString).toSeq
-        val pv = col("partition")(Transforms.fieldName("component", s"bucket[$n]"))
-        files.filter(pv.isNull || pv.isin(buckets: _*))
+        val lits = labels.map(l =>
+          Transforms.literal(s"bucket[$n]", l.toString, "long"))
+        if (lits.exists(_.isEmpty)) files
+        else {
+          val buckets = lits.flatten.distinct
+          val pv = col("partition")(Transforms.fieldName("component", s"bucket[$n]"))
+          files.filter(pv.isNull || pv.isin(buckets: _*))
+        }
     }
     keep.select("file_path").collect()
       .map(r => t.resolvePath(r.getString(0))).toIndexedSeq
@@ -140,10 +139,21 @@ final class ComponentIndex(
     * non-trivial delta rows as ONE merge-on-read upsert keyed on
     * `doc_id`, and return the FULL delta (trivial rows included — the
     * caller-facing "what changed" view). An empty delta commits
-    * nothing. */
+    * nothing. CAS-guarded against concurrent folds: the commit carries
+    * the pinned snapshot id, so a racing fold surfaces as
+    * [[graft.meta.CommitConflictException]] (rerun; it picks up the
+    * winner's rows) instead of silently erasing the winner's merges. */
   def fold(newEdges: DataFrame): DataFrame = {
-    // ONE load pins the whole fold: resolution scan, pruned relabel
-    // read, and the files the upsert's conflict check sees
+    // ONE load pins the whole fold: resolution scan and pruned relabel
+    // read — and the commit below is CAS-CONDITIONAL on that same
+    // snapshot still being current. The delta was DERIVED from the
+    // pinned store, so a concurrent fold landing in between would be
+    // silently un-merged by an unconditional retry-rebase (this fold's
+    // doc_id equality delete would erase the other's fresher rows);
+    // instead the race surfaces as CommitConflictException — rerun the
+    // fold, it picks up the other's rows. (A fresh, snapshot-less table
+    // has no id to pin; the first concurrent folds of an EMPTY ledger
+    // are the one window this cannot guard.)
     val t = engine.load(ref)
     val store = storeOf(t)
     val delta = Dedup.incrementalComponents(store, newEdges,
@@ -151,7 +161,8 @@ final class ComponentIndex(
       relabelSource = Some(labels => relabelRows(labels, t)))
       .localCheckpoint()
     val upserts = delta.filter(col("doc_id") =!= col("component"))
-    if (!upserts.isEmpty) engine.upsert(ref, upserts, Seq("doc_id"))
+    if (!upserts.isEmpty) engine.upsert(ref, upserts, Seq("doc_id"),
+      expectedCurrentSnapshotId = t.metadata.currentSnapshotId)
     delta
   }
 

@@ -375,11 +375,18 @@ object Dedup {
     // exactly threshold+1 back means the batch is too big for the
     // literal path.
     val touched = ({
+      // same clamp + non-exhaustion guard as the BPE probe
+      // ([[Bpe.trackedTierFits]]): a threshold at the Int.MaxValue
+      // boundary must neither overflow the limit nor admit a silently
+      // truncated collect
+      val lim =
+        if (resolveInMaxIds >= Int.MaxValue - 1) Int.MaxValue - 1
+        else resolveInMaxIds + 1
       val probe =
-        if (resolveInMaxIds > 0)
-          ids.limit(resolveInMaxIds + 1).collect().map(_.getLong(0))
+        if (resolveInMaxIds > 0) ids.limit(lim).collect().map(_.getLong(0))
         else Array.empty[Long]
-      if (resolveInMaxIds > 0 && probe.length <= resolveInMaxIds)
+      if (resolveInMaxIds > 0 &&
+          Bpe.trackedTierFits(probe.length, lim, resolveInMaxIds.toLong))
         assign.filter(col("doc_id").isin(probe.toIndexedSeq: _*))
       else assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
     }).localCheckpoint()
@@ -410,7 +417,14 @@ object Dedup {
       case None => assign
       case Some(read) =>
         // batch-bounded label collect parameterizes the pruned read;
-        // nothing to relabel → nothing to read
+        // nothing to relabel → nothing to read. Do NOT "optimize" the
+        // label set down to touched components: a batch id that IS a
+        // standing label has no stored row of its own (sparse trivial),
+        // so it never appears in `touched` — yet its stored MEMBERS
+        // must relabel when it merges away. Genuinely-new ids are
+        // indistinguishable from that case without consulting the
+        // store, which is exactly what the read does; their buckets
+        // return zero rows and the waste is batch-bounded.
         val labels = mergedAway.select("component").collect()
           .map(_.getLong(0)).toIndexedSeq
         if (labels.isEmpty)
@@ -573,6 +587,20 @@ object Dedup {
         countDistinct(col("band")).as("n_bands"))
       .orderBy("doc_id")
   }
+
+  /** DISTINCT batch↔corpus collision PAIRS `(doc_id, corpus_doc_id)` —
+    * the full edge structure [[bandCollisions]] aggregates away (it
+    * keeps only the MIN colliding corpus id per doc, which is right for
+    * the gate's flag-or-not decision but loses edges). The component
+    * ledger folds THESE: a batch doc colliding with docs in two
+    * different standing components is the observation that MERGES them,
+    * and only the complete pair set makes the incremental fold agree
+    * with a from-scratch closure over everything the gate saw. */
+  def bandCollisionPairs(batchSigs: DataFrame, index: DataFrame): DataFrame =
+    batchSigs.select(col("doc_id"), col("band"), col("band_sig"))
+      .join(index.select(col("doc_id").as("corpus_doc_id"),
+        col("band"), col("band_sig")), Seq("band", "band_sig"))
+      .select(col("doc_id"), col("corpus_doc_id")).distinct()
 
   /** LINE-LEVEL BOILERPLATE REMOVAL (the C4/CCNet corpus-dedup pass):
     * a "line" (here a `sep`-delimited sentence) appearing in at least

@@ -68,18 +68,10 @@ final class NearDupIndex(
     * partition spec — NOT the constructor: pruning with a different N
     * than the files were written under would silently miss collisions.
     * None = not bucket-partitioned on band_sig (or conflicting specs
-    * after evolution) → probes fall back to the full scan. */
-  private def tableBucketCount(t: graft.meta.IcebergTable): Option[Int] = {
-    val BucketRe = """bucket\[(\d+)\]""".r
-    val sigId = t.metadata.currentSchema.fields
-      .find(_.name == "band_sig").map(_.id)
-    t.metadata.partitionSpecs.flatMap(_.fields)
-      .filter(f => sigId.contains(f.sourceId))
-      .map(_.transform).distinct match {
-      case Seq(BucketRe(n)) => Some(n.toInt)
-      case _ => None
-    }
-  }
+    * after evolution) → probes fall back to the full scan. Soundness
+    * rules shared with the component ledger: [[BucketPrune]]. */
+  private def tableBucketCount(t: graft.meta.IcebergTable): Option[Int] =
+    BucketPrune.bucketCount(t, "band_sig")
 
   /** Paths of the index files a probe for `batchSigs` must read: the
     * batch's distinct band-sig buckets (≤ nBuckets ints — a
@@ -207,14 +199,19 @@ final class NearDupIndex(
     * full index scan enters the loop.
     *
     * `components`, when given, maintains the persisted dup-cluster
-    * assignment alongside the gate: each micro-batch's collision pairs
-    * `(doc_id, dup_of)` fold into the [[ComponentIndex]]
+    * assignment alongside the gate: each micro-batch's COMPLETE
+    * collision pair set ([[Dedup.bandCollisionPairs]] — not the
+    * min-aggregated `dup_of`, so a doc bridging two standing components
+    * merges them) folds into the [[ComponentIndex]]
     * ([[Dedup.incrementalComponents]] under the hood), so rejected docs
     * keep a provenance row in the assignment ledger and transitive dup
     * chains close ACROSS micro-batches. Redelivery-safe for free: a
     * redelivered batch's pairs are already absorbed and the fold is an
     * idempotent no-op (no commit). Collision-free batches never load
-    * the component table at all. */
+    * the component table at all. NOTE the ledger is PROVENANCE here,
+    * not a corpus drop list: rejected docs never enter the corpus, so a
+    * cluster's min id can be a doc that exists only in the ledger
+    * ([[ComponentIndex.dropList]] documents the distinction). */
   def admitStream(
       docs: DataFrame,
       checkpointDir: String,
@@ -238,15 +235,23 @@ final class NearDupIndex(
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
           .filter(col("n") === nBands).select(col("doc_id"))
           .localCheckpoint()
-        val collisionsPlan = Dedup.bandCollisions(batchSigs, probed)
-          .join(selfIndexed, Seq("doc_id"), "left_anti") // redelivery ≠ dup
-        // with a component ledger attached the collision pairs are
-        // consumed twice (gate + fold) — materialize once; without one,
-        // keep the original lazy single-consumer shape (no extra job)
-        val collisions =
-          if (components.isDefined) collisionsPlan.localCheckpoint()
-          else collisionsPlan
-        val flagged = collisions.select(col("doc_id"))
+        // with a component ledger attached, the fold needs the FULL
+        // pair structure (a doc bridging two components must merge
+        // them — bandCollisions' min-aggregated dup_of loses that
+        // edge), and it feeds both the gate and the fold — materialize
+        // once and derive the flag set from it. Without a ledger, keep
+        // the original lazy aggregated single-consumer shape.
+        val collisionPairs = components.map { _ =>
+          Dedup.bandCollisionPairs(batchSigs, probed)
+            .join(selfIndexed, Seq("doc_id"), "left_anti") // redelivery ≠ dup
+            .localCheckpoint()
+        }
+        val flagged = collisionPairs match {
+          case Some(pairs) => pairs.select(col("doc_id")).distinct()
+          case None => Dedup.bandCollisions(batchSigs, probed)
+            .join(selfIndexed, Seq("doc_id"), "left_anti") // redelivery ≠ dup
+            .select(col("doc_id"))
+        }
         val survivors = batch.join(flagged, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val fresh = survivors.join(selfIndexed, Seq("doc_id"), "left_anti")
@@ -258,13 +263,14 @@ final class NearDupIndex(
           engine.append(ref,
             batchSigs.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("band"), col("band_sig")))
-        // dup-cluster ledger: fold this batch's collision pairs into the
-        // persisted assignment (idempotent across redeliveries; skipped
-        // entirely — no table load — when the batch had no collisions)
-        components.foreach { comps =>
-          if (!collisions.isEmpty)
-            comps.fold(collisions
-              .select(col("doc_id").as("a_id"), col("dup_of").as("b_id")))
+        // dup-cluster ledger: fold this batch's COMPLETE collision pair
+        // set into the persisted assignment (idempotent across
+        // redeliveries; skipped entirely — no table load — when the
+        // batch had no collisions)
+        components.zip(collisionPairs).foreach { case (comps, pairs) =>
+          if (!pairs.isEmpty)
+            comps.fold(pairs.select(col("doc_id").as("a_id"),
+              col("corpus_doc_id").as("b_id")))
         }
         onSurvivors(survivors)
       }

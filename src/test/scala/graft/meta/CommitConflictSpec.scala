@@ -107,4 +107,27 @@ class CommitConflictSpec extends SparkSpec {
     assert(graft.ops.ScanPlanner.readTable(
       spark, IcebergTable.load(dir)).count() == 1L)
   }
+
+  test("conditional upsert: a stale pinned snapshot conflicts instead of " +
+      "retry-rebasing over the interleaved writer's rows") {
+    // the ledger-fold flow: the delta was DERIVED from a pinned read, so
+    // an unconditional retry would let this upsert's equality delete
+    // erase rows a concurrent fold upserted in between
+    val dir = Files.createTempDirectory("graft-cas5").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(StructField("id", LongType))))
+    TableWriter.append(spark, dir, Seq(1L, 2L).toDF("id"))
+    val pinned = IcebergMeta.load(dir).currentSnapshotId.get
+
+    // interleaved upsert lands between the pinned load and this commit
+    TableWriter.upsert(spark, dir, Seq(2L).toDF("id"), Seq("id"))
+    val e = intercept[CommitConflictException](
+      TableWriter.upsert(spark, dir, Seq(2L).toDF("id"), Seq("id"),
+        expectedCurrentSnapshotId = Some(pinned)))
+    assert(e.getMessage.contains(pinned.toString))
+
+    // unconditional (no expectation) keeps the old retry-rebase behavior
+    TableWriter.upsert(spark, dir, Seq(2L).toDF("id"), Seq("id"))
+    assert(graft.ops.ScanPlanner.readTable(
+      spark, IcebergTable.load(dir)).count() == 2L)
+  }
 }

@@ -498,6 +498,26 @@ class OpsSpec extends SparkSpec {
     assert(unsalted == salted)
   }
 
+  test("bandCollisionPairs keeps the full edge structure bandCollisions " +
+      "aggregates away") {
+    val s2 = spark
+    import s2.implicits._
+    // batch doc 150 collides with corpus docs 100 AND 200 (different
+    // bands): the gate's aggregate keeps only dup_of = min = 100, but
+    // the ledger fold needs BOTH edges or the two standing components
+    // never merge
+    val batchSigs = Seq((150L, 0, 111L), (150L, 1, 222L), (151L, 2, 333L))
+      .toDF("doc_id", "band", "band_sig")
+    val index = Seq((100L, 0, 111L), (200L, 1, 222L), (100L, 2, 999L))
+      .toDF("doc_id", "band", "band_sig")
+    val agg = Dedup.bandCollisions(batchSigs, index).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == Map(150L -> 100L)) // the lost edge: (150, 200)
+    val pairs = Dedup.bandCollisionPairs(batchSigs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((150L, 100L), (150L, 200L)))
+  }
+
   test("incremental components: batch folds match from-scratch, touch only " +
       "affected components, and are idempotent") {
     val s2 = spark
