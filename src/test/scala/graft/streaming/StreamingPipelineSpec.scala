@@ -97,10 +97,13 @@ class StreamingPipelineSpec extends SparkSpec {
     val (weights, _) = Selection.perceptronWeights(
       trainDocs, col("doc_id") <= 3L, rounds = 10)
 
-    // standing corpus seeds the near-dup index
+    // standing corpus seeds the near-dup index; the dup-cluster ledger
+    // rides the stream gate (one fold per colliding micro-batch)
     val idx = new NearDupIndex(engine, "lake.nd_index")
     idx.create()
     idx.bootstrap(Seq((100L, goodA)).toDF("doc_id", "text"))
+    val comps = new graft.ops.ComponentIndex(engine, "lake.comps")
+    comps.create()
 
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
     val garbage = "@@@@ 1111 ???? !!!! #### %%%% &&&&"
@@ -125,7 +128,7 @@ class StreamingPipelineSpec extends SparkSpec {
     val gated = EventStreams.dedupStream(
       EventStreams.qualityGateStream(raw, weights))
     val ckpt = Files.createTempDirectory("graft-loop-ckpt").toString
-    val q = idx.admitStream(gated, ckpt) { survivors =>
+    val q = idx.admitStream(gated, ckpt, Some(comps)) { survivors =>
       engine.append("lake.corpus", survivors.select("doc_id", "text", "ts"))
       ()
     }
@@ -153,6 +156,17 @@ class StreamingPipelineSpec extends SparkSpec {
       .groupBy("digest").agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
       .select("doc_id")
     val deduped = qualityKept.join(keepIds, Seq("doc_id"), "left_semi")
+    // ledger twin: the batch path's collision structure is the
+    // corpus-vs-batch pairs PLUS the intra-batch pairs (the stream saw
+    // the latter as batch-vs-index because earlier admissions were
+    // already indexed) — pairs captured against the PRE-admission index
+    val dedupSigs = Dedup.bandSignatures(
+      deduped, idx2.numPerm, idx2.rowsPerBand).localCheckpoint()
+    val twinPairs = Dedup.bandCollisionPairs(dedupSigs, idx2.signatures)
+      .unionByName(Dedup.bandCollisionPairs(dedupSigs, dedupSigs)
+        .filter(col("doc_id") =!= col("corpus_doc_id")))
+      .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))
+      .localCheckpoint()
     val admitted = idx2.admit(deduped, dedupWithinBatch = true)
     engine.append("lake.corpus_batch", admitted.select("doc_id", "text", "ts"))
 
@@ -163,5 +177,17 @@ class StreamingPipelineSpec extends SparkSpec {
     val sigs1 = idx.signatures.as[(Long, Int, Long)].collect().toSet
     val sigs2 = idx2.signatures.as[(Long, Int, Long)].collect().toSet
     assert(sigs1 == sigs2)
+
+    // LEDGER PARITY: the per-micro-batch incremental folds and one
+    // batch fold over the equivalent collision structure land the
+    // identical persisted assignment
+    val comps2 = new graft.ops.ComponentIndex(engine, "lake.comps2")
+    comps2.create()
+    comps2.fold(twinPairs)
+    def ledger(c: graft.ops.ComponentIndex) = c.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ledger(comps) == ledger(comps2),
+      s"stream ${ledger(comps)} vs batch ${ledger(comps2)}")
+    assert(ledger(comps).nonEmpty, "fixture must exercise the ledger")
   }
 }
