@@ -467,6 +467,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols,
       expectedCurrentSnapshotId)
 
+  /** ROW DELTA — upsert whose delete-key set is independent of the
+    * inserted rows (deletion-only keys vanish; empty `df` = pure keyed
+    * delete); one merge-on-read commit
+    * ([[graft.meta.TableWriter.rowDelta]]). */
+  def rowDelta(ref: String, df: DataFrame, keyCols: Seq[String],
+      deleteKeys: DataFrame,
+      expectedCurrentSnapshotId: Option[Long] = None): graft.meta.TableWriter.CommitResult =
+    graft.meta.TableWriter.rowDelta(spark, tableDir(ref), df, keyCols,
+      deleteKeys, expectedCurrentSnapshotId)
+
   /** Bootstrap an empty table (engine-native `CREATE TABLE`;
     * [[graft.meta.TableCreator]]). `partitionDecls` use the transform
     * declaration syntax: `col`, `bucket[N](col)`, `truncate[W](col)`. */

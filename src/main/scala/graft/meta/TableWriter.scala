@@ -99,6 +99,23 @@ object TableWriter {
       expectedCurrentSnapshotId = expectedCurrentSnapshotId)
   }
 
+  /** ROW DELTA — the general form of [[upsert]]: ONE merge-on-read
+    * commit that appends `df` AND equality-deletes every key in
+    * `deleteKeys` (which may be a superset of, or disjoint from, `df`'s
+    * own keys — deletion-only keys disappear without replacement, and
+    * an EMPTY `df` makes this a pure keyed delete). The appended rows
+    * survive the delete via sequence scoping, exactly like upsert.
+    * Same CAS contract as [[upsert]] via `expectedCurrentSnapshotId`. */
+  def rowDelta(spark: SparkSession, tableDir: String, df: DataFrame,
+      keyCols: Seq[String], deleteKeys: DataFrame,
+      expectedCurrentSnapshotId: Option[Long] = None): CommitResult = {
+    require(keyCols.nonEmpty, "rowDelta needs at least one key column")
+    commit(spark, tableDir, Some(df), "overwrite", keepPredicate = _ => true,
+      equalityDeleteOn = Some(keyCols),
+      equalityDeleteSource = Some(deleteKeys), retryOnConflict = true,
+      expectedCurrentSnapshotId = expectedCurrentSnapshotId)
+  }
+
   /** Replace a specific set of live files with `df` (compaction commit):
     * untouched files carry forward as `existing` entries, `removePaths`
     * disappear from the live set, `df`'s files join as `added`.
@@ -356,6 +373,9 @@ object TableWriter {
       binExpr: Option[org.apache.spark.sql.Column] = None,
       branch: Option[String] = None,
       equalityDeleteOn: Option[Seq[String]] = None,
+      // delete-key frame when it DIFFERS from `data` (rowDelta's
+      // deletion-only keys); None = upsert semantics (df's own keys)
+      equalityDeleteSource: Option[DataFrame] = None,
       carryDeletes: Boolean = false,
       extraSummary: Map[String, String] = Map.empty,
       extraProperties: Map[String, String] = Map.empty,
@@ -536,7 +556,8 @@ object TableWriter {
       try {
         result = publishSnapshot(spark, dir, tableDir, curMd, curBaseV, fields,
           spec.specId, curSnapId, entries, operation, keepPredicate, branch,
-          equalityDeleteOn.map(keys => (data.get, keys)), carryDeletes,
+          equalityDeleteOn.map(keys =>
+            (equalityDeleteSource.getOrElse(data.get), keys)), carryDeletes,
           extraSummary, extraProperties, wapId)
       } catch {
         // append/upsert keep every pre-existing file, so replaying the

@@ -166,6 +166,89 @@ final class ComponentIndex(
     delta
   }
 
+  /** RETIRE docs from the ledger (corpus deletion / right-to-be-
+    * forgotten): removing a doc removes its similarity EDGES, so the
+    * component it sat in can SPLIT — the remaining members must be
+    * re-clustered over their residual candidate pairs, not merely have
+    * the retired rows dropped. Only the AFFECTED components pay:
+    *
+    *   1. retired docs' own rows resolve their components (one
+    *      pushed-filter scan); retired ids that are themselves LABELS
+    *      are found by the bucket-pruned relabel read (their own rows
+    *      are implicit, their members' rows are not);
+    *   2. every affected component's members read off the SAME pruned
+    *      read; the remaining-member set (minus retired) goes to
+    *      `pairsAmong` — supply residual candidate pairs among those
+    *      docs (e.g. [[Dedup.bandCollisionPairs]] over a
+    *      [[NearDupIndex]]'s signatures — after retiring them there
+    *      too, or restricted to remaining ids as this method does
+    *      defensively);
+    *   3. [[Dedup.connectedComponents]] re-clusters the residual graph
+    *      (affected-size, not corpus-size) — splits fall out naturally,
+    *      min-id labels are re-derived from scratch;
+    *   4. ONE CAS-guarded row-delta commit deletes ALL stored rows of
+    *      affected components and inserts the re-clustered non-trivial
+    *      rows (docs that became singletons simply vanish — sparse).
+    *
+    * Soundness: deleting docs only removes edges, so components can
+    * only split WITHIN old boundaries — re-clustering affected
+    * components over their residual pairs reproduces exactly the
+    * from-scratch closure over the surviving corpus (spec-pinned).
+    * Returns the re-clustered assignment of the remaining affected
+    * members (trivial rows included); unaffected components never
+    * appear and never shuffle. */
+  def retire(retired: Seq[Long],
+      pairsAmong: DataFrame => DataFrame): DataFrame = {
+    val spark = engine.spark
+    import spark.implicits._
+    val t = engine.load(ref)
+    val store = storeOf(t)
+    // components of retired MEMBER docs (their own stored rows)
+    val retiredRows = store
+      .filter(col("doc_id").isin(retired: _*)).localCheckpoint()
+    val memberComps = retiredRows.select("component").distinct()
+      .collect().map(_.getLong(0))
+    // all affected components' stored rows: members of those comps PLUS
+    // rows labeled by a retired id (a retired LABEL's own row is
+    // implicitly trivial — its members' rows are what the pruned read
+    // finds). One bucket-pruned read covers both label sets.
+    val affectedLabels = (memberComps ++ retired).distinct
+    val affectedRows = relabelRows(affectedLabels.toIndexedSeq, t)
+      .filter(col("component").isin(affectedLabels: _*))
+      .localCheckpoint()
+    // remaining members: stored members plus the (implicit) label docs
+    // themselves, minus everything retired
+    val remaining = affectedRows.select("doc_id")
+      .union(affectedRows.select(col("component").as("doc_id")))
+      .union(retiredRows.select(col("component").as("doc_id")))
+      .distinct()
+      .filter(!col("doc_id").isin(retired: _*))
+      .localCheckpoint()
+    // residual candidate pairs among the remaining members only —
+    // restricted defensively so a generous provider cannot leak edges
+    // to retired or unaffected docs
+    val residual = pairsAmong(remaining)
+      .join(broadcast(remaining.select(col("doc_id").as("a_id"))), Seq("a_id"), "left_semi")
+      .join(broadcast(remaining.select(col("doc_id").as("b_id"))), Seq("b_id"), "left_semi")
+    val reclustered = Dedup.connectedComponents(residual).localCheckpoint()
+    // ONE commit: drop every stored row of the affected components,
+    // insert the re-clustered non-trivial memberships. Nothing stored
+    // was affected (all retired docs were singletons) → no commit.
+    if (!affectedRows.isEmpty) {
+      val deleteKeys = affectedRows.select("doc_id")
+      val inserts = reclustered.filter(col("doc_id") =!= col("component"))
+      engine.rowDelta(ref, inserts, Seq("doc_id"), deleteKeys,
+        expectedCurrentSnapshotId = t.metadata.currentSnapshotId)
+    }
+    // caller-facing outcome: the full post-retire assignment of the
+    // remaining affected members (re-clustered singletons fall back to
+    // themselves — CC only emits nodes with edges)
+    remaining
+      .join(reclustered.select(col("doc_id").as("rid"), col("component").as("rc")),
+        col("doc_id") === col("rid"), "left")
+      .select(col("doc_id"), coalesce(col("rc"), col("doc_id")).as("component"))
+  }
+
   /** Fold per-batch small files back into one per bucket (the bucketed
     * layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =

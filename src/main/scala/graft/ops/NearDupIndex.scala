@@ -174,6 +174,39 @@ final class NearDupIndex(
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
 
+  /** RETIRE docs from the index (corpus deletion): one pure keyed
+    * equality-delete commit drops every band row of the retired ids —
+    * without it, future gate probes still collide with the GHOSTS of
+    * deleted documents and wrongly reject fresh copies. Merge-on-read
+    * (no data rewrite); [[compact]] folds the tombstones later. The
+    * ledger twin is [[ComponentIndex.retire]] — retire the signatures
+    * FIRST so its `pairsAmong` provider no longer sees retired docs. */
+  def retire(retired: Seq[Long]): graft.meta.TableWriter.CommitResult = {
+    val spark2 = engine.spark
+    import spark2.implicits._
+    val empty = engine.spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    graft.meta.TableWriter.rowDelta(engine.spark, engine.tableDir(ref),
+      empty, Seq("doc_id"), retired.toDF("doc_id"))
+  }
+
+  /** Residual candidate pairs among `ids` — the canonical `pairsAmong`
+    * provider for [[ComponentIndex.retire]]: the docs' OWN band
+    * signatures (read back from this index, ids pushed into the scan)
+    * self-collide within band buckets, so the pairs are exactly what
+    * the gate would have observed among those docs. `ids` is
+    * affected-component-bounded (the retire contract), so the driver
+    * collect is safe. Call AFTER [[retire]]-ing the deleted docs here,
+    * or their ghosts re-enter the residual graph. */
+  def pairsAmong(ids: DataFrame): DataFrame = {
+    val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
+    val sigs = signatures.filter(col("doc_id").isin(idSeq: _*))
+      .localCheckpoint()
+    Dedup.bandCollisionPairs(sigs, sigs)
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))
+  }
+
   /** STREAMING gate: run every micro-batch of `docs` through the
     * [[admit]] logic — bucket-pruned probe against the standing index,
     * survivors' band signatures appended in one commit, survivors handed

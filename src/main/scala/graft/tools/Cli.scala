@@ -30,7 +30,7 @@ import graft.api.{Engine, Errors}
   *      | rollback T snapshotId | orphans T [--remove]
   *      | bpe docsParquet [nMerges] | winnow-removal docsParquet [minDocs]
   *      | dedup-gate T shardParquet [--admit [--intra]]
-  *      | comp-fold T edgesParquet [--bootstrap]
+  *      | comp-fold T edgesParquet [--bootstrap] | comp-retire T G ids
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -345,6 +345,19 @@ object Cli {
             println(s"bootstrapped ${vargs(0)}: " +
               s"${idx.assignments.count()} non-trivial memberships")
           } else emit(idx.fold(edges))
+        case "comp-retire" =>
+          // comp-retire <ns.comps> <ns.nd_index> <id,id,...> — corpus
+          // deletion: drop the docs' band signatures from the gate
+          // index (ghost-free future probes), then re-cluster exactly
+          // the affected ledger components over the residual pairs the
+          // surviving signatures still produce
+          val comps = new graft.ops.ComponentIndex(engine, vargs(0))
+          val gate = new graft.ops.NearDupIndex(engine, vargs(1))
+          val ids = vargs(2).split(",").map(_.trim.toLong).toSeq
+          gate.retire(ids)
+          val out = comps.retire(ids, gate.pairsAmong)
+          println(s"retired ${ids.length} docs from ${vargs(1)} and " +
+            s"${vargs(0)}; ${out.count()} remaining members re-clustered")
         case "ann-index" =>
           // ann-index <ns.idx> <embeddings.parquet> [k] [pqM] [pqK] —
           // create and bootstrap the persisted ANN index from a corpus:
@@ -439,6 +452,7 @@ object Cli {
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
-      "       dedup-gate comp-fold ann-index ann-gate ann-search ann-decontam ann-rebuild\n" +
+      "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
+      "       ann-rebuild\n" +
       "       stage-parquet publish advise tui init")
 }

@@ -97,6 +97,65 @@ class ComponentIndexSpec extends SparkSpec {
         .filter { case (k, v) => k != v })
   }
 
+  test("retire re-clusters only affected components: bridge removal " +
+      "splits, label removal relabels, singletons are a no-op") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxret").toString
+    val e = new Engine(spark, wh)
+    val idx = new ComponentIndex(e, "ns.ret_comps", nBuckets = 8)
+    idx.create()
+    // {1,2,3,4} chained through 2 and 3 (plus a 1-3 shortcut), {10,11},
+    // {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L),
+      (10L, 11L), (20L, 21L))
+    idx.bootstrap(pairs.toDF("a_id", "b_id"))
+    // residual-pair provider: the surviving candidate pairs among the
+    // requested ids (what a band index would return post-retire)
+    var retiredSoFar = Set.empty[Long]
+    def among(ids: org.apache.spark.sql.DataFrame) = {
+      val s = ids.collect().map(_.getLong(0)).toSet
+      pairs.filter(p => s(p._1) && s(p._2) &&
+        !retiredSoFar(p._1) && !retiredSoFar(p._2))
+        .toDF("a_id", "b_id")
+    }
+    def doRetire(ids: Long*) = {
+      retiredSoFar ++= ids
+      idx.retire(ids, among).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    // retiring doc 2 keeps {1,3,4} connected through the 1-3 shortcut:
+    // the re-insert path relabels survivors in one commit
+    val o1 = doRetire(2L)
+    assert(o1 == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(asMap(idx.assignments) ==
+      Map(3L -> 1L, 4L -> 1L, 11L -> 10L, 21L -> 20L))
+
+    // retiring doc 3 now BREAKS the chain: {1} and {4} split apart
+    val o2 = doRetire(3L)
+    assert(o2 == Map(1L -> 1L, 4L -> 4L))
+    assert(asMap(idx.assignments) == Map(11L -> 10L, 21L -> 20L))
+
+    // retiring a LABEL: the member relabels (here to a singleton)
+    val o3 = doRetire(10L)
+    assert(o3 == Map(11L -> 11L))
+    assert(asMap(idx.assignments) == Map(21L -> 20L))
+
+    // parity: the ledger equals the from-scratch closure over the
+    // surviving corpus' pairs at every step (checked at the end)
+    val survivors = pairs.filter(p =>
+      !retiredSoFar(p._1) && !retiredSoFar(p._2))
+    assert(asMap(idx.assignments) ==
+      asMap(Dedup.connectedComponents(survivors.toDF("a_id", "b_id")))
+        .filter { case (k, v) => k != v })
+
+    // retiring docs with no stored rows is a NO-OP — no commit
+    val snaps = e.load("ns.ret_comps").metadata.snapshots.size
+    assert(doRetire(40L, 1L).isEmpty) // 1 is a singleton-by-now, 40 unknown
+    assert(e.load("ns.ret_comps").metadata.snapshots.size == snaps)
+  }
+
   test("composes with the near-dup gate: admit survivors, fold the " +
       "collision pairs, assignments match the batch's dup structure") {
     val s2 = spark
@@ -126,5 +185,16 @@ class ComponentIndexSpec extends SparkSpec {
     val d = asMap(comps.fold(edges))
     assert(d == Map(10L -> 1L, 1L -> 1L)) // 1's trivial row is delta-only
     assert(asMap(comps.assignments) == Map(10L -> 1L))
+
+    // corpus deletion closes the loop the other way: retire the doc's
+    // signatures from the gate FIRST (ghost-free probes), then
+    // re-cluster the ledger over the gate's residual pairs
+    gate.retire(Seq(1L))
+    val out = comps.retire(Seq(1L), gate.pairsAmong)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L)) // the survivor is a singleton again
+    assert(comps.assignments.count() == 0L)
+    // the gate no longer collides with the retired doc's ghost
+    assert(gate.check(batch.filter(col("doc_id") === 10L)).count() == 0L)
   }
 }

@@ -122,6 +122,16 @@ class NearDupIndexSpec extends SparkSpec {
     assert(hit2.length == 1 && hit2.head.getAs[Long]("dup_of") == 2000L)
     val probedAfter = idx.probePaths(Dedup.bandSignatures(batch))
     assert(probedAfter.nonEmpty && probedAfter.size < postCompact)
+
+    // RETIRE (corpus deletion): doc 2000's signatures drop in one keyed
+    // equality-delete commit, and the gate stops colliding with the
+    // ghost — the same text is clean again and re-admittable
+    val preRetire = idx.signatures.count()
+    idx.retire(Seq(2000L))
+    assert(idx.signatures.filter(col("doc_id") === 2000L).count() == 0L)
+    assert(idx.signatures.count() == preRetire - 4L) // 4 bands dropped
+    assert(idx.check(again).count() == 0L, "ghost collision after retire")
+    assert(idx.admit(again).count() == 1L) // fresh copy re-enters
   }
 
   test("admit with dedupWithinBatch keeps one doc per intra-batch dup group") {

@@ -106,6 +106,17 @@ class SkewAndCliSpec extends SparkSpec {
     val comps = e2.readTable("lake.comps").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(2L -> 1L, 10L -> 1L), comps.toString)
+
+    // comp-retire: drop doc 1 from the gate index AND the ledger; the
+    // survivors (2, 10 — not near-dups of each other) re-cluster to
+    // singletons off the gate's residual pairs
+    assert(Cli.run(Array(
+      wh, "comp-retire", "lake.comps", "lake.nd_idx", "1")) == 0)
+    assert(e2.readTable("lake.nd_idx")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .count() == 0L)
+    assert(new graft.ops.ComponentIndex(e2, "lake.comps")
+      .assignments.count() == 0L)
   }
 
   test("tui verb drives the interactive UI and exits cleanly on stdin EOF") {
