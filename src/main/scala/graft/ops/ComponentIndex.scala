@@ -199,8 +199,6 @@ final class ComponentIndex(
     * appear and never shuffle. */
   def retire(retired: Seq[Long],
       pairsAmong: DataFrame => DataFrame): DataFrame = {
-    val spark = engine.spark
-    import spark.implicits._
     val t = engine.load(ref)
     val store = storeOf(t)
     // components of retired MEMBER docs (their own stored rows)
@@ -217,10 +215,11 @@ final class ComponentIndex(
       .filter(col("component").isin(affectedLabels: _*))
       .localCheckpoint()
     // remaining members: stored members plus the (implicit) label docs
-    // themselves, minus everything retired
+    // themselves, minus everything retired. (retiredRows ⊆ affectedRows
+    // — both read off the same pinned table and memberComps ⊆
+    // affectedLabels — so its labels are already covered here.)
     val remaining = affectedRows.select("doc_id")
       .union(affectedRows.select(col("component").as("doc_id")))
-      .union(retiredRows.select(col("component").as("doc_id")))
       .distinct()
       .filter(!col("doc_id").isin(retired: _*))
       .localCheckpoint()

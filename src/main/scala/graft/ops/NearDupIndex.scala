@@ -186,22 +186,38 @@ final class NearDupIndex(
     import spark2.implicits._
     val empty = engine.spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
-    graft.meta.TableWriter.rowDelta(engine.spark, engine.tableDir(ref),
-      empty, Seq("doc_id"), retired.toDF("doc_id"))
+    engine.rowDelta(ref, empty, Seq("doc_id"), retired.toDF("doc_id"))
   }
 
   /** Residual candidate pairs among `ids` — the canonical `pairsAmong`
-    * provider for [[ComponentIndex.retire]]: the docs' OWN band
-    * signatures (read back from this index, ids pushed into the scan)
-    * self-collide within band buckets, so the pairs are exactly what
-    * the gate would have observed among those docs. `ids` is
+    * provider for [[ComponentIndex.retire]] over a CORPUS ledger: the
+    * docs' OWN band signatures, read back from this index through the
+    * file-stats prune ([[ScanPlanner.readTableWhere]] on the ids' span
+    * — per-admit files carry tight doc_id bounds, so the scan skips
+    * files outside the range instead of planning every live file),
+    * self-collide within band buckets. `ids` is
     * affected-component-bounded (the retire contract), so the driver
     * collect is safe. Call AFTER [[retire]]-ing the deleted docs here,
-    * or their ghosts re-enter the residual graph. */
+    * or their ghosts re-enter the residual graph.
+    *
+    * CONTRACT CAVEAT: this provider only sees docs whose signatures the
+    * index HOLDS — admitted/corpus docs. A GATE-COMPOSED ledger
+    * ([[admitStream]]'s `components`) also records REJECTED docs, whose
+    * signatures were never appended; a retire touching their component
+    * would degrade them to singletons (their provenance edges are
+    * invisible here). For such ledgers derive the residual pairs from
+    * the raw document store instead:
+    * `ids => Dedup.bandCollisionPairs(s, s)` over
+    * `s = Dedup.bandSignatures(docsOf(ids), numPerm, rowsPerBand)`. */
   def pairsAmong(ids: DataFrame): DataFrame = {
     val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
-    val sigs = signatures.filter(col("doc_id").isin(idSeq: _*))
-      .localCheckpoint()
+    val sigs =
+      if (idSeq.isEmpty)
+        engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else ScanPlanner.readTableWhere(engine.spark, engine.load(ref),
+          "doc_id", Some(idSeq.min.toDouble), Some(idSeq.max.toDouble))
+        .filter(col("doc_id").isin(idSeq: _*))
+        .localCheckpoint()
     Dedup.bandCollisionPairs(sigs, sigs)
       .filter(col("doc_id") =!= col("corpus_doc_id"))
       .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))

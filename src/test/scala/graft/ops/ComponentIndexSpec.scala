@@ -156,6 +156,45 @@ class ComponentIndexSpec extends SparkSpec {
     assert(e.load("ns.ret_comps").metadata.snapshots.size == snaps)
   }
 
+  test("gate-ledger retire needs a DOCS-based pair provider: rejected " +
+      "docs' provenance survives component surgery") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxprov").toString
+    val e = new Engine(spark, wh)
+    val gate = new NearDupIndex(e, "ns.prov_gate")
+    val comps = new ComponentIndex(e, "ns.prov_comps")
+    gate.create(); comps.create()
+    val textX = "the quick brown fox jumps over the lazy dog"
+    // docs 1 and 2 admitted together (same batch, no intra dedup, no
+    // pair folded); doc 3 arrives later, collides with BOTH, rejected
+    val docs = Seq((1L, textX), (2L, textX), (3L, textX))
+      .toDF("doc_id", "text").localCheckpoint()
+    gate.bootstrap(docs.filter(col("doc_id") <= 2L))
+    val sigs3 = Dedup.bandSignatures(
+      docs.filter(col("doc_id") === 3L), gate.numPerm, gate.rowsPerBand)
+    comps.fold(Dedup.bandCollisionPairs(sigs3, gate.signatures)
+      .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id")))
+    assert(asMap(comps.assignments) == Map(2L -> 1L, 3L -> 1L))
+
+    // corpus deletes doc 2. The gate's own pairsAmong cannot see
+    // REJECTED doc 3 (its signatures were never appended) — the
+    // documented caveat — so a gate ledger must derive residual pairs
+    // from the raw document store:
+    def docPairs(ids: org.apache.spark.sql.DataFrame) = {
+      val s = Dedup.bandSignatures(
+        docs.join(ids, Seq("doc_id"), "left_semi"),
+        gate.numPerm, gate.rowsPerBand).localCheckpoint()
+      Dedup.bandCollisionPairs(s, s)
+        .filter(col("doc_id") =!= col("corpus_doc_id"))
+        .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))
+    }
+    gate.retire(Seq(2L))
+    comps.retire(Seq(2L), docPairs)
+    // doc 3's dup-of-1 provenance SURVIVES the retire of bystander 2
+    assert(asMap(comps.assignments) == Map(3L -> 1L))
+  }
+
   test("composes with the near-dup gate: admit survivors, fold the " +
       "collision pairs, assignments match the batch's dup structure") {
     val s2 = spark
