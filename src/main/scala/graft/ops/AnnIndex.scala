@@ -511,6 +511,25 @@ final class AnnIndex(
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
 
+  /** RETIRE vectors from the index (corpus deletion): one pure keyed
+    * equality-delete commit — retired vectors stop being served by
+    * every frozen-quantizer path (search, decontam, hard negatives) and
+    * stop blocking re-admission of fresh copies through the semantic
+    * gate. Merge-on-read (no list rewrite; [[compact]] folds the
+    * tombstones later); the frozen quantizer and PQ codebooks are
+    * untouched — deletion is not distribution shift, the drift canary
+    * still compares ADMISSIONS against the bootstrap baseline, and a
+    * mass deletion that DOES change the data distribution is what
+    * [[rebuild]] is for. */
+  def retire(vecIds: Seq[Long]): graft.meta.TableWriter.CommitResult = {
+    val spark2 = engine.spark
+    import spark2.implicits._
+    // empty insert off the TABLE's live schema, not the handle's — a
+    // default-constructed handle serving a PQ index lacks `codes`
+    engine.rowDelta(ref, signatures.limit(0), Seq("vec_id"),
+      vecIds.toDF("vec_id"))
+  }
+
   /** The quantizer drift canary for THIS index — [[AnnIndex.drift]]. */
   def drift: Option[AnnIndex.Drift] =
     AnnIndex.drift(engine.load(ref), Some(engine.spark))

@@ -385,6 +385,15 @@ object Cli {
           println(s"rebuilt ${vargs(0)}: ${cents.length} lists, " +
             s"drift baseline reset" +
             (if (idx.codebooks.isDefined) " (ivf-pq codes re-encoded)" else ""))
+        case "ann-retire" =>
+          // ann-retire <ns.idx> <id,id,...> — corpus deletion: drop the
+          // vectors in one keyed equality-delete commit; serving paths
+          // stop returning them and the gate stops rejecting fresh
+          // copies against their ghosts
+          val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          val ids = vargs(1).split(",").map(_.trim.toLong).toSeq
+          idx.retire(ids)
+          println(s"retired ${ids.length} vectors from ${vargs(0)}")
         case "ann-gate" =>
           // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra] —
           // semantic admission: keep batch vectors that are not cosine
@@ -453,6 +462,6 @@ object Cli {
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
-      "       ann-rebuild\n" +
+      "       ann-rebuild ann-retire\n" +
       "       stage-parquet publish advise tui init")
 }

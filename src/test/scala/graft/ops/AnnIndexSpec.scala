@@ -153,6 +153,24 @@ class AnnIndexSpec extends SparkSpec {
       assert(admitted.sorted.toSeq == Seq(30L), admitted.toString)
       assert(idx.signatures.count() == 9)
     } finally q.stop()
+
+    // RETIRE (corpus deletion): one keyed equality-delete commit — the
+    // vector stops being served AND stops gating fresh copies; the
+    // frozen quantizer is untouched (no kmeans)
+    val preRetire = Clustering.kmeansRuns.get()
+    idx.retire(Seq(30L))
+    assert(idx.signatures.filter(col("vec_id") === 30L).count() == 0L)
+    assert(idx.signatures.count() == 8)
+    val hits = idx.search(
+      Seq((900L, 0, v(0, 0, 0, 1))).toDF("vec_id", "label", "embedding"),
+      k = 8, nProbe = 2).collect()
+    assert(hits.nonEmpty && !hits.map(_.getAs[Long]("c_id")).contains(30L),
+      "retired vector still served")
+    // the ghost no longer blocks re-admission of an equivalent vector
+    val fresh = idx.admitIfNovel(
+      Seq((50L, 0, v(0, 0, 0, 1))).toDF("vec_id", "label", "embedding"), 0.95)
+    assert(fresh.select("vec_id").as[Long].collect().toSeq == Seq(50L))
+    assert(Clustering.kmeansRuns.get() == preRetire, "retire must not re-cluster")
   }
 
   test("external-probe search: brute-force neighbors from pruned lists, no kmeans, no admission") {

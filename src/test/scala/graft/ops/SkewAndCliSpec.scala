@@ -311,6 +311,17 @@ class SkewAndCliSpec extends SparkSpec {
     assert(graft.ops.Clustering.kmeansRuns.get() == runs)
     assert(idx.signatures.count() == 5)
 
+    // ann-retire: corpus deletion drops the vectors in one commit; no
+    // re-clustering, the ghost stops gating an equivalent fresh vector
+    assert(Cli.run(Array(wh, "ann-retire", "ml.idx", "11")) == 0)
+    assert(idx.signatures.count() == 4)
+    assert(graft.ops.Clustering.kmeansRuns.get() == runs)
+    val freshDir = s"$wh/_fresh_parquet"
+    Seq((12L, 1, v(0, 1, 0, 0)))
+      .toDF("vec_id", "label", "embedding").write.parquet(freshDir)
+    assert(Cli.run(Array(wh, "ann-gate", "ml.idx", freshDir, "0.95")) == 0)
+    assert(idx.signatures.count() == 5, "retired ghost blocked re-admission")
+
     // IVF-PQ from the CLI: pqM/pqK ride the ann-index verb, the search
     // verb serves the PQ path off the persisted codebooks
     assert(Cli.run(Array(wh, "ann-index", "ml.pq", embDir, "2", "2", "2")) == 0)
