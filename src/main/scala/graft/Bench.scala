@@ -189,6 +189,23 @@ object Bench {
             compIdx.fold(compPairs.filter(
               newDoc(col("a_id")) || newDoc(col("b_id")))).count()
           },
+          // corpus deletion: retire a ~1% doc slice — affected-component
+          // re-cluster + one row-delta commit; residual pairs come from
+          // the prepared pair set (the docs-based provider shape)
+          timed("d_components_retire") {
+            val gone = (c: org.apache.spark.sql.Column) => c % 101 === 0
+            val retiredIds = compPairs
+              .select(col("a_id").as("doc_id"))
+              .union(compPairs.select(col("b_id").as("doc_id")))
+              .filter(gone(col("doc_id"))).distinct()
+              .collect().map(_.getLong(0)).toIndexedSeq
+            compIdx.retire(retiredIds, ids =>
+              compPairs
+                .join(ids.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+                .join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+                .filter(!gone(col("a_id")) && !gone(col("b_id"))))
+              .count()
+          },
           timed("d_perceptron") {
             graft.ops.Selection.trainQualityPerceptron(
               docs, col("lang") === "en", driverRowLimit = 0).count()
