@@ -156,6 +156,38 @@ class ComponentIndexSpec extends SparkSpec {
     assert(e.load("ns.ret_comps").metadata.snapshots.size == snaps)
   }
 
+  test("randomized stress: multi-batch folds then a randomized retire " +
+      "stay equal to from-scratch closures (seeded)") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxrand").toString
+    val e = new Engine(spark, wh)
+    val idx = new ComponentIndex(e, "ns.rand_comps", nBuckets = 8)
+    idx.create()
+    val rnd = new scala.util.Random(20260815L)
+    val edges = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    // three arrival batches fold incrementally into the persisted table
+    val batches = edges.grouped((edges.size + 2) / 3).toSeq
+    idx.bootstrap(batches.head.toDF("a_id", "b_id"))
+    batches.tail.foreach(b => idx.fold(b.toDF("a_id", "b_id")))
+    def fromScratch(ps: Seq[(Long, Long)]) =
+      asMap(Dedup.connectedComponents(ps.toDF("a_id", "b_id")))
+        .filter { case (k, v) => k != v }
+    assert(asMap(idx.assignments) == fromScratch(edges))
+
+    // retire a random id slice; residual pairs from the surviving edges
+    val retired = rnd.shuffle(edges.flatMap(p => Seq(p._1, p._2)).distinct)
+      .take(8).toSet
+    val survivors = edges.filter(p => !retired(p._1) && !retired(p._2))
+    idx.retire(retired.toSeq, ids => {
+      val s = ids.collect().map(_.getLong(0)).toSet
+      survivors.filter(p => s(p._1) && s(p._2)).toDF("a_id", "b_id")
+    })
+    assert(asMap(idx.assignments) == fromScratch(survivors))
+    assert(idx.assignments.filter(col("doc_id") === col("component")).count() == 0L)
+  }
+
   test("gate-ledger retire needs a DOCS-based pair provider: rejected " +
       "docs' provenance survives component surgery") {
     val s2 = spark
