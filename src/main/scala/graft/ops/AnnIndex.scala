@@ -524,11 +524,18 @@ final class AnnIndex(
   def retire(vecIds: Seq[Long]): graft.meta.TableWriter.CommitResult = {
     val spark2 = engine.spark
     import spark2.implicits._
+    retire(vecIds.toDF("vec_id"))
+  }
+
+  /** [[retire]] with the retired ids as a DataFrame (`vec_id` column) —
+    * the corpus-scale form: a compliance batch of millions of ids never
+    * becomes a driver-side literal (the equality-delete keys distribute
+    * through the commit like any other frame). */
+  def retire(vecIds: DataFrame): graft.meta.TableWriter.CommitResult =
     // empty insert off the TABLE's live schema, not the handle's — a
     // default-constructed handle serving a PQ index lacks `codes`
     engine.rowDelta(ref, signatures.limit(0), Seq("vec_id"),
-      vecIds.toDF("vec_id"))
-  }
+      vecIds.select("vec_id"))
 
   /** The quantizer drift canary for THIS index — [[AnnIndex.drift]]. */
   def drift: Option[AnnIndex.Drift] =

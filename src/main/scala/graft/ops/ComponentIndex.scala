@@ -133,6 +133,34 @@ final class ComponentIndex(
     else ScanPlanner.readFiles(engine.spark, t, paths)
   }
 
+  /** [[relabelRows]] for a DataFrame label set (`doc_id` column) — the
+    * corpus-scale twin: the labels' bucket census runs DISTRIBUTED
+    * through the column transform ([[Transforms.column]], the same
+    * Spark-side hash the probe prune uses) and only the ≤ nBuckets
+    * distinct bucket ints come back to the driver, so a retire set of
+    * millions never materializes as a driver literal just to decide
+    * which files to read. */
+  private def relabelRowsDf(
+      labels: DataFrame, t: graft.meta.IcebergTable): DataFrame = {
+    if (t.metadata.currentSnapshotId.isEmpty)
+      return engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val files = graft.rel.MetaRelations.files(engine.spark, t, None)
+    val keep = BucketPrune.bucketCount(t, "component") match {
+      case None => files
+      case Some(n) =>
+        val buckets = labels
+          .select(Transforms.column(s"bucket[$n]", col("doc_id"), "long").as("b"))
+          .distinct().collect().map(_.getInt(0).toString).toSeq
+        val pv = col("partition")(Transforms.fieldName("component", s"bucket[$n]"))
+        files.filter(pv.isNull || pv.isin(buckets: _*))
+    }
+    val paths = keep.select("file_path").collect()
+      .map(r => t.resolvePath(r.getString(0))).toIndexedSeq
+    if (paths.isEmpty)
+      engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else ScanPlanner.readFiles(engine.spark, t, paths)
+  }
+
   /** Fold one batch's candidate edges into the standing assignment:
     * compute the delta ([[Dedup.incrementalComponents]], sparse
     * convention, relabel served from the bucket-pruned read), commit the
@@ -165,6 +193,29 @@ final class ComponentIndex(
       expectedCurrentSnapshotId = t.metadata.currentSnapshotId)
     delta
   }
+
+  /** [[fold]] with a bounded reload-and-rerun on CAS conflict: a racing
+    * fold/retire that lands first surfaces as
+    * [[graft.meta.CommitConflictException]]; the rerun re-pins the table
+    * (picking up the winner's rows) and recomputes the delta, so both
+    * edge sets land and the final ledger equals the from-scratch closure
+    * over their union (spec-pinned with two concurrent folds). The
+    * ledger-side twin of [[graft.meta.TableWriter]]'s append
+    * `retryOnConflict` — retried HERE, not inside the commit, because
+    * the DELTA itself must be re-derived from the fresh snapshot (a
+    * commit-level rebase would silently erase the winner's merges, the
+    * exact failure the CAS guard exists to surface). */
+  def foldWithRetry(newEdges: DataFrame, maxAttempts: Int = 7): DataFrame =
+    ComponentIndex.retryOnConflict(maxAttempts)(fold(newEdges))
+
+  /** [[retire]]'s conflict-retrying twin of [[foldWithRetry]]: the
+    * affected-component surgery re-derives from the fresh snapshot on
+    * each attempt. */
+  def retireWithRetry(retired: DataFrame,
+      pairsAmong: DataFrame => DataFrame, inMaxIds: Int = 1000,
+      maxAttempts: Int = 7): DataFrame =
+    ComponentIndex.retryOnConflict(maxAttempts)(
+      retire(retired, pairsAmong, inMaxIds))
 
   /** RETIRE docs from the ledger (corpus deletion / right-to-be-
     * forgotten): removing a doc removes its similarity EDGES, so the
@@ -199,30 +250,69 @@ final class ComponentIndex(
     * appear and never shuffle. */
   def retire(retired: Seq[Long],
       pairsAmong: DataFrame => DataFrame): DataFrame = {
+    val s2 = engine.spark
+    import s2.implicits._
+    retire(retired.toDF("doc_id"), pairsAmong)
+  }
+
+  /** [[retire]] with the retired ids as a DataFrame (`doc_id` column) —
+    * the corpus-scale form. Sets at or under `inMaxIds` distinct ids
+    * (one fused size-probe-and-collect job, the
+    * [[Dedup.incrementalComponents]] `resolveInMaxIds` idiom) keep the
+    * literal path: pushed-down `isin` predicates reach the parquet
+    * readers and the relabel prune hashes a driver-known label list.
+    * Above the threshold every retired-id filter switches to a
+    * broadcast semi/anti-join and the relabel prune's bucket census
+    * runs distributed ([[Transforms.column]]) — a compliance batch of
+    * millions of ids never inflates a plan or the driver. Same final
+    * table state either way (spec-pinned with the threshold forced to
+    * 0). */
+  def retire(retired: DataFrame, pairsAmong: DataFrame => DataFrame,
+      inMaxIds: Int = 1000): DataFrame = {
+    val rids = retired.select(col("doc_id")).distinct().localCheckpoint()
+    retireImpl(rids, Dedup.literalIds(rids, inMaxIds), pairsAmong)
+  }
+
+  private def retireImpl(rids: DataFrame, lits: Option[IndexedSeq[Long]],
+      pairsAmong: DataFrame => DataFrame): DataFrame = {
     val t = engine.load(ref)
     val store = storeOf(t)
-    // components of retired MEMBER docs (their own stored rows)
-    val retiredRows = store
-      .filter(col("doc_id").isin(retired: _*)).localCheckpoint()
-    val memberComps = retiredRows.select("component").distinct()
-      .collect().map(_.getLong(0))
+    // components of retired MEMBER docs (their own stored rows): the
+    // pushed-down literal reaches the parquet scan for bounded sets; a
+    // corpus-scale set probes through a broadcast semi-join instead
+    val retiredRows = (lits match {
+      case Some(seq) => store.filter(col("doc_id").isin(seq: _*))
+      case None => store.join(broadcast(rids), Seq("doc_id"), "left_semi")
+    }).localCheckpoint()
     // all affected components' stored rows: members of those comps PLUS
     // rows labeled by a retired id (a retired LABEL's own row is
     // implicitly trivial — its members' rows are what the pruned read
     // finds). One bucket-pruned read covers both label sets.
-    val affectedLabels = (memberComps ++ retired).distinct
-    val affectedRows = relabelRows(affectedLabels.toIndexedSeq, t)
-      .filter(col("component").isin(affectedLabels: _*))
-      .localCheckpoint()
+    val affectedRows = (lits match {
+      case Some(seq) =>
+        val memberComps = retiredRows.select("component").distinct()
+          .collect().map(_.getLong(0))
+        val affectedLabels = (memberComps ++ seq).distinct.toIndexedSeq
+        relabelRows(affectedLabels, t)
+          .filter(col("component").isin(affectedLabels: _*))
+      case None =>
+        val labels = retiredRows.select(col("component").as("doc_id"))
+          .union(rids).distinct().localCheckpoint()
+        relabelRowsDf(labels, t)
+          .join(broadcast(labels.select(col("doc_id").as("component"))),
+            Seq("component"), "left_semi")
+    }).localCheckpoint()
     // remaining members: stored members plus the (implicit) label docs
     // themselves, minus everything retired. (retiredRows ⊆ affectedRows
     // — both read off the same pinned table and memberComps ⊆
     // affectedLabels — so its labels are already covered here.)
-    val remaining = affectedRows.select("doc_id")
+    val remaining0 = affectedRows.select("doc_id")
       .union(affectedRows.select(col("component").as("doc_id")))
       .distinct()
-      .filter(!col("doc_id").isin(retired: _*))
-      .localCheckpoint()
+    val remaining = (lits match {
+      case Some(seq) => remaining0.filter(!col("doc_id").isin(seq: _*))
+      case None => remaining0.join(broadcast(rids), Seq("doc_id"), "left_anti")
+    }).localCheckpoint()
     // residual candidate pairs among the remaining members only —
     // restricted defensively so a generous provider cannot leak edges
     // to retired or unaffected docs
@@ -252,4 +342,22 @@ final class ComponentIndex(
     * layout is preserved by the rewrite). */
   def compact(smallBytes: Long = 32L * 1024 * 1024): Option[graft.meta.TableWriter.CommitResult] =
     engine.rewriteSmallFiles(ref, smallBytes = smallBytes)
+}
+
+object ComponentIndex {
+  /** Bounded rerun on [[graft.meta.CommitConflictException]] — the whole
+    * BODY re-executes (reload, re-derive, re-commit), never just the
+    * commit. */
+  private[ops] def retryOnConflict[A](maxAttempts: Int)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: graft.meta.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -463,6 +463,28 @@ object Dedup {
     relabeled.unionByName(newRows).unionByName(ownRows)
   }
 
+  /** The literal-vs-join threshold probe shared by the incremental-fold
+    * and retire surfaces ([[incrementalComponents]]' `resolveInMaxIds`
+    * idiom, extracted): collect at most `maxIds` ids from `ids` in ONE
+    * job — `Some(ids)` when the whole set fits (safe to burn into a
+    * pushed-down `isin` literal), `None` when it doesn't (the caller
+    * must switch to a broadcast semi/anti-join; a corpus-scale id set
+    * must never become a driver-side literal plan). Same clamp +
+    * non-exhaustion guard as the BPE size probe
+    * ([[Bpe.trackedTierFits]]). `maxIds <= 0` disables the literal path
+    * outright. */
+  private[graft] def literalIds(
+      ids: DataFrame, maxIds: Int): Option[IndexedSeq[Long]] = {
+    if (maxIds <= 0) return None
+    val lim =
+      if (maxIds >= Int.MaxValue - 1) Int.MaxValue - 1
+      else maxIds + 1
+    val probe = ids.limit(lim).collect().map(_.getLong(0))
+    if (Bpe.trackedTierFits(probe.length, lim, maxIds.toLong))
+      Some(probe.toIndexedSeq)
+    else None
+  }
+
   /** Salt count for [[connectedComponents]]' hub guard: 1 (no salting)
     * until the max degree crosses the threshold, then one salt per
     * threshold-worth of edges, capped at 32 (beyond that the S× label

@@ -184,18 +184,27 @@ final class NearDupIndex(
   def retire(retired: Seq[Long]): graft.meta.TableWriter.CommitResult = {
     val spark2 = engine.spark
     import spark2.implicits._
+    retire(retired.toDF("doc_id"))
+  }
+
+  /** [[retire]] with the retired ids as a DataFrame (`doc_id` column) —
+    * the corpus-scale form: a compliance batch of millions of ids never
+    * becomes a driver-side literal (the equality-delete keys distribute
+    * through the commit like any other frame). */
+  def retire(retired: DataFrame): graft.meta.TableWriter.CommitResult = {
     val empty = engine.spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
-    engine.rowDelta(ref, empty, Seq("doc_id"), retired.toDF("doc_id"))
+    engine.rowDelta(ref, empty, Seq("doc_id"), retired.select("doc_id"))
   }
 
   /** Residual candidate pairs among `ids` — the canonical `pairsAmong`
     * provider for [[ComponentIndex.retire]] over a CORPUS ledger: the
     * docs' OWN band signatures, read back from this index through the
-    * file-stats prune ([[ScanPlanner.readTableWhere]] on the ids' span
-    * — per-admit files carry tight doc_id bounds, so the scan skips
-    * files outside the range instead of planning every live file),
-    * self-collide within band buckets. `ids` is
+    * file-stats POINT-SET prune ([[ScanPlanner.readTableWhereInSet]] —
+    * per-admit files carry tight doc_id bounds, so a file is opened only
+    * if it may hold one of THESE ids; a span prune over a scattered
+    * retire set would degrade to reading nearly every live file between
+    * min and max), self-collide within band buckets. `ids` is
     * affected-component-bounded (the retire contract), so the driver
     * collect is safe. Call AFTER [[retire]]-ing the deleted docs here,
     * or their ghosts re-enter the residual graph.
@@ -214,9 +223,8 @@ final class NearDupIndex(
     val sigs =
       if (idSeq.isEmpty)
         engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else ScanPlanner.readTableWhere(engine.spark, engine.load(ref),
-          "doc_id", Some(idSeq.min.toDouble), Some(idSeq.max.toDouble))
-        .filter(col("doc_id").isin(idSeq: _*))
+      else ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
+          "doc_id", idSeq)
         .localCheckpoint()
     Dedup.bandCollisionPairs(sigs, sigs)
       .filter(col("doc_id") =!= col("corpus_doc_id"))

@@ -471,4 +471,53 @@ object ScanPlanner {
     }
     df.filter(resid)
   }
+
+  /** Read the data pruned to `column ∈ points` through the files' COLUMN
+    * BOUNDS: a file is opened iff some point falls inside its
+    * `[lower, upper]` range (missing bounds keep it — conservative) —
+    * the point-SET twin of [[readTableWhere]]'s single span. A SCATTERED
+    * point set (the nature of retire/compliance id sets) no longer drags
+    * in every file between its min and max: each file answers "does it
+    * hold ANY of these values", not "does it overlap the global span".
+    * The bound test is one literal ARRAY probed per file-metadata row
+    * (`exists` over the sorted points — metadata-scale work, never a
+    * per-data-row predicate), and the exact IN predicate is re-applied
+    * row-level, so the result equals the unpruned filtered read. The
+    * caller's contract is a BOUNDED point set (affected-component /
+    * batch scale); corpus-scale sets belong on a join, not a point
+    * prune. */
+  def readTableWhereInSet(
+      spark: SparkSession,
+      t: IcebergTable,
+      column: String,
+      points: Seq[Long],
+      snapshotId: Option[Long] = None): DataFrame = {
+    require(points.nonEmpty, "readTableWhereInSet needs at least one point")
+    val field = t.metadata.currentSchema.fields.find(_.name == column)
+      .getOrElse(throw new NoSuchElementException(
+        s"column $column not in current schema"))
+    val fid = field.id
+    val decLo = IcebergDecode.decodeNum(lit(field.fieldType), col("lower_bounds")(fid))
+    val decHi = IcebergDecode.decodeNum(lit(field.fieldType), col("upper_bounds")(fid))
+    val sorted = points.distinct.sorted
+    val arr = array(sorted.map(lit(_)): _*)
+    // conservative: missing bounds keep the file; otherwise it survives
+    // iff at least one point lies inside its recorded range
+    val keep = decLo.isNull || decHi.isNull ||
+      exists(arr, p => p >= decLo && p <= decHi)
+    val pruned = graft.rel.MetaRelations.files(spark, t, snapshotId)
+      .filter(keep).select("file_path")
+      // metadata-scale collect: the surviving PATH LIST parameterizes
+      // the scan, exactly like readTableWhere
+      .collect().map(r => t.resolvePath(r.getString(0)))
+    if (pruned.isEmpty) {
+      // every file pruned: EMPTY with the table's schema, scan nothing
+      val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot has no data files under ${t.tableDir}"))
+      scanFiles(spark, t, Seq(any)).filter(lit(false))
+    } else
+      readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
+        .filter(col(column).isin(sorted: _*))
+  }
 }

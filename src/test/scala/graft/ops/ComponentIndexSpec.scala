@@ -188,6 +188,71 @@ class ComponentIndexSpec extends SparkSpec {
     assert(idx.assignments.filter(col("doc_id") === col("component")).count() == 0L)
   }
 
+  test("retire join path (threshold 0) lands the identical table state " +
+      "as the literal path") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxthr").toString
+    val e = new Engine(spark, wh)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L),
+      (10L, 11L), (20L, 21L), (2L, 20L))
+    val retired = Seq(2L, 10L)
+    val survivors = pairs.filter(p =>
+      !retired.contains(p._1) && !retired.contains(p._2))
+    def provider(ids: org.apache.spark.sql.DataFrame) = {
+      val s = ids.collect().map(_.getLong(0)).toSet
+      survivors.filter(p => s(p._1) && s(p._2)).toDF("a_id", "b_id")
+    }
+    def build(ref: String) = {
+      val idx = new ComponentIndex(e, ref, nBuckets = 8)
+      idx.create(); idx.bootstrap(pairs.toDF("a_id", "b_id")); idx
+    }
+    val lit = build("ns.thr_lit")
+    val jn = build("ns.thr_join")
+    // literal path (defaults: 2 ids << threshold) vs FORCED join path
+    val outLit = asMap(lit.retire(retired, provider))
+    val outJoin = asMap(jn.retire(retired.toDF("doc_id"), provider,
+      inMaxIds = 0))
+    assert(outLit == outJoin, s"literal $outLit vs join $outJoin")
+    assert(asMap(lit.assignments) == asMap(jn.assignments))
+    // both equal the from-scratch closure over the surviving pairs
+    assert(asMap(jn.assignments) ==
+      asMap(Dedup.connectedComponents(survivors.toDF("a_id", "b_id")))
+        .filter { case (k, v) => k != v })
+  }
+
+  test("foldWithRetry: two concurrent folds both land — the loser's CAS " +
+      "conflict reruns off the winner's snapshot") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compidxcas").toString
+    val e = new Engine(spark, wh)
+    val idx = new ComponentIndex(e, "ns.cas_comps", nBuckets = 8)
+    idx.create()
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    idx.bootstrap(base.toDF("a_id", "b_id"))
+    // both folds touch standing components, so whichever lands second
+    // off the shared pinned snapshot MUST re-derive (an unconditional
+    // rebase would erase the winner's relabels)
+    val e1 = Seq((2L, 10L))
+    val e2 = Seq((11L, 20L))
+    val df1 = e1.toDF("a_id", "b_id")
+    val df2 = e2.toDF("a_id", "b_id")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def submit(df: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { gate.await(); idx.foldWithRetry(df); () }
+      })
+    val f1 = submit(df1)
+    val f2 = submit(df2)
+    f1.get(); f2.get(); pool.shutdown()
+    // final ledger = the from-scratch closure over BOTH edge sets
+    assert(asMap(idx.assignments) ==
+      asMap(Dedup.connectedComponents((base ++ e1 ++ e2).toDF("a_id", "b_id")))
+        .filter { case (k, v) => k != v })
+  }
+
   test("gate-ledger retire needs a DOCS-based pair provider: rejected " +
       "docs' provenance survives component surgery") {
     val s2 = spark

@@ -274,4 +274,41 @@ class NearDupIndexSpec extends SparkSpec {
       assert(hits == Seq((1L, 100L)))
     } finally q.stop()
   }
+
+  test("pairsAmong point-prunes to the ids' own files — far-apart ids " +
+      "skip the admits between them, pairs unchanged") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ndidxpa").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.pa_idx")
+    idx.create()
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "sphinx of black quartz judge my vow tonight folks"
+    // three commits at far-apart id ranges: per-commit files carry tight
+    // doc_id bounds — 1-2, then 500, then 1000-1001
+    idx.bootstrap(Seq((1L, textA), (2L, textA)).toDF("doc_id", "text"))
+    idx.admit(Seq((500L, textB)).toDF("doc_id", "text"))
+    idx.admit(Seq((1000L, textC), (1001L, textC)).toDF("doc_id", "text"))
+
+    // a retire-shaped scattered id set: {1, 2, 1000, 1001} — the SPAN
+    // [1, 1001] covers doc 500's file, the point set must not read it
+    val ids = Seq(1L, 2L, 1000L, 1001L)
+    val t = e.load("ns.pa_idx")
+    val pts = ScanPlanner.readTableWhereInSet(spark, t, "doc_id", ids)
+    val span = ScanPlanner.readTableWhere(spark, t, "doc_id",
+      Some(1.0), Some(1001.0))
+    assert(pts.inputFiles.length < span.inputFiles.length,
+      s"points ${pts.inputFiles.length} vs span ${span.inputFiles.length}")
+    assert(pts.select("doc_id").distinct().as[Long].collect().toSet ==
+      ids.toSet)
+
+    // the provider's RESULT is unchanged by the prune: exactly the two
+    // dup pairs among the requested ids, nothing touching doc 500
+    val pairs = idx.pairsAmong(ids.toDF("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) } ==
+      Set((1L, 2L), (1000L, 1001L)), pairs)
+  }
 }

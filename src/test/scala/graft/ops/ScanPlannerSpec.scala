@@ -172,4 +172,35 @@ class ScanPlannerSpec extends SparkSpec {
         == expected)
     } finally spark.conf.unset("spark.graft.eqDeleteSeqLiteralMaxFiles")
   }
+
+  test("point-set pruning opens only the files holding the points; the " +
+      "span prune drags in the gap between them") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-ptset-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.pts", new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType))
+    // four appends with tight, disjoint id ranges — each file's bounds
+    // cover only its own range
+    Seq(0L until 10L, 100L until 110L, 200L until 210L, 300L until 310L)
+      .foreach(r => e.append("ns.pts", r.map(i => (i, i * 2L)).toDF("id", "v")))
+    val t = e.load("ns.pts")
+
+    // two far-apart points: the SPAN [5, 305] overlaps every range (the
+    // scattered-retire degradation), the point SET hits only two
+    val span = ScanPlanner.readTableWhere(spark, t, "id", Some(5.0), Some(305.0))
+    val pts = ScanPlanner.readTableWhereInSet(spark, t, "id", Seq(305L, 5L))
+    assert(pts.as[(Long, Long)].collect().toSet == Set((5L, 10L), (305L, 610L)))
+    assert(span.inputFiles.length > pts.inputFiles.length,
+      s"span ${span.inputFiles.length} vs points ${pts.inputFiles.length}")
+    // the point scan reads no file from the 100s/200s ranges at all
+    val mid = ScanPlanner.readTableWhere(spark, t, "id", Some(100.0), Some(210.0))
+    assert(pts.inputFiles.toSet.intersect(mid.inputFiles.toSet).isEmpty)
+
+    // every point outside all bounds: empty result, schema intact
+    val none = ScanPlanner.readTableWhereInSet(spark, t, "id", Seq(99999L))
+    assert(none.count() == 0L && none.columns.sameElements(Array("id", "v")))
+  }
 }
