@@ -36,6 +36,15 @@ object Engine {
     val cat = graft.meta.Catalogs.forConfig(cfg)
     new Engine(spark, cfg.warehouse.getOrElse(""), cat)
   }
+
+  /** What [[Engine.forget]] touched: the corpus table it deleted from
+    * (when given), whether the gate / ANN index were retired, and the
+    * ledger's re-clustered surviving members (lazy, affected-bounded). */
+  final case class ForgetResult(
+      corpusDeleted: Option[String],
+      gateRetired: Boolean,
+      ledgerRemaining: Option[DataFrame],
+      annRetired: Boolean)
 }
 
 final class Engine(val spark: SparkSession, warehouseDir: String,
@@ -476,6 +485,80 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       expectedCurrentSnapshotId: Option[Long] = None): graft.meta.TableWriter.CommitResult =
     graft.meta.TableWriter.rowDelta(spark, tableDir(ref), df, keyCols,
       deleteKeys, expectedCurrentSnapshotId)
+
+  /** FORGET documents — ONE verb for corpus deletion /
+    * right-to-be-forgotten across every piece of standing state, in the
+    * REQUIRED order (previously only a doc-comment contract scattered
+    * over the retire methods; a caller sequencing them by hand and
+    * retiring the ledger before the gate gets residual pairs polluted
+    * by the deleted docs' ghost signatures):
+    *
+    *   1. `corpusRef` rows drop — one keyed equality-delete commit
+    *      (merge-on-read, scale-safe for id frames of any size; the
+    *      delete keys distribute like any other frame);
+    *   2. the near-dup GATE's band signatures drop
+    *      ([[graft.ops.NearDupIndex.retire]]) — future probes stop
+    *      colliding with ghosts, and the gate's `pairsAmong` stops
+    *      seeing retired docs' edges, which step 3 depends on;
+    *   3. the component LEDGER's affected components re-cluster over
+    *      residual pairs ([[graft.ops.ComponentIndex.retireWithRetry]] —
+    *      splits fall out, equal to the from-scratch closure over the
+    *      survivors); the provider defaults to the retired gate's
+    *      `pairsAmong` (valid for CORPUS ledgers). For a GATE-COMPOSED
+    *      ledger (rejected docs hold provenance rows but no gate
+    *      signatures) pass `ledgerPairs =
+    *      Some(Dedup.pairsFromDocs(docs))` — the gate's own provider
+    *      would silently degrade rejected docs to singletons;
+    *   4. the ANN index stops serving the vectors
+    *      ([[graft.ops.AnnIndex.retire]]; quantizer untouched).
+    *
+    * Every step is one commit on its own table; steps for absent state
+    * are skipped. `ids` is a one-column frame named `idColumn`. Returns
+    * what happened per surface; `ledgerRemaining` is the re-clustered
+    * post-retire assignment of the affected components' surviving
+    * members (lazy, affected-bounded). */
+  def forget(
+      ids: DataFrame,
+      corpusRef: Option[String] = None,
+      gate: Option[graft.ops.NearDupIndex] = None,
+      ledger: Option[graft.ops.ComponentIndex] = None,
+      annIndex: Option[graft.ops.AnnIndex] = None,
+      ledgerPairs: Option[DataFrame => DataFrame] = None,
+      idColumn: String = "doc_id"): Engine.ForgetResult = {
+    require(ledger.isEmpty || ledgerPairs.nonEmpty || gate.nonEmpty,
+      "forget: a component ledger needs residual pairs — pass a gate " +
+        "(corpus ledger) or ledgerPairs = Dedup.pairsFromDocs(docs) " +
+        "(gate-composed ledger)")
+    val rids = ids.select(col(idColumn).as("doc_id")).distinct()
+      .localCheckpoint()
+    val corpusDeleted = corpusRef.map { ref =>
+      rowDelta(ref, readTable(ref).limit(0), Seq(idColumn),
+        rids.select(col("doc_id").as(idColumn)))
+      ref
+    }
+    gate.foreach(_.retire(rids))
+    val ledgerRemaining = ledger.map { l =>
+      val provider = ledgerPairs
+        .getOrElse((members: DataFrame) => gate.get.pairsAmong(members))
+      l.retireWithRetry(rids, provider)
+    }
+    annIndex.foreach(_.retire(rids.select(col("doc_id").as("vec_id"))))
+    Engine.ForgetResult(corpusDeleted, gate.nonEmpty, ledgerRemaining,
+      annIndex.nonEmpty)
+  }
+
+  /** [[forget]] with driver-known ids. */
+  def forget(ids: Seq[Long], corpusRef: Option[String],
+      gate: Option[graft.ops.NearDupIndex],
+      ledger: Option[graft.ops.ComponentIndex],
+      annIndex: Option[graft.ops.AnnIndex],
+      ledgerPairs: Option[DataFrame => DataFrame],
+      idColumn: String): Engine.ForgetResult = {
+    val s2 = spark
+    import s2.implicits._
+    forget(ids.toDF("doc_id").select(col("doc_id").as(idColumn)),
+      corpusRef, gate, ledger, annIndex, ledgerPairs, idColumn)
+  }
 
   /** Bootstrap an empty table (engine-native `CREATE TABLE`;
     * [[graft.meta.TableCreator]]). `partitionDecls` use the transform

@@ -463,6 +463,26 @@ object Dedup {
     relabeled.unionByName(newRows).unionByName(ownRows)
   }
 
+  /** Residual-pair provider for [[ComponentIndex.retire]] built from the
+    * RAW document store — the required form for a GATE-COMPOSED ledger
+    * ([[NearDupIndex.admitStream]]'s `components`), where REJECTED docs
+    * hold provenance rows but their signatures were never appended to
+    * the gate index, so [[NearDupIndex.pairsAmong]] cannot see their
+    * edges and a retire would silently degrade them to singletons. The
+    * returned provider re-derives band signatures for exactly the
+    * affected remaining members (`docs` semi-joined to the requested
+    * ids — batch-bounded) and self-collides them within band buckets.
+    * Works for corpus ledgers too (same closure), at the cost of
+    * re-hashing the affected docs' text. */
+  def pairsFromDocs(docs: DataFrame, numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame => DataFrame = ids => {
+    val s = bandSignatures(docs.join(ids, Seq("doc_id"), "left_semi"),
+      numPerm, rowsPerBand).localCheckpoint()
+    bandCollisionPairs(s, s)
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))
+  }
+
   /** The literal-vs-join threshold probe shared by the incremental-fold
     * and retire surfaces ([[incrementalComponents]]' `resolveInMaxIds`
     * idiom, extracted): collect at most `maxIds` ids from `ids` in ONE

@@ -30,7 +30,9 @@ import graft.api.{Engine, Errors}
   *      | rollback T snapshotId | orphans T [--remove]
   *      | bpe docsParquet [nMerges] | winnow-removal docsParquet [minDocs]
   *      | dedup-gate T shardParquet [--admit [--intra]]
-  *      | comp-fold T edgesParquet [--bootstrap] | comp-retire T G ids
+  *      | comp-fold T edgesParquet [--bootstrap]
+  *      | comp-retire T G ids [--docs docsParquet]
+  *      | forget T ids [--gate G] [--ledger L] [--ann A] [--docs P]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -346,18 +348,68 @@ object Cli {
               s"${idx.assignments.count()} non-trivial memberships")
           } else emit(idx.fold(edges))
         case "comp-retire" =>
-          // comp-retire <ns.comps> <ns.nd_index> <id,id,...> — corpus
-          // deletion: drop the docs' band signatures from the gate
-          // index (ghost-free future probes), then re-cluster exactly
-          // the affected ledger components over the residual pairs the
-          // surviving signatures still produce
+          // comp-retire <ns.comps> <ns.nd_index> <id,id,...>
+          //             [--docs docs.parquet] — corpus deletion: drop
+          // the docs' band signatures from the gate index (ghost-free
+          // future probes), then re-cluster exactly the affected ledger
+          // components over the residual pairs. Without --docs the
+          // residual pairs come from the gate's surviving signatures —
+          // VALID ONLY for a corpus ledger (every ledger doc admitted).
+          // A GATE-COMPOSED ledger (admitStream components=...) also
+          // holds REJECTED docs whose signatures were never appended;
+          // for those pass --docs with the raw document store so their
+          // provenance edges survive the surgery.
           val comps = new graft.ops.ComponentIndex(engine, vargs(0))
           val gate = new graft.ops.NearDupIndex(engine, vargs(1))
           val ids = vargs(2).split(",").map(_.trim.toLong).toSeq
+          val pairs = vargs.lift(4) match {
+            case Some(p) if vargs.lift(3).contains("--docs") =>
+              graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p)
+                .filter(!org.apache.spark.sql.functions.col("doc_id")
+                  .isin(ids: _*)),
+                gate.numPerm, gate.rowsPerBand)
+            case _ => gate.pairsAmong _
+          }
           gate.retire(ids)
-          val out = comps.retire(ids, gate.pairsAmong)
+          val out = comps.retire(ids, pairs)
           println(s"retired ${ids.length} docs from ${vargs(1)} and " +
             s"${vargs(0)}; ${out.count()} remaining members re-clustered")
+        case "forget" =>
+          // forget <ns.corpus|-> <id,...|ids.parquet> [--gate T]
+          //        [--ledger T] [--ann T] [--docs docs.parquet]
+          //        [--id-col c] — right-to-be-forgotten in ONE verb:
+          // corpus rows, gate signatures, ledger components (re-
+          // clustered), ANN vectors — in the required order. `-` skips
+          // the corpus table; --docs selects the docs-based residual
+          // pair provider a GATE-COMPOSED ledger needs.
+          val s2 = spark
+          import s2.implicits._
+          val flagged = vargs.drop(2).grouped(2).collect {
+            case Array(f, v) if f.startsWith("--") => f -> v
+          }.toMap
+          val arg = vargs(1)
+          val ids: DataFrame =
+            if (arg.exists(c => c == '/' || c == '.') && !arg.matches("[0-9,]+"))
+              spark.read.parquet(arg)
+            else arg.split(",").map(_.trim.toLong).toSeq.toDF(
+              flagged.getOrElse("--id-col", "doc_id"))
+          val gate = flagged.get("--gate")
+            .map(new graft.ops.NearDupIndex(engine, _))
+          val pairs = flagged.get("--docs").map(p =>
+            graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p)))
+          val r = engine.forget(ids,
+            corpusRef = Some(vargs(0)).filter(_ != "-"),
+            gate = gate,
+            ledger = flagged.get("--ledger")
+              .map(new graft.ops.ComponentIndex(engine, _)),
+            annIndex = flagged.get("--ann")
+              .map(new graft.ops.AnnIndex(engine, _)),
+            ledgerPairs = pairs,
+            idColumn = flagged.getOrElse("--id-col", "doc_id"))
+          println("forgot: corpus=" + r.corpusDeleted.getOrElse("(skipped)") +
+            s" gate=${r.gateRetired}" +
+            s" ledger=${r.ledgerRemaining.map(_.count()).getOrElse(-1L)}" +
+            s" ann=${r.annRetired}")
         case "ann-index" =>
           // ann-index <ns.idx> <embeddings.parquet> [k] [pqM] [pqK] —
           // create and bootstrap the persisted ANN index from a corpus:
@@ -462,6 +514,6 @@ object Cli {
       "       create-table zorder delete-where update-where widen-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
-      "       ann-rebuild ann-retire\n" +
+      "       ann-rebuild ann-retire forget\n" +
       "       stage-parquet publish advise tui init")
 }

@@ -119,6 +119,45 @@ class SkewAndCliSpec extends SparkSpec {
       .assignments.count() == 0L)
   }
 
+  test("round-14 CLI verb: forget — one ordered retire across corpus, " +
+      "gate, ledger, and ANN index") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-cli-wh14").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/lake"))
+    val e = new graft.api.Engine(spark, wh)
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val docs = Seq((1L, textA), (2L, textA), (3L, textB))
+      .toDF("doc_id", "text")
+    e.createTable("lake.corpus", docs.schema)
+    e.append("lake.corpus", docs)
+    val gate = new graft.ops.NearDupIndex(e, "lake.f_gate")
+    gate.create(); gate.bootstrap(docs)
+    val comps = new graft.ops.ComponentIndex(e, "lake.f_comps")
+    comps.create(); comps.bootstrap(gate.pairsAmong(docs.select("doc_id")))
+    val ann = new graft.ops.AnnIndex(e, "lake.f_ann", kClusters = 2)
+    ann.create()
+    ann.bootstrap(Seq(
+      AnnIndexSpec.Vec(1L, 0, Seq(1f, 0f)),
+      AnnIndexSpec.Vec(2L, 0, Seq(0.9f, 0.1f)),
+      AnnIndexSpec.Vec(3L, 1, Seq(0f, 1f))).toDF())
+
+    assert(Cli.run(Array(wh, "forget", "lake.corpus", "2,3",
+      "--gate", "lake.f_gate", "--ledger", "lake.f_comps",
+      "--ann", "lake.f_ann")) == 0)
+    assert(e.readTable("lake.corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(gate.check(Seq((99L, textB)).toDF("doc_id", "text")).count() == 0L)
+    assert(comps.assignments.count() == 0L)
+    assert(e.readTable("lake.f_ann").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // a ledger with no gate and no --docs is a usage-level refusal
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--ledger", "lake.f_comps")) == 1)
+  }
+
   test("tui verb drives the interactive UI and exits cleanly on stdin EOF") {
     val wh = Files.createTempDirectory("graft-cli-tui").toString
     FixtureWriter.writeDemo(spark, wh)
