@@ -161,6 +161,34 @@ object Bench {
         // and the fold's cost model (batch-bounded re-cluster + pruned
         // relabel + one commit) is what this timing is FOR
         val newDoc = (c: org.apache.spark.sql.Column) => c % 50 === 0
+        // FOLD-VS-GLOBAL CROSSOVER fixture: the fold pays fixed commit +
+        // pinned-load overhead that only amortizes when the corpus
+        // dwarfs the batch — at this sf's corpus-to-batch ratio the
+        // from-scratch path can win (d_components vs d_components_fold;
+        // README documents the caveat). The 25× corpus shows the regime
+        // the ledger exists for: maintaining dup groups WITHOUT the
+        // ledger means re-running candidate generation over the WHOLE
+        // corpus plus a global CC on every ingest batch — that is what
+        // d_components_global_25x times — while the fold's cost is
+        // batch-bounded regardless of corpus size. Replica texts are
+        // decorrelated (every token suffixed with the replica digit) so
+        // replicas share no shingles and the dup structure is 10
+        // disjoint copies, not a 10-wide merge; the id shift is a
+        // multiple of 50 so the newDoc batch classes are preserved.
+        // Ledger bootstrap (the ONE-TIME global run) is untimed.
+        val docs25 = (0 until 25).map(k => docs.select(
+            (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1$k").as("text")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val pairs25 = graft.ops.Dedup.minhashCandidates(spark, docs25)
+          .localCheckpoint()
+        val inBatch25 = (newDoc(col("a_id")) || newDoc(col("b_id"))) &&
+          col("a_id") < 100000000L && col("b_id") < 100000000L
+        val batch25 = pairs25.filter(inBatch25).localCheckpoint()
+        val compIdx25 = new graft.ops.ComponentIndex(
+          compEngine, "bench.comps25")
+        compIdx25.create()
+        compIdx25.bootstrap(pairs25.filter(!inBatch25))
         Seq(
           timed("d_ann_bootstrap") {
             annIdx.create(); annIdx.bootstrap(emb); ()
@@ -205,6 +233,18 @@ object Bench {
                 .join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
                 .filter(!gone(col("a_id")) && !gone(col("b_id"))))
               .count()
+          },
+          // the crossover pair: same batch, 25× corpus — the ledger-less
+          // regime re-runs candidate generation over the whole corpus +
+          // a global CC per ingest batch; the fold is batch-bounded
+          timed("d_components_global_25x") {
+            graft.ops.Dedup.connectedComponents(
+                graft.ops.Dedup.minhashCandidates(spark, docs25),
+                driverThreshold = 0L)
+              .groupBy("component").agg(count(lit(1))).count()
+          },
+          timed("d_components_fold_25x") {
+            compIdx25.fold(batch25).count()
           },
           timed("d_perceptron") {
             graft.ops.Selection.trainQualityPerceptron(

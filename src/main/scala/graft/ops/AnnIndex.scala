@@ -366,9 +366,29 @@ final class AnnIndex(
     * (at-least-once for the caller) and appends nothing; its own index
     * row never flags it (the `c_id != vec_id` filter), and a NEW vector
     * reusing an indexed id lands in a different cluster or norm and is
-    * gated normally. */
+    * gated normally.
+    *
+    * `components`, when given, maintains the persisted dup-cluster
+    * assignment alongside the gate — the SEMANTIC twin of
+    * [[NearDupIndex.admitStream]]'s ledger composition: each batch's
+    * COMPLETE cosine collision pair set (every `(vec, indexed
+    * neighbor)` at or above the threshold — not just one flag per
+    * vector, so a vector bridging two standing components merges them)
+    * folds into the [[ComponentIndex]], so rejected vectors keep a
+    * provenance row and transitive semantic-dup chains close ACROSS
+    * batches. Redelivery is an idempotent no-op (absorbed pairs fold to
+    * an empty delta — no commit), and collision-free batches never load
+    * the ledger table. BLIND SPOT, same as the minhash gate's batch
+    * contract: two mutual near-dup vectors arriving in the SAME batch
+    * are both admitted and (with `dedupWithinBatch = false`) their edge
+    * is batch-internal — it is NOT folded here (the pair set is
+    * batch-vs-index); with `dedupWithinBatch = true` the intra-batch
+    * loser never reaches the gate at all. The ledger is therefore the
+    * closure over everything the GATE saw, not a from-scratch closure
+    * over all pairwise cosines. */
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
-      dedupWithinBatch: Boolean = false): DataFrame = {
+      dedupWithinBatch: Boolean = false,
+      components: Option[ComponentIndex] = None): DataFrame = {
     val (pinnedT, cents, cbs) = pinned
     // FUSED driver plumbing (the gate fronts micro-batch streams, where
     // fixed per-job driver overhead dominates small batches): exactly
@@ -414,12 +434,28 @@ final class AnnIndex(
       // distinct: the flag attaches via a LEFT join below, so a batch
       // that carries duplicate vec_id rows must not multiply survivors
       .distinct()
-    val flagged = assigned.join(cands, Seq("cluster"))
+    // the batch-vs-index cosine collision join, shared by both shapes
+    def collisions = assigned.join(cands, Seq("cluster"))
       .filter(col("c_id") =!= col("vec_id"))
       .filter(Similarity.cosineFromNorms(
         "c_emb", "embedding", "c_norm", "v_norm") >= threshold)
-      .select("vec_id").distinct()
-      .join(selfIndexed, Seq("vec_id"), "left_anti") // redelivery ≠ dup
+    // with a component ledger attached, the fold needs the FULL pair
+    // structure (a vector bridging two standing components must merge
+    // them — a per-vector flag loses that edge), and it feeds both the
+    // gate and the fold — materialize once and derive the flag set from
+    // it. Without a ledger keep the original lazy single-consumer shape
+    // (and its pinned 3-job census).
+    val collisionPairs = components.map { _ =>
+      collisions.select("vec_id", "c_id").distinct()
+        .join(selfIndexed, Seq("vec_id"), "left_anti") // redelivery ≠ dup
+        .localCheckpoint()
+    }
+    val flagged = collisionPairs match {
+      case Some(pairs) => pairs.select("vec_id").distinct()
+      case None => collisions
+        .select("vec_id").distinct()
+        .join(selfIndexed, Seq("vec_id"), "left_anti") // redelivery ≠ dup
+    }
     // job 2 — one eager checkpoint carries the survivor rows AND their
     // redelivery flag, so the fresh-rows split below never re-runs the
     // collision join
@@ -432,6 +468,15 @@ final class AnnIndex(
     val fresh = flaggedSurv.filter(!col("__gr_self")).drop("__gr_self")
     // job 3 — emptiness probe on the checkpointed rows (limit-1 scan)
     if (!fresh.isEmpty) { engine.append(ref, fresh); () }
+    // dup-cluster ledger: fold this batch's COMPLETE cosine collision
+    // pair set into the persisted assignment (idempotent across
+    // redeliveries; skipped entirely — no table load — when the batch
+    // had no collisions)
+    components.zip(collisionPairs).foreach { case (comps, pairs) =>
+      if (!pairs.isEmpty)
+        comps.fold(pairs.select(col("vec_id").as("a_id"),
+          col("c_id").as("b_id")))
+    }
     assigned0.unpersist()
     cands.unpersist()
     survivors
@@ -441,16 +486,22 @@ final class AnnIndex(
     * [[admitIfNovel]] — frozen-centroid assignment, pruned-list cosine
     * probe, survivors appended in one commit and handed to
     * `onSurvivors` — so an embedding stream deduplicates semantically
-    * against an index that grows with its own admissions. */
+    * against an index that grows with its own admissions. `components`
+    * maintains the persisted dup-cluster ledger alongside the gate
+    * (see [[admitIfNovel]] — the semantic twin of
+    * [[NearDupIndex.admitStream]]'s composition, same redelivery
+    * idempotence and same intra-micro-batch blind spot). */
   def admitStream(
       vecs: DataFrame, threshold: Double, checkpointDir: String,
-      dedupWithinBatch: Boolean = false)(
+      dedupWithinBatch: Boolean = false,
+      components: Option[ComponentIndex] = None)(
       onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onSurvivors(admitIfNovel(batch, threshold, dedupWithinBatch))
+        onSurvivors(admitIfNovel(batch, threshold, dedupWithinBatch,
+          components))
       }
       .start()
 

@@ -268,11 +268,23 @@ final class NearDupIndex(
     * the component table at all. NOTE the ledger is PROVENANCE here,
     * not a corpus drop list: rejected docs never enter the corpus, so a
     * cluster's min id can be a doc that exists only in the ledger
-    * ([[ComponentIndex.dropList]] documents the distinction). */
+    * ([[ComponentIndex.dropList]] documents the distinction).
+    *
+    * INTRA-micro-batch edges: two mutual near-dups arriving in the SAME
+    * micro-batch are both ADMITTED (the gate's contract is "new vs
+    * standing index", unchanged) — but without their edge the ledger
+    * would permanently diverge from a signature-level from-scratch
+    * closure (neither doc ever collides with the index afterwards;
+    * each is already IN it). `intraBatchEdges` (default true) therefore
+    * folds the batch's internal collision pairs as well — fold-only,
+    * never flag — restricted to docs NOT already indexed, so a
+    * redelivered batch contributes nothing and idempotence holds.
+    * Set it false to record strictly what the gate REJECTED on. */
   def admitStream(
       docs: DataFrame,
       checkpointDir: String,
-      components: Option[ComponentIndex] = None)(
+      components: Option[ComponentIndex] = None,
+      intraBatchEdges: Boolean = true)(
       onSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -323,10 +335,21 @@ final class NearDupIndex(
         // dup-cluster ledger: fold this batch's COMPLETE collision pair
         // set into the persisted assignment (idempotent across
         // redeliveries; skipped entirely — no table load — when the
-        // batch had no collisions)
+        // batch had no collisions). Intra-batch edges join the FOLD
+        // only (both endpoints were admitted — the gate flag set above
+        // is untouched); both-endpoint selfIndexed restriction keeps
+        // redelivered batches contributing nothing.
         components.zip(collisionPairs).foreach { case (comps, pairs) =>
-          if (!pairs.isEmpty)
-            comps.fold(pairs.select(col("doc_id").as("a_id"),
+          val intra =
+            if (!intraBatchEdges) pairs.limit(0)
+            else Dedup.bandCollisionPairs(batchSigs, batchSigs)
+              .filter(col("doc_id") =!= col("corpus_doc_id"))
+              .join(selfIndexed, Seq("doc_id"), "left_anti")
+              .join(selfIndexed.select(col("doc_id").as("corpus_doc_id")),
+                Seq("corpus_doc_id"), "left_anti")
+          val edges = pairs.unionByName(intra)
+          if (!edges.isEmpty)
+            comps.fold(edges.select(col("doc_id").as("a_id"),
               col("corpus_doc_id").as("b_id")))
         }
         onSurvivors(survivors)

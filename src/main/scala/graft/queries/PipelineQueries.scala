@@ -148,6 +148,27 @@ object PipelineQueries {
         |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
         |FROM labels GROUP BY component ORDER BY component""".stripMargin
 
+  /** [[componentsOracleSql]] restricted to the pairs SURVIVING a corpus
+    * deletion of `doc_id % 101 == 0` — the from-scratch closure the
+    * persisted ledger's affected-component retire surgery must
+    * reproduce. */
+  private val componentsRetireOracleSql: String =
+    "WITH RECURSIVE " + minhashPairCtes + ",\n" +
+      """spairs AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  WHERE a_id % 101 <> 0 AND b_id % 101 <> 0),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM spairs
+        |  UNION ALL SELECT b_id, a_id FROM spairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+        |FROM labels GROUP BY component ORDER BY component""".stripMargin
+
   /** DuckDB oracle twin of [[Dedup.simhashCandidates]] (60-bit signature,
     * 4 pigeonhole blocks of 15 bits, maxHamming=3) over all documents. */
   private val simhashOracleSql: String = {
@@ -1471,6 +1492,41 @@ object PipelineQueries {
           .orderBy("component")
       },
       Some(componentsOracleSql)),
+
+    // CORPUS DELETION against the PERSISTED component ledger: bootstrap
+    // the assignment table from all candidate pairs, retire a ~1% doc
+    // slice through the corpus-scale JOIN path (inMaxIds = 0 — the
+    // broadcast semi/anti-join form a compliance batch of millions
+    // takes), and the post-surgery ledger must equal the from-scratch
+    // closure over the SURVIVING pairs (splits included). Output
+    // reconstructs implicit labels from the sparse store.
+    Q("q_components_retire",
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(s, documents(s, d))
+          .localCheckpoint()
+        val wh = java.nio.file.Files
+          .createTempDirectory("q_comp_retire").toString
+        val e = new graft.api.Engine(s, wh)
+        val idx = new graft.ops.ComponentIndex(e, "q.retire_comps")
+        idx.create(); idx.bootstrap(pairs)
+        val gone = (c: org.apache.spark.sql.Column) => c % 101 === 0
+        val retired = pairs.select(col("a_id").as("doc_id"))
+          .union(pairs.select(col("b_id").as("doc_id")))
+          .filter(gone(col("doc_id"))).distinct()
+        idx.retire(retired, ids =>
+          pairs
+            .join(ids.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+            .join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+            .filter(!gone(col("a_id")) && !gone(col("b_id"))),
+          inMaxIds = 0)
+        val a = idx.assignments.localCheckpoint()
+        a.unionByName(a.select(col("component").as("doc_id"),
+            col("component")).distinct())
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+          .orderBy("component")
+      },
+      Some(componentsRetireOracleSql)),
 
     // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",

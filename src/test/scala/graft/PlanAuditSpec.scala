@@ -587,6 +587,54 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("join-path retire (threshold 0): retired-id filters run as " +
+      "broadcast joins, no literal id plans, no cartesian in any job") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("retplan").toString
+    val e = new graft.api.Engine(spark, wh)
+    val idx = new graft.ops.ComponentIndex(e, "ns.rp_comps", nBuckets = 8)
+    idx.create()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    idx.bootstrap(pairs.toDF("a_id", "b_id"))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = idx.retire(Seq(2L).toDF("doc_id"), ids => {
+        val s = ids.collect().map(_.getLong(0)).toSet
+        pairs.filter(p => s(p._1) && s(p._2) && p._1 != 2L && p._2 != 2L)
+          .toDF("a_id", "b_id")
+      }, inMaxIds = 0)
+      assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 3L -> 3L)) // the 1-2-3 chain split at 2
+      def plans = captured.toArray(Array.empty[String]).toSeq
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!plans.exists(_.contains("BroadcastHashJoin")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      // the retired-id probe is a JOIN above the threshold — the literal
+      // form (a pushed-down In over the retire set) must not appear
+      assert(plans.exists(_.contains("BroadcastHashJoin")),
+        "no broadcast join in any retire job:\n" +
+          plans.map(_.take(300)).mkString("\n---\n"))
+      assert(plans.forall(p => !p.contains("In(doc_id")),
+        "join-path retire still pushed a retired-id literal:\n" +
+          plans.filter(_.contains("In(doc_id")).mkString("\n").take(2000))
+      assert(plans.forall(p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")),
+        plans.filter(p => p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")).mkString("\n").take(2000))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,

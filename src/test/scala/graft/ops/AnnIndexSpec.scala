@@ -710,4 +710,73 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.load("ml.rb_index").metadata.properties
       .get(AnnIndex.ItersProp).contains("4"))
   }
+
+  test("semantic dup ledger: the gate folds cosine collision pairs into " +
+      "the component index — stream == batch, redelivery idempotent") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("annsem").toString
+    val e = new graft.api.Engine(spark, wh)
+    def vec(id: Long, x: Float, y: Float, label: Int = 0) =
+      AnnIndexSpec.Vec(id, label, Seq(x, y))
+    val corpus = Seq(vec(1L, 1f, 0f), vec(2L, 0f, 1f, 1)).toDF()
+    // batch 1: a near-copy of corpus vec 1 (rejected -> edge 10-1) and a
+    // genuinely novel direction (admitted); batch 2: a near-copy of the
+    // batch-1 SURVIVOR (edge 12-11 — provenance of a dup of a doc the
+    // index only just learned) and another copy of vec 1 (edge 13-1)
+    val batch1 = Seq(vec(10L, 0.99f, 0.01f), vec(11L, 0.72f, 0.69f))
+    val batch2 = Seq(vec(12L, 0.73f, 0.70f), vec(13L, 0.98f, 0.02f))
+    def ledger(c: ComponentIndex) = c.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // ---- batch path ----
+    val idxB = new AnnIndex(e, "ml.sem_idx_b", kClusters = 2, iters = 2)
+    idxB.create(); idxB.bootstrap(corpus)
+    val compsB = new ComponentIndex(e, "ml.sem_comps_b")
+    compsB.create()
+    val s1 = idxB.admitIfNovel(batch1.toDF(), 0.9,
+      components = Some(compsB))
+    assert(s1.select("vec_id").as[Long].collect().toSet == Set(11L))
+    assert(ledger(compsB) == Map(10L -> 1L))
+    val s2out = idxB.admitIfNovel(batch2.toDF(), 0.9,
+      components = Some(compsB))
+    assert(s2out.count() == 0L)
+    // transitive semantic-dup chains close ACROSS batches: 12 joins the
+    // survivor 11's cluster, 13 joins {1, 10}
+    assert(ledger(compsB) == Map(10L -> 1L, 13L -> 1L, 12L -> 11L))
+
+    // REDELIVERY of batch 2: both vectors were rejected, their pairs
+    // re-derive and fold to an EMPTY delta — no ledger commit, index
+    // unchanged
+    val snaps = e.load("ml.sem_comps_b").metadata.snapshots.size
+    val rows = idxB.signatures.count()
+    idxB.admitIfNovel(batch2.toDF(), 0.9, components = Some(compsB))
+    assert(e.load("ml.sem_comps_b").metadata.snapshots.size == snaps)
+    assert(idxB.signatures.count() == rows)
+    assert(ledger(compsB) == Map(10L -> 1L, 13L -> 1L, 12L -> 11L))
+
+    // ---- stream twin: same micro-batches through admitStream ----
+    val idxS = new AnnIndex(e, "ml.sem_idx_s", kClusters = 2, iters = 2)
+    idxS.create(); idxS.bootstrap(corpus)
+    val compsS = new ComponentIndex(e, "ml.sem_comps_s")
+    compsS.create()
+    val admitted = scala.collection.mutable.Buffer.empty[Long]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[AnnIndexSpec.Vec]
+    val ckpt = java.nio.file.Files.createTempDirectory("annsemc").toString
+    val q = idxS.admitStream(input.toDF(), 0.9, ckpt,
+      components = Some(compsS)) { surv =>
+      admitted ++= surv.select("vec_id").as[Long].collect(); ()
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.sorted == Seq(11L))
+    // LEDGER PARITY: the streamed folds land the identical assignment
+    assert(ledger(compsS) == ledger(compsB))
+    assert(idxS.signatures.select("vec_id").as[Long].collect().toSet ==
+      idxB.signatures.select("vec_id").as[Long].collect().toSet)
+  }
 }

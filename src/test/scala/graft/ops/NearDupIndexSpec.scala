@@ -243,6 +243,69 @@ class NearDupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitStream folds INTRA-micro-batch edges: same-batch mutual " +
+      "near-dups are both admitted but their edge still lands in the ledger") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("ndintra").toString
+    val e = new Engine(spark, wh)
+    val idx = new NearDupIndex(e, "ns.intra_index", nBuckets = 8)
+    idx.create()
+    val textZ = "the quick brown fox jumps over the lazy dog"
+    val textT = "an intra batch twin sentence appearing twice in one batch"
+    idx.bootstrap(Seq((100L, textZ)).toDF("doc_id", "text"))
+    val comps = new ComponentIndex(e, "ns.intra_comps")
+    comps.create()
+    def compMap = comps.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val admitted = scala.collection.mutable.Buffer.empty[Long]
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("ndintrac").toString
+    val q = idx.admitStream(input.toDF(), ckpt, Some(comps)) { surv =>
+      admitted ++= surv.select("doc_id").as[Long].collect(); ()
+    }
+    try {
+      // two mutual near-dups in ONE micro-batch: the gate contract is
+      // unchanged (both novel vs the standing index -> both admitted),
+      // but the intra-batch edge folds so the ledger cannot permanently
+      // diverge from the signature-level from-scratch closure
+      input.addData(StreamDoc(5, textT), StreamDoc(6, textT))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(5L, 6L), admitted.toString)
+      assert(compMap == Map(6L -> 5L), compMap.toString)
+
+      // REDELIVERY of the same batch: both docs are selfIndexed now —
+      // the intra pairs are suppressed on both endpoints, nothing folds,
+      // no ledger commit, no duplicate signatures
+      val snaps = e.load("ns.intra_comps").metadata.snapshots.size
+      val rows = idx.signatures.count()
+      input.addData(StreamDoc(5, textT), StreamDoc(6, textT))
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(5L, 5L, 6L, 6L), admitted.toString)
+      assert(idx.signatures.count() == rows)
+      assert(e.load("ns.intra_comps").metadata.snapshots.size == snaps)
+    } finally q.stop()
+
+    // the ledger == the from-scratch closure over the signatures of
+    // everything the gate saw
+    val all = Seq((100L, textZ), (5L, textT), (6L, textT))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.bandSignatures(all, idx.numPerm, idx.rowsPerBand)
+      .localCheckpoint()
+    val closure = Dedup.connectedComponents(
+      Dedup.bandCollisionPairs(sigs, sigs)
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+          org.apache.spark.sql.functions.col("corpus_doc_id"))
+        .select(org.apache.spark.sql.functions.col("doc_id").as("a_id"),
+          org.apache.spark.sql.functions.col("corpus_doc_id").as("b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter { case (k, v) => k != v }
+    assert(compMap == closure, s"ledger $compMap vs closure $closure")
+  }
+
   test("streaming near-dup gate probes the PERSISTED index as its static side") {
     val s2 = spark
     import s2.implicits._
