@@ -588,6 +588,72 @@ final class AnnIndex(
     engine.rowDelta(ref, signatures.limit(0), Seq("vec_id"),
       vecIds.select("vec_id"))
 
+  /** Residual SEMANTIC candidate pairs among `ids` — the cosine twin of
+    * [[NearDupIndex.pairsAmong]] and the canonical `pairsAmong` provider
+    * for a [[ComponentIndex]] ledger over an INDEXED corpus (e.g. one
+    * bootstrapped from [[semDeDup]] pairs): the ids' own rows read back
+    * through the point-set bounds prune
+    * ([[ScanPlanner.readTableWhereInSet]] — per-admit files carry tight
+    * vec_id bounds, so scattered retire ids skip the files between
+    * them), self-joined within their inverted lists with the exact
+    * cosine gate — the same within-cluster collision semantics as the
+    * admission gate. `ids` is affected-component-bounded (the retire
+    * contract). Call AFTER [[retire]]-ing the deleted vectors here.
+    *
+    * CONTRACT CAVEAT (the [[NearDupIndex.pairsAmong]] twin): this
+    * provider only sees vectors the index HOLDS. A GATE-COMPOSED ledger
+    * ([[admitIfNovel]]'s `components`) also records REJECTED vectors
+    * that were never admitted; for those use [[pairsFromVecs]] over the
+    * raw embedding store. */
+  def pairsAmong(threshold: Double)(ids: DataFrame): DataFrame = {
+    val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
+    val rows =
+      if (idSeq.isEmpty)
+        engine.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("vec_id", LongType, nullable = false),
+            StructField("cluster", IntegerType, nullable = false),
+            StructField("v_norm", DoubleType, nullable = false),
+            StructField("embedding", ArrayType(FloatType), nullable = false))))
+      else ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
+          "vec_id", idSeq)
+        .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
+        .localCheckpoint()
+    pairsOf(rows, threshold)
+  }
+
+  /** Residual-pair provider from the RAW embedding store — the
+    * gate-composed-ledger form ([[graft.ops.Dedup.pairsFromDocs]]'s
+    * semantic twin): the affected members' vectors (semi-joined from
+    * `vecs`, batch-bounded) assign to the FROZEN quantizer and
+    * self-collide within clusters at the threshold, so REJECTED
+    * vectors' provenance edges survive component surgery even though
+    * their rows were never admitted to the index. */
+  def pairsFromVecs(vecs: DataFrame,
+      threshold: Double): DataFrame => DataFrame = ids => {
+    val (_, cents, _) = pinned
+    val rows = assignedRows(
+        vecs.join(ids.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), cents, None)
+      .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
+      .localCheckpoint()
+    pairsOf(rows, threshold)
+  }
+
+  /** Within-cluster exact-cosine pair join shared by the two residual
+    * providers — one definition, the gate's collision semantics. */
+  private def pairsOf(rows: DataFrame, threshold: Double): DataFrame = {
+    val a = rows.select(col("vec_id").as("a_id"), col("cluster"),
+      col("embedding").as("ea"), col("v_norm").as("na"))
+    val b = rows.select(col("vec_id").as("b_id"), col("cluster"),
+      col("embedding").as("eb"), col("v_norm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(Similarity.cosineFromNorms("ea", "eb", "na", "nb") >= threshold)
+      .select("a_id", "b_id")
+  }
+
   /** The quantizer drift canary for THIS index — [[AnnIndex.drift]]. */
   def drift: Option[AnnIndex.Drift] =
     AnnIndex.drift(engine.load(ref), Some(engine.spark))

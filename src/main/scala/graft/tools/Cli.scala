@@ -32,7 +32,7 @@ import graft.api.{Engine, Errors}
   *      | dedup-gate T shardParquet [--admit [--intra]]
   *      | comp-fold T edgesParquet [--bootstrap]
   *      | comp-retire T G ids [--docs docsParquet]
-  *      | forget T ids [--gate G] [--ledger L] [--ann A] [--docs P]
+  *      | forget T ids [--gate G] [--ledger L] [--ann A] [--docs P] [--sim thr]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -395,15 +395,22 @@ object Cli {
               flagged.getOrElse("--id-col", "doc_id"))
           val gate = flagged.get("--gate")
             .map(new graft.ops.NearDupIndex(engine, _))
+          val ann = flagged.get("--ann")
+            .map(new graft.ops.AnnIndex(engine, _))
+          // ledger residual pairs: --docs (minhash over the raw doc
+          // store — gate-composed minhash ledgers), or --sim <thr> (the
+          // ANN index's within-cluster cosine pairs — semantic ledgers
+          // over an indexed corpus); default = the gate's signatures
           val pairs = flagged.get("--docs").map(p =>
             graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p)))
+            .orElse(flagged.get("--sim").flatMap(thr =>
+              ann.map(a => a.pairsAmong(thr.toDouble) _)))
           val r = engine.forget(ids,
             corpusRef = Some(vargs(0)).filter(_ != "-"),
             gate = gate,
             ledger = flagged.get("--ledger")
               .map(new graft.ops.ComponentIndex(engine, _)),
-            annIndex = flagged.get("--ann")
-              .map(new graft.ops.AnnIndex(engine, _)),
+            annIndex = ann,
             ledgerPairs = pairs,
             idColumn = flagged.getOrElse("--id-col", "doc_id"))
           println("forgot: corpus=" + r.corpusDeleted.getOrElse("(skipped)") +
@@ -447,14 +454,24 @@ object Cli {
           idx.retire(ids)
           println(s"retired ${ids.length} vectors from ${vargs(0)}")
         case "ann-gate" =>
-          // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra] —
-          // semantic admission: keep batch vectors that are not cosine
-          // near-dups of the index, append them to it
+          // ann-gate <ns.idx> <batch.parquet> <threshold> [--intra]
+          //          [--ledger T] — semantic admission: keep batch
+          // vectors that are not cosine near-dups of the index, append
+          // them to it; --ledger folds the batch's collision pairs into
+          // the persisted dup-cluster assignment (semantic provenance)
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
+          val li = vargs.indexOf("--ledger")
+          val ledger =
+            if (li >= 0 && li + 1 < vargs.length)
+              Some(new graft.ops.ComponentIndex(engine, vargs(li + 1)))
+            else None
           val kept = idx.admitIfNovel(spark.read.parquet(vargs(1)),
             vargs(2).toDouble,
-            dedupWithinBatch = vargs.drop(3).contains("--intra"))
-          println(s"admitted ${kept.count()} vectors into ${vargs(0)}")
+            dedupWithinBatch = vargs.drop(3).contains("--intra"),
+            components = ledger)
+          println(s"admitted ${kept.count()} vectors into ${vargs(0)}" +
+            ledger.map(_ => s"; collision pairs folded into ${vargs(li + 1)}")
+              .getOrElse(""))
         case "ann-decontam" =>
           // ann-decontam <ns.idx> <probes.parquet> <threshold> [nProbe] —
           // index-served decontamination: flag indexed corpus vectors

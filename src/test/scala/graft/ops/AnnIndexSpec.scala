@@ -779,4 +779,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(idxS.signatures.select("vec_id").as[Long].collect().toSet ==
       idxB.signatures.select("vec_id").as[Long].collect().toSet)
   }
+
+  test("semantic residual-pair providers: pairsAmong serves indexed-" +
+      "corpus retires, pairsFromVecs keeps rejected vectors' provenance") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("annpairs").toString
+    val e = new graft.api.Engine(spark, wh)
+    def vec(id: Long, x: Float, y: Float, label: Int = 0) =
+      AnnIndexSpec.Vec(id, label, Seq(x, y))
+    // {1, 2, 3} mutual cosine-dups in one list; 4 alone in the other
+    val corpus = Seq(vec(1L, 1f, 0f), vec(2L, 0.99f, 0.01f),
+      vec(3L, 0.98f, 0.02f), vec(4L, 0f, 1f, 1))
+    val idx = new AnnIndex(e, "ml.pr_ann", kClusters = 2, iters = 2)
+    idx.create(); idx.bootstrap(corpus.toDF())
+    val comps = new ComponentIndex(e, "ml.pr_comps")
+    comps.create()
+    // corpus ledger seeded from the index's own cosine pairs
+    comps.bootstrap(idx.pairsAmong(0.9)(
+      Seq(1L, 2L, 3L, 4L).toDF("doc_id")))
+    def ledger = comps.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ledger == Map(2L -> 1L, 3L -> 1L))
+
+    // forget bystander 2 with the index-served provider: {1, 3} stay
+    // connected (their own cosine edge survives), 2 stops being served
+    e.forget(Seq(2L), corpusRef = None, gate = None,
+      ledger = Some(comps), annIndex = Some(idx),
+      ledgerPairs = Some(idx.pairsAmong(0.9)), idColumn = "doc_id")
+    assert(ledger == Map(3L -> 1L))
+    assert(idx.signatures.filter(col("vec_id") === 2L).count() == 0L)
+
+    // gate-composed: a REJECTED near-copy of vec 1 holds a provenance
+    // row but no index row — a later bystander retire must use the
+    // raw-store provider or the rejected vec degrades to a singleton
+    val rawAll = (corpus :+ vec(10L, 0.995f, 0.005f)).toDF()
+      .localCheckpoint()
+    val s = idx.admitIfNovel(Seq(vec(10L, 0.995f, 0.005f)).toDF(), 0.9,
+      components = Some(comps))
+    assert(s.count() == 0L) // rejected
+    assert(ledger == Map(3L -> 1L, 10L -> 1L))
+    e.forget(Seq(3L), corpusRef = None, gate = None,
+      ledger = Some(comps), annIndex = Some(idx),
+      ledgerPairs = Some(idx.pairsFromVecs(rawAll, 0.9)),
+      idColumn = "doc_id")
+    // 10's dup-of-1 provenance SURVIVES the retire of bystander 3
+    assert(ledger == Map(10L -> 1L))
+  }
 }

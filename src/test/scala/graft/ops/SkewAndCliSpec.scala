@@ -156,6 +156,24 @@ class SkewAndCliSpec extends SparkSpec {
     // a ledger with no gate and no --docs is a usage-level refusal
     assert(Cli.run(Array(wh, "forget", "-", "1",
       "--ledger", "lake.f_comps")) == 1)
+
+    // SEMANTIC ledger via the CLI: ann-gate --ledger folds the batch's
+    // cosine collision pairs; forget --sim retires through the index-
+    // served residual-pair provider
+    val comps2 = new graft.ops.ComponentIndex(e, "lake.f_comps2")
+    comps2.create()
+    val bDir = s"$wh/_annbatch_parquet"
+    Seq(AnnIndexSpec.Vec(20L, 0, Seq(0.99f, 0.01f))).toDF().write.parquet(bDir)
+    assert(Cli.run(Array(wh, "ann-gate", "lake.f_ann", bDir, "0.9",
+      "--ledger", "lake.f_comps2")) == 0)
+    assert(comps2.assignments.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(20L -> 1L))
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--ann", "lake.f_ann", "--ledger", "lake.f_comps2",
+      "--sim", "0.9")) == 0)
+    assert(comps2.assignments.count() == 0L)
+    assert(e.readTable("lake.f_ann").select("vec_id")
+      .collect().map(_.getLong(0)).isEmpty)
   }
 
   test("tui verb drives the interactive UI and exits cleanly on stdin EOF") {
