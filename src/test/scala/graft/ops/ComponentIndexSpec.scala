@@ -180,12 +180,22 @@ class ComponentIndexSpec extends SparkSpec {
     val retired = rnd.shuffle(edges.flatMap(p => Seq(p._1, p._2)).distinct)
       .take(8).toSet
     val survivors = edges.filter(p => !retired(p._1) && !retired(p._2))
-    idx.retire(retired.toSeq, ids => {
+    def provider(ids: org.apache.spark.sql.DataFrame) = {
       val s = ids.collect().map(_.getLong(0)).toSet
       survivors.filter(p => s(p._1) && s(p._2)).toDF("a_id", "b_id")
-    })
+    }
+    idx.retire(retired.toSeq, provider)
     assert(asMap(idx.assignments) == fromScratch(survivors))
     assert(idx.assignments.filter(col("doc_id") === col("component")).count() == 0L)
+
+    // the JOIN retire path (threshold 0) under the same randomized load
+    // lands the identical state
+    val idxJ = new ComponentIndex(e, "ns.rand_comps_j", nBuckets = 8)
+    idxJ.create()
+    idxJ.bootstrap(batches.head.toDF("a_id", "b_id"))
+    batches.tail.foreach(b => idxJ.fold(b.toDF("a_id", "b_id")))
+    idxJ.retire(retired.toSeq.toDF("doc_id"), provider, inMaxIds = 0)
+    assert(asMap(idxJ.assignments) == fromScratch(survivors))
   }
 
   test("retire join path (threshold 0) lands the identical table state " +
