@@ -171,14 +171,16 @@ object Bench {
         // corpus plus a global CC on every ingest batch — that is what
         // d_components_global_25x times — while the fold's cost is
         // batch-bounded regardless of corpus size. Replica texts are
-        // decorrelated (every token suffixed with the replica digit) so
-        // replicas share no shingles and the dup structure is 10
-        // disjoint copies, not a 10-wide merge; the id shift is a
+        // decorrelated — every token suffixed with "_<replica>"; the
+        // non-digit separator matters, a bare digit suffix would alias
+        // token "x1" of replica 2 with token "x" of replica 12 — so
+        // replicas share no shingles and the dup structure is 25
+        // disjoint copies, not a 25-wide merge; the id shift is a
         // multiple of 50 so the newDoc batch classes are preserved.
         // Ledger bootstrap (the ONE-TIME global run) is untimed.
         val docs25 = (0 until 25).map(k => docs.select(
             (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(\\S+)", s"$$1$k").as("text")))
+            regexp_replace(col("text"), "(\\S+)", s"$$1_$k").as("text")))
           .reduce(_ unionByName _).localCheckpoint()
         val pairs25 = graft.ops.Dedup.minhashCandidates(spark, docs25)
           .localCheckpoint()

@@ -376,16 +376,18 @@ final class AnnIndex(
     * vector, so a vector bridging two standing components merges them)
     * folds into the [[ComponentIndex]], so rejected vectors keep a
     * provenance row and transitive semantic-dup chains close ACROSS
-    * batches. Redelivery is an idempotent no-op (absorbed pairs fold to
-    * an empty delta — no commit), and collision-free batches never load
-    * the ledger table. BLIND SPOT, same as the minhash gate's batch
-    * contract: two mutual near-dup vectors arriving in the SAME batch
-    * are both admitted and (with `dedupWithinBatch = false`) their edge
-    * is batch-internal — it is NOT folded here (the pair set is
-    * batch-vs-index); with `dedupWithinBatch = true` the intra-batch
-    * loser never reaches the gate at all. The ledger is therefore the
-    * closure over everything the GATE saw, not a from-scratch closure
-    * over all pairwise cosines. */
+    * batches. INTRA-batch edges fold too (same as the minhash gate's
+    * stream composition): two mutual cosine near-dups arriving in the
+    * SAME batch are both ADMITTED — the gate contract is "new vs
+    * standing index", unchanged — but their within-cluster edge joins
+    * the fold, so the ledger equals the cosine closure over everything
+    * the gate saw instead of silently losing same-batch pairs. (With
+    * `dedupWithinBatch = true` the intra-batch loser is dropped BEFORE
+    * the gate and leaves no provenance — the caller chose to discard
+    * it.) Redelivery is an idempotent no-op (absorbed pairs fold to
+    * an empty delta — no commit; selfIndexed endpoints are suppressed
+    * from the intra set), and collision-free batches never load the
+    * ledger table. */
   def admitIfNovel(newVecs: DataFrame, threshold: Double,
       dedupWithinBatch: Boolean = false,
       components: Option[ComponentIndex] = None): DataFrame = {
@@ -466,17 +468,31 @@ final class AnnIndex(
       .localCheckpoint()
     val survivors = flaggedSurv.drop("__gr_self")
     val fresh = flaggedSurv.filter(!col("__gr_self")).drop("__gr_self")
+    // dup-cluster ledger: fold this batch's COMPLETE cosine collision
+    // pair set — batch-vs-index AND intra-batch (both endpoints
+    // admitted; the gate flag set above is untouched; both-endpoint
+    // selfIndexed suppression keeps redelivery idempotent) — into the
+    // persisted assignment. Runs BEFORE the append and with conflict
+    // retry, for the same two reasons as the minhash gate
+    // ([[NearDupIndex.admitStream]]): an append-first crash window
+    // would lose admitted-admitted intra edges forever (the
+    // redelivered batch suppresses them as selfIndexed), and a SHARED
+    // ledger's concurrent fold/retire (the other gate, Engine.forget)
+    // must surface as a re-derived retry, not kill the caller.
+    // Collision-free batches never load the ledger.
+    components.zip(collisionPairs).foreach { case (comps, pairs) =>
+      val intra = pairsOf(assigned.select(col("vec_id"), col("cluster"),
+          col("v_norm"), col("embedding")), threshold)
+        .join(selfIndexed.select(col("vec_id").as("a_id")),
+          Seq("a_id"), "left_anti")
+        .join(selfIndexed.select(col("vec_id").as("b_id")),
+          Seq("b_id"), "left_anti")
+      val edges = pairs.select(col("vec_id").as("a_id"),
+        col("c_id").as("b_id")).unionByName(intra)
+      if (!edges.isEmpty) comps.foldWithRetry(edges)
+    }
     // job 3 — emptiness probe on the checkpointed rows (limit-1 scan)
     if (!fresh.isEmpty) { engine.append(ref, fresh); () }
-    // dup-cluster ledger: fold this batch's COMPLETE cosine collision
-    // pair set into the persisted assignment (idempotent across
-    // redeliveries; skipped entirely — no table load — when the batch
-    // had no collisions)
-    components.zip(collisionPairs).foreach { case (comps, pairs) =>
-      if (!pairs.isEmpty)
-        comps.fold(pairs.select(col("vec_id").as("a_id"),
-          col("c_id").as("b_id")))
-    }
     assigned0.unpersist()
     cands.unpersist()
     survivors
@@ -489,8 +505,8 @@ final class AnnIndex(
     * against an index that grows with its own admissions. `components`
     * maintains the persisted dup-cluster ledger alongside the gate
     * (see [[admitIfNovel]] — the semantic twin of
-    * [[NearDupIndex.admitStream]]'s composition, same redelivery
-    * idempotence and same intra-micro-batch blind spot). */
+    * [[NearDupIndex.admitStream]]'s composition: same redelivery
+    * idempotence, same intra-micro-batch edge folding). */
   def admitStream(
       vecs: DataFrame, threshold: Double, checkpointDir: String,
       dedupWithinBatch: Boolean = false,

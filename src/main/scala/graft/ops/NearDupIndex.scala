@@ -325,20 +325,26 @@ final class NearDupIndex(
           .localCheckpoint()
         val fresh = survivors.join(selfIndexed, Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        if (fresh.count() > 0)
-          // the fresh docs' signatures are already materialized in
-          // batchSigs — append from the checkpoint instead of paying a
-          // second tokenize+hash pass over the batch text
-          engine.append(ref,
-            batchSigs.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("band"), col("band_sig")))
         // dup-cluster ledger: fold this batch's COMPLETE collision pair
         // set into the persisted assignment (idempotent across
         // redeliveries; skipped entirely — no table load — when the
         // batch had no collisions). Intra-batch edges join the FOLD
         // only (both endpoints were admitted — the gate flag set above
         // is untouched); both-endpoint selfIndexed restriction keeps
-        // redelivered batches contributing nothing.
+        // redelivered batches contributing nothing. The fold runs
+        // BEFORE the signature append and with conflict retry:
+        //   - ORDER: intra-edge suppression keys on selfIndexed, which
+        //     the append establishes — a crash between an append-first
+        //     commit and the fold would lose the admitted-admitted
+        //     intra edges FOREVER (the redelivered batch suppresses
+        //     them). Fold-first is safe in both crash orders: an
+        //     unfolded redelivery re-derives everything, a folded-but-
+        //     unappended redelivery re-gates (not selfIndexed yet) and
+        //     its re-fold is an absorbed no-op.
+        //   - RETRY: a concurrent fold/retire on a SHARED ledger (the
+        //     other gate, or Engine.forget) landing mid-fold surfaces
+        //     as CommitConflictException; foldWithRetry re-derives from
+        //     the fresh snapshot instead of killing the stream.
         components.zip(collisionPairs).foreach { case (comps, pairs) =>
           val intra =
             if (!intraBatchEdges) pairs.limit(0)
@@ -349,9 +355,16 @@ final class NearDupIndex(
                 Seq("corpus_doc_id"), "left_anti")
           val edges = pairs.unionByName(intra)
           if (!edges.isEmpty)
-            comps.fold(edges.select(col("doc_id").as("a_id"),
+            comps.foldWithRetry(edges.select(col("doc_id").as("a_id"),
               col("corpus_doc_id").as("b_id")))
         }
+        if (fresh.count() > 0)
+          // the fresh docs' signatures are already materialized in
+          // batchSigs — append from the checkpoint instead of paying a
+          // second tokenize+hash pass over the batch text
+          engine.append(ref,
+            batchSigs.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("band"), col("band_sig")))
         onSurvivors(survivors)
       }
       .start()

@@ -384,25 +384,45 @@ object Cli {
           // pair provider a GATE-COMPOSED ledger needs.
           val s2 = spark
           import s2.implicits._
-          val flagged = vargs.drop(2).grouped(2).collect {
-            case Array(f, v) if f.startsWith("--") => f -> v
+          // STRICT flag parse: every flag takes a value; a missing
+          // value or stray token is an error, never a silent drop (a
+          // dropped --docs would silently select the WRONG residual-
+          // pair provider — the exact silent provenance degradation
+          // Engine.forget's refusal exists to prevent)
+          val known = Set("--gate", "--ledger", "--ann", "--docs",
+            "--sim", "--id-col")
+          val flagged = vargs.drop(2).grouped(2).map {
+            case Array(f, v) if known(f) && !v.startsWith("--") => f -> v
+            case other => throw new IllegalArgumentException(
+              s"forget: bad flag tokens '${other.mkString(" ")}' — " +
+                "flags are --gate T --ledger T --ann A --docs P " +
+                "--sim THR --id-col C, each with a value")
           }.toMap
           val arg = vargs(1)
           val ids: DataFrame =
             if (arg.exists(c => c == '/' || c == '.') && !arg.matches("[0-9,]+"))
               spark.read.parquet(arg)
-            else arg.split(",").map(_.trim.toLong).toSeq.toDF(
-              flagged.getOrElse("--id-col", "doc_id"))
+            else scala.util.Try(arg.split(",").map(_.trim.toLong).toSeq)
+              .getOrElse(throw new IllegalArgumentException(
+                s"forget: '$arg' is neither a comma-separated id list " +
+                  "nor a parquet path (prefix a bare directory with ./)"))
+              .toDF(flagged.getOrElse("--id-col", "doc_id"))
           val gate = flagged.get("--gate")
             .map(new graft.ops.NearDupIndex(engine, _))
           val ann = flagged.get("--ann")
             .map(new graft.ops.AnnIndex(engine, _))
+          if (flagged.contains("--sim") && ann.isEmpty)
+            throw new IllegalArgumentException(
+              "forget: --sim needs --ann (the index serving the cosine pairs)")
           // ledger residual pairs: --docs (minhash over the raw doc
-          // store — gate-composed minhash ledgers), or --sim <thr> (the
-          // ANN index's within-cluster cosine pairs — semantic ledgers
-          // over an indexed corpus); default = the gate's signatures
+          // store at the GATE's signature parameters — gate-composed
+          // minhash ledgers), or --sim <thr> (the ANN index's within-
+          // cluster cosine pairs — semantic ledgers over an indexed
+          // corpus); default = the gate's signatures
           val pairs = flagged.get("--docs").map(p =>
-            graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p)))
+            graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p),
+              gate.map(_.numPerm).getOrElse(16),
+              gate.map(_.rowsPerBand).getOrElse(4)))
             .orElse(flagged.get("--sim").flatMap(thr =>
               ann.map(a => a.pairsAmong(thr.toDouble) _)))
           val r = engine.forget(ids,

@@ -756,6 +756,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(idxB.signatures.count() == rows)
     assert(ledger(compsB) == Map(10L -> 1L, 13L -> 1L, 12L -> 11L))
 
+    // INTRA-batch mutual cosine dups: both admitted (the gate contract
+    // is vs the standing index), but their edge still folds
+    val batch3 = Seq(vec(30L, 0.6f, 0.8f), vec(31L, 0.61f, 0.79f))
+    val s3 = idxB.admitIfNovel(batch3.toDF(), 0.9,
+      components = Some(compsB))
+    assert(s3.select("vec_id").as[Long].collect().toSet == Set(30L, 31L))
+    assert(ledger(compsB) ==
+      Map(10L -> 1L, 13L -> 1L, 12L -> 11L, 31L -> 30L))
+    // redelivery of batch3: both endpoints selfIndexed — the intra set
+    // is suppressed, nothing folds, no ledger commit
+    val snaps3 = e.load("ml.sem_comps_b").metadata.snapshots.size
+    idxB.admitIfNovel(batch3.toDF(), 0.9, components = Some(compsB))
+    assert(e.load("ml.sem_comps_b").metadata.snapshots.size == snaps3)
+    assert(ledger(compsB) ==
+      Map(10L -> 1L, 13L -> 1L, 12L -> 11L, 31L -> 30L))
+
     // ---- stream twin: same micro-batches through admitStream ----
     val idxS = new AnnIndex(e, "ml.sem_idx_s", kClusters = 2, iters = 2)
     idxS.create(); idxS.bootstrap(corpus)
@@ -772,8 +788,9 @@ class AnnIndexSpec extends SparkSpec {
     try {
       input.addData(batch1: _*); q.processAllAvailable()
       input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
     } finally q.stop()
-    assert(admitted.sorted == Seq(11L))
+    assert(admitted.sorted == Seq(11L, 30L, 31L))
     // LEDGER PARITY: the streamed folds land the identical assignment
     assert(ledger(compsS) == ledger(compsB))
     assert(idxS.signatures.select("vec_id").as[Long].collect().toSet ==

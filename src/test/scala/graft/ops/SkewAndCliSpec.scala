@@ -156,6 +156,14 @@ class SkewAndCliSpec extends SparkSpec {
     // a ledger with no gate and no --docs is a usage-level refusal
     assert(Cli.run(Array(wh, "forget", "-", "1",
       "--ledger", "lake.f_comps")) == 1)
+    // STRICT flag parse: a value-less --docs must error, not silently
+    // fall back to the gate provider (wrong residual pairs); --sim
+    // without --ann must error, not silently use minhash pairs
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--gate", "lake.f_gate", "--ledger", "lake.f_comps", "--docs")) == 1)
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--gate", "lake.f_gate", "--ledger", "lake.f_comps",
+      "--sim", "0.9")) == 1)
 
     // SEMANTIC ledger via the CLI: ann-gate --ledger folds the batch's
     // cosine collision pairs; forget --sim retires through the index-
