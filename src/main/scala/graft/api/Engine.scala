@@ -504,11 +504,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     *      residual pairs ([[graft.ops.ComponentIndex.retireWithRetry]] —
     *      splits fall out, equal to the from-scratch closure over the
     *      survivors); the provider defaults to the retired gate's
-    *      `pairsAmong` (valid for CORPUS ledgers). For a GATE-COMPOSED
-    *      ledger (rejected docs hold provenance rows but no gate
-    *      signatures) pass `ledgerPairs =
-    *      Some(Dedup.pairsFromDocs(docs))` — the gate's own provider
-    *      would silently degrade rejected docs to singletons;
+    *      `pairsAmong` (valid for CORPUS ledgers; above its literal
+    *      threshold the provider switches to a broadcast-join read, so
+    *      a mass deletion hitting a giant dup component stays off the
+    *      driver). For a GATE-COMPOSED ledger (rejected docs hold
+    *      provenance rows but no gate signatures) pass `ledgerPairs =
+    *      Some(Dedup.pairsFromDocs(docs, gate.numPerm,
+    *      gate.rowsPerBand))` — the gate's own provider would silently
+    *      degrade rejected docs to singletons, and mismatched signature
+    *      parameters would silently change the collision set;
     *   4. the ANN index stops serving the vectors
     *      ([[graft.ops.AnnIndex.retire]]; quantizer untouched).
     *

@@ -487,8 +487,11 @@ final class AnnIndex(
           Seq("a_id"), "left_anti")
         .join(selfIndexed.select(col("vec_id").as("b_id")),
           Seq("b_id"), "left_anti")
+      // ONE eager checkpoint: the emptiness probe, the fold's several
+      // passes, and any CAS retry reuse the materialized edge set
+      // instead of re-running the within-cluster cosine self-join
       val edges = pairs.select(col("vec_id").as("a_id"),
-        col("c_id").as("b_id")).unionByName(intra)
+        col("c_id").as("b_id")).unionByName(intra).localCheckpoint()
       if (!edges.isEmpty) comps.foldWithRetry(edges)
     }
     // job 3 — emptiness probe on the checkpointed rows (limit-1 scan)
@@ -621,10 +624,16 @@ final class AnnIndex(
     * ([[admitIfNovel]]'s `components`) also records REJECTED vectors
     * that were never admitted; for those use [[pairsFromVecs]] over the
     * raw embedding store. */
-  def pairsAmong(threshold: Double)(ids: DataFrame): DataFrame = {
-    val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
-    val rows =
-      if (idSeq.isEmpty)
+  def pairsAmong(threshold: Double, inMaxIds: Int = 1000)(
+      ids: DataFrame): DataFrame = {
+    // literal-vs-join threshold, the [[NearDupIndex.pairsAmong]] twin:
+    // a bounded member set point-set-prunes through driver-known
+    // bounds; a giant affected component never comes to the driver —
+    // the index semi-joins the id frame broadcast-side instead
+    val rids = ids.select(col("doc_id").as("vec_id")).distinct()
+      .localCheckpoint()
+    val rows = (Dedup.literalIds(rids, inMaxIds) match {
+      case Some(seq) if seq.isEmpty =>
         engine.spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(
@@ -632,10 +641,15 @@ final class AnnIndex(
             StructField("cluster", IntegerType, nullable = false),
             StructField("v_norm", DoubleType, nullable = false),
             StructField("embedding", ArrayType(FloatType), nullable = false))))
-      else ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
-          "vec_id", idSeq)
-        .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
-        .localCheckpoint()
+      case Some(seq) =>
+        ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
+          "vec_id", seq)
+          .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
+      case None =>
+        ScanPlanner.readTable(engine.spark, engine.load(ref))
+          .join(broadcast(rids), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
+    }).localCheckpoint()
     pairsOf(rows, threshold)
   }
 

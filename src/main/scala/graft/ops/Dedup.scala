@@ -370,25 +370,11 @@ object Dedup {
     // the batch's footprint in the standing assignment: a pushed-down
     // IN literal for small batches, a broadcast semi-join above the
     // threshold — either way the corpus side is scan-only (no shuffle,
-    // no wide row). Size probe and id collect fuse into ONE job (the
-    // BPE tracked-tier idiom): collect at most threshold+1 ids —
-    // exactly threshold+1 back means the batch is too big for the
-    // literal path.
-    val touched = ({
-      // same clamp + non-exhaustion guard as the BPE probe
-      // ([[Bpe.trackedTierFits]]): a threshold at the Int.MaxValue
-      // boundary must neither overflow the limit nor admit a silently
-      // truncated collect
-      val lim =
-        if (resolveInMaxIds >= Int.MaxValue - 1) Int.MaxValue - 1
-        else resolveInMaxIds + 1
-      val probe =
-        if (resolveInMaxIds > 0) ids.limit(lim).collect().map(_.getLong(0))
-        else Array.empty[Long]
-      if (resolveInMaxIds > 0 &&
-          Bpe.trackedTierFits(probe.length, lim, resolveInMaxIds.toLong))
-        assign.filter(col("doc_id").isin(probe.toIndexedSeq: _*))
-      else assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    // no wide row). Size probe and id collect fuse into ONE job
+    // ([[literalIds]] — the shared clamp + non-exhaustion guard).
+    val touched = (literalIds(ids, resolveInMaxIds) match {
+      case Some(seq) => assign.filter(col("doc_id").isin(seq: _*))
+      case None => assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
     }).localCheckpoint()
     // contract edges onto the component graph: endpoint → its standing
     // label, absent endpoint → itself (implicit singleton). `touched` is

@@ -215,17 +215,28 @@ final class NearDupIndex(
     * signatures were never appended; a retire touching their component
     * would degrade them to singletons (their provenance edges are
     * invisible here). For such ledgers derive the residual pairs from
-    * the raw document store instead:
-    * `ids => Dedup.bandCollisionPairs(s, s)` over
-    * `s = Dedup.bandSignatures(docsOf(ids), numPerm, rowsPerBand)`. */
-  def pairsAmong(ids: DataFrame): DataFrame = {
-    val idSeq = ids.collect().map(_.getLong(0)).toIndexedSeq
-    val sigs =
-      if (idSeq.isEmpty)
+    * the raw document store instead ([[Dedup.pairsFromDocs]]). */
+  def pairsAmong(ids: DataFrame): DataFrame = pairsAmong(ids, 1000)
+
+  /** [[pairsAmong]] with an explicit literal-vs-join threshold: at or
+    * under `inMaxIds` distinct ids the read point-set-prunes through
+    * driver-known bounds; above it — a mass deletion hitting a giant
+    * dup component — the member set never comes to the driver at all:
+    * the signatures semi-join against the id frame broadcast-side
+    * (full index scan, the honest at-scale form — bounds pruning needs
+    * driver-known points). */
+  def pairsAmong(ids: DataFrame, inMaxIds: Int): DataFrame = {
+    val rids = ids.select(col("doc_id")).distinct().localCheckpoint()
+    val sigs = (Dedup.literalIds(rids, inMaxIds) match {
+      case Some(seq) if seq.isEmpty =>
         engine.spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
-          "doc_id", idSeq)
-        .localCheckpoint()
+      case Some(seq) =>
+        ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
+          "doc_id", seq)
+      case None =>
+        engine.readTable(ref)
+          .join(broadcast(rids), Seq("doc_id"), "left_semi")
+    }).localCheckpoint()
     Dedup.bandCollisionPairs(sigs, sigs)
       .filter(col("doc_id") =!= col("corpus_doc_id"))
       .select(col("doc_id").as("a_id"), col("corpus_doc_id").as("b_id"))
@@ -353,7 +364,11 @@ final class NearDupIndex(
               .join(selfIndexed, Seq("doc_id"), "left_anti")
               .join(selfIndexed.select(col("doc_id").as("corpus_doc_id")),
                 Seq("corpus_doc_id"), "left_anti")
-          val edges = pairs.unionByName(intra)
+          // ONE eager checkpoint: the emptiness probe, the fold's
+          // several passes over the edge set, and any CAS retry reuse
+          // the materialized frame instead of re-running the band
+          // self-join per consumer
+          val edges = pairs.unionByName(intra).localCheckpoint()
           if (!edges.isEmpty)
             comps.foldWithRetry(edges.select(col("doc_id").as("a_id"),
               col("corpus_doc_id").as("b_id")))

@@ -362,13 +362,21 @@ object Cli {
           val comps = new graft.ops.ComponentIndex(engine, vargs(0))
           val gate = new graft.ops.NearDupIndex(engine, vargs(1))
           val ids = vargs(2).split(",").map(_.trim.toLong).toSeq
-          val pairs = vargs.lift(4) match {
-            case Some(p) if vargs.lift(3).contains("--docs") =>
+          // STRICT: a malformed/value-less --docs must error, never
+          // silently fall back to the gate provider (wrong residual
+          // pairs for a gate-composed ledger — unrecoverable once the
+          // commit lands)
+          val pairs = vargs.drop(3) match {
+            case Array() =>
+              (ids: org.apache.spark.sql.DataFrame) => gate.pairsAmong(ids)
+            case Array("--docs", p) =>
               graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p)
                 .filter(!org.apache.spark.sql.functions.col("doc_id")
                   .isin(ids: _*)),
                 gate.numPerm, gate.rowsPerBand)
-            case _ => gate.pairsAmong _
+            case other => throw new IllegalArgumentException(
+              s"comp-retire: bad trailing tokens '${other.mkString(" ")}'" +
+                " — the only flag is --docs <docs.parquet>")
           }
           gate.retire(ids)
           val out = comps.retire(ids, pairs)
@@ -414,6 +422,11 @@ object Cli {
           if (flagged.contains("--sim") && ann.isEmpty)
             throw new IllegalArgumentException(
               "forget: --sim needs --ann (the index serving the cosine pairs)")
+          if (flagged.contains("--docs") && flagged.contains("--sim"))
+            throw new IllegalArgumentException(
+              "forget: --docs and --sim are mutually exclusive " +
+                "residual-pair providers — pick the one matching the " +
+                "ledger's edge semantics (minhash vs cosine)")
           // ledger residual pairs: --docs (minhash over the raw doc
           // store at the GATE's signature parameters — gate-composed
           // minhash ledgers), or --sim <thr> (the ANN index's within-
@@ -480,17 +493,29 @@ object Cli {
           // them to it; --ledger folds the batch's collision pairs into
           // the persisted dup-cluster assignment (semantic provenance)
           val idx = new graft.ops.AnnIndex(engine, vargs(0))
-          val li = vargs.indexOf("--ledger")
-          val ledger =
-            if (li >= 0 && li + 1 < vargs.length)
-              Some(new graft.ops.ComponentIndex(engine, vargs(li + 1)))
-            else None
+          // STRICT flag walk: a value-less --ledger must error, never
+          // silently skip the fold (lost semantic dup provenance with
+          // exit 0), and "--ledger --intra" must not consume "--intra"
+          // as a table name
+          var intra = false
+          var ledger: Option[graft.ops.ComponentIndex] = None
+          var fi = 3
+          while (fi < vargs.length) vargs(fi) match {
+            case "--intra" => intra = true; fi += 1
+            case "--ledger" if fi + 1 < vargs.length &&
+                !vargs(fi + 1).startsWith("--") =>
+              ledger = Some(new graft.ops.ComponentIndex(engine, vargs(fi + 1)))
+              fi += 2
+            case other => throw new IllegalArgumentException(
+              s"ann-gate: bad token '$other' — flags are --intra and " +
+                "--ledger <ns.comps>")
+          }
           val kept = idx.admitIfNovel(spark.read.parquet(vargs(1)),
             vargs(2).toDouble,
-            dedupWithinBatch = vargs.drop(3).contains("--intra"),
+            dedupWithinBatch = intra,
             components = ledger)
           println(s"admitted ${kept.count()} vectors into ${vargs(0)}" +
-            ledger.map(_ => s"; collision pairs folded into ${vargs(li + 1)}")
+            ledger.map(l => s"; collision pairs folded into ${l.ref}")
               .getOrElse(""))
         case "ann-decontam" =>
           // ann-decontam <ns.idx> <probes.parquet> <threshold> [nProbe] —

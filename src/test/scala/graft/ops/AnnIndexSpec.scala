@@ -818,6 +818,14 @@ class AnnIndexSpec extends SparkSpec {
     def ledger = comps.assignments.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ledger == Map(2L -> 1L, 3L -> 1L))
+    // join-fallback parity (threshold 0 — the mass-deletion form):
+    // identical pairs without a driver point set
+    def pSet(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      pSet(idx.pairsAmong(0.9, inMaxIds = 0)(
+        Seq(1L, 2L, 3L, 4L).toDF("doc_id"))) ==
+      pSet(idx.pairsAmong(0.9)(Seq(1L, 2L, 3L, 4L).toDF("doc_id"))))
 
     // forget bystander 2 with the index-served provider: {1, 3} stay
     // connected (their own cosine edge survives), 2 stops being served

@@ -373,5 +373,11 @@ class NearDupIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) } ==
       Set((1L, 2L), (1000L, 1001L)), pairs)
+
+    // the JOIN fallback (threshold 0 — the mass-deletion form that
+    // never collects the member set) serves the identical pairs
+    val pairsJ = idx.pairsAmong(ids.toDF("doc_id"), inMaxIds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsJ == pairs, s"join $pairsJ vs literal $pairs")
   }
 }

@@ -164,6 +164,14 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "forget", "-", "1",
       "--gate", "lake.f_gate", "--ledger", "lake.f_comps",
       "--sim", "0.9")) == 1)
+    // --docs and --sim together: refused (two different edge semantics)
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--ann", "lake.f_ann", "--ledger", "lake.f_comps",
+      "--docs", "nope.parquet", "--sim", "0.9")) == 1)
+    // comp-retire: a value-less --docs errors instead of silently
+    // selecting the gate provider
+    assert(Cli.run(Array(wh, "comp-retire", "lake.f_comps",
+      "lake.f_gate", "1", "--docs")) == 1)
 
     // SEMANTIC ledger via the CLI: ann-gate --ledger folds the batch's
     // cosine collision pairs; forget --sim retires through the index-
@@ -172,6 +180,9 @@ class SkewAndCliSpec extends SparkSpec {
     comps2.create()
     val bDir = s"$wh/_annbatch_parquet"
     Seq(AnnIndexSpec.Vec(20L, 0, Seq(0.99f, 0.01f))).toDF().write.parquet(bDir)
+    // a value-less --ledger must error, not silently skip the fold
+    assert(Cli.run(Array(wh, "ann-gate", "lake.f_ann", bDir, "0.9",
+      "--ledger")) == 1)
     assert(Cli.run(Array(wh, "ann-gate", "lake.f_ann", bDir, "0.9",
       "--ledger", "lake.f_comps2")) == 0)
     assert(comps2.assignments.collect()
