@@ -169,6 +169,61 @@ object PipelineQueries {
         |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
         |FROM labels GROUP BY component ORDER BY component""".stripMargin
 
+  /** Oracle for the SEMANTIC dup-cluster ledger: the gate's edge set is
+    * batch-vs-index cosine collisions within the batch's assigned
+    * clusters PLUS intra-batch within-cluster pairs (what
+    * `AnnIndex.admitIfNovel(components=...)` folds), and the persisted
+    * ledger must equal the recursive-CTE closure over exactly those
+    * edges. Quantizer replay = [[kmeansCtesOver]] (frozen centroids
+    * `c1`, corpus assignment `a2`); batch routing replays
+    * `Clustering.assign`'s (score, cluster) tie-break; the cosine gate
+    * is the engine's own 6-dp-rounded definition. */
+  private val componentsSemanticOracleSql: String = {
+    def seqDot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+        s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    "WITH RECURSIVE " + kmeansCtesOver("NOT (vec_id % 5 = 0)", 4) + ",\n" +
+      s"""cn AS (SELECT vec_id, cluster, embedding,
+         |    sqrt(${seqDot("embedding", "embedding")}) AS v_norm FROM a2),
+         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |bscore AS (
+         |  SELECT b.vec_id, c1.c,
+         |    -2.0 * list_reduce(list_transform(range(1, len(b.embedding) + 1),
+         |        i -> CAST(b.embedding[i] AS DOUBLE) * cv[i]), (x, y) -> x + y)
+         |      + list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y) AS score
+         |  FROM b, c1),
+         |bn AS (
+         |  SELECT b.vec_id, b.embedding, r.cluster,
+         |    sqrt(${seqDot("b.embedding", "b.embedding")}) AS v_norm
+         |  FROM b JOIN (
+         |    SELECT vec_id, c AS cluster FROM
+         |      (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS rn
+         |       FROM bscore) WHERE rn = 1) r ON b.vec_id = r.vec_id),
+         |bi AS (
+         |  SELECT bn.vec_id AS a_id, cn.vec_id AS b_id
+         |  FROM bn JOIN cn ON bn.cluster = cn.cluster
+         |  WHERE round(${seqDot("bn.embedding", "cn.embedding")}
+         |      / (bn.v_norm * cn.v_norm), 6) >= 0.35),
+         |bb AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bn x JOIN bn y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+         |  WHERE round(${seqDot("x.embedding", "y.embedding")}
+         |      / (x.v_norm * y.v_norm), 6) >= 0.35),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM bi
+         |  UNION SELECT b_id, a_id FROM bi
+         |  UNION SELECT a_id, b_id FROM bb
+         |  UNION SELECT b_id, a_id FROM bb),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+         |FROM labels GROUP BY component ORDER BY component""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[Dedup.simhashCandidates]] (60-bit signature,
     * 4 pigeonhole blocks of 15 bits, maxHamming=3) over all documents. */
   private val simhashOracleSql: String = {
@@ -1527,6 +1582,36 @@ object PipelineQueries {
           .orderBy("component")
       },
       Some(componentsRetireOracleSql)),
+
+    // SEMANTIC dup-cluster ledger: bootstrap the persisted ANN index on
+    // 80% of the embeddings, gate the other 20% through admitIfNovel
+    // with the component ledger attached — the folded assignment
+    // (batch-vs-index cosine collisions + intra-batch within-cluster
+    // pairs) must equal the oracle's recursive-CTE closure over exactly
+    // that edge set. Output reconstructs implicit labels from the
+    // sparse store, like q_components_retire.
+    Q("q_components_semantic",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 0
+        val wh = java.nio.file.Files
+          .createTempDirectory("q_comp_sem").toString
+        val e = new graft.api.Engine(s, wh)
+        val idx = new graft.ops.AnnIndex(e, "q.sem_idx",
+          kClusters = 4, iters = 2)
+        idx.create(); idx.bootstrap(emb.filter(!isBatch(col("vec_id"))))
+        val comps = new graft.ops.ComponentIndex(e, "q.sem_comps")
+        comps.create()
+        idx.admitIfNovel(emb.filter(isBatch(col("vec_id"))), 0.35,
+          components = Some(comps))
+        val a = comps.assignments.localCheckpoint()
+        a.unionByName(a.select(col("component").as("doc_id"),
+            col("component")).distinct())
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+          .orderBy("component")
+      },
+      Some(componentsSemanticOracleSql)),
 
     // Random-hyperplane LSH ANN (portable integer-mix plane weights)
     Q("q_ann_lsh",
