@@ -39,12 +39,20 @@ object Engine {
 
   /** What [[Engine.forget]] touched: the corpus table it deleted from
     * (when given), whether the gate / ANN index were retired, and the
-    * ledger's re-clustered surviving members (lazy, affected-bounded). */
+    * ledger's re-clustered surviving members (lazy, affected-bounded).
+    * `ledgersRemaining` carries the per-ledger outcomes (ref →
+    * remaining) when several ledgers share the corpus — the single
+    * `ledger` argument's outcome rides in both. `indexRefs` lists every
+    * INDEX table the call landed equality-deletes on (gate, ledgers,
+    * ANN — the corpus table is the user's own upkeep concern), in
+    * retire order — [[Engine.adviseIndexes]]'s input. */
   final case class ForgetResult(
       corpusDeleted: Option[String],
       gateRetired: Boolean,
       ledgerRemaining: Option[DataFrame],
-      annRetired: Boolean)
+      annRetired: Boolean,
+      ledgersRemaining: Seq[(String, DataFrame)] = Seq.empty,
+      indexRefs: Seq[String] = Seq.empty)
 }
 
 final class Engine(val spark: SparkSession, warehouseDir: String,
@@ -520,7 +528,33 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     * are skipped. `ids` is a one-column frame named `idColumn`. Returns
     * what happened per surface; `ledgerRemaining` is the re-clustered
     * post-retire assignment of the affected components' surviving
-    * members (lazy, affected-bounded). */
+    * members (lazy, affected-bounded).
+    *
+    * MULTIPLE ledgers over one corpus (e.g. a minhash ledger AND a
+    * semantic ledger): pass `ledgers` — each `(ledger, provider)` pair
+    * re-clusters in order, after the gate retire and before the ANN
+    * retire, so every provider sees a ghost-free gate; the providers
+    * are explicit per ledger because the two edge semantics (band
+    * collisions vs within-cluster cosine) are never interchangeable.
+    * Per-ledger outcomes land in `ledgersRemaining`.
+    *
+    * UPKEEP: every step here lands equality-delete files, pushing the
+    * touched tables' reads onto the merge-on-read fallback path until
+    * compaction folds them — a deployment running daily compliance
+    * batches should follow up with [[adviseIndexes]] on the result
+    * (it names `compact-incremental` + prune-deletes per touched index
+    * table) or schedule `compact`/[[pruneDanglingDeletes]] directly.
+    *
+    * STREAMING gates and forget-consistency: the persisted-index
+    * streams ([[graft.ops.NearDupIndex.admitStream]],
+    * [[graft.ops.AnnIndex.admitStream]]) re-read their table every
+    * micro-batch, so the first batch after this call stops colliding
+    * with forgotten state — no restart needed; `dedupStream`'s digest
+    * state self-expires with its watermark. The one stale shape is
+    * [[graft.streaming.EventStreams.nearDupStream]], which gates
+    * against a STATIC snapshot of the band index captured at stream
+    * start: it keeps serving the forgotten docs' ghost signatures
+    * (over-flagging, never under-) until the stream restarts. */
   def forget(
       ids: DataFrame,
       corpusRef: Option[String] = None,
@@ -528,6 +562,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       ledger: Option[graft.ops.ComponentIndex] = None,
       annIndex: Option[graft.ops.AnnIndex] = None,
       ledgerPairs: Option[DataFrame => DataFrame] = None,
+      ledgers: Seq[(graft.ops.ComponentIndex, DataFrame => DataFrame)] = Seq.empty,
       idColumn: String = "doc_id"): Engine.ForgetResult = {
     require(ledger.isEmpty || ledgerPairs.nonEmpty || gate.nonEmpty,
       "forget: a component ledger needs residual pairs — pass a gate " +
@@ -541,14 +576,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
       ref
     }
     gate.foreach(_.retire(rids))
-    val ledgerRemaining = ledger.map { l =>
-      val provider = ledgerPairs
+    val ledgerJobs = ledger.map { l =>
+      l -> ledgerPairs
         .getOrElse((members: DataFrame) => gate.get.pairsAmong(members))
-      l.retireWithRetry(rids, provider)
+    }.toSeq ++ ledgers
+    val ledgersRemaining = ledgerJobs.map { case (l, provider) =>
+      l.ref -> l.retireWithRetry(rids, provider)
     }
     annIndex.foreach(_.retire(rids.select(col("doc_id").as("vec_id"))))
-    Engine.ForgetResult(corpusDeleted, gate.nonEmpty, ledgerRemaining,
-      annIndex.nonEmpty)
+    Engine.ForgetResult(corpusDeleted, gate.nonEmpty,
+      ledger.flatMap(l => ledgersRemaining.find(_._1 == l.ref).map(_._2)),
+      annIndex.nonEmpty,
+      ledgersRemaining,
+      gate.map(_.ref).toSeq ++ ledgerJobs.map(_._1.ref) ++
+        annIndex.map(_.ref).toSeq)
   }
 
   /** [[forget]] with driver-known ids. */
@@ -561,7 +602,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     val s2 = spark
     import s2.implicits._
     forget(ids.toDF("doc_id").select(col("doc_id").as(idColumn)),
-      corpusRef, gate, ledger, annIndex, ledgerPairs, idColumn)
+      corpusRef, gate, ledger, annIndex, ledgerPairs,
+      idColumn = idColumn)
+  }
+
+  /** Index UPKEEP advice for the tables a [[forget]] (or any retire
+    * loop) touched: one [[advise]] row-set per touched index table,
+    * prefixed with the table ref. The connection forget itself cannot
+    * make in-line: retires land equality-delete files on the gate /
+    * ledger / ANN tables, and until `compact-incremental` folds them
+    * (then prune-deletes drops the dangling entries) every read of
+    * those indexes pays the merge-on-read anti-join path — a daily
+    * compliance batch quietly degrades all three indexes' scan paths
+    * without this check. Driver-side metadata work, no Spark job. */
+  def adviseIndexes(r: Engine.ForgetResult): DataFrame = {
+    require(r.indexRefs.nonEmpty,
+      "adviseIndexes: the forget touched no index tables")
+    r.indexRefs.distinct.map(ref =>
+        advise(ref).withColumn("table", lit(ref))
+          .select("table", "action", "status", "reason"))
+      .reduce(_.unionAll(_))
   }
 
   /** Bootstrap an empty table (engine-native `CREATE TABLE`;

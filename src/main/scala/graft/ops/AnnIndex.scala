@@ -646,8 +646,11 @@ final class AnnIndex(
           "vec_id", seq)
           .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
       case None =>
+        // hint only under the ceiling — a nation-scale member set must
+        // not be FORCED through the driver as a broadcast
         ScanPlanner.readTable(engine.spark, engine.load(ref))
-          .join(broadcast(rids), Seq("vec_id"), "left_semi")
+          .join(Dedup.hintIf(Dedup.fitsBroadcast(rids))(rids),
+            Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("cluster"), col("v_norm"), col("embedding"))
     }).localCheckpoint()
     pairsOf(rows, threshold)

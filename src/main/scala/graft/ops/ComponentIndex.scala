@@ -277,12 +277,19 @@ final class ComponentIndex(
       pairsAmong: DataFrame => DataFrame): DataFrame = {
     val t = engine.load(ref)
     val store = storeOf(t)
+    // join-tier hint ceiling: the explicit broadcast hints below are the
+    // mass-deletion form, but a hint FORCES the broadcast regardless of
+    // size — probe the checkpointed frame once (join path only: the
+    // literal path never evaluates this) and drop the hint above the
+    // ceiling, letting AQE pick the join
+    lazy val ridsFit = Dedup.fitsBroadcast(rids)
     // components of retired MEMBER docs (their own stored rows): the
     // pushed-down literal reaches the parquet scan for bounded sets; a
     // corpus-scale set probes through a broadcast semi-join instead
     val retiredRows = (lits match {
       case Some(seq) => store.filter(col("doc_id").isin(seq: _*))
-      case None => store.join(broadcast(rids), Seq("doc_id"), "left_semi")
+      case None => store.join(Dedup.hintIf(ridsFit)(rids),
+        Seq("doc_id"), "left_semi")
     }).localCheckpoint()
     // all affected components' stored rows: members of those comps PLUS
     // rows labeled by a retired id (a retired LABEL's own row is
@@ -298,8 +305,10 @@ final class ComponentIndex(
       case None =>
         val labels = retiredRows.select(col("component").as("doc_id"))
           .union(rids).distinct().localCheckpoint()
+        val labelsFit = Dedup.fitsBroadcast(labels)
         relabelRowsDf(labels, t)
-          .join(broadcast(labels.select(col("doc_id").as("component"))),
+          .join(Dedup.hintIf(labelsFit)(
+              labels.select(col("doc_id").as("component"))),
             Seq("component"), "left_semi")
     }).localCheckpoint()
     // remaining members: stored members plus the (implicit) label docs
@@ -311,14 +320,19 @@ final class ComponentIndex(
       .distinct()
     val remaining = (lits match {
       case Some(seq) => remaining0.filter(!col("doc_id").isin(seq: _*))
-      case None => remaining0.join(broadcast(rids), Seq("doc_id"), "left_anti")
+      case None => remaining0.join(Dedup.hintIf(ridsFit)(rids),
+        Seq("doc_id"), "left_anti")
     }).localCheckpoint()
     // residual candidate pairs among the remaining members only —
     // restricted defensively so a generous provider cannot leak edges
-    // to retired or unaffected docs
+    // to retired or unaffected docs (one ceiling probe covers both
+    // projections of the checkpointed frame)
+    val remFit = Dedup.fitsBroadcast(remaining)
     val residual = pairsAmong(remaining)
-      .join(broadcast(remaining.select(col("doc_id").as("a_id"))), Seq("a_id"), "left_semi")
-      .join(broadcast(remaining.select(col("doc_id").as("b_id"))), Seq("b_id"), "left_semi")
+      .join(Dedup.hintIf(remFit)(
+        remaining.select(col("doc_id").as("a_id"))), Seq("a_id"), "left_semi")
+      .join(Dedup.hintIf(remFit)(
+        remaining.select(col("doc_id").as("b_id"))), Seq("b_id"), "left_semi")
     val reclustered = Dedup.connectedComponents(residual).localCheckpoint()
     // ONE commit: drop every stored row of the affected components,
     // insert the re-clustered non-trivial memberships. Nothing stored

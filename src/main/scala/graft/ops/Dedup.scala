@@ -491,6 +491,39 @@ object Dedup {
     else None
   }
 
+  /** Ceiling (rows) for the EXPLICIT `broadcast()` hints on compliance
+    * id frames — ~80 MB of longs, comfortably a broadcast. Overridable
+    * via the session conf (`0` disables the hint tier entirely — the
+    * parity-spec switch). */
+  private[graft] val BroadcastMaxIdsConf = "graft.retire.broadcastMaxIds"
+  private[graft] val BroadcastMaxIdsDefault = 10000000L
+
+  /** Size-probe for the join tier ABOVE [[literalIds]]: true iff `ids`
+    * holds at most `graft.retire.broadcastMaxIds` rows, in which case
+    * the caller keeps its explicit `broadcast()` hint on the semi/anti-
+    * join probe side. Above the ceiling the hint must be DROPPED and
+    * the join left to AQE (sort-merge / shuffled hash): an explicit
+    * hint forces the frame through the driver regardless of size, so a
+    * nation-scale forget set (100M+ ids) would OOM the broadcast with
+    * no fallback. One `limit(max+1).count()` job — callers probe a
+    * localCheckpoint()ed frame ONCE and reuse the verdict across their
+    * joins, so the probe is a bounded scan of materialized blocks. */
+  private[graft] def fitsBroadcast(ids: DataFrame): Boolean = {
+    val max = ids.sparkSession.conf.getOption(BroadcastMaxIdsConf)
+      .map(_.toLong).getOrElse(BroadcastMaxIdsDefault)
+    max > 0 && {
+      val lim =
+        if (max >= Int.MaxValue - 1) Int.MaxValue - 1 else (max + 1).toInt
+      ids.limit(lim).count() <= max
+    }
+  }
+
+  /** The conditional hint paired with a [[fitsBroadcast]] verdict —
+    * applied AFTER any projection so the hint sits directly under the
+    * join side. */
+  private[graft] def hintIf(fits: Boolean)(df: DataFrame): DataFrame =
+    if (fits) org.apache.spark.sql.functions.broadcast(df) else df
+
   /** Salt count for [[connectedComponents]]' hub guard: 1 (no salting)
     * until the max degree crosses the threshold, then one salt per
     * threshold-worth of edges, capped at 32 (beyond that the S× label

@@ -234,8 +234,11 @@ final class NearDupIndex(
         ScanPlanner.readTableWhereInSet(engine.spark, engine.load(ref),
           "doc_id", seq)
       case None =>
+        // hint only under the ceiling — a nation-scale member set must
+        // not be FORCED through the driver as a broadcast
         engine.readTable(ref)
-          .join(broadcast(rids), Seq("doc_id"), "left_semi")
+          .join(Dedup.hintIf(Dedup.fitsBroadcast(rids))(rids),
+            Seq("doc_id"), "left_semi")
     }).localCheckpoint()
     Dedup.bandCollisionPairs(sigs, sigs)
       .filter(col("doc_id") =!= col("corpus_doc_id"))

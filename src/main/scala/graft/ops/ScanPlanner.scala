@@ -345,6 +345,29 @@ object ScanPlanner {
     else None
   }
 
+  /** An EMPTY frame when a snapshot holds zero live data files — the
+    * correct answer for any pruned read of a fresh or fully-deleted
+    * table (a retire/forget touching a never-admitted index must yield
+    * an empty residual set, not abort). `Some(file)` keeps the old
+    * behavior: scan one live file with `filter(false)` so the physical
+    * parquet schema rides along; `None` synthesizes the empty frame
+    * from the declared current schema (every engine table is
+    * primitive/list-expressible; struct/map tables — which need parquet
+    * inference — still raise, now with the reason named). */
+  private def emptyOrPinned(
+      spark: SparkSession, t: IcebergTable,
+      anyFile: Option[String]): DataFrame = anyFile match {
+    case Some(path) => scanFiles(spark, t, Seq(path)).filter(lit(false))
+    case None => currentSparkSchema(t) match {
+      case Some(st) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      case None => throw new IllegalStateException(
+        s"snapshot has no data files under ${t.tableDir} and the " +
+          "schema has struct/map fields (an empty read needs parquet " +
+          "inference from a live file)")
+    }
+  }
+
   /** Read the data pruned to `column ∈ values` through the partition
     * spec: each value maps through every spec field derived from the
     * column (identity / bucket[N] / truncate[W]) to the partition value
@@ -409,12 +432,10 @@ object ScanPlanner {
           .collect().map(r => t.resolvePath(r.getString(0)))
       }
     val resid = col(column).isin(values.map(lit(_)): _*)
-    if (pruned.isEmpty) {
-      val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
-        .getOrElse(throw new IllegalStateException(
-          s"snapshot has no data files under ${t.tableDir}"))
-      scanFiles(spark, t, Seq(any)).filter(lit(false))
-    } else
+    if (pruned.isEmpty)
+      emptyOrPinned(spark, t,
+        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
+    else
       // the file-scoped split applies to pruned scans too: surviving
       // delete-untouched files scan bare, only hit files pay anti-joins
       readSplit(spark, t, snapshotId, pruned.toIndexedSeq).filter(resid)
@@ -445,14 +466,12 @@ object ScanPlanner {
         // reappear just because the scan was narrowed; the file-scoped
         // split keeps the untouched survivors on the bare vectorized path
         readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
-      else {
+      else
         // everything pruned: the correct result is EMPTY with the table's
-        // schema — read it from any live file, scan nothing
-        val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
-          .getOrElse(throw new IllegalStateException(
-            s"snapshot has no data files under ${t.tableDir}"))
-        return scanFiles(spark, t, Seq(any)).filter(lit(false))
-      }
+        // schema — read it from any live file (or the declared schema
+        // when the snapshot has none), scan nothing
+        return emptyOrPinned(spark, t,
+          t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
     val c = col(column)
     val range = (lo.map(c >= _), hi.map(c <= _)) match {
       case (Some(a), Some(b)) => a && b
@@ -510,13 +529,11 @@ object ScanPlanner {
       // metadata-scale collect: the surviving PATH LIST parameterizes
       // the scan, exactly like readTableWhere
       .collect().map(r => t.resolvePath(r.getString(0)))
-    if (pruned.isEmpty) {
+    if (pruned.isEmpty)
       // every file pruned: EMPTY with the table's schema, scan nothing
-      val any = t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath))
-        .getOrElse(throw new IllegalStateException(
-          s"snapshot has no data files under ${t.tableDir}"))
-      scanFiles(spark, t, Seq(any)).filter(lit(false))
-    } else
+      emptyOrPinned(spark, t,
+        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
+    else
       readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
         .filter(col(column).isin(sorted: _*))
   }

@@ -32,7 +32,7 @@ import graft.api.{Engine, Errors}
   *      | dedup-gate T shardParquet [--admit [--intra]]
   *      | comp-fold T edgesParquet [--bootstrap]
   *      | comp-retire T G ids [--docs docsParquet]
-  *      | forget T ids [--gate G] [--ledger L] [--ann A] [--docs P] [--sim thr]
+  *      | forget T ids [--gate G] [--ledger L] [--ann A] [--docs P] [--sim thr] [--advise]
   * }}}
   * where T = `<namespace>.<table>`. Errors map through the friendly
   * taxonomy (ref `cli.py:54-179`) and exit 1.
@@ -385,7 +385,7 @@ object Cli {
         case "forget" =>
           // forget <ns.corpus|-> <id,...|ids.parquet> [--gate T]
           //        [--ledger T] [--ann T] [--docs docs.parquet]
-          //        [--id-col c] — right-to-be-forgotten in ONE verb:
+          //        [--id-col c] [--advise] — right-to-be-forgotten in ONE verb:
           // corpus rows, gate signatures, ledger components (re-
           // clustered), ANN vectors — in the required order. `-` skips
           // the corpus table; --docs selects the docs-based residual
@@ -399,7 +399,11 @@ object Cli {
           // Engine.forget's refusal exists to prevent)
           val known = Set("--gate", "--ledger", "--ann", "--docs",
             "--sim", "--id-col")
-          val flagged = vargs.drop(2).grouped(2).map {
+          // --advise is the one VALUELESS flag: strip it before the
+          // pairwise parse (it would otherwise swallow its neighbor)
+          val (adviseFlag, valueFlags) =
+            vargs.drop(2).partition(_ == "--advise")
+          val flagged = valueFlags.grouped(2).map {
             case Array(f, v) if known(f) && !v.startsWith("--") => f -> v
             case other => throw new IllegalArgumentException(
               s"forget: bad flag tokens '${other.mkString(" ")}' — " +
@@ -432,10 +436,16 @@ object Cli {
           // minhash ledgers), or --sim <thr> (the ANN index's within-
           // cluster cosine pairs — semantic ledgers over an indexed
           // corpus); default = the gate's signatures
+          if (flagged.contains("--docs") && gate.isEmpty)
+            throw new IllegalArgumentException(
+              "forget: --docs needs --gate — the docs-based residual " +
+                "pairs must be minhashed at the LEDGER's signature " +
+                "parameters, which only the gate that built it carries " +
+                "(a defaulted numPerm/rowsPerBand would silently " +
+                "produce a different collision set)")
           val pairs = flagged.get("--docs").map(p =>
             graft.ops.Dedup.pairsFromDocs(spark.read.parquet(p),
-              gate.map(_.numPerm).getOrElse(16),
-              gate.map(_.rowsPerBand).getOrElse(4)))
+              gate.get.numPerm, gate.get.rowsPerBand))
             .orElse(flagged.get("--sim").flatMap(thr =>
               ann.map(a => a.pairsAmong(thr.toDouble) _)))
           val r = engine.forget(ids,
@@ -450,6 +460,14 @@ object Cli {
             s" gate=${r.gateRetired}" +
             s" ledger=${r.ledgerRemaining.map(_.count()).getOrElse(-1L)}" +
             s" ann=${r.annRetired}")
+          // --advise: surface the delete-debt upkeep the retires just
+          // created on the touched index tables (compact-incremental +
+          // prune-deletes), so a compliance loop doesn't quietly push
+          // every index read onto the merge-on-read fallback path
+          if (adviseFlag.nonEmpty && r.indexRefs.nonEmpty)
+            engine.adviseIndexes(r).collect().foreach(row =>
+              println(s"  upkeep ${row.getString(0)}: ${row.getString(1)} " +
+                s"${row.getString(2)} — ${row.getString(3)}"))
         case "ann-index" =>
           // ann-index <ns.idx> <embeddings.parquet> [k] [pqM] [pqK] —
           // create and bootstrap the persisted ANN index from a corpus:

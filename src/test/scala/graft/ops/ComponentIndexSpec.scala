@@ -229,6 +229,20 @@ class ComponentIndexSpec extends SparkSpec {
     assert(asMap(jn.assignments) ==
       asMap(Dedup.connectedComponents(survivors.toDF("a_id", "b_id")))
         .filter { case (k, v) => k != v })
+
+    // ---- broadcast ceiling: the join path with the explicit hint tier
+    // FORCED OFF (ceiling 0 — every retired-id probe falls to AQE's
+    // shuffle join) lands the identical table state again. The 100 TB
+    // argument: above the ceiling a hint would force a nation-scale id
+    // frame through the driver as a broadcast with no fallback.
+    val shuffle = build("ns.thr_shuffle")
+    spark.conf.set(Dedup.BroadcastMaxIdsConf, "0")
+    try {
+      val outShuffle = asMap(shuffle.retire(retired.toDF("doc_id"),
+        provider, inMaxIds = 0))
+      assert(outShuffle == outJoin, s"shuffle $outShuffle vs hint $outJoin")
+      assert(asMap(shuffle.assignments) == asMap(jn.assignments))
+    } finally spark.conf.unset(Dedup.BroadcastMaxIdsConf)
   }
 
   test("foldWithRetry: two concurrent folds both land — the loser's CAS " +

@@ -203,4 +203,36 @@ class ScanPlannerSpec extends SparkSpec {
     val none = ScanPlanner.readTableWhereInSet(spark, t, "id", Seq(99999L))
     assert(none.count() == 0L && none.columns.sameElements(Array("id", "v")))
   }
+
+  test("pruned reads of a snapshot with NO data files return empty with " +
+      "the declared schema instead of aborting") {
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-empty-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.fresh", new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    val t = e.load("ns.fresh")
+    // all three pruned-read shapes on a never-appended table: empty
+    // frame, declared schema — a retire/forget routed through them
+    // (NearDupIndex/AnnIndex.pairsAmong residual reads) must yield an
+    // empty pair set, not an IllegalStateException
+    val inSet = ScanPlanner.readTableWhereInSet(spark, t, "id", Seq(1L, 7L))
+    assert(inSet.count() == 0L
+      && inSet.columns.sameElements(Array("id", "v")))
+    val where = ScanPlanner.readTableWhere(spark, t, "id",
+      Some(0.0), Some(10.0))
+    assert(where.count() == 0L
+      && where.columns.sameElements(Array("id", "v")))
+    val whereIn = ScanPlanner.readTableWhereIn(spark, t, "id", Seq("1"))
+    assert(whereIn.count() == 0L
+      && whereIn.columns.sameElements(Array("id", "v")))
+
+    // the widened exposure end to end: a retire against a FRESH gate's
+    // residual provider (ForgetSpec covers the full verb)
+    val gate = new NearDupIndex(e, "ns.fresh_gate", nBuckets = 4)
+    gate.create()
+    assert(gate.pairsAmong(Seq(1L, 2L).toDF("doc_id")).count() == 0L)
+  }
 }

@@ -168,6 +168,11 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "forget", "-", "1",
       "--ann", "lake.f_ann", "--ledger", "lake.f_comps",
       "--docs", "nope.parquet", "--sim", "0.9")) == 1)
+    // --docs WITHOUT --gate: refused — the docs provider would silently
+    // default numPerm/rowsPerBand and produce a different collision set
+    // than the ledger was built with
+    assert(Cli.run(Array(wh, "forget", "-", "1",
+      "--ledger", "lake.f_comps", "--docs", "nope.parquet")) == 1)
     // comp-retire: a value-less --docs errors instead of silently
     // selecting the gate provider
     assert(Cli.run(Array(wh, "comp-retire", "lake.f_comps",
@@ -189,7 +194,7 @@ class SkewAndCliSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(20L -> 1L))
     assert(Cli.run(Array(wh, "forget", "-", "1",
       "--ann", "lake.f_ann", "--ledger", "lake.f_comps2",
-      "--sim", "0.9")) == 0)
+      "--sim", "0.9", "--advise")) == 0)
     assert(comps2.assignments.count() == 0L)
     assert(e.readTable("lake.f_ann").select("vec_id")
       .collect().map(_.getLong(0)).isEmpty)
