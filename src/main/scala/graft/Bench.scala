@@ -148,6 +148,18 @@ object Bench {
         val gateBatch = emb.filter(col("vec_id") % 97 === 0)
           .withColumn("vec_id", col("vec_id") + lit(10000000L))
           .localCheckpoint()
+        // the LEDGER twin's batch: same vectors, disjoint ids — after
+        // d_ann_gate rejects its batch (exact dups of indexed vectors)
+        // the index is unchanged, so this batch sees the IDENTICAL
+        // collision structure and d_ann_gate_ledger − d_ann_gate is the
+        // semantic fold's marginal cost (resolution + batch-bounded
+        // re-cluster + one ledger commit), measured, not inferred
+        val gateBatch2 = emb.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(20000000L))
+          .localCheckpoint()
+        val annLedger = new graft.ops.ComponentIndex(
+          annEngine, "bench.ann_comps")
+        annLedger.create()
         // dup-cluster ledger maintenance: candidate pairs prepared
         // untimed (d_components already times candidate generation) so
         // d_components_fold isolates the INCREMENTAL path — resolution,
@@ -203,6 +215,10 @@ object Bench {
           },
           timed("d_ann_gate") {
             annIdx.admitIfNovel(gateBatch, 0.35).count()
+          },
+          timed("d_ann_gate_ledger") {
+            annIdx.admitIfNovel(gateBatch2, 0.35,
+              components = Some(annLedger)).count()
           },
           timed("d_components") {
             graft.ops.Dedup.connectedComponents(
