@@ -51,5 +51,10 @@ object Sessions {
     // Write timestamps as INT64 micros (DuckDB-friendly; INT96 is legacy).
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone" -> "UTC",
+    // Field-id column resolution for id-stamped engine tables (rename-
+    // safe reads, see graft.meta.FieldIds). Safe globally: id-less read
+    // schemas keep plain name matching. ScanPlanner also sets it lazily
+    // (ensureReadEnabled) so user-built sessions are covered.
+    "spark.sql.parquet.fieldId.read.enabled" -> "true",
   )
 }

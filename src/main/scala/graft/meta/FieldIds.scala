@@ -1,0 +1,90 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Iceberg FIELD-ID column resolution for parquet data files.
+  *
+  * The Iceberg spec requires readers to resolve data-file columns by
+  * field id, never by name — that is what makes `rename` a metadata-only
+  * operation (old files keep the old parquet column NAME but the same
+  * field ID, and a post-rename scan must still surface their data under
+  * the new name). Spark supports exactly this through the
+  * `parquet.field.id` StructField metadata key:
+  *
+  *   - writes: with `spark.sql.parquet.fieldId.write.enabled` (default
+  *     true), an attributed write schema lands `PARQUET:field_id` in the
+  *     file footers;
+  *   - reads: with `spark.sql.parquet.fieldId.read.enabled` set, an
+  *     attributed READ schema is matched against those footer ids —
+  *     id-less read schemas keep plain name matching, so enabling the
+  *     conf is safe session-wide.
+  *
+  * The one hazard is an attributed read schema against an id-LESS file:
+  * Spark then errors (or nulls every column under `ignoreMissing`) —
+  * there is NO name fallback. So id-resolved reads are gated on the
+  * [[PropKey]] table property, stamped by [[TableCreator]] at create
+  * time: a table carries it iff every data/delete file it can contain
+  * was written by this engine's attributed write path. Pre-existing
+  * tables (no property) keep the historical name-resolved read.
+  */
+object FieldIds {
+
+  /** Table property marking every file as carrying parquet field ids. */
+  val PropKey = "graft.parquet.field-ids"
+
+  /** Iceberg reserved field ids for position-delete files (spec §Delete
+    * Formats: 2147483546 = file_path, 2147483545 = pos). */
+  val PosDeletePathId = 2147483546
+  val PosDeletePosId  = 2147483545
+
+  def tableHasIds(md: TableMetadata): Boolean =
+    md.properties.get(PropKey).contains("true")
+
+  def idMetadata(id: Int): Metadata =
+    new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+
+  private def withId(f: StructField, id: Int): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong("parquet.field.id", id.toLong).build())
+
+  /** Attach field-id metadata to a Spark schema from the table's current
+    * Iceberg schema (top-level fields; the engine's writable surface is
+    * flat primitives / binary / list<primitive>, where the outer field id
+    * is what rename/drop/widen evolution operates on). */
+  def attribute(st: StructType, ice: IceSchema): StructType = {
+    val idByName = ice.fields.filter(f => f.path == f.name)
+      .map(f => f.name -> f.id).toMap
+    StructType(st.fields.map(f => idByName.get(f.name).map(withId(f, _)).getOrElse(f)))
+  }
+
+  /** Re-select `df`'s columns with field-id metadata so the parquet
+    * writer stamps footer ids (write conf is default-on in Spark 4). */
+  def attributeColumns(df: DataFrame, fields: Seq[SchemaField]): DataFrame = {
+    val idByName = fields.map(f => f.name -> f.id).toMap
+    df.select(df.columns.toIndexedSeq.map { n =>
+      idByName.get(n) match {
+        case Some(id) => col(n).as(n, idMetadata(id))
+        case None => col(n)
+      }
+    }: _*)
+  }
+
+  /** Same, for an explicit (name, id) list (delete-file schemas). */
+  def attributeExplicit(df: DataFrame, ids: Seq[(String, Int)]): DataFrame = {
+    val idByName = ids.toMap
+    df.select(df.columns.toIndexedSeq.map { n =>
+      idByName.get(n) match {
+        case Some(id) => col(n).as(n, idMetadata(id))
+        case None => col(n)
+      }
+    }: _*)
+  }
+
+  /** Id-resolved reads need the session conf ON (runtime-settable; a
+    * no-op when already set). Called at each id-attributed read site so
+    * the engine works under user-built sessions, not just [[graft.Sessions]]. */
+  def ensureReadEnabled(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+}

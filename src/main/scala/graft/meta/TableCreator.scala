@@ -81,7 +81,11 @@ object TableCreator {
       schemas = Seq(IceSchema(0, fields)),
       defaultSpecId = 0,
       partitionSpecs = Seq(PartitionSpec(0, specFields)),
-      properties = properties,
+      // stamp the field-id guarantee: every file this table can ever
+      // contain comes from the engine's attributed write path, so scans
+      // may resolve columns by parquet field id (rename-safe reads —
+      // see [[FieldIds]]). Caller properties win on a key collision.
+      properties = Map(FieldIds.PropKey -> "true") ++ properties,
       currentSnapshotId = None,
       snapshots = Seq.empty)
     Files.createDirectories(dir.resolve("metadata"))

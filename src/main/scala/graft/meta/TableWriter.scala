@@ -172,7 +172,9 @@ object TableWriter {
     val tok = java.util.UUID.randomUUID().toString.take(8)
     // stage the position-delete parquet and move it under data/
     val stage = Files.createTempDirectory("graft-delete")
-    delRows.write.mode("overwrite").parquet(stage.toString)
+    FieldIds.attributeExplicit(delRows, Seq(
+        "file_path" -> FieldIds.PosDeletePathId, "pos" -> FieldIds.PosDeletePosId))
+      .write.mode("overwrite").parquet(stage.toString)
     delRows.unpersist()
     val staged = scala.util.Using.resource(Files.list(stage))(
       _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
@@ -433,7 +435,10 @@ object TableWriter {
         require(df0.columns.toSet == names.toSet,
           s"dataframe columns ${df0.columns.sorted.mkString(",")} must match " +
             s"table schema ${names.sorted.mkString(",")}")
-        val ordered = df0.select(names.map(col): _*)
+        // field-id-attributed write: the parquet footers carry each
+        // column's Iceberg field id, so id-stamped tables read
+        // rename-safely by id ([[FieldIds]]; write conf is default-on)
+        val ordered = FieldIds.attributeColumns(df0.select(names.map(col): _*), fields)
         val stage = Files.createTempDirectory("graft-commit")
         // the optional bin is a STAGING partition column: partitionBy
         // splits by directory value inside each task, so bins become
@@ -743,7 +748,8 @@ object TableWriter {
     equalityData.foreach { case (keyData, keys) =>
       val keyFields = keys.map(k => fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"upsert key $k not in schema")))
-      val keysDf = keyData.select(keys.map(col): _*).distinct().coalesce(1)
+      val keysDf = FieldIds.attributeColumns(
+        keyData.select(keys.map(col): _*).distinct().coalesce(1), keyFields)
       val stage = Files.createTempDirectory("graft-upsert")
       keysDf.write.mode("overwrite").parquet(stage.toString)
       val staged = scala.util.Using.resource(Files.list(stage))(

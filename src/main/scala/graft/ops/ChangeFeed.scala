@@ -66,8 +66,11 @@ object ChangeFeed {
     val outSchema = StructType(tableSchema.fields ++ changeCols)
     def empty: DataFrame =
       spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    // id-stamped tables read by parquet field id (rename-safe: the feed
+    // walks HISTORICAL file generations, which keep pre-rename names)
+    val scanSchema = ScanPlanner.readSchema(spark, t).getOrElse(tableSchema)
     def readFiles(paths: Seq[String]): DataFrame =
-      spark.read.schema(tableSchema).parquet(paths: _*)
+      spark.read.schema(scanSchema).parquet(paths: _*)
     def stamp(df: DataFrame, change: String, s: Snapshot): DataFrame =
       df.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
         .withColumn("_change_type", lit(change))

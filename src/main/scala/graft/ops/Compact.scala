@@ -191,8 +191,14 @@ object Compact {
     }
 
     // read ONLY the small files; identity sources are retained in the
-    // files, so regrouping per partition is a plain repartition
-    val df0 = spark.read.parquet(paths: _*)
+    // files, so regrouping per partition is a plain repartition.
+    // Id-stamped tables read through the field-id schema — pre-rename
+    // files keep old parquet names, and name inference would rewrite the
+    // renamed column as all-null
+    val df0 = ScanPlanner.readSchema(spark, t) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     if (partCols.isEmpty) {
       val df = df0.coalesce(
         math.max(1, (candidates.map(_.fileSizeInBytes).sum / targetBytes).toInt))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.IcebergDecode
-import graft.meta.IcebergTable
+import graft.meta.{FieldIds, IcebergTable}
 
 /** Metadata-pruned DATA reads — the read half of "DataFrame read/write
   * over Iceberg tables": plan a scan by pruning the snapshot's file list
@@ -198,12 +198,30 @@ object ScanPlanner {
     * column order follow the schema (plain inference would pick one
     * file's shape). */
   private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String]): DataFrame = {
-    val reader = currentSparkSchema(t) match {
+    val reader = readSchema(spark, t) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
     reader.parquet(paths: _*)
   }
+
+  /** The read schema for `t`'s data files: the current schema,
+    * FIELD-ID-ATTRIBUTED on id-stamped tables (created by this engine's
+    * [[graft.meta.TableCreator]]) so Spark resolves parquet columns by
+    * Iceberg field id — the spec's rename-safe contract: a renamed
+    * column keeps pulling pre-rename files' data, and a dropped+re-added
+    * name never resurrects the retired field's old values. Legacy tables
+    * (no [[FieldIds.PropKey]] property — their files may predate footer
+    * ids) keep the historical name-resolved read. */
+  def readSchema(spark: SparkSession, t: IcebergTable)
+      : Option[org.apache.spark.sql.types.StructType] =
+    currentSparkSchema(t).map { st =>
+      if (!FieldIds.tableHasIds(t.metadata)) st
+      else {
+        FieldIds.ensureReadEnabled(spark)
+        FieldIds.attribute(st, t.metadata.currentSchema)
+      }
+    }
 
   /** Merge-on-read delete application over a raw scan `df0` of the
     * snapshot's files (or any subset — pruned scans included). */
@@ -292,7 +310,25 @@ object ScanPlanner {
             s"equality delete file without equality_ids: ${files.head.filePath}")
           val cols = ids.map(id => nameById.getOrElse(id,
             throw new NoSuchElementException(s"equality id $id not in current schema")))
-          val delVals = spark.read.parquet(files.map(e => t.resolvePath(e.filePath)): _*)
+          // id-stamped tables read delete keys BY FIELD ID too: an
+          // eq-delete file written before a key column's rename carries
+          // the old parquet name, and a name read would miss it
+          val delPaths = files.map(e => t.resolvePath(e.filePath))
+          val delRaw =
+            if (!FieldIds.tableHasIds(t.metadata)) spark.read.parquet(delPaths: _*)
+            else {
+              FieldIds.ensureReadEnabled(spark)
+              val byId = t.metadata.currentSchema.fields.map(f => f.id -> f).toMap
+              val st = org.apache.spark.sql.types.StructType(ids.map { id =>
+                val f = byId(id)
+                org.apache.spark.sql.types.StructField(f.name,
+                  sparkType(f.fieldType).getOrElse(throw new IllegalStateException(
+                    s"equality-delete key ${f.name} has non-primitive type ${f.fieldType}")),
+                  nullable = true, FieldIds.idMetadata(id))
+              })
+              spark.read.schema(st).parquet(delPaths: _*)
+            }
+          val delVals = delRaw
             .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
           // null-safe equality: Iceberg equality deletes match null keys
           // to null values (a delete row with key=null removes rows whose

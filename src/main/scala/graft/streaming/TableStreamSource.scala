@@ -55,10 +55,14 @@ class TableStreamProvider extends TableProvider {
 }
 
 object TableStream {
-  def tableSchema(tableDir: String): StructType =
-    ScanPlanner.currentSparkSchema(IcebergTable.load(tableDir)).getOrElse(
+  def tableSchema(tableDir: String): StructType = {
+    // id-attributed on id-stamped tables: a stream crossing a rename
+    // boundary keeps reading pre-rename files' data by field id
+    val t = IcebergTable.load(tableDir)
+    ScanPlanner.readSchema(SparkSession.active, t).getOrElse(
       throw new UnsupportedOperationException(
         s"streaming read needs a flat primitive schema ($tableDir)"))
+  }
 
   def outputSchema(tableDir: String): StructType = {
     require(tableDir != null, "option 'tableDir' is required")

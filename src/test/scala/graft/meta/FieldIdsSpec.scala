@@ -1,0 +1,110 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+
+/** FIELD-ID column resolution (the Iceberg rename contract): id-stamped
+  * tables read data/delete files by parquet footer field id, so rename
+  * is metadata-only — pre-rename files keep serving their data under the
+  * new name, and a dropped-then-readded name never resurrects the
+  * retired field's values. Legacy tables (no property) keep name reads.
+  */
+class FieldIdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine(): Engine =
+    new Engine(spark, Files.createTempDirectory("graft-fid-wh").toString)
+
+  test("rename: pre-rename files serve data under the new name (by id)") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    e.createTable("t.ren", df.schema)
+    e.append("t.ren", df)                      // generation 1: column name `v`
+    e.renameColumn("t.ren", "v", "value")
+    e.append("t.ren", Seq((3L, 30L)).toDF("id", "value"))
+    val got = e.readTable("t.ren").orderBy("id")
+      .select("id", "value").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"old-generation rows must read by field id, got $got")
+  }
+
+  test("equality deletes written before a key rename still apply after it") {
+    val e = freshEngine()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    e.createTable("t.eqren", df.schema)
+    e.append("t.eqren", df)
+    // upsert keyed on `k` → eq-delete file carries column name `k`
+    e.upsert("t.eqren", Seq((2L, "B")).toDF("k", "s"), Seq("k"))
+    e.renameColumn("t.eqren", "k", "key")
+    val got = e.readTable("t.eqren").orderBy("key")
+      .select("key", "s").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      s"pre-rename eq-delete must keep removing the old row, got $got")
+  }
+
+  test("compaction after a rename preserves the renamed column's data") {
+    val e = freshEngine()
+    val df1 = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.cren", df1.schema)
+    e.append("t.cren", df1)
+    e.append("t.cren", Seq((2L, 20L)).toDF("id", "v"))
+    e.renameColumn("t.cren", "v", "value")
+    // both files are small → compaction rewrites them through the scan
+    val res = e.rewriteSmallFiles("t.cren", targetBytes = 1L << 20)
+    assert(res.nonEmpty, "compaction should have rewritten the small files")
+    val got = e.readTable("t.cren").orderBy("id")
+      .select("id", "value").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L)),
+      s"compacted rows must keep the renamed column's values, got $got")
+  }
+
+  test("row change feed reads pre-rename generations by id") {
+    val e = freshEngine()
+    val df1 = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.cdfren", df1.schema)
+    val s1 = e.append("t.cdfren", df1).snapshotId
+    e.renameColumn("t.cdfren", "v", "value")
+    val s2 = e.append("t.cdfren", Seq((2L, 20L)).toDF("id", "value")).snapshotId
+    val s3 = e.deleteWhere("t.cdfren", col("id") === 1L).get.snapshotId
+    val feed = e.rowChanges("t.cdfren", s1, s3)
+      .select("_change_type", "id", "value").as[(String, Long, Long)]
+      .collect().toSet
+    assert(feed == Set(("insert", 2L, 20L), ("delete", 1L, 10L)),
+      s"the delete of the PRE-rename row must carry its value by id, got $feed")
+    assert(s2 > s1)
+  }
+
+  test("drop + re-add of a name does NOT resurrect the old field's values") {
+    val e = freshEngine()
+    val df = Seq((1L, 111L)).toDF("id", "v")
+    e.createTable("t.readd", df.schema)
+    e.append("t.readd", df)
+    e.dropColumn("t.readd", "v")
+    e.addColumn("t.readd", "v", "long")        // same NAME, new field id
+    e.append("t.readd", Seq((2L, 222L)).toDF("id", "v"))
+    val got = e.readTable("t.readd").orderBy("id")
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    assert(got == Seq((1L, None), (2L, Some(222L))),
+      s"old generation must read NULL for the re-added id, got $got")
+  }
+
+  test("legacy tables (property unset) keep the name-resolved read") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.legacy", df.schema)
+    e.setProperties("t.legacy", Map.empty, unset = Set(FieldIds.PropKey))
+    e.append("t.legacy", df)
+    e.renameColumn("t.legacy", "v", "value")
+    val got = e.readTable("t.legacy").select("id", "value").collect()
+    // documented legacy degradation: the renamed column reads null from
+    // pre-rename files (no id guarantee → no id read); the scan must
+    // still succeed
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).isNullAt(1))
+  }
+}
