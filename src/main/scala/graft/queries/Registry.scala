@@ -16,7 +16,8 @@ final case class Q(
     oracle: Option[String])
 
 object Registry {
-  lazy val all: Seq[Q] = CoreQueries.all ++ FormatQueries.all ++ PipelineQueries.all
+  lazy val all: Seq[Q] =
+    CoreQueries.all ++ FormatQueries.all ++ PipelineQueries.all ++ WriteQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.api.Engine
+import graft.ops.Health.moneySum
+
+/** End-to-end WRITE-PATH queries: each builds a throwaway warehouse,
+  * drives a real commit sequence (append / MERGE upsert / merge-on-read
+  * delete / overwrite / rollback / schema evolution / change feed), then
+  * reads the table back through the normal scan path — so the DuckDB
+  * oracle (pure SQL over the SOURCE parquet) verifies the entire
+  * write→commit→read pipeline preserves row semantics, not just that a
+  * transformation is correct. These turn the WR21-WR32 surfaces
+  * (previously spec-only) into driver-oracle-checked behavior.
+  *
+  * Scale note: every step is the engine's ordinary distributed commit —
+  * the fixture is small only because the oracle must replay it; the code
+  * paths (equality-delete MERGE, position-delete DELETE, field-id
+  * projection across schema versions, parent-lineage change feed) are
+  * the exact ones a 100 TB table takes.
+  */
+object WriteQueries {
+
+  /** One deterministic ~10% slice of `orders` (keys ≡ r mod 10), flat
+    * primitive columns only so the change feed's lineage read applies. */
+  private def slice(s: org.apache.spark.sql.SparkSession, d: String, r: Int) =
+    orders(s, d).filter(col("o_orderkey") % 10 === r)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private val sliceSql =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey %% 10 = %d"
+
+  val all: Seq[Q] = Seq(
+
+    // MERGE (upsert) + row-level DELETE, both merge-on-read, read back
+    // through the scan path: one equality-delete commit rewrites matched
+    // keys and inserts new ones, then a position-delete commit drops a
+    // predicate slice of the MERGED state — the final read resolves BOTH
+    // delete shapes (eq-deletes sequence-scoped under the upsert's own
+    // appends, pos-deletes on top) in one pass. Oracle rederives the
+    // final table from the source rows.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val src = slice(s, d, 0)
+        val wh = java.nio.file.Files.createTempDirectory("q_merge").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.merge_orders", src.schema)
+        e.append("q.merge_orders", src)
+        val updates = src.filter(col("o_orderkey") % 30 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .withColumn("o_orderstatus", lit("U"))
+        val inserts = src.filter(col("o_orderkey") % 40 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1L) // ≡1 mod 10: new keys
+          .withColumn("o_orderstatus", lit("N"))
+        e.upsert("q.merge_orders", updates.unionByName(inserts), Seq("o_orderkey"))
+        e.deleteWhere("q.merge_orders", col("o_custkey") % 7 === 0)
+        e.readTable("q.merge_orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH src AS (${sliceSql.format(0)}),
+         |merged AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 30 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 30 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice
+         |  FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey + 1, o_custkey, 'N', o_totalprice
+         |  FROM src WHERE o_orderkey % 40 = 0)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM merged WHERE o_custkey % 7 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Row-level CHANGE DATA FEED over (snap1, snap3]: append → insert
+    // rows; merge-on-read DELETE → delete rows resolved against the
+    // parent state's lineage. The feed reads ONLY the files each commit
+    // touched (manifest diff), so the oracle match proves the
+    // metadata-accelerated walk reconstructs exactly the committed row
+    // changes.
+    Q("q_changelog_rows",
+      (s, d) => {
+        val a = slice(s, d, 0)
+        val b = slice(s, d, 1)
+        val wh = java.nio.file.Files.createTempDirectory("q_cdf").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.cdf_orders", a.schema)
+        val snap1 = e.append("q.cdf_orders", a).snapshotId
+        e.append("q.cdf_orders", b)
+        val snap3 = e.deleteWhere("q.cdf_orders", col("o_custkey") % 3 === 0)
+          .get.snapshotId
+        e.rowChanges("q.cdf_orders", snap1, snap3)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("_change_type")
+      },
+      Some(s"""WITH a AS (${sliceSql.format(0)}), b AS (${sliceSql.format(1)}),
+         |changes AS (
+         |  SELECT 'insert' AS _change_type, o_custkey, o_totalprice FROM b
+         |  UNION ALL
+         |  SELECT 'delete', o_custkey, o_totalprice
+         |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |  WHERE o_custkey % 3 = 0)
+         |SELECT _change_type, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM changes GROUP BY _change_type ORDER BY _change_type""".stripMargin)),
+
+    // TIME TRAVEL + ROLLBACK: snapshot-pinned reads after an overwrite
+    // (the pinned read sees the pre-overwrite files), then rollback
+    // moves the main ref back and the CURRENT read equals the v1 state
+    // again — three tagged aggregates over the three reads.
+    Q("q_time_travel",
+      (s, d) => {
+        val a = slice(s, d, 0)
+        val b = slice(s, d, 1)
+        val wh = java.nio.file.Files.createTempDirectory("q_tt").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.tt_orders", a.schema)
+        val snap1 = e.append("q.tt_orders", a).snapshotId
+        e.overwrite("q.tt_orders", b)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("o_custkey")).as("sum_cust"),
+              moneySum(col("o_totalprice")).as("sum_price"))
+            .withColumn("version", lit(tag))
+        val pinned = agg(e.readTable("q.tt_orders", Some(snap1)), "1_pinned")
+        val current = agg(e.readTable("q.tt_orders"), "2_overwritten")
+        e.rollback("q.tt_orders", snap1)
+        val rolled = agg(e.readTable("q.tt_orders"), "3_rolled_back")
+        pinned.unionByName(current).unionByName(rolled)
+          .select("version", "n_rows", "sum_cust", "sum_price")
+          .orderBy("version")
+      },
+      Some(s"""WITH a AS (${sliceSql.format(0)}), b AS (${sliceSql.format(1)}),
+         |tagged AS (
+         |  SELECT '1_pinned' AS version, o_custkey, o_totalprice FROM a
+         |  UNION ALL SELECT '2_overwritten', o_custkey, o_totalprice FROM b
+         |  UNION ALL SELECT '3_rolled_back', o_custkey, o_totalprice FROM a)
+         |SELECT version, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM tagged GROUP BY version ORDER BY version""".stripMargin)),
+
+    // SCHEMA EVOLUTION read: add + rename + widen between two appends,
+    // then ONE scan reads both file generations — the renamed column
+    // pulls old data by FIELD ID (not name), the added column reads as
+    // null from old files, and the widened int column upcasts to long.
+    // Oracle rederives the union under the final schema.
+    Q("q_schema_evolution",
+      (s, d) => {
+        val a = slice(s, d, 0)
+          .withColumn("o_rank", (col("o_orderkey") % 100).cast("int"))
+          .drop("o_totalprice")
+        val wh = java.nio.file.Files.createTempDirectory("q_evo").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.evo_orders", a.schema)
+        e.append("q.evo_orders", a)
+        e.addColumn("q.evo_orders", "o_note", "string")
+        e.renameColumn("q.evo_orders", "o_custkey", "cust_id")
+        e.widenColumn("q.evo_orders", "o_rank", "long")
+        val b = slice(s, d, 1)
+          .select(col("o_orderkey"), col("o_custkey").as("cust_id"),
+            col("o_orderstatus"),
+            (col("o_orderkey") % 100 + 1000000000L).as("o_rank"),
+            concat(lit("n"), (col("o_orderkey") % 3).cast("string")).as("o_note"))
+        e.append("q.evo_orders", b)
+        e.readTable("q.evo_orders")
+          .groupBy(coalesce(col("o_note"), lit("-")).as("note"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cust_id")).as("sum_cust"),
+            sum(col("o_rank")).as("sum_rank"))
+          .orderBy("note")
+      },
+      Some(s"""WITH a AS (
+         |  SELECT o_orderkey, o_custkey AS cust_id, o_orderstatus,
+         |    CAST(o_orderkey % 100 AS BIGINT) AS o_rank,
+         |    CAST(NULL AS VARCHAR) AS o_note
+         |  FROM orders WHERE o_orderkey % 10 = 0),
+         |b AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    o_orderkey % 100 + 1000000000,
+         |    'n' || CAST(o_orderkey % 3 AS VARCHAR)
+         |  FROM orders WHERE o_orderkey % 10 = 1),
+         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT coalesce(o_note, '-') AS note, count(*) AS n_rows,
+         |  CAST(sum(cust_id) AS BIGINT) AS sum_cust,
+         |  CAST(sum(o_rank) AS BIGINT) AS sum_rank
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Structural invariants of the end-to-end write-path queries (the DuckDB
+  * oracle checks exact values at sf0.01; this pins the semantics the
+  * oracle encodes, so a drift shows up as a named assertion, not a hash
+  * mismatch).
+  */
+class WriteQueriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String): Array[Row] =
+    Registry.queries(name)(spark, sf).collect()
+
+  test("q_merge_upsert: MERGE rewrites matched keys, inserts new, delete prunes") {
+    val rows = run("q_merge_upsert")
+    val byStatus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // updated keys (≡0 mod 30) surface under the MERGE's own status
+    assert(byStatus.contains("U"), s"updated rows missing: $byStatus")
+    // inserted keys (old+1) surface under the insert status
+    assert(byStatus.contains("N"), s"inserted rows missing: $byStatus")
+    // updated rows' custkey was shifted by 1e6 — their sum dwarfs count*maxCust
+    val uRow = rows.find(_.getString(0) == "U").get
+    assert(uRow.getLong(2) > uRow.getLong(1) * 1000000L,
+      "U rows should carry the +1000000 custkey shift")
+  }
+
+  test("q_changelog_rows: feed is exactly insert+delete with delete ⊆ slices") {
+    val rows = run("q_changelog_rows")
+    assert(rows.map(_.getString(0)).toSeq == Seq("delete", "insert"))
+    val ins = rows.find(_.getString(0) == "insert").get.getLong(1)
+    val sliceB = spark.read.parquet(s"$sf/orders.parquet")
+      .filter("o_orderkey % 10 = 1").count()
+    assert(ins == sliceB, s"insert rows $ins != appended slice $sliceB")
+  }
+
+  test("q_time_travel: pinned read equals post-rollback read") {
+    val rows = run("q_time_travel").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("1_pinned", "2_overwritten", "3_rolled_back"))
+    assert(rows("1_pinned") == rows("3_rolled_back"),
+      "rollback must restore the snapshot-1 state exactly")
+    assert(rows("1_pinned") != rows("2_overwritten"),
+      "overwrite must actually change the current state")
+  }
+
+  test("q_schema_evolution: old files read null note, renamed col carries data") {
+    val rows = run("q_schema_evolution")
+    val byNote = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sliceA = spark.read.parquet(s"$sf/orders.parquet")
+      .filter("o_orderkey % 10 = 0").count()
+    // '-' = the pre-evolution file generation, projected null o_note
+    assert(byNote("-") == sliceA, s"old-generation rows ${byNote("-")} != $sliceA")
+    // renamed cust_id still sums real data for the old generation
+    val dash = rows.find(_.getString(0) == "-").get
+    assert(dash.getLong(2) > 0L, "cust_id must read old o_custkey data by field id")
+    // widened o_rank: new generation carries values beyond Int range
+    val newGen = rows.filter(_.getString(0) != "-")
+    assert(newGen.nonEmpty && newGen.map(_.getLong(3)).sum > Int.MaxValue.toLong,
+      "widened o_rank must hold post-widen long values")
+  }
+}
