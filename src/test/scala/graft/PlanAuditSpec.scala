@@ -635,6 +635,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("field-id scan: pushdown and pruning survive the id-attributed schema") {
+    // the rename-safe read (FieldIds) must not trade away the scan's
+    // scale properties: filters still push to the parquet scan and the
+    // projection still prunes ReadSchema, even with a renamed column
+    val e = new graft.api.Engine(spark,
+      java.nio.file.Files.createTempDirectory("pa-fid-wh").toString)
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 2).as("v"), (col("id") % 7).as("extra"))
+    e.createTable("pa.fid", df.schema)
+    e.append("pa.fid", df)
+    e.renameColumn("pa.fid", "v", "value")
+    val q = e.readTable("pa.fid").filter(col("id") < 10).select("id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,10)]"),
+      plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<id:bigint,value:bigint>"),
+      s"projection must prune `extra` from the id-attributed scan\n" +
+        plan.take(1500))
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq ==
+      (0L until 10L).map(_ * 2), "renamed column must serve old data")
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,
