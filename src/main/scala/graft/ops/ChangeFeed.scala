@@ -149,8 +149,8 @@ object ChangeFeed {
             Some(newEq.groupBy(_.equalityIds).map { case (ids, files) =>
               val cols = ids.map(id => nameById.getOrElse(id,
                 throw new NoSuchElementException(s"equality id $id not in schema")))
-              val keys = spark.read
-                .parquet(files.map(e => t.resolvePath(e.filePath)): _*)
+              val keys = ScanPlanner.readEqDeleteFiles(spark, t, ids,
+                  files.map(e => t.resolvePath(e.filePath)))
                 .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
               val cond = cols.map(c => parentRows(c) <=> keys(s"__del_$c")).reduce(_ && _)
               stamp(parentRows.join(broadcast(keys), cond, "left_semi"), "delete", s)

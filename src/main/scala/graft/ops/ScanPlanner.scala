@@ -223,6 +223,31 @@ object ScanPlanner {
       }
     }
 
+  /** Read equality-delete FILES' key columns — BY FIELD ID on id-stamped
+    * tables: a delete file written before a key column's rename carries
+    * the old parquet name, and a name read would silently miss (or
+    * fail on) it. `ids` are the entry's equality_ids; column names and
+    * types come from the CURRENT schema. */
+  def readEqDeleteFiles(
+      spark: SparkSession,
+      t: IcebergTable,
+      ids: Seq[Int],
+      paths: Seq[String]): DataFrame =
+    if (!FieldIds.tableHasIds(t.metadata)) spark.read.parquet(paths: _*)
+    else {
+      FieldIds.ensureReadEnabled(spark)
+      val byId = t.metadata.currentSchema.fields.map(f => f.id -> f).toMap
+      val st = org.apache.spark.sql.types.StructType(ids.map { id =>
+        val f = byId.getOrElse(id, throw new NoSuchElementException(
+          s"equality id $id not in current schema"))
+        org.apache.spark.sql.types.StructField(f.name,
+          sparkType(f.fieldType).getOrElse(throw new IllegalStateException(
+            s"equality-delete key ${f.name} has non-primitive type ${f.fieldType}")),
+          nullable = true, FieldIds.idMetadata(id))
+      })
+      spark.read.schema(st).parquet(paths: _*)
+    }
+
   /** Merge-on-read delete application over a raw scan `df0` of the
     * snapshot's files (or any subset — pruned scans included). */
   private def applyDeletes(
@@ -310,25 +335,8 @@ object ScanPlanner {
             s"equality delete file without equality_ids: ${files.head.filePath}")
           val cols = ids.map(id => nameById.getOrElse(id,
             throw new NoSuchElementException(s"equality id $id not in current schema")))
-          // id-stamped tables read delete keys BY FIELD ID too: an
-          // eq-delete file written before a key column's rename carries
-          // the old parquet name, and a name read would miss it
-          val delPaths = files.map(e => t.resolvePath(e.filePath))
-          val delRaw =
-            if (!FieldIds.tableHasIds(t.metadata)) spark.read.parquet(delPaths: _*)
-            else {
-              FieldIds.ensureReadEnabled(spark)
-              val byId = t.metadata.currentSchema.fields.map(f => f.id -> f).toMap
-              val st = org.apache.spark.sql.types.StructType(ids.map { id =>
-                val f = byId(id)
-                org.apache.spark.sql.types.StructField(f.name,
-                  sparkType(f.fieldType).getOrElse(throw new IllegalStateException(
-                    s"equality-delete key ${f.name} has non-primitive type ${f.fieldType}")),
-                  nullable = true, FieldIds.idMetadata(id))
-              })
-              spark.read.schema(st).parquet(delPaths: _*)
-            }
-          val delVals = delRaw
+          val delVals = readEqDeleteFiles(spark, t, ids,
+              files.map(e => t.resolvePath(e.filePath)))
             .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
           // null-safe equality: Iceberg equality deletes match null keys
           // to null values (a delete row with key=null removes rows whose

@@ -151,6 +151,115 @@ object WriteQueries {
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM tagged GROUP BY version ORDER BY version""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH: a staged (wap.id) append is INVISIBLE to the
+    // main line until publish; cherrypicking it makes exactly its rows
+    // appear. Two tagged aggregates pin both states.
+    Q("q_wap_publish",
+      (s, d) => {
+        val a = slice(s, d, 0)
+        val b = slice(s, d, 1)
+        val wh = java.nio.file.Files.createTempDirectory("q_wap").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.wap_orders", a.schema)
+        e.append("q.wap_orders", a)
+        e.appendStaged("q.wap_orders", b, wapId = "audit-1")
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("o_custkey")).as("sum_cust"),
+              moneySum(col("o_totalprice")).as("sum_price"))
+            .withColumn("version", lit(tag))
+        val staged = agg(e.readTable("q.wap_orders"), "1_staged_invisible")
+        e.publishWap("q.wap_orders", "audit-1")
+        val published = agg(e.readTable("q.wap_orders"), "2_published")
+        staged.unionByName(published)
+          .select("version", "n_rows", "sum_cust", "sum_price")
+          .orderBy("version")
+      },
+      Some(s"""WITH a AS (${sliceSql.format(0)}), b AS (${sliceSql.format(1)}),
+         |tagged AS (
+         |  SELECT '1_staged_invisible' AS version, o_custkey, o_totalprice FROM a
+         |  UNION ALL SELECT '2_published', o_custkey, o_totalprice FROM a
+         |  UNION ALL SELECT '2_published', o_custkey, o_totalprice FROM b)
+         |SELECT version, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM tagged GROUP BY version ORDER BY version""".stripMargin)),
+
+    // BRANCH ISOLATION: a commit onto a branch ref leaves the main line
+    // untouched; the branch head reads main's rows plus its own.
+    Q("q_branch_isolation",
+      (s, d) => {
+        val a = slice(s, d, 0)
+        val b = slice(s, d, 1)
+        val wh = java.nio.file.Files.createTempDirectory("q_branch").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.br_orders", a.schema)
+        e.append("q.br_orders", a)
+        e.append("q.br_orders", b, branch = Some("dev"))
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("o_custkey")).as("sum_cust"),
+              moneySum(col("o_totalprice")).as("sum_price"))
+            .withColumn("version", lit(tag))
+        val main = agg(e.readTable("q.br_orders"), "1_main")
+        val dev = agg(e.readTable("q.br_orders",
+          Some(e.resolveRef("q.br_orders", "dev"))), "2_branch")
+        main.unionByName(dev)
+          .select("version", "n_rows", "sum_cust", "sum_price")
+          .orderBy("version")
+      },
+      Some(s"""WITH a AS (${sliceSql.format(0)}), b AS (${sliceSql.format(1)}),
+         |tagged AS (
+         |  SELECT '1_main' AS version, o_custkey, o_totalprice FROM a
+         |  UNION ALL SELECT '2_branch', o_custkey, o_totalprice FROM a
+         |  UNION ALL SELECT '2_branch', o_custkey, o_totalprice FROM b)
+         |SELECT version, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM tagged GROUP BY version ORDER BY version""".stripMargin)),
+
+    // COMPACTION ROUND-TRIP: three small appends + a merge-on-read
+    // DELETE, folded by rewriteSmallFiles into delete-free files — the
+    // read-back must be byte-identical to the pre-compaction logical
+    // state, and the row change feed across the replace commit must be
+    // EMPTY (physical rewrite, no logical change).
+    Q("q_compact_roundtrip",
+      (s, d) => {
+        val wh = java.nio.file.Files.createTempDirectory("q_compact").toString
+        val e = new Engine(s, wh)
+        val base = slice(s, d, 0)
+        e.createTable("q.cp_orders", base.schema)
+        e.append("q.cp_orders", base.filter(col("o_orderkey") % 30 === 0))
+        e.append("q.cp_orders", base.filter(col("o_orderkey") % 30 === 10))
+        e.append("q.cp_orders", base.filter(col("o_orderkey") % 30 === 20))
+        val preSnap = e.deleteWhere("q.cp_orders", col("o_custkey") % 5 === 0)
+          .get.snapshotId
+        e.rewriteSmallFiles("q.cp_orders", smallBytes = 1L << 30)
+        val postSnap = e.load("q.cp_orders").metadata.currentSnapshotId.get
+        val data = e.readTable("q.cp_orders")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .withColumn("version", lit("1_data"))
+        val feed = e.rowChanges("q.cp_orders", preSnap, postSnap)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("o_custkey")), lit(0L)).as("sum_cust"),
+            coalesce(moneySum(col("o_totalprice")), lit(0.0d)).as("sum_price"))
+          .withColumn("version", lit("2_replace_feed"))
+        data.unionByName(feed)
+          .select("version", "n_rows", "sum_cust", "sum_price")
+          .orderBy("version")
+      },
+      Some(s"""WITH base AS (${sliceSql.format(0)}),
+         |kept AS (SELECT * FROM base WHERE o_custkey % 5 <> 0)
+         |SELECT '1_data' AS version, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM kept
+         |UNION ALL
+         |SELECT '2_replace_feed', 0, 0, 0.0
+         |ORDER BY version""".stripMargin)),
+
     // SCHEMA EVOLUTION read: add + rename + widen between two appends,
     // then ONE scan reads both file generations — the renamed column
     // pulls old data by FIELD ID (not name), the added column reads as

@@ -78,6 +78,21 @@ class FieldIdsSpec extends SparkSpec {
     assert(s2 > s1)
   }
 
+  test("change feed resolves pre-rename equality-delete keys by id") {
+    val e = freshEngine()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    e.createTable("t.cdfeq", df.schema)
+    val s1 = e.append("t.cdfeq", df).snapshotId
+    // upsert writes an eq-delete file carrying column name `k`
+    val s2 = e.upsert("t.cdfeq", Seq((2L, "B")).toDF("k", "s"), Seq("k")).snapshotId
+    e.renameColumn("t.cdfeq", "k", "key")
+    val feed = e.rowChanges("t.cdfeq", s1, s2)
+      .select("_change_type", "key", "s").as[(String, Long, String)]
+      .collect().toSet
+    assert(feed == Set(("insert", 2L, "B"), ("delete", 2L, "b")),
+      s"the upsert's eq-delete of key 2 must resolve across the rename, got $feed")
+  }
+
   test("drop + re-add of a name does NOT resurrect the old field's values") {
     val e = freshEngine()
     val df = Seq((1L, 111L)).toDF("id", "v")

@@ -46,6 +46,32 @@ class WriteQueriesSpec extends SparkSpec {
       "overwrite must actually change the current state")
   }
 
+  test("q_wap_publish: staged rows invisible until publish, then exact") {
+    val rows = run("q_wap_publish").map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    val sliceA = spark.read.parquet(s"$sf/orders.parquet")
+      .filter("o_orderkey % 10 = 0").count()
+    val sliceB = spark.read.parquet(s"$sf/orders.parquet")
+      .filter("o_orderkey % 10 = 1").count()
+    assert(rows("1_staged_invisible") == sliceA)
+    assert(rows("2_published") == sliceA + sliceB)
+  }
+
+  test("q_branch_isolation: branch commit leaves main untouched") {
+    val rows = run("q_branch_isolation").map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("1_main") < rows("2_branch"),
+      s"branch head must hold main's rows plus its own: $rows")
+  }
+
+  test("q_compact_roundtrip: logical state preserved, replace feed empty") {
+    val rows = run("q_compact_roundtrip").map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2_replace_feed") == 0L,
+      "a physical-only replace commit must contribute nothing to the feed")
+    assert(rows("1_data") > 0L)
+  }
+
   test("q_schema_evolution: old files read null note, renamed col carries data") {
     val rows = run("q_schema_evolution")
     val byNote = rows.map(r => r.getString(0) -> r.getLong(1)).toMap

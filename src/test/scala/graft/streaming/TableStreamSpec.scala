@@ -153,4 +153,29 @@ class TableStreamSpec extends SparkSpec {
         .as[Long].head() == 0L)
     } finally q.stop()
   }
+
+  test("stream reads pre-rename commits' data by field id under the new name") {
+    val dir = Files.createTempDirectory("graft-tstream-ren").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    TableWriter.append(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    graft.meta.SchemaEvolution.renameColumn(dir, "v", "value")
+    TableWriter.append(spark, dir, Seq((3L, 30L)).toDF("id", "value"))
+
+    val q = spark.readStream
+      .format("graft.streaming.TableStreamProvider")
+      .option("tableDir", dir)
+      .load()
+      .writeStream.format("memory").queryName("tstreamren")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, value FROM tstreamren")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"pre-rename generation must stream its values under the new name, got $got")
+    } finally q.stop()
+  }
 }
