@@ -52,7 +52,13 @@ final case class Snapshot(
       * inherit their adding snapshot's sequence). Scopes delete
       * application: an equality delete hits only rows of data files with
       * a STRICTLY SMALLER sequence. 0 = pre-sequence metadata. */
-    sequenceNumber: Long = 0L)
+    sequenceNumber: Long = 0L,
+    /** The table schema id at commit time (Iceberg v2 `schema-id`):
+      * time-travel reads use THIS schema, not the current one, so a
+      * pinned read across later evolution sees the names/columns as of
+      * the snapshot. None = legacy metadata → readers fall back to the
+      * current schema. */
+    schemaId: Option[Int] = None)
 
 /** A named snapshot reference (Iceberg spec `refs`): `branch` refs move
   * with commits ("main"), `tag` refs pin a snapshot forever. */
@@ -190,7 +196,8 @@ object IcebergMeta {
         s.path("summary").path("operation").asText("append"),
         strMap(s.path("summary")),
         s.path("manifest-list").asText(),
-        s.path("sequence-number").asLong(0L))
+        s.path("sequence-number").asLong(0L),
+        Option(s.get("schema-id")).filterNot(_.isNull).map(_.asInt()))
     }.toSeq
 
     TableMetadata(
@@ -300,6 +307,7 @@ object IcebergMeta {
       s.parentSnapshotId.foreach(sn.put("parent-snapshot-id", _))
       sn.put("timestamp-ms", s.timestampMs)
       if (s.sequenceNumber != 0L) sn.put("sequence-number", s.sequenceNumber)
+      s.schemaId.foreach(sn.put("schema-id", _))
       val sum = sn.putObject("summary")
       sum.put("operation", s.operation)
       s.summary.filterNot(_._1 == "operation").toSeq.sortBy(_._1)

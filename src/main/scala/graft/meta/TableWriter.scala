@@ -212,6 +212,7 @@ object TableWriter {
       parentSnapshotId = md.currentSnapshotId,
       timestampMs = nowMs,
       sequenceNumber = delSeq,
+      schemaId = Some(md.currentSchemaId),
       operation = "delete",
       summary = Map(
         "operation" -> "delete",
@@ -785,6 +786,7 @@ object TableWriter {
       parentSnapshotId = parentId,
       timestampMs = nowMs,
       sequenceNumber = newSeq,
+      schemaId = Some(md.currentSchemaId),
       operation = operation,
       summary = Map(
         "operation" -> operation,

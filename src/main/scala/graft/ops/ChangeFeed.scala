@@ -132,7 +132,7 @@ object ChangeFeed {
             val targets = spark.read
               .parquet(newPos.map(e => t.resolvePath(e.filePath)): _*)
               .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
-            val parentRows = ScanPlanner.readTableLineage(spark, t, parentId)
+            val parentRows = ScanPlanner.readTableLineageCurrentSchema(spark, t, parentId)
             Some(stamp(
               parentRows.join(broadcast(targets),
                 parentRows("__gr_path") === targets("__del_path") &&
@@ -145,7 +145,7 @@ object ChangeFeed {
           if (newEq.isEmpty) None
           else {
             val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
-            val parentRows = ScanPlanner.readTable(spark, t, parentId)
+            val parentRows = ScanPlanner.readTableCurrentSchema(spark, t, parentId)
             Some(newEq.groupBy(_.equalityIds).map { case (ids, files) =>
               val cols = ids.map(id => nameById.getOrElse(id,
                 throw new NoSuchElementException(s"equality id $id not in schema")))

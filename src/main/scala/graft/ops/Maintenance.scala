@@ -240,6 +240,7 @@ object Maintenance {
         parentSnapshotId = md.currentSnapshotId,
         timestampMs = nowMs,
         sequenceNumber = newSeq,
+        schemaId = Some(md.currentSchemaId),
         operation = "append",
         summary = Map(
           "operation" -> "append",
@@ -377,6 +378,7 @@ object Maintenance {
       parentSnapshotId = md.currentSnapshotId,
       timestampMs = nowMs,
       sequenceNumber = md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L,
+      schemaId = Some(md.currentSchemaId),
       operation = "replace",
       summary = Map(
         "operation" -> "replace",
@@ -504,6 +506,7 @@ object Maintenance {
       snapshotId = snapId,
       parentSnapshotId = md.currentSnapshotId,
       timestampMs = nowMs,
+      schemaId = Some(md.currentSchemaId),
       operation = "replace",
       summary = Map(
         "operation" -> "replace",

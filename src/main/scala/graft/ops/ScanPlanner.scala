@@ -105,6 +105,26 @@ object ScanPlanner {
     readSplit(spark, t, snapshotId, paths)
   }
 
+  /** [[readTable]] pinned to `snapshotId`'s FILE SET but rendered in
+    * the CURRENT schema — what the change feed needs: CDC output is a
+    * current-schema view even when the commits predate evolution. */
+  def readTableCurrentSchema(spark: SparkSession, t: IcebergTable,
+      snapshotId: Option[Long]): DataFrame = {
+    val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
+    require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
+    readSplit(spark, t, snapshotId, paths, schemaSnapOverride = Some(None))
+  }
+
+  /** [[readTableLineage]], current-schema rendering (see
+    * [[readTableCurrentSchema]]). */
+  def readTableLineageCurrentSchema(spark: SparkSession, t: IcebergTable,
+      snapshotId: Option[Long]): DataFrame = {
+    val paths = t.files(snapshotId).map(e => t.resolvePath(e.filePath))
+    require(paths.nonEmpty, s"snapshot has no data files under ${t.tableDir}")
+    readSplit(spark, t, snapshotId, paths, keepLineage = true,
+      schemaSnapOverride = Some(None))
+  }
+
   /** [[readTable]] with row lineage kept: two extra columns `__gr_path`
     * (table-relative file path) and `__gr_pos` (row index within the
     * file), surviving the merge-on-read joins. This is what row-level
@@ -138,10 +158,16 @@ object ScanPlanner {
       t: IcebergTable,
       snapshotId: Option[Long],
       paths: Seq[String],
-      keepLineage: Boolean = false): DataFrame = {
+      keepLineage: Boolean = false,
+      // None = render in the snapshot's own schema (time-travel
+      // semantics); Some(s) = render in the schema at `s` (the change
+      // feed pins the FILE SET to a parent commit but must present the
+      // CURRENT schema)
+      schemaSnapOverride: Option[Option[Long]] = None): DataFrame = {
+    val schemaSnap = schemaSnapOverride.getOrElse(snapshotId)
     val allDels = t.deleteFiles(snapshotId)
     if (allDels.isEmpty)
-      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap), keepLineage, schemaSnap)
 
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     val seqBySnapshot = t.metadata.snapshots
@@ -164,7 +190,7 @@ object ScanPlanner {
     // sites always pass live paths, but fall back to the unsplit read
     // (which scans every given path) whenever containment is partial.
     if (entries.size != requested.size)
-      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, snapshotId), keepLineage)
     val (hit, clean) = entries.partition(e =>
       posTargets.contains(e.filePath) ||
         e.resolvedSeq(seqBySnapshot, 0L) < maxEqSeq)
@@ -179,15 +205,15 @@ object ScanPlanner {
       }
     val parts = Seq(
       if (clean.isEmpty) None
-      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath))))),
+      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)), schemaSnap))),
       if (hit.isEmpty) None
       else Some(applyDeletes(spark, t, snapshotId,
-        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath))), keepLineage))
+        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath)), schemaSnap), keepLineage, schemaSnap))
     ).flatten
     // a caller-supplied path outside the snapshot's live set (shouldn't
     // happen from engine call sites) falls back to the unsplit read
     if (parts.isEmpty)
-      applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths), keepLineage)
+      applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap), keepLineage, schemaSnap)
     else parts.reduce(_.unionByName(_))
   }
 
@@ -197,46 +223,53 @@ object ScanPlanner {
     * as nulls from older files, dropped columns disappear, and the
     * column order follow the schema (plain inference would pick one
     * file's shape). */
-  private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String]): DataFrame = {
-    val reader = readSchema(spark, t) match {
+  private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
+      snapshotId: Option[Long] = None): DataFrame = {
+    val reader = readSchema(spark, t, snapshotId) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
     reader.parquet(paths: _*)
   }
 
-  /** The read schema for `t`'s data files: the current schema,
-    * FIELD-ID-ATTRIBUTED on id-stamped tables (created by this engine's
-    * [[graft.meta.TableCreator]]) so Spark resolves parquet columns by
-    * Iceberg field id — the spec's rename-safe contract: a renamed
-    * column keeps pulling pre-rename files' data, and a dropped+re-added
-    * name never resurrects the retired field's old values. Legacy tables
-    * (no [[FieldIds.PropKey]] property — their files may predate footer
-    * ids) keep the historical name-resolved read. */
-  def readSchema(spark: SparkSession, t: IcebergTable)
-      : Option[org.apache.spark.sql.types.StructType] =
-    currentSparkSchema(t).map { st =>
+  /** The read schema for `t`'s data files: the schema AT the requested
+    * snapshot ([[schemaAt]] — time-travel reads use the snapshot's
+    * recorded schema), FIELD-ID-ATTRIBUTED on id-stamped tables (created
+    * by this engine's [[graft.meta.TableCreator]]) so Spark resolves
+    * parquet columns by Iceberg field id — the spec's rename-safe
+    * contract: a renamed column keeps pulling pre-rename files' data,
+    * and a dropped+re-added name never resurrects the retired field's
+    * old values. Legacy tables (no [[FieldIds.PropKey]] property — their
+    * files may predate footer ids) keep the historical name-resolved
+    * read. */
+  def readSchema(spark: SparkSession, t: IcebergTable,
+      snapshotId: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val ice = schemaAt(t, snapshotId)
+    sparkSchemaOf(ice).map { st =>
       if (!FieldIds.tableHasIds(t.metadata)) st
       else {
         FieldIds.ensureReadEnabled(spark)
-        FieldIds.attribute(st, t.metadata.currentSchema)
+        FieldIds.attribute(st, ice)
       }
     }
+  }
 
   /** Read equality-delete FILES' key columns — BY FIELD ID on id-stamped
     * tables: a delete file written before a key column's rename carries
     * the old parquet name, and a name read would silently miss (or
     * fail on) it. `ids` are the entry's equality_ids; column names and
-    * types come from the CURRENT schema. */
+    * types come from the schema at `snapshotId` (current when None). */
   def readEqDeleteFiles(
       spark: SparkSession,
       t: IcebergTable,
       ids: Seq[Int],
-      paths: Seq[String]): DataFrame =
+      paths: Seq[String],
+      snapshotId: Option[Long] = None): DataFrame =
     if (!FieldIds.tableHasIds(t.metadata)) spark.read.parquet(paths: _*)
     else {
       FieldIds.ensureReadEnabled(spark)
-      val byId = t.metadata.currentSchema.fields.map(f => f.id -> f).toMap
+      val byId = schemaAt(t, snapshotId).fields.map(f => f.id -> f).toMap
       val st = org.apache.spark.sql.types.StructType(ids.map { id =>
         val f = byId.getOrElse(id, throw new NoSuchElementException(
           s"equality id $id not in current schema"))
@@ -255,7 +288,8 @@ object ScanPlanner {
       t: IcebergTable,
       snapshotId: Option[Long],
       df0: DataFrame,
-      keepLineage: Boolean = false): DataFrame = {
+      keepLineage: Boolean = false,
+      schemaSnap: Option[Long] = None): DataFrame = {
     val allDels = t.deleteFiles(snapshotId)
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     // the reader's file URI is "file:<tableDir>/<relPath>"; delete files
@@ -327,7 +361,7 @@ object ScanPlanner {
     // counts this moves to a broadcast join against the files relation).
     val afterEq = if (eqDels.isEmpty) afterPos
     else {
-      val nameById = t.metadata.currentSchema.fields.map(f => f.id -> f.name).toMap
+      val nameById = schemaAt(t, schemaSnap).fields.map(f => f.id -> f.name).toMap
       val applied = eqDels
         .groupBy(e => (e.equalityIds, entrySeq(e, Long.MaxValue)))
         .foldLeft(afterPos) { case (acc, ((ids, delSeq), files)) =>
@@ -336,7 +370,7 @@ object ScanPlanner {
           val cols = ids.map(id => nameById.getOrElse(id,
             throw new NoSuchElementException(s"equality id $id not in current schema")))
           val delVals = readEqDeleteFiles(spark, t, ids,
-              files.map(e => t.resolvePath(e.filePath)))
+              files.map(e => t.resolvePath(e.filePath)), schemaSnap)
             .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
           // null-safe equality: Iceberg equality deletes match null keys
           // to null values (a delete row with key=null removes rows whose
@@ -374,8 +408,28 @@ object ScanPlanner {
     * list<primitive> — flattened list children ride along in the parsed
     * view and are skipped). Tables with struct/map types fall back to
     * parquet inference. */
-  def currentSparkSchema(t: IcebergTable): Option[StructType] = {
-    val s = t.metadata.currentSchema
+  def currentSparkSchema(t: IcebergTable): Option[StructType] =
+    sparkSchemaOf(t.metadata.currentSchema)
+
+  /** The Spark-expressible schema AT a snapshot (un-attributed — the
+    * logical shape for catalogs/time-travel scans; [[readSchema]] is the
+    * read-side twin that adds field-id metadata). */
+  def sparkSchemaAt(t: IcebergTable, snapshotId: Option[Long]): Option[StructType] =
+    sparkSchemaOf(schemaAt(t, snapshotId))
+
+  /** The Iceberg schema in effect AT a snapshot: the snapshot's recorded
+    * `schema-id` (Iceberg v2 — what time-travel reads must use, so a
+    * pinned read across later evolution sees the names/columns as of
+    * the commit), falling back to the current schema for legacy
+    * snapshots that predate the stamp (historical behavior). */
+  def schemaAt(t: IcebergTable, snapshotId: Option[Long]): graft.meta.IceSchema =
+    snapshotId
+      .flatMap(id => t.metadata.snapshot(id))
+      .flatMap(_.schemaId)
+      .flatMap(sid => t.metadata.schemas.find(_.schemaId == sid))
+      .getOrElse(t.metadata.currentSchema)
+
+  private def sparkSchemaOf(s: graft.meta.IceSchema): Option[StructType] = {
     val top = s.fields.filter(f => !f.path.contains('.'))
     // every non-top field must be a list element of a top field — any
     // other nesting (struct members, map entries) falls back to inference
@@ -400,9 +454,11 @@ object ScanPlanner {
     * inference — still raise, now with the reason named). */
   private def emptyOrPinned(
       spark: SparkSession, t: IcebergTable,
-      anyFile: Option[String]): DataFrame = anyFile match {
-    case Some(path) => scanFiles(spark, t, Seq(path)).filter(lit(false))
-    case None => currentSparkSchema(t) match {
+      anyFile: Option[String],
+      snapshotId: Option[Long] = None): DataFrame = anyFile match {
+    case Some(path) =>
+      scanFiles(spark, t, Seq(path), snapshotId).filter(lit(false))
+    case None => readSchema(spark, t, snapshotId) match {
       case Some(st) => spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)
       case None => throw new IllegalStateException(
@@ -478,7 +534,8 @@ object ScanPlanner {
     val resid = col(column).isin(values.map(lit(_)): _*)
     if (pruned.isEmpty)
       emptyOrPinned(spark, t,
-        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
+        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
+        snapshotId)
     else
       // the file-scoped split applies to pruned scans too: surviving
       // delete-untouched files scan bare, only hit files pay anti-joins
@@ -515,7 +572,8 @@ object ScanPlanner {
         // schema — read it from any live file (or the declared schema
         // when the snapshot has none), scan nothing
         return emptyOrPinned(spark, t,
-          t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
+          t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
+          snapshotId)
     val c = col(column)
     val range = (lo.map(c >= _), hi.map(c <= _)) match {
       case (Some(a), Some(b)) => a && b
@@ -576,7 +634,8 @@ object ScanPlanner {
     if (pruned.isEmpty)
       // every file pruned: EMPTY with the table's schema, scan nothing
       emptyOrPinned(spark, t,
-        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)))
+        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
+        snapshotId)
     else
       readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
         .filter(col(column).isin(sorted: _*))

@@ -317,7 +317,9 @@ final class GraftTable(val tableDir: String, snapshotId: Option[Long] = None)
     t.metadata.properties.asJava
 
   override def schema(): StructType =
-    ScanPlanner.currentSparkSchema(t).getOrElse(
+    // time-travel instances expose the SNAPSHOT's schema (Iceberg
+    // VERSION AS OF semantics); current instances the current one
+    ScanPlanner.sparkSchemaAt(t, snapshotId).getOrElse(
       throw new UnsupportedOperationException(
         s"table $tableDir has a nested/non-primitive schema; read it via " +
           "ScanPlanner.readTable (parquet inference) instead of the SQL catalog"))
@@ -440,7 +442,16 @@ class GraftScanBuilder(
     else {
       val live = t.files(snapshotId)
       val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
-      new GraftFileScan(t, dataSchema, required, pushed.toSeq, kept, runtimeFilterCols)
+      // id-stamped tables: the vectorized scan resolves parquet columns
+      // by field id (rename-safe, same contract as ScanPlanner.readSchema)
+      def attr(st: StructType): StructType =
+        if (!graft.meta.FieldIds.tableHasIds(t.metadata)) st
+        else {
+          graft.meta.FieldIds.ensureReadEnabled(SparkSession.active)
+          graft.meta.FieldIds.attribute(st, ScanPlanner.schemaAt(t, snapshotId))
+        }
+      new GraftFileScan(t, attr(dataSchema), attr(required), pushed.toSeq,
+        kept, runtimeFilterCols)
     }
 }
 

@@ -53,12 +53,18 @@ object GraftCowWriteBridge {
       operation: String): BatchWrite = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
+    // field-id-attributed file schema: the COW rewrite files must carry
+    // footer ids like every other engine write, or an id-stamped table's
+    // post-UPDATE reads fail (the read path refuses id-less files rather
+    // than silently nulling them)
+    val fileSchema = graft.meta.FieldIds.attribute(
+      tableSchema, graft.meta.IcebergMeta.load(tableDir).currentSchema)
     val factory = ParquetUtils.prepareWrite(
-      cs.sessionState.conf, job, tableSchema,
+      cs.sessionState.conf, job, fileSchema,
       new ParquetOptions(Map.empty[String, String], cs.sessionState.conf))
     val tz = cs.sessionState.conf.sessionLocalTimeZone
     new GraftCowBatchWrite(
-      tableDir, tableSchema, writeSchema, partDims, scannedPaths, operation,
+      tableDir, fileSchema, writeSchema, partDims, scannedPaths, operation,
       factory, new SerializableConfiguration(job.getConfiguration), tz)
   }
 

@@ -109,6 +109,47 @@ class FieldIdsSpec extends SparkSpec {
       s"old generation must read NULL for the re-added id, got $got")
   }
 
+  test("time travel reads under the SNAPSHOT's schema, not the current one") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    e.createTable("t.ttschema", df.schema)
+    val s1 = e.append("t.ttschema", df).snapshotId
+    e.renameColumn("t.ttschema", "v", "value")
+    e.addColumn("t.ttschema", "extra", "string")
+    e.append("t.ttschema",
+      Seq((3L, 30L, "x")).toDF("id", "value", "extra"))
+    // pinned read: the names and columns AS OF the snapshot — `v`, no
+    // `extra` — with the data intact
+    val pinned = e.readTable("t.ttschema", Some(s1))
+    assert(pinned.columns.toSeq == Seq("id", "v"),
+      s"snapshot schema must surface pre-evolution names: ${pinned.columns.toSeq}")
+    assert(pinned.orderBy("id").select("id", "v").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+    // current read: evolved names over both generations
+    val cur = e.readTable("t.ttschema").orderBy("id")
+    assert(cur.columns.toSeq == Seq("id", "value", "extra"))
+    assert(cur.select("id", "value").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("legacy snapshots without a schema-id stamp fall back to the current schema") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.ttlegacy", df.schema)
+    val s1 = e.append("t.ttlegacy", df).snapshotId
+    // simulate pre-stamp metadata: strip the snapshot's schema-id
+    val dir = e.tableDir("t.ttlegacy")
+    val (md, v) = IcebergMeta.loadVersioned(dir)
+    val stripped = md.copy(snapshots = md.snapshots.map(_.copy(schemaId = None)))
+    IcebergMeta.publish(
+      java.nio.file.Paths.get(dir, "metadata", s"v${v + 1}.metadata.json"),
+      IcebergMeta.render(stripped))
+    e.renameColumn("t.ttlegacy", "v", "value")
+    val pinned = e.readTable("t.ttlegacy", Some(s1))
+    assert(pinned.columns.toSeq == Seq("id", "value"),
+      "an unstamped snapshot must keep the historical current-schema read")
+  }
+
   test("legacy tables (property unset) keep the name-resolved read") {
     val e = freshEngine()
     val df = Seq((1L, 10L)).toDF("id", "v")

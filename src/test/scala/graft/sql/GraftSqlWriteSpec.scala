@@ -156,4 +156,28 @@ class GraftSqlWriteSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE graftw.tmp")
     assert(!Files.exists(Paths.get(s"$wh/tmp")))
   }
+
+  test("SQL rename is read-safe and VERSION AS OF uses the snapshot's schema") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftw.evo")
+    spark.sql("CREATE TABLE graftw.evo.m (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftw.evo.m VALUES (1, 10), (2, 20)")
+    val snap1 = IcebergTable.load(s"$wh/evo/m")
+      .metadata.currentSnapshotId.get
+    spark.sql("ALTER TABLE graftw.evo.m RENAME COLUMN v TO value")
+    spark.sql("INSERT INTO graftw.evo.m VALUES (3, 30)")
+
+    // current read: renamed column serves the pre-rename files' data
+    // by field id, through the pure SQL path
+    val cur = spark.sql(
+      "SELECT id, value FROM graftw.evo.m ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(cur == Seq((1L, 10L), (2L, 20L), (3L, 30L)), cur.toString)
+
+    // time travel: the pinned snapshot exposes ITS schema (`v`)
+    val pinned = spark.sql(
+      s"SELECT * FROM graftw.evo.m VERSION AS OF '$snap1' ORDER BY id")
+    assert(pinned.columns.toSeq == Seq("id", "v"), pinned.columns.toSeq.toString)
+    assert(pinned.as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
 }
