@@ -260,6 +260,49 @@ object WriteQueries {
          |SELECT '2_replace_feed', 0, 0, 0.0
          |ORDER BY version""".stripMargin)),
 
+    // PARTITION-SPEC EVOLUTION: first generation identity-partitioned on
+    // o_orderstatus, second generation bucket[4]-partitioned on
+    // o_custkey after setPartitionSpec — one scan reads both layouts,
+    // and a partition-equality probe stays EXACT across them (old-spec
+    // files prune on the recorded value, new-spec files lack the key so
+    // they survive conservatively and the residual row filter applies).
+    Q("q_partition_evolution",
+      (s, d) => {
+        val a = slice(s, d, 0)
+        val b = slice(s, d, 1)
+        val wh = java.nio.file.Files.createTempDirectory("q_pspec").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.pe_orders", a.schema,
+          partitionDecls = Seq("o_orderstatus"))
+        e.append("q.pe_orders", a)
+        e.setPartitionSpec("q.pe_orders", Seq("bucket[4](o_custkey)"))
+        e.append("q.pe_orders", b)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col("o_custkey")).as("sum_cust"),
+              moneySum(col("o_totalprice")).as("sum_price"))
+            .withColumn("version", lit(tag))
+        val all = agg(e.readTable("q.pe_orders"), "1_all")
+        val probe = agg(
+          e.readTableWhere("q.pe_orders", "o_custkey", None, None,
+            partitionEquals = Map("o_orderstatus" -> "F")),
+          "2_status_f")
+        all.unionByName(probe)
+          .select("version", "n_rows", "sum_cust", "sum_price")
+          .orderBy("version")
+      },
+      Some(s"""WITH a AS (${sliceSql.format(0)}), b AS (${sliceSql.format(1)}),
+         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         |tagged AS (
+         |  SELECT '1_all' AS version, o_custkey, o_totalprice FROM u
+         |  UNION ALL
+         |  SELECT '2_status_f', o_custkey, o_totalprice
+         |  FROM u WHERE o_orderstatus = 'F')
+         |SELECT version, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM tagged GROUP BY version ORDER BY version""".stripMargin)),
+
     // SCHEMA EVOLUTION read: add + rename + widen between two appends,
     // then ONE scan reads both file generations — the renamed column
     // pulls old data by FIELD ID (not name), the added column reads as

@@ -226,6 +226,15 @@ object Cli {
         case "widen-column" =>
           val v = engine.widenColumn(vargs(0), vargs(1), vargs(2))
           println(s"widened ${vargs(1)} to ${vargs(2)} (schema v$v)")
+        case "add-column" =>
+          val v = engine.addColumn(vargs(0), vargs(1), vargs(2))
+          println(s"added ${vargs(1)} ${vargs(2)} (schema v$v)")
+        case "rename-column" =>
+          val v = engine.renameColumn(vargs(0), vargs(1), vargs(2))
+          println(s"renamed ${vargs(1)} to ${vargs(2)} (schema v$v)")
+        case "drop-column" =>
+          val v = engine.dropColumn(vargs(0), vargs(1))
+          println(s"dropped ${vargs(1)} (schema v$v)")
         case "set-property" =>
           val v = engine.setProperties(vargs(0), Map(vargs(1) -> vargs(2)))
           println(s"set ${vargs(1)}=${vargs(2)} (metadata v$v)")
@@ -592,6 +601,7 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
+      "       add-column rename-column drop-column\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
       "       ann-rebuild ann-retire forget\n" +

@@ -263,6 +263,21 @@ class SkewAndCliSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "widen-column", "lake.w", "qty", "int")) == 1)
   }
 
+  test("round-15 CLI verbs: add-column / rename-column / drop-column") {
+    val wh = Files.createTempDirectory("graft-cli-wh15").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$wh/lake"))
+    assert(Cli.run(Array(wh, "create-table", "lake.evo", "id:bigint,v:long")) == 0)
+    assert(Cli.run(Array(wh, "add-column", "lake.evo", "note", "string")) == 0)
+    assert(Cli.run(Array(wh, "rename-column", "lake.evo", "v", "value")) == 0)
+    def fields = graft.meta.IcebergTable.load(s"$wh/lake/evo").metadata
+      .currentSchema.fields.map(_.name)
+    assert(fields == Seq("id", "value", "note"), fields.toString)
+    assert(Cli.run(Array(wh, "drop-column", "lake.evo", "note")) == 0)
+    assert(fields == Seq("id", "value"))
+    // renaming a missing column fails with a nonzero exit, not a stack
+    assert(Cli.run(Array(wh, "rename-column", "lake.evo", "nope", "x")) == 1)
+  }
+
   test("round-7 CLI verbs: entries / all-files / all-manifests") {
     val wh = Files.createTempDirectory("graft-cli-wh7b").toString
     graft.fixtures.FixtureWriter.writeDemo(spark, wh)

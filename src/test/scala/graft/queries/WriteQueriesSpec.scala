@@ -72,6 +72,18 @@ class WriteQueriesSpec extends SparkSpec {
     assert(rows("1_data") > 0L)
   }
 
+  test("q_partition_evolution: probe across mixed layouts is exact") {
+    val rows = run("q_partition_evolution").map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/orders.parquet")
+    val want = docs.filter(
+      "(o_orderkey % 10 = 0 OR o_orderkey % 10 = 1) AND o_orderstatus = 'F'")
+      .count()
+    assert(rows("2_status_f") == want,
+      s"mixed-layout partition probe must be exact: ${rows("2_status_f")} != $want")
+    assert(rows("2_status_f") < rows("1_all"))
+  }
+
   test("q_schema_evolution: old files read null note, renamed col carries data") {
     val rows = run("q_schema_evolution")
     val byNote = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
