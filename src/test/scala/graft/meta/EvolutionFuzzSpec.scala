@@ -1,0 +1,183 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.api.Engine
+
+/** Randomized EVOLUTION FUZZ: a seeded sequence of appends, MERGE
+  * upserts, merge-on-read deletes, and compactions interleaved with
+  * add/rename/widen/drop column evolution, checked against an in-memory
+  * model keyed by FIELD ID (the identity that survives renames). This is
+  * the adversarial workout for the round-15 field-id read machinery:
+  * every read crosses multiple file generations written under different
+  * schemas, and any name-resolved read, resurrected dropped field, or
+  * mis-scoped equality delete shows up as a model mismatch.
+  *
+  * Time travel is fuzzed too: the model is snapshotted at every commit,
+  * and sampled historical snapshots must read back EXACTLY the model
+  * state of that moment, under the SCHEMA of that moment.
+  */
+class EvolutionFuzzSpec extends SparkSpec {
+
+  /** One column's live state: field id never changes; name and width do. */
+  private case class Col(fieldId: Int, var name: String, var isInt: Boolean)
+
+  test("40-step random evolution/write/maintenance sequence matches the model") {
+    val rnd = new scala.util.Random(20260816L)
+    val wh = Files.createTempDirectory("graft-fuzz-wh").toString
+    val e = new Engine(spark, wh)
+    val ref = "fz.t"
+
+    // live schema state: id (key, field 1) + value columns
+    var cols = mutable.ArrayBuffer(Col(2, "c1", isInt = false))
+    var nextField = 3 // TableCreator allocated 1=id, 2=c1
+    var nextColName = 2
+    e.createTable(ref, StructType(Seq(
+      StructField("id", LongType), StructField("c1", LongType))))
+
+    // model: id -> fieldId -> value (None = null, i.e. pre-add rows)
+    val model = mutable.LinkedHashMap.empty[Long, mutable.Map[Int, Option[Long]]]
+    var nextId = 0L
+    // history: (snapshotId, schema names in order, column states, model copy)
+    val history = mutable.ArrayBuffer.empty[
+      (Long, Seq[String], Seq[(Int, Boolean)], Map[Long, Map[Int, Option[Long]]])]
+
+    def deepCopy: Map[Long, Map[Int, Option[Long]]] =
+      model.map { case (k, v) => k -> v.toMap }.toMap
+    def schemaNames: Seq[String] = "id" +: cols.map(_.name).toSeq
+    def record(snap: Long): Unit =
+      history += ((snap, schemaNames, cols.map(c => (c.fieldId, c.isInt)).toSeq, deepCopy))
+
+    def rowValue(id: Long, f: Int, salt: Long): Long = {
+      val v = id * 31L + f * 7L + salt
+      v & 0xffffL // stays inside Int range for int-typed columns
+    }
+    def batchDf(ids: Seq[Long], salt: Long) = {
+      val st = StructType(StructField("id", LongType) +: cols.map(c =>
+        StructField(c.name, if (c.isInt) IntegerType else LongType)).toSeq)
+      val rows: Seq[Row] = ids.map { id =>
+        Row.fromSeq(id +: cols.map { c =>
+          val v = rowValue(id, c.fieldId, salt)
+          // explicit boxing: a plain if/else unifies Int|Long to Long
+          // (numeric widening) and the int column would carry Long cells
+          (if (c.isInt) Int.box(v.toInt) else Long.box(v)): Any
+        }.toSeq)
+      }
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, st)
+    }
+    def putModel(ids: Seq[Long], salt: Long): Unit = ids.foreach { id =>
+      model(id) = mutable.Map(cols.map(c =>
+        c.fieldId -> Some(rowValue(id, c.fieldId, salt))).toSeq: _*)
+    }
+
+    def checkCurrent(tag: String): Unit = {
+      val got = e.readTable(ref).collect().map { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        id -> cols.map { c =>
+          val i = r.fieldIndex(c.name)
+          c.fieldId -> (if (r.isNullAt(i)) None
+            else Some(if (c.isInt) r.getInt(i).toLong else r.getLong(i)))
+        }.toMap
+      }.toMap
+      val want = model.map { case (k, v) =>
+        k -> cols.map(c => c.fieldId -> v.getOrElse(c.fieldId, None)).toMap
+      }.toMap
+      assert(got.size == want.size, s"[$tag] row count ${got.size} != ${want.size}")
+      want.foreach { case (id, wv) =>
+        assert(got.contains(id), s"[$tag] missing id $id")
+        assert(got(id) == wv, s"[$tag] id $id: got ${got(id)} want $wv")
+      }
+    }
+
+    // bootstrap: one initial batch so every op has something to chew on
+    val init = (0 until 20).map(_ => { val i = nextId; nextId += 1; i })
+    val s0 = e.append(ref, batchDf(init, salt = 0)).snapshotId
+    putModel(init, salt = 0)
+    record(s0)
+
+    for (step <- 1 to 40) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // append fresh rows
+          val ids = (0 until (3 + rnd.nextInt(8))).map(_ => { val i = nextId; nextId += 1; i })
+          val snap = e.append(ref, batchDf(ids, salt = step)).snapshotId
+          putModel(ids, salt = step)
+          record(snap)
+        case 3 | 4 => // MERGE upsert: rewrite some existing + insert some new
+          val existing = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(5))
+          val fresh = (0 until rnd.nextInt(3)).map(_ => { val i = nextId; nextId += 1; i })
+          val ids = existing ++ fresh
+          val snap = e.upsert(ref, batchDf(ids, salt = step), Seq("id")).snapshotId
+          putModel(ids, salt = step)
+          record(snap)
+        case 5 => // merge-on-read DELETE
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          val cr = e.deleteWhere(ref, col("id") % m === r)
+          model.keys.toSeq.filter(id => id % m == r).foreach(model.remove)
+          cr.foreach(c => record(c.snapshotId))
+        case 6 => // add a column (int half the time, to feed widen)
+          val name = s"c$nextColName"; nextColName += 1
+          val isInt = rnd.nextBoolean()
+          e.addColumn(ref, name, if (isInt) "int" else "long")
+          cols += Col(nextField, name, isInt)
+          nextField += 1
+          model.values.foreach(_(cols.last.fieldId) = None) // old rows read null
+        case 7 => // rename a value column
+          val c = cols(rnd.nextInt(cols.size))
+          val to = s"c${nextColName}r"; nextColName += 1
+          e.renameColumn(ref, c.name, to)
+          c.name = to
+        case 8 => // widen an int column, or drop one if none (keep >= 1 col)
+          cols.find(_.isInt) match {
+            case Some(c) =>
+              e.widenColumn(ref, c.name, "long")
+              c.isInt = false
+            case None if cols.size > 1 =>
+              val i = rnd.nextInt(cols.size)
+              e.dropColumn(ref, cols(i).name)
+              val dropped = cols.remove(i)
+              model.values.foreach(_.remove(dropped.fieldId))
+            case None => () // single long column: skip
+          }
+        case 9 => // compact (fold deletes when present)
+          e.rewriteSmallFiles(ref, smallBytes = 1L << 30)
+            .foreach(cr => record(cr.snapshotId))
+      }
+      if (step % 8 == 0) checkCurrent(s"step $step")
+    }
+    checkCurrent("final")
+
+    // time travel: sampled historical snapshots read back the model AND
+    // the schema of their moment
+    val samples = rnd.shuffle(history.toSeq).take(6)
+    samples.foreach { case (snap, names, colStates, m) =>
+      val df = e.readTable(ref, Some(snap))
+      assert(df.columns.toSeq == names,
+        s"snapshot $snap must expose its own schema: ${df.columns.toSeq} != $names")
+      val got = df.collect().map { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        id -> names.drop(1).zip(colStates).map { case (n, (fid, isInt)) =>
+          val i = r.fieldIndex(n)
+          fid -> (if (r.isNullAt(i)) None
+            else Some(if (isInt) r.getInt(i).toLong else r.getLong(i)))
+        }.toMap
+      }.toMap
+      val want = m.map { case (k, v) =>
+        k -> colStates.map { case (fid, _) => fid -> v.getOrElse(fid, None) }.toMap
+      }
+      assert(got.size == want.size,
+        s"snapshot $snap rows ${got.size} != ${want.size}")
+      want.foreach { case (id, wv) =>
+        assert(got(id) == wv, s"snapshot $snap id $id: got ${got(id)} want $wv")
+      }
+    }
+  }
+}
