@@ -303,7 +303,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
         else "no orphan files"),
       row("analyze", !hasNdv,
         if (hasNdv) "NDV statistics present"
-        else "no stored NDV statistics — ANALYZE enables better planning"))
+        else "no stored NDV statistics — ANALYZE enables better planning"),
+      // legacy (pre-field-id) tables read columns by NAME: a rename
+      // would surface pre-rename files' data as null. Migration must
+      // run BEFORE any rename (it rewrites under the current names).
+      row("migrate-field-ids",
+        !graft.meta.FieldIds.tableHasIds(t.metadata),
+        if (graft.meta.FieldIds.tableHasIds(t.metadata))
+          "files carry parquet field ids (rename-safe reads)"
+        else "table files lack parquet field ids — run migrateToFieldIds " +
+          "BEFORE any column rename (a rename on a name-resolved table " +
+          "reads null from pre-rename files)"))
       .++(
         // ANN-index tables carry a frozen coarse quantizer: the drift
         // canary compares admission occupancy against the bootstrap
@@ -804,6 +814,40 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
   def setProperties(ref: String, set: Map[String, String],
       unset: Set[String] = Set.empty): Int =
     graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset)
+
+  /** Migrate a LEGACY table (files without parquet field ids — anything
+    * not created by this engine's [[createTable]]) onto the
+    * rename-safe id-resolved read path: one full rewrite of the CURRENT
+    * rows through the attributed writer, then the [[graft.meta.FieldIds]]
+    * property pair. Correct precisely while parquet column names still
+    * match the current schema — i.e. run BEFORE any column rename (a
+    * rename first would already have nulled the column on read, and the
+    * rewrite would persist the nulls).
+    *
+    * The stamped `since-seq` boundary keeps HISTORY readable: snapshots
+    * before the migration commit hold id-less files and keep the
+    * historical name-resolved read (time travel, change feeds and
+    * `VERSION AS OF` into them still work); snapshots at/after it read
+    * by field id, so renames from now on are read-safe. The rewrite
+    * surfaces in the change feed as a full overwrite (it is one).
+    * Returns the migration commit's snapshot id (None when the table
+    * held no data files — property-only stamp). */
+  def migrateToFieldIds(ref: String): Option[Long] = {
+    val t = load(ref)
+    require(!graft.meta.FieldIds.tableHasIds(t.metadata),
+      s"$ref already carries ${graft.meta.FieldIds.PropKey}")
+    val rewritten =
+      if (t.files().isEmpty) None
+      else Some(overwrite(ref, readTable(ref)).snapshotId)
+    val md = load(ref).metadata
+    val since = rewritten
+      .flatMap(md.snapshot).map(_.sequenceNumber)
+      .getOrElse(md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L)
+    setProperties(ref, Map(
+      graft.meta.FieldIds.PropKey -> "true",
+      graft.meta.FieldIds.SinceSeqKey -> since.toString))
+    rewritten
+  }
 
   /** Evolve to a new identity partition spec for FUTURE writes (existing
     * files keep their layout); returns the new spec id. */

@@ -34,6 +34,14 @@ object FieldIds {
   /** Table property marking every file as carrying parquet field ids. */
   val PropKey = "graft.parquet.field-ids"
 
+  /** For MIGRATED legacy tables: the commit sequence number from which
+    * the guarantee holds ([[graft.api.Engine.migrateToFieldIds]] rewrites
+    * the live rows through the attributed writer and stamps this).
+    * Snapshots with a SMALLER sequence hold pre-migration id-less files
+    * and keep the historical name-resolved read; absent = id-stamped
+    * from birth. */
+  val SinceSeqKey = "graft.parquet.field-ids.since-seq"
+
   /** Iceberg reserved field ids for position-delete files (spec §Delete
     * Formats: 2147483546 = file_path, 2147483545 = pos). */
   val PosDeletePathId = 2147483546
@@ -41,6 +49,24 @@ object FieldIds {
 
   def tableHasIds(md: TableMetadata): Boolean =
     md.properties.get(PropKey).contains("true")
+
+  def sinceSeq(md: TableMetadata): Option[Long] =
+    md.properties.get(SinceSeqKey).flatMap(_.toLongOption)
+
+  /** Are the files of a commit at `seq` guaranteed id-stamped? */
+  def idsAtSeq(md: TableMetadata, seq: Long): Boolean =
+    tableHasIds(md) && sinceSeq(md).forall(seq >= _)
+
+  /** Are the files of `snapshotId`'s state (current when None) guaranteed
+    * id-stamped? After a migration the full-rewrite boundary makes every
+    * snapshot at/after the stamped sequence all-post-migration files. */
+  def idsAtSnapshot(md: TableMetadata, snapshotId: Option[Long]): Boolean =
+    tableHasIds(md) && (sinceSeq(md) match {
+      case None => true
+      case Some(since) =>
+        snapshotId.flatMap(md.snapshot).orElse(md.currentSnapshot)
+          .forall(_.sequenceNumber >= since)
+    })
 
   def idMetadata(id: Int): Metadata =
     new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()

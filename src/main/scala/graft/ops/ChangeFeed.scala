@@ -67,10 +67,17 @@ object ChangeFeed {
     def empty: DataFrame =
       spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
     // id-stamped tables read by parquet field id (rename-safe: the feed
-    // walks HISTORICAL file generations, which keep pre-rename names)
-    val scanSchema = ScanPlanner.readSchema(spark, t).getOrElse(tableSchema)
-    def readFiles(paths: Seq[String]): DataFrame =
-      spark.read.schema(scanSchema).parquet(paths: _*)
+    // walks HISTORICAL file generations, which keep pre-rename names).
+    // Per-read decision: a MIGRATED table's pre-boundary commits hold
+    // id-less files that keep the name read (FieldIds.idsAtSeq)
+    val attributedSchema = {
+      graft.meta.FieldIds.ensureReadEnabled(spark)
+      graft.meta.FieldIds.attribute(tableSchema, t.metadata.currentSchema)
+    }
+    def readFiles(paths: Seq[String], ids: Boolean): DataFrame =
+      spark.read.schema(
+        if (ids && graft.meta.FieldIds.tableHasIds(t.metadata)) attributedSchema
+        else tableSchema).parquet(paths: _*)
     def stamp(df: DataFrame, change: String, s: Snapshot): DataFrame =
       df.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
         .withColumn("_change_type", lit(change))
@@ -94,6 +101,10 @@ object ChangeFeed {
         val prevPaths = parentId.map(pathsAt).getOrElse(Set.empty[String])
         val added = (curPaths -- prevPaths).toSeq.sorted.map(t.resolvePath)
         val removed = (prevPaths -- curPaths).toSeq.sorted.map(t.resolvePath)
+        // files ADDED by this commit carry ids iff the commit is at/past
+        // the migration boundary; REMOVED files belong to the parent state
+        val addedIds = graft.meta.FieldIds.idsAtSeq(t.metadata, s.sequenceNumber)
+        val removedIds = graft.meta.FieldIds.idsAtSnapshot(t.metadata, parentId)
 
         val (inserts, removes) =
           if (net && added.nonEmpty && removed.nonEmpty) {
@@ -103,8 +114,8 @@ object ChangeFeed {
             // would scan both sides twice (exchange reuse between the
             // branches is not guaranteed).
             val dataCols = tableSchema.fieldNames.toIndexedSeq
-            val tagged = readFiles(added).withColumn("__w", lit(1L))
-              .unionByName(readFiles(removed).withColumn("__w", lit(-1L)))
+            val tagged = readFiles(added, addedIds).withColumn("__w", lit(1L))
+              .unionByName(readFiles(removed, removedIds).withColumn("__w", lit(-1L)))
             val diff = tagged.groupBy(dataCols.map(col): _*)
               .agg(sum(col("__w")).as("__d"))
             def expand(d: DataFrame): DataFrame =
@@ -116,8 +127,10 @@ object ChangeFeed {
               .withColumn("__dn", -col("__d")))
             (Some(stamp(ins, "insert", s)), Some(stamp(del, "delete", s)))
           } else (
-            if (added.isEmpty) None else Some(stamp(readFiles(added), "insert", s)),
-            if (removed.isEmpty) None else Some(stamp(readFiles(removed), "delete", s)))
+            if (added.isEmpty) None
+            else Some(stamp(readFiles(added, addedIds), "insert", s)),
+            if (removed.isEmpty) None
+            else Some(stamp(readFiles(removed, removedIds), "delete", s)))
 
         // delete files ADDED by this commit
         val prevDels = parentId.map(p => deletesAt(p).map(_.filePath).toSet)

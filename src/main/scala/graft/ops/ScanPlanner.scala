@@ -167,7 +167,7 @@ object ScanPlanner {
     val schemaSnap = schemaSnapOverride.getOrElse(snapshotId)
     val allDels = t.deleteFiles(snapshotId)
     if (allDels.isEmpty)
-      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap), keepLineage, schemaSnap)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap, snapshotId), keepLineage, schemaSnap)
 
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     val seqBySnapshot = t.metadata.snapshots
@@ -190,7 +190,7 @@ object ScanPlanner {
     // sites always pass live paths, but fall back to the unsplit read
     // (which scans every given path) whenever containment is partial.
     if (entries.size != requested.size)
-      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, snapshotId), keepLineage)
+      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap, snapshotId), keepLineage, schemaSnap)
     val (hit, clean) = entries.partition(e =>
       posTargets.contains(e.filePath) ||
         e.resolvedSeq(seqBySnapshot, 0L) < maxEqSeq)
@@ -205,15 +205,15 @@ object ScanPlanner {
       }
     val parts = Seq(
       if (clean.isEmpty) None
-      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)), schemaSnap))),
+      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId))),
       if (hit.isEmpty) None
       else Some(applyDeletes(spark, t, snapshotId,
-        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath)), schemaSnap), keepLineage, schemaSnap))
+        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId), keepLineage, schemaSnap))
     ).flatten
     // a caller-supplied path outside the snapshot's live set (shouldn't
     // happen from engine call sites) falls back to the unsplit read
     if (parts.isEmpty)
-      applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap), keepLineage, schemaSnap)
+      applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap, snapshotId), keepLineage, schemaSnap)
     else parts.reduce(_.unionByName(_))
   }
 
@@ -224,8 +224,9 @@ object ScanPlanner {
     * column order follow the schema (plain inference would pick one
     * file's shape). */
   private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
-      snapshotId: Option[Long] = None): DataFrame = {
-    val reader = readSchema(spark, t, snapshotId) match {
+      schemaSnap: Option[Long] = None,
+      fileSnap: Option[Long] = None): DataFrame = {
+    val reader = readSchemaForFiles(spark, t, schemaSnap, fileSnap) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
@@ -244,10 +245,22 @@ object ScanPlanner {
     * read. */
   def readSchema(spark: SparkSession, t: IcebergTable,
       snapshotId: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readSchemaForFiles(spark, t, snapshotId, snapshotId)
+
+  /** [[readSchema]] with the SCHEMA snapshot decoupled from the FILE
+    * snapshot: the schema (names/types) comes from `schemaSnap`, but the
+    * id-attribution decision follows `fileSnap` — the snapshot whose
+    * files the scan actually opens. The change feed reads a parent
+    * commit's files under the CURRENT schema, and a migrated table's
+    * pre-migration snapshots hold id-less files that must keep the name
+    * read ([[FieldIds.idsAtSnapshot]]). */
+  private def readSchemaForFiles(spark: SparkSession, t: IcebergTable,
+      schemaSnap: Option[Long], fileSnap: Option[Long])
       : Option[org.apache.spark.sql.types.StructType] = {
-    val ice = schemaAt(t, snapshotId)
+    val ice = schemaAt(t, schemaSnap)
     sparkSchemaOf(ice).map { st =>
-      if (!FieldIds.tableHasIds(t.metadata)) st
+      if (!FieldIds.idsAtSnapshot(t.metadata, fileSnap)) st
       else {
         FieldIds.ensureReadEnabled(spark)
         FieldIds.attribute(st, ice)
@@ -265,11 +278,12 @@ object ScanPlanner {
       t: IcebergTable,
       ids: Seq[Int],
       paths: Seq[String],
-      snapshotId: Option[Long] = None): DataFrame =
-    if (!FieldIds.tableHasIds(t.metadata)) spark.read.parquet(paths: _*)
+      schemaSnap: Option[Long] = None,
+      fileSnap: Option[Long] = None): DataFrame =
+    if (!FieldIds.idsAtSnapshot(t.metadata, fileSnap)) spark.read.parquet(paths: _*)
     else {
       FieldIds.ensureReadEnabled(spark)
-      val byId = schemaAt(t, snapshotId).fields.map(f => f.id -> f).toMap
+      val byId = schemaAt(t, schemaSnap).fields.map(f => f.id -> f).toMap
       val st = org.apache.spark.sql.types.StructType(ids.map { id =>
         val f = byId.getOrElse(id, throw new NoSuchElementException(
           s"equality id $id not in current schema"))
@@ -370,7 +384,7 @@ object ScanPlanner {
           val cols = ids.map(id => nameById.getOrElse(id,
             throw new NoSuchElementException(s"equality id $id not in current schema")))
           val delVals = readEqDeleteFiles(spark, t, ids,
-              files.map(e => t.resolvePath(e.filePath)), schemaSnap)
+              files.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId)
             .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
           // null-safe equality: Iceberg equality deletes match null keys
           // to null values (a delete row with key=null removes rows whose
@@ -457,7 +471,7 @@ object ScanPlanner {
       anyFile: Option[String],
       snapshotId: Option[Long] = None): DataFrame = anyFile match {
     case Some(path) =>
-      scanFiles(spark, t, Seq(path), snapshotId).filter(lit(false))
+      scanFiles(spark, t, Seq(path), snapshotId, snapshotId).filter(lit(false))
     case None => readSchema(spark, t, snapshotId) match {
       case Some(st) => spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)

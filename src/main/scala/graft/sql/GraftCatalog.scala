@@ -445,7 +445,7 @@ class GraftScanBuilder(
       // id-stamped tables: the vectorized scan resolves parquet columns
       // by field id (rename-safe, same contract as ScanPlanner.readSchema)
       def attr(st: StructType): StructType =
-        if (!graft.meta.FieldIds.tableHasIds(t.metadata)) st
+        if (!graft.meta.FieldIds.idsAtSnapshot(t.metadata, snapshotId)) st
         else {
           graft.meta.FieldIds.ensureReadEnabled(SparkSession.active)
           graft.meta.FieldIds.attribute(st, ScanPlanner.schemaAt(t, snapshotId))

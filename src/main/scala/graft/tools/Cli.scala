@@ -235,6 +235,14 @@ object Cli {
         case "drop-column" =>
           val v = engine.dropColumn(vargs(0), vargs(1))
           println(s"dropped ${vargs(1)} (schema v$v)")
+        case "migrate-field-ids" =>
+          engine.migrateToFieldIds(vargs(0)) match {
+            case Some(snap) => println(
+              s"rewrote ${vargs(0)} with parquet field ids (snapshot $snap); " +
+                "renames are now read-safe")
+            case None => println(
+              s"${vargs(0)} held no data files; stamped the field-id guarantee")
+          }
         case "set-property" =>
           val v = engine.setProperties(vargs(0), Map(vargs(1) -> vargs(2)))
           println(s"set ${vargs(1)}=${vargs(2)} (metadata v$v)")
@@ -601,7 +609,7 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       add-column rename-column drop-column\n" +
+      "       add-column rename-column drop-column migrate-field-ids\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
       "       ann-rebuild ann-retire forget\n" +

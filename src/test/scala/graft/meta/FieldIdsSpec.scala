@@ -150,6 +150,38 @@ class FieldIdsSpec extends SparkSpec {
       "an unstamped snapshot must keep the historical current-schema read")
   }
 
+  test("migrateToFieldIds: legacy table becomes rename-safe, history stays readable") {
+    val wh = Files.createTempDirectory("graft-fid-mig").toString
+    graft.fixtures.FixtureWriter.writeDemo(spark, wh)
+    val e = new Engine(spark, wh)
+    val ref = "sales.orders"
+    // fixture tables are hand-written without footer ids → advise flags it
+    def adviseRow() = e.advise(ref).filter(col("action") === "migrate-field-ids")
+      .select("status").as[String].head()
+    assert(adviseRow() == "RECOMMENDED")
+
+    val preSnap = e.load(ref).metadata.currentSnapshotId.get
+    val before = e.readTable(ref)
+      .select("order_id", "customer_name").as[(Long, String)].collect().toMap
+
+    val migSnap = e.migrateToFieldIds(ref)
+    assert(migSnap.nonEmpty)
+    assert(adviseRow() == "OK")
+    intercept[IllegalArgumentException](e.migrateToFieldIds(ref))
+
+    // rename is now read-safe: the rewritten generation serves the data
+    // by field id under the new name
+    e.renameColumn(ref, "customer_name", "cust_name")
+    val after = e.readTable(ref)
+      .select("order_id", "cust_name").as[(Long, String)].collect().toMap
+    assert(after == before, "post-migration rename must keep serving the data")
+
+    // pre-migration snapshots hold id-less files: the since-seq boundary
+    // keeps them on the name-resolved read — still READABLE, no id error
+    val pinned = e.readTable(ref, Some(preSnap))
+    assert(pinned.count() > 0)
+  }
+
   test("legacy tables (property unset) keep the name-resolved read") {
     val e = freshEngine()
     val df = Seq((1L, 10L)).toDF("id", "v")
