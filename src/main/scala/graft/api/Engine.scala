@@ -830,6 +830,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     * `VERSION AS OF` into them still work); snapshots at/after it read
     * by field id, so renames from now on are read-safe. The rewrite
     * surfaces in the change feed as a full overwrite (it is one).
+    * One streaming caveat: a TABLE micro-batch stream
+    * ([[graft.streaming.TableStreamSource]]) whose unprocessed backlog
+    * still spans pre-boundary commits reads those commits' id-less
+    * files through the current (attributed) schema and fails loudly —
+    * drain or restart such streams past the boundary after migrating.
     * Returns the migration commit's snapshot id (None when the table
     * held no data files — property-only stamp). */
   def migrateToFieldIds(ref: String): Option[Long] = {
