@@ -835,6 +835,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     * still spans pre-boundary commits reads those commits' id-less
     * files through the current (attributed) schema and fails loudly —
     * drain or restart such streams past the boundary after migrating.
+    * Quiesce writers for the duration: the rewrite is a plain
+    * [[overwrite]] (replace-all semantics), so a write racing it is
+    * replaced like any write racing an overwrite.
     * Returns the migration commit's snapshot id (None when the table
     * held no data files — property-only stamp). */
   def migrateToFieldIds(ref: String): Option[Long] = {
