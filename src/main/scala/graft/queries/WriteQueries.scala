@@ -79,6 +79,51 @@ object WriteQueries {
          |FROM merged WHERE o_custkey % 7 <> 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ROW DELTA — upsert's general form: ONE commit appends rows AND
+    // equality-deletes an INDEPENDENT key set. Deletion-only keys
+    // (≡0 mod 30 but not mod 60) vanish with no replacement; keys in
+    // BOTH sets (≡0 mod 60) are replaced in the same commit — the
+    // appended rows survive their own delete via sequence scoping
+    // (the exact semantics a streaming CDC upsert needs).
+    Q("q_row_delta",
+      (s, d) => {
+        val src = slice(s, d, 0)
+        val wh = java.nio.file.Files.createTempDirectory("q_rowdelta").toString
+        val e = new Engine(s, wh)
+        e.createTable("q.rd_orders", src.schema)
+        e.append("q.rd_orders", src)
+        val replacements = src.filter(col("o_orderkey") % 60 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 5000000L)
+          .withColumn("o_orderstatus", lit("R"))
+        val newRows = src.filter(col("o_orderkey") % 40 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1L) // ≡1 mod 10: new keys
+          .withColumn("o_orderstatus", lit("N"))
+        val deleteKeys = src.filter(col("o_orderkey") % 30 === 0)
+          .select("o_orderkey")
+        e.rowDelta("q.rd_orders", replacements.unionByName(newRows),
+          Seq("o_orderkey"), deleteKeys)
+        e.readTable("q.rd_orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH src AS (${sliceSql.format(0)}),
+         |final AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM src WHERE o_orderkey % 30 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey + 5000000, 'R', o_totalprice
+         |  FROM src WHERE o_orderkey % 60 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1, o_custkey, 'N', o_totalprice
+         |  FROM src WHERE o_orderkey % 40 = 0)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Row-level CHANGE DATA FEED over (snap1, snap3]: append → insert
     // rows; merge-on-read DELETE → delete rows resolved against the
     // parent state's lineage. The feed reads ONLY the files each commit

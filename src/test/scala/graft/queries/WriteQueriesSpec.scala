@@ -46,6 +46,21 @@ class WriteQueriesSpec extends SparkSpec {
       "overwrite must actually change the current state")
   }
 
+  test("q_row_delta: deletion-only keys vanish, same-commit replacements survive") {
+    val rows = run("q_row_delta")
+    val byStatus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/orders.parquet")
+    val n60 = docs.filter("o_orderkey % 60 = 0").count()
+    val n30 = docs.filter("o_orderkey % 30 = 0").count()
+    // replacements: exactly the %60 keys, alive despite being in the
+    // delete-key set (sequence scoping exempts same-commit appends)
+    assert(byStatus.getOrElse("R", 0L) == n60, s"$byStatus vs n60=$n60")
+    // deletion-only keys (%30 minus %60) are GONE: total row math
+    val sliceA = docs.filter("o_orderkey % 10 = 0").count()
+    val n40 = docs.filter("o_orderkey % 40 = 0").count()
+    assert(rows.map(_.getLong(1)).sum == sliceA - n30 + n60 + n40)
+  }
+
   test("q_wap_publish: staged rows invisible until publish, then exact") {
     val rows = run("q_wap_publish").map(r =>
       r.getString(0) -> r.getLong(1)).toMap
