@@ -55,7 +55,10 @@ object Engine {
       indexRefs: Seq[String] = Seq.empty)
 }
 
-final class Engine(val spark: SparkSession, warehouseDir: String,
+/** Open to extension so callers (and the race specs) can interpose on
+  * individual reads — every mutation still funnels through the
+  * version-CAS'd commit path, which subclassing cannot bypass. */
+class Engine(val spark: SparkSession, warehouseDir: String,
     val catalog: graft.meta.MetaCatalog) {
 
   /** Filesystem-warehouse engine (the common case, and the reference's
@@ -812,8 +815,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
 
   /** Set / unset table properties (metadata-only commit). */
   def setProperties(ref: String, set: Map[String, String],
-      unset: Set[String] = Set.empty): Int =
-    graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset)
+      unset: Set[String] = Set.empty,
+      expectedCurrentSnapshotId: Option[Long] = None): Int =
+    graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset,
+      expectedCurrentSnapshotId)
 
   /** Migrate a LEGACY table (files without parquet field ids — anything
     * not created by this engine's [[createTable]]) onto the
@@ -835,25 +840,59 @@ final class Engine(val spark: SparkSession, warehouseDir: String,
     * still spans pre-boundary commits reads those commits' id-less
     * files through the current (attributed) schema and fails loudly —
     * drain or restart such streams past the boundary after migrating.
-    * Quiesce writers for the duration: the rewrite is a plain
-    * [[overwrite]] (replace-all semantics), so a write racing it is
-    * replaced like any write racing an overwrite.
+    *
+    * RACING WRITERS LOSE LOUDLY, not silently: the rewrite is CAS-pinned
+    * on the pre-migration snapshot id and the property stamp on the
+    * rewrite commit itself, so a writer landing anywhere in the sequence
+    * surfaces as [[graft.meta.CommitConflictException]] (the migration
+    * made no lasting change — re-run it). Tables with live BRANCHES
+    * beyond `main`, or staged-unpublished write-audit-publish snapshots,
+    * are REFUSED: the rewrite covers only the main line, while the
+    * `since-seq` boundary gates purely on sequence number — a
+    * post-migration branch append (or a cherry-pick re-sequencing a
+    * pre-migration stage) would sit past the boundary with id-less
+    * files. Fast-forward/drop the branches and publish-or-expire the
+    * stages first. Tags are fine (they pin pre-boundary snapshots,
+    * which keep the name-resolved read).
     * Returns the migration commit's snapshot id (None when the table
     * held no data files — property-only stamp). */
   def migrateToFieldIds(ref: String): Option[Long] = {
     val t = load(ref)
-    require(!graft.meta.FieldIds.tableHasIds(t.metadata),
+    val md0 = t.metadata
+    require(!graft.meta.FieldIds.tableHasIds(md0),
       s"$ref already carries ${graft.meta.FieldIds.PropKey}")
+    val extraBranches = md0.refs.collect {
+      case (name, r) if r.refType == "branch" && name != "main" => name }
+    require(extraBranches.isEmpty,
+      s"$ref has live branches beyond main (${extraBranches.mkString(", ")}) — " +
+      "the migration rewrite covers only the main line; fast-forward or " +
+      "drop them first")
+    val byId = md0.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = Iterator.iterate(md0.currentSnapshotId)(
+        _.flatMap(id => byId.get(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSet
+    val staged = md0.snapshots.filter(s =>
+      s.summary.contains("wap.id") && !ancestors.contains(s.snapshotId) &&
+        !md0.snapshots.exists(p => ancestors.contains(p.snapshotId) &&
+          p.summary.get("source-snapshot-id").contains(s.snapshotId.toString)))
+    require(staged.isEmpty,
+      s"$ref has staged-unpublished WAP snapshots " +
+      s"(${staged.map(_.snapshotId).mkString(", ")}) — a post-migration " +
+      "cherry-pick would re-sequence their id-less files past the " +
+      "boundary; publish or expire them first")
     val rewritten =
       if (t.files().isEmpty) None
-      else Some(overwrite(ref, readTable(ref)).snapshotId)
+      else Some(graft.meta.TableWriter.overwrite(spark, tableDir(ref),
+        readTable(ref),
+        expectedCurrentSnapshotId = md0.currentSnapshotId).snapshotId)
     val md = load(ref).metadata
     val since = rewritten
       .flatMap(md.snapshot).map(_.sequenceNumber)
       .getOrElse(md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L)
     setProperties(ref, Map(
       graft.meta.FieldIds.PropKey -> "true",
-      graft.meta.FieldIds.SinceSeqKey -> since.toString))
+      graft.meta.FieldIds.SinceSeqKey -> since.toString),
+      expectedCurrentSnapshotId = rewritten.orElse(md0.currentSnapshotId))
     rewritten
   }
 

@@ -59,13 +59,18 @@ object FieldIds {
 
   /** Are the files of `snapshotId`'s state (current when None) guaranteed
     * id-stamped? After a migration the full-rewrite boundary makes every
-    * snapshot at/after the stamped sequence all-post-migration files. */
+    * snapshot at/after the stamped sequence all-post-migration files.
+    * An UNKNOWN explicit snapshot id (expired-but-referenced) answers
+    * `false` — the conservative name-resolved read — rather than
+    * silently deciding attribution from the CURRENT snapshot's sequence,
+    * which may sit on the other side of the boundary. */
   def idsAtSnapshot(md: TableMetadata, snapshotId: Option[Long]): Boolean =
     tableHasIds(md) && (sinceSeq(md) match {
       case None => true
-      case Some(since) =>
-        snapshotId.flatMap(md.snapshot).orElse(md.currentSnapshot)
-          .forall(_.sequenceNumber >= since)
+      case Some(since) => snapshotId match {
+        case None => md.currentSnapshot.forall(_.sequenceNumber >= since)
+        case Some(id) => md.snapshot(id).exists(_.sequenceNumber >= since)
+      }
     })
 
   def idMetadata(id: Int): Metadata =

@@ -153,12 +153,28 @@ object SchemaEvolution {
   /** Set / unset TABLE PROPERTIES as a metadata-only commit (Iceberg
     * `ALTER TABLE ... SET/UNSET TBLPROPERTIES`) — the knobs the write
     * path reads live here (`write.distribution-mode`, ...). Returns the
-    * new metadata version. */
+    * new metadata version.
+    *
+    * `expectedCurrentSnapshotId` makes the property commit CONDITIONAL
+    * on the table still sitting at that snapshot — the CAS a property
+    * stamp DERIVED from a specific snapshot's state needs (field-id
+    * migration stamps its `since-seq` from its own rewrite commit; a
+    * writer landing in between would sit past the boundary with
+    * id-less files). The check rides inside the load→publish cycle, and
+    * [[IcebergMeta.publish]]'s version CAS catches a racer landing
+    * after the load — either way the race is LOUD. */
   def setProperties(
       tableDir: String,
       set: Map[String, String],
-      unset: Set[String]): Int = {
+      unset: Set[String],
+      expectedCurrentSnapshotId: Option[Long] = None): Int = {
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
+    expectedCurrentSnapshotId.foreach { exp =>
+      if (!md.currentSnapshotId.contains(exp))
+        throw new CommitConflictException(
+          s"expected current snapshot $exp but table moved to " +
+          s"${md.currentSnapshotId.getOrElse("<none>")} — reload and retry")
+    }
     writeNext(tableDir, baseV, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       properties = md.properties ++ set -- unset))

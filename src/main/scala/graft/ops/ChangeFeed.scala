@@ -147,7 +147,7 @@ object ChangeFeed {
               .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
             val parentRows = ScanPlanner.readTableLineageCurrentSchema(spark, t, parentId)
             Some(stamp(
-              parentRows.join(broadcast(targets),
+              parentRows.join(ScanPlanner.hintIfDeleteFits(spark, newPos)(targets),
                 parentRows("__gr_path") === targets("__del_path") &&
                   parentRows("__gr_pos") === targets("__del_pos"),
                 "left_semi"),
@@ -162,11 +162,20 @@ object ChangeFeed {
             Some(newEq.groupBy(_.equalityIds).map { case (ids, files) =>
               val cols = ids.map(id => nameById.getOrElse(id,
                 throw new NoSuchElementException(s"equality id $id not in schema")))
+              // fileSnap = the ADDING commit: a feed range into a
+              // migrated table's pre-boundary history must read that
+              // era's id-less eq-delete files by NAME (the same gate the
+              // data-file reads apply via addedIds above — an
+              // id-attributed read of an id-less file has no name
+              // fallback and would error or null the keys)
               val keys = ScanPlanner.readEqDeleteFiles(spark, t, ids,
-                  files.map(e => t.resolvePath(e.filePath)))
+                  files.map(e => t.resolvePath(e.filePath)),
+                  fileSnap = Some(s.snapshotId))
                 .select(cols.map(c => col(c).as(s"__del_$c")): _*).distinct()
               val cond = cols.map(c => parentRows(c) <=> keys(s"__del_$c")).reduce(_ && _)
-              stamp(parentRows.join(broadcast(keys), cond, "left_semi"), "delete", s)
+              stamp(parentRows.join(
+                ScanPlanner.hintIfDeleteFits(spark, files)(keys),
+                cond, "left_semi"), "delete", s)
             }.reduce(_ unionByName _))
           }
 

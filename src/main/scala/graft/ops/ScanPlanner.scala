@@ -38,6 +38,35 @@ object ScanPlanner {
     * distributed-parse contract. */
   private[graft] val DriverPruneMaxFiles = 2000L
 
+  /** Ceiling (total on-disk bytes, per the manifests' metadata-known
+    * `file_size_in_bytes`) under which the merge-on-read delete APPLY
+    * joins keep their explicit `broadcast()` hint. Delete sets are
+    * normally metadata-small and the hint is the right plan — but a
+    * corpus-scale retire (the 100M-id case `graft.retire.broadcastMaxIds`
+    * exists for) lands an equality-delete key set of exactly that size,
+    * and an unconditional hint would force it through the driver with no
+    * fallback on the very next read. Above the ceiling the hint is
+    * DROPPED and AQE picks the join (shuffled hash / sort-merge — `<=>`
+    * keys extract as equi-join keys, so the anti-join stays keyed).
+    * 64 MB of parquet is comfortably a broadcast even at typical 3-4×
+    * decompression. `0` disables the hint tier entirely — the
+    * parity-spec switch. The gate is pure metadata: no Spark job. */
+  private[graft] val DeleteBroadcastMaxBytesConf = "graft.scan.deleteBroadcastMaxBytes"
+  private[graft] val DeleteBroadcastMaxBytesDefault = 64L << 20
+
+  private[graft] def deleteBroadcastMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(DeleteBroadcastMaxBytesConf)
+      .map(_.toLong).getOrElse(DeleteBroadcastMaxBytesDefault)
+
+  /** The conditional hint for a frame read from `files` delete entries:
+    * broadcast while their metadata-known size total fits the ceiling. */
+  private[graft] def hintIfDeleteFits(
+      spark: SparkSession, files: Seq[graft.meta.DataFileEntry])(
+      df: DataFrame): DataFrame = {
+    val max = deleteBroadcastMaxBytes(spark)
+    if (max > 0 && files.map(_.fileSizeInBytes).sum <= max) broadcast(df) else df
+  }
+
   /** File paths of `snapshot` whose `[lower, upper]` bounds for `column`
     * may intersect `[lo, hi]` (missing bounds keep the file — pruning
     * must be conservative), plus files matching `partitionEquals` when
@@ -360,7 +389,7 @@ object ScanPlanner {
     else {
       val dels = spark.read.parquet(posDels.map(e => t.resolvePath(e.filePath)): _*)
         .select(col("file_path").as("__del_path"), col("pos").as("__del_pos"))
-      df.join(broadcast(dels),
+      df.join(hintIfDeleteFits(spark, posDels)(dels),
           df("__gr_path") === dels("__del_path") && df("__gr_pos") === dels("__del_pos"),
           "left_anti")
     }
@@ -373,6 +402,8 @@ object ScanPlanner {
     // (id set, sequence) group; the per-file sequence rides along as a
     // literal path→sequence map (metadata-scale; at very large file
     // counts this moves to a broadcast join against the files relation).
+    // The hint on the delete VALUES is ceilinged on their metadata-known
+    // byte total — see [[hintIfDeleteFits]].
     val afterEq = if (eqDels.isEmpty) afterPos
     else {
       val nameById = schemaAt(t, schemaSnap).fields.map(f => f.id -> f.name).toMap
@@ -391,7 +422,7 @@ object ScanPlanner {
           // key is null), which === would silently never do
           val cond = cols.map(c => acc(c) <=> delVals(s"__del_$c"))
             .reduce(_ && _) && acc("__seq") < lit(delSeq)
-          acc.join(broadcast(delVals), cond, "left_anti")
+          acc.join(hintIfDeleteFits(spark, files)(delVals), cond, "left_anti")
         }
       applied.drop("__seq")
     }

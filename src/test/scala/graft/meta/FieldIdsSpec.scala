@@ -182,6 +182,111 @@ class FieldIdsSpec extends SparkSpec {
     assert(pinned.count() > 0)
   }
 
+  test("migrateToFieldIds: a write racing the rewrite loses LOUDLY via " +
+      "CAS, and a quiesced retry succeeds with the racer's rows intact") {
+    val wh = Files.createTempDirectory("graft-fid-race").toString
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    e.createTable("t.race", df.schema)
+    e.setProperties("t.race", Map.empty, unset = Set(FieldIds.PropKey))
+    e.append("t.race", df)
+
+    // an engine whose table read sneaks a concurrent append in between
+    // the migration's metadata pin and its rewrite commit — exactly the
+    // race the doc used to wave at ("quiesce writers")
+    val racing = new Engine(spark, wh) {
+      override def readTable(ref: String,
+          snapshotId: Option[Long]): org.apache.spark.sql.DataFrame = {
+        e.append("t.race", Seq((99L, 990L)).toDF("id", "v"))
+        super.readTable(ref, snapshotId)
+      }
+    }
+    intercept[CommitConflictException](racing.migrateToFieldIds("t.race"))
+    // loud AND harmless: no property stamped, the racer's row is live
+    assert(!FieldIds.tableHasIds(e.load("t.race").metadata))
+    assert(e.readTable("t.race").count() == 3L)
+
+    // the retry (writers quiesced) lands; rename is then read-safe over
+    // every row including the one the failed attempt raced against
+    assert(e.migrateToFieldIds("t.race").nonEmpty)
+    e.renameColumn("t.race", "v", "value")
+    val got = e.readTable("t.race").select("id", "value")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (99L, 990L)))
+  }
+
+  test("migrateToFieldIds refuses live branches and staged WAP snapshots; " +
+      "dropping / publishing them clears the refusal") {
+    val wh = Files.createTempDirectory("graft-fid-guard").toString
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.guard", df.schema)
+    e.setProperties("t.guard", Map.empty, unset = Set(FieldIds.PropKey))
+    e.append("t.guard", df)
+
+    // a live branch: its post-migration appends would sit past the
+    // since-seq boundary with id-less files — refused up front
+    e.append("t.guard", Seq((5L, 50L)).toDF("id", "v"), branch = Some("dev"))
+    val exB = intercept[IllegalArgumentException](e.migrateToFieldIds("t.guard"))
+    assert(exB.getMessage.contains("dev"))
+    e.dropRef("t.guard", "dev")
+
+    // a staged-unpublished WAP snapshot: a post-migration cherry-pick
+    // would re-sequence its id-less files past the boundary — refused
+    e.appendStaged("t.guard", Seq((7L, 70L)).toDF("id", "v"), "wap1")
+    val exW = intercept[IllegalArgumentException](e.migrateToFieldIds("t.guard"))
+    assert(exW.getMessage.contains("WAP"))
+    e.publishWap("t.guard", "wap1")
+
+    // published → ancestor of main → the guard passes; tags stay fine
+    e.createTag("t.guard", "pin")
+    assert(e.migrateToFieldIds("t.guard").nonEmpty)
+    e.renameColumn("t.guard", "v", "value")
+    val got = e.readTable("t.guard").select("id", "value")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (7L, 70L)))
+  }
+
+  test("idsAtSnapshot: an unknown explicit snapshot id answers the " +
+      "conservative name read, not the current snapshot's attribution") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.unk", df.schema)
+    e.setProperties("t.unk", Map.empty, unset = Set(FieldIds.PropKey))
+    e.append("t.unk", df)
+    e.migrateToFieldIds("t.unk")
+    val md = e.load("t.unk").metadata
+    // the current state is past the boundary…
+    assert(FieldIds.idsAtSnapshot(md, None))
+    assert(FieldIds.idsAtSnapshot(md, md.currentSnapshotId))
+    // …but an expired-but-referenced id must NOT inherit that verdict
+    assert(!FieldIds.idsAtSnapshot(md, Some(123456789L)))
+  }
+
+  test("change feed into pre-migration history reads that era's " +
+      "equality-delete keys by NAME (per-commit gating)") {
+    val wh = Files.createTempDirectory("graft-fid-feed").toString
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    e.createTable("t.feedmig", df.schema)
+    e.setProperties("t.feedmig", Map.empty, unset = Set(FieldIds.PropKey))
+    val s0 = e.append("t.feedmig", df).snapshotId
+    e.upsert("t.feedmig", Seq((2L, "B")).toDF("k", "s"), Seq("k"))
+    e.migrateToFieldIds("t.feedmig")
+
+    // the feed range covers the PRE-boundary upsert: its id-less
+    // eq-delete key file must keep the name-resolved read even though
+    // the CURRENT snapshot sits past the boundary (an id-attributed
+    // read has no name fallback and would error)
+    val head = e.load("t.feedmig").metadata.currentSnapshotId.get
+    val feed = e.rowChanges("t.feedmig", s0, head)
+      .select(col("k"), col("s"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(feed.contains((2L, "b", "delete")),
+      s"the pre-boundary upsert's delete must surface, got $feed")
+    assert(feed.contains((2L, "B", "insert")))
+  }
+
   test("legacy tables (property unset) keep the name-resolved read") {
     val e = freshEngine()
     val df = Seq((1L, 10L)).toDF("id", "v")

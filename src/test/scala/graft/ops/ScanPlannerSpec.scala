@@ -235,4 +235,66 @@ class ScanPlannerSpec extends SparkSpec {
     gate.create()
     assert(gate.pairsAmong(Seq(1L, 2L).toDF("doc_id")).count() == 0L)
   }
+
+  test("MoR delete-apply broadcasts are ceilinged on metadata-known " +
+      "delete-file bytes: hint present under the ceiling, dropped above " +
+      "it, rows identical either way") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val s2 = spark
+    import s2.implicits._
+    val wh = Files.createTempDirectory("graft-delbc-wh").toString
+    val e = new Engine(spark, wh)
+    e.createTable("ns.dc", new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType))
+    e.append("ns.dc", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    e.upsert("ns.dc", Seq((1L, "one'")).toDF("k", "v"), Seq("k")) // eq-delete
+    e.deleteWhere("ns.dc", col("k") === 2L)                       // pos-delete
+    val expected = ((3L to 20L).map(i => (i, s"v$i")) :+ (1L, "one'")).sorted
+
+    def rows(): Seq[(Long, String)] = e.readTable("ns.dc")
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    def broadcastHintedJoins(): Int =
+      e.readTable("ns.dc").queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) ||
+            j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) => j
+      }.size
+
+    // default 64 MB ceiling: both delete frames are metadata-tiny —
+    // the explicit hints stay (pos-delete anti + eq-delete anti)
+    assert(rows() == expected)
+    assert(broadcastHintedJoins() >= 2, "expected hinted delete-apply joins")
+
+    // ceiling below any real file's size: every hint drops; the `<=>`
+    // anti-join keys still extract as equi keys, so AQE picks a keyed
+    // join and the rows come out identical (the nation-scale-forget
+    // path: a 100M-key eq-delete set must never be FORCED through the
+    // driver)
+    spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, "1")
+    try {
+      assert(broadcastHintedJoins() == 0,
+        "a broadcast hint survived above the ceiling")
+      assert(rows() == expected)
+    } finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
+
+    // 0 = hint tier off entirely (the parity switch)
+    spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, "0")
+    try {
+      assert(broadcastHintedJoins() == 0)
+      assert(rows() == expected)
+    } finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
+
+    // the change feed's per-commit delete slices ride the same ceiling:
+    // same feed rows with the hints forced off
+    def feedRows(): Seq[(Long, String, String)] = {
+      val snaps = e.load("ns.dc").metadata.snapshots.map(_.snapshotId)
+      e.rowChanges("ns.dc", snaps.head, snaps.last)
+        .select(col("k"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+    }
+    val feedDefault = feedRows()
+    spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, "0")
+    try assert(feedRows() == feedDefault)
+    finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
+  }
 }
