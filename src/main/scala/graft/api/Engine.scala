@@ -896,6 +896,64 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     rewritten
   }
 
+  /** ADOPT an existing plain-parquet directory as an engine table
+    * WITHOUT rewriting its data — the `add_files`/`register_table`
+    * onboarding analog (the reference's seeders assume pyiceberg-created
+    * tables, `demo.py:34-46`; this verb is for data that predates the
+    * engine). The schema is inferred from the files, the table is
+    * created WITHOUT the field-id guarantee (foreign files carry no
+    * footer ids → name-resolved reads; run [[migrateToFieldIds]] as the
+    * follow-up to make renames read-safe), each file is HARD-LINKED into
+    * `data/` (falling back to a copy across filesystems — either way no
+    * data bytes are rewritten through Spark), and ONE append-shaped
+    * commit registers them with full per-file stats from a single
+    * read-only distributed pass (row counts, null counts, min/max
+    * bounds — adopted tables prune like native ones from day one).
+    *
+    * Constraints: one shared flat schema on the engine's writable
+    * surface (primitives / binary / list<primitive> — anything else is
+    * refused loudly by [[createTable]]), and NO hive-layout partition
+    * directories (`key=value/` path segments): those files don't contain
+    * the partition columns, so linked-in-place reads would silently lose
+    * them — refused with the reason. */
+  def registerParquet(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val src = JPaths.get(sourceDir)
+    require(JFiles.isDirectory(src), s"$sourceDir is not a directory")
+    val parquets = JFiles.walk(src).iterator().asScala
+      .filter(p => JFiles.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+    require(parquets.nonEmpty, s"no parquet files under $sourceDir")
+    val hivePartitioned = parquets.filter(p =>
+      src.relativize(p).iterator().asScala.exists(_.toString.contains("=")))
+    require(hivePartitioned.isEmpty,
+      s"$sourceDir uses hive-layout partition directories " +
+      s"(e.g. ${src.relativize(hivePartitioned.head)}) — the partition " +
+      "values live in the paths, not the files, so an in-place adoption " +
+      "would lose those columns; read+append instead")
+    // infer from the explicit file list (no partition discovery); the
+    // files must share one schema — first-footer inference, like any
+    // multi-file parquet read
+    val schema = spark.read.parquet(parquets.map(_.toString): _*).schema
+    createTable(ref, schema,
+      properties = Map(graft.meta.FieldIds.PropKey -> "false"))
+    val dir = JPaths.get(tableDir(ref))
+    val rels = parquets.zipWithIndex.map { case (p, i) =>
+      val rel = f"data/adopted-$i%05d-${p.getFileName.toString}"
+      val target = dir.resolve(rel)
+      try JFiles.createLink(target, p)
+      catch { case _: java.io.IOException => JFiles.copy(p, target) }
+      rel -> Map.empty[String, String]
+    }
+    graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+      removePaths = Set.empty, operation = "append",
+      extraSummary = Map("adopted-from" -> sourceDir))
+  }
+
   /** Evolve to a new identity partition spec for FUTURE writes (existing
     * files keep their layout); returns the new spec id. */
   def setPartitionSpec(ref: String, sourceCols: Seq[String]): Int =

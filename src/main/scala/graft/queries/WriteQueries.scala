@@ -392,5 +392,35 @@ object WriteQueries {
          |SELECT coalesce(o_note, '-') AS note, count(*) AS n_rows,
          |  CAST(sum(cust_id) AS BIGINT) AS sum_cust,
          |  CAST(sum(o_rank) AS BIGINT) AS sum_rank
-         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)))
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ADOPTION (`register`): a plain parquet directory becomes an engine
+    // table WITHOUT a rewrite (files hard-linked in place, one stats
+    // pass, one append-shaped commit), then proves it is a first-class
+    // table: field-id migration, a rename, and a merge-on-read DELETE
+    // all land on the adopted data before the read-back.
+    Q("q_register_adopt",
+      (s, d) => {
+        val src = slice(s, d, 2)
+        val srcDir = java.nio.file.Files.createTempDirectory("q_reg_src").toString
+        src.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val wh = java.nio.file.Files.createTempDirectory("q_reg_wh").toString
+        val e = new Engine(s, wh)
+        e.registerParquet("q.adopted", srcDir)
+        e.migrateToFieldIds("q.adopted")
+        e.renameColumn("q.adopted", "o_custkey", "cust_id")
+        e.deleteWhere("q.adopted", col("o_orderkey") % 20 === 2)
+        e.readTable("q.adopted")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cust_id")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH src AS (${sliceSql.format(2)})
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM src WHERE o_orderkey % 20 <> 2
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)))
 }

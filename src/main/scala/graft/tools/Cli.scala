@@ -243,6 +243,11 @@ object Cli {
             case None => println(
               s"${vargs(0)} held no data files; stamped the field-id guarantee")
           }
+        case "register" =>
+          val r = engine.registerParquet(vargs(0), vargs(1))
+          println(s"registered ${vargs(1)} as ${vargs(0)}: ${r.addedFiles} " +
+            s"files / ${r.addedRecords} rows adopted in place (snapshot " +
+            s"${r.snapshotId}); run migrate-field-ids for rename-safe reads")
         case "set-property" =>
           val v = engine.setProperties(vargs(0), Map(vargs(1) -> vargs(2)))
           println(s"set ${vargs(1)}=${vargs(2)} (metadata v$v)")
@@ -609,7 +614,7 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       add-column rename-column drop-column migrate-field-ids\n" +
+      "       add-column rename-column drop-column migrate-field-ids register\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
       "       ann-rebuild ann-retire forget\n" +

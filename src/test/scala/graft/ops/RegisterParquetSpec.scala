@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+import graft.tools.Cli
+
+/** `Engine.registerParquet` — adopt an existing plain-parquet directory
+  * as an engine table WITHOUT rewriting its data (the `add_files` /
+  * `register_table` onboarding analog): files hard-linked in place, one
+  * read-only stats pass, one append-shaped commit; `migrateToFieldIds`
+  * is the documented follow-up for rename-safe reads. */
+class RegisterParquetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft-reg-src").toString,
+    Files.createTempDirectory("graft-reg-wh").toString)
+
+  test("adopt → scan equals spark.read.parquet; files are LINKED, not " +
+      "rewritten; bounds from the stats pass prune like a native table") {
+    val (srcDir, wh) = freshDirs()
+    val df = (1L to 400L).map(i => (i, s"v$i", i * 2.0)).toDF("id", "name", "score")
+    // range layout → each adopted file carries tight disjoint id bounds
+    df.repartitionByRange(4, col("id")).write.mode("overwrite").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    val res = e.registerParquet("ns.adopted", srcDir)
+    assert(res.addedFiles == 4 && res.addedRecords == 400L)
+
+    // row-for-row equal to reading the source directly
+    val got = e.readTable("ns.adopted").select("id", "name", "score")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    val want = spark.read.parquet(srcDir).select("id", "name", "score")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(got == want)
+
+    // adoption moved no data bytes: every registered file is a hard link
+    // to (or byte-identical twin of) a source file — link count 2 on a
+    // same-filesystem temp dir
+    val t = e.load("ns.adopted")
+    val linked = t.files().map(f => Paths.get(t.resolvePath(f.filePath)))
+    assert(linked.size == 4)
+    linked.foreach { p =>
+      val nlink = Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].intValue()
+      assert(nlink >= 2, s"$p should be a hard link into the source dir")
+    }
+
+    // the one stats pass stamped real bounds: a tight range prunes files
+    val pruned = e.readTableWhere("ns.adopted", "id", Some(10.0), Some(20.0))
+    assert(pruned.count() == 11L)
+    assert(pruned.inputFiles.length < e.readTable("ns.adopted").inputFiles.length,
+      "adopted files must carry min/max bounds for pruning")
+
+    // summary stamps provenance
+    val snap = e.load("ns.adopted").metadata.currentSnapshot.get
+    assert(snap.summary.get("adopted-from").contains(srcDir))
+  }
+
+  test("adopted table is first-class: MoR delete, field-id migration, " +
+      "rename, compaction all land on the linked files") {
+    val (srcDir, wh) = freshDirs()
+    (1L to 100L).map(i => (i, s"n$i")).toDF("k", "v")
+      .coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.first", srcDir)
+
+    // foreign files carry no footer ids → advise flags the follow-up
+    val adviseRow = e.advise("ns.first")
+      .filter(col("action") === "migrate-field-ids")
+      .select("status").as[String].head()
+    assert(adviseRow == "RECOMMENDED")
+
+    // a merge-on-read delete applies against the LINKED files (relative
+    // paths keep the pos-delete lineage convention intact)
+    e.deleteWhere("ns.first", col("k") <= 10L)
+    assert(e.readTable("ns.first").count() == 90L)
+
+    // the documented follow-up: migrate → rename is read-safe
+    assert(e.migrateToFieldIds("ns.first").nonEmpty)
+    e.renameColumn("ns.first", "v", "name")
+    val got = e.readTable("ns.first").select("k", "name")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == (11L to 100L).map(i => (i, s"n$i")))
+  }
+
+  test("hive-layout partition directories are refused with the reason") {
+    val (srcDir, wh) = freshDirs()
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    val ex = intercept[IllegalArgumentException](
+      e.registerParquet("ns.hive", srcDir))
+    assert(ex.getMessage.contains("hive-layout"))
+    // empty / parquet-free directories are refused too
+    val empty = Files.createTempDirectory("graft-reg-empty").toString
+    intercept[IllegalArgumentException](e.registerParquet("ns.empty", empty))
+  }
+
+  test("CLI `register` verb adopts and reports") {
+    val (srcDir, wh) = freshDirs()
+    (1L to 50L).map(i => (i, i * 3L)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    assert(Cli.run(Array(wh, "register", "cli.adopted", srcDir)) == 0)
+    val e = new Engine(spark, wh)
+    assert(e.readTable("cli.adopted").count() == 50L)
+  }
+}
