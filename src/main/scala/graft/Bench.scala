@@ -252,6 +252,23 @@ object Bench {
                 .filter(!gone(col("a_id")) && !gone(col("b_id"))))
               .count()
           },
+          // the DELETE-DEBT story, measured: the retire above landed an
+          // equality-delete commit on bench.comps, so every read pays
+          // the merge-on-read anti-join fallback until upkeep folds it.
+          // The pair (read_mor, read_upkept) prices the regression and
+          // its cure; d_forget_upkeep is the one-time fold cost
+          // (`compact-incremental` + prune-deletes — exactly what
+          // adviseIndexes recommends after a forget).
+          timed("d_forget_read_mor") {
+            compIdx.assignments.count()
+          },
+          timed("d_forget_upkeep") {
+            compEngine.rewriteSmallFiles("bench.comps")
+            compEngine.pruneDanglingDeletes("bench.comps"); ()
+          },
+          timed("d_forget_read_upkept") {
+            compIdx.assignments.count()
+          },
           // the crossover pair: same batch, 25× corpus — the ledger-less
           // regime re-runs candidate generation over the whole corpus +
           // a global CC per ingest batch; the fold is batch-bounded

@@ -2,7 +2,7 @@ package graft.meta
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 
 /** Iceberg FIELD-ID column resolution for parquet data files.
   *
@@ -80,14 +80,31 @@ object FieldIds {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong("parquet.field.id", id.toLong).build())
 
-  /** Attach field-id metadata to a Spark schema from the table's current
-    * Iceberg schema (top-level fields; the engine's writable surface is
-    * flat primitives / binary / list<primitive>, where the outer field id
-    * is what rename/drop/widen evolution operates on). */
+  /** Attach field-id metadata to a Spark schema from the table's
+    * Iceberg schema, RECURSIVELY: every struct field at every nesting
+    * level gets its id from the flattened dotted-path tree
+    * (`parent.child` members, `parent.element` / `parent.key|value`
+    * wrappers), so a FOREIGN id-stamped table's nested renames are as
+    * read-safe as top-level ones. List elements and map entries carry
+    * no Spark `StructField` to hold metadata — Spark's parquet reader
+    * matches those structurally, which is also what the Iceberg spec
+    * implies (the wrapper ids exist for evolution bookkeeping; the
+    * repeated group has no name to drift). The engine's own writable
+    * surface stays flat, where this reduces to the top-level mapping. */
   def attribute(st: StructType, ice: IceSchema): StructType = {
-    val idByName = ice.fields.filter(f => f.path == f.name)
-      .map(f => f.name -> f.id).toMap
-    StructType(st.fields.map(f => idByName.get(f.name).map(withId(f, _)).getOrElse(f)))
+    val idByPath = ice.fields.map(f => f.path -> f.id).toMap
+    def attr(dt: DataType, prefix: String): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val recursed = f.copy(dataType = attr(f.dataType, p))
+        idByPath.get(p).map(withId(recursed, _)).getOrElse(recursed)
+      })
+      case a: ArrayType => a.copy(elementType = attr(a.elementType, s"$prefix.element"))
+      case m: MapType => m.copy(keyType = attr(m.keyType, s"$prefix.key"),
+        valueType = attr(m.valueType, s"$prefix.value"))
+      case other => other
+    }
+    attr(st, "").asInstanceOf[StructType]
   }
 
   /** Re-select `df`'s columns with field-id metadata so the parquet

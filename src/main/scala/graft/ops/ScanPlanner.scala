@@ -377,8 +377,14 @@ object ScanPlanner {
           // ever appeared twice in t.files() must not duplicate data rows
           // through the join
           val seqRel = pairs.toMap.toSeq.sortBy(_._1).toDF("__seq_path", "__seq_val")
+          // the hint holds to ~2M live files (a few hundred MB of path
+          // strings); beyond that the driver-known pair count drops it
+          // and AQE picks the join — same ceiling discipline as the
+          // delete-value frames, gated for free off metadata
+          val hinted =
+            if (pairs.size <= 2000000) broadcast(seqRel) else seqRel
           withLin.withColumn("__seq_key", pathCol)
-            .join(broadcast(seqRel),
+            .join(hinted,
               col("__seq_key") === col("__seq_path"), "left")
             .withColumn("__seq", coalesce(col("__seq_val"), lit(0L)))
             .drop("__seq_key", "__seq_path", "__seq_val")
@@ -474,15 +480,50 @@ object ScanPlanner {
       .flatMap(sid => t.metadata.schemas.find(_.schemaId == sid))
       .getOrElse(t.metadata.currentSchema)
 
+  /** The Spark type of one (possibly nested) field, rebuilt from the
+    * flattened [[graft.meta.SchemaField]] path tree: struct members /
+    * list elements / map entries are the `parent.child` /
+    * `parent.element` / `parent.key|value` children the metadata parser
+    * emits. Programmatically-built flat tables carry `list<primitive>`
+    * WITHOUT an element child — that shape resolves through
+    * [[sparkType]] directly. None for any type outside the readable
+    * surface (unknown primitives — decimal, uuid, fixed — keep the
+    * parquet-inference fallback). */
+  private def sparkTypeAt(
+      fields: Seq[graft.meta.SchemaField],
+      f: graft.meta.SchemaField): Option[DataType] = {
+    def children(path: String): Seq[graft.meta.SchemaField] = {
+      val prefix = path + "."
+      fields.filter(c => c.path.startsWith(prefix) &&
+        !c.path.drop(prefix.length).contains('.'))
+    }
+    def all(ts: Seq[Option[DataType]]): Option[Seq[DataType]] =
+      if (ts.forall(_.nonEmpty)) Some(ts.map(_.get)) else None
+    def build(f: graft.meta.SchemaField): Option[DataType] =
+      if (f.fieldType.startsWith("struct<")) {
+        val kids = children(f.path)
+        if (kids.isEmpty) None
+        else all(kids.map(build)).map(ts => StructType(kids.zip(ts).map {
+          case (k, t) => StructField(k.name, t, nullable = true) }))
+      } else if (f.fieldType.startsWith("map<")) {
+        val kids = children(f.path)
+        for {
+          k <- kids.find(_.name == "key"); v <- kids.find(_.name == "value")
+          kt <- build(k); vt <- build(v)
+        } yield MapType(kt, vt, valueContainsNull = true)
+      } else if (f.fieldType.startsWith("list<")) {
+        children(f.path).find(_.name == "element") match {
+          case Some(el) => build(el).map(ArrayType(_, containsNull = true))
+          case None => sparkType(f.fieldType)
+        }
+      } else PrimitiveSparkTypes.get(f.fieldType)
+    build(f)
+  }
+
   private def sparkSchemaOf(s: graft.meta.IceSchema): Option[StructType] = {
     val top = s.fields.filter(f => !f.path.contains('.'))
-    // every non-top field must be a list element of a top field — any
-    // other nesting (struct members, map entries) falls back to inference
-    val listElementsOnly = s.fields.forall(f =>
-      !f.path.contains('.') || (f.name == "element" &&
-        top.exists(tf => f.path == s"${tf.path}.element")))
-    val mapped = top.map(f => f -> sparkType(f.fieldType))
-    if (listElementsOnly && mapped.forall(_._2.nonEmpty))
+    val mapped = top.map(f => f -> sparkTypeAt(s.fields, f))
+    if (mapped.forall(_._2.nonEmpty))
       Some(StructType(mapped.map { case (f, dt) =>
         StructField(f.name, dt.get, nullable = true) }))
     else None

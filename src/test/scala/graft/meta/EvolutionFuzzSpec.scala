@@ -23,24 +23,42 @@ import graft.api.Engine
   * Time travel is fuzzed too: the model is snapshotted at every commit,
   * and sampled historical snapshots must read back EXACTLY the model
   * state of that moment, under the SCHEMA of that moment.
+  *
+  * The second case starts LEGACY (id-less files), migrates to field ids
+  * MID-SEQUENCE, and interleaves partition-SPEC evolution — pinned reads
+  * into pre-boundary history must keep the name-resolved read while
+  * post-boundary generations read by id, across a mixed-layout file set.
   */
 class EvolutionFuzzSpec extends SparkSpec {
 
   /** One column's live state: field id never changes; name and width do. */
   private case class Col(fieldId: Int, var name: String, var isInt: Boolean)
 
-  test("40-step random evolution/write/maintenance sequence matches the model") {
-    val rnd = new scala.util.Random(20260816L)
+  /** Drive `steps` random ops; `migrateAt = Some(n)` starts the table
+    * LEGACY (no field-id property) and runs `migrateToFieldIds` before
+    * step n — renames are held back until after the boundary (the
+    * migration contract: rename first would null the column);
+    * `specEvery = Some(k)` toggles the default partition spec every k
+    * steps (bucket[4](id) ↔ unpartitioned) so file generations span
+    * layouts. Returns nothing — every check asserts inline. */
+  private def runFuzz(
+      seed: Long,
+      steps: Int,
+      migrateAt: Option[Int],
+      specEvery: Option[Int]): Unit = {
+    val rnd = new scala.util.Random(seed)
     val wh = Files.createTempDirectory("graft-fuzz-wh").toString
     val e = new Engine(spark, wh)
     val ref = "fz.t"
 
     // live schema state: id (key, field 1) + value columns
-    var cols = mutable.ArrayBuffer(Col(2, "c1", isInt = false))
+    val cols = mutable.ArrayBuffer(Col(2, "c1", isInt = false))
     var nextField = 3 // TableCreator allocated 1=id, 2=c1
     var nextColName = 2
     e.createTable(ref, StructType(Seq(
       StructField("id", LongType), StructField("c1", LongType))))
+    if (migrateAt.nonEmpty) // legacy start: strip the id guarantee
+      e.setProperties(ref, Map.empty, unset = Set(FieldIds.PropKey))
 
     // model: id -> fieldId -> value (None = null, i.e. pre-add rows)
     val model = mutable.LinkedHashMap.empty[Long, mutable.Map[Int, Option[Long]]]
@@ -48,6 +66,8 @@ class EvolutionFuzzSpec extends SparkSpec {
     // history: (snapshotId, schema names in order, column states, model copy)
     val history = mutable.ArrayBuffer.empty[
       (Long, Seq[String], Seq[(Int, Boolean)], Map[Long, Map[Int, Option[Long]]])]
+    var migrated = migrateAt.isEmpty
+    var historyAtMigration = -1 // history size when the boundary landed
 
     def deepCopy: Map[Long, Map[Int, Option[Long]]] =
       model.map { case (k, v) => k -> v.toMap }.toMap
@@ -103,7 +123,17 @@ class EvolutionFuzzSpec extends SparkSpec {
     putModel(init, salt = 0)
     record(s0)
 
-    for (step <- 1 to 40) {
+    for (step <- 1 to steps) {
+      if (migrateAt.contains(step)) {
+        // THE BOUNDARY: one full rewrite, rows unchanged — history
+        // before this point holds id-less files forever
+        e.migrateToFieldIds(ref).foreach(record)
+        migrated = true
+        historyAtMigration = history.size
+      }
+      if (specEvery.exists(step % _ == 0)) // layout flip for future writes
+        e.setPartitionSpec(ref,
+          if ((step / specEvery.get) % 2 == 1) Seq("bucket[4](id)") else Seq.empty)
       rnd.nextInt(10) match {
         case 0 | 1 | 2 => // append fresh rows
           val ids = (0 until (3 + rnd.nextInt(8))).map(_ => { val i = nextId; nextId += 1; i })
@@ -130,22 +160,27 @@ class EvolutionFuzzSpec extends SparkSpec {
           cols += Col(nextField, name, isInt)
           nextField += 1
           model.values.foreach(_(cols.last.fieldId) = None) // old rows read null
-        case 7 => // rename a value column
+        case 7 if migrated => // rename a value column (post-boundary only)
           val c = cols(rnd.nextInt(cols.size))
           val to = s"c${nextColName}r"; nextColName += 1
           e.renameColumn(ref, c.name, to)
           c.name = to
+        case 7 => // legacy phase: a rename would null the column — append
+          val ids = (0 until 3).map(_ => { val i = nextId; nextId += 1; i })
+          val snap = e.append(ref, batchDf(ids, salt = step)).snapshotId
+          putModel(ids, salt = step)
+          record(snap)
         case 8 => // widen an int column, or drop one if none (keep >= 1 col)
           cols.find(_.isInt) match {
             case Some(c) =>
               e.widenColumn(ref, c.name, "long")
               c.isInt = false
-            case None if cols.size > 1 =>
+            case None if cols.size > 1 && migrated =>
               val i = rnd.nextInt(cols.size)
               e.dropColumn(ref, cols(i).name)
               val dropped = cols.remove(i)
               model.values.foreach(_.remove(dropped.fieldId))
-            case None => () // single long column: skip
+            case _ => () // single long column / legacy phase: skip
           }
         case 9 => // compact (fold deletes when present)
           e.rewriteSmallFiles(ref, smallBytes = 1L << 30)
@@ -156,8 +191,16 @@ class EvolutionFuzzSpec extends SparkSpec {
     checkCurrent("final")
 
     // time travel: sampled historical snapshots read back the model AND
-    // the schema of their moment
-    val samples = rnd.shuffle(history.toSeq).take(6)
+    // the schema of their moment. With a migration boundary, sample BOTH
+    // sides: pre-boundary pins exercise the name-resolved read of
+    // id-less files, post-boundary pins the id read.
+    val samples =
+      if (historyAtMigration < 0) rnd.shuffle(history.toSeq).take(6)
+      else {
+        val (pre, post) = history.toSeq.splitAt(historyAtMigration)
+        assert(pre.nonEmpty, "the legacy phase must have committed history")
+        rnd.shuffle(pre).take(3) ++ rnd.shuffle(post).take(3)
+      }
     samples.foreach { case (snap, names, colStates, m) =>
       val df = e.readTable(ref, Some(snap))
       assert(df.columns.toSeq == names,
@@ -179,5 +222,14 @@ class EvolutionFuzzSpec extends SparkSpec {
         assert(got(id) == wv, s"snapshot $snap id $id: got ${got(id)} want $wv")
       }
     }
+  }
+
+  test("40-step random evolution/write/maintenance sequence matches the model") {
+    runFuzz(seed = 20260816L, steps = 40, migrateAt = None, specEvery = None)
+  }
+
+  test("LEGACY start → mid-sequence field-id migration with interleaved " +
+      "partition-spec evolution matches the model on both sides of the boundary") {
+    runFuzz(seed = 20260817L, steps = 40, migrateAt = Some(15), specEvery = Some(6))
   }
 }
