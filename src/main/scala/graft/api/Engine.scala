@@ -24,6 +24,78 @@ object Engine {
   private[graft] val loadCensus =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The adoptable parquet files under `sourceDir` (recursive, hidden /
+    * marker files skipped), sorted for determinism. Hive-layout
+    * `key=value/` segments are refused — those partition values live in
+    * the PATHS, not the files, and an in-place adoption would silently
+    * lose the columns. */
+  private[graft] def adoptablePaths(sourceDir: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val src = JPaths.get(sourceDir)
+    require(JFiles.isDirectory(src), s"$sourceDir is not a directory")
+    val parquets = JFiles.walk(src).iterator().asScala
+      .filter(p => JFiles.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+    require(parquets.nonEmpty, s"no parquet files under $sourceDir")
+    val hivePartitioned = parquets.filter(p =>
+      src.relativize(p).iterator().asScala.exists(_.toString.contains("=")))
+    require(hivePartitioned.isEmpty,
+      s"$sourceDir uses hive-layout partition directories " +
+      s"(e.g. ${src.relativize(hivePartitioned.head)}) — the partition " +
+      "values live in the paths, not the files, so an in-place adoption " +
+      "would lose those columns; read+append instead")
+    parquets
+  }
+
+  /** Hard-link (copy across filesystems) `parquets` into `dir`/data
+    * under collision-free adopted names; returns the (relative path,
+    * empty partition) pairs [[graft.meta.TableWriter.commitFiles]]
+    * expects. No data bytes move through Spark. */
+  private[graft] def linkInto(
+      dir: java.nio.file.Path,
+      parquets: Seq[java.nio.file.Path]): Seq[(String, Map[String, String])] = {
+    import java.nio.file.{Files => JFiles}
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    JFiles.createDirectories(dir.resolve("data"))
+    parquets.zipWithIndex.map { case (p, i) =>
+      val rel = f"data/adopted-$tok-$i%05d-${p.getFileName.toString}"
+      val target = dir.resolve(rel)
+      try JFiles.createLink(target, p)
+      catch { case _: java.io.IOException => JFiles.copy(p, target) }
+      rel -> Map.empty[String, String]
+    }
+  }
+
+  /** Per-file top-level (column name → footer field id) maps, read
+    * EXECUTOR-PARALLEL from the parquet footers (ranged metadata reads,
+    * never data pages) — the gate [[Engine.adoptFiles]] runs before
+    * letting foreign files into an id-resolved table. */
+  private[graft] def footerTopLevelIds(
+      spark: SparkSession,
+      paths: Seq[String]): Map[String, Map[String, Option[Int]]] = {
+    import scala.jdk.CollectionConverters._
+    if (paths.isEmpty) return Map.empty
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            p -> fields.map(f =>
+              f.getName -> Option(f.getId).map(_.intValue())).toMap
+          } finally r.close()
+        }
+      }.collect().toMap
+  }
+
   /** Build from resolved catalog config via the catalog SPI
     * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses,
     * REST catalogs and JDBC ("sql") catalogs all produce a working
@@ -917,38 +989,70 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * the partition columns, so linked-in-place reads would silently lose
     * them — refused with the reason. */
   def registerParquet(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
-    import java.nio.file.{Files => JFiles, Paths => JPaths}
-    import scala.jdk.CollectionConverters._
-    val src = JPaths.get(sourceDir)
-    require(JFiles.isDirectory(src), s"$sourceDir is not a directory")
-    val parquets = JFiles.walk(src).iterator().asScala
-      .filter(p => JFiles.isRegularFile(p))
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      }.toSeq.sortBy(_.toString)
-    require(parquets.nonEmpty, s"no parquet files under $sourceDir")
-    val hivePartitioned = parquets.filter(p =>
-      src.relativize(p).iterator().asScala.exists(_.toString.contains("=")))
-    require(hivePartitioned.isEmpty,
-      s"$sourceDir uses hive-layout partition directories " +
-      s"(e.g. ${src.relativize(hivePartitioned.head)}) — the partition " +
-      "values live in the paths, not the files, so an in-place adoption " +
-      "would lose those columns; read+append instead")
+    val parquets = Engine.adoptablePaths(sourceDir)
     // infer from the explicit file list (no partition discovery); the
     // files must share one schema — first-footer inference, like any
     // multi-file parquet read
     val schema = spark.read.parquet(parquets.map(_.toString): _*).schema
     createTable(ref, schema,
       properties = Map(graft.meta.FieldIds.PropKey -> "false"))
-    val dir = JPaths.get(tableDir(ref))
-    val rels = parquets.zipWithIndex.map { case (p, i) =>
-      val rel = f"data/adopted-$i%05d-${p.getFileName.toString}"
-      val target = dir.resolve(rel)
-      try JFiles.createLink(target, p)
-      catch { case _: java.io.IOException => JFiles.copy(p, target) }
-      rel -> Map.empty[String, String]
+    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
+    graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+      removePaths = Set.empty, operation = "append",
+      extraSummary = Map("adopted-from" -> sourceDir))
+  }
+
+  /** ADOPT foreign parquet files into an EXISTING table as one append —
+    * the second half of the `add_files` analog ([[registerParquet]]
+    * creates the table; this verb lands a recurring drop of vendor
+    * files onto it without rewriting a byte). Same in-place mechanics
+    * (hard-link / copy fallback, one read-only stats pass, hive-layout
+    * refusal), plus the compatibility gates an existing table demands:
+    *
+    *  - the files' schema must match the table's current schema by name
+    *    AND type (loud refusal otherwise — a silent union would null
+    *    columns);
+    *  - an ID-STAMPED table refuses id-less files: the table's scans
+    *    resolve columns by parquet footer field id with NO name
+    *    fallback, so every file's footer must carry the schema's exact
+    *    (name → id) mapping — `register` + `migrate-field-ids` is the
+    *    path for plain files;
+    *  - a table with a live PARTITION spec is refused: adopted entries
+    *    carry no partition values, and a partition-equals prune would
+    *    silently drop their rows. */
+  def adoptFiles(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
+    val t = load(ref)
+    require(t.metadata.currentSpec.fields.isEmpty,
+      s"$ref has a live partition spec — adopted files carry no " +
+      "partition values and partition pruning would silently drop " +
+      "their rows; evolve to an unpartitioned spec first or append " +
+      "through the write path")
+    val parquets = Engine.adoptablePaths(sourceDir)
+    val fileSchema = spark.read.parquet(parquets.map(_.toString): _*).schema
+    val declared = graft.ops.ScanPlanner.currentSparkSchema(t).getOrElse(
+      throw new IllegalStateException(
+        s"$ref's schema is outside the engine-readable surface"))
+    val got = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+    val want = declared.fields.map(f => f.name -> f.dataType).toMap
+    require(got == want,
+      s"$sourceDir's schema does not match $ref's current schema: " +
+      s"files have ${got.toSeq.sortBy(_._1).mkString(", ")}; table wants " +
+      s"${want.toSeq.sortBy(_._1).mkString(", ")}")
+    if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
+      val wantIds = t.metadata.currentSchema.fields
+        .filter(f => f.path == f.name).map(f => f.name -> f.id).toMap
+      val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
+      parquets.map(_.toString).foreach { p =>
+        val ids = byFile.getOrElse(p, Map.empty)
+        val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
+        require(missing.isEmpty,
+          s"$ref resolves columns by parquet field id, but $p does not " +
+          s"carry ${missing.toSeq.sortBy(_._1).map { case (n, id) => s"$n=$id" }
+            .mkString(", ")} in its footer — id-stamped tables refuse " +
+          "id-less files; use `register` + `migrate-field-ids` for plain parquet")
+      }
     }
+    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
     graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
       removePaths = Set.empty, operation = "append",
       extraSummary = Map("adopted-from" -> sourceDir))

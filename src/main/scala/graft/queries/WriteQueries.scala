@@ -422,5 +422,45 @@ object WriteQueries {
          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM src WHERE o_orderkey % 20 <> 2
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)))
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ADD-FILES (`adoptFiles`): a SECOND drop of foreign parquet lands
+    // on the registered table as one append — the recurring-ingest half
+    // of adoption (register creates, add-files keeps feeding) — then a
+    // keyed MERGE upsert rewrites a slice spanning BOTH drops, proving
+    // adopted files and engine-written files coexist under one
+    // merge-on-read read path.
+    Q("q_add_files",
+      (s, d) => {
+        val dropA = slice(s, d, 3)
+        val dropB = slice(s, d, 4)
+        val dirA = java.nio.file.Files.createTempDirectory("q_af_a").toString
+        val dirB = java.nio.file.Files.createTempDirectory("q_af_b").toString
+        dropA.repartition(3).write.mode("overwrite").parquet(dirA)
+        dropB.repartition(2).write.mode("overwrite").parquet(dirB)
+        val wh = java.nio.file.Files.createTempDirectory("q_af_wh").toString
+        val e = new Engine(s, wh)
+        e.registerParquet("q.drops", dirA)
+        e.adoptFiles("q.drops", dirB)
+        val updates = dropA.unionByName(dropB)
+          .filter(col("o_orderkey") % 30 === 3 || col("o_orderkey") % 30 === 4)
+          .withColumn("o_orderstatus", lit("U"))
+        e.upsert("q.drops", updates, Seq("o_orderkey"))
+        e.readTable("q.drops")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey")).as("sum_cust"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH src AS (${sliceSql.format(3)} UNION ALL ${sliceSql.format(4)}),
+         |merged AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 30 IN (3, 4) THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice
+         |  FROM src)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)))
 }

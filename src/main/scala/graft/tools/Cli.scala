@@ -248,6 +248,10 @@ object Cli {
           println(s"registered ${vargs(1)} as ${vargs(0)}: ${r.addedFiles} " +
             s"files / ${r.addedRecords} rows adopted in place (snapshot " +
             s"${r.snapshotId}); run migrate-field-ids for rename-safe reads")
+        case "add-files" =>
+          val r = engine.adoptFiles(vargs(0), vargs(1))
+          println(s"adopted ${r.addedFiles} files / ${r.addedRecords} rows " +
+            s"from ${vargs(1)} into ${vargs(0)} (snapshot ${r.snapshotId})")
         case "set-property" =>
           val v = engine.setProperties(vargs(0), Map(vargs(1) -> vargs(2)))
           println(s"set ${vargs(1)}=${vargs(2)} (metadata v$v)")
@@ -614,7 +618,7 @@ object Cli {
       "       compact compact-incremental prune-deletes expire rollback orphans\n" +
       "       rewrite-manifests analyze row-changes set-sort-order\n" +
       "       create-table zorder delete-where update-where widen-column\n" +
-      "       add-column rename-column drop-column migrate-field-ids register\n" +
+      "       add-column rename-column drop-column migrate-field-ids register add-files\n" +
       "       set-property unset-property bpe winnow-removal quality-score\n" +
       "       dedup-gate comp-fold comp-retire ann-index ann-gate ann-search ann-decontam\n" +
       "       ann-rebuild ann-retire forget\n" +

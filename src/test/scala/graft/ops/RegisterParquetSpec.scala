@@ -99,6 +99,72 @@ class RegisterParquetSpec extends SparkSpec {
     intercept[IllegalArgumentException](e.registerParquet("ns.empty", empty))
   }
 
+  test("adoptFiles: a second drop of plain files lands on an existing " +
+      "legacy table as one append; schema mismatches are refused") {
+    val (srcA, wh) = freshDirs()
+    (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcA)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.drops", srcA)
+
+    val srcB = Files.createTempDirectory("graft-reg-src").toString
+    (41L to 60L).map(i => (i, s"b$i")).toDF("k", "v")
+      .coalesce(2).write.mode("overwrite").parquet(srcB)
+    val r = e.adoptFiles("ns.drops", srcB)
+    assert(r.addedFiles == 2 && r.addedRecords == 20L)
+    val got = e.readTable("ns.drops").select("k", "v")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == ((1L to 40L).map(i => (i, s"a$i")) ++
+      (41L to 60L).map(i => (i, s"b$i"))))
+
+    // a drop with a different schema is refused loudly
+    val srcC = Files.createTempDirectory("graft-reg-src").toString
+    Seq((1L, 2.5)).toDF("k", "score")
+      .write.mode("overwrite").parquet(srcC)
+    val ex = intercept[IllegalArgumentException](e.adoptFiles("ns.drops", srcC))
+    assert(ex.getMessage.contains("does not match"))
+  }
+
+  test("adoptFiles: an id-stamped table refuses id-less files, accepts " +
+      "footer-id-stamped ones, and serves them rename-safe") {
+    val (srcPlain, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    e.createTable("ns.idt", df.schema) // id-stamped from birth
+    e.append("ns.idt", df)
+
+    // plain files: no footer ids → refused with the migration hint
+    df.write.mode("overwrite").parquet(srcPlain)
+    val ex = intercept[IllegalArgumentException](e.adoptFiles("ns.idt", srcPlain))
+    assert(ex.getMessage.contains("field id"))
+
+    // files written with the table's exact (name -> id) footer mapping
+    // are accepted — and read BY ID across a later rename
+    val srcIds = Files.createTempDirectory("graft-reg-src").toString
+    val fields = e.load("ns.idt").metadata.currentSchema.fields
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    graft.meta.FieldIds.attributeColumns(
+        Seq((3L, "z")).toDF("k", "v"), fields)
+      .coalesce(1).write.mode("overwrite").parquet(srcIds)
+    val r = e.adoptFiles("ns.idt", srcIds)
+    assert(r.addedRecords == 1L)
+    e.renameColumn("ns.idt", "v", "name")
+    val got = e.readTable("ns.idt").select("k", "name")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")),
+      s"adopted id-stamped file must serve its column by id, got $got")
+  }
+
+  test("adoptFiles refuses a table with a live partition spec") {
+    val (src, wh) = freshDirs()
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(src)
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, "a")).toDF("k", "v")
+    e.createTable("ns.parted", df.schema, partitionDecls = Seq("v"))
+    val ex = intercept[IllegalArgumentException](e.adoptFiles("ns.parted", src))
+    assert(ex.getMessage.contains("partition spec"))
+  }
+
   test("CLI `register` verb adopts and reports") {
     val (srcDir, wh) = freshDirs()
     (1L to 50L).map(i => (i, i * 3L)).toDF("a", "b")
@@ -106,5 +172,12 @@ class RegisterParquetSpec extends SparkSpec {
     assert(Cli.run(Array(wh, "register", "cli.adopted", srcDir)) == 0)
     val e = new Engine(spark, wh)
     assert(e.readTable("cli.adopted").count() == 50L)
+
+    // the second-drop verb rides the same plumbing
+    val src2 = Files.createTempDirectory("graft-reg-src").toString
+    (51L to 60L).map(i => (i, i * 3L)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(src2)
+    assert(Cli.run(Array(wh, "add-files", "cli.adopted", src2)) == 0)
+    assert(e.readTable("cli.adopted").count() == 60L)
   }
 }
