@@ -1053,9 +1053,23 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       }
     }
     val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
-    graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
-      removePaths = Set.empty, operation = "append",
-      extraSummary = Map("adopted-from" -> sourceDir))
+    // append-shaped: replaying the same logical commit on a CAS loser's
+    // fresh metadata IS the serial execution (every pre-existing file
+    // carries forward), so recurring drops racing other writers retry
+    // bounded instead of failing the ingest loop
+    var attempt = 0
+    var res: graft.meta.TableWriter.CommitResult = null
+    while (res == null) {
+      try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+        removePaths = Set.empty, operation = "append",
+        extraSummary = Map("adopted-from" -> sourceDir))
+      catch {
+        case e: graft.meta.CommitConflictException =>
+          if (attempt >= 5) throw e
+          attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    res
   }
 
   /** Evolve to a new identity partition spec for FUTURE writes (existing
