@@ -107,6 +107,29 @@ object GraftProcedures {
         e.createTag(in.getUTF8String(0).toString, in.getUTF8String(1).toString)
         s"tagged current snapshot as '${in.getUTF8String(1)}'"
       }),
+    // Iceberg's register_table / add_files analogs: adopt plain parquet
+    // in place (no data rewrite — see Engine.registerParquet/adoptFiles)
+    "register_table" -> (Array(p("table", StringType), p("source_dir", StringType)),
+      (e, in) => {
+        val r = e.registerParquet(
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        s"registered ${r.addedFiles} files / ${r.addedRecords} rows in " +
+          s"place (snapshot ${r.snapshotId}); run migrate_field_ids for " +
+          "rename-safe reads"
+      }),
+    "add_files" -> (Array(p("table", StringType), p("source_dir", StringType)),
+      (e, in) => {
+        val r = e.adoptFiles(
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        s"adopted ${r.addedFiles} files / ${r.addedRecords} rows " +
+          s"(snapshot ${r.snapshotId})"
+      }),
+    "migrate_field_ids" -> (Array(p("table", StringType)),
+      (e, in) => e.migrateToFieldIds(in.getUTF8String(0).toString) match {
+        case Some(snap) => s"rewrote with parquet field ids (snapshot " +
+          s"$snap); renames are now read-safe"
+        case None => "no data files; stamped the field-id guarantee"
+      }),
     // Iceberg's create_changelog_view: register the row-level CDC of
     // (from, to] as a temp view for plain-SQL consumption. The view's
     // plan is the metadata-accelerated ChangeFeed read (only changed

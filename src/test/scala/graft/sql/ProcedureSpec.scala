@@ -118,6 +118,40 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graftc.lake.wap").as[Long].head() == 3L)
   }
 
+  test("CALL register_table / add_files / migrate_field_ids: the " +
+      "adoption lifecycle end to end through SQL") {
+    val wh = warehouse
+    import spark.implicits._
+    val srcA = Files.createTempDirectory("graft-proc-regA").toString
+    val srcB = Files.createTempDirectory("graft-proc-regB").toString
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcA)
+    (31L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcB)
+
+    val reg = spark.sql(
+      s"CALL graftc.system.register_table('lake.adopted', '$srcA')")
+      .as[String].head()
+    assert(reg.contains("30 rows"))
+    val add = spark.sql(
+      s"CALL graftc.system.add_files('lake.adopted', '$srcB')")
+      .as[String].head()
+    assert(add.contains("10 rows"))
+    assert(spark.sql("SELECT count(*) FROM graftc.lake.adopted")
+      .as[Long].head() == 40L)
+
+    val mig = spark.sql(
+      "CALL graftc.system.migrate_field_ids('lake.adopted')").as[String].head()
+    assert(mig.contains("rename"))
+    // the payoff through the SQL surface: rename, then the pre-rename
+    // generations still serve their data by field id
+    spark.sql("ALTER TABLE graftc.lake.adopted RENAME COLUMN v TO name")
+    val n = spark.sql(
+      "SELECT count(*) FROM graftc.lake.adopted WHERE name IS NOT NULL")
+      .as[Long].head()
+    assert(n == 40L)
+  }
+
   test("unknown procedure fails with the known list") {
     val wh = warehouse
     val err = intercept[Exception] {
