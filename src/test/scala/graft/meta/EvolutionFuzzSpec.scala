@@ -45,7 +45,8 @@ class EvolutionFuzzSpec extends SparkSpec {
       seed: Long,
       steps: Int,
       migrateAt: Option[Int],
-      specEvery: Option[Int]): Unit = {
+      specEvery: Option[Int],
+      withAdoption: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val wh = Files.createTempDirectory("graft-fuzz-wh").toString
     val e = new Engine(spark, wh)
@@ -134,7 +135,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       if (specEvery.exists(step % _ == 0)) // layout flip for future writes
         e.setPartitionSpec(ref,
           if ((step / specEvery.get) % 2 == 1) Seq("bucket[4](id)") else Seq.empty)
-      rnd.nextInt(10) match {
+      rnd.nextInt(if (withAdoption) 11 else 10) match {
         case 0 | 1 | 2 => // append fresh rows
           val ids = (0 until (3 + rnd.nextInt(8))).map(_ => { val i = nextId; nextId += 1; i })
           val snap = e.append(ref, batchDf(ids, salt = step)).snapshotId
@@ -185,6 +186,29 @@ class EvolutionFuzzSpec extends SparkSpec {
         case 9 => // compact (fold deletes when present)
           e.rewriteSmallFiles(ref, smallBytes = 1L << 30)
             .foreach(cr => record(cr.snapshotId))
+        case 10 => // ADOPT a foreign drop in place (add-files): plain
+          // parquet while the table is legacy, footer-id-attributed
+          // after the boundary (adoptFiles refuses id-less files then);
+          // a live partition spec also refuses adoption — fall back to
+          // the write path, exactly what the refusal message advises
+          val ids = (0 until (2 + rnd.nextInt(4))).map(_ => { val i = nextId; nextId += 1; i })
+          val drop = batchDf(ids, salt = step)
+          if (e.load(ref).metadata.currentSpec.fields.nonEmpty) {
+            val snap = e.append(ref, drop).snapshotId
+            putModel(ids, salt = step)
+            record(snap)
+          } else {
+            val dir = Files.createTempDirectory("graft-fuzz-drop").toString
+            val out =
+              if (!migrated) drop
+              else FieldIds.attributeColumns(drop,
+                e.load(ref).metadata.currentSchema.fields)
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            out.coalesce(1).write.mode("overwrite").parquet(dir)
+            val snap = e.adoptFiles(ref, dir).snapshotId
+            putModel(ids, salt = step)
+            record(snap)
+          }
       }
       if (step % 8 == 0) checkCurrent(s"step $step")
     }
@@ -231,5 +255,11 @@ class EvolutionFuzzSpec extends SparkSpec {
   test("LEGACY start → mid-sequence field-id migration with interleaved " +
       "partition-spec evolution matches the model on both sides of the boundary") {
     runFuzz(seed = 20260817L, steps = 40, migrateAt = Some(15), specEvery = Some(6))
+  }
+
+  test("adoption in the mix: foreign drops (add-files) interleave with " +
+      "evolution, migration and spec flips, and still match the model") {
+    runFuzz(seed = 20260818L, steps = 40, migrateAt = Some(12),
+      specEvery = Some(8), withAdoption = true)
   }
 }
