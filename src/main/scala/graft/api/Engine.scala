@@ -34,15 +34,21 @@ object Engine {
     import scala.jdk.CollectionConverters._
     val src = JPaths.get(sourceDir)
     require(JFiles.isDirectory(src), s"$sourceDir is not a directory")
-    val parquets = JFiles.walk(src).iterator().asScala
-      .filter(p => JFiles.isRegularFile(p))
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      }.toSeq.sortBy(_.toString)
+    val walk = JFiles.walk(src)
+    val parquets =
+      try walk.iterator().asScala
+        .filter(p => JFiles.isRegularFile(p))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }.toVector.sortBy(_.toString)
+      finally walk.close()
     require(parquets.nonEmpty, s"no parquet files under $sourceDir")
+    // DIRECTORY components only: a '=' in a file's own name is just a
+    // name, not a partition value
     val hivePartitioned = parquets.filter(p =>
-      src.relativize(p).iterator().asScala.exists(_.toString.contains("=")))
+      Option(src.relativize(p).getParent).exists(
+        _.iterator().asScala.exists(_.toString.contains("="))))
     require(hivePartitioned.isEmpty,
       s"$sourceDir uses hive-layout partition directories " +
       s"(e.g. ${src.relativize(hivePartitioned.head)}) — the partition " +
@@ -64,8 +70,14 @@ object Engine {
     parquets.zipWithIndex.map { case (p, i) =>
       val rel = f"data/adopted-$tok-$i%05d-${p.getFileName.toString}"
       val target = dir.resolve(rel)
+      // cross-filesystem links throw IOException; filesystems WITHOUT
+      // link support throw UnsupportedOperationException — both fall
+      // back to the documented copy
       try JFiles.createLink(target, p)
-      catch { case _: java.io.IOException => JFiles.copy(p, target) }
+      catch {
+        case _: java.io.IOException | _: UnsupportedOperationException =>
+          JFiles.copy(p, target)
+      }
       rel -> Map.empty[String, String]
     }
   }
@@ -74,6 +86,23 @@ object Engine {
     * EXECUTOR-PARALLEL from the parquet footers (ranged metadata reads,
     * never data pages) — the gate [[Engine.adoptFiles]] runs before
     * letting foreign files into an id-resolved table. */
+  /** Refuse any file whose footer's top-level column NAME SET differs
+    * from `want` — the per-file half of the adoption schema gate. A
+    * single-footer inference (mergeSchema off) would pass a mixed-schema
+    * drop and then null or late-fail the divergent files; this check
+    * visits every footer (they're already read for the id gate /
+    * corruption probe), so the refusal is loud and names the file. */
+  private[graft] def requireUniformColumns(
+      byFile: Map[String, Map[String, Option[Int]]],
+      want: Set[String],
+      context: String): Unit =
+    byFile.toSeq.sortBy(_._1).foreach { case (p, cols) =>
+      require(cols.keySet == want,
+        s"$context: $p's columns (${cols.keySet.toSeq.sorted.mkString(", ")}) " +
+        s"differ from the drop's schema (${want.toSeq.sorted.mkString(", ")}) — " +
+        "every adopted file must carry the same columns")
+    }
+
   private[graft] def footerTopLevelIds(
       spark: SparkSession,
       paths: Seq[String]): Map[String, Map[String, Option[Int]]] = {
@@ -888,9 +917,10 @@ class Engine(val spark: SparkSession, warehouseDir: String,
   /** Set / unset table properties (metadata-only commit). */
   def setProperties(ref: String, set: Map[String, String],
       unset: Set[String] = Set.empty,
-      expectedCurrentSnapshotId: Option[Long] = None): Int =
+      expectedCurrentSnapshotId: Option[Long] = None,
+      expectNoCurrentSnapshot: Boolean = false): Int =
     graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset,
-      expectedCurrentSnapshotId)
+      expectedCurrentSnapshotId, expectNoCurrentSnapshot)
 
   /** Migrate a LEGACY table (files without parquet field ids — anything
     * not created by this engine's [[createTable]]) onto the
@@ -961,10 +991,17 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     val since = rewritten
       .flatMap(md.snapshot).map(_.sequenceNumber)
       .getOrElse(md.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1L)
-    setProperties(ref, Map(
+    val expected = rewritten.orElse(md0.currentSnapshotId)
+    graft.meta.SchemaEvolution.setProperties(tableDir(ref), Map(
       graft.meta.FieldIds.PropKey -> "true",
       graft.meta.FieldIds.SinceSeqKey -> since.toString),
-      expectedCurrentSnapshotId = rewritten.orElse(md0.currentSnapshotId))
+      unset = Set.empty,
+      expectedCurrentSnapshotId = expected,
+      // a NEVER-WRITTEN legacy table has no snapshot to pin — the stamp
+      // must then require the table is STILL snapshot-less, or a first
+      // write racing in (an id-less adoption, say) would silently land
+      // at a sequence past the boundary it just helped define
+      expectNoCurrentSnapshot = expected.isEmpty)
     rewritten
   }
 
@@ -990,16 +1027,27 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * them — refused with the reason. */
   def registerParquet(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
     val parquets = Engine.adoptablePaths(sourceDir)
-    // infer from the explicit file list (no partition discovery); the
-    // files must share one schema — first-footer inference, like any
-    // multi-file parquet read
-    val schema = spark.read.parquet(parquets.map(_.toString): _*).schema
+    // every footer is read BEFORE the table exists: the pass is both
+    // the per-file schema gate (a mixed-schema drop is refused loudly,
+    // naming the divergent file, instead of passing single-footer
+    // inference and nulling columns later) and a corruption probe — a
+    // truncated file fails here, not after createTable has committed,
+    // so a failed registration leaves no half-registered table behind
+    val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
+    // mergeSchema inference: a same-name TYPE conflict across files
+    // fails the read loudly instead of picking one footer's type
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(parquets.map(_.toString): _*).schema
+    Engine.requireUniformColumns(byFile, schema.fieldNames.toSet, sourceDir)
     createTable(ref, schema,
       properties = Map(graft.meta.FieldIds.PropKey -> "false"))
     val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
     graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
       removePaths = Set.empty, operation = "append",
-      extraSummary = Map("adopted-from" -> sourceDir))
+      extraSummary = Map("adopted-from" -> sourceDir),
+      // the table was created by THIS call: a writer racing in between
+      // is caught instead of silently interleaved
+      expectNoCurrentSnapshot = true)
   }
 
   /** ADOPT foreign parquet files into an EXISTING table as one append —
@@ -1021,48 +1069,79 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     *    carry no partition values, and a partition-equals prune would
     *    silently drop their rows. */
   def adoptFiles(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
-    val t = load(ref)
-    require(t.metadata.currentSpec.fields.isEmpty,
-      s"$ref has a live partition spec — adopted files carry no " +
-      "partition values and partition pruning would silently drop " +
-      "their rows; evolve to an unpartitioned spec first or append " +
-      "through the write path")
     val parquets = Engine.adoptablePaths(sourceDir)
-    val fileSchema = spark.read.parquet(parquets.map(_.toString): _*).schema
-    val declared = graft.ops.ScanPlanner.currentSparkSchema(t).getOrElse(
-      throw new IllegalStateException(
-        s"$ref's schema is outside the engine-readable surface"))
-    val got = fileSchema.fields.map(f => f.name -> f.dataType).toMap
-    val want = declared.fields.map(f => f.name -> f.dataType).toMap
-    require(got == want,
-      s"$sourceDir's schema does not match $ref's current schema: " +
-      s"files have ${got.toSeq.sortBy(_._1).mkString(", ")}; table wants " +
-      s"${want.toSeq.sortBy(_._1).mkString(", ")}")
-    if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
-      val wantIds = t.metadata.currentSchema.fields
-        .filter(f => f.path == f.name).map(f => f.name -> f.id).toMap
-      val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
-      parquets.map(_.toString).foreach { p =>
-        val ids = byFile.getOrElse(p, Map.empty)
-        val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
-        require(missing.isEmpty,
-          s"$ref resolves columns by parquet field id, but $p does not " +
-          s"carry ${missing.toSeq.sortBy(_._1).map { case (n, id) => s"$n=$id" }
-            .mkString(", ")} in its footer — id-stamped tables refuse " +
-          "id-less files; use `register` + `migrate-field-ids` for plain parquet")
+    // every footer read ONCE up front (names + ids): corruption probe,
+    // per-file schema material, and the id-gate input — reused across
+    // commit retries without re-reading
+    val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
+    // mergeSchema: a same-name type conflict across the drop's files
+    // fails loudly here instead of picking one footer's type
+    val fileSchema = spark.read.option("mergeSchema", "true")
+      .parquet(parquets.map(_.toString): _*).schema
+    Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir)
+
+    /** The admission gates, against ONE observed table state. Returns
+      * the snapshot the validation saw, for the commit's CAS pin. */
+    def validate(): Option[Long] = {
+      val t = load(ref)
+      require(t.metadata.currentSpec.fields.isEmpty,
+        s"$ref has a live partition spec — adopted files carry no " +
+        "partition values and partition pruning would silently drop " +
+        "their rows; evolve to an unpartitioned spec first or append " +
+        "through the write path")
+      val declared = graft.ops.ScanPlanner.currentSparkSchema(t).getOrElse(
+        throw new IllegalStateException(
+          s"$ref's schema is outside the engine-readable surface"))
+      val got = fileSchema.fields.map(f => f.name -> f.dataType).toMap
+      val want = declared.fields.map(f => f.name -> f.dataType).toMap
+      require(got == want,
+        s"$sourceDir's schema does not match $ref's current schema: " +
+        s"files have ${got.toSeq.sortBy(_._1).mkString(", ")}; table wants " +
+        s"${want.toSeq.sortBy(_._1).mkString(", ")}")
+      if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
+        // the id gate covers TOP-LEVEL fields; the engine's writable
+        // surface is flat, and a FOREIGN id-stamped table with nested
+        // fields is refused outright — verifying nested member ids
+        // through list/map wrapper groups is not implemented, and
+        // admitting unverified nested files would break the id read
+        require(t.metadata.currentSchema.fields.forall(f => f.path == f.name),
+          s"$ref is id-resolved with NESTED fields — nested footer-id " +
+          "verification of foreign files is not supported; append " +
+          "through the write path instead")
+        val wantIds = t.metadata.currentSchema.fields
+          .map(f => f.name -> f.id).toMap
+        parquets.map(_.toString).foreach { p =>
+          val ids = byFile.getOrElse(p, Map.empty)
+          val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
+          require(missing.isEmpty,
+            s"$ref resolves columns by parquet field id, but $p does not " +
+            s"carry ${missing.toSeq.sortBy(_._1).map { case (n, id) => s"$n=$id" }
+              .mkString(", ")} in its footer — id-stamped tables refuse " +
+            "id-less files; use `register` + `migrate-field-ids` for plain parquet")
+        }
       }
+      t.metadata.currentSnapshotId
     }
-    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
+
+    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)),
+      parquets)
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
-    // carries forward), so recurring drops racing other writers retry
-    // bounded instead of failing the ingest loop
+    // carries forward) — BUT only after the gates pass again on that
+    // fresh state: the commit is pinned to the snapshot the validation
+    // saw, so a racing migrate-field-ids or setPartitionSpec between
+    // validation and commit surfaces as a conflict and the retry
+    // re-validates (then refuses) instead of landing gate-violating
+    // files
     var attempt = 0
     var res: graft.meta.TableWriter.CommitResult = null
     while (res == null) {
+      val seen = validate()
       try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
-        extraSummary = Map("adopted-from" -> sourceDir))
+        extraSummary = Map("adopted-from" -> sourceDir),
+        expectedCurrentSnapshotId = seen,
+        expectNoCurrentSnapshot = seen.isEmpty)
       catch {
         case e: graft.meta.CommitConflictException =>
           if (attempt >= 5) throw e

@@ -167,7 +167,8 @@ object SchemaEvolution {
       tableDir: String,
       set: Map[String, String],
       unset: Set[String],
-      expectedCurrentSnapshotId: Option[Long] = None): Int = {
+      expectedCurrentSnapshotId: Option[Long] = None,
+      expectNoCurrentSnapshot: Boolean = false): Int = {
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     expectedCurrentSnapshotId.foreach { exp =>
       if (!md.currentSnapshotId.contains(exp))
@@ -175,6 +176,14 @@ object SchemaEvolution {
           s"expected current snapshot $exp but table moved to " +
           s"${md.currentSnapshotId.getOrElse("<none>")} — reload and retry")
     }
+    // the tri-state's third leg: a caller whose decision was derived
+    // from a SNAPSHOT-LESS table state (field-id migration of a
+    // never-written table) must fail loudly if a first write landed in
+    // between — None-means-no-check would silently stamp past it
+    if (expectNoCurrentSnapshot && md.currentSnapshotId.nonEmpty)
+      throw new CommitConflictException(
+        s"expected no current snapshot but table moved to " +
+        s"${md.currentSnapshotId.get} — reload and retry")
     writeNext(tableDir, baseV, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       properties = md.properties ++ set -- unset))

@@ -591,11 +591,30 @@ object TableWriter {
       files: Seq[(String, Map[String, String])],
       removePaths: Set[String],
       operation: String,
-      extraSummary: Map[String, String] = Map.empty): CommitResult = {
+      extraSummary: Map[String, String] = Map.empty,
+      expectedCurrentSnapshotId: Option[Long] = None,
+      expectNoCurrentSnapshot: Boolean = false): CommitResult = {
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
+    // CAS pin for callers whose ADMISSION GATES ran against a specific
+    // table state (adoptFiles: partition-spec / schema / footer-id
+    // checks): a commit racing in between — including a field-id
+    // migration or spec evolution that would invalidate the gates —
+    // surfaces as a loud conflict, and the caller re-validates on a
+    // fresh load before retrying. `expectNoCurrentSnapshot` covers the
+    // fresh-table case where None-means-no-check would hide the race.
+    expectedCurrentSnapshotId.foreach { exp =>
+      if (!md.currentSnapshotId.contains(exp))
+        throw new CommitConflictException(
+          s"expected current snapshot $exp but table moved to " +
+            s"${md.currentSnapshotId.getOrElse("<none>")} — revalidate and retry")
+    }
+    if (expectNoCurrentSnapshot && md.currentSnapshotId.nonEmpty)
+      throw new CommitConflictException(
+        s"expected no current snapshot but table moved to " +
+          s"${md.currentSnapshotId.get} — revalidate and retry")
     val fields = topLevelFields(md)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val newEntries = entriesForFiles(spark, dir, fields, statIds(md), snapId, files)

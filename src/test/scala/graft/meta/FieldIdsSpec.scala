@@ -287,6 +287,36 @@ class FieldIdsSpec extends SparkSpec {
     assert(feed.contains((2L, "B", "insert")))
   }
 
+  test("snapshot-less property stamps are CAS-guarded too: a first " +
+      "write racing an empty-table migration loses loudly") {
+    val e = freshEngine()
+    val df = Seq((1L, 10L)).toDF("id", "v")
+    e.createTable("t.nosnap", df.schema)
+    e.setProperties("t.nosnap", Map.empty, unset = Set(FieldIds.PropKey))
+    // the tri-state's third leg, directly: require-no-snapshot passes
+    // while the table is empty…
+    e.setProperties("t.nosnap", Map("a" -> "1"),
+      expectNoCurrentSnapshot = true)
+    // …and conflicts loudly once a first write landed
+    e.append("t.nosnap", df)
+    intercept[CommitConflictException](
+      e.setProperties("t.nosnap", Map("b" -> "2"),
+        expectNoCurrentSnapshot = true))
+
+    // the path that needs it: migrating a NEVER-WRITTEN legacy table is
+    // a property-only stamp, pinned on the table staying snapshot-less
+    val e2 = freshEngine()
+    e2.createTable("t.empty", df.schema)
+    e2.setProperties("t.empty", Map.empty, unset = Set(FieldIds.PropKey))
+    assert(e2.migrateToFieldIds("t.empty").isEmpty)
+    assert(FieldIds.tableHasIds(e2.load("t.empty").metadata))
+    // post-stamp writes are id-stamped from the boundary on
+    e2.append("t.empty", df)
+    e2.renameColumn("t.empty", "v", "value")
+    assert(e2.readTable("t.empty").select("value").as[Long].collect()
+      .toSeq == Seq(10L))
+  }
+
   test("legacy tables (property unset) keep the name-resolved read") {
     val e = freshEngine()
     val df = Seq((1L, 10L)).toDF("id", "v")

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -163,6 +165,86 @@ class RegisterParquetSpec extends SparkSpec {
     e.createTable("ns.parted", df.schema, partitionDecls = Seq("v"))
     val ex = intercept[IllegalArgumentException](e.adoptFiles("ns.parted", src))
     assert(ex.getMessage.contains("partition spec"))
+  }
+
+  test("a MIXED-SCHEMA drop is refused loudly, naming the divergent " +
+      "file — and a corrupt file fails BEFORE the table exists") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // two files with different column sets: single-footer inference
+    // would pass and null the missing column later — refused up front
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/one")
+    Seq(2L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/two")
+    val flat = Files.createTempDirectory("graft-reg-mixed").toString
+    // collapse into one flat dir (avoid any nesting questions)
+    var i = 0
+    Seq("one", "two").foreach { sub =>
+      Files.list(Paths.get(s"$srcDir/$sub")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p => Files.copy(p, Paths.get(f"$flat/f$i%02d.parquet")); i += 1 }
+    }
+    val ex = intercept[IllegalArgumentException](
+      e.registerParquet("ns.mixed", flat))
+    assert(ex.getMessage.contains("differ from the drop's schema"))
+    intercept[Exception](e.load("ns.mixed")) // no half-registered table
+
+    // a corrupt file fails the footer probe BEFORE createTable commits
+    val bad = Files.createTempDirectory("graft-reg-bad").toString
+    Seq((1L, "ok")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(bad)
+    Files.write(Paths.get(s"$bad/junk.parquet"),
+      Array.fill[Byte](64)(0x42))
+    intercept[Exception](e.registerParquet("ns.corrupt", bad))
+    intercept[Exception](e.load("ns.corrupt"))
+  }
+
+  test("a '=' in a FILE name is not a hive partition — adopted fine") {
+    val (srcDir, wh) = freshDirs()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val part = Files.list(Paths.get(srcDir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val renamed = part.getParent.resolve("metrics=v2.parquet")
+    Files.move(part, renamed)
+    val e = new Engine(spark, wh)
+    val r = e.registerParquet("ns.eqname", srcDir)
+    assert(r.addedRecords == 2L)
+  }
+
+  test("a migrate racing an adoption loses the interleaving: the " +
+      "adopt's CAS-pinned commit conflicts, and the re-validated retry " +
+      "refuses the now id-less files") {
+    val (srcDir, wh) = freshDirs()
+    (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.race2", srcDir) // legacy table, 10 rows
+
+    val drop = Files.createTempDirectory("graft-reg-src").toString
+    (11L to 15L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(drop)
+
+    // an engine whose metadata load sneaks a full field-id migration in
+    // between the adopt's gate validation and its commit
+    val racing = new Engine(spark, wh) {
+      var raced = false
+      override def load(r: String): graft.meta.IcebergTable = {
+        val t = super.load(r)
+        if (!raced && r == "ns.race2") { raced = true
+          e.migrateToFieldIds("ns.race2") }
+        t
+      }
+    }
+    // gates validated LEGACY state; the commit is pinned to it, so the
+    // migration's rewrite surfaces as a conflict; the retry re-runs the
+    // gates on the id-stamped state and REFUSES the id-less drop — the
+    // files never land past the boundary
+    val ex = intercept[IllegalArgumentException](
+      racing.adoptFiles("ns.race2", drop))
+    assert(ex.getMessage.contains("field id"))
+    assert(e.readTable("ns.race2").count() == 10L)
   }
 
   test("CLI `register` verb adopts and reports") {
