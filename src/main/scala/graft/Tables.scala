@@ -56,5 +56,9 @@ object Sessions {
     // schemas keep plain name matching. ScanPlanner also sets it lazily
     // (ensureReadEnabled) so user-built sessions are covered.
     "spark.sql.parquet.fieldId.read.enabled" -> "true",
+    // The write half is Spark-4 default-on; pinned explicitly so a
+    // future default flip can't silently produce id-less files from
+    // attributed write schemas (the engine's id guarantee depends on it).
+    "spark.sql.parquet.fieldId.write.enabled" -> "true",
   )
 }

@@ -82,10 +82,6 @@ object Engine {
     }
   }
 
-  /** Per-file top-level (column name → footer field id) maps, read
-    * EXECUTOR-PARALLEL from the parquet footers (ranged metadata reads,
-    * never data pages) — the gate [[Engine.adoptFiles]] runs before
-    * letting foreign files into an id-resolved table. */
   /** Refuse any file whose footer's top-level column NAME SET differs
     * from `want` — the per-file half of the adoption schema gate. A
     * single-footer inference (mergeSchema off) would pass a mixed-schema
@@ -103,6 +99,22 @@ object Engine {
         "every adopted file must carry the same columns")
     }
 
+  /** Best-effort recursive delete (registration failure cleanup). */
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(dir)) return
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  /** Per-file top-level (column name → footer field id) maps, read
+    * EXECUTOR-PARALLEL from the parquet footers (ranged metadata reads,
+    * never data pages) — the gate [[Engine.adoptFiles]] runs before
+    * letting foreign files into an id-resolved table, and the
+    * corruption probe / per-file schema material for both adoption
+    * verbs. */
   private[graft] def footerTopLevelIds(
       spark: SparkSession,
       paths: Seq[String]): Map[String, Map[String, Option[Int]]] = {
@@ -1041,13 +1053,28 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     Engine.requireUniformColumns(byFile, schema.fieldNames.toSet, sourceDir)
     createTable(ref, schema,
       properties = Map(graft.meta.FieldIds.PropKey -> "false"))
-    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)), parquets)
-    graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
-      removePaths = Set.empty, operation = "append",
-      extraSummary = Map("adopted-from" -> sourceDir),
-      // the table was created by THIS call: a writer racing in between
-      // is caught instead of silently interleaved
-      expectNoCurrentSnapshot = true)
+    val dir = java.nio.file.Paths.get(tableDir(ref))
+    try {
+      val rels = Engine.linkInto(dir, parquets)
+      graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+        removePaths = Set.empty, operation = "append",
+        extraSummary = Map("adopted-from" -> sourceDir),
+        // the table was created by THIS call: a writer racing in between
+        // is caught instead of silently interleaved
+        expectNoCurrentSnapshot = true)
+    } catch {
+      case e: Throwable =>
+        // a failure past createTable (data-page corruption under an
+        // intact footer, a source file vanishing mid-call) must not
+        // strand a half-registered table: remove it IF it is still
+        // snapshot-less — a racer who landed data owns the table now
+        // (the expectNoCurrentSnapshot pin already made that loud)
+        try {
+          if (load(ref).metadata.currentSnapshotId.isEmpty)
+            Engine.deleteRecursively(dir)
+        } catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** ADOPT foreign parquet files into an EXISTING table as one append —
@@ -1099,17 +1126,23 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         s"files have ${got.toSeq.sortBy(_._1).mkString(", ")}; table wants " +
         s"${want.toSeq.sortBy(_._1).mkString(", ")}")
       if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
-        // the id gate covers TOP-LEVEL fields; the engine's writable
-        // surface is flat, and a FOREIGN id-stamped table with nested
-        // fields is refused outright — verifying nested member ids
-        // through list/map wrapper groups is not implemented, and
-        // admitting unverified nested files would break the id read
-        require(t.metadata.currentSchema.fields.forall(f => f.path == f.name),
-          s"$ref is id-resolved with NESTED fields — nested footer-id " +
-          "verification of foreign files is not supported; append " +
-          "through the write path instead")
-        val wantIds = t.metadata.currentSchema.fields
-          .map(f => f.name -> f.id).toMap
+        // the id gate covers TOP-LEVEL fields (list<primitive> element
+        // children are part of the engine's flat surface — their outer
+        // field carries the id the gate checks); an id-stamped table
+        // with DEEPER nesting (struct members, map entries — foreign
+        // tables only) is refused outright: verifying nested member
+        // ids through wrapper groups is not implemented, and admitting
+        // unverified nested files would break the id read
+        val fields = t.metadata.currentSchema.fields
+        val top = fields.filter(f => !f.path.contains('.'))
+        require(fields.forall(f => !f.path.contains('.') ||
+            (f.name == "element" && top.exists(tf =>
+              tf.fieldType.startsWith("list<") &&
+                f.path == s"${tf.path}.element"))),
+          s"$ref is id-resolved with nested fields beyond list " +
+          "elements — nested footer-id verification of foreign files " +
+          "is not supported; append through the write path instead")
+        val wantIds = top.map(f => f.name -> f.id).toMap
         parquets.map(_.toString).foreach { p =>
           val ids = byFile.getOrElse(p, Map.empty)
           val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
@@ -1123,8 +1156,11 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       t.metadata.currentSnapshotId
     }
 
-    val rels = Engine.linkInto(java.nio.file.Paths.get(tableDir(ref)),
-      parquets)
+    // refusals BEFORE any filesystem residue: the common rejection
+    // paths (spec / schema / id gates) leave nothing behind
+    validate()
+    val dir = java.nio.file.Paths.get(tableDir(ref))
+    val rels = Engine.linkInto(dir, parquets)
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
@@ -1132,23 +1168,33 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     // saw, so a racing migrate-field-ids or setPartitionSpec between
     // validation and commit surfaces as a conflict and the retry
     // re-validates (then refuses) instead of landing gate-violating
-    // files
-    var attempt = 0
-    var res: graft.meta.TableWriter.CommitResult = null
-    while (res == null) {
-      val seen = validate()
-      try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
-        removePaths = Set.empty, operation = "append",
-        extraSummary = Map("adopted-from" -> sourceDir),
-        expectedCurrentSnapshotId = seen,
-        expectNoCurrentSnapshot = seen.isEmpty)
-      catch {
-        case e: graft.meta.CommitConflictException =>
-          if (attempt >= 5) throw e
-          attempt += 1; Thread.sleep(20L * attempt)
+    // files. Any failure before the commit lands unlinks the adopted
+    // files — a rejected or conflict-exhausted drop leaves no orphans.
+    try {
+      var attempt = 0
+      var res: graft.meta.TableWriter.CommitResult = null
+      while (res == null) {
+        val seen = validate()
+        try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+          removePaths = Set.empty, operation = "append",
+          extraSummary = Map("adopted-from" -> sourceDir),
+          expectedCurrentSnapshotId = seen,
+          expectNoCurrentSnapshot = seen.isEmpty)
+        catch {
+          case e: graft.meta.CommitConflictException =>
+            if (attempt >= 5) throw e
+            attempt += 1; Thread.sleep(20L * attempt)
+        }
       }
+      res
+    } catch {
+      case e: Throwable =>
+        rels.foreach { case (rel, _) =>
+          try java.nio.file.Files.deleteIfExists(dir.resolve(rel))
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
     }
-    res
   }
 
   /** Evolve to a new identity partition spec for FUTURE writes (existing

@@ -374,6 +374,30 @@ object IcebergMeta {
             "concurrent writer; reload the table and retry")
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** The TRI-STATE snapshot pin shared by CAS-conditional commits
+    * ([[graft.meta.TableWriter.commitFiles]], `SchemaEvolution
+    * .setProperties`): `expected = Some(id)` requires the table still
+    * sits at `id`; `expectNone = true` requires it is STILL
+    * snapshot-less (the leg None-means-no-check cannot express — a
+    * caller whose decision derives from an EMPTY table state must fail
+    * loudly if a first write landed in between). */
+  def requireSnapshotPin(
+      md: TableMetadata,
+      expected: Option[Long],
+      expectNone: Boolean): Unit = {
+    expected.foreach { exp =>
+      if (!md.currentSnapshotId.contains(exp))
+        throw new CommitConflictException(
+          s"expected current snapshot $exp but table moved to " +
+            s"${md.currentSnapshotId.getOrElse("<none>")} — " +
+            "revalidate and retry")
+    }
+    if (expectNone && md.currentSnapshotId.nonEmpty)
+      throw new CommitConflictException(
+        s"expected no current snapshot but table moved to " +
+          s"${md.currentSnapshotId.get} — revalidate and retry")
+  }
 }
 
 /** A concurrent writer claimed the metadata version first (optimistic-

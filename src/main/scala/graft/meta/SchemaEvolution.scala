@@ -170,20 +170,8 @@ object SchemaEvolution {
       expectedCurrentSnapshotId: Option[Long] = None,
       expectNoCurrentSnapshot: Boolean = false): Int = {
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
-    expectedCurrentSnapshotId.foreach { exp =>
-      if (!md.currentSnapshotId.contains(exp))
-        throw new CommitConflictException(
-          s"expected current snapshot $exp but table moved to " +
-          s"${md.currentSnapshotId.getOrElse("<none>")} — reload and retry")
-    }
-    // the tri-state's third leg: a caller whose decision was derived
-    // from a SNAPSHOT-LESS table state (field-id migration of a
-    // never-written table) must fail loudly if a first write landed in
-    // between — None-means-no-check would silently stamp past it
-    if (expectNoCurrentSnapshot && md.currentSnapshotId.nonEmpty)
-      throw new CommitConflictException(
-        s"expected no current snapshot but table moved to " +
-        s"${md.currentSnapshotId.get} — reload and retry")
+    IcebergMeta.requireSnapshotPin(md,
+      expectedCurrentSnapshotId, expectNoCurrentSnapshot)
     writeNext(tableDir, baseV, md.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       properties = md.properties ++ set -- unset))

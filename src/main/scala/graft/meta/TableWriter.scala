@@ -605,16 +605,8 @@ object TableWriter {
     // surfaces as a loud conflict, and the caller re-validates on a
     // fresh load before retrying. `expectNoCurrentSnapshot` covers the
     // fresh-table case where None-means-no-check would hide the race.
-    expectedCurrentSnapshotId.foreach { exp =>
-      if (!md.currentSnapshotId.contains(exp))
-        throw new CommitConflictException(
-          s"expected current snapshot $exp but table moved to " +
-            s"${md.currentSnapshotId.getOrElse("<none>")} — revalidate and retry")
-    }
-    if (expectNoCurrentSnapshot && md.currentSnapshotId.nonEmpty)
-      throw new CommitConflictException(
-        s"expected no current snapshot but table moved to " +
-          s"${md.currentSnapshotId.get} — revalidate and retry")
+    IcebergMeta.requireSnapshotPin(md,
+      expectedCurrentSnapshotId, expectNoCurrentSnapshot)
     val fields = topLevelFields(md)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val newEntries = entriesForFiles(spark, dir, fields, statIds(md), snapId, files)

@@ -203,7 +203,6 @@ class EvolutionFuzzSpec extends SparkSpec {
               if (!migrated) drop
               else FieldIds.attributeColumns(drop,
                 e.load(ref).metadata.currentSchema.fields)
-            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             out.coalesce(1).write.mode("overwrite").parquet(dir)
             val snap = e.adoptFiles(ref, dir).snapshotId
             putModel(ids, salt = step)

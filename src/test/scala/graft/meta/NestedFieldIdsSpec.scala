@@ -38,7 +38,6 @@ class NestedFieldIdsSpec extends SparkSpec {
     val rows = Seq(
       Row(1L, Row(10L, "x"), Seq("t1", "t2")),
       Row(2L, Row(20L, "y"), Seq.empty[String]))
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val tmp = Files.createTempDirectory("graft-nested-stage")
     spark.createDataFrame(rows.asJava, schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -144,7 +144,6 @@ class RegisterParquetSpec extends SparkSpec {
     // are accepted — and read BY ID across a later rename
     val srcIds = Files.createTempDirectory("graft-reg-src").toString
     val fields = e.load("ns.idt").metadata.currentSchema.fields
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     graft.meta.FieldIds.attributeColumns(
         Seq((3L, "z")).toDF("k", "v"), fields)
       .coalesce(1).write.mode("overwrite").parquet(srcIds)
@@ -155,6 +154,48 @@ class RegisterParquetSpec extends SparkSpec {
       .as[(Long, String)].collect().sorted.toSeq
     assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")),
       s"adopted id-stamped file must serve its column by id, got $got")
+  }
+
+  test("adoptFiles into an id-stamped table WITH a list<primitive> " +
+      "column: the flat surface includes embedding vectors") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("k", "emb")
+    e.createTable("ns.vecs", df.schema) // id-stamped, list<float> column
+    e.append("ns.vecs", df)
+    // a drop attributed with the table's footer ids adopts cleanly —
+    // the list element child (path "emb.element") must NOT trip the
+    // nested-field refusal (it is part of the engine's flat surface)
+    val fields = e.load("ns.vecs").metadata.currentSchema.fields
+    graft.meta.FieldIds.attributeColumns(
+        Seq((3L, Seq(5.0f, 6.0f))).toDF("k", "emb"), fields)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val r = e.adoptFiles("ns.vecs", srcDir)
+    assert(r.addedRecords == 1L)
+    assert(e.readTable("ns.vecs").count() == 3L)
+  }
+
+  test("a refused or conflict-exhausted drop leaves NO orphan files " +
+      "in the table's data dir") {
+    val (srcDir, wh) = freshDirs()
+    (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.clean", srcDir)
+    e.migrateToFieldIds("ns.clean") // id-stamped: plain drops now refuse
+    def dataListing(): Set[String] = {
+      val s = Files.list(Paths.get(e.tableDir("ns.clean"), "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val before = dataListing()
+    val drop = Files.createTempDirectory("graft-reg-src").toString
+    (6L to 9L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(drop)
+    intercept[IllegalArgumentException](e.adoptFiles("ns.clean", drop))
+    assert(dataListing() == before,
+      "a refused drop must unlink everything it staged")
   }
 
   test("adoptFiles refuses a table with a live partition spec") {
