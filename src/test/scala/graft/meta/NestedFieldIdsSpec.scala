@@ -127,4 +127,95 @@ class NestedFieldIdsSpec extends SparkSpec {
       "the pre-rename file's nested member must read by field id, " +
         s"got $got2")
   }
+
+  test("map and struct-in-struct columns: the declared-schema rebuild " +
+      "covers every nesting shape, and a DEEP member rename reads by id") {
+    val wh = Files.createTempDirectory("graft-nested2-wh").toString
+    val tableDir = s"$wh/ext/deep"
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("data"))
+    Files.createDirectories(dir.resolve("metadata"))
+
+    val fileSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false, idMeta(1)),
+      StructField("attrs", MapType(StringType, LongType,
+        valueContainsNull = true), nullable = true, idMeta(2)),
+      StructField("s", StructType(Seq(
+        StructField("inner", StructType(Seq(
+          StructField("x", LongType, nullable = true, idMeta(7)))),
+          nullable = true, idMeta(6)))), nullable = true, idMeta(5))))
+    val rows = Seq(
+      Row(1L, Map("a" -> 1L, "b" -> 2L), Row(Row(10L))),
+      Row(2L, Map("c" -> 3L), Row(Row(20L))))
+    val tmp = Files.createTempDirectory("graft-nested2-stage")
+    spark.createDataFrame(rows.asJava, fileSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dir.resolve("data/deep-000.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val size = Files.size(dir.resolve("data/deep-000.parquet"))
+
+    val attrsJson =
+      """{"type":"map","key-id":3,"key":"string","value-id":4,"value":"long","value-required":false}"""
+    def sJson(xName: String): String =
+      (s"""{"type":"struct","fields":[{"id":6,"name":"inner","required":false,
+          |"type":{"type":"struct","fields":[
+          |{"id":7,"name":"$xName","required":false,"type":"long"}]}}]}""")
+        .stripMargin.replace("\n", "")
+    def fields(xName: String): Seq[SchemaField] = Seq(
+      SchemaField(1, "id", required = true, "long", "id"),
+      SchemaField(2, "attrs", required = false, "map<string, long>",
+        "attrs", attrsJson),
+      SchemaField(5, "s", required = false,
+        s"struct<inner: struct<$xName: long>>", "s", sJson(xName)))
+
+    val snapId = 7100L
+    val entry = DataFileEntry(
+      status = 1, snapshotId = snapId, content = 0,
+      filePath = "data/deep-000.parquet", fileFormat = "PARQUET",
+      partition = Map.empty, recordCount = 2L, fileSizeInBytes = size,
+      columnSizes = Map.empty, valueCounts = Map.empty,
+      nullValueCounts = Map.empty, lowerBounds = Map.empty,
+      upperBounds = Map.empty, sequenceNumber = 1L)
+    val manifestPath = s"metadata/manifest-$snapId.avro"
+    AvroManifests.writeManifest(dir.resolve(manifestPath).toString, Seq(entry))
+    val manifest = ManifestFile(
+      manifestPath, Files.size(dir.resolve(manifestPath)), 0,
+      content = 0, snapId, 1, 0, 0, 2L, 0, 0)
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, Seq(manifest))
+    val md = TableMetadata(2,
+      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,
+      tableDir, 1700000000000L, 0,
+      Seq(IceSchema(0, fields("x"))),
+      0, Seq(PartitionSpec(0, Seq.empty)),
+      Map(FieldIds.PropKey -> "true"),
+      Some(snapId),
+      Seq(Snapshot(snapId, None, 1700000000000L, "append",
+        Map("operation" -> "append"), listPath,
+        sequenceNumber = 1L, schemaId = Some(0))))
+    Files.writeString(dir.resolve("metadata/v1.metadata.json"),
+      IcebergMeta.render(md))
+
+    val df = new Engine(spark, wh).readTable("ext.deep")
+    assert(df.schema("attrs").dataType == MapType(StringType, LongType,
+      valueContainsNull = true), "map column must rebuild from the path tree")
+    val got = df.select(col("id"), col("attrs")("b"), col("s.inner.x"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 10L), (2L, -1L, 20L)))
+
+    // DEEP rename: inner member x → y two levels down, same id 7
+    val md2 = md.copy(currentSchemaId = 1,
+      schemas = md.schemas :+ IceSchema(1, fields("y")))
+    Files.writeString(dir.resolve("metadata/v2.metadata.json"),
+      IcebergMeta.render(md2))
+    val got2 = new Engine(spark, wh).readTable("ext.deep")
+      .select(col("id"), col("s.inner.y"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 10L), (2L, 20L)),
+      s"a rename two struct levels down must keep reading by id, got $got2")
+  }
 }
