@@ -302,5 +302,13 @@ class RegisterParquetSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(src2)
     assert(Cli.run(Array(wh, "add-files", "cli.adopted", src2)) == 0)
     assert(e.readTable("cli.adopted").count() == 60L)
+
+    // refusals surface as NONZERO exits, not stack traces
+    assert(Cli.run(Array(wh, "register", "cli.bad", "/nonexistent-dir")) != 0)
+    val mismatched = Files.createTempDirectory("graft-reg-src").toString
+    Seq((1L, 2.5)).toDF("a", "other")
+      .write.mode("overwrite").parquet(mismatched)
+    assert(Cli.run(Array(wh, "add-files", "cli.adopted", mismatched)) != 0)
+    assert(e.readTable("cli.adopted").count() == 60L, "refused drop must not land")
   }
 }
