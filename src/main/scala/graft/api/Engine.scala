@@ -82,22 +82,40 @@ object Engine {
     }
   }
 
-  /** Refuse any file whose footer's top-level column NAME SET differs
-    * from `want` — the per-file half of the adoption schema gate. A
-    * single-footer inference (mergeSchema off) would pass a mixed-schema
-    * drop and then null or late-fail the divergent files; this check
-    * visits every footer (they're already read for the id gate /
-    * corruption probe), so the refusal is loud and names the file. */
+  /** One adoptable file's footer facts: top-level (name → footer field
+    * id), plus a CANONICAL rendering of the full footer schema —
+    * name-sorted at every level, LIST/MAP wrapper groups normalized to
+    * `list<...>` / `map<...>` so physical encoding variants (2-level vs
+    * 3-level lists) don't read as schema drift. */
+  private[graft] final case class FooterInfo(
+      ids: Map[String, Option[Int]], canon: String)
+
+  /** Refuse any file whose footer diverges from the drop's shared
+    * schema — top-level NAME set against `want` (loud, names both
+    * sides), and the FULL canonical tree against the other files
+    * (nested members too: a drop where one file's struct lacks a member
+    * would otherwise pass top-level checks and silently null that
+    * member's rows). Single-footer inference (mergeSchema off) would
+    * miss both; this visits every footer, already read for the id gate
+    * / corruption probe. */
   private[graft] def requireUniformColumns(
-      byFile: Map[String, Map[String, Option[Int]]],
+      byFile: Map[String, FooterInfo],
       want: Set[String],
-      context: String): Unit =
-    byFile.toSeq.sortBy(_._1).foreach { case (p, cols) =>
-      require(cols.keySet == want,
-        s"$context: $p's columns (${cols.keySet.toSeq.sorted.mkString(", ")}) " +
+      context: String): Unit = {
+    byFile.toSeq.sortBy(_._1).foreach { case (p, info) =>
+      require(info.ids.keySet == want,
+        s"$context: $p's columns (${info.ids.keySet.toSeq.sorted.mkString(", ")}) " +
         s"differ from the drop's schema (${want.toSeq.sorted.mkString(", ")}) — " +
         "every adopted file must carry the same columns")
     }
+    val byCanon = byFile.groupBy(_._2.canon)
+    require(byCanon.size <= 1, {
+      val two = byCanon.values.take(2).map(_.keys.min).toSeq.sorted
+      s"$context: files disagree in NESTED schema structure (e.g. " +
+      s"${two.mkString(" vs ")}) — a silent union would null the " +
+      "divergent members; every adopted file must share one schema"
+    })
+  }
 
   /** Best-effort recursive delete (registration failure cleanup). */
   private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
@@ -117,21 +135,48 @@ object Engine {
     * verbs. */
   private[graft] def footerTopLevelIds(
       spark: SparkSession,
-      paths: Seq[String]): Map[String, Map[String, Option[Int]]] = {
+      paths: Seq[String]): Map[String, FooterInfo] = {
     import scala.jdk.CollectionConverters._
     if (paths.isEmpty) return Map.empty
     spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .mapPartitions { it =>
+        import org.apache.parquet.schema.{GroupType, Type}
+        import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
+        // canonical schema rendering: name-sorted members at every
+        // level; LIST/MAP wrappers collapse to their element/entry
+        // types so 2-level vs 3-level list encodings compare equal
+        def canon(t: Type): String = t match {
+          case g: GroupType if g.getLogicalTypeAnnotation
+              .isInstanceOf[ListLogicalTypeAnnotation] =>
+            val rep = g.getFields.asScala.head
+            val el = rep match {
+              case rg: GroupType if rg.getFieldCount == 1 => rg.getFields.get(0)
+              case other => other // 2-level legacy: repeated element itself
+            }
+            s"list<${canon(el)}>"
+          case g: GroupType if g.getLogicalTypeAnnotation
+              .isInstanceOf[MapLogicalTypeAnnotation] =>
+            val kv = g.getFields.asScala.head.asGroupType()
+            s"map<${canon(kv.getFields.get(0))}, ${canon(kv.getFields.get(1))}>"
+          case g: GroupType =>
+            g.getFields.asScala.map(f => s"${f.getName}: ${canon(f)}")
+              .toSeq.sorted.mkString("struct<", ", ", ">")
+          case p => p.asPrimitiveType().getPrimitiveTypeName.toString
+        }
         val conf = new org.apache.hadoop.conf.Configuration()
         it.map { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(p), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
-            val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
-            p -> fields.map(f =>
-              f.getName -> Option(f.getId).map(_.intValue())).toMap
+            val schema = r.getFooter.getFileMetaData.getSchema
+            val fields = schema.getFields.asScala
+            p -> FooterInfo(
+              fields.map(f =>
+                f.getName -> Option(f.getId).map(_.intValue())).toMap,
+              fields.map(f => s"${f.getName}: ${canon(f)}")
+                .toSeq.sorted.mkString(", "))
           } finally r.close()
         }
       }.collect().toMap
@@ -1059,16 +1104,19 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
-        // the table was created by THIS call: a writer racing in between
-        // is caught instead of silently interleaved
-        expectNoCurrentSnapshot = true)
+        // the table was created by THIS call at metadata v1: ANY racer
+        // — a data write or a metadata-only commit — bumps the version
+        // and is caught instead of silently interleaved
+        expectedMetadataVersion = Some(1))
     } catch {
+      // a CONFLICT means another actor is actively committing to a ref
+      // created milliseconds ago — surface it and leave the table alone
+      // (deleting would destroy the racer's work); any other failure
+      // past createTable (data-page corruption under an intact footer,
+      // a source file vanishing mid-call) must not strand a
+      // half-registered table: remove it IF it is still snapshot-less
+      case e: graft.meta.CommitConflictException => throw e
       case e: Throwable =>
-        // a failure past createTable (data-page corruption under an
-        // intact footer, a source file vanishing mid-call) must not
-        // strand a half-registered table: remove it IF it is still
-        // snapshot-less — a racer who landed data owns the table now
-        // (the expectNoCurrentSnapshot pin already made that loud)
         try {
           if (load(ref).metadata.currentSnapshotId.isEmpty)
             Engine.deleteRecursively(dir)
@@ -1108,8 +1156,17 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir)
 
     /** The admission gates, against ONE observed table state. Returns
-      * the snapshot the validation saw, for the commit's CAS pin. */
-    def validate(): Option[Long] = {
+      * the METADATA VERSION the validation saw, for the commit's CAS
+      * pin — the snapshot id alone would be blind to metadata-only
+      * racers (a property-only migrate-field-ids stamp on an empty
+      * table, a setPartitionSpec), which invalidate the gates without
+      * moving the snapshot pointer; every commit bumps the version. */
+    def validate(): Int = {
+      // version FIRST, table state second: a racer landing in between
+      // leaves the pin older than the inspected state, so the commit
+      // conflicts conservatively (never the reverse — gates on stale
+      // state with a fresh pin)
+      val seenV = graft.meta.IcebergMeta.loadVersioned(tableDir(ref))._2
       val t = load(ref)
       require(t.metadata.currentSpec.fields.isEmpty,
         s"$ref has a live partition spec — adopted files carry no " +
@@ -1143,8 +1200,13 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           "elements — nested footer-id verification of foreign files " +
           "is not supported; append through the write path instead")
         val wantIds = top.map(f => f.name -> f.id).toMap
+        // element/key/value children carry no footer ids to check —
+        // Spark stamps and matches only struct-level fields; below the
+        // outer field the parquet reader matches STRUCTURALLY, so the
+        // outer id + the canonical-schema uniformity gate above are the
+        // whole contract
         parquets.map(_.toString).foreach { p =>
-          val ids = byFile.getOrElse(p, Map.empty)
+          val ids = byFile.get(p).map(_.ids).getOrElse(Map.empty)
           val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
           require(missing.isEmpty,
             s"$ref resolves columns by parquet field id, but $p does not " +
@@ -1153,37 +1215,38 @@ class Engine(val spark: SparkSession, warehouseDir: String,
             "id-less files; use `register` + `migrate-field-ids` for plain parquet")
         }
       }
-      t.metadata.currentSnapshotId
+      seenV
     }
 
     // refusals BEFORE any filesystem residue: the common rejection
-    // paths (spec / schema / id gates) leave nothing behind
-    validate()
+    // paths (spec / schema / id gates) leave nothing behind, and the
+    // observed version pins the first commit attempt
+    var seenV = validate()
     val dir = java.nio.file.Paths.get(tableDir(ref))
     val rels = Engine.linkInto(dir, parquets)
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
-    // fresh state: the commit is pinned to the snapshot the validation
-    // saw, so a racing migrate-field-ids or setPartitionSpec between
-    // validation and commit surfaces as a conflict and the retry
-    // re-validates (then refuses) instead of landing gate-violating
-    // files. Any failure before the commit lands unlinks the adopted
-    // files — a rejected or conflict-exhausted drop leaves no orphans.
+    // fresh state: the commit is pinned to the metadata VERSION the
+    // validation saw, so ANY racing commit — a migrate-field-ids
+    // property stamp, a setPartitionSpec, a plain append — surfaces as
+    // a conflict, and the retry re-validates (then refuses when the
+    // gates no longer hold) instead of landing gate-violating files.
+    // Any failure before the commit lands unlinks the adopted files —
+    // a rejected or conflict-exhausted drop leaves no orphans.
     try {
       var attempt = 0
       var res: graft.meta.TableWriter.CommitResult = null
       while (res == null) {
-        val seen = validate()
         try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
           removePaths = Set.empty, operation = "append",
           extraSummary = Map("adopted-from" -> sourceDir),
-          expectedCurrentSnapshotId = seen,
-          expectNoCurrentSnapshot = seen.isEmpty)
+          expectedMetadataVersion = Some(seenV))
         catch {
           case e: graft.meta.CommitConflictException =>
             if (attempt >= 5) throw e
             attempt += 1; Thread.sleep(20L * attempt)
+            seenV = validate()
         }
       }
       res

@@ -135,4 +135,12 @@ object FieldIds {
     * the engine works under user-built sessions, not just [[graft.Sessions]]. */
   def ensureReadEnabled(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** The write-side twin: the id guarantee DEPENDS on attributed write
+    * schemas landing footer ids, and that conf is a Spark default that
+    * could flip. Called at each engine write entry point (not just the
+    * [[graft.Sessions]] factory) so user-built sessions write id-stamped
+    * files too. Runtime-settable; a no-op when already set. */
+  def ensureWriteEnabled(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 }

@@ -386,6 +386,10 @@ object TableWriter {
       wapId: Option[String] = None,
       expectedCurrentSnapshotId: Option[Long] = None): CommitResult = {
 
+    // the id guarantee depends on attributed write schemas landing
+    // footer ids — pin the conf here (not only in graft.Sessions) so
+    // user-built sessions write id-stamped files too
+    FieldIds.ensureWriteEnabled(spark)
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
@@ -593,18 +597,29 @@ object TableWriter {
       operation: String,
       extraSummary: Map[String, String] = Map.empty,
       expectedCurrentSnapshotId: Option[Long] = None,
-      expectNoCurrentSnapshot: Boolean = false): CommitResult = {
+      expectNoCurrentSnapshot: Boolean = false,
+      expectedMetadataVersion: Option[Int] = None): CommitResult = {
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
       s"write path supports format-version 2 tables (got v${md.formatVersion})")
-    // CAS pin for callers whose ADMISSION GATES ran against a specific
+    // CAS pins for callers whose ADMISSION GATES ran against a specific
     // table state (adoptFiles: partition-spec / schema / footer-id
-    // checks): a commit racing in between — including a field-id
-    // migration or spec evolution that would invalidate the gates —
-    // surfaces as a loud conflict, and the caller re-validates on a
-    // fresh load before retrying. `expectNoCurrentSnapshot` covers the
-    // fresh-table case where None-means-no-check would hide the race.
+    // checks): a commit racing in between surfaces as a loud conflict,
+    // and the caller re-validates on a fresh load before retrying.
+    // `expectedMetadataVersion` is the STRONG pin — snapshot-id pins are
+    // blind to METADATA-ONLY racers (a property stamp like
+    // migrate-field-ids on an empty table, a setPartitionSpec — none of
+    // which move currentSnapshotId yet all of which can invalidate the
+    // gates), while every commit of any kind bumps the version.
+    // `expectNoCurrentSnapshot` covers the fresh-table case where
+    // None-means-no-check would hide a data race.
+    expectedMetadataVersion.foreach { exp =>
+      if (baseV != exp)
+        throw new CommitConflictException(
+          s"expected metadata v$exp but table moved to v$baseV — " +
+            "revalidate and retry")
+    }
     IcebergMeta.requireSnapshotPin(md,
       expectedCurrentSnapshotId, expectNoCurrentSnapshot)
     val fields = topLevelFields(md)
@@ -687,6 +702,7 @@ object TableWriter {
       extraSummary: Map[String, String],
       extraProperties: Map[String, String] = Map.empty,
       wapId: Option[String] = None): CommitResult = {
+    FieldIds.ensureWriteEnabled(spark) // delete-file writes need ids too
     // fresh per-publish-attempt token (see commit): a conflicting
     // concurrent publisher must never overwrite these artifacts
     val tok = java.util.UUID.randomUUID().toString.take(8)

@@ -52,6 +52,10 @@ object GraftCowWriteBridge {
       scannedPaths: () => Set[String],
       operation: String): BatchWrite = {
     val cs = spark.asInstanceOf[classic.SparkSession]
+    // the fanout writer inherits the SESSION conf via prepareWrite — pin
+    // the footer-id write half for user-built sessions (the staged path
+    // does the same in TableWriter.commit)
+    graft.meta.FieldIds.ensureWriteEnabled(cs)
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
     // field-id-attributed file schema: the COW rewrite files must carry
     // footer ids like every other engine write, or an id-stamped table's

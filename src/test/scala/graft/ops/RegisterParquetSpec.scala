@@ -288,6 +288,64 @@ class RegisterParquetSpec extends SparkSpec {
     assert(e.readTable("ns.race2").count() == 10L)
   }
 
+  test("a PROPERTY-ONLY migrate racing an adoption of an EMPTY table is " +
+      "caught by the metadata-version pin (snapshot pins are blind to it)") {
+    val (srcDir, wh) = freshDirs()
+    (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    // an EMPTY legacy table: migrating it is a property-only stamp that
+    // moves NO snapshot pointer — the exact racer a snapshot-id pin
+    // cannot see; the id-less drop would land past the boundary and
+    // make the table unreadable
+    e.createTable("ns.emptyrace",
+      (1L to 1L).map(i => (i, "x")).toDF("k", "v").schema)
+    e.setProperties("ns.emptyrace", Map.empty,
+      unset = Set(graft.meta.FieldIds.PropKey))
+
+    val racing = new Engine(spark, wh) {
+      var raced = false
+      override def load(r: String): graft.meta.IcebergTable = {
+        val t = super.load(r)
+        if (!raced && r == "ns.emptyrace") { raced = true
+          e.migrateToFieldIds("ns.emptyrace") }
+        t
+      }
+    }
+    val ex = intercept[IllegalArgumentException](
+      racing.adoptFiles("ns.emptyrace", srcDir))
+    assert(ex.getMessage.contains("field id"),
+      s"the re-validated retry must refuse the id-less drop: $ex")
+    // the table is intact and still holds no files — the id-less drop
+    // never landed past the boundary
+    assert(e.load("ns.emptyrace").files().isEmpty)
+    assert(graft.meta.FieldIds.tableHasIds(e.load("ns.emptyrace").metadata))
+  }
+
+  test("a drop whose files diverge only in NESTED members is refused " +
+      "(canonical footer-schema uniformity)") {
+    val (srcDir, wh) = freshDirs()
+    // same top-level column names; file2's struct lacks member y — a
+    // top-level-only gate would admit it and silently null s.y
+    val rowsA = Seq((1L, ("ax", 1L))).toDF("k", "s")
+    val rowsB = Seq((2L, Tuple1("bx"))).toDF("k", "s")
+    rowsA.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/a")
+    rowsB.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b")
+    val flat = Files.createTempDirectory("graft-reg-nested").toString
+    var i = 0
+    Seq("a", "b").foreach { sub =>
+      val s = Files.list(Paths.get(s"$srcDir/$sub"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p => Files.copy(p, Paths.get(f"$flat/f$i%02d.parquet")); i += 1 }
+      finally s.close()
+    }
+    val e = new Engine(spark, wh)
+    val ex = intercept[IllegalArgumentException](
+      e.registerParquet("ns.nestdiv", flat))
+    assert(ex.getMessage.contains("NESTED schema structure"), ex.getMessage)
+  }
+
   test("CLI `register` verb adopts and reports") {
     val (srcDir, wh) = freshDirs()
     (1L to 50L).map(i => (i, i * 3L)).toDF("a", "b")
