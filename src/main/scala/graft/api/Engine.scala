@@ -24,12 +24,43 @@ object Engine {
   private[graft] val loadCensus =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** The adoptable parquet files under `sourceDir` (recursive, hidden /
-    * marker files skipped), sorted for determinism. Hive-layout
-    * `key=value/` segments are refused — those partition values live in
-    * the PATHS, not the files, and an in-place adoption would silently
-    * lose the columns. */
-  private[graft] def adoptablePaths(sourceDir: String): Seq[java.nio.file.Path] = {
+  /** One adoptable directory, parsed: the parquet files (recursive,
+    * hidden / marker files skipped, sorted for determinism), plus the
+    * hive-layout partition keys and each file's `key=value` path values
+    * when the drop is partitioned (`partitionKeys` empty = flat drop).
+    * Values are keyed by ABSOLUTE file path. */
+  private[graft] final case class AdoptSource(
+      files: Seq[java.nio.file.Path],
+      partitionKeys: Seq[String],
+      partitionsByPath: Map[String, Map[String, String]]) {
+    def isHive: Boolean = partitionKeys.nonEmpty
+  }
+
+  /** Decode hive path escapes (`%xx`) in a `key=value` segment — hive's
+    * `escapePathName` percent-encodes reserved characters; unlike URL
+    * forms, '+' is a literal plus. Malformed escapes stay literal. */
+  private[graft] def unescapeHive(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Walk `sourceDir` into an [[AdoptSource]]. Hive-layout `key=value`
+    * DIRECTORY components carry partition values (a '=' in a file's own
+    * NAME is just a name); every file must sit under the same key
+    * sequence — ragged layouts are refused naming two divergent files. */
+  private[graft] def adoptableSource(sourceDir: String): AdoptSource = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     import scala.jdk.CollectionConverters._
     val src = JPaths.get(sourceDir)
@@ -44,51 +75,79 @@ object Engine {
         }.toVector.sortBy(_.toString)
       finally walk.close()
     require(parquets.nonEmpty, s"no parquet files under $sourceDir")
-    // DIRECTORY components only: a '=' in a file's own name is just a
-    // name, not a partition value
-    val hivePartitioned = parquets.filter(p =>
-      Option(src.relativize(p).getParent).exists(
-        _.iterator().asScala.exists(_.toString.contains("="))))
-    require(hivePartitioned.isEmpty,
-      s"$sourceDir uses hive-layout partition directories " +
-      s"(e.g. ${src.relativize(hivePartitioned.head)}) — the partition " +
-      "values live in the paths, not the files, so an in-place adoption " +
-      "would lose those columns; read+append instead")
-    parquets
+    def kvs(p: java.nio.file.Path): Seq[(String, String)] =
+      Option(src.relativize(p).getParent).toSeq
+        .flatMap(_.iterator().asScala)
+        .map(_.toString).filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          unescapeHive(seg.take(i)) -> unescapeHive(seg.drop(i + 1))
+        }
+    val byPath = parquets.map(p => p -> kvs(p))
+    val keySeqs = byPath.map(_._2.map(_._1)).distinct
+    if (keySeqs.size > 1) {
+      val examples = keySeqs.take(2).flatMap(ks =>
+        byPath.find(_._2.map(_._1) == ks).map(x => src.relativize(x._1)))
+      throw new IllegalArgumentException(
+        s"$sourceDir mixes partition-path layouts " +
+        s"(e.g. ${examples.mkString(" vs ")}) — every adopted file must " +
+        "sit under the same key=value directory sequence")
+    }
+    val keys = keySeqs.head
+    require(keys.distinct.size == keys.size,
+      s"$sourceDir repeats a partition key in its paths (${keys.mkString("/")})")
+    AdoptSource(parquets, keys,
+      byPath.map { case (p, kv) => p.toString -> kv.toMap }.toMap)
   }
 
   /** Hard-link (copy across filesystems) `parquets` into `dir`/data
     * under collision-free adopted names; returns the (relative path,
-    * empty partition) pairs [[graft.meta.TableWriter.commitFiles]]
-    * expects. No data bytes move through Spark. */
+    * partition values) pairs [[graft.meta.TableWriter.commitFiles]]
+    * expects. No data bytes move through Spark, and the link pass runs
+    * BOUNDED-PARALLEL (hard links are microsecond syscalls, but a
+    * million-file adoption serialized on one thread is minutes). ANY
+    * failure unlinks every link already created before rethrowing — a
+    * drop that fails mid-link leaves no orphans, honoring the same
+    * residue-free contract as a refused drop. */
   private[graft] def linkInto(
       dir: java.nio.file.Path,
-      parquets: Seq[java.nio.file.Path]): Seq[(String, Map[String, String])] = {
+      parquets: Seq[java.nio.file.Path],
+      partitions: Map[String, Map[String, String]] = Map.empty)
+      : Seq[(String, Map[String, String])] = {
     import java.nio.file.{Files => JFiles}
     val tok = java.lang.Long.toHexString(System.nanoTime())
     JFiles.createDirectories(dir.resolve("data"))
-    parquets.zipWithIndex.map { case (p, i) =>
-      val rel = f"data/adopted-$tok-$i%05d-${p.getFileName.toString}"
-      val target = dir.resolve(rel)
-      // cross-filesystem links throw IOException; filesystems WITHOUT
-      // link support throw UnsupportedOperationException — both fall
-      // back to the documented copy
-      try JFiles.createLink(target, p)
-      catch {
-        case _: java.io.IOException | _: UnsupportedOperationException =>
-          JFiles.copy(p, target)
-      }
-      rel -> Map.empty[String, String]
+    val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val rels = new Array[(String, Map[String, String])](parquets.size)
+    java.util.stream.IntStream.range(0, parquets.size).parallel().forEach { i =>
+      if (failure.get() == null) try {
+        val p = parquets(i)
+        val rel = f"data/adopted-$tok-$i%05d-${p.getFileName.toString}"
+        val target = dir.resolve(rel)
+        created.add(target)
+        // cross-filesystem links throw IOException; filesystems WITHOUT
+        // link support throw UnsupportedOperationException — both fall
+        // back to the documented copy
+        try JFiles.createLink(target, p)
+        catch {
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            JFiles.copy(p, target)
+        }
+        rels(i) = rel -> partitions.getOrElse(p.toString, Map.empty)
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
     }
+    if (failure.get() != null) {
+      created.forEach(t =>
+        try { JFiles.deleteIfExists(t); () }
+        catch { case _: java.io.IOException => () })
+      throw failure.get()
+    }
+    rels.toIndexedSeq
   }
 
-  /** One adoptable file's footer facts: top-level (name → footer field
-    * id), plus a CANONICAL rendering of the full footer schema —
-    * name-sorted at every level, LIST/MAP wrapper groups normalized to
-    * `list<...>` / `map<...>` so physical encoding variants (2-level vs
-    * 3-level lists) don't read as schema drift. */
-  private[graft] final case class FooterInfo(
-      ids: Map[String, Option[Int]], canon: String)
+  private[graft] type FooterInfo = graft.api.FooterFacts.FooterInfo
+  private[graft] val FooterInfo = graft.api.FooterFacts.FooterInfo
 
   /** Refuse any file whose footer diverges from the drop's shared
     * schema — top-level NAME set against `want` (loud, names both
@@ -117,6 +176,28 @@ object Engine {
     })
   }
 
+  /** Refuse a hive drop whose path values don't parse as their column's
+    * declared type — stamping an untyped value would poison partition
+    * pruning and the synthesized per-file bounds. The null sentinel is
+    * always valid. */
+  private[graft] def requireTypedValues(
+      schema: org.apache.spark.sql.types.StructType,
+      src: AdoptSource,
+      context: String): Unit =
+    src.partitionKeys.foreach { k =>
+      val dt = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"$context: partition-path key $k is not a column of the schema")).dataType
+      val ice = graft.meta.TableCreator.iceType(dt)
+      src.partitionsByPath.values.flatMap(_.get(k)).toSet.foreach { v: String =>
+        try { graft.meta.TableWriter.typedPartitionValue(ice, v); () }
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$context: partition value $k=$v does not parse as $ice", e)
+        }
+      }
+    }
+
   /** Best-effort recursive delete (registration failure cleanup). */
   private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -140,46 +221,8 @@ object Engine {
     if (paths.isEmpty) return Map.empty
     spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
-      .mapPartitions { it =>
-        import org.apache.parquet.schema.{GroupType, Type}
-        import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
-        // canonical schema rendering: name-sorted members at every
-        // level; LIST/MAP wrappers collapse to their element/entry
-        // types so 2-level vs 3-level list encodings compare equal
-        def canon(t: Type): String = t match {
-          case g: GroupType if g.getLogicalTypeAnnotation
-              .isInstanceOf[ListLogicalTypeAnnotation] =>
-            val rep = g.getFields.asScala.head
-            val el = rep match {
-              case rg: GroupType if rg.getFieldCount == 1 => rg.getFields.get(0)
-              case other => other // 2-level legacy: repeated element itself
-            }
-            s"list<${canon(el)}>"
-          case g: GroupType if g.getLogicalTypeAnnotation
-              .isInstanceOf[MapLogicalTypeAnnotation] =>
-            val kv = g.getFields.asScala.head.asGroupType()
-            s"map<${canon(kv.getFields.get(0))}, ${canon(kv.getFields.get(1))}>"
-          case g: GroupType =>
-            g.getFields.asScala.map(f => s"${f.getName}: ${canon(f)}")
-              .toSeq.sorted.mkString("struct<", ", ", ">")
-          case p => p.asPrimitiveType().getPrimitiveTypeName.toString
-        }
-        val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val schema = r.getFooter.getFileMetaData.getSchema
-            val fields = schema.getFields.asScala
-            p -> FooterInfo(
-              fields.map(f =>
-                f.getName -> Option(f.getId).map(_.intValue())).toMap,
-              fields.map(f => s"${f.getName}: ${canon(f)}")
-                .toSeq.sorted.mkString(", "))
-          } finally r.close()
-        }
-      }.collect().toMap
+      .mapPartitions(FooterFacts.read)
+      .collect().toMap
   }
 
   /** Build from resolved catalog config via the catalog SPI
@@ -211,6 +254,122 @@ object Engine {
       annRetired: Boolean,
       ledgersRemaining: Seq[(String, DataFrame)] = Seq.empty,
       indexRefs: Seq[String] = Seq.empty)
+}
+
+/** Executor-side parquet FOOTER reader for the adoption gates — a
+  * standalone serializable object so the `mapPartitions` closure
+  * captures nothing but this module (the enclosing [[Engine]] object is
+  * not serializable). */
+private[graft] object FooterFacts extends Serializable {
+
+  /** One adoptable file's footer facts: top-level (name → footer field
+    * id), a CANONICAL rendering of the full footer schema — name-sorted
+    * at every level, LIST/MAP wrapper groups normalized to `list<...>` /
+    * `map<...>` (per parquet-mr's backward-compat element rules) so
+    * physical encoding variants don't read as schema drift — and the
+    * NESTED (dotted path → footer id) map for struct members at any
+    * depth, the id gate's input for foreign nested tables. */
+  final case class FooterInfo(
+      ids: Map[String, Option[Int]], canon: String,
+      nestedIds: Map[String, Option[Int]])
+
+  import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
+  import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
+  import scala.jdk.CollectionConverters._
+
+  private def isList(g: GroupType): Boolean =
+    g.getLogicalTypeAnnotation.isInstanceOf[ListLogicalTypeAnnotation]
+  private def isMap(g: GroupType): Boolean =
+    g.getLogicalTypeAnnotation.isInstanceOf[MapLogicalTypeAnnotation]
+
+  /** The LIST element per parquet-mr's backward-compat rules: the
+    * repeated node IS the element when it is a primitive (2-level), a
+    * multi-field group, or a single-field group named `array` /
+    * `<list>_tuple` (legacy writers); only the conventional single-field
+    * wrapper unwraps one more level (3-level). */
+  private def listElement(g: GroupType): Type = {
+    val rep = g.getFields.asScala.head
+    rep match {
+      case rg: GroupType if rg.getFieldCount != 1 => rg
+      case rg: GroupType if rg.getName == "array" ||
+          rg.getName == s"${g.getName}_tuple" => rg
+      case rg: GroupType => rg.getFields.get(0)
+      case prim => prim
+    }
+  }
+
+  /** Primitive rendering keeps the LOGICAL annotation (a BINARY string
+    * and a raw binary must not compare equal — the uniformity gate is
+    * the only same-name-type-conflict check now that the drop's schema
+    * comes from one footer, not a mergeSchema pass). */
+  private def prim(t: Type): String = {
+    val p = t.asPrimitiveType()
+    val len =
+      if (p.getPrimitiveTypeName ==
+          PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+        s"[${p.getTypeLength}]"
+      else ""
+    val ann = Option(p.getLogicalTypeAnnotation)
+      .map(a => s" ($a)").getOrElse("")
+    s"${p.getPrimitiveTypeName}$len$ann"
+  }
+
+  /** Canonical schema rendering: name-sorted members at every level;
+    * LIST/MAP wrappers collapse to their element/entry types so 2-level
+    * vs 3-level list encodings compare equal. */
+  private def canon(t: Type): String = t match {
+    case g: GroupType if isList(g) => s"list<${canon(listElement(g))}>"
+    case g: GroupType if isMap(g) =>
+      val kv = g.getFields.asScala.head.asGroupType()
+      s"map<${canon(kv.getFields.get(0))}, ${canon(kv.getFields.get(1))}>"
+    case g: GroupType =>
+      g.getFields.asScala.map(f => s"${f.getName}: ${canon(f)}")
+        .toSeq.sorted.mkString("struct<", ", ", ">")
+    case p => prim(p)
+  }
+
+  /** Nested (dotted Iceberg path → footer id) for STRUCT MEMBERS at any
+    * depth — list elements / map entries carry no ids in Spark-written
+    * files (no StructField to hold metadata) and the reader matches
+    * them structurally, so only named members record. */
+  private def walk(t: Type, path: String,
+      out: scala.collection.mutable.Map[String, Option[Int]]): Unit = t match {
+    case g: GroupType if isList(g) =>
+      walk(listElement(g), s"$path.element", out)
+    case g: GroupType if isMap(g) =>
+      val kv = g.getFields.asScala.head.asGroupType()
+      walk(kv.getFields.get(0), s"$path.key", out)
+      walk(kv.getFields.get(1), s"$path.value", out)
+    case g: GroupType =>
+      g.getFields.asScala.foreach { f =>
+        out(s"$path.${f.getName}") = Option(f.getId).map(_.intValue())
+        walk(f, s"$path.${f.getName}", out)
+      }
+    case _ => ()
+  }
+
+  /** The executor-side partition function: ranged footer metadata reads,
+    * never data pages. */
+  def read(it: Iterator[String]): Iterator[(String, FooterInfo)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    it.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val fields = schema.getFields.asScala
+        val nested = scala.collection.mutable.Map.empty[String, Option[Int]]
+        fields.foreach(f => walk(f, f.getName, nested))
+        p -> FooterInfo(
+          fields.map(f =>
+            f.getName -> Option(f.getId).map(_.intValue())).toMap,
+          fields.map(f => s"${f.getName}: ${canon(f)}")
+            .toSeq.sorted.mkString(", "),
+          nested.toMap)
+      } finally r.close()
+    }
+  }
 }
 
 /** Open to extension so callers (and the race specs) can interpose on
@@ -1078,47 +1237,84 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     *
     * Constraints: one shared flat schema on the engine's writable
     * surface (primitives / binary / list<primitive> — anything else is
-    * refused loudly by [[createTable]]), and NO hive-layout partition
-    * directories (`key=value/` path segments): those files don't contain
-    * the partition columns, so linked-in-place reads would silently lose
-    * them — refused with the reason. */
+    * refused loudly by [[createTable]]).
+    *
+    * HIVE-LAYOUT directories (`key=value/` path segments — the
+    * canonical `add_files` source, a warehouse migration's day-one
+    * shape) adopt as PARTITIONED tables: the keys become typed columns
+    * (Spark's partition discovery infers the types), the table is
+    * created with the matching identity spec, each adopted entry
+    * carries its path's partition values (so partition pruning and the
+    * reference's partition analytics work from day one), and scans fill
+    * the in-file-absent columns from the manifests' per-file constants
+    * ([[graft.ops.ScanPlanner]]). */
   def registerParquet(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
-    val parquets = Engine.adoptablePaths(sourceDir)
+    val src = Engine.adoptableSource(sourceDir)
     // every footer is read BEFORE the table exists: the pass is both
     // the per-file schema gate (a mixed-schema drop is refused loudly,
     // naming the divergent file, instead of passing single-footer
     // inference and nulling columns later) and a corruption probe — a
     // truncated file fails here, not after createTable has committed,
     // so a failed registration leaves no half-registered table behind
-    val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
-    // mergeSchema inference: a same-name TYPE conflict across files
-    // fails the read loudly instead of picking one footer's type
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(parquets.map(_.toString): _*).schema
-    Engine.requireUniformColumns(byFile, schema.fieldNames.toSet, sourceDir)
+    val byFile = Engine.footerTopLevelIds(spark, src.files.map(_.toString))
+    // ONE footer pass per drop: the canonical-uniformity gate renders
+    // logical type annotations, so every same-name type conflict the old
+    // per-drop mergeSchema re-read caught is refused here — the Spark
+    // schema then comes from a single file's footer
+    val fileSchema = spark.read.parquet(src.files.head.toString).schema
+    Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir)
+    val overlap = src.partitionKeys.toSet.intersect(fileSchema.fieldNames.toSet)
+    require(overlap.isEmpty,
+      s"$sourceDir's files already contain partition-path column(s) " +
+      s"${overlap.toSeq.sorted.mkString(", ")} — ambiguous between the " +
+      "path value and the file's own data")
+    // hive layout: partition columns join the schema, TYPED by Spark's
+    // partition discovery over the directory structure (one extra footer
+    // read at the root, not a full pass)
+    val schema =
+      if (!src.isHive) fileSchema
+      else spark.read.parquet(sourceDir).schema
+    if (src.isHive) {
+      require(src.partitionKeys.forall(schema.fieldNames.contains),
+        s"$sourceDir: partition discovery did not surface " +
+        s"${src.partitionKeys.filterNot(schema.fieldNames.contains).mkString(", ")}")
+      Engine.requireTypedValues(schema, src, sourceDir)
+    }
     createTable(ref, schema,
-      properties = Map(graft.meta.FieldIds.PropKey -> "false"))
+      partitionDecls = src.partitionKeys,
+      properties = Map(graft.meta.FieldIds.PropKey -> "false") ++
+        (if (src.isHive)
+          Map(graft.meta.Transforms.PathPartitionColsKey ->
+            src.partitionKeys.mkString(","))
+        else Map.empty))
     val dir = java.nio.file.Paths.get(tableDir(ref))
     try {
-      val rels = Engine.linkInto(dir, parquets)
+      val rels = Engine.linkInto(dir, src.files, src.partitionsByPath)
       graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
         // the table was created by THIS call at metadata v1: ANY racer
         // — a data write or a metadata-only commit — bumps the version
         // and is caught instead of silently interleaved
-        expectedMetadataVersion = Some(1))
+        expectedMetadataVersion = Some(1),
+        absentColumns = src.partitionKeys.toSet)
     } catch {
       // a CONFLICT means another actor is actively committing to a ref
       // created milliseconds ago — surface it and leave the table alone
       // (deleting would destroy the racer's work); any other failure
       // past createTable (data-page corruption under an intact footer,
       // a source file vanishing mid-call) must not strand a
-      // half-registered table: remove it IF it is still snapshot-less
+      // half-registered table: remove it IF the metadata is still the
+      // state THIS call created — version 1 AND snapshot-less. The
+      // version gate (not just snapshot absence) matters because a
+      // racer's metadata-only commit (a property stamp, a spec change)
+      // bumps the version without moving the snapshot pointer, and
+      // deleting then would destroy the racer's work
       case e: graft.meta.CommitConflictException => throw e
       case e: Throwable =>
         try {
-          if (load(ref).metadata.currentSnapshotId.isEmpty)
+          val (mdNow, vNow) = graft.meta.IcebergMeta.loadVersioned(tableDir(ref))
+          if (vNow == 1 && mdNow.currentSnapshotId.isEmpty)
             Engine.deleteRecursively(dir)
         } catch { case _: Throwable => () }
         throw e
@@ -1132,80 +1328,139 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * (hard-link / copy fallback, one read-only stats pass, hive-layout
     * refusal), plus the compatibility gates an existing table demands:
     *
-    *  - the files' schema must match the table's current schema by name
-    *    AND type (loud refusal otherwise — a silent union would null
-    *    columns);
+    *  - the files' schema must match the table's current schema by name,
+    *    and by type up to Iceberg's SAFE PROMOTIONS (a drop written at a
+    *    pre-widen width — int32 under a `long` column, float under
+    *    `double` — is accepted and read through the same up-cast
+    *    projection as the table's own pre-widen files; anything else is
+    *    a loud refusal — a silent union would null columns);
     *  - an ID-STAMPED table refuses id-less files: the table's scans
     *    resolve columns by parquet footer field id with NO name
     *    fallback, so every file's footer must carry the schema's exact
-    *    (name → id) mapping — `register` + `migrate-field-ids` is the
-    *    path for plain files;
-    *  - a table with a live PARTITION spec is refused: adopted entries
-    *    carry no partition values, and a partition-equals prune would
-    *    silently drop their rows. */
+    *    (name → id) mapping — top-level AND nested struct members at
+    *    their dotted paths (list elements / map entries match
+    *    structurally) — `register` + `migrate-field-ids` is the path
+    *    for plain files;
+    *  - partition compatibility: a HIVE-LAYOUT drop lands on a table
+    *    whose current spec is identity over exactly the drop's path
+    *    keys (values stamp into the entries' partition maps — pruning
+    *    works from day one); a FLAT drop requires an unpartitioned
+    *    spec (it carries no partition values, and a partition-equals
+    *    prune would silently drop its rows). */
   def adoptFiles(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
-    val parquets = Engine.adoptablePaths(sourceDir)
-    // every footer read ONCE up front (names + ids): corruption probe,
-    // per-file schema material, and the id-gate input — reused across
-    // commit retries without re-reading
-    val byFile = Engine.footerTopLevelIds(spark, parquets.map(_.toString))
-    // mergeSchema: a same-name type conflict across the drop's files
-    // fails loudly here instead of picking one footer's type
-    val fileSchema = spark.read.option("mergeSchema", "true")
-      .parquet(parquets.map(_.toString): _*).schema
+    val src = Engine.adoptableSource(sourceDir)
+    // every footer read ONCE up front (names + top-level AND nested
+    // ids): corruption probe, per-file schema material, and the id-gate
+    // input — reused across commit retries without re-reading. The
+    // canonical-uniformity gate (logical annotations included) is the
+    // same-name-type-conflict check; the Spark schema comes from one
+    // file's footer
+    val byFile = Engine.footerTopLevelIds(spark, src.files.map(_.toString))
+    val fileSchema = spark.read.parquet(src.files.head.toString).schema
     Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir)
 
     /** The admission gates, against ONE observed table state. Returns
-      * the METADATA VERSION the validation saw, for the commit's CAS
-      * pin — the snapshot id alone would be blind to metadata-only
-      * racers (a property-only migrate-field-ids stamp on an empty
-      * table, a setPartitionSpec), which invalidate the gates without
-      * moving the snapshot pointer; every commit bumps the version. */
-    def validate(): Int = {
+      * the METADATA VERSION the validation saw (the commit's CAS pin —
+      * the snapshot id alone would be blind to metadata-only racers: a
+      * property-only migrate-field-ids stamp on an empty table, a
+      * setPartitionSpec — which invalidate the gates without moving the
+      * snapshot pointer; every commit bumps the version), plus the
+      * property delta this drop needs (the path-partition column
+      * declaration for hive drops). */
+    def validate(): (Int, Map[String, String]) = {
       // version FIRST, table state second: a racer landing in between
       // leaves the pin older than the inspected state, so the commit
       // conflicts conservatively (never the reverse — gates on stale
       // state with a fresh pin)
       val seenV = graft.meta.IcebergMeta.loadVersioned(tableDir(ref))._2
       val t = load(ref)
-      require(t.metadata.currentSpec.fields.isEmpty,
-        s"$ref has a live partition spec — adopted files carry no " +
-        "partition values and partition pruning would silently drop " +
-        "their rows; evolve to an unpartitioned spec first or append " +
-        "through the write path")
+      val schemaFields = t.metadata.currentSchema.fields
+      val spec = t.metadata.currentSpec
+      val specSources: Seq[String] = spec.fields.map(sf =>
+        schemaFields.find(_.id == sf.sourceId).map(_.name).getOrElse(
+          throw new IllegalStateException(
+            s"$ref's partition spec references unknown field ${sf.sourceId}")))
+      if (src.isHive) {
+        // a hive drop lands on a table whose CURRENT spec is identity
+        // over exactly the drop's path keys — the values stamp into the
+        // entries' partition maps, so partition pruning and the
+        // partition analytics see adopted files like native ones
+        require(spec.fields.nonEmpty &&
+            spec.fields.forall(_.transform == "identity") &&
+            src.partitionKeys.toSet == specSources.toSet,
+          s"$sourceDir's hive partition keys (${src.partitionKeys.mkString(", ")}) " +
+          s"must match $ref's identity partition spec " +
+          s"(${spec.fields.map(f => s"${f.transform}(${specSources(spec.fields.indexOf(f))})")
+            .mkString(", ")})")
+        // entry partition maps are keyed by spec-FIELD name; the
+        // engine's identity fields are named after their source, and a
+        // foreign spec that renames them would silently mis-key
+        require(spec.fields.zip(specSources).forall { case (sf, s) => sf.name == s },
+          s"$ref's identity partition fields are named differently from " +
+          "their sources (foreign spec) — hive adoption requires " +
+          "name-matched identity fields")
+      } else {
+        require(spec.fields.isEmpty,
+          s"$ref has a live partition spec — a flat drop carries no " +
+          "partition values and partition pruning would silently drop " +
+          "its rows; lay the drop out as key=value directories matching " +
+          "the spec, or append through the write path")
+      }
       val declared = graft.ops.ScanPlanner.currentSparkSchema(t).getOrElse(
         throw new IllegalStateException(
           s"$ref's schema is outside the engine-readable surface"))
-      val got = fileSchema.fields.map(f => f.name -> f.dataType).toMap
-      val want = declared.fields.map(f => f.name -> f.dataType).toMap
-      require(got == want,
+      val pathCols = src.partitionKeys.toSet
+      // structural type comparison: strip nullability and metadata at
+      // every nesting level — parquet inference surfaces footer field
+      // ids as StructField metadata and required-ness as nullable=false,
+      // neither of which is a SCHEMA difference (the id gate below does
+      // the id checking exactly)
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, StructType}
+      def bare(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          f.copy(dataType = bare(f.dataType), nullable = true,
+            metadata = Metadata.empty)))
+        case a: ArrayType => a.copy(elementType = bare(a.elementType),
+          containsNull = true)
+        case m: MapType => m.copy(keyType = bare(m.keyType),
+          valueType = bare(m.valueType), valueContainsNull = true)
+        case other => other
+      }
+      val got = fileSchema.fields.map(f => f.name -> bare(f.dataType)).toMap
+      val want = declared.fields.filterNot(f => pathCols.contains(f.name))
+        .map(f => f.name -> bare(f.dataType)).toMap
+      require(got.keySet == want.keySet,
         s"$sourceDir's schema does not match $ref's current schema: " +
-        s"files have ${got.toSeq.sortBy(_._1).mkString(", ")}; table wants " +
-        s"${want.toSeq.sortBy(_._1).mkString(", ")}")
+        s"files have ${got.keySet.toSeq.sorted.mkString(", ")}; table wants " +
+        s"${want.keySet.toSeq.sorted.mkString(", ")}" +
+        (if (pathCols.nonEmpty) s" (plus path-partition ${pathCols.toSeq.sorted.mkString(", ")})"
+        else ""))
+      // TYPE gate with Iceberg's safe-promotion tolerance: a drop
+      // written BEFORE a widen-column (int32 under a `long` column,
+      // float under `double` — the natural vendor-feed sequence) reads
+      // exactly under the declared schema, the same up-cast projection
+      // the scan already applies to the table's own pre-widen files;
+      // anything else refuses loudly
+      import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+      val mismatched = want.toSeq.sortBy(_._1).filter { case (n, w) =>
+        val g = got(n)
+        !(g == w || (g == IntegerType && w == LongType) ||
+          (g == FloatType && w == DoubleType))
+      }
+      require(mismatched.isEmpty,
+        s"$sourceDir's column types do not match $ref's (and are not " +
+        s"safe promotions): ${mismatched.map { case (n, w) =>
+          s"$n is ${got(n).simpleString} in the files, ${w.simpleString} in the table"
+        }.mkString("; ")}")
+      if (src.isHive) Engine.requireTypedValues(declared, src, sourceDir)
       if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
-        // the id gate covers TOP-LEVEL fields (list<primitive> element
-        // children are part of the engine's flat surface — their outer
-        // field carries the id the gate checks); an id-stamped table
-        // with DEEPER nesting (struct members, map entries — foreign
-        // tables only) is refused outright: verifying nested member
-        // ids through wrapper groups is not implemented, and admitting
-        // unverified nested files would break the id read
-        val fields = t.metadata.currentSchema.fields
-        val top = fields.filter(f => !f.path.contains('.'))
-        require(fields.forall(f => !f.path.contains('.') ||
-            (f.name == "element" && top.exists(tf =>
-              tf.fieldType.startsWith("list<") &&
-                f.path == s"${tf.path}.element"))),
-          s"$ref is id-resolved with nested fields beyond list " +
-          "elements — nested footer-id verification of foreign files " +
-          "is not supported; append through the write path instead")
-        val wantIds = top.map(f => f.name -> f.id).toMap
-        // element/key/value children carry no footer ids to check —
-        // Spark stamps and matches only struct-level fields; below the
-        // outer field the parquet reader matches STRUCTURALLY, so the
-        // outer id + the canonical-schema uniformity gate above are the
-        // whole contract
-        parquets.map(_.toString).foreach { p =>
+        val top = schemaFields.filter(f => !f.path.contains('.'))
+        // footer-id gate on every column the FILES carry (path-partition
+        // columns live in the manifests, not the files — the id read
+        // nulls them per file and the scan fill restores the constant)
+        val wantIds = top.filterNot(f => pathCols.contains(f.name))
+          .map(f => f.name -> f.id).toMap
+        src.files.map(_.toString).foreach { p =>
           val ids = byFile.get(p).map(_.ids).getOrElse(Map.empty)
           val missing = wantIds.filter { case (n, id) => !ids.get(n).contains(Some(id)) }
           require(missing.isEmpty,
@@ -1214,16 +1469,48 @@ class Engine(val spark: SparkSession, warehouseDir: String,
               .mkString(", ")} in its footer — id-stamped tables refuse " +
             "id-less files; use `register` + `migrate-field-ids` for plain parquet")
         }
+        // NESTED members (struct fields at any depth — foreign-built
+        // tables): each must carry the schema's exact id at its dotted
+        // footer path. List elements / map entries are exempt — Spark
+        // stamps no ids there and the reader matches them structurally,
+        // which the canonical-schema uniformity gate above pins
+        val byPathField = schemaFields.map(f => f.path -> f).toMap
+        def structural(f: graft.meta.SchemaField): Boolean =
+          Set("element", "key", "value").contains(f.name) && {
+            val parent = f.path.stripSuffix(s".${f.name}")
+            byPathField.get(parent).exists(pf =>
+              pf.fieldType.startsWith("list<") || pf.fieldType.startsWith("map<"))
+          }
+        val nestedWant = schemaFields.filter(_.path.contains('.'))
+          .filterNot(structural).map(f => f.path -> f.id)
+        src.files.map(_.toString).foreach { p =>
+          val nids = byFile.get(p).map(_.nestedIds).getOrElse(Map.empty)
+          val missing = nestedWant.filter { case (pa, id) =>
+            !nids.get(pa).contains(Some(id)) }
+          require(missing.isEmpty,
+            s"$ref resolves NESTED members by parquet field id, but $p's " +
+            s"footer does not carry ${missing.sortBy(_._1).map { case (pa, id) =>
+              s"$pa=$id" }.mkString(", ")} — id-stamped tables refuse " +
+            "files whose nested ids are absent or divergent")
+        }
       }
-      seenV
+      val props =
+        if (!src.isHive) Map.empty[String, String]
+        else {
+          val existing = graft.meta.Transforms.pathPartitionCols(t.metadata)
+          val all = (existing ++ src.partitionKeys).distinct
+          if (all == existing) Map.empty[String, String]
+          else Map(graft.meta.Transforms.PathPartitionColsKey -> all.mkString(","))
+        }
+      (seenV, props)
     }
 
     // refusals BEFORE any filesystem residue: the common rejection
     // paths (spec / schema / id gates) leave nothing behind, and the
     // observed version pins the first commit attempt
-    var seenV = validate()
+    var (seenV, props) = validate()
     val dir = java.nio.file.Paths.get(tableDir(ref))
-    val rels = Engine.linkInto(dir, parquets)
+    val rels = Engine.linkInto(dir, src.files, src.partitionsByPath)
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
@@ -1241,12 +1528,15 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         try res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
           removePaths = Set.empty, operation = "append",
           extraSummary = Map("adopted-from" -> sourceDir),
-          expectedMetadataVersion = Some(seenV))
+          expectedMetadataVersion = Some(seenV),
+          extraProperties = props,
+          absentColumns = src.partitionKeys.toSet)
         catch {
           case e: graft.meta.CommitConflictException =>
             if (attempt >= 5) throw e
             attempt += 1; Thread.sleep(20L * attempt)
-            seenV = validate()
+            val revalidated = validate()
+            seenV = revalidated._1; props = revalidated._2
         }
       }
       res

@@ -262,18 +262,47 @@ object TableWriter {
 
   private def isList(f: SchemaField): Boolean = f.fieldType.startsWith("list<")
 
+  /** Top-level fields for a STATS pass over ALREADY-WRITTEN files — the
+    * relaxed twin of [[topLevelFields]]: foreign nested tables (adoption
+    * targets) keep their struct/map columns, which simply collect no
+    * stats (Iceberg allows absent metrics); the strict writable-surface
+    * check stays on the staged write path. */
+  private def statFields(md: TableMetadata): Seq[SchemaField] =
+    md.currentSchema.fields.filter(f => !f.path.contains('.'))
+
   /** The field id a column's STATS key by: the Iceberg spec keys
     * value/null counts and column sizes by the LEAF field, so a
     * `list<primitive>` column's metrics live under its ELEMENT field id
     * — an external Iceberg reader never looks them up under the list
     * wrapper's id. Primitive / binary columns are their own leaf. */
-  private def statIds(md: TableMetadata): Map[Int, Int] = {
+  private def statIds(md: TableMetadata, top: Seq[SchemaField]): Map[Int, Int] = {
     val all = md.currentSchema.fields
-    topLevelFields(md).map { f =>
+    top.map { f =>
       f.id -> (if (!isList(f)) f.id
         else all.find(_.path == s"${f.path}.element").map(_.id).getOrElse(f.id))
     }.toMap
   }
+
+  /** A hive path-partition value as the JVM value [[boundBytes]]
+    * encodes — None for the null sentinel. Throws on an unparseable
+    * value; the adoption gates ([[graft.api.Engine.adoptFiles]]) refuse
+    * those before any commit, so the callers here never see one. */
+  private[graft] def typedPartitionValue(iceType: String, raw: String): Option[Any] =
+    if (raw == Transforms.NullPartitionValue) None
+    else Some(iceType match {
+      case "long" => raw.toLong
+      case "int" => raw.toInt
+      case "double" => raw.toDouble
+      case "float" => raw.toFloat
+      case "string" => raw
+      case "boolean" =>
+        if (raw == "true" || raw == "false") raw == "true"
+        else throw new IllegalArgumentException(s"'$raw' is not a boolean")
+      case "date" => Date.valueOf(raw)
+      case "timestamp" => Timestamp.valueOf(raw.replace('T', ' '))
+      case other => throw new IllegalArgumentException(
+        s"path partition values are unsupported for $other columns")
+    })
 
   /** Per-file stat aggregation columns: `vc_` = non-null count for
     * primitive/binary columns; for list columns the ELEMENT totals —
@@ -416,7 +445,7 @@ object TableWriter {
     val tok = java.util.UUID.randomUUID().toString.take(8)
 
     val fields = topLevelFields(md)
-    val sid = statIds(md)
+    val sid = statIds(md, fields)
     val spec = md.currentSpec
     require(spec.fields.forall(sf => Transforms.isSupported(sf.transform)),
       s"write path supports identity/bucket[N]/truncate[W] partitioning only " +
@@ -598,7 +627,13 @@ object TableWriter {
       extraSummary: Map[String, String] = Map.empty,
       expectedCurrentSnapshotId: Option[Long] = None,
       expectNoCurrentSnapshot: Boolean = false,
-      expectedMetadataVersion: Option[Int] = None): CommitResult = {
+      expectedMetadataVersion: Option[Int] = None,
+      extraProperties: Map[String, String] = Map.empty,
+      // columns NOT present in the data files (hive-layout adoption:
+      // identity-partition sources whose values live in the paths) —
+      // their stats are synthesized exactly from the per-file partition
+      // maps instead of aggregated from rows
+      absentColumns: Set[String] = Set.empty): CommitResult = {
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
@@ -622,14 +657,15 @@ object TableWriter {
     }
     IcebergMeta.requireSnapshotPin(md,
       expectedCurrentSnapshotId, expectNoCurrentSnapshot)
-    val fields = topLevelFields(md)
+    val fields = statFields(md)
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
-    val newEntries = entriesForFiles(spark, dir, fields, statIds(md), snapId, files)
+    val newEntries = entriesForFiles(spark, dir, fields, statIds(md, fields),
+      snapId, files, absentColumns)
     publishSnapshot(spark, dir, tableDir, md, baseV, fields,
       md.currentSpec.specId, snapId, newEntries, operation,
       keepPredicate = e => !removePaths.contains(e.filePath),
       branch = None, equalityData = None, carryDeletes = false,
-      extraSummary = extraSummary)
+      extraSummary = extraSummary, extraProperties = extraProperties)
   }
 
   /** [[DataFileEntry]]s for final (already-placed) parquet files: one
@@ -641,7 +677,8 @@ object TableWriter {
       fields: Seq[SchemaField],
       sid: Map[Int, Int],
       snapId: Long,
-      files: Seq[(String, Map[String, String])]): Seq[DataFileEntry] = {
+      files: Seq[(String, Map[String, String])],
+      absentColumns: Set[String] = Set.empty): Seq[DataFileEntry] = {
     if (files.isEmpty) return Seq.empty
     // `input_file_name()` URIs decode to `///abs/path`; collapse leading
     // slashes so both sides key on the same canonical form
@@ -650,8 +687,23 @@ object TableWriter {
       files.map { case (rel, part) =>
         canon(dir.resolve(rel).toString) -> (rel, part)
       }.toMap
-    val statAggs = statAggsFor(fields)
-    val stats = spark.read.parquet(byAbs.keys.toSeq: _*)
+    // stats aggregate only over fields the FILES can serve: path-absent
+    // columns (hive adoption) are patched from partition maps below, and
+    // struct/map columns (foreign nested adoption targets) collect no
+    // stats — Iceberg allows absent metrics
+    val statFs = fields
+      .filterNot(f => absentColumns.contains(f.name))
+      .filter(f => graft.ops.ScanPlanner.sparkType(f.fieldType).nonEmpty)
+    // an explicit DECLARED read schema, not inference: a file adopted at
+    // a pre-widen width (int32 under a `long` column, float under
+    // `double`) must aggregate at the table's width — the same up-cast
+    // projection the scan path applies — so bound bytes encode at the
+    // declared type
+    val readSchema = org.apache.spark.sql.types.StructType(statFs.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        graft.ops.ScanPlanner.sparkType(f.fieldType).get, nullable = true)))
+    val statAggs = statAggsFor(statFs)
+    val stats = spark.read.schema(readSchema).parquet(byAbs.keys.toSeq: _*)
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("nrows"), statAggs: _*)
       .collect()
@@ -663,21 +715,32 @@ object TableWriter {
         s"stats pass surfaced unknown file $abs"))
       val nrows = row.getAs[Long]("nrows")
       val sizes = colBytes.getOrElse(abs, Map.empty)
-      val (vCounts, nvCounts) = countStats(fields, sid, row, nrows)
+      val (vCounts0, nvCounts0) = countStats(statFs, sid, row, nrows)
+      // path-absent columns: the value is constant per file (identity
+      // partitioning), known exactly from the partition map — synthesize
+      // tight lo=hi bounds so bounds pruning works on them too, not just
+      // the partition map; a null-sentinel partition is all-null
+      val absent: Seq[(SchemaField, Option[Any])] = fields
+        .filter(f => absentColumns.contains(f.name))
+        .flatMap(f => partition.get(f.name)
+          .map(v => f -> typedPartitionValue(f.fieldType, v)))
       DataFileEntry(
         status = 1, snapshotId = snapId, content = 0,
         filePath = relPath, fileFormat = "PARQUET", partition = partition,
         recordCount = nrows,
         fileSizeInBytes = Files.size(dir.resolve(relPath)),
         columnSizes = sizeStats(fields, sid, sizes),
-        valueCounts = vCounts,
-        nullValueCounts = nvCounts,
-        lowerBounds = fields.filter(f => statable(f.fieldType)).flatMap { f =>
+        valueCounts = vCounts0 ++ absent.map { case (f, _) => sid(f.id) -> nrows },
+        nullValueCounts = nvCounts0 ++ absent.map { case (f, v) =>
+          sid(f.id) -> (if (v.isEmpty) nrows else 0L) },
+        lowerBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
-        }.toMap,
-        upperBounds = fields.filter(f => statable(f.fieldType)).flatMap { f =>
+        }.toMap ++ absent.collect { case (f, Some(v)) =>
+          f.id -> boundBytes(f.fieldType, v) },
+        upperBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
-        }.toMap)
+        }.toMap ++ absent.collect { case (f, Some(v)) =>
+          f.id -> boundBytes(f.fieldType, v) })
     }
   }
 

@@ -31,6 +31,23 @@ object Transforms {
     * meets the sentinel (null is not representable as a typed key). */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Table property naming identity-partition SOURCE columns adopted
+    * from hive-layout paths (`register`/`add-files` on a `key=value/`
+    * directory): their values live in the manifests' partition maps,
+    * NOT in the adopted data files — scans fill them from metadata
+    * ([[graft.ops.ScanPlanner]]), constant per file by the
+    * identity-partition invariant. Engine-written files carry the
+    * column in-file (Iceberg keeps identity sources in the data), so
+    * the fill's `coalesce` leaves them untouched. */
+  val PathPartitionColsKey = "graft.adopted.path-partition-columns"
+
+  /** The declared path-partition columns, empty for tables that never
+    * adopted a hive-layout drop (the common case — scans then skip the
+    * fill entirely). */
+  def pathPartitionCols(md: TableMetadata): Seq[String] =
+    md.properties.get(PathPartitionColsKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
   /** `bucket[16](id)` / `truncate[4](name)` / bare `col` declaration. */

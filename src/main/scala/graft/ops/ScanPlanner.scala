@@ -56,7 +56,14 @@ object ScanPlanner {
 
   private[graft] def deleteBroadcastMaxBytes(spark: SparkSession): Long =
     spark.conf.getOption(DeleteBroadcastMaxBytesConf)
-      .map(_.toLong).getOrElse(DeleteBroadcastMaxBytesDefault)
+      .map { s =>
+        try s.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$DeleteBroadcastMaxBytesConf must be a plain byte count " +
+            s"(e.g. ${DeleteBroadcastMaxBytesDefault}), got '$s'")
+        }
+      }.getOrElse(DeleteBroadcastMaxBytesDefault)
 
   /** The conditional hint for a frame read from `files` delete entries:
     * broadcast while their metadata-known size total fits the ceiling. */
@@ -259,7 +266,86 @@ object ScanPlanner {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
-    reader.parquet(paths: _*)
+    fillPathPartitions(spark, t, reader.parquet(paths: _*), paths, schemaSnap, fileSnap)
+  }
+
+  /** Fill HIVE-ADOPTED identity-partition columns from the manifests'
+    * per-file constants: hive-layout `add_files` sources don't contain
+    * their partition columns — the values live in the adopted entries'
+    * partition maps ([[graft.meta.Transforms.PathPartitionColsKey]]).
+    * The identity invariant makes `coalesce(col, perFileConstant)`
+    * EXACT: every row of a file carries the file's partition value, so
+    * engine-written files (column present in-file) are untouched,
+    * adopted files (column absent → reads null) take the constant, and
+    * a null-sentinel partition stays null.
+    *
+    * Metadata-gated: tables that never adopted a hive drop carry no
+    * property and pay nothing. The per-file constant ships as a literal
+    * path→value map while the scan is metadata-small (same tier as the
+    * eq-delete sequence map); above the threshold it becomes ONE lookup
+    * relation joined on `_metadata.file_path` for ALL fill columns,
+    * broadcast to the same 2M-file ceiling. `migrate-field-ids`' full
+    * rewrite materializes the columns into the files, after which the
+    * coalesce never fires. */
+  private def fillPathPartitions(
+      spark: SparkSession,
+      t: IcebergTable,
+      df0: DataFrame,
+      paths: Seq[String],
+      schemaSnap: Option[Long],
+      fileSnap: Option[Long]): DataFrame = {
+    val declared = graft.meta.Transforms.pathPartitionCols(t.metadata)
+      .filter(df0.columns.contains)
+    if (declared.isEmpty) return df0
+    val ice = schemaAt(t, schemaSnap)
+    val requested = paths.toSet
+    val entries = t.files(fileSnap)
+      .filter(e => requested.contains(t.resolvePath(e.filePath)))
+    // (column, declared type, relPath → raw value) per fillable column;
+    // the partition map is keyed by spec-FIELD name — resolve through
+    // every identity spec field derived from the source
+    val fills: Seq[(String, org.apache.spark.sql.types.DataType, Map[String, String])] =
+      declared.flatMap { c =>
+        ice.fields.find(f => f.name == c && !f.path.contains('.')).flatMap { f =>
+          sparkType(f.fieldType).flatMap { dt =>
+            val pnames = t.metadata.partitionSpecs.flatMap(_.fields)
+              .filter(sf => sf.sourceId == f.id && sf.transform == "identity")
+              .map(_.name).distinct
+            val m = entries.flatMap { e =>
+              pnames.flatMap(e.partition.get).headOption
+                .filter(_ != graft.meta.Transforms.NullPartitionValue)
+                .map(e.filePath -> _)
+            }.toMap
+            if (m.isEmpty) None else Some((c, dt, m))
+          }
+        }
+      }
+    if (fills.isEmpty) return df0
+    val prefix = s"file:${t.tableDir}/"
+    val pathCol = expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
+    if (entries.size <= eqSeqLiteralMaxFiles(spark))
+      fills.foldLeft(df0) { case (acc, (c, dt, m)) =>
+        acc.withColumn(c, coalesce(col(c), element_at(typedLit(m), pathCol).cast(dt)))
+      }
+    else {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val lookupSchema = StructType(StructField("__pp_path", StringType) +:
+        fills.map { case (c, _, _) => StructField(s"__pp_$c", StringType) })
+      val rows = entries.map(e => org.apache.spark.sql.Row.fromSeq(
+        e.filePath +: fills.map { case (_, _, m) => m.get(e.filePath).orNull }))
+      val rel = spark.createDataFrame(rows.asJava, lookupSchema)
+      // same ceiling discipline as the eq-delete sequence map: the hint
+      // holds to ~2M live files, beyond that AQE picks the join
+      val hinted = if (entries.size <= 2000000) broadcast(rel) else rel
+      val joined = df0.withColumn("__pp_key", pathCol)
+        .join(hinted, col("__pp_key") === col("__pp_path"), "left")
+      val filled = fills.foldLeft(joined) { case (acc, (c, dt, _)) =>
+        acc.withColumn(c, coalesce(col(c), col(s"__pp_$c").cast(dt)))
+      }
+      filled.drop("__pp_key" +: "__pp_path" +:
+        fills.map { case (c, _, _) => s"__pp_$c" }: _*)
+    }
   }
 
   /** The read schema for `t`'s data files: the schema AT the requested

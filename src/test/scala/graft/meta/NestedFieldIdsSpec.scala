@@ -25,19 +25,21 @@ class NestedFieldIdsSpec extends SparkSpec {
   private def idMeta(id: Int): Metadata =
     new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
 
-  /** One parquet file with footer field ids at every level. */
-  private def writeNestedFile(dir: java.nio.file.Path, relPath: String): Long = {
+  /** One parquet file with footer field ids at every level. `bFooterId`
+    * lets the adoption test stamp a DIVERGENT nested id. */
+  private def writeNestedFile(dir: java.nio.file.Path, relPath: String,
+      rows: Seq[Row] = Seq(
+        Row(1L, Row(10L, "x"), Seq("t1", "t2")),
+        Row(2L, Row(20L, "y"), Seq.empty[String])),
+      bFooterId: Int = 4): Long = {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false, idMeta(1)),
       StructField("s", StructType(Seq(
         StructField("a", LongType, nullable = true, idMeta(3)),
-        StructField("b", StringType, nullable = true, idMeta(4)))),
+        StructField("b", StringType, nullable = true, idMeta(bFooterId)))),
         nullable = true, idMeta(2)),
       StructField("tags", ArrayType(StringType, containsNull = true),
         nullable = true, idMeta(5))))
-    val rows = Seq(
-      Row(1L, Row(10L, "x"), Seq("t1", "t2")),
-      Row(2L, Row(20L, "y"), Seq.empty[String]))
     val tmp = Files.createTempDirectory("graft-nested-stage")
     spark.createDataFrame(rows.asJava, schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -126,6 +128,80 @@ class NestedFieldIdsSpec extends SparkSpec {
     assert(got2 == Seq((1L, 10L, "x"), (2L, 20L, "y")),
       "the pre-rename file's nested member must read by field id, " +
         s"got $got2")
+  }
+
+  test("adoptFiles into a FOREIGN nested id-stamped table: nested footer " +
+      "ids verified per dotted path, rename-safe read-back; a drop with " +
+      "a divergent nested id is refused") {
+    val wh = Files.createTempDirectory("graft-nested-adopt-wh").toString
+    val tableDir = s"$wh/ext/adoptive"
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("data"))
+    Files.createDirectories(dir.resolve("metadata"))
+    val size = writeNestedFile(dir, "data/nested-000.parquet")
+
+    val snapId = 7200L
+    val entry = DataFileEntry(
+      status = 1, snapshotId = snapId, content = 0,
+      filePath = "data/nested-000.parquet", fileFormat = "PARQUET",
+      partition = Map.empty, recordCount = 2L, fileSizeInBytes = size,
+      columnSizes = Map.empty, valueCounts = Map.empty,
+      nullValueCounts = Map.empty, lowerBounds = Map.empty,
+      upperBounds = Map.empty, sequenceNumber = 1L)
+    val manifestPath = s"metadata/manifest-$snapId.avro"
+    AvroManifests.writeManifest(dir.resolve(manifestPath).toString, Seq(entry))
+    val manifest = ManifestFile(
+      manifestPath, Files.size(dir.resolve(manifestPath)), 0,
+      content = 0, snapId, 1, 0, 0, 2L, 0, 0)
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, Seq(manifest))
+    val md = TableMetadata(2,
+      java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString,
+      tableDir, 1700000000000L, 0,
+      Seq(IceSchema(0, schemaFields("b"))),
+      0, Seq(PartitionSpec(0, Seq.empty)),
+      Map(FieldIds.PropKey -> "true"),
+      Some(snapId),
+      Seq(Snapshot(snapId, None, 1700000000000L, "append",
+        Map("operation" -> "append"), listPath,
+        sequenceNumber = 1L, schemaId = Some(0))))
+    Files.writeString(dir.resolve("metadata/v1.metadata.json"),
+      IcebergMeta.render(md))
+
+    val e = new Engine(spark, wh)
+    // a drop whose footers carry the schema's EXACT nested ids adopts —
+    // round 16 refused any nested id-stamped table outright
+    val drop = Files.createTempDirectory("graft-nested-drop")
+    writeNestedFile(drop, "drop-000.parquet",
+      rows = Seq(Row(3L, Row(30L, "z"), Seq("t3"))))
+    val r = e.adoptFiles("ext.adoptive", drop.toString)
+    assert(r.addedRecords == 1L)
+
+    // a drop whose member b is stamped with a DIVERGENT id refuses,
+    // naming the dotted path (same member names, so only the nested id
+    // gate can catch it)
+    val bad = Files.createTempDirectory("graft-nested-bad")
+    writeNestedFile(bad, "bad-000.parquet",
+      rows = Seq(Row(9L, Row(90L, "w"), Seq.empty[String])), bFooterId = 9)
+    val ex = intercept[IllegalArgumentException](
+      e.adoptFiles("ext.adoptive", bad.toString))
+    assert(ex.getMessage.contains("NESTED") && ex.getMessage.contains("s.b"),
+      ex.getMessage)
+
+    // a FOREIGN nested rename (member b → bb, same id 4): the adopted
+    // file's member keeps serving by field id
+    val (mdNow, vNow) = IcebergMeta.loadVersioned(tableDir)
+    val md2 = mdNow.copy(currentSchemaId = 1,
+      schemas = mdNow.schemas :+ IceSchema(1, schemaFields("bb")))
+    IcebergMeta.publish(
+      dir.resolve(s"metadata/v${vNow + 1}.metadata.json"),
+      IcebergMeta.render(md2))
+    val got = new Engine(spark, wh).readTable("ext.adoptive")
+      .select(col("id"), col("s.a"), col("s.bb"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")),
+      s"adopted nested file must serve its renamed member by id, got $got")
+    assert(new Engine(spark, wh).readTable("ext.adoptive").count() == 3L)
   }
 
   test("map and struct-in-struct columns: the declared-schema rebuild " +

@@ -1,0 +1,288 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.api.Engine
+
+/** HIVE-LAYOUT partitioned adoption (`register`/`add-files` on a
+  * `key=value/` directory — the canonical `add_files` source): the path
+  * keys become typed identity-partition columns, each adopted entry
+  * carries its path's partition values (so partition pruning works from
+  * day one), and scans fill the in-file-absent columns from the
+  * manifests' per-file constants. */
+class RegisterHiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft-hive-src").toString,
+    Files.createTempDirectory("graft-hive-wh").toString)
+
+  private def rows(lo: Long, hi: Long) =
+    (lo to hi).map(i => (i, s"v$i", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+      (i % 4).toInt))
+      .toDF("id", "name", "p", "q")
+
+  test("register a hive directory: typed partition columns, exact " +
+      "read-back, hard-linked files, partition values in the entries") {
+    val (srcDir, wh) = freshDirs()
+    val df = rows(1L, 300L)
+    df.repartition(2).write.mode("overwrite")
+      .partitionBy("p", "q").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    val res = e.registerParquet("ns.hive", srcDir)
+    assert(res.addedRecords == 300L)
+
+    // declared schema: file columns first, then the typed path columns
+    val md = e.load("ns.hive").metadata
+    assert(md.currentSpec.fields.map(f => (f.name, f.transform)) ==
+      Seq(("p", "identity"), ("q", "identity")))
+    assert(md.currentSchema.fields.find(_.name == "q").get.fieldType == "int",
+      "partition discovery must type the path values")
+
+    // row-for-row equal to Spark's own partition-discovery read —
+    // INCLUDING the path columns, which the engine fills from metadata
+    val got = e.readTable("ns.hive").select("id", "name", "p", "q")
+      .as[(Long, String, String, Int)].collect().sorted.toSeq
+    val want = spark.read.parquet(srcDir).select("id", "name", "p", "q")
+      .as[(Long, String, String, Int)].collect().sorted.toSeq
+    assert(got == want)
+
+    // adoption moved no data bytes
+    val t = e.load("ns.hive")
+    t.files().foreach { f =>
+      val p = Paths.get(t.resolvePath(f.filePath))
+      val nlink = Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].intValue()
+      assert(nlink >= 2, s"$p should be a hard link into the source dir")
+    }
+    // every entry carries its path's partition values
+    assert(t.files().forall(f =>
+      Set("a", "b", "c").contains(f.partition("p")) &&
+        Set("0", "1", "2", "3").contains(f.partition("q"))))
+  }
+
+  test("partition-equals probe PRUNES (strictly fewer files) and equals " +
+      "the filtered full read; IN-probe too; bounds synthesized") {
+    val (srcDir, wh) = freshDirs()
+    rows(1L, 400L).repartition(2).write.mode("overwrite")
+      .partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.prune", srcDir)
+
+    val full = e.readTable("ns.prune")
+    val probe = e.readTableWhere("ns.prune", "id", None, None,
+      partitionEquals = Map("p" -> "a"))
+    assert(probe.inputFiles.length < full.inputFiles.length,
+      s"partition probe must open strictly fewer files " +
+      s"(${probe.inputFiles.length} vs ${full.inputFiles.length})")
+    val got = probe.select("id").as[Long].collect().sorted.toSeq
+    val want = full.filter(col("p") === "a").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+
+    val inProbe = e.readTableWhereIn("ns.prune", "p", Seq("b", "c"))
+    assert(inProbe.inputFiles.length < full.inputFiles.length)
+    assert(inProbe.count() == full.filter(col("p").isin("b", "c")).count())
+
+    // the synthesized lo=hi bounds let BOUNDS pruning work on the path
+    // column too (readTableWhere on a numeric path key)
+    val (src2, _) = freshDirs()
+    rows(1L, 200L).write.mode("overwrite").partitionBy("q").parquet(src2)
+    e.registerParquet("ns.prune2", src2)
+    val full2 = e.readTable("ns.prune2")
+    val bprobe = e.readTableWhere("ns.prune2", "q", Some(2.0), Some(2.0))
+    assert(bprobe.inputFiles.length < full2.inputFiles.length,
+      "synthesized per-file bounds must prune on the path column")
+    assert(bprobe.count() == full2.filter(col("q") === 2).count())
+  }
+
+  test("adoptFiles lands a second hive drop; flat-into-partitioned and " +
+      "hive-into-unpartitioned are refused; key mismatch refused") {
+    val (dirA, wh) = freshDirs()
+    rows(1L, 100L).write.mode("overwrite").partitionBy("p", "q").parquet(dirA)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.drops", dirA)
+
+    val dirB = Files.createTempDirectory("graft-hive-src").toString
+    rows(101L, 160L).write.mode("overwrite").partitionBy("p", "q").parquet(dirB)
+    val r = e.adoptFiles("ns.drops", dirB)
+    assert(r.addedRecords == 60L)
+    val got = e.readTable("ns.drops").select("id", "p")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == (1L to 160L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")))
+
+    // partition pruning spans BOTH drops
+    val probe = e.readTableWhere("ns.drops", "id", None, None,
+      partitionEquals = Map("p" -> "b"))
+    assert(probe.count() == (1L to 160L).count(_ % 3 == 1))
+
+    // a FLAT drop into the partitioned table is refused
+    val flat = Files.createTempDirectory("graft-hive-src").toString
+    rows(200L, 210L).select("id", "name").write.mode("overwrite").parquet(flat)
+    val ex1 = intercept[IllegalArgumentException](e.adoptFiles("ns.drops", flat))
+    assert(ex1.getMessage.contains("flat drop"))
+
+    // a hive drop whose keys mismatch the spec is refused
+    val wrongKeys = Files.createTempDirectory("graft-hive-src").toString
+    rows(200L, 210L).write.mode("overwrite").partitionBy("p").parquet(wrongKeys)
+    val ex2 = intercept[IllegalArgumentException](e.adoptFiles("ns.drops", wrongKeys))
+    assert(ex2.getMessage.contains("must match"))
+
+    // a hive drop into an UNPARTITIONED table is refused (values would
+    // silently vanish)
+    val flatTable = Files.createTempDirectory("graft-hive-src").toString
+    rows(1L, 10L).select("id", "name").write.mode("overwrite").parquet(flatTable)
+    e.registerParquet("ns.flat", flatTable)
+    val hiveDrop = Files.createTempDirectory("graft-hive-src").toString
+    rows(11L, 20L).select("id", "name", "p").write.mode("overwrite")
+      .partitionBy("p").parquet(hiveDrop)
+    val ex3 = intercept[IllegalArgumentException](e.adoptFiles("ns.flat", hiveDrop))
+    assert(ex3.getMessage.contains("identity partition spec") ||
+      ex3.getMessage.contains("must match"))
+  }
+
+  test("null partition values (__HIVE_DEFAULT_PARTITION__) round-trip " +
+      "as null; hive %-escapes decode") {
+    val (srcDir, wh) = freshDirs()
+    Seq((1L, Some("x")), (2L, None), (3L, Some("a b/c")))
+      .toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.nulls", srcDir)
+    val got = e.readTable("ns.nulls").select("id", "p")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("x")), (2L, None), (3L, Some("a b/c"))),
+      s"null sentinel must read back null and escapes must decode, got $got")
+  }
+
+  test("merge-on-read DELETE and upsert work on a hive-adopted table " +
+      "(fill + lineage + eq-delete interplay), including a predicate " +
+      "on the path column itself") {
+    val (srcDir, wh) = freshDirs()
+    rows(1L, 90L).write.mode("overwrite").partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.mor", srcDir)
+
+    // position delete keyed on the FILLED path column
+    e.deleteWhere("ns.mor", col("p") === "a")
+    assert(e.readTable("ns.mor").count() == (1L to 90L).count(_ % 3 != 0))
+    assert(e.readTable("ns.mor").filter(col("p") === "a").count() == 0L)
+
+    // upsert (equality delete + append) over the mixed table: engine
+    // files carry p in-file, adopted files fill from metadata — one read
+    val updates = rows(1L, 90L).filter(col("id") % 3 === 1)
+      .withColumn("name", lit("upd"))
+    e.upsert("ns.mor", updates, Seq("id"))
+    val got = e.readTable("ns.mor").select("id", "name", "p")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val want = (1L to 90L).filter(_ % 3 != 0).map(i =>
+      (i, if (i % 3 == 1) "upd" else s"v$i", if (i % 3 == 1) "b" else "c")).sorted
+    assert(got == want)
+  }
+
+  test("the fill's JOIN tier (forced via the literal-map conf) returns " +
+      "the same rows, with deletes applied through it") {
+    val (srcDir, wh) = freshDirs()
+    rows(1L, 120L).repartition(3).write.mode("overwrite")
+      .partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.jointier", srcDir)
+    e.deleteWhere("ns.jointier", col("id") % 10 === 0)
+    val literal = e.readTable("ns.jointier").select("id", "p")
+      .as[(Long, String)].collect().sorted.toSeq
+    val old = spark.conf.getOption("spark.graft.eqDeleteSeqLiteralMaxFiles")
+    try {
+      spark.conf.set("spark.graft.eqDeleteSeqLiteralMaxFiles", "0")
+      val joined = e.readTable("ns.jointier").select("id", "p")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(joined == literal,
+        "join-tier fill must equal the literal-map tier")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.eqDeleteSeqLiteralMaxFiles", v)
+      case None => spark.conf.unset("spark.graft.eqDeleteSeqLiteralMaxFiles")
+    }
+  }
+
+  test("migrate-field-ids on a hive-adopted table materializes the path " +
+      "columns into rewritten files; rename stays read-safe; advise " +
+      "loop closes (migrate + analyze recommended → run both → clean)") {
+    val (srcDir, wh) = freshDirs()
+    rows(1L, 60L).write.mode("overwrite").partitionBy("p").parquet(srcDir)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.migrate", srcDir)
+
+    def status(action: String): String = e.advise("ns.migrate")
+      .filter(col("action") === action).select("status").as[String].head()
+    assert(status("migrate-field-ids") == "RECOMMENDED")
+    assert(status("analyze") == "RECOMMENDED")
+
+    assert(e.migrateToFieldIds("ns.migrate").nonEmpty)
+    // the rewrite wrote the path column INTO the files (identity sources
+    // stay in-file on the engine's write path) — verify via a bare read
+    val t = e.load("ns.migrate")
+    val bare = spark.read.parquet(
+      t.files().map(f => t.resolvePath(f.filePath)): _*)
+    assert(bare.columns.contains("p"),
+      "post-migration files must carry the materialized path column")
+    e.renameColumn("ns.migrate", "p", "part")
+    val got = e.readTable("ns.migrate").select("id", "part")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")))
+
+    graft.ops.Stats.analyzeTable(spark, e.tableDir("ns.migrate"))
+    assert(status("migrate-field-ids") == "OK")
+    assert(status("analyze") == "OK")
+  }
+
+  test("ragged key layouts and untyped values are refused; a mid-link " +
+      "failure leaves no residue") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // ragged: one file under p=a, one at the root
+    Seq((1L, "x")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/p=a")
+    Seq((2L, "y")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/nokv")
+    // collapse the second into the root to make layouts ragged
+    val f = Files.list(Paths.get(s"$srcDir/nokv")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(f, Paths.get(s"$srcDir/root.parquet"))
+    val ex = intercept[IllegalArgumentException](
+      e.registerParquet("ns.ragged", srcDir))
+    assert(ex.getMessage.contains("partition-path layouts"))
+
+    // untyped value against a declared int column (add-files path)
+    val (tblSrc, _) = freshDirs()
+    rows(1L, 10L).write.mode("overwrite").partitionBy("q").parquet(tblSrc)
+    e.registerParquet("ns.typed", tblSrc)
+    val badDrop = Files.createTempDirectory("graft-hive-src").toString
+    rows(11L, 15L).select("id", "name", "p").write.mode("overwrite")
+      .parquet(s"$badDrop/q=notanint")
+    val ex2 = intercept[IllegalArgumentException](
+      e.adoptFiles("ns.typed", badDrop))
+    assert(ex2.getMessage.contains("does not parse as int"))
+
+    // mid-link failure: one source path vanishes between walk and link —
+    // linkInto unlinks everything it created
+    val dataDir = Paths.get(e.tableDir("ns.typed"), "data")
+    def dataListing(): Set[String] = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val before = dataListing()
+    val real = Files.list(Paths.get(tblSrc, "q=1")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    intercept[Exception](Engine.linkInto(Paths.get(e.tableDir("ns.typed")),
+      Seq(real, Paths.get("/nonexistent/gone.parquet"))))
+    assert(dataListing() == before,
+      "a mid-link failure must unlink every link already created")
+  }
+}

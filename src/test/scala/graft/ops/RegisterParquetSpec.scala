@@ -88,15 +88,20 @@ class RegisterParquetSpec extends SparkSpec {
     assert(got == (11L to 100L).map(i => (i, s"n$i")))
   }
 
-  test("hive-layout partition directories are refused with the reason") {
+  test("hive-layout partition directories adopt as a PARTITIONED table " +
+      "(round 17 — the canonical add_files shape); empty dirs refused") {
     val (srcDir, wh) = freshDirs()
     Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
       .write.mode("overwrite").partitionBy("p").parquet(srcDir)
     val e = new Engine(spark, wh)
-    val ex = intercept[IllegalArgumentException](
-      e.registerParquet("ns.hive", srcDir))
-    assert(ex.getMessage.contains("hive-layout"))
-    // empty / parquet-free directories are refused too
+    val r = e.registerParquet("ns.hive", srcDir)
+    assert(r.addedRecords == 2L)
+    assert(e.load("ns.hive").metadata.currentSpec.fields
+      .map(f => (f.name, f.transform)) == Seq(("p", "identity")))
+    val got = e.readTable("ns.hive").select("id", "v", "p")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", "x"), (2L, "b", "y")))
+    // empty / parquet-free directories are refused
     val empty = Files.createTempDirectory("graft-reg-empty").toString
     intercept[IllegalArgumentException](e.registerParquet("ns.empty", empty))
   }
@@ -239,6 +244,47 @@ class RegisterParquetSpec extends SparkSpec {
       Array.fill[Byte](64)(0x42))
     intercept[Exception](e.registerParquet("ns.corrupt", bad))
     intercept[Exception](e.load("ns.corrupt"))
+  }
+
+  test("type-promotion tolerance: a drop written at a pre-widen width " +
+      "(int32 under long, float under double) adopts and reads exact; " +
+      "a non-promotable mismatch still refuses loudly") {
+    val (srcOld, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // table born at the narrow widths, then widened — the natural
+    // vendor-feed sequence: widen the table, vendor still ships int32
+    val df0 = Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("k", "score", "v")
+    e.createTable("ns.widen", df0.schema)
+    e.append("ns.widen", df0)
+    e.widenColumn("ns.widen", "k", "long")
+    e.widenColumn("ns.widen", "score", "double")
+
+    // the drop carries the OLD widths — footer-id-stamped so the id
+    // gate passes (ids are about names, not widths)
+    val fields = e.load("ns.widen").metadata.currentSchema.fields
+    graft.meta.FieldIds.attributeColumns(
+        Seq((3, 3.5f, "c")).toDF("k", "score", "v"), fields)
+      .coalesce(1).write.mode("overwrite").parquet(srcOld)
+    val r = e.adoptFiles("ns.widen", srcOld)
+    assert(r.addedRecords == 1L)
+    val got = e.readTable("ns.widen").select("k", "score", "v")
+      .as[(Long, Double, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1.5, "a"), (2L, 2.5, "b"), (3L, 3.5, "c")),
+      s"pre-widen drop must read up-cast under the declared schema, got $got")
+    // the adopted file's stats aggregated at the DECLARED width: a
+    // range probe over the widened column prunes/serves correctly
+    assert(e.readTableWhere("ns.widen", "k", Some(3.0), Some(3.0))
+      .count() == 1L)
+
+    // a NON-promotable mismatch (string under the double column) still
+    // refuses loudly, naming both sides
+    val srcBad = Files.createTempDirectory("graft-reg-src").toString
+    graft.meta.FieldIds.attributeColumns(
+        Seq((5, "oops", "e")).toDF("k", "score", "v"), fields)
+      .write.mode("overwrite").parquet(srcBad)
+    val ex = intercept[IllegalArgumentException](e.adoptFiles("ns.widen", srcBad))
+    assert(ex.getMessage.contains("safe promotions"), ex.getMessage)
+    assert(e.readTable("ns.widen").count() == 3L, "refused drop must not land")
   }
 
   test("a '=' in a FILE name is not a hive partition — adopted fine") {
