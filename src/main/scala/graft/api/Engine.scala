@@ -123,7 +123,8 @@ object Engine {
     java.util.stream.IntStream.range(0, parquets.size).parallel().forEach { i =>
       if (failure.get() == null) try {
         val p = parquets(i)
-        val rel = f"data/adopted-$tok-$i%05d-${p.getFileName.toString}"
+        val rel =
+          f"${graft.meta.Transforms.AdoptedFilePrefix}$tok-$i%05d-${p.getFileName.toString}"
         val target = dir.resolve(rel)
         created.add(target)
         // cross-filesystem links throw IOException; filesystems WITHOUT

@@ -48,6 +48,20 @@ object Transforms {
     md.properties.get(PathPartitionColsKey).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
+  /** Relative-path prefix of files landed by in-place adoption
+    * ([[graft.api.Engine.linkInto]]) — the files that may LACK their
+    * identity-partition columns in-file. Rewrites (compaction,
+    * migrate-field-ids) emit ordinary `data/data-*` files with the
+    * columns materialized, so "any live `adopted-` file under a
+    * path-partition table" is exactly the needs-fill condition. */
+  val AdoptedFilePrefix = "data/adopted-"
+
+  /** Do any of `entries` need the metadata fill of path-partition
+    * columns? Pure metadata — no I/O. */
+  def needsPathFill(md: TableMetadata, entries: Seq[DataFileEntry]): Boolean =
+    pathPartitionCols(md).nonEmpty &&
+      entries.exists(_.filePath.startsWith(AdoptedFilePrefix))
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
   /** `bucket[16](id)` / `truncate[4](name)` / bare `col` declaration. */

@@ -74,10 +74,16 @@ object ChangeFeed {
       graft.meta.FieldIds.ensureReadEnabled(spark)
       graft.meta.FieldIds.attribute(tableSchema, t.metadata.currentSchema)
     }
-    def readFiles(paths: Seq[String], ids: Boolean): DataFrame =
-      spark.read.schema(
-        if (ids && graft.meta.FieldIds.tableHasIds(t.metadata)) attributedSchema
-        else tableSchema).parquet(paths: _*)
+    // hive-adopted files lack their identity-partition columns in-file;
+    // the per-slice read fills them from the entries' partition maps
+    // (no-op for every other table — see ScanPlanner.fillPathPartitionsEntries)
+    def readFiles(entries: Seq[graft.meta.DataFileEntry], ids: Boolean): DataFrame =
+      ScanPlanner.fillPathPartitionsEntries(spark, t,
+        spark.read.schema(
+          if (ids && graft.meta.FieldIds.tableHasIds(t.metadata)) attributedSchema
+          else tableSchema)
+          .parquet(entries.map(e => t.resolvePath(e.filePath)): _*),
+        entries, schemaSnap = None)
     def stamp(df: DataFrame, change: String, s: Snapshot): DataFrame =
       df.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
         .withColumn("_change_type", lit(change))
@@ -86,9 +92,9 @@ object ChangeFeed {
     // Long ranges walk each snapshot's manifests once, not twice: a
     // snapshot's file set is read as "current" for itself and again as
     // "parent" of its child — memoize both lookups across the chain.
-    val filesAt = collection.mutable.Map.empty[Long, Set[String]]
-    def pathsAt(id: Long): Set[String] =
-      filesAt.getOrElseUpdate(id, t.files(Some(id)).map(_.filePath).toSet)
+    val filesAt = collection.mutable.Map.empty[Long, Seq[graft.meta.DataFileEntry]]
+    def entriesAt(id: Long): Seq[graft.meta.DataFileEntry] =
+      filesAt.getOrElseUpdate(id, t.files(Some(id)))
     val delsAt = collection.mutable.Map.empty[Long, Seq[graft.meta.DataFileEntry]]
     def deletesAt(id: Long): Seq[graft.meta.DataFileEntry] =
       delsAt.getOrElseUpdate(id, t.deleteFiles(Some(id)))
@@ -97,10 +103,14 @@ object ChangeFeed {
       if (s.operation == "replace") Seq.empty // physical-only rewrite
       else {
         val parentId = s.parentSnapshotId
-        val curPaths = pathsAt(s.snapshotId)
-        val prevPaths = parentId.map(pathsAt).getOrElse(Set.empty[String])
-        val added = (curPaths -- prevPaths).toSeq.sorted.map(t.resolvePath)
-        val removed = (prevPaths -- curPaths).toSeq.sorted.map(t.resolvePath)
+        val curEntries = entriesAt(s.snapshotId)
+        val prevEntries = parentId.map(entriesAt).getOrElse(Seq.empty)
+        val curPaths = curEntries.map(_.filePath).toSet
+        val prevPaths = prevEntries.map(_.filePath).toSet
+        val added = curEntries.filterNot(e => prevPaths.contains(e.filePath))
+          .sortBy(_.filePath)
+        val removed = prevEntries.filterNot(e => curPaths.contains(e.filePath))
+          .sortBy(_.filePath)
         // files ADDED by this commit carry ids iff the commit is at/past
         // the migration boundary; REMOVED files belong to the parent state
         val addedIds = graft.meta.FieldIds.idsAtSeq(t.metadata, s.sequenceNumber)

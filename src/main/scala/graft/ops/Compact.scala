@@ -194,11 +194,15 @@ object Compact {
     // files, so regrouping per partition is a plain repartition.
     // Id-stamped tables read through the field-id schema — pre-rename
     // files keep old parquet names, and name inference would rewrite the
-    // renamed column as all-null
-    val df0 = ScanPlanner.readSchema(spark, t) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    // renamed column as all-null. Hive-ADOPTED files lack their
+    // identity-partition columns in-file — fill them from the entries'
+    // partition maps, or the rewrite would MATERIALIZE nulls (silent
+    // partition-value loss)
+    val df0 = ScanPlanner.fillPathPartitionsEntries(spark, t,
+      ScanPlanner.readSchema(spark, t) match {
+        case Some(st) => spark.read.schema(st).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }, candidates, schemaSnap = None)
     if (partCols.isEmpty) {
       val df = df0.coalesce(
         math.max(1, (candidates.map(_.fileSizeInBytes).sum / targetBytes).toInt))

@@ -294,13 +294,36 @@ object ScanPlanner {
       paths: Seq[String],
       schemaSnap: Option[Long],
       fileSnap: Option[Long]): DataFrame = {
+    if (graft.meta.Transforms.pathPartitionCols(t.metadata).isEmpty) return df0
+    val requested = paths.toSet
+    fillPathPartitionsEntries(spark, t, df0,
+      t.files(fileSnap).filter(e => requested.contains(t.resolvePath(e.filePath))),
+      schemaSnap)
+  }
+
+  /** Entries-based core of the fill, for callers that already hold the
+    * scanned files' [[graft.meta.DataFileEntry]]s (compaction's
+    * small-file read, the change feed's per-commit slices, the
+    * streaming source — every surface that reads table parquet outside
+    * [[readTable]]'s path list). No-op unless the table declares
+    * path-partition columns AND some entry is an un-rewritten adopted
+    * file. */
+  private[graft] def fillPathPartitionsEntries(
+      spark: SparkSession,
+      t: IcebergTable,
+      df0: DataFrame,
+      allEntries: Seq[graft.meta.DataFileEntry],
+      schemaSnap: Option[Long]): DataFrame = {
     val declared = graft.meta.Transforms.pathPartitionCols(t.metadata)
       .filter(df0.columns.contains)
     if (declared.isEmpty) return df0
     val ice = schemaAt(t, schemaSnap)
-    val requested = paths.toSet
-    val entries = t.files(fileSnap)
-      .filter(e => requested.contains(t.resolvePath(e.filePath)))
+    // only ADOPTED files can lack the column in-file — rewrites
+    // (compaction, the migrate-field-ids overwrite) materialize it, so
+    // restricting the maps here makes the fill a literal no-op (zero
+    // extra plan nodes) once a table's adopted generation is rewritten
+    val entries = allEntries
+      .filter(_.filePath.startsWith(graft.meta.Transforms.AdoptedFilePrefix))
     // (column, declared type, relPath → raw value) per fillable column;
     // the partition map is keyed by spec-FIELD name — resolve through
     // every identity spec field derived from the source

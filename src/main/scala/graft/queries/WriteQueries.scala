@@ -462,5 +462,51 @@ object WriteQueries {
          |SELECT o_orderstatus, count(*) AS n_rows,
          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)))
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // HIVE-LAYOUT ADOPTION (`register`/`add-files` on key=value
+    // directories — the canonical add_files shape a warehouse migration
+    // hits on day one): two partitioned drops adopt in place (path keys
+    // become identity-partition columns; values stamp into the entries'
+    // partition maps), then the read-back covers BOTH the full scan
+    // (in-file-absent partition columns filled from metadata) and a
+    // partition-equals PRUNED probe (strictly fewer files opened — the
+    // plan assertion lives in RegisterHiveSpec).
+    Q("q_register_hive",
+      (s, d) => {
+        val dropA = slice(s, d, 5)
+        val dropB = slice(s, d, 6)
+        val dirA = java.nio.file.Files.createTempDirectory("q_hive_a").toString
+        val dirB = java.nio.file.Files.createTempDirectory("q_hive_b").toString
+        dropA.repartition(3).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(dirA)
+        dropB.repartition(2).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(dirB)
+        val wh = java.nio.file.Files.createTempDirectory("q_hive_wh").toString
+        val e = new Engine(s, wh)
+        e.registerParquet("q.hive", dirA)
+        e.adoptFiles("q.hive", dirB)
+        val aggs = Seq(count(lit(1)).as("n_rows"),
+          sum(col("o_custkey")).as("sum_cust"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        val full = e.readTable("q.hive")
+          .groupBy("o_orderstatus").agg(aggs.head, aggs.tail: _*)
+        val probe = e.readTableWhere("q.hive", "o_orderkey", None, None,
+            partitionEquals = Map("o_orderstatus" -> "F"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("o_orderstatus", lit("PRUNE:F"))
+          .select("o_orderstatus", "n_rows", "sum_cust", "sum_price")
+        full.unionByName(probe).orderBy("o_orderstatus")
+      },
+      Some(s"""WITH src AS (${sliceSql.format(5)} UNION ALL ${sliceSql.format(6)})
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM src GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'PRUNE:F', count(*),
+         |  CAST(sum(o_custkey) AS BIGINT),
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |FROM src WHERE o_orderstatus = 'F'
+         |ORDER BY o_orderstatus""".stripMargin)))
 }

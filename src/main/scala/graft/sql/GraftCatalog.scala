@@ -433,7 +433,13 @@ class GraftScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
-    if (t.deleteFiles(snapshotId).nonEmpty)
+    if (t.deleteFiles(snapshotId).nonEmpty ||
+        // hive-adopted files lack their identity-partition columns
+        // in-file; the engine plan fills them from the manifests
+        // (ScanPlanner.fillPathPartitions). Pure metadata gate — the
+        // moment migrate-field-ids/compaction rewrites the adopted
+        // generation, the vectorized file scan below comes back
+        graft.meta.Transforms.needsPathFill(t.metadata, t.files(snapshotId)))
       // merge-on-read fallback — itself FILE-SCOPED: inside the wrapped
       // plan, delete-untouched files scan bare (vectorized parquet, no
       // anti-joins) and only delete-hit files pay the MoR machinery

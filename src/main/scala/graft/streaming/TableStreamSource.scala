@@ -147,9 +147,19 @@ final class TableStreamStream(
             // skips the entire snapshot too).
             Seq.empty
           } else {
-            val added = t.files(Some(sn.snapshotId))
+            val addedEntries = t.files(Some(sn.snapshotId))
               .filterNot(e => prev.contains(e.filePath))
-              .map(e => t.resolvePath(e.filePath))
+            // hive-ADOPTED files lack their identity-partition columns
+            // in-file, and this low-level parquet scan has no metadata
+            // fill — refuse loudly rather than stream nulls; the
+            // migrate-field-ids rewrite materializes the columns
+            if (graft.meta.Transforms.needsPathFill(t.metadata, addedEntries))
+              throw new UnsupportedOperationException(
+                s"snapshot ${sn.snapshotId} adds hive-adopted files whose " +
+                "partition columns live in table metadata, not the files — " +
+                "run migrate-field-ids (rewrites and materializes them) " +
+                "before streaming this range")
+            val added = addedEntries.map(e => t.resolvePath(e.filePath))
             if (added.isEmpty) Seq.empty
             else org.apache.spark.sql.GraftParquetBridge
               .scan(spark, added, schema, schema, Seq.empty)

@@ -241,6 +241,29 @@ class RegisterHiveSpec extends SparkSpec {
     assert(status("analyze") == "OK")
   }
 
+  test("the parallel link pass handles a 10k-file drop in seconds " +
+      "(the serial-driver-loop fix), names collision-free") {
+    val src = Files.createTempDirectory("graft-link-10k")
+    // linkInto never parses the files — tiny stand-ins keep the test
+    // about the LINK pass, not parquet writing
+    val paths = (0 until 10000).map { i =>
+      val p = src.resolve(f"f$i%05d.parquet")
+      Files.write(p, Array[Byte](0x50, 0x41, 0x52, 0x31))
+      p
+    }
+    val tableDir = Files.createTempDirectory("graft-link-10k-tbl")
+    val t0 = System.nanoTime()
+    val rels = Engine.linkInto(tableDir, paths)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"linked 10000 files in $secs%.2f s")
+    assert(rels.size == 10000)
+    assert(rels.map(_._1).distinct.size == 10000, "collision-free names")
+    assert(secs < 30.0, s"10k links took $secs s — the pass must stay parallel")
+    val s = Files.list(tableDir.resolve("data"))
+    try assert(s.iterator().asScala.size == 10000)
+    finally s.close()
+  }
+
   test("ragged key layouts and untyped values are refused; a mid-link " +
       "failure leaves no residue") {
     val (srcDir, wh) = freshDirs()

@@ -287,6 +287,37 @@ class RegisterParquetSpec extends SparkSpec {
     assert(e.readTable("ns.widen").count() == 3L, "refused drop must not land")
   }
 
+  test("legacy 2-level list encoding and standard 3-level encoding " +
+      "canonicalize to ONE schema (parquet-mr compat rule) — a drop " +
+      "mixing both registers and reads back whole") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    val std = Seq((1L, Seq(1.0, 2.0))).toDF("k", "xs")
+    val leg = Seq((2L, Seq(3.0))).toDF("k", "xs")
+    std.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/std")
+    val old = spark.conf.get("spark.sql.parquet.writeLegacyFormat", "false")
+    try {
+      spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+      leg.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/leg")
+    } finally spark.conf.set("spark.sql.parquet.writeLegacyFormat", old)
+    // collapse into one flat dir
+    val flat = Files.createTempDirectory("graft-reg-listenc").toString
+    var i = 0
+    Seq("std", "leg").foreach { sub =>
+      val s = Files.list(Paths.get(s"$srcDir/$sub"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p => Files.copy(p, Paths.get(f"$flat/f$i%02d.parquet")); i += 1 }
+      finally s.close()
+    }
+    val r = e.registerParquet("ns.listenc", flat)
+    assert(r.addedRecords == 2L,
+      "2-level vs 3-level list encodings must not read as schema drift")
+    val got = e.readTable("ns.listenc").select("k", "xs")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0))))
+  }
+
   test("a '=' in a FILE name is not a hive partition — adopted fine") {
     val (srcDir, wh) = freshDirs()
     Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)

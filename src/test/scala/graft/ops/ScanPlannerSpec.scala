@@ -297,4 +297,20 @@ class ScanPlannerSpec extends SparkSpec {
     try assert(feedRows() == feedDefault)
     finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
   }
+
+  test("a malformed deleteBroadcastMaxBytes conf fails naming the key " +
+      "and the expected format, not as a bare NumberFormatException") {
+    spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, "64MB")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        ScanPlanner.deleteBroadcastMaxBytes(spark))
+      assert(ex.getMessage.contains(ScanPlanner.DeleteBroadcastMaxBytesConf) &&
+        ex.getMessage.contains("byte count") && ex.getMessage.contains("64MB"),
+        ex.getMessage)
+    } finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
+    // a padded but valid value parses
+    spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, " 1024 ")
+    try assert(ScanPlanner.deleteBroadcastMaxBytes(spark) == 1024L)
+    finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
+  }
 }

@@ -152,6 +152,32 @@ class ProcedureSpec extends SparkSpec {
     assert(n == 40L)
   }
 
+  test("CALL register_table on a HIVE-LAYOUT directory: the partition " +
+      "column serves through plain SQL (metadata fill), WHERE prunes, " +
+      "and migrate_field_ids brings back the vectorized scan") {
+    val wh = warehouse
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-proc-hive").toString
+    (1L to 40L).map(i => (i, s"v$i", if (i % 2 == 0) "x" else "y"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(src)
+    spark.sql(s"CALL graftc.system.register_table('lake.hivet', '$src')")
+      .collect()
+    // the path column is ABSENT from the adopted files — SQL reads must
+    // fill it from the manifests, not return nulls
+    assert(spark.sql(
+      "SELECT count(*) FROM graftc.lake.hivet WHERE p = 'x'")
+      .as[Long].head() == 20L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftc.lake.hivet WHERE p IS NULL")
+      .as[Long].head() == 0L)
+    // migration materializes the column; SQL keeps answering the same
+    spark.sql("CALL graftc.system.migrate_field_ids('lake.hivet')").collect()
+    assert(spark.sql(
+      "SELECT count(*) FROM graftc.lake.hivet WHERE p = 'y'")
+      .as[Long].head() == 20L)
+  }
+
   test("unknown procedure fails with the known list") {
     val wh = warehouse
     val err = intercept[Exception] {
