@@ -657,6 +657,32 @@ class PlanAuditSpec extends SparkSpec {
       (0L until 10L).map(_ * 2), "renamed column must serve old data")
   }
 
+  test("hive-adopted table: the metadata fill is ONE projection over the " +
+      "scan — residual filters on in-file columns still push to parquet, " +
+      "and whole-stage codegen covers the filled plan") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("pa-hive-src").toString
+    val wh = java.nio.file.Files.createTempDirectory("pa-hive-wh").toString
+    (1L to 200L).map(i => (i, s"v$i", if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "name", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(src)
+    val e = new graft.api.Engine(spark, wh)
+    e.registerParquet("pa.hive", src)
+    val q = e.readTable("pa.hive").filter(col("id") < 50).select("id", "p")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,50)]"),
+      s"in-file column filters must still reach the parquet scan\n" +
+        plan.take(1500))
+    // the `*(n)` star prefix is executedPlan.toString's rendering of a
+    // whole-stage-codegen'd node — the fill Project must carry it
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.contains("coalesce") && l.contains("*(")),
+      s"the literal-map fill must stay codegen-friendly\n" + plan.take(1500))
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"the fill must not multiply scans\n" + plan.take(1500))
+    assert(q.count() == 49L)
+  }
+
   test("kmv sketch over many columns reads the table in ONE scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.ops.Stats.kmvSketch(docs,

@@ -46,7 +46,10 @@ class EvolutionFuzzSpec extends SparkSpec {
       steps: Int,
       migrateAt: Option[Int],
       specEvery: Option[Int],
-      withAdoption: Boolean = false): Unit = {
+      withAdoption: Boolean = false,
+      // toggle IDENTITY specs (first value column ↔ unpartitioned)
+      // instead of bucket[4](id) — the layout hive adoption targets
+      identitySpecs: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val wh = Files.createTempDirectory("graft-fuzz-wh").toString
     val e = new Engine(spark, wh)
@@ -69,6 +72,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       (Long, Seq[String], Seq[(Int, Boolean)], Map[Long, Map[Int, Option[Long]]])]
     var migrated = migrateAt.isEmpty
     var historyAtMigration = -1 // history size when the boundary landed
+    var hiveAdoptions = 0 // identitySpecs runs must actually exercise it
 
     def deepCopy: Map[Long, Map[Int, Option[Long]]] =
       model.map { case (k, v) => k -> v.toMap }.toMap
@@ -134,7 +138,9 @@ class EvolutionFuzzSpec extends SparkSpec {
       }
       if (specEvery.exists(step % _ == 0)) // layout flip for future writes
         e.setPartitionSpec(ref,
-          if ((step / specEvery.get) % 2 == 1) Seq("bucket[4](id)") else Seq.empty)
+          if ((step / specEvery.get) % 2 == 1)
+            (if (identitySpecs) Seq(cols.head.name) else Seq("bucket[4](id)"))
+          else Seq.empty)
       rnd.nextInt(if (withAdoption) 11 else 10) match {
         case 0 | 1 | 2 => // append fresh rows
           val ids = (0 until (3 + rnd.nextInt(8))).map(_ => { val i = nextId; nextId += 1; i })
@@ -177,10 +183,18 @@ class EvolutionFuzzSpec extends SparkSpec {
               e.widenColumn(ref, c.name, "long")
               c.isInt = false
             case None if cols.size > 1 && migrated =>
-              val i = rnd.nextInt(cols.size)
-              e.dropColumn(ref, cols(i).name)
-              val dropped = cols.remove(i)
-              model.values.foreach(_.remove(dropped.fieldId))
+              // a current partition SOURCE cannot drop (SchemaEvolution
+              // refuses) — pick among the rest
+              val specSrc = e.load(ref).metadata.currentSpec.fields
+                .map(_.sourceId).toSet
+              val candidates = cols.indices.filterNot(i =>
+                specSrc.contains(cols(i).fieldId))
+              if (candidates.nonEmpty) {
+                val i = candidates(rnd.nextInt(candidates.size))
+                e.dropColumn(ref, cols(i).name)
+                val dropped = cols.remove(i)
+                model.values.foreach(_.remove(dropped.fieldId))
+              }
             case _ => () // single long column / legacy phase: skip
           }
         case 9 => // compact (fold deletes when present)
@@ -188,12 +202,22 @@ class EvolutionFuzzSpec extends SparkSpec {
             .foreach(cr => record(cr.snapshotId))
         case 10 => // ADOPT a foreign drop in place (add-files): plain
           // parquet while the table is legacy, footer-id-attributed
-          // after the boundary (adoptFiles refuses id-less files then);
-          // a live partition spec also refuses adoption — fall back to
-          // the write path, exactly what the refusal message advises
+          // after the boundary (adoptFiles refuses id-less files then).
+          // An IDENTITY spec whose field names match their sources takes
+          // a HIVE-LAYOUT drop (round 17 — partition values in the
+          // paths); any other live spec (bucket, renamed sources)
+          // refuses adoption — fall back to the write path, exactly
+          // what the refusal message advises
           val ids = (0 until (2 + rnd.nextInt(4))).map(_ => { val i = nextId; nextId += 1; i })
           val drop = batchDf(ids, salt = step)
-          if (e.load(ref).metadata.currentSpec.fields.nonEmpty) {
+          val md = e.load(ref).metadata
+          val spec = md.currentSpec
+          val srcName: Map[Int, String] =
+            md.currentSchema.fields.map(f => f.id -> f.name).toMap
+          val hiveable = spec.fields.nonEmpty &&
+            spec.fields.forall(sf => sf.transform == "identity" &&
+              srcName.get(sf.sourceId).contains(sf.name))
+          if (spec.fields.nonEmpty && !hiveable) {
             val snap = e.append(ref, drop).snapshotId
             putModel(ids, salt = step)
             record(snap)
@@ -203,7 +227,11 @@ class EvolutionFuzzSpec extends SparkSpec {
               if (!migrated) drop
               else FieldIds.attributeColumns(drop,
                 e.load(ref).metadata.currentSchema.fields)
-            out.coalesce(1).write.mode("overwrite").parquet(dir)
+            if (hiveable) {
+              hiveAdoptions += 1
+              out.coalesce(1).write.mode("overwrite")
+                .partitionBy(spec.fields.map(_.name): _*).parquet(dir)
+            } else out.coalesce(1).write.mode("overwrite").parquet(dir)
             val snap = e.adoptFiles(ref, dir).snapshotId
             putModel(ids, salt = step)
             record(snap)
@@ -212,6 +240,10 @@ class EvolutionFuzzSpec extends SparkSpec {
       if (step % 8 == 0) checkCurrent(s"step $step")
     }
     checkCurrent("final")
+    if (identitySpecs && withAdoption)
+      assert(hiveAdoptions >= 2,
+        s"the seed must land hive-layout adoptions (got $hiveAdoptions) — " +
+        "re-seed rather than silently fuzzing nothing")
 
     // time travel: sampled historical snapshots read back the model AND
     // the schema of their moment. With a migration boundary, sample BOTH
@@ -260,5 +292,12 @@ class EvolutionFuzzSpec extends SparkSpec {
       "evolution, migration and spec flips, and still match the model") {
     runFuzz(seed = 20260818L, steps = 40, migrateAt = Some(12),
       specEvery = Some(8), withAdoption = true)
+  }
+
+  test("HIVE adoption in the mix: identity-spec flips make foreign drops " +
+      "land as key=value layouts (metadata-filled reads), interleaved " +
+      "with evolution, migration and time travel — and match the model") {
+    runFuzz(seed = 20260819L, steps = 40, migrateAt = Some(14),
+      specEvery = Some(5), withAdoption = true, identitySpecs = true)
   }
 }
