@@ -38,23 +38,12 @@ object Engine {
 
   /** Decode hive path escapes (`%xx`) in a `key=value` segment — hive's
     * `escapePathName` percent-encodes reserved characters; unlike URL
-    * forms, '+' is a literal plus. Malformed escapes stay literal. */
-  private[graft] def unescapeHive(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 &&
-          Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+    * forms, '+' is a literal plus. Delegates to the SAME decoder Spark's
+    * partition discovery uses, so [[adoptableSource]]'s values and the
+    * types `registerParquet` discovers can never disagree on a
+    * spelling. */
+  private[graft] def unescapeHive(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** Walk `sourceDir` into an [[AdoptSource]]. Hive-layout `key=value`
     * DIRECTORY components carry partition values (a '=' in a file's own
@@ -196,6 +185,25 @@ object Engine {
           case e: Exception => throw new IllegalArgumentException(
             s"$context: partition value $k=$v does not parse as $ice", e)
         }
+      }
+    }
+
+  /** The drop's path partition values in the engine's CANONICAL
+    * rendering (the form staged writes stamp — `cast(v as string)`), so
+    * "0123" under an int key stores as "123" and one logical partition
+    * keys one way across adopted and engine-written files. Call AFTER
+    * [[requireTypedValues]] has validated every value against `schema`. */
+  private[graft] def canonicalPartitions(
+      schema: org.apache.spark.sql.types.StructType,
+      src: AdoptSource): Map[String, Map[String, String]] =
+    if (!src.isHive) src.partitionsByPath
+    else {
+      val iceByKey = src.partitionKeys.map(k =>
+        k -> graft.meta.TableCreator.iceType(
+          schema.fields.find(_.name == k).get.dataType)).toMap
+      src.partitionsByPath.map { case (p, kv) =>
+        p -> kv.map { case (k, v) =>
+          k -> graft.meta.TableWriter.canonicalPartitionValue(iceByKey(k), v) }
       }
     }
 
@@ -1290,7 +1298,8 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         else Map.empty))
     val dir = java.nio.file.Paths.get(tableDir(ref))
     try {
-      val rels = Engine.linkInto(dir, src.files, src.partitionsByPath)
+      val rels = Engine.linkInto(dir, src.files,
+        Engine.canonicalPartitions(schema, src))
       graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
@@ -1511,7 +1520,14 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     // observed version pins the first commit attempt
     var (seenV, props) = validate()
     val dir = java.nio.file.Paths.get(tableDir(ref))
-    val rels = Engine.linkInto(dir, src.files, src.partitionsByPath)
+    // canonical value rendering needs the partition keys' declared
+    // types; a racer can only WIDEN them (int→long etc. — CAS-caught
+    // and re-validated anyway), which keeps the same rendering
+    val declaredNow = graft.ops.ScanPlanner.currentSparkSchema(load(ref))
+      .getOrElse(throw new IllegalStateException(
+        s"$ref's schema is outside the engine-readable surface"))
+    val rels = Engine.linkInto(dir, src.files,
+      Engine.canonicalPartitions(declaredNow, src))
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that

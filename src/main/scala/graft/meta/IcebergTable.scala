@@ -12,6 +12,19 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
   private def resolve(p: String): String =
     if (Paths.get(p).isAbsolute) p else s"$tableDir/$p"
 
+  // This instance is an immutable view of ONE metadata version, and the
+  // manifest files a version references never mutate (artifact names
+  // carry per-attempt tokens; only vN.metadata.json pointers move) — so
+  // entry listings memoize safely. One read-path call tree touches the
+  // same listing several times (the file-scoped MoR split, the delete
+  // census, the hive-adoption fill); without the memo each call re-parses
+  // every Avro manifest. Key: (content kind, snapshot).
+  private val entriesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Option[Long]), Seq[DataFileEntry]]()
+  private def memo(kind: Int, snapshotId: Option[Long])(
+      body: => Seq[DataFileEntry]): Seq[DataFileEntry] =
+    entriesMemo.computeIfAbsent((kind, snapshotId), _ => body)
+
   /** Resolve a metadata-relative path against the table root (public for
     * consumers that read manifests off the driver, e.g. the distributed
     * scan in [[graft.rel.MetaRelations.files]]). */
@@ -34,20 +47,24 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
     * and are deliberately NOT listed here — they are not data; see
     * [[deleteFiles]]. */
   def files(snapshotId: Option[Long] = None): Seq[DataFileEntry] =
-    manifests(snapshotId)
-      .filter(_.content == 0)
-      .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
-      .filter(_.status != 2)
+    memo(0, snapshotId) {
+      manifests(snapshotId)
+        .filter(_.content == 0)
+        .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
+        .filter(_.status != 2)
+    }
 
   /** Live v2 delete-file entries (position/equality deletes) of a
     * snapshot: entries of delete manifests (content 1). A non-empty
     * result means scans must apply delete filtering and compaction is
     * recommended (ref `formatters.py:452-462` counts them in the census). */
   def deleteFiles(snapshotId: Option[Long] = None): Seq[DataFileEntry] =
-    manifests(snapshotId)
-      .filter(_.content == 1)
-      .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
-      .filter(_.status != 2)
+    memo(1, snapshotId) {
+      manifests(snapshotId)
+        .filter(_.content == 1)
+        .flatMap(m => AvroManifests.readManifest(resolve(m.manifestPath)))
+        .filter(_.status != 2)
+    }
 
   /** All manifest entries (incl. deletes) of one manifest file — the lazy
     * TUI tree path (ref `formatters.py:1266-1279`). */

@@ -283,6 +283,12 @@ object TableWriter {
     }.toMap
   }
 
+  /** Plain decimal spellings only: Java's Float/Double parsing also
+    * accepts type suffixes ("1.5f") and hex floats, which SQL `cast`
+    * (the scan fill's parser) turns into NULL — the gate must admit
+    * only values the read path can reproduce. */
+  private val DecimalRe = """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
+
   /** A hive path-partition value as the JVM value [[boundBytes]]
     * encodes — None for the null sentinel. Throws on an unparseable
     * value; the adoption gates ([[graft.api.Engine.adoptFiles]]) refuse
@@ -292,8 +298,14 @@ object TableWriter {
     else Some(iceType match {
       case "long" => raw.toLong
       case "int" => raw.toInt
-      case "double" => raw.toDouble
-      case "float" => raw.toFloat
+      case "double" =>
+        if (!DecimalRe.matches(raw)) throw new IllegalArgumentException(
+          s"'$raw' is not a plain decimal")
+        raw.toDouble
+      case "float" =>
+        if (!DecimalRe.matches(raw)) throw new IllegalArgumentException(
+          s"'$raw' is not a plain decimal")
+        raw.toFloat
       case "string" => raw
       case "boolean" =>
         if (raw == "true" || raw == "false") raw == "true"
@@ -303,6 +315,24 @@ object TableWriter {
       case other => throw new IllegalArgumentException(
         s"path partition values are unsupported for $other columns")
     })
+
+  /** The CANONICAL string rendering of a hive path-partition value — the
+    * exact form the engine's own staged writes stamp into partition maps
+    * (`cast(value as string)` of the staging column), so a value that
+    * arrives as "0123" under an int column stores as "123" and
+    * partition-equals pruning, compaction's per-value grouping and the
+    * partition analytics all key ONE logical partition one way.
+    * Timestamps render Spark-cast style (no trailing fractional
+    * zeros). */
+  private[graft] def canonicalPartitionValue(iceType: String, raw: String): String =
+    typedPartitionValue(iceType, raw) match {
+      case None => Transforms.NullPartitionValue
+      case Some(ts: Timestamp) =>
+        // java.sql.Timestamp.toString always carries a fraction (".0");
+        // Spark's cast-to-string drops trailing fractional zeros
+        ts.toString.replaceAll("\\.?0+$", "")
+      case Some(v) => v.toString
+    }
 
   /** Per-file stat aggregation columns: `vc_` = non-null count for
     * primitive/binary columns; for list columns the ELEMENT totals —

@@ -57,8 +57,9 @@ object Transforms {
   val AdoptedFilePrefix = "data/adopted-"
 
   /** Do any of `entries` need the metadata fill of path-partition
-    * columns? Pure metadata — no I/O. */
-  def needsPathFill(md: TableMetadata, entries: Seq[DataFileEntry]): Boolean =
+    * columns? `entries` is by-name: tables without the property (the
+    * common case) never evaluate it — no manifest read. */
+  def needsPathFill(md: TableMetadata, entries: => Seq[DataFileEntry]): Boolean =
     pathPartitionCols(md).nonEmpty &&
       entries.exists(_.filePath.startsWith(AdoptedFilePrefix))
 
@@ -118,7 +119,13 @@ object Transforms {
     * literal (unknown type — pruning then skips, conservatively). */
   def literal(transform: String, raw: String, iceType: String): Option[String] =
     try transform match {
-      case "identity" => Some(raw)
+      // canonicalize identity probes: stored partition values are the
+      // engine's cast-to-string renderings ("123", "2020-01-05"), so a
+      // probe spelled "0123" / "2020-1-5" must compare in the same form
+      // or pruning would drop files the row-level residual matches. An
+      // unparseable/unsupported value returns None (skip pruning —
+      // conservative; the residual filter still applies exactly).
+      case "identity" => Some(TableWriter.canonicalPartitionValue(iceType, raw))
       case BucketRe(n) =>
         val b = iceType match {
           case "int" | "long" => IcebergTransformOps.bucketLong(raw.toLong, n.toInt)

@@ -241,6 +241,45 @@ class RegisterHiveSpec extends SparkSpec {
     assert(status("analyze") == "OK")
   }
 
+  test("non-canonical path values store CANONICALLY: a q=0123 drop keys " +
+      "the same partition as engine-written q=123 rows, probes in either " +
+      "spelling match, and a suffixed float spelling is refused") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // hand-build a hive layout with a non-canonical int spelling
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/q=0123")
+    e.registerParquet("ns.canon", srcDir)
+    val t = e.load("ns.canon")
+    assert(t.files().forall(_.partition("q") == "123"),
+      s"stored value must be canonical: ${t.files().map(_.partition)}")
+
+    // engine-written rows of the SAME logical partition key identically
+    e.append("ns.canon", Seq((2L, "b", 123)).toDF("id", "name", "q"))
+    val parts = e.load("ns.canon").files().map(_.partition("q")).distinct
+    assert(parts == Seq("123"),
+      s"adopted and engine-written files must share one partition key: $parts")
+
+    // probes match in BOTH spellings (identity literals canonicalize)
+    Seq("123", "0123").foreach { probe =>
+      val got = e.readTableWhere("ns.canon", "id", None, None,
+        partitionEquals = Map("q" -> probe))
+      assert(got.count() == 2L, s"probe '$probe' must match both rows")
+    }
+
+    // a float spelling SQL cast cannot reproduce is refused up front
+    val (src2, _) = freshDirs()
+    Seq((1L, "x")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src2/price=1.5f")
+    val df = Seq((1L, "x", 1.5f)).toDF("id", "name", "price")
+    e.createTable("ns.badfloat", df.schema, partitionDecls = Seq("price"))
+    e.setProperties("ns.badfloat", Map.empty,
+      unset = Set(graft.meta.FieldIds.PropKey))
+    val ex = intercept[IllegalArgumentException](
+      e.adoptFiles("ns.badfloat", src2))
+    assert(ex.getMessage.contains("does not parse as float"), ex.getMessage)
+  }
+
   test("the parallel link pass handles a 10k-file drop in seconds " +
       "(the serial-driver-loop fix), names collision-free") {
     val src = Files.createTempDirectory("graft-link-10k")
