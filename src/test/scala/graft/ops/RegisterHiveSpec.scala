@@ -241,6 +241,54 @@ class RegisterHiveSpec extends SparkSpec {
     assert(status("analyze") == "OK")
   }
 
+  test("date-typed hive keys: discovery types them, non-canonical " +
+      "spellings canonicalize, probes prune, and the partition " +
+      "analytics see adopted partitions like native ones") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // canonical spellings: Spark's partition discovery types these DATE
+    // (a non-canonical spelling like 2024-1-6 demotes the whole column
+    // to string — then values key as raw strings, consistently)
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/day=2024-01-05")
+    Seq((2L, "b")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/day=2024-01-06")
+    e.registerParquet("ns.dates", srcDir)
+    val md = e.load("ns.dates").metadata
+    assert(md.currentSchema.fields.find(_.name == "day").get.fieldType == "date",
+      "partition discovery must type date spellings as DATE")
+    assert(e.load("ns.dates").files().map(_.partition("day")).sorted.toSeq ==
+      Seq("2024-01-05", "2024-01-06"), "dates must store canonically")
+
+    // typed read-back through the fill + a pruned probe
+    val got = e.readTable("ns.dates").select("id", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString)).sorted.toSeq
+    assert(got == Seq((1L, "2024-01-05"), (2L, "2024-01-06")))
+    val probe = e.readTableWhere("ns.dates", "id", None, None,
+      partitionEquals = Map("day" -> "2024-1-5")) // non-canonical probe
+    assert(probe.count() == 1L)
+    assert(probe.inputFiles.length == 1)
+
+    // CLI register rides the same path for hive layouts
+    val (src2, wh2) = freshDirs()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.mode("overwrite").partitionBy("v").parquet(src2)
+    assert(graft.tools.Cli.run(Array(wh2, "register", "cli.hive", src2)) == 0)
+    val e2 = new Engine(spark, wh2)
+    assert(e2.readTable("cli.hive").filter(col("v") === "x").count() == 1L)
+
+    // partition analytics: the partitions relation shows the adopted
+    // values with per-partition file/row counts (the reference's
+    // partition panel presumes these exist — formatters.py:307-320)
+    val parts = e.partitions("ns.dates")
+      .select("partition", "file_count", "record_count").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("file_count"),
+        r.getAs[Long]("record_count"))).sortBy(_._1).toSeq
+    assert(parts.size == 2 && parts.forall { case (_, f, n) => f == 1L && n == 1L } &&
+      parts.head._1.contains("2024-01-05") && parts(1)._1.contains("2024-01-06"),
+      s"partition analytics must see adopted partitions: $parts")
+  }
+
   test("non-canonical path values store CANONICALLY: a q=0123 drop keys " +
       "the same partition as engine-written q=123 rows, probes in either " +
       "spelling match, and a suffixed float spelling is refused") {
