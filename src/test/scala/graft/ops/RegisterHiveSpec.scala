@@ -186,6 +186,37 @@ class RegisterHiveSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("compaction of a hive-adopted table MATERIALIZES the path columns " +
+      "into rewritten files (never nulls), keys the rewrite per partition " +
+      "value, and hands the SQL surface back its vectorized scan") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    // many tiny files per partition → compaction candidates everywhere
+    rows(1L, 120L).repartition(6).write.mode("overwrite")
+      .partitionBy("p").parquet(srcDir)
+    e.registerParquet("ns.compact", srcDir)
+    val before = e.readTable("ns.compact").select("id", "name", "p")
+      .as[(Long, String, String)].collect().sorted.toSeq
+
+    val r = e.rewriteSmallFiles("ns.compact", smallBytes = 1L << 30)
+    assert(r.nonEmpty, "tiny adopted files must be compaction candidates")
+    val t = e.load("ns.compact")
+    // the rewrite regrouped per partition value: one file per p, with
+    // REAL partition values in the entries, not sentinels
+    assert(t.files().map(_.partition("p")).sorted.toSeq == Seq("a", "b", "c"))
+    // the path column is now IN the files — a raw (fill-less) read
+    // proves no nulls were materialized (the silent-loss hazard)
+    val bare = spark.read.parquet(
+      t.files().map(f => t.resolvePath(f.filePath)): _*)
+    assert(bare.filter(col("p").isNull).count() == 0L,
+      "compaction must write real partition values, not nulls")
+    assert(e.readTable("ns.compact").select("id", "name", "p")
+      .as[(Long, String, String)].collect().sorted.toSeq == before)
+    // no adopted-prefix files remain → the fill is structurally off
+    assert(!graft.meta.Transforms.needsPathFill(t.metadata, t.files()),
+      "a fully-rewritten table must not need the metadata fill")
+  }
+
   test("the fill's JOIN tier (forced via the literal-map conf) returns " +
       "the same rows, with deletes applied through it") {
     val (srcDir, wh) = freshDirs()
