@@ -1376,8 +1376,11 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       * setPartitionSpec — which invalidate the gates without moving the
       * snapshot pointer; every commit bumps the version), plus the
       * property delta this drop needs (the path-partition column
-      * declaration for hive drops). */
-    def validate(): (Int, Map[String, String]) = {
+      * declaration for hive drops) and the DECLARED schema it validated
+      * against (the canonical-value renderer's type source — returning
+      * it avoids a second metadata load, and keeps the canonicalization
+      * pinned to the same observed state as the gates). */
+    def validate(): (Int, Map[String, String], org.apache.spark.sql.types.StructType) = {
       // version FIRST, table state second: a racer landing in between
       // leaves the pin older than the inspected state, so the commit
       // conflicts conservatively (never the reverse — gates on stale
@@ -1512,22 +1515,22 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           if (all == existing) Map.empty[String, String]
           else Map(graft.meta.Transforms.PathPartitionColsKey -> all.mkString(","))
         }
-      (seenV, props)
+      (seenV, props, declared)
     }
 
     // refusals BEFORE any filesystem residue: the common rejection
     // paths (spec / schema / id gates) leave nothing behind, and the
     // observed version pins the first commit attempt
-    var (seenV, props) = validate()
+    val firstPass = validate()
+    var seenV = firstPass._1
+    var props = firstPass._2
+    val declared0 = firstPass._3
     val dir = java.nio.file.Paths.get(tableDir(ref))
-    // canonical value rendering needs the partition keys' declared
-    // types; a racer can only WIDEN them (int→long etc. — CAS-caught
-    // and re-validated anyway), which keeps the same rendering
-    val declaredNow = graft.ops.ScanPlanner.currentSparkSchema(load(ref))
-      .getOrElse(throw new IllegalStateException(
-        s"$ref's schema is outside the engine-readable surface"))
+    // canonical value rendering uses the SAME declared schema the gates
+    // validated (a racer can only widen key types — CAS-caught and
+    // re-validated — and widening keeps the same rendering)
     val rels = Engine.linkInto(dir, src.files,
-      Engine.canonicalPartitions(declaredNow, src))
+      Engine.canonicalPartitions(declared0, src))
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
@@ -1552,6 +1555,9 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           case e: graft.meta.CommitConflictException =>
             if (attempt >= 5) throw e
             attempt += 1; Thread.sleep(20L * attempt)
+            // rels stay as linked: a racer can only widen the key types
+            // (anything else refuses in validate), and widening keeps
+            // the canonical rendering byte-identical
             val revalidated = validate()
             seenV = revalidated._1; props = revalidated._2
         }

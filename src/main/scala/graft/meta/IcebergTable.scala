@@ -23,7 +23,11 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
     new java.util.concurrent.ConcurrentHashMap[(Int, Option[Long]), Seq[DataFileEntry]]()
   private def memo(kind: Int, snapshotId: Option[Long])(
       body: => Seq[DataFileEntry]): Seq[DataFileEntry] =
-    entriesMemo.computeIfAbsent((kind, snapshotId), _ => body)
+    // None and Some(current) are the SAME listing — normalize the key so
+    // call trees mixing the spellings (the SQL catalog passes explicit
+    // ids, readTable passes None) share one parse
+    entriesMemo.computeIfAbsent(
+      (kind, snapshotId.orElse(metadata.currentSnapshotId)), _ => body)
 
   /** Resolve a metadata-relative path against the table root (public for
     * consumers that read manifests off the driver, e.g. the distributed

@@ -283,11 +283,29 @@ object TableWriter {
     }.toMap
   }
 
-  /** Plain decimal spellings only: Java's Float/Double parsing also
-    * accepts type suffixes ("1.5f") and hex floats, which SQL `cast`
-    * (the scan fill's parser) turns into NULL — the gate must admit
-    * only values the read path can reproduce. */
+  /** Plain decimal spellings (plus the IEEE specials the engine's own
+    * writes can stamp — NaN / ±Infinity): Java's Float/Double parsing
+    * also accepts type suffixes ("1.5f") and hex floats; those are
+    * almost certainly path junk, and a loud refusal beats silently
+    * reinterpreting them. */
   private val DecimalRe = """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
+  private val FloatSpecials = Set("NaN", "Infinity", "-Infinity", "+Infinity")
+
+  /** Lenient DIGIT COUNTS (hive writes `2024-1-5` style paths; Spark's
+    * cast parses them) but STRICT calendar resolution — `Date.valueOf`
+    * would silently normalize 2024-02-30 into 2024-03-01, inventing a
+    * date that never appeared in the source path. */
+  private val StrictDate = java.time.format.DateTimeFormatter
+    .ofPattern("u-M-d")
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
+  /** Types whose hive path values the engine can parse, canonicalize
+    * and bound-encode. */
+  private[graft] def canonicalizableType(iceType: String): Boolean = iceType match {
+    case "long" | "int" | "double" | "float" | "string" | "boolean" |
+         "date" | "timestamp" => true
+    case _ => false
+  }
 
   /** A hive path-partition value as the JVM value [[boundBytes]]
     * encodes — None for the null sentinel. Throws on an unparseable
@@ -299,19 +317,25 @@ object TableWriter {
       case "long" => raw.toLong
       case "int" => raw.toInt
       case "double" =>
-        if (!DecimalRe.matches(raw)) throw new IllegalArgumentException(
-          s"'$raw' is not a plain decimal")
+        if (!DecimalRe.matches(raw) && !FloatSpecials.contains(raw))
+          throw new IllegalArgumentException(s"'$raw' is not a plain decimal")
         raw.toDouble
       case "float" =>
-        if (!DecimalRe.matches(raw)) throw new IllegalArgumentException(
-          s"'$raw' is not a plain decimal")
+        if (!DecimalRe.matches(raw) && !FloatSpecials.contains(raw))
+          throw new IllegalArgumentException(s"'$raw' is not a plain decimal")
         raw.toFloat
       case "string" => raw
       case "boolean" =>
         if (raw == "true" || raw == "false") raw == "true"
         else throw new IllegalArgumentException(s"'$raw' is not a boolean")
-      case "date" => Date.valueOf(raw)
-      case "timestamp" => Timestamp.valueOf(raw.replace('T', ' '))
+      case "date" => Date.valueOf(java.time.LocalDate.parse(raw, StrictDate))
+      case "timestamp" =>
+        val ts = Timestamp.valueOf(raw.replace('T', ' '))
+        // Iceberg timestamps are MICROS, and the scan fill's cast
+        // truncates there — a sub-microsecond path value must not store
+        // a "canonical" spelling the read path cannot reproduce
+        ts.setNanos(ts.getNanos / 1000 * 1000)
+        ts
       case other => throw new IllegalArgumentException(
         s"path partition values are unsupported for $other columns")
     })

@@ -122,10 +122,15 @@ object Transforms {
       // canonicalize identity probes: stored partition values are the
       // engine's cast-to-string renderings ("123", "2020-01-05"), so a
       // probe spelled "0123" / "2020-1-5" must compare in the same form
-      // or pruning would drop files the row-level residual matches. An
-      // unparseable/unsupported value returns None (skip pruning —
-      // conservative; the residual filter still applies exactly).
-      case "identity" => Some(TableWriter.canonicalPartitionValue(iceType, raw))
+      // or pruning would drop files the row-level residual matches.
+      // Types outside the canonicalizable set (binary, foreign types)
+      // keep the historical raw-string comparison; an unparseable value
+      // returns None (skip pruning — conservative; the residual filter
+      // still applies exactly).
+      case "identity" =>
+        if (TableWriter.canonicalizableType(iceType))
+          Some(TableWriter.canonicalPartitionValue(iceType, raw))
+        else Some(raw)
       case BucketRe(n) =>
         val b = iceType match {
           case "int" | "long" => IcebergTransformOps.bucketLong(raw.toLong, n.toInt)
@@ -147,5 +152,19 @@ object Transforms {
         case _ => None
       }
       case _ => None
-    } catch { case _: NumberFormatException | _: IllegalArgumentException => None }
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException |
+           _: java.time.DateTimeException => None
+    }
+
+  /** Every stored-string form a partition value matching `raw` may
+    * carry: the canonical rendering (what this engine stamps — staged
+    * writes and adopted drops alike) PLUS, for identity, the raw
+    * spelling itself (a FOREIGN-written manifest may store
+    * non-canonical strings; pruning must not drop its files). None =
+    * cannot prune on this (transform, value) — conservative. */
+  def literalForms(transform: String, raw: String, iceType: String): Option[Seq[String]] =
+    literal(transform, raw, iceType).map { canon =>
+      if (transform == "identity") Seq(canon, raw).distinct else Seq(canon)
+    }
 }

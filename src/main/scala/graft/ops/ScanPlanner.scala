@@ -109,8 +109,11 @@ object ScanPlanner {
         .filter(_.sourceId == src.id)
       specFields.groupBy(_.name).toSeq.sortBy(_._1).flatMap { case (pname, sfs) =>
         sfs.map(_.transform).distinct match {
-          case Seq(tr) => graft.meta.Transforms.literal(tr, v, src.fieldType)
-            .map(pv => col("partition")(pname).isNull || col("partition")(pname) === pv)
+          // every stored form a match may carry (canonical + the raw
+          // spelling — foreign manifests may store non-canonical)
+          case Seq(tr) => graft.meta.Transforms.literalForms(tr, v, src.fieldType)
+            .map(pvs => col("partition")(pname).isNull ||
+              col("partition")(pname).isin(pvs.map(lit(_)): _*))
           case _ => None
         }
       }.foldLeft(acc)(_ && _)
@@ -695,9 +698,9 @@ object ScanPlanner {
         case (pname, sfs) => pname -> (sfs.map(_.transform).distinct match {
           case Seq(tr) =>
             val pvs = values.map(v =>
-              graft.meta.Transforms.literal(tr, v, src.fieldType))
+              graft.meta.Transforms.literalForms(tr, v, src.fieldType))
             if (pvs.exists(_.isEmpty)) None
-            else Some(pvs.flatten.distinct.toSet)
+            else Some(pvs.flatten.flatten.distinct.toSet)
           case _ => None
         })
       }

@@ -122,8 +122,9 @@ object FilePrune {
           .groupBy(_.name).forall { case (pname, sfs) =>
             sfs.map(_.transform).distinct match {
               case Seq(tr) =>
-                (e.partition.get(pname), Transforms.literal(tr, raw, sf.fieldType)) match {
-                  case (Some(actual), Some(expected)) => actual == expected
+                (e.partition.get(pname),
+                  Transforms.literalForms(tr, raw, sf.fieldType)) match {
+                  case (Some(actual), Some(expected)) => expected.contains(actual)
                   case _ => true
                 }
               case _ => true // conflicting transforms under one name: keep

@@ -188,4 +188,35 @@ class TransformsSpec extends SparkSpec {
     val newKept = newFiles.filter(e => pruned.contains(e.filePath))
     assert(newKept.map(_.partition("customer_name_trunc")).toSet == Set("Be"))
   }
+
+  test("identity literals canonicalize; literalForms keeps the raw " +
+      "spelling beside the canonical (foreign manifests); invalid " +
+      "calendar dates and junk decimals refuse; IEEE specials parse") {
+    // canonicalization: the engine's cast-to-string renderings
+    assert(Transforms.literal("identity", "0123", "int") == Some("123"))
+    assert(Transforms.literal("identity", "2024-1-5", "date") == Some("2024-01-05"))
+    assert(Transforms.literal("identity",
+      "2024-01-05T10:20:30.0", "timestamp") == Some("2024-01-05 10:20:30"))
+    assert(Transforms.literal("identity", "1.50", "double") == Some("1.5"))
+    // raw form rides beside the canonical for foreign-stored manifests
+    assert(Transforms.literalForms("identity", "0123", "int") ==
+      Some(Seq("123", "0123")))
+    assert(Transforms.literalForms("identity", "x", "string") == Some(Seq("x")))
+    // a type outside the canonicalizable set keeps the raw comparison
+    assert(Transforms.literal("identity", "abc", "uuid") == Some("abc"))
+    // unparseable probe values disable pruning (conservative)
+    assert(Transforms.literal("identity", "abc", "int").isEmpty)
+    assert(Transforms.literal("identity", "2024-02-30", "date").isEmpty,
+      "an invalid calendar date must not silently normalize")
+    // the engine's own IEEE specials round-trip
+    assert(Transforms.literal("identity", "NaN", "double") == Some("NaN"))
+    assert(Transforms.literal("identity", "-Infinity", "float") == Some("-Infinity"))
+    // path-value gates: junk decimal spellings refuse loudly
+    intercept[IllegalArgumentException](
+      TableWriter.typedPartitionValue("float", "1.5f"))
+    intercept[Exception](TableWriter.typedPartitionValue("date", "2024-02-30"))
+    // sub-microsecond timestamps truncate to what the read path serves
+    assert(TableWriter.canonicalPartitionValue(
+      "timestamp", "2024-01-05 00:00:00.123456789") == "2024-01-05 00:00:00.123456")
+  }
 }
