@@ -186,6 +186,37 @@ class RegisterHiveSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("copy-on-write UPDATE and DELETE on a hive-adopted table rewrite " +
+      "with REAL partition values (fill feeds the rewrite), and the " +
+      "rewritten files keep their partition keys") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    rows(1L, 60L).write.mode("overwrite").partitionBy("p").parquet(srcDir)
+    e.registerParquet("ns.cow", srcDir)
+
+    // COW UPDATE touches files across partitions; the rewrite must
+    // carry the metadata-filled p, not null it
+    val r1 = graft.ops.Delete.updateWhere(spark, e.tableDir("ns.cow"),
+      col("id") % 5 === 0, Map("name" -> lit("upd")))
+    assert(r1.nonEmpty)
+    // COW DELETE drops a slice
+    val r2 = graft.ops.Delete.copyOnWrite(spark, e.tableDir("ns.cow"),
+      col("id") % 7 === 0)
+    assert(r2.nonEmpty)
+
+    val got = e.readTable("ns.cow").select("id", "name", "p")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val want = (1L to 60L).filter(_ % 7 != 0).map(i =>
+      (i, if (i % 5 == 0) "upd" else s"v$i",
+        if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")).sorted
+    assert(got == want)
+    // every rewritten entry kept its partition value; none went null
+    val t = e.load("ns.cow")
+    assert(t.files().forall(f => Set("a", "b", "c").contains(f.partition("p"))),
+      s"rewritten entries must keep partition values: ${t.files().map(_.partition)}")
+    assert(e.readTable("ns.cow").filter(col("p").isNull).count() == 0L)
+  }
+
   test("compaction of a hive-adopted table MATERIALIZES the path columns " +
       "into rewritten files (never nulls), keys the rewrite per partition " +
       "value, and hands the SQL surface back its vectorized scan") {
