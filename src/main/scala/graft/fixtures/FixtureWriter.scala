@@ -49,8 +49,12 @@ object FixtureWriter {
   private def boundBytes(t: String, v: Any): Array[Byte] = t match {
     case "date" => IcebergDecode.encode("date",
       (v.asInstanceOf[Date].toLocalDate.toEpochDay).toInt)
-    case "timestamp" => IcebergDecode.encode("timestamp",
-      v.asInstanceOf[Timestamp].getTime * 1000L)
+    case "timestamp" =>
+      // full micros (getTime floors to millis — a floored UPPER bound
+      // would let pruning drop rows in the file's last millisecond)
+      val ts = v.asInstanceOf[Timestamp]
+      IcebergDecode.encode("timestamp",
+        ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
     case other => IcebergDecode.encode(other, v)
   }
 

@@ -413,10 +413,38 @@ object TableWriter {
   private def boundBytes(iceType: String, v: Any): Array[Byte] = iceType match {
     case "date" => IcebergDecode.encode("date",
       v.asInstanceOf[Date].toLocalDate.toEpochDay.toInt)
-    case "timestamp" => IcebergDecode.encode("timestamp",
-      v.asInstanceOf[Timestamp].getTime * 1000L)
+    case "timestamp" =>
+      // full micros: getTime alone floors to millis, silently widening
+      // (lower) / narrowing (upper) every timestamp bound by up to 999µs
+      val ts = v.asInstanceOf[Timestamp]
+      IcebergDecode.encode("timestamp",
+        ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
     case other => IcebergDecode.encode(other, v)
   }
+
+  /** Bound bytes for a SYNTHESIZED hive path-partition value — `None`
+    * for the null sentinel. Timestamps parse with the SESSION time zone
+    * and keep full micros, because the scan fill reconstructs the
+    * column by casting the canonical string with that zone
+    * ([[graft.ops.ScanPlanner.fillPathPartitionsEntries]]): routing
+    * through [[typedPartitionValue]]'s `Timestamp.valueOf` would pin
+    * the wall clock to the JVM-DEFAULT zone instead, and whenever the
+    * two zones differ the encoded bounds disagree with the values rows
+    * actually read as — bounds pruning then silently drops files
+    * holding matching rows. */
+  private[graft] def pathBoundBytes(
+      spark: SparkSession, iceType: String, raw: String): Option[Array[Byte]] =
+    if (raw == Transforms.NullPartitionValue) None
+    else if (iceType == "timestamp") {
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw), zone)
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$raw' is not a timestamp"))
+      Some(IcebergDecode.encode("timestamp", micros))
+    } else typedPartitionValue(iceType, raw).map(v => boundBytes(iceType, v))
 
   /** `input_file_name()` URI → plain local path (keys must match the
     * footer reader's and the mover's view of the same file). */
@@ -774,10 +802,10 @@ object TableWriter {
       // partitioning), known exactly from the partition map — synthesize
       // tight lo=hi bounds so bounds pruning works on them too, not just
       // the partition map; a null-sentinel partition is all-null
-      val absent: Seq[(SchemaField, Option[Any])] = fields
+      val absent: Seq[(SchemaField, Option[Array[Byte]])] = fields
         .filter(f => absentColumns.contains(f.name))
         .flatMap(f => partition.get(f.name)
-          .map(v => f -> typedPartitionValue(f.fieldType, v)))
+          .map(v => f -> pathBoundBytes(spark, f.fieldType, v)))
       DataFileEntry(
         status = 1, snapshotId = snapId, content = 0,
         filePath = relPath, fileFormat = "PARQUET", partition = partition,
@@ -789,12 +817,10 @@ object TableWriter {
           sid(f.id) -> (if (v.isEmpty) nrows else 0L) },
         lowerBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
-        }.toMap ++ absent.collect { case (f, Some(v)) =>
-          f.id -> boundBytes(f.fieldType, v) },
+        }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b },
         upperBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
           Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
-        }.toMap ++ absent.collect { case (f, Some(v)) =>
-          f.id -> boundBytes(f.fieldType, v) })
+        }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b })
     }
   }
 

@@ -772,7 +772,16 @@ object ScanPlanner {
         return emptyOrPinned(spark, t,
           t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
           snapshotId)
-    val c = col(column)
+    // lo/hi are in the BOUNDS' numeric domain (timestamps = micros,
+    // dates = epoch days — [[graft.expr.IcebergDecode.decodeNumeric]]);
+    // the row-level re-filter must compare in the same domain, and a
+    // temporal column compared to a raw double does not even analyze
+    val c = t.metadata.currentSchema.fields.find(_.name == column)
+      .map(_.fieldType) match {
+      case Some("timestamp") | Some("timestamptz") => unix_micros(col(column))
+      case Some("date") => unix_date(col(column))
+      case _ => col(column)
+    }
     val range = (lo.map(c >= _), hi.map(c <= _)) match {
       case (Some(a), Some(b)) => a && b
       case (Some(a), None) => a

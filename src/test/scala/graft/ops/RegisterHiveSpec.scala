@@ -413,6 +413,57 @@ class RegisterHiveSpec extends SparkSpec {
     finally s.close()
   }
 
+  test("timestamp hive keys: synthesized bounds carry full MICROS in the " +
+      "SESSION zone — sub-ms values and a shifted JVM default zone never " +
+      "let bounds pruning drop the matching file") {
+    // deliberately skew the JVM default zone away from the session zone
+    // (UTC): the synthesized bound must follow the SESSION zone, because
+    // that is the zone the scan fill's cast reconstructs rows with
+    val prevTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(
+      java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      val (srcDir, wh) = freshDirs()
+      val e = new Engine(spark, wh)
+      val tsA = "2024-03-01T12:34:56.123456" // sub-millisecond micros
+      Seq((1L, "a")).toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/ts=$tsA")
+      Seq((2L, "b")).toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/ts=2024-03-01T18:00:00")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("name", "string").add("ts", "timestamp")
+      e.createTable("ns.tskeys", schema, partitionDecls = Seq("ts"))
+      e.setProperties("ns.tskeys", Map.empty,
+        unset = Set(graft.meta.FieldIds.PropKey))
+      e.adoptFiles("ns.tskeys", srcDir)
+
+      val instA = java.time.LocalDateTime.parse(tsA)
+        .atZone(java.time.ZoneOffset.UTC).toInstant
+      val microsA = instA.getEpochSecond * 1000000L + instA.getNano / 1000L
+
+      // bounds probe at the exact UTC micros: exactly the tsA file
+      // survives — a JVM-zone or millis-floored bound would prune it
+      val probe = e.readTableWhere("ns.tskeys", "ts",
+        Some(microsA.toDouble), Some(microsA.toDouble))
+      assert(probe.inputFiles.length == 1,
+        s"bounds probe must keep exactly the matching file " +
+        s"(kept ${probe.inputFiles.length})")
+
+      // the filled column reads as the session-zone instant with full
+      // micros — and a partition-equals probe in the raw path spelling
+      // prunes to the same single file
+      val got = e.readTable("ns.tskeys")
+        .filter(col("id") === 1L).select("ts").collect()
+      assert(got.length == 1)
+      val ts = got.head.getTimestamp(0)
+      assert(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000 == microsA,
+        s"filled value must be the session-zone instant at micro precision: $ts")
+      val pprobe = e.readTableWhere("ns.tskeys", "id", None, None,
+        partitionEquals = Map("ts" -> tsA))
+      assert(pprobe.inputFiles.length == 1 && pprobe.count() == 1L)
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("ragged key layouts and untyped values are refused; a mid-link " +
       "failure leaves no residue") {
     val (srcDir, wh) = freshDirs()
