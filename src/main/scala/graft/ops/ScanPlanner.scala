@@ -236,12 +236,8 @@ object ScanPlanner {
 
     def lineaged(df: DataFrame): DataFrame =
       if (!keepLineage) df
-      else {
-        val prefix = s"file:${t.tableDir}/"
-        df.withColumn("__gr_path",
-            expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
-          .withColumn("__gr_pos", col("_metadata.row_index"))
-      }
+      else df.withColumn("__gr_path", relPathFromMetadata(t))
+        .withColumn("__gr_pos", col("_metadata.row_index"))
     val parts = Seq(
       if (clean.isEmpty) None
       else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId))),
@@ -347,8 +343,7 @@ object ScanPlanner {
         }
       }
     if (fills.isEmpty) return df0
-    val prefix = s"file:${t.tableDir}/"
-    val pathCol = expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
+    val pathCol = relPathFromMetadata(t)
     if (entries.size <= eqSeqLiteralMaxFiles(spark))
       fills.foldLeft(df0) { case (acc, (c, dt, m)) =>
         acc.withColumn(c, coalesce(col(c), element_at(typedLit(m), pathCol).cast(dt)))
@@ -436,6 +431,40 @@ object ScanPlanner {
       spark.read.schema(st).parquet(paths: _*)
     }
 
+  /** The qualified-URI prefix `_metadata.file_path` carries for files
+    * under `t`'s table directory — resolved through Hadoop's own Path
+    * qualification, the exact rendering the parquet reader stamps, so a
+    * non-`file:` filesystem (HDFS-style deployments) or an alternate
+    * URI spelling keys identically instead of assuming a hardcoded
+    * `file:` scheme. */
+  private[graft] def fileUriPrefix(tableDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    // an explicit scheme (file:, hdfs://nn, s3a://bucket) is already the
+    // reader's rendering — qualify only scheme-less paths, against the
+    // filesystem they actually resolve through
+    val qualified =
+      if (p.toUri.getScheme != null) p.toString
+      else p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .makeQualified(p).toString
+    qualified.stripSuffix("/") + "/"
+  }
+
+  /** Table-RELATIVE path of each scanned row's source file (the form
+    * delete files, the sequence map and the partition-fill maps key
+    * on), derived from `_metadata.file_path`. GUARDED: a scanned file
+    * whose URI does not sit under the table directory raises a
+    * descriptive error instead of mis-keying — a silent miss would
+    * resurrect deleted rows through the MoR joins and null the filled
+    * partition columns, both invisible to the caller. */
+  private[graft] def relPathFromMetadata(t: IcebergTable): org.apache.spark.sql.Column = {
+    val prefix = fileUriPrefix(t.tableDir)
+    val fp = col("_metadata.file_path")
+    when(fp.startsWith(prefix), fp.substr(lit(prefix.length + 1), length(fp)))
+      .otherwise(raise_error(concat(
+        lit(s"scanned file outside the table directory (expected prefix " +
+          s"$prefix): "), fp)))
+  }
+
   /** Merge-on-read delete application over a raw scan `df0` of the
     * snapshot's files (or any subset — pruned scans included). */
   private def applyDeletes(
@@ -447,9 +476,6 @@ object ScanPlanner {
       schemaSnap: Option[Long] = None): DataFrame = {
     val allDels = t.deleteFiles(snapshotId)
     val (eqDels, posDels) = allDels.partition(_.content == 2)
-    // the reader's file URI is "file:<tableDir>/<relPath>"; delete files
-    // and the sequence map use the table-relative path
-    val prefix = s"file:${t.tableDir}/"
     val seqBySnapshot = t.metadata.snapshots
       .map(s => s.snapshotId -> s.sequenceNumber).toMap
     // entry-stamped sequence first (survives snapshot expiration);
@@ -463,8 +489,7 @@ object ScanPlanner {
     val withLin =
       if (!needLineage) df0
       else df0
-        .withColumn("__gr_path",
-          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+        .withColumn("__gr_path", relPathFromMetadata(t))
         .withColumn("__gr_pos", col("_metadata.row_index"))
 
     val df =
@@ -473,7 +498,7 @@ object ScanPlanner {
         val pairs: Seq[(String, Long)] = t.files(snapshotId)
           .map(e => e.filePath -> entrySeq(e, 0L))
         val pathCol = if (needLineage) col("__gr_path")
-          else expr(s"substring(_metadata.file_path, ${prefix.length + 1})")
+          else relPathFromMetadata(t)
         // the per-file commit sequence rides along as a literal
         // path→sequence map while the table is metadata-small; above the
         // threshold (millions of live files would bloat the literal into

@@ -413,6 +413,43 @@ class RegisterHiveSpec extends SparkSpec {
     finally s.close()
   }
 
+  test("a NON-CONFLICT commit failure after the link pass unlinks the " +
+      "adopted files — the residue-free contract covers commit errors, " +
+      "not just gate refusals") {
+    val (tblSrc, wh) = freshDirs()
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(tblSrc)
+    val e = new Engine(spark, wh)
+    e.registerParquet("ns.residue", tblSrc)
+    // a vendor file whose FOOTER is healthy (passes every admission
+    // gate) but whose data pages are corrupt: the distributed stats
+    // pass inside commitFiles throws AFTER the files are linked
+    val drop = Files.createTempDirectory("graft-corrupt-drop")
+    (51L to 2050L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(drop.toString)
+    val f = Files.list(drop).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val bytes = Files.readAllBytes(f)
+    assert(bytes.length > 4000, "fixture file must have real data pages")
+    java.util.Arrays.fill(bytes, 8, 1000, 0xFF.toByte)
+    Files.write(f, bytes)
+
+    val dataDir = Paths.get(e.tableDir("ns.residue"), "data")
+    def listing(): Set[String] = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val before = listing()
+    val ex = intercept[Exception](e.adoptFiles("ns.residue", drop.toString))
+    assert(!ex.isInstanceOf[graft.meta.CommitConflictException],
+      s"the corruption must surface as a non-conflict error: $ex")
+    assert(listing() == before,
+      "a failed commit must leave no linked residue in data/")
+    // the table still reads exactly its pre-drop rows
+    assert(e.readTable("ns.residue").count() == 50L)
+  }
+
   test("timestamp hive keys: synthesized bounds carry full MICROS in the " +
       "SESSION zone — sub-ms values and a shifted JVM default zone never " +
       "let bounds pruning drop the matching file") {

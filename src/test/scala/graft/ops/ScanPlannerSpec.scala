@@ -298,6 +298,38 @@ class ScanPlannerSpec extends SparkSpec {
     finally spark.conf.unset(ScanPlanner.DeleteBroadcastMaxBytesConf)
   }
 
+  test("file-path keys resolve through Hadoop URI qualification and fail " +
+      "loudly for files outside the table directory") {
+    // bare local paths qualify to the reader's file: rendering; explicit
+    // schemes pass through unchanged (an object-store or HDFS table dir
+    // must key the same way the reader stamps _metadata.file_path)
+    assert(ScanPlanner.fileUriPrefix("/wh/ns/t") == "file:/wh/ns/t/")
+    assert(ScanPlanner.fileUriPrefix("file:/wh/ns/t") == "file:/wh/ns/t/")
+    assert(ScanPlanner.fileUriPrefix("hdfs://nn:8020/wh/ns/t") ==
+      "hdfs://nn:8020/wh/ns/t/")
+    assert(ScanPlanner.fileUriPrefix("/wh/ns/t/") == "file:/wh/ns/t/")
+
+    // in-table files key to their table-relative path…
+    val t = engine.load("sales.orders")
+    val dataPath = t.resolvePath(t.files().head.filePath)
+    val rel = spark.read.parquet(dataPath)
+      .select(ScanPlanner.relPathFromMetadata(t)).distinct().collect()
+    assert(rel.map(_.getString(0)).toSeq == Seq(t.files().head.filePath))
+
+    // …and a file OUTSIDE the table dir raises a descriptive error
+    // instead of silently mis-keying the MoR joins / partition fill
+    val foreign = Files.createTempDirectory("graft-foreign").toString
+    Seq((1L, "x")).toDF("a", "b").write.mode("overwrite").parquet(foreign)
+    val err = intercept[Exception] {
+      spark.read.parquet(foreign)
+        .select(ScanPlanner.relPathFromMetadata(t)).collect()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("outside the table directory")),
+      messages(err).mkString(" | "))
+  }
+
   test("a malformed deleteBroadcastMaxBytes conf fails naming the key " +
       "and the expected format, not as a bare NumberFormatException") {
     spark.conf.set(ScanPlanner.DeleteBroadcastMaxBytesConf, "64MB")
