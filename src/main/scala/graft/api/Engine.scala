@@ -166,44 +166,43 @@ object Engine {
     })
   }
 
-  /** Refuse a hive drop whose path values don't parse as their column's
-    * declared type — stamping an untyped value would poison partition
-    * pruning and the synthesized per-file bounds. The null sentinel is
-    * always valid. */
-  private[graft] def requireTypedValues(
+  /** Validate AND canonicalize a hive drop's path partition values in
+    * ONE pass over the per-file maps: a value that doesn't parse as its
+    * column's declared type refuses loudly (stamping it would poison
+    * partition pruning and the synthesized per-file bounds; the null
+    * sentinel is always valid), and parseable values return in the
+    * engine's CANONICAL rendering (the form staged writes stamp —
+    * `cast(v as string)`), so "0123" under an int key stores as "123"
+    * and one logical partition keys one way across adopted and
+    * engine-written files. Canonicalization is memoized per distinct
+    * (key, spelling) — drops carry few distinct values next to their
+    * file count, so a monster drop pays O(distinct) string work, not
+    * O(files × keys). Flat drops pass through. */
+  private[graft] def canonicalTypedPartitions(
       schema: org.apache.spark.sql.types.StructType,
       src: AdoptSource,
-      context: String): Unit =
-    src.partitionKeys.foreach { k =>
-      val dt = schema.fields.find(_.name == k).getOrElse(
-        throw new IllegalArgumentException(
-          s"$context: partition-path key $k is not a column of the schema")).dataType
-      val ice = graft.meta.TableCreator.iceType(dt)
-      src.partitionsByPath.values.flatMap(_.get(k)).toSet.foreach { v: String =>
-        try { graft.meta.TableWriter.typedPartitionValue(ice, v); () }
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"$context: partition value $k=$v does not parse as $ice", e)
-        }
-      }
-    }
-
-  /** The drop's path partition values in the engine's CANONICAL
-    * rendering (the form staged writes stamp — `cast(v as string)`), so
-    * "0123" under an int key stores as "123" and one logical partition
-    * keys one way across adopted and engine-written files. Call AFTER
-    * [[requireTypedValues]] has validated every value against `schema`. */
-  private[graft] def canonicalPartitions(
-      schema: org.apache.spark.sql.types.StructType,
-      src: AdoptSource): Map[String, Map[String, String]] =
+      context: String): Map[String, Map[String, String]] =
     if (!src.isHive) src.partitionsByPath
     else {
-      val iceByKey = src.partitionKeys.map(k =>
-        k -> graft.meta.TableCreator.iceType(
-          schema.fields.find(_.name == k).get.dataType)).toMap
+      val iceByKey = src.partitionKeys.map { k =>
+        val dt = schema.fields.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"$context: partition-path key $k is not a column of the schema")).dataType
+        k -> graft.meta.TableCreator.iceType(dt)
+      }.toMap
+      val memo = scala.collection.mutable.HashMap.empty[(String, String), String]
       src.partitionsByPath.map { case (p, kv) =>
         p -> kv.map { case (k, v) =>
-          k -> graft.meta.TableWriter.canonicalPartitionValue(iceByKey(k), v) }
+          k -> memo.getOrElseUpdate((k, v), {
+            val ice = iceByKey.getOrElse(k, throw new IllegalArgumentException(
+              s"$context: partition-path key $k is not a column of the schema"))
+            try graft.meta.TableWriter.canonicalPartitionValue(ice, v)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"$context: partition value $k=$v does not parse as $ice", e)
+            }
+          })
+        }
       }
     }
 
@@ -1287,8 +1286,10 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       require(src.partitionKeys.forall(schema.fieldNames.contains),
         s"$sourceDir: partition discovery did not surface " +
         s"${src.partitionKeys.filterNot(schema.fieldNames.contains).mkString(", ")}")
-      Engine.requireTypedValues(schema, src, sourceDir)
     }
+    // validate + canonicalize in one pass, BEFORE createTable: a drop
+    // with an untyped value refuses with no table residue
+    val canonParts = Engine.canonicalTypedPartitions(schema, src, sourceDir)
     createTable(ref, schema,
       partitionDecls = src.partitionKeys,
       properties = Map(graft.meta.FieldIds.PropKey -> "false") ++
@@ -1298,8 +1299,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         else Map.empty))
     val dir = java.nio.file.Paths.get(tableDir(ref))
     try {
-      val rels = Engine.linkInto(dir, src.files,
-        Engine.canonicalPartitions(schema, src))
+      val rels = Engine.linkInto(dir, src.files, canonParts)
       graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
@@ -1376,11 +1376,13 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       * setPartitionSpec — which invalidate the gates without moving the
       * snapshot pointer; every commit bumps the version), plus the
       * property delta this drop needs (the path-partition column
-      * declaration for hive drops) and the DECLARED schema it validated
-      * against (the canonical-value renderer's type source — returning
-      * it avoids a second metadata load, and keeps the canonicalization
-      * pinned to the same observed state as the gates). */
-    def validate(): (Int, Map[String, String], org.apache.spark.sql.types.StructType) = {
+      * declaration for hive drops) and the drop's partition values
+      * VALIDATED AND CANONICALIZED against the declared schema in one
+      * pass ([[Engine.canonicalTypedPartitions]]) — computed here so
+      * the rendering stays pinned to the same observed state as the
+      * gates, with no second metadata load and no second walk over the
+      * per-file maps. */
+    def validate(): (Int, Map[String, String], Map[String, Map[String, String]]) = {
       // version FIRST, table state second: a racer landing in between
       // leaves the pin older than the inspected state, so the commit
       // conflicts conservatively (never the reverse — gates on stale
@@ -1465,7 +1467,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         s"safe promotions): ${mismatched.map { case (n, w) =>
           s"$n is ${got(n).simpleString} in the files, ${w.simpleString} in the table"
         }.mkString("; ")}")
-      if (src.isHive) Engine.requireTypedValues(declared, src, sourceDir)
+      val canonParts = Engine.canonicalTypedPartitions(declared, src, sourceDir)
       if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
         val top = schemaFields.filter(f => !f.path.contains('.'))
         // footer-id gate on every column the FILES carry (path-partition
@@ -1515,22 +1517,20 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           if (all == existing) Map.empty[String, String]
           else Map(graft.meta.Transforms.PathPartitionColsKey -> all.mkString(","))
         }
-      (seenV, props, declared)
+      (seenV, props, canonParts)
     }
 
     // refusals BEFORE any filesystem residue: the common rejection
-    // paths (spec / schema / id gates) leave nothing behind, and the
-    // observed version pins the first commit attempt
+    // paths (spec / schema / id / value gates) leave nothing behind,
+    // and the observed version pins the first commit attempt
     val firstPass = validate()
     var seenV = firstPass._1
     var props = firstPass._2
-    val declared0 = firstPass._3
     val dir = java.nio.file.Paths.get(tableDir(ref))
-    // canonical value rendering uses the SAME declared schema the gates
+    // canonical value rendering used the SAME declared schema the gates
     // validated (a racer can only widen key types — CAS-caught and
     // re-validated — and widening keeps the same rendering)
-    val rels = Engine.linkInto(dir, src.files,
-      Engine.canonicalPartitions(declared0, src))
+    val rels = Engine.linkInto(dir, src.files, firstPass._3)
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
