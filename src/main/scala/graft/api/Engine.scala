@@ -1395,7 +1395,13 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         schemaFields.find(_.id == sf.sourceId).map(_.name).getOrElse(
           throw new IllegalStateException(
             s"$ref's partition spec references unknown field ${sf.sourceId}")))
-      if (src.isHive) {
+      // the drop's path keys are SOURCE column names; entry partition
+      // maps are keyed by spec-FIELD name, resolved through sourceId —
+      // a foreign writer's spec may legally name its identity fields
+      // differently from their sources (`event_day` over `day`), and
+      // such tables must still take hive drops. Two identity fields
+      // over one source is ambiguous and refuses.
+      val keyBySource: Map[String, String] = if (src.isHive) {
         // a hive drop lands on a table whose CURRENT spec is identity
         // over exactly the drop's path keys — the values stamp into the
         // entries' partition maps, so partition pruning and the
@@ -1407,19 +1413,22 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           s"must match $ref's identity partition spec " +
           s"(${spec.fields.map(f => s"${f.transform}(${specSources(spec.fields.indexOf(f))})")
             .mkString(", ")})")
-        // entry partition maps are keyed by spec-FIELD name; the
-        // engine's identity fields are named after their source, and a
-        // foreign spec that renames them would silently mis-key
-        require(spec.fields.zip(specSources).forall { case (sf, s) => sf.name == s },
-          s"$ref's identity partition fields are named differently from " +
-          "their sources (foreign spec) — hive adoption requires " +
-          "name-matched identity fields")
+        src.partitionKeys.map { k =>
+          val names = spec.fields.zip(specSources)
+            .filter { case (_, s) => s == k }.map(_._1.name).distinct
+          require(names.size == 1,
+            s"$ref's spec derives ${names.size} identity partition fields " +
+            s"from column $k (${names.mkString(", ")}) — hive adoption " +
+            "needs exactly one")
+          k -> names.head
+        }.toMap
       } else {
         require(spec.fields.isEmpty,
           s"$ref has a live partition spec — a flat drop carries no " +
           "partition values and partition pruning would silently drop " +
           "its rows; lay the drop out as key=value directories matching " +
           "the spec, or append through the write path")
+        Map.empty[String, String]
       }
       val declared = graft.ops.ScanPlanner.currentSparkSchema(t).getOrElse(
         throw new IllegalStateException(
@@ -1467,7 +1476,11 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         s"safe promotions): ${mismatched.map { case (n, w) =>
           s"$n is ${got(n).simpleString} in the files, ${w.simpleString} in the table"
         }.mkString("; ")}")
+      // re-keyed from source column names to the spec-FIELD names the
+      // entries' maps (and every pruning surface) resolve through
       val canonParts = Engine.canonicalTypedPartitions(declared, src, sourceDir)
+        .map { case (p, kv) =>
+          p -> kv.map { case (k, v) => keyBySource.getOrElse(k, k) -> v } }
       if (graft.meta.FieldIds.tableHasIds(t.metadata)) {
         val top = schemaFields.filter(f => !f.path.contains('.'))
         // footer-id gate on every column the FILES carry (path-partition

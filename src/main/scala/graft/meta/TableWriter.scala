@@ -740,9 +740,21 @@ object TableWriter {
     IcebergMeta.requireSnapshotPin(md,
       expectedCurrentSnapshotId, expectNoCurrentSnapshot)
     val fields = statFields(md)
+    // entry partition maps are keyed by spec-FIELD name, which a foreign
+    // writer's spec may legally name differently from the source column:
+    // resolve each absent column to its identity spec field's name so
+    // the synthesized stats find their per-file values either way
+    val absentKeys: Map[String, String] = absentColumns.map { n =>
+      val key = fields.find(f => f.name == n && !f.path.contains('.'))
+        .flatMap(f => md.currentSpec.fields
+          .find(sf => sf.sourceId == f.id && sf.transform == "identity")
+          .map(_.name))
+        .getOrElse(n)
+      n -> key
+    }.toMap
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val newEntries = entriesForFiles(spark, dir, fields, statIds(md, fields),
-      snapId, files, absentColumns)
+      snapId, files, absentKeys)
     publishSnapshot(spark, dir, tableDir, md, baseV, fields,
       md.currentSpec.specId, snapId, newEntries, operation,
       keepPredicate = e => !removePaths.contains(e.filePath),
@@ -760,7 +772,10 @@ object TableWriter {
       sid: Map[Int, Int],
       snapId: Long,
       files: Seq[(String, Map[String, String])],
-      absentColumns: Set[String] = Set.empty): Seq[DataFileEntry] = {
+      // schema field name -> the partition-map key its per-file value
+      // lives under (the identity spec-FIELD name; commitFiles resolves
+      // it through sourceId so foreign-named specs key correctly)
+      absentKeys: Map[String, String] = Map.empty): Seq[DataFileEntry] = {
     if (files.isEmpty) return Seq.empty
     // `input_file_name()` URIs decode to `///abs/path`; collapse leading
     // slashes so both sides key on the same canonical form
@@ -774,7 +789,7 @@ object TableWriter {
     // struct/map columns (foreign nested adoption targets) collect no
     // stats — Iceberg allows absent metrics
     val statFs = fields
-      .filterNot(f => absentColumns.contains(f.name))
+      .filterNot(f => absentKeys.contains(f.name))
       .filter(f => graft.ops.ScanPlanner.sparkType(f.fieldType).nonEmpty)
     // an explicit DECLARED read schema, not inference: a file adopted at
     // a pre-widen width (int32 under a `long` column, float under
@@ -803,8 +818,8 @@ object TableWriter {
       // tight lo=hi bounds so bounds pruning works on them too, not just
       // the partition map; a null-sentinel partition is all-null
       val absent: Seq[(SchemaField, Option[Array[Byte]])] = fields
-        .filter(f => absentColumns.contains(f.name))
-        .flatMap(f => partition.get(f.name)
+        .filter(f => absentKeys.contains(f.name))
+        .flatMap(f => partition.get(absentKeys(f.name))
           .map(v => f -> pathBoundBytes(spark, f.fieldType, v)))
       DataFileEntry(
         status = 1, snapshotId = snapId, content = 0,

@@ -413,6 +413,64 @@ class RegisterHiveSpec extends SparkSpec {
     finally s.close()
   }
 
+  test("a FOREIGN-NAMED identity spec takes hive drops: entry keys " +
+      "resolve through sourceId, probes prune, bounds synthesize") {
+    val (srcDir, wh) = freshDirs()
+    val e = new Engine(spark, wh)
+    val df = rows(1L, 60L)
+    df.write.mode("overwrite").partitionBy("q").parquet(srcDir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string").add("p", "string")
+      .add("q", "int")
+    e.createTable("ns.foreign", schema, partitionDecls = Seq("q"))
+    e.setProperties("ns.foreign", Map.empty,
+      unset = Set(graft.meta.FieldIds.PropKey))
+    // rename the spec FIELD away from its source column (legal per the
+    // Iceberg spec; foreign writers do this) by editing the metadata the
+    // way a foreign catalog would publish it
+    val dir = e.tableDir("ns.foreign")
+    val mdPath = graft.meta.IcebergMeta.latestMetadataPath(dir)
+    val v = mdPath.getFileName.toString.stripPrefix("v")
+      .stripSuffix(".metadata.json").toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(mdPath))
+    root.get("partition-specs").forEach { sp =>
+      sp.get("fields").forEach { f =>
+        if (f.get("name").asText() == "q")
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", "q_part")
+        ()
+      }
+    }
+    Files.writeString(Paths.get(dir, s"metadata/v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(root))
+
+    e.adoptFiles("ns.foreign", srcDir)
+    // entries key their partition values under the SPEC FIELD name
+    val t = e.load("ns.foreign")
+    assert(t.files().nonEmpty &&
+      t.files().forall(f => f.partition.contains("q_part") &&
+        !f.partition.contains("q")),
+      s"entry maps must key by spec-field name: ${t.files().map(_.partition)}")
+
+    // read-back fills q from the metadata; partition-equals probe on the
+    // SOURCE column prunes; synthesized bounds prune too
+    val got = e.readTable("ns.foreign").select("id", "q")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val want = spark.read.parquet(srcDir).select("id", "q")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got == want)
+    val full = e.readTable("ns.foreign")
+    val probe = e.readTableWhere("ns.foreign", "id", None, None,
+      partitionEquals = Map("q" -> "2"))
+    assert(probe.inputFiles.length < full.inputFiles.length)
+    assert(probe.count() == full.filter(col("q") === 2).count())
+    val bprobe = e.readTableWhere("ns.foreign", "q", Some(3.0), Some(3.0))
+    assert(bprobe.inputFiles.length < full.inputFiles.length,
+      "synthesized bounds must land under the renamed spec field")
+    assert(bprobe.count() == full.filter(col("q") === 3).count())
+  }
+
   test("a NON-CONFLICT commit failure after the link pass unlinks the " +
       "adopted files — the residue-free contract covers commit errors, " +
       "not just gate refusals") {
