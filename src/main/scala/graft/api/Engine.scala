@@ -237,10 +237,14 @@ object Engine {
     * ([[graft.meta.Catalogs.forConfig]]): filesystem warehouses,
     * REST catalogs and JDBC ("sql") catalogs all produce a working
     * read/analytics engine; the remaining network backends raise
-    * through the friendly error taxonomy. For non-filesystem catalogs
-    * the DDL/write verbs (which need a path-addressed table-directory
-    * convention) keep working only for tables whose metadata location
-    * is a reachable path — the catalog's own pointer is not updated. */
+    * through the friendly error taxonomy. DDL/write verbs work for
+    * tables whose metadata location is a reachable path, and on
+    * POINTER catalogs (JDBC, REST) every commit MIRRORS the new
+    * metadata version into the catalog's pointer with CAS semantics
+    * ([[graft.meta.PointerSync]]) — a fresh client of the same catalog
+    * sees each commit. Glue/Hive catalogs remain read-only pointers
+    * (their commit protocols are not wired); their tables' writes stay
+    * path-visible only. */
   def forConfig(spark: SparkSession, cfg: graft.meta.CatalogConfig): Engine = {
     val cat = graft.meta.Catalogs.forConfig(cfg)
     new Engine(spark, cfg.warehouse.getOrElse(""), cat)
@@ -392,6 +396,22 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     this(spark, warehouseDir, new graft.meta.FsCatalog(warehouseDir))
 
   def tableDir(ref: String): String = catalog.tableLocation(ref)
+
+  /** Run a COMMIT-PRODUCING verb body against `ref`'s table directory,
+    * then MIRROR the committed metadata version into the catalog's
+    * pointer ([[graft.meta.PointerSync.sync]] — a no-op for the
+    * filesystem catalog, whose version listing IS the pointer). Without
+    * the mirror, a table written through a JDBC/REST-cataloged engine
+    * serves stale metadata to every other client of that catalog. The
+    * mirror is monotonic and self-healing: a verb that committed
+    * nothing (or a pointer left behind by an earlier crash) simply
+    * advances the pointer to the path-latest version. */
+  private def committing[A](ref: String)(body: String => A): A = {
+    val dir = tableDir(ref)
+    val out = body(dir)
+    graft.meta.PointerSync.sync(catalog, ref, dir)
+    out
+  }
 
   def load(ref: String): IcebergTable = {
     Engine.loadCensus.incrementAndGet()
@@ -764,7 +784,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * commits onto that branch ref, leaving the main line untouched. */
   def append(ref: String, df: DataFrame,
       branch: Option[String] = None): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.append(spark, tableDir(ref), df, branch)
+    committing(ref)(d => graft.meta.TableWriter.append(spark, d, df, branch))
 
   /** STAGE an append without publishing it (write-audit-publish): the
     * snapshot lands in the log tagged `wap.id = wapId` but no pointer
@@ -774,13 +794,13 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * expiration to reclaim. */
   def appendStaged(ref: String, df: DataFrame,
       wapId: String): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.append(spark, tableDir(ref), df,
-      wapId = Some(wapId))
+    committing(ref)(d => graft.meta.TableWriter.append(spark, d, df,
+      wapId = Some(wapId)))
 
   /** Publish a staged snapshot onto the main line (metadata-only;
     * fast-forward when the base hasn't moved, re-apply otherwise). */
   def cherrypick(ref: String, snapshotId: Long): Maintenance.CherrypickResult =
-    Maintenance.cherrypick(tableDir(ref), snapshotId)
+    committing(ref)(d => Maintenance.cherrypick(d, snapshotId))
 
   /** Publish the staged snapshot carrying `wap.id = wapId`. */
   def publishWap(ref: String, wapId: String): Maintenance.CherrypickResult = {
@@ -792,26 +812,26 @@ class Engine(val spark: SparkSession, warehouseDir: String,
 
   /** Replace `ref`'s live data with `df` (prior snapshots stay readable). */
   def overwrite(ref: String, df: DataFrame): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.overwrite(spark, tableDir(ref), df)
+    committing(ref)(d => graft.meta.TableWriter.overwrite(spark, d, df))
 
   /** Row-level DELETE FROM, merge-on-read: matching rows are recorded as
     * a position-delete file in a new `delete` snapshot — no data files
     * rewritten. None when nothing matches. */
   def deleteWhere(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
-    graft.meta.TableWriter.deleteWhere(spark, tableDir(ref), predicate)
+    committing(ref)(d => graft.meta.TableWriter.deleteWhere(spark, d, predicate))
 
   /** Row-level DELETE, COPY-ON-WRITE mode: matching files are rewritten
     * without the matching rows (one replace snapshot, table stays
     * delete-free — the mode behind SQL `DELETE FROM`). */
   def deleteWhereCopyOnWrite(ref: String, predicate: org.apache.spark.sql.Column): Option[graft.meta.TableWriter.CommitResult] =
-    Delete.copyOnWrite(spark, tableDir(ref), predicate)
+    committing(ref)(d => Delete.copyOnWrite(spark, d, predicate))
 
   /** Row-level UPDATE, copy-on-write: matching files rewritten with
     * `assignments` applied to matching rows (all right-hand sides see
     * the original row values). */
   def updateWhere(ref: String, predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Option[graft.meta.TableWriter.CommitResult] =
-    Delete.updateWhere(spark, tableDir(ref), predicate, assignments)
+    committing(ref)(d => Delete.updateWhere(spark, d, predicate, assignments))
 
   /** MERGE-style upsert keyed on `keyCols`: one commit appends `df` and
     * equality-deletes earlier rows with matching keys (merge-on-read).
@@ -819,8 +839,8 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * derived from a pinned snapshot read ([[graft.meta.TableWriter.upsert]]). */
   def upsert(ref: String, df: DataFrame, keyCols: Seq[String],
       expectedCurrentSnapshotId: Option[Long] = None): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.upsert(spark, tableDir(ref), df, keyCols,
-      expectedCurrentSnapshotId)
+    committing(ref)(d => graft.meta.TableWriter.upsert(spark, d, df, keyCols,
+      expectedCurrentSnapshotId))
 
   /** ROW DELTA — upsert whose delete-key set is independent of the
     * inserted rows (deletion-only keys vanish; empty `df` = pure keyed
@@ -829,8 +849,8 @@ class Engine(val spark: SparkSession, warehouseDir: String,
   def rowDelta(ref: String, df: DataFrame, keyCols: Seq[String],
       deleteKeys: DataFrame,
       expectedCurrentSnapshotId: Option[Long] = None): graft.meta.TableWriter.CommitResult =
-    graft.meta.TableWriter.rowDelta(spark, tableDir(ref), df, keyCols,
-      deleteKeys, expectedCurrentSnapshotId)
+    committing(ref)(d => graft.meta.TableWriter.rowDelta(spark, d, df, keyCols,
+      deleteKeys, expectedCurrentSnapshotId))
 
   /** FORGET documents — ONE verb for corpus deletion /
     * right-to-be-forgotten across every piece of standing state, in the
@@ -922,12 +942,17 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       l.ref -> l.retireWithRetry(rids, provider)
     }
     annIndex.foreach(_.retire(rids.select(col("doc_id").as("vec_id"))))
-    Engine.ForgetResult(corpusDeleted, gate.nonEmpty,
+    val result = Engine.ForgetResult(corpusDeleted, gate.nonEmpty,
       ledger.flatMap(l => ledgersRemaining.find(_._1 == l.ref).map(_._2)),
       annIndex.nonEmpty,
       ledgersRemaining,
       gate.map(_.ref).toSeq ++ ledgerJobs.map(_._1.ref) ++
         annIndex.map(_.ref).toSeq)
+    // every index table this call committed to mirrors its new version
+    // into a pointer catalog (the corpus delete synced through rowDelta)
+    result.indexRefs.distinct.foreach(r =>
+      graft.meta.PointerSync.sync(catalog, r, tableDir(r)))
+    result
   }
 
   /** [[forget]] with driver-known ids. */
@@ -969,8 +994,19 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       ref: String,
       schema: org.apache.spark.sql.types.StructType,
       partitionDecls: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Unit =
-    graft.meta.TableCreator.create(tableDir(ref), schema, partitionDecls, properties)
+      properties: Map[String, String] = Map.empty): Unit = {
+    // a pointer catalog cannot resolve an UNREGISTERED ref to a path —
+    // new tables land under its warehouse convention and register
+    // through the same pointer CAS every commit mirrors through
+    val dir = catalog match {
+      case pc: graft.meta.PointerCatalog =>
+        if (pc.metadataPointer(ref).isDefined) tableDir(ref)
+        else pc.createLocation(ref)
+      case _ => tableDir(ref)
+    }
+    graft.meta.TableCreator.create(dir, schema, partitionDecls, properties)
+    graft.meta.PointerSync.sync(catalog, ref, dir)
+  }
 
   /** STREAMING INGEST: commit each micro-batch of `stream` as an append
     * snapshot of `ref` — the continuous-write half of the streaming
@@ -1028,11 +1064,15 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
     ).maxOption
     if (lastCommitted.exists(batchId <= _) || batch.isEmpty) None
-    else Some(graft.meta.TableWriter.append(spark, dir, batch,
-      extraSummary = Map(
-        "streaming-batch-id" -> batchId.toString,
-        "streaming-query-id" -> queryId),
-      extraProperties = Map(watermarkKey -> batchId.toString)))
+    else {
+      val res = graft.meta.TableWriter.append(spark, dir, batch,
+        extraSummary = Map(
+          "streaming-batch-id" -> batchId.toString,
+          "streaming-query-id" -> queryId),
+        extraProperties = Map(watermarkKey -> batchId.toString))
+      graft.meta.PointerSync.sync(catalog, ref, dir)
+      Some(res)
+    }
   }
 
   /** Z-order clustering rewrite of `ref`'s live data on `cols`
@@ -1044,7 +1084,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       cols: Seq[String],
       bits: Int = 8,
       targetFiles: Option[Int] = None): Option[graft.meta.TableWriter.CommitResult] =
-    Compact.rewriteClustered(spark, tableDir(ref), cols, bits, targetFiles)
+    committing(ref)(d => Compact.rewriteClustered(spark, d, cols, bits, targetFiles))
 
   /** Bin-pack small data files into larger ones and commit a replace
     * snapshot (the action behind the health report's
@@ -1053,7 +1093,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       ref: String,
       smallBytes: Long = Compact.DefaultSmallBytes,
       targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
-    Compact.rewriteSmallFiles(spark, tableDir(ref), smallBytes, targetBytes)
+    committing(ref)(d => Compact.rewriteSmallFiles(spark, d, smallBytes, targetBytes))
 
   /** Incremental compaction: rewrite only the small-file partitions,
     * merge-on-read, carrying delete manifests for untouched files —
@@ -1063,23 +1103,24 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       ref: String,
       smallBytes: Long = Compact.DefaultSmallBytes,
       targetBytes: Long = Compact.DefaultTargetBytes): Option[graft.meta.TableWriter.CommitResult] =
-    Compact.rewriteSmallFilesIncremental(spark, tableDir(ref), smallBytes, targetBytes)
+    committing(ref)(d =>
+      Compact.rewriteSmallFilesIncremental(spark, d, smallBytes, targetBytes))
 
   /** Drop delete files that no longer reference any live data (targets
     * rewritten / sequence out of scope) as a metadata-only commit. */
   def pruneDanglingDeletes(ref: String): Option[Int] =
-    Maintenance.pruneDanglingDeletes(spark, tableDir(ref))
+    committing(ref)(d => Maintenance.pruneDanglingDeletes(spark, d))
 
   /** Expire snapshots older than `olderThanMs` (keeps current + the
     * `retainLast` newest); deletes unreferenced manifests + data files. */
   def expireSnapshots(ref: String, olderThanMs: Long, retainLast: Int = 1): Maintenance.ExpireResult =
-    Maintenance.expireSnapshots(tableDir(ref), olderThanMs, retainLast)
+    committing(ref)(d => Maintenance.expireSnapshots(d, olderThanMs, retainLast))
 
   /** Bin-pack data manifests (Iceberg `rewrite_manifests`): metadata-only
     * replace commit; None when already packed. */
   def rewriteManifests(ref: String, targetEntries: Int = 5000)
     : Option[Maintenance.RewriteManifestsResult] =
-    Maintenance.rewriteManifests(tableDir(ref), targetEntries)
+    committing(ref)(d => Maintenance.rewriteManifests(d, targetEntries))
 
   /** VACUUM composite: prune dangling delete files, expire old
     * snapshots, then remove orphan files — the standard upkeep pass in
@@ -1094,15 +1135,15 @@ class Engine(val spark: SparkSession, warehouseDir: String,
 
   /** Metadata-only rollback of the current-snapshot pointer. */
   def rollback(ref: String, snapshotId: Long): Int =
-    Maintenance.rollback(tableDir(ref), snapshotId)
+    committing(ref)(d => Maintenance.rollback(d, snapshotId))
 
   /** Tag a snapshot (default current) — protected from expiration. */
   def createTag(ref: String, name: String, snapshotId: Option[Long] = None): Int =
-    Maintenance.createTag(tableDir(ref), name, snapshotId)
+    committing(ref)(d => Maintenance.createTag(d, name, snapshotId))
 
   /** Remove a named ref (tag or branch); the snapshot stays. */
   def dropRef(ref: String, name: String): Int =
-    Maintenance.dropRef(tableDir(ref), name)
+    committing(ref)(d => Maintenance.dropRef(d, name))
 
   /** Snapshot id a named ref points at (for `files(ref, Some(id))` /
     * `readTable(ref, Some(id))` time travel by name). */
@@ -1123,28 +1164,28 @@ class Engine(val spark: SparkSession, warehouseDir: String,
 
   /** Add an optional column as a new schema version; returns its id. */
   def addColumn(ref: String, name: String, iceType: String): Int =
-    graft.meta.SchemaEvolution.addColumn(tableDir(ref), name, iceType)
+    committing(ref)(d => graft.meta.SchemaEvolution.addColumn(d, name, iceType))
 
   /** Rename a column (field id preserved); returns the new schema id. */
   def renameColumn(ref: String, oldName: String, newName: String): Int =
-    graft.meta.SchemaEvolution.renameColumn(tableDir(ref), oldName, newName)
+    committing(ref)(d => graft.meta.SchemaEvolution.renameColumn(d, oldName, newName))
 
   /** Drop a column (id retired); refuses partition sources. */
   def dropColumn(ref: String, name: String): Int =
-    graft.meta.SchemaEvolution.dropColumn(tableDir(ref), name)
+    committing(ref)(d => graft.meta.SchemaEvolution.dropColumn(d, name))
 
   /** Widen a column's type in place (int→long, float→double); the field
     * keeps its id and old files read through the widened schema. */
   def widenColumn(ref: String, name: String, toType: String): Int =
-    graft.meta.SchemaEvolution.widenColumn(tableDir(ref), name, toType)
+    committing(ref)(d => graft.meta.SchemaEvolution.widenColumn(d, name, toType))
 
   /** Set / unset table properties (metadata-only commit). */
   def setProperties(ref: String, set: Map[String, String],
       unset: Set[String] = Set.empty,
       expectedCurrentSnapshotId: Option[Long] = None,
       expectNoCurrentSnapshot: Boolean = false): Int =
-    graft.meta.SchemaEvolution.setProperties(tableDir(ref), set, unset,
-      expectedCurrentSnapshotId, expectNoCurrentSnapshot)
+    committing(ref)(d => graft.meta.SchemaEvolution.setProperties(d, set, unset,
+      expectedCurrentSnapshotId, expectNoCurrentSnapshot))
 
   /** Migrate a LEGACY table (files without parquet field ids — anything
     * not created by this engine's [[createTable]]) onto the
@@ -1226,6 +1267,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       // write racing in (an id-less adoption, say) would silently land
       // at a sequence past the boundary it just helped define
       expectNoCurrentSnapshot = expected.isEmpty)
+    graft.meta.PointerSync.sync(catalog, ref, tableDir(ref))
     rewritten
   }
 
@@ -1300,7 +1342,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     val dir = java.nio.file.Paths.get(tableDir(ref))
     try {
       val rels = Engine.linkInto(dir, src.files, canonParts)
-      graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+      val res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
         // the table was created by THIS call at metadata v1: ANY racer
@@ -1308,6 +1350,8 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         // and is caught instead of silently interleaved
         expectedMetadataVersion = Some(1),
         absentColumns = src.partitionKeys.toSet)
+      graft.meta.PointerSync.sync(catalog, ref, dir.toString)
+      res
     } catch {
       // a CONFLICT means another actor is actively committing to a ref
       // created milliseconds ago — surface it and leave the table alone
@@ -1324,8 +1368,15 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       case e: Throwable =>
         try {
           val (mdNow, vNow) = graft.meta.IcebergMeta.loadVersioned(tableDir(ref))
-          if (vNow == 1 && mdNow.currentSnapshotId.isEmpty)
+          if (vNow == 1 && mdNow.currentSnapshotId.isEmpty) {
             Engine.deleteRecursively(dir)
+            // the pointer row createTable registered must not dangle at
+            // a deleted path
+            catalog match {
+              case pc: graft.meta.PointerCatalog => pc.dropPointer(ref)
+              case _ => ()
+            }
+          }
         } catch { case _: Throwable => () }
         throw e
     }
@@ -1575,6 +1626,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
             seenV = revalidated._1; props = revalidated._2
         }
       }
+      graft.meta.PointerSync.sync(catalog, ref, dir.toString)
       res
     } catch {
       case e: Throwable =>
@@ -1589,13 +1641,13 @@ class Engine(val spark: SparkSession, warehouseDir: String,
   /** Evolve to a new identity partition spec for FUTURE writes (existing
     * files keep their layout); returns the new spec id. */
   def setPartitionSpec(ref: String, sourceCols: Seq[String]): Int =
-    graft.meta.SchemaEvolution.setPartitionSpec(tableDir(ref), sourceCols)
+    committing(ref)(d => graft.meta.SchemaEvolution.setPartitionSpec(d, sourceCols))
 
   /** Declare the write sort order (`"col"` / `"col desc"` entries;
     * empty = unsorted); future writes emit per-file sorted runs with
     * tight bounds. Returns the new order id. */
   def setSortOrder(ref: String, cols: Seq[String]): Int =
-    graft.meta.SchemaEvolution.setSortOrder(tableDir(ref), cols)
+    committing(ref)(d => graft.meta.SchemaEvolution.setSortOrder(d, cols))
 
   /** Read the table's DATA as a DataFrame (all live files of a snapshot). */
   def readTable(ref: String, snapshotId: Option[Long] = None): DataFrame =

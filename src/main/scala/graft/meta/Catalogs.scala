@@ -23,6 +23,111 @@ trait MetaCatalog {
   def tableLocation(ref: String): String
 }
 
+/** Catalogs that address tables through a MUTABLE METADATA POINTER (a
+  * JDBC `iceberg_tables` row, a REST server's table record) rather than
+  * the filesystem's own version listing. The engine's commits are
+  * path-addressed and CAS-ordered by the version-file link
+  * ([[IcebergMeta.publish]]); after every commit the engine MIRRORS the
+  * new version into the pointer ([[PointerSync.sync]]) so other clients
+  * of the same catalog see the new state — without this, a table
+  * written through the engine serves stale metadata to every other
+  * catalog client (the reference's whole load path goes through the
+  * catalog pointer, ref `catalog.py:145-161`). */
+trait PointerCatalog { self: MetaCatalog =>
+  /** Current metadata location for `ref`; None when unregistered (or
+    * registered with a NULL location — an in-flight foreign commit). */
+  def metadataPointer(ref: String): Option[String]
+
+  /** Compare-and-swap the pointer from `expected` to `next`
+    * (`expected = None` registers a new ref). Throws
+    * [[CommitConflictException]] when the stored value is not
+    * `expected` — the optimistic-concurrency analog of
+    * [[IcebergMeta.publish]]'s version-file link. */
+  def casPointer(ref: String, expected: Option[String], next: String): Unit
+
+  /** Directory a NEW table created through the engine should live in
+    * (pointer catalogs have no path convention of their own — this is
+    * the warehouse-property convention, pyiceberg `SqlCatalog` style). */
+  def createLocation(ref: String): String
+
+  /** Remove `ref`'s pointer (registration-failure cleanup: a pointer
+    * must not dangle at a deleted table directory). Idempotent. */
+  def dropPointer(ref: String): Unit
+}
+
+/** Mirror a path-addressed commit into a pointer catalog. The PATH is
+  * the engine's source of truth (every writer CAS-orders on the version
+  * file); the pointer is a downstream mirror for OTHER catalog clients,
+  * advanced monotonically:
+  *
+  *  - pointer already at (or past) the committed version in the same
+  *    lineage → no-op (a later commit's sync subsumed ours);
+  *  - CAS loss against another engine writer mirroring an OLDER version
+  *    → retry from the fresh pointer;
+  *  - pointer moved OUTSIDE the table's version lineage (a foreign
+  *    writer committed through the catalog) → loud
+  *    [[CommitConflictException]], never a silent overwrite.
+  *
+  * A crash between the path publish and the mirror leaves the pointer
+  * one version behind; the next successful sync (any verb) self-heals
+  * it forward. */
+object PointerSync {
+
+  private val VersionRe = """^(.*)/metadata/v(\d+)\.metadata\.json$""".r
+
+  /** (table dir, version) of a metadata location in THIS engine's
+    * naming, scheme-normalized; None for foreign shapes. */
+  private[meta] def lineageOf(location: String): Option[(String, Int)] =
+    normalize(location) match {
+      case VersionRe(dir, v) => Some((dir, v.toInt))
+      case _ => None
+    }
+
+  private def normalize(location: String): String =
+    try MetadataLocations.localPath(location, "pointer").toString
+    catch { case _: IllegalStateException => location }
+
+  def sync(catalog: MetaCatalog, ref: String, tableDir: String): Unit =
+    catalog match {
+      case pc: PointerCatalog =>
+        val next = IcebergMeta.latestMetadataPath(tableDir).toString
+        val nextLin = lineageOf(next)
+        var expected = pc.metadataPointer(ref)
+        var attempts = 0
+        while (true) {
+          // a pointer OUTSIDE the table's version lineage is owned by a
+          // foreign writer: never clobber it. NOT a conflict exception —
+          // the path commit already landed, and "reload and retry" would
+          // replay it; the caller must reconcile the catalog instead.
+          expected.filter(c => lineageOf(c) match {
+            case Some((dir, _)) => !nextLin.exists(_._1 == dir)
+            case None => true
+          }).foreach(c => throw new IllegalStateException(
+            s"the commit to $ref landed path-addressed at $next, but the " +
+            s"catalog pointer was NOT advanced: it points at foreign " +
+            s"metadata $c (a non-engine writer committed through the " +
+            "catalog) — reconcile the catalog before further engine writes"))
+          val subsumed = (expected.flatMap(lineageOf), nextLin) match {
+            case (Some((ed, ev)), Some((nd, nv))) => ed == nd && ev >= nv
+            case _ => false
+          }
+          if (expected.contains(next) || subsumed) return
+          try { pc.casPointer(ref, expected, next); return }
+          catch {
+            case e: CommitConflictException =>
+              attempts += 1
+              if (attempts > 5) throw e
+              val cur = pc.metadataPointer(ref)
+              // the pointer did not move yet the CAS refused: the
+              // backend disagrees in a way retrying cannot settle
+              if (cur == expected) throw e
+              expected = cur
+          }
+        }
+      case _ => ()
+    }
+}
+
 /** Shared helper for metadata-location catalogs (REST fallback, JDBC,
   * Glue, Hive): production tables in those catalogs commonly point
   * `metadata_location` at s3:// / hdfs:// / gs:// URIs, which this
@@ -114,7 +219,8 @@ final class FsCatalog(warehouseDir: String) extends MetaCatalog {
   */
 final class RestCatalog(
     baseUri: String,
-    clientProps: Map[String, String] = Map.empty) extends MetaCatalog {
+    clientProps: Map[String, String] = Map.empty)
+    extends MetaCatalog with PointerCatalog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val root = baseUri.stripSuffix("/")
@@ -229,6 +335,249 @@ final class RestCatalog(
   }
 
   override def tableLocation(ref: String): String = loadTable(ref).metadata.location
+
+  // ---- commit path (the REST spec's `POST …/tables/{t}` endpoint:
+  // CommitTableRequest = requirements + updates; the server validates
+  // the requirements against its current state and 409s a loser) ----
+
+  private def refSplit(ref: String): (String, String) = {
+    val cut = ref.lastIndexOf('.')
+    require(cut > 0 && cut < ref.length - 1,
+      s"table ref must be <namespace>.<table>: $ref")
+    (ref.substring(0, cut), ref.substring(cut + 1))
+  }
+
+  /** GET returning None on 404 (the unregistered-table probe). */
+  private def getOpt(path: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val url = java.net.URI.create(s"$root$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(10000); conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      clientProps.get("token").foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      conn.getResponseCode match {
+        case 200 =>
+          val body = scala.util.Using.resource(conn.getInputStream)(in =>
+            new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+          Some(mapper.readTree(body))
+        case 404 => None
+        case code => throw new IllegalStateException(
+          s"REST catalog GET $path returned HTTP $code")
+      }
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"REST catalog at $root unreachable (GET $path): ${e.getMessage}", e)
+    } finally conn.disconnect()
+  }
+
+  override def metadataPointer(ref: String): Option[String] = {
+    val (ns, t) = refSplit(ref)
+    getOpt(prefixed(s"/namespaces/${nsPath(ns)}/tables/${enc(t)}"))
+      .flatMap(res => Option(res.get("metadata-location")).map(_.asText()))
+  }
+
+  override def createLocation(ref: String): String = {
+    val (ns, t) = refSplit(ref)
+    val wh = config.get("warehouse").filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"creating $ref through the rest catalog needs a 'warehouse' " +
+          "path in the catalog config"))
+    s"${wh.stripSuffix("/")}/$ns/$t"
+  }
+
+  /** Commit through the spec's table endpoint: requirements assert the
+    * state the commit was based on (`assert-create` /
+    * `assert-table-uuid` + `assert-ref-snapshot-id` on `main`), updates
+    * carry the METADATA DIFF from `expected` to `next` in the public
+    * TableUpdate vocabulary (add-schema / set-current-schema, add-spec
+    * / set-default-spec, add-snapshot / remove-snapshots,
+    * set-snapshot-ref / remove-snapshot-ref, set-/remove-properties,
+    * set-location, assign-uuid, upgrade-format-version). HTTP 409 maps
+    * to [[CommitConflictException]] — the same reload-and-retry
+    * contract as the path CAS. */
+  override def casPointer(
+      ref: String, expected: Option[String], next: String): Unit = {
+    val (ns, t) = refSplit(ref)
+    val body = commitRequestBody(ns, t, expected, next)
+    val url = java.net.URI.create(
+      s"$root${prefixed(s"/namespaces/${nsPath(ns)}/tables/${enc(t)}")}").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(10000); conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      conn.setRequestProperty("Content-Type", "application/json")
+      clientProps.get("token").foreach(tok =>
+        conn.setRequestProperty("Authorization", s"Bearer $tok"))
+      conn.setDoOutput(true)
+      scala.util.Using.resource(conn.getOutputStream)(os =>
+        os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      conn.getResponseCode match {
+        case 200 => ()
+        case 409 => throw new CommitConflictException(
+          s"REST catalog rejected the commit for $ref (HTTP 409): the " +
+            "table state moved; reload and retry")
+        case code => throw new IllegalStateException(
+          s"REST catalog commit for $ref returned HTTP $code")
+      }
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"REST catalog at $root unreachable (POST commit $ref): ${e.getMessage}", e)
+    } finally conn.disconnect()
+  }
+
+  /** The spec's `DELETE …/tables/{t}` — 404 (already gone) is fine. */
+  override def dropPointer(ref: String): Unit = {
+    val (ns, t) = refSplit(ref)
+    val url = java.net.URI.create(
+      s"$root${prefixed(s"/namespaces/${nsPath(ns)}/tables/${enc(t)}")}").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("DELETE")
+      conn.setConnectTimeout(10000); conn.setReadTimeout(30000)
+      clientProps.get("token").foreach(tok =>
+        conn.setRequestProperty("Authorization", s"Bearer $tok"))
+      conn.getResponseCode match {
+        case 200 | 202 | 204 | 404 => ()
+        case code => throw new IllegalStateException(
+          s"REST catalog DELETE for $ref returned HTTP $code")
+      }
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"REST catalog at $root unreachable (DELETE $ref): ${e.getMessage}", e)
+    } finally conn.disconnect()
+  }
+
+  /** CommitTableRequest JSON: requirements from the EXPECTED metadata,
+    * updates from a field-level diff of the two metadata documents
+    * (both local — the engine just published `next` path-addressed). */
+  private def commitRequestBody(
+      ns: String, table: String,
+      expected: Option[String], next: String): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    import scala.jdk.CollectionConverters._
+    def readLocal(loc: String): JsonNode = mapper.readTree(
+      Files.readString(MetadataLocations.localPath(loc, "rest")))
+    val newJ = readLocal(next)
+    val oldJ = expected.map(readLocal)
+
+    val req = mapper.createObjectNode()
+    val ident = req.putObject("identifier")
+    val nsArr = ident.putArray("namespace")
+    ns.split("\\.").foreach(nsArr.add)
+    ident.put("name", table)
+
+    val reqs = req.putArray("requirements")
+    oldJ match {
+      case None =>
+        reqs.addObject().put("type", "assert-create")
+        ()
+      case Some(o) =>
+        reqs.addObject().put("type", "assert-table-uuid")
+          .put("uuid", o.get("table-uuid").asText())
+        val r = reqs.addObject()
+        r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+        if (o.hasNonNull("current-snapshot-id"))
+          r.put("snapshot-id", o.get("current-snapshot-id").asLong())
+        else r.putNull("snapshot-id")
+        ()
+    }
+
+    val ups = req.putArray("updates")
+    def arr(n: Option[JsonNode], field: String): Seq[JsonNode] =
+      n.flatMap(x => Option(x.get(field))).toSeq
+        .flatMap(a => (0 until a.size()).map(a.get))
+    def longIds(n: Option[JsonNode], field: String, idField: String): Set[Long] =
+      arr(n, field).map(_.get(idField).asLong()).toSet
+    def obj(n: Option[JsonNode], field: String): Map[String, JsonNode] =
+      n.flatMap(x => Option(x.get(field))).filter(_.isObject).map(x =>
+        x.properties().asScala.map(e => e.getKey -> e.getValue).toMap)
+        .getOrElse(Map.empty)
+    def optLong(n: Option[JsonNode], field: String): Option[Long] =
+      n.flatMap(x => Option(x.get(field))).filter(!_.isNull).map(_.asLong())
+    val newOpt = Some(newJ)
+
+    if (oldJ.isEmpty) {
+      ups.addObject().put("action", "assign-uuid")
+        .put("uuid", newJ.get("table-uuid").asText())
+      ups.addObject().put("action", "upgrade-format-version")
+        .put("format-version", newJ.get("format-version").asInt())
+      ()
+    }
+    if (oldJ.forall(o => o.get("location").asText() != newJ.get("location").asText())) {
+      ups.addObject().put("action", "set-location")
+        .put("location", newJ.get("location").asText())
+      ()
+    }
+    // schemas / specs / sort orders: additions by id + default moves
+    val oldSchemas = longIds(oldJ, "schemas", "schema-id")
+    arr(newOpt, "schemas").filterNot(s => oldSchemas(s.get("schema-id").asLong()))
+      .foreach { s =>
+        ups.addObject().put("action", "add-schema").set[ObjectNode]("schema", s); () }
+    if (optLong(oldJ, "current-schema-id") != optLong(newOpt, "current-schema-id"))
+      optLong(newOpt, "current-schema-id").foreach(id =>
+        ups.addObject().put("action", "set-current-schema").put("schema-id", id))
+    val oldSpecs = longIds(oldJ, "partition-specs", "spec-id")
+    arr(newOpt, "partition-specs").filterNot(s => oldSpecs(s.get("spec-id").asLong()))
+      .foreach { s =>
+        ups.addObject().put("action", "add-spec").set[ObjectNode]("spec", s); () }
+    if (optLong(oldJ, "default-spec-id") != optLong(newOpt, "default-spec-id"))
+      optLong(newOpt, "default-spec-id").foreach(id =>
+        ups.addObject().put("action", "set-default-spec").put("spec-id", id))
+    val oldOrders = longIds(oldJ, "sort-orders", "order-id")
+    arr(newOpt, "sort-orders").filterNot(s => oldOrders(s.get("order-id").asLong()))
+      .foreach { s =>
+        ups.addObject().put("action", "add-sort-order")
+          .set[ObjectNode]("sort-order", s); () }
+    if (optLong(oldJ, "default-sort-order-id") != optLong(newOpt, "default-sort-order-id"))
+      optLong(newOpt, "default-sort-order-id").foreach(id =>
+        ups.addObject().put("action", "set-default-sort-order")
+          .put("sort-order-id", id))
+    // properties: changed/added keys in one set-properties, removals apart
+    val oldProps = obj(oldJ, "properties").view.mapValues(_.asText()).toMap
+    val newProps = obj(newOpt, "properties").view.mapValues(_.asText()).toMap
+    val setProps = newProps.filter { case (k, v) => !oldProps.get(k).contains(v) }
+    if (setProps.nonEmpty) {
+      val u = ups.addObject(); u.put("action", "set-properties")
+      val m = u.putObject("updates")
+      setProps.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    }
+    val removedProps = (oldProps.keySet -- newProps.keySet).toSeq.sorted
+    if (removedProps.nonEmpty) {
+      val u = ups.addObject(); u.put("action", "remove-properties")
+      val a = u.putArray("removals"); removedProps.foreach(a.add)
+    }
+    // snapshots: additions ride whole; expirations as remove-snapshots
+    val oldSnaps = longIds(oldJ, "snapshots", "snapshot-id")
+    val newSnaps = longIds(newOpt, "snapshots", "snapshot-id")
+    arr(newOpt, "snapshots").filterNot(s => oldSnaps(s.get("snapshot-id").asLong()))
+      .foreach { s =>
+        ups.addObject().put("action", "add-snapshot").set[ObjectNode]("snapshot", s); () }
+    val removedSnaps = (oldSnaps -- newSnaps).toSeq.sorted
+    if (removedSnaps.nonEmpty) {
+      val u = ups.addObject(); u.put("action", "remove-snapshots")
+      val a = u.putArray("snapshot-ids"); removedSnaps.foreach(a.add)
+    }
+    // refs: set changed/added, remove dropped
+    val oldRefs = obj(oldJ, "refs")
+    val newRefs = obj(newOpt, "refs")
+    newRefs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      if (!oldRefs.get(name).contains(r)) {
+        val u = ups.addObject(); u.put("action", "set-snapshot-ref")
+        u.put("ref-name", name)
+        u.put("type", r.get("type").asText())
+        u.put("snapshot-id", r.get("snapshot-id").asLong())
+      }
+    }
+    (oldRefs.keySet -- newRefs.keySet).toSeq.sorted.foreach { name =>
+      ups.addObject().put("action", "remove-snapshot-ref").put("ref-name", name)
+      ()
+    }
+    mapper.writeValueAsString(req)
+  }
 }
 
 /** JDBC ("sql") catalog — pyiceberg's `SqlCatalog` table layout (ref
@@ -245,7 +594,8 @@ final class RestCatalog(
   */
 final class JdbcCatalog(
     jdbcUrl: String,
-    catalogName: String = "default") extends MetaCatalog {
+    catalogName: String = "default",
+    warehouse: Option[String] = None) extends MetaCatalog with PointerCatalog {
 
   val TableName = "iceberg_tables"
 
@@ -318,6 +668,68 @@ final class JdbcCatalog(
     }
     ()
   }
+
+  /** Current pointer, None when the ref is unregistered or its location
+    * is NULL (an in-flight foreign registration). */
+  override def metadataPointer(ref: String): Option[String] = {
+    val Array(ns, t) = refParts(ref)
+    query(
+      s"SELECT metadata_location FROM $TableName WHERE catalog_name = ? " +
+        "AND table_namespace = ? AND table_name = ?",
+      Seq(catalogName, ns, t))(rs => Option(rs.getString(1)))
+      .headOption.flatten
+  }
+
+  /** The pyiceberg `SqlCatalog` commit CAS: one guarded UPDATE moving
+    * `metadata_location` to `next` (old value preserved as
+    * `previous_metadata_location`) iff the row still holds `expected`;
+    * `expected = None` INSERTs the row. 0 rows touched — or a key
+    * violation on insert — is a [[CommitConflictException]]. */
+  override def casPointer(
+      ref: String, expected: Option[String], next: String): Unit = {
+    val Array(ns, t) = refParts(ref)
+    val won = withConn { c =>
+      expected match {
+        case Some(exp) =>
+          scala.util.Using.resource(c.prepareStatement(
+            s"UPDATE $TableName SET previous_metadata_location = metadata_location, " +
+              "metadata_location = ? WHERE catalog_name = ? AND " +
+              "table_namespace = ? AND table_name = ? AND " +
+              "metadata_location = ?")) { ps =>
+            ps.setString(1, next)
+            ps.setString(2, catalogName); ps.setString(3, ns); ps.setString(4, t)
+            ps.setString(5, exp)
+            ps.executeUpdate() == 1
+          }
+        case None =>
+          try {
+            scala.util.Using.resource(c.prepareStatement(
+              s"INSERT INTO $TableName (catalog_name, table_namespace, table_name, " +
+                "metadata_location, previous_metadata_location) VALUES (?, ?, ?, ?, NULL)")) { ps =>
+              ps.setString(1, catalogName); ps.setString(2, ns); ps.setString(3, t)
+              ps.setString(4, next)
+              ps.executeUpdate() == 1
+            }
+          } catch {
+            case _: java.sql.SQLIntegrityConstraintViolationException => false
+          }
+      }
+    }
+    if (!won) throw new CommitConflictException(
+      s"catalog pointer for $ref is no longer at " +
+        s"${expected.getOrElse("<unregistered>")} — a concurrent writer " +
+        "moved it; reload and retry")
+  }
+
+  override def createLocation(ref: String): String = {
+    val Array(ns, t) = refParts(ref)
+    val wh = warehouse.getOrElse(throw new IllegalArgumentException(
+      s"creating $ref through the sql catalog needs a 'warehouse' path " +
+        "(set it in the catalog config)"))
+    s"${wh.stripSuffix("/")}/$ns/$t"
+  }
+
+  override def dropPointer(ref: String): Unit = drop(ref)
 
   def drop(ref: String): Unit = {
     val Array(ns, t) = refParts(ref)
@@ -420,7 +832,8 @@ object Catalogs {
       case Some(b) if b == "sql" || b == "jdbc" =>
         val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' is type sql but has no jdbc uri"))
-        new JdbcCatalog(uri, cfg.name)
+        new JdbcCatalog(uri, cfg.name,
+          cfg.warehouse.orElse(cfg.properties.get("warehouse")))
       case Some("glue") =>
         def prop(key: String, env: String): String =
           cfg.properties.get(key).orElse(sys.env.get(env)).getOrElse(

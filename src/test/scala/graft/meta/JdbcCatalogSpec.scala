@@ -114,6 +114,138 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(nullErr.getMessage.contains("metadata_location is NULL"), nullErr.getMessage)
   }
 
+  test("engine commits MIRROR into the JDBC pointer: a fresh forConfig " +
+      "engine sees every snapshot, DDL included") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("jdbcwh-commit").toString
+    val cfg = CatalogConfig("main", Some("jdbc:derby:memory:catc1;create=true"),
+      Some(wh), Map("type" -> "sql"))
+    val e1 = graft.api.Engine.forConfig(spark, cfg)
+    e1.catalog.asInstanceOf[JdbcCatalog].init()
+
+    // CREATE through the pointer catalog: location resolves under the
+    // configured warehouse and the pointer registers at v1
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    e1.createTable("ns.t", df.schema)
+    val cat = new JdbcCatalog("jdbc:derby:memory:catc1", "main")
+    val p1 = cat.metadataPointer("ns.t")
+    assert(p1.exists(_.endsWith("v1.metadata.json")), p1.toString)
+    assert(p1.get.startsWith(wh), "created table must live under the warehouse")
+
+    // a data commit advances the pointer; a FRESH engine over the same
+    // catalog reads the new snapshot THROUGH the pointer
+    e1.append("ns.t", df)
+    val e2 = graft.api.Engine.forConfig(spark, cfg)
+    assert(e2.readTable("ns.t").count() == 2L)
+    assert(cat.metadataPointer("ns.t").exists(_.endsWith("v2.metadata.json")))
+    assert(cat.loadTable("ns.t").metadata.currentSnapshotId ==
+      IcebergMeta.load(e1.tableDir("ns.t")).currentSnapshotId,
+      "the pointed metadata must BE the committed metadata")
+
+    // writes through the second engine chain on: every verb mirrors
+    e2.append("ns.t", Seq((3L, "c")).toDF("id", "name"))
+    e2.addColumn("ns.t", "note", "string")
+    val e3 = graft.api.Engine.forConfig(spark, cfg)
+    assert(e3.readTable("ns.t").count() == 3L)
+    assert(e3.readTable("ns.t").columns.contains("note"),
+      "DDL must be visible through a fresh catalog client")
+    assert(e3.deleteWhere("ns.t", col("id") === 2L).nonEmpty)
+    assert(graft.api.Engine.forConfig(spark, cfg)
+      .readTable("ns.t").count() == 2L)
+
+    // a SECOND create of the same ref refuses loudly (the pointer
+    // resolves it to the existing directory; true races settle at the
+    // v1 publish CAS)
+    val exists = intercept[IllegalArgumentException](
+      e3.createTable("ns.t", df.schema))
+    assert(exists.getMessage.contains("already exists"), exists.getMessage)
+  }
+
+  test("pointer CAS: a stale expected loses with CommitConflictException; " +
+      "a foreign-owned pointer refuses the mirror without clobbering") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("jdbcwh-cas").toString
+    val cfg = CatalogConfig("main", Some("jdbc:derby:memory:catc2;create=true"),
+      Some(wh), Map("type" -> "sql"))
+    val e = graft.api.Engine.forConfig(spark, cfg)
+    val cat = e.catalog.asInstanceOf[JdbcCatalog]
+    cat.init()
+    val df = Seq((1L, "a")).toDF("id", "name")
+    e.createTable("ns.cas", df.schema)
+    e.append("ns.cas", df)
+    val cur = cat.metadataPointer("ns.cas").get
+
+    // direct CAS with a stale expected: the guarded UPDATE touches no
+    // row and surfaces the optimistic-concurrency loss
+    val err = intercept[CommitConflictException](
+      cat.casPointer("ns.cas", Some("/stale/v1.metadata.json"), "/x/v9.metadata.json"))
+    assert(err.getMessage.contains("concurrent"), err.getMessage)
+    assert(cat.metadataPointer("ns.cas").contains(cur), "loser must not move the pointer")
+    // CAS-create on an existing row loses the same way
+    intercept[CommitConflictException](
+      cat.casPointer("ns.cas", None, "/x/v9.metadata.json"))
+
+    // a foreign writer takes the pointer (real-Iceberg metadata naming,
+    // same table dir): the next engine commit LANDS path-addressed but
+    // refuses to clobber the pointer, with an error naming both sides —
+    // not a conflict exception, which would invite a duplicate-commit
+    // retry
+    val foreignLoc = java.nio.file.Paths
+      .get(e.tableDir("ns.cas"), "metadata", "00003-abc123.metadata.json")
+    Files.copy(java.nio.file.Paths.get(cur), foreignLoc)
+    cat.register("ns.cas", foreignLoc.toString)
+    val ex = intercept[IllegalStateException](e.append("ns.cas", df))
+    assert(ex.getMessage.contains("foreign metadata") &&
+      ex.getMessage.contains("landed path-addressed"), ex.getMessage)
+    assert(cat.metadataPointer("ns.cas").contains(foreignLoc.toString),
+      "the foreign pointer must survive")
+    // the path commit itself landed (engine path-truth semantics)
+    assert(IcebergMeta.load(e.tableDir("ns.cas")).snapshots.size == 2)
+
+    // restoring the pointer into the lineage lets the next sync heal
+    // everything forward monotonically
+    cat.register("ns.cas", cur)
+    e.append("ns.cas", df)
+    assert(cat.metadataPointer("ns.cas").exists(_.endsWith("v4.metadata.json")),
+      cat.metadataPointer("ns.cas").toString)
+    assert(graft.api.Engine.forConfig(spark, cfg).readTable("ns.cas").count() == 3L)
+  }
+
+  test("registerParquet failure cleanup drops the pointer row it " +
+      "registered — no dangling pointer at a deleted path") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("jdbcwh-reg").toString
+    val cfg = CatalogConfig("main", Some("jdbc:derby:memory:catc3;create=true"),
+      Some(wh), Map("type" -> "sql"))
+    val e = graft.api.Engine.forConfig(spark, cfg)
+    val cat = e.catalog.asInstanceOf[JdbcCatalog]
+    cat.init()
+    // a drop whose footer is healthy but whose data pages are corrupt:
+    // registerParquet creates + registers the table, then the stats
+    // pass fails and the cleanup must remove BOTH the dir and the row
+    val drop = Files.createTempDirectory("jdbc-reg-drop")
+    (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(drop.toString)
+    val f = Files.list(drop).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val bytes = Files.readAllBytes(f)
+    java.util.Arrays.fill(bytes, 8, 1000, 0xFF.toByte)
+    Files.write(f, bytes)
+    intercept[Exception](e.registerParquet("ns.broken", drop.toString))
+    assert(cat.metadataPointer("ns.broken").isEmpty,
+      "the failed registration must not leave a pointer row")
+    assert(!Files.exists(java.nio.file.Paths.get(wh, "ns", "broken")))
+    // a healthy registration through the same engine works end to end
+    val good = Files.createTempDirectory("jdbc-reg-good")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(good.toString)
+    e.registerParquet("ns.good", good.toString)
+    assert(graft.api.Engine.forConfig(spark, cfg)
+      .readTable("ns.good").count() == 2L)
+  }
+
   test("forConfig routes sql/jdbc configs to JdbcCatalog") {
     val cat = Catalogs.forConfig(CatalogConfig(
       "c2", Some("jdbc:derby:memory:cat2;create=true"), None,
