@@ -203,6 +203,32 @@ object Bench {
           compEngine, "bench.comps25")
         compIdx25.create()
         compIdx25.bootstrap(pairs25.filter(!inBatch25))
+        // ADOPTION at FILE-COUNT scale: one vendor drop of 10,000 real
+        // parquet files through the full register pipeline — the
+        // executor-parallel footer gate, the bounded-parallel link
+        // pass, ONE distributed stats aggregation over every file, one
+        // 10k-entry manifest commit. Fixture is a single seed file
+        // hard-linked under 10k distinct names (identical bytes, 10k
+        // REAL footers — the pipeline's cost is per FILE, not per byte),
+        // built untimed so d_adopt_10k prices adoption, not fixture
+        // generation.
+        val adoptSeedDir = java.nio.file.Files.createTempDirectory("bench_adopt_seed")
+        docs.select(col("doc_id"), col("lang")).limit(64).coalesce(1)
+          .write.mode("overwrite").parquet(adoptSeedDir.toString)
+        val adoptSeed = {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(adoptSeedDir)
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        val adoptSrc = java.nio.file.Files.createTempDirectory("bench_adopt_src")
+        (0 until 10000).foreach { i =>
+          java.nio.file.Files.createLink(
+            adoptSrc.resolve(f"part-$i%05d.parquet"), adoptSeed)
+        }
+        val adoptEngine = new graft.api.Engine(spark,
+          java.nio.file.Files.createTempDirectory("bench_adopt_wh").toString)
         Seq(
           timed("d_ann_bootstrap") {
             annIdx.create(); annIdx.bootstrap(emb); ()
@@ -301,6 +327,10 @@ object Bench {
           timed("d_bpe_tracked512") {
             graft.ops.Bpe.trainMerges(docs, nMerges = 512,
               driverVocabThreshold = 0L, batchK = 32).count()
+          },
+          timed("d_adopt_10k") {
+            adoptEngine.registerParquet("bench.adopt10k", adoptSrc.toString)
+            ()
           })
       }
     // The commit a distributed section was MEASURED at rides in the

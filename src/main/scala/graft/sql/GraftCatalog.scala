@@ -432,14 +432,22 @@ class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    if (t.deleteFiles(snapshotId).nonEmpty ||
-        // hive-adopted files lack their identity-partition columns
-        // in-file; the engine plan fills them from the manifests
-        // (ScanPlanner.fillPathPartitions). Pure metadata gate — the
-        // moment migrate-field-ids/compaction rewrites the adopted
-        // generation, the vectorized file scan below comes back
-        graft.meta.Transforms.needsPathFill(t.metadata, t.files(snapshotId)))
+  override def build(): Scan = {
+    // SCOPED fill gate: the wrapped engine plan is needed for the
+    // path-partition fill only when (a) some file SURVIVING this scan's
+    // pushed-filter pruning is an un-rewritten adopted file AND (b) the
+    // scan actually OUTPUTS a fillable column (Spark's required schema
+    // includes residual-filter columns, so a filter on the path column
+    // requires it too). A probe pruned to native files — or a
+    // projection of file-carried columns — keeps the vectorized scan
+    // even while adopted files are live elsewhere in the table.
+    lazy val keptAdopted = t.files(snapshotId)
+      .filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
+    def fillNeeded: Boolean =
+      graft.meta.Transforms.needsPathFill(t.metadata, keptAdopted) &&
+        graft.meta.Transforms.pathPartitionCols(t.metadata)
+          .exists(required.fieldNames.contains)
+    if (t.deleteFiles(snapshotId).nonEmpty || fillNeeded)
       // merge-on-read fallback — itself FILE-SCOPED: inside the wrapped
       // plan, delete-untouched files scan bare (vectorized parquet, no
       // anti-joins) and only delete-hit files pay the MoR machinery
@@ -459,6 +467,7 @@ class GraftScanBuilder(
       new GraftFileScan(t, attr(dataSchema), attr(required), pushed.toSeq,
         kept, runtimeFilterCols)
     }
+  }
 }
 
 /** A METADATA TABLE (`t$files`, `t$snapshots`, …) surfaced to SQL — the

@@ -177,4 +177,49 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(*) AS n FROM graft_del.sales.orders WHERE amount > 100.0")
       .as[Long].head() == 0L)
   }
+
+  test("adopted-table fallback is SCOPED: vectorized when the pruned set " +
+      "holds no adopted file or no fillable column is required") {
+    val wh = warehouse
+    // hive drop (all files adopted, p lives only in the manifests) plus
+    // one NATIVE append that materializes p in-file
+    val src = Files.createTempDirectory("sql-hive-src").toString
+    Seq((1L, "x", "a"), (2L, "y", "a")).toDF("id", "name", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(src)
+    val e = new graft.api.Engine(spark, wh)
+    e.registerParquet("adopted.scoped", src)
+    e.append("adopted.scoped", Seq((3L, "z", "b")).toDF("id", "name", "p"))
+    val t = IcebergTable.load(s"$wh/adopted/scoped")
+    val schema = ScanPlanner.currentSparkSchema(t).get
+
+    // the path column required + adopted files surviving → wrapped plan
+    val bAll = new GraftScanBuilder(t, schema)
+    assert(bAll.build().isInstanceOf[GraftMorV1Scan],
+      "a full read of an adopted table must take the fill fallback")
+    // a projection of file-carried columns only → vectorized scan, even
+    // with adopted files live
+    val bProj = new GraftScanBuilder(t, schema)
+    bProj.pruneColumns(org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "p")))
+    assert(bProj.build().isInstanceOf[GraftFileScan],
+      "a projection without fillable columns must stay vectorized")
+    // a partition filter pruning to the NATIVE file only → vectorized,
+    // path column and all
+    val bNat = new GraftScanBuilder(t, schema)
+    bNat.pushFilters(Array(IsNotNull("p"), EqualTo("p", "b")))
+    assert(bNat.build().isInstanceOf[GraftFileScan],
+      "a probe pruned to native files must stay vectorized")
+
+    // and both routes answer identically through SQL
+    assert(spark.sql(
+      "SELECT id, name FROM graft.adopted.scoped ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(spark.sql(
+      "SELECT id, p FROM graft.adopted.scoped WHERE p = 'a' ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "a")))
+    assert(spark.sql(
+      "SELECT id, p FROM graft.adopted.scoped WHERE p = 'b'")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "b")))
+  }
 }
