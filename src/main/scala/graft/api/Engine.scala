@@ -239,12 +239,12 @@ object Engine {
     * read/analytics engine; the remaining network backends raise
     * through the friendly error taxonomy. DDL/write verbs work for
     * tables whose metadata location is a reachable path, and on
-    * POINTER catalogs (JDBC, REST) every commit MIRRORS the new
-    * metadata version into the catalog's pointer with CAS semantics
-    * ([[graft.meta.PointerSync]]) — a fresh client of the same catalog
-    * sees each commit. Glue/Hive catalogs remain read-only pointers
-    * (their commit protocols are not wired); their tables' writes stay
-    * path-visible only. */
+    * POINTER catalogs — JDBC (guarded-UPDATE CAS), REST (the spec's
+    * commit endpoint), Glue (VersionId-guarded UpdateTable) and Hive
+    * (metastore exclusive lock + alter_table + unlock) — every commit
+    * MIRRORS the new metadata version into the catalog's pointer with
+    * CAS semantics ([[graft.meta.PointerSync]]), so a fresh client of
+    * the same catalog sees each commit. */
   def forConfig(spark: SparkSession, cfg: graft.meta.CatalogConfig): Engine = {
     val cat = graft.meta.Catalogs.forConfig(cfg)
     new Engine(spark, cfg.warehouse.getOrElse(""), cat)

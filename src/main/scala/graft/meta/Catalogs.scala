@@ -845,14 +845,16 @@ object Catalogs {
           cfg.uri.getOrElse(s"https://glue.$region.amazonaws.com"),
           region,
           prop("access-key", "AWS_ACCESS_KEY_ID"),
-          prop("secret-key", "AWS_SECRET_ACCESS_KEY"))
+          prop("secret-key", "AWS_SECRET_ACCESS_KEY"),
+          cfg.warehouse.orElse(cfg.properties.get("warehouse")))
       case Some(b) if b == "hive" || b == "thrift" =>
         val uri = cfg.uri.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' is type hive but has no thrift uri"))
         val hp = uri.stripPrefix("thrift://").split(":", 2)
         require(hp.length == 2 && hp(1).nonEmpty && hp(1).forall(_.isDigit),
           s"hive uri must be thrift://host:port: $uri")
-        new HiveCatalog(hp(0), hp(1).toInt)
+        new HiveCatalog(hp(0), hp(1).toInt,
+          cfg.warehouse.orElse(cfg.properties.get("warehouse")))
       case _ =>
         val wh = cfg.warehouse.getOrElse(throw new IllegalArgumentException(
           s"catalog '${cfg.name}' resolves to no warehouse path"))

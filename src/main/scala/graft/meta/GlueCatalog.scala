@@ -14,17 +14,32 @@ import com.fasterxml.jackson.databind.JsonNode
   * `Table.Parameters["metadata_location"]` (the pyiceberg/Glue
   * convention); the metadata itself parses through [[IcebergMeta]].
   *
-  * Operations used: `GetDatabases`, `GetTables`, `GetTable`. The
-  * endpoint is injectable so an in-process stub (which RE-DERIVES the
-  * SigV4 signature server-side) can drive the full client offline.
+  * Operations used: `GetDatabases`, `GetTables`, `GetTable` on the read
+  * side; `UpdateTable` (VersionId-guarded, `SkipArchive`) /
+  * `CreateTable` / `DeleteTable` for the COMMIT mirror — the same
+  * optimistic-locking shape Iceberg's own GlueTableOperations uses: the
+  * pointer check happens against the freshly-read `metadata_location`
+  * and the update carries the read's `VersionId`, so a racer surfaces
+  * as `ConcurrentModificationException` → [[CommitConflictException]].
+  * The endpoint is injectable so an in-process stub (which RE-DERIVES
+  * the SigV4 signature server-side) can drive the full client offline.
   */
 final class GlueCatalog(
     endpoint: String,
     region: String,
     accessKey: String,
-    secretKey: String) extends MetaCatalog {
+    secretKey: String,
+    warehouse: Option[String] = None)
+    extends MetaCatalog with PointerCatalog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A non-200 Glue reply, with the AWS JSON error `__type` parsed out
+    * so call sites can map EntityNotFound / ConcurrentModification /
+    * AlreadyExists to their typed meanings. */
+  private[meta] final class GlueApiError(
+      val httpCode: Int, val errorType: String, msg: String)
+    extends IllegalStateException(msg)
 
   private def post(target: String, body: String): JsonNode = {
     val url = java.net.URI.create(endpoint.stripSuffix("/") + "/").toURL
@@ -55,8 +70,18 @@ final class GlueCatalog(
       }
       scala.util.Using.resource(conn.getOutputStream)(_.write(payload))
       val code = conn.getResponseCode
-      if (code != 200) throw new IllegalStateException(
-        s"Glue $target returned HTTP $code")
+      if (code != 200) {
+        val errBody = Option(conn.getErrorStream).map(in =>
+          scala.util.Using.resource(in)(s =>
+            new String(s.readAllBytes(), StandardCharsets.UTF_8))).getOrElse("")
+        val etype =
+          try Option(mapper.readTree(errBody).get("__type"))
+            .map(_.asText()).getOrElse("")
+          catch { case _: Exception => "" }
+        throw new GlueApiError(code, etype,
+          s"Glue $target returned HTTP $code" +
+            (if (etype.nonEmpty) s" ($etype)" else ""))
+      }
       val resp = scala.util.Using.resource(conn.getInputStream) { in =>
         new String(in.readAllBytes(), StandardCharsets.UTF_8)
       }
@@ -108,6 +133,110 @@ final class GlueCatalog(
 
   override def tableLocation(ref: String): String =
     loadTable(ref).metadata.location
+
+  // ---- commit mirror (PointerCatalog) ----
+
+  private def refParts(ref: String): (String, String) = {
+    val parts = ref.split("\\.", 2)
+    require(parts.length == 2, s"table ref must be <namespace>.<table>: $ref")
+    (parts(0), parts(1))
+  }
+
+  /** One GetTable: (metadata_location, VersionId); None when the table
+    * does not exist. */
+  private def tableState(ref: String): Option[(Option[String], Option[String])] = {
+    val (db, t) = refParts(ref)
+    try {
+      val node = post("GetTable",
+        s"""{"DatabaseName": ${jq(db)}, "Name": ${jq(t)}}""").get("Table")
+      val loc = Option(node.get("Parameters"))
+        .flatMap(p => Option(p.get("metadata_location"))).map(_.asText())
+      val vid = Option(node.get("VersionId")).map(_.asText())
+      Some((loc, vid))
+    } catch {
+      case e: GlueApiError if e.errorType.contains("EntityNotFoundException") =>
+        None
+    }
+  }
+
+  override def metadataPointer(ref: String): Option[String] =
+    tableState(ref).flatMap(_._1)
+
+  private def tableInput(
+      name: String, next: String, prev: Option[String]): String = {
+    val prevEntry = prev.map(p =>
+      s""", "previous_metadata_location": ${jq(p)}""").getOrElse("")
+    s"""{"Name": ${jq(name)}, "TableType": "EXTERNAL_TABLE",
+       | "Parameters": {"table_type": "ICEBERG",
+       |   "metadata_location": ${jq(next)}$prevEntry}}""".stripMargin
+  }
+
+  /** The Iceberg-on-Glue commit shape: re-read the table, require the
+    * pointer still at `expected`, then `UpdateTable` carrying the
+    * read's `VersionId` (+ `SkipArchive`, the Iceberg convention) so a
+    * racer landing between the read and the update surfaces as
+    * `ConcurrentModificationException`. `expected = None` is a
+    * `CreateTable`, with `AlreadyExistsException` as its conflict. */
+  override def casPointer(
+      ref: String, expected: Option[String], next: String): Unit = {
+    val (db, t) = refParts(ref)
+    expected match {
+      case None =>
+        try {
+          post("CreateTable",
+            s"""{"DatabaseName": ${jq(db)},
+               | "TableInput": ${tableInput(t, next, None)}}""".stripMargin)
+          ()
+        } catch {
+          case e: GlueApiError if e.errorType.contains("AlreadyExistsException") =>
+            throw new CommitConflictException(
+              s"Glue table $ref was created by a concurrent writer — " +
+                "reload and retry")
+        }
+      case Some(exp) =>
+        val (loc, vid) = tableState(ref).getOrElse(
+          throw new CommitConflictException(
+            s"Glue table $ref vanished while mirroring the commit — " +
+              "reload and retry"))
+        if (!loc.contains(exp)) throw new CommitConflictException(
+          s"Glue pointer for $ref is no longer at $exp — a concurrent " +
+            "writer moved it; reload and retry")
+        val vidEntry = vid.map(v => s""", "VersionId": ${jq(v)}""").getOrElse("")
+        try {
+          post("UpdateTable",
+            s"""{"DatabaseName": ${jq(db)},
+               | "TableInput": ${tableInput(t, next, Some(exp))},
+               | "SkipArchive": true$vidEntry}""".stripMargin)
+          ()
+        } catch {
+          case e: GlueApiError
+              if e.errorType.contains("ConcurrentModificationException") =>
+            throw new CommitConflictException(
+              s"Glue pointer for $ref moved concurrently (version " +
+                s"${vid.getOrElse("?")} superseded) — reload and retry")
+        }
+    }
+  }
+
+  override def createLocation(ref: String): String = {
+    val (db, t) = refParts(ref)
+    val wh = warehouse.getOrElse(throw new IllegalArgumentException(
+      s"creating $ref through the glue catalog needs a 'warehouse' path " +
+        "(set it in the catalog config)"))
+    s"${wh.stripSuffix("/")}/$db/$t"
+  }
+
+  override def dropPointer(ref: String): Unit = {
+    val (db, t) = refParts(ref)
+    try {
+      post("DeleteTable",
+        s"""{"DatabaseName": ${jq(db)}, "Name": ${jq(t)}}""")
+      ()
+    } catch {
+      case e: GlueApiError
+          if e.errorType.contains("EntityNotFoundException") => ()
+    }
+  }
 }
 
 /** AWS Signature Version 4 (the public signing spec): canonical request →
