@@ -49,11 +49,30 @@ class EvolutionFuzzSpec extends SparkSpec {
       withAdoption: Boolean = false,
       // toggle IDENTITY specs (first value column ↔ unpartitioned)
       // instead of bucket[4](id) — the layout hive adoption targets
-      identitySpecs: Boolean = false): Unit = {
+      identitySpecs: Boolean = false,
+      // drive the WHOLE op mix through a JDBC pointer catalog and
+      // assert the pointer mirrors path-latest after every step — the
+      // round-18 commit-mirror invariant under the fuzz's full churn
+      jdbcPointer: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     val wh = Files.createTempDirectory("graft-fuzz-wh").toString
-    val e = new Engine(spark, wh)
+    val e =
+      if (!jdbcPointer) new Engine(spark, wh)
+      else {
+        val cat = new JdbcCatalog(
+          s"jdbc:derby:memory:fuzz$seed;create=true", "fz", Some(wh))
+        cat.init()
+        new Engine(spark, "", cat)
+      }
     val ref = "fz.t"
+    def assertPointer(tag: String): Unit = e.catalog match {
+      case pc: PointerCatalog =>
+        val path = IcebergMeta.latestMetadataPath(e.tableDir(ref)).toString
+        assert(pc.metadataPointer(ref).contains(path),
+          s"[$tag] catalog pointer must mirror path-latest " +
+          s"(${pc.metadataPointer(ref)} vs $path)")
+      case _ => ()
+    }
 
     // live schema state: id (key, field 1) + value columns
     val cols = mutable.ArrayBuffer(Col(2, "c1", isInt = false))
@@ -237,8 +256,10 @@ class EvolutionFuzzSpec extends SparkSpec {
             record(snap)
           }
       }
+      if (jdbcPointer) assertPointer(s"step $step")
       if (step % 8 == 0) checkCurrent(s"step $step")
     }
+    if (jdbcPointer) assertPointer("final")
     checkCurrent("final")
     if (identitySpecs && withAdoption)
       assert(hiveAdoptions >= 2,
@@ -299,5 +320,12 @@ class EvolutionFuzzSpec extends SparkSpec {
       "with evolution, migration and time travel — and match the model") {
     runFuzz(seed = 20260819L, steps = 40, migrateAt = Some(14),
       specEvery = Some(5), withAdoption = true, identitySpecs = true)
+  }
+
+  test("JDBC-POINTER fuzz: the whole op mix through a pointer catalog " +
+      "keeps the catalog pointer at path-latest after EVERY step, and " +
+      "the model still matches") {
+    runFuzz(seed = 20260820L, steps = 30, migrateAt = Some(10),
+      specEvery = Some(6), withAdoption = true, jdbcPointer = true)
   }
 }
