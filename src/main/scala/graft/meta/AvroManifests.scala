@@ -21,6 +21,23 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
   * are lifted into DataFrames ([[graft.rel.MetaRelations]]) for the
   * distributed analytics.
   */
+/** Per-partition-field summary on a manifest-LIST entry (Iceberg spec
+  * `field_summary`): lets scan planning skip a whole manifest — never
+  * opening its Avro — when a partition predicate cannot match any entry
+  * inside. Bounds are the engine's CANONICAL partition-value rendering
+  * ([[TableWriter.canonicalPartitionValue]]); readers parse them back to
+  * typed values before comparing, so ordering is the value type's, never
+  * the string's ("9" vs "10"). `lower`/`upper` absent with
+  * `containsNull` set means every entry's value is null. A field that
+  * cannot be soundly summarized (an entry missing the key — older-spec
+  * files — or a foreign spelling that does not parse) is simply omitted:
+  * pruning treats absence as "may match". */
+final case class PartitionFieldSummary(
+    name: String,
+    containsNull: Boolean,
+    lower: Option[String],
+    upper: Option[String])
+
 final case class ManifestFile(
     manifestPath: String,
     manifestLength: Long,
@@ -32,7 +49,11 @@ final case class ManifestFile(
     deletedFilesCount: Int,
     addedRowsCount: Long,
     existingRowsCount: Long,
-    deletedRowsCount: Long)
+    deletedRowsCount: Long,
+    /** Iceberg `partitions` field summaries; empty on legacy manifest
+      * lists (written before round 18) and on manifests whose fields
+      * could not be summarized — both read as "prune nothing". */
+    partitions: Seq[PartitionFieldSummary] = Seq.empty)
 
 final case class DataFileEntry(
     status: Int, // 0 existing, 1 added, 2 deleted
@@ -85,7 +106,14 @@ object AvroManifests {
       |{"name":"deleted_files_count","type":"int"},
       |{"name":"added_rows_count","type":"long"},
       |{"name":"existing_rows_count","type":"long"},
-      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin)
+      |{"name":"deleted_rows_count","type":"long"},
+      |{"name":"partitions","type":{"type":"array","items":
+      |  {"type":"record","name":"field_summary","fields":[
+      |    {"name":"name","type":"string"},
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"lower_bound","type":["null","string"],"default":null},
+      |    {"name":"upper_bound","type":["null","string"],"default":null}]}},
+      | "default":[]}]}""".stripMargin)
 
   val ManifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -131,6 +159,16 @@ object AvroManifests {
       r.put("added_rows_count", m.addedRowsCount)
       r.put("existing_rows_count", m.existingRowsCount)
       r.put("deleted_rows_count", m.deletedRowsCount)
+      val sumSchema = ManifestListSchema.getField("partitions")
+        .schema().getElementType
+      r.put("partitions", m.partitions.map { s =>
+        val sr = new GenericData.Record(sumSchema)
+        sr.put("name", s.name)
+        sr.put("contains_null", s.containsNull)
+        sr.put("lower_bound", s.lower.orNull)
+        sr.put("upper_bound", s.upper.orNull)
+        sr
+      }.asJava)
       w.append(r)
     }
     w.close()
@@ -203,7 +241,17 @@ object AvroManifests {
         r.get("deleted_files_count").asInstanceOf[Int],
         r.get("added_rows_count").asInstanceOf[Long],
         r.get("existing_rows_count").asInstanceOf[Long],
-        r.get("deleted_rows_count").asInstanceOf[Long])
+        r.get("deleted_rows_count").asInstanceOf[Long],
+        // legacy lists (pre-summary writers) resolve to the schema
+        // default [] — belt-and-braces null check kept anyway
+        Option(r.get("partitions"))
+          .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq)
+          .getOrElse(Seq.empty)
+          .map(sr => PartitionFieldSummary(
+            sr.get("name").toString,
+            sr.get("contains_null").asInstanceOf[Boolean],
+            Option(sr.get("lower_bound")).map(_.toString),
+            Option(sr.get("upper_bound")).map(_.toString))))
     }
 
   def readManifest(path: String): Seq[DataFileEntry] =

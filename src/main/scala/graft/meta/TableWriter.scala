@@ -903,7 +903,8 @@ object TableWriter {
         partitionSpecId = specId, content = 0, addedSnapshotId = snapId,
         addedFilesCount = 0, existingFilesCount = existing.size,
         deletedFilesCount = 0, addedRowsCount = 0L,
-        existingRowsCount = existing.map(_.recordCount).sum, deletedRowsCount = 0L)
+        existingRowsCount = existing.map(_.recordCount).sum, deletedRowsCount = 0L,
+        partitions = ManifestSummaries.of(md, specId, existing))
     }
     // incremental compaction: a PARTIAL rewrite must keep the delete
     // manifests — untouched files still need their position/equality
@@ -924,7 +925,8 @@ object TableWriter {
         addedFilesCount = newEntries.size, existingFilesCount = 0,
         deletedFilesCount = 0,
         addedRowsCount = newEntries.map(_.recordCount).sum,
-        existingRowsCount = 0L, deletedRowsCount = 0L)
+        existingRowsCount = 0L, deletedRowsCount = 0L,
+        partitions = ManifestSummaries.of(md, specId, newEntries))
     }
 
     // ---- 3b. upsert: an EQUALITY-delete file on the key columns joins

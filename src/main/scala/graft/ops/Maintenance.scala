@@ -472,11 +472,17 @@ object Maintenance {
     // in the log — the migration path that unblocks expiration of
     // snapshots pinned by the legacy-entry guard
     val seqBySnapshot = md.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    // typed-aware value rendering so numeric partitions cluster
+    // numerically ("2" before "10") — tighter packed summary ranges
+    val sortTypes = graft.meta.ManifestSummaries.fieldTypes(md, md.currentSpec.specId)
     val sorted = entries
       .map(e => if (e.sequenceNumber >= 0) e
         else e.copy(sequenceNumber = e.resolvedSeq(seqBySnapshot, -1L)))
       .sortBy(e =>
-        (e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        (e.partition.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=${sortTypes.get(k)
+            .map(tp => graft.meta.ManifestSummaries.sortForm(tp, v))
+            .getOrElse(v)}" }.mkString("/"),
           e.filePath))
     val perManifest = (sorted.size + targetCount - 1) / targetCount
     val snapId = md.snapshots.map(_.snapshotId).max + 1L
@@ -495,7 +501,13 @@ object Maintenance {
           addedFilesCount = 0, existingFilesCount = existing.size,
           deletedFilesCount = 0, addedRowsCount = 0L,
           existingRowsCount = existing.map(_.recordCount).sum,
-          deletedRowsCount = 0L)
+          deletedRowsCount = 0L,
+          // the partition sort above makes each packed manifest cover a
+          // CONTIGUOUS partition range, so these summaries are tight —
+          // packing is what turns summary pruning from per-commit luck
+          // into a maintained invariant
+          partitions = graft.meta.ManifestSummaries.of(
+            md, md.currentSpec.specId, existing))
     }.toSeq
 
     val listPath = s"metadata/snap-$snapId-$tok.avro"

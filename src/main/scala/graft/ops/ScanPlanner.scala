@@ -739,26 +739,39 @@ object ScanPlanner {
       .orElse(t.metadata.currentSnapshot)
       .flatMap(_.summary.get("total-data-files"))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
+    // MANIFEST-level tier first (ManifestSummaries.mayMatch): a manifest
+    // whose partition summary range excludes every probed value is never
+    // OPENED — at scale the probe parses the few manifests covering the
+    // probed partitions, not the whole list. Summary-less manifests
+    // (legacy, foreign, unsummarizable fields) keep conservatively.
+    val allManifests = t.manifests(snapshotId).filter(_.content == 0)
+    val keptManifests = allManifests.filter(m =>
+      graft.meta.ManifestSummaries.mayMatch(t.metadata, m, groups))
     val pruned: Array[String] =
-      if (totalFiles.exists(_ <= DriverPruneMaxFiles))
-        t.files(snapshotId).iterator.filter(e => groups.forall {
+      if (totalFiles.exists(_ <= DriverPruneMaxFiles)) {
+        val entries =
+          if (keptManifests.size == allManifests.size)
+            t.files(snapshotId) // memoized full listing
+          else keptManifests
+            .flatMap(m => t.manifestEntries(t.resolvePath(m.manifestPath)))
+            .filter(_.status != 2)
+        entries.iterator.filter(e => groups.forall {
           case (pname, allowed) =>
             allowed.forall(av => e.partition.get(pname).forall(av.contains))
         }).map(e => t.resolvePath(e.filePath)).toArray
-      else {
+      } else {
         val keep = groups.flatMap { case (pname, allowed) =>
           allowed.map(av => col("partition")(pname).isNull ||
             col("partition")(pname).isin(av.toSeq: _*))
         }.foldLeft(lit(true))(_ && _)
-        graft.rel.MetaRelations.files(spark, t, snapshotId)
+        graft.rel.MetaRelations.files(spark, t, snapshotId,
+            onlyManifests = Some(keptManifests))
           .filter(keep).select("file_path")
           .collect().map(r => t.resolvePath(r.getString(0)))
       }
     val resid = col(column).isin(values.map(lit(_)): _*)
     if (pruned.isEmpty)
-      emptyOrPinned(spark, t,
-        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
-        snapshotId)
+      emptyOrPinned(spark, t, anyLiveFile(t, snapshotId), snapshotId)
     else
       // the file-scoped split applies to pruned scans too: surviving
       // delete-untouched files scan bare, only hit files pay anti-joins
@@ -769,6 +782,41 @@ object ScanPlanner {
     * hold `column ∈ [lo, hi]` are opened; the exact range predicate is
     * re-applied row-level (and pushed into the parquet row groups by
     * Catalyst), so the result equals the unpruned filtered read. */
+  /** ONE live data file of the snapshot, parsing manifests lazily until
+    * an entry turns up — what the pruned-to-empty read paths pin their
+    * result schema on. [[IcebergTable.files]] would parse EVERY manifest
+    * for the same answer, defeating the manifest-level prune that just
+    * emptied the scan. */
+  private def anyLiveFile(t: IcebergTable, snapshotId: Option[Long]): Option[String] =
+    t.manifests(snapshotId).iterator.filter(_.content == 0)
+      .flatMap(m => t.manifestEntries(t.resolvePath(m.manifestPath))
+        .iterator.filter(_.status != 2))
+      .map(e => t.resolvePath(e.filePath))
+      .nextOption()
+
+  /** The partition-equals probes as (spec-field name -> allowed stored
+    * forms) groups — the shape both pruning tiers consume. Mirrors
+    * [[pruneFiles]]'s partOk semantics exactly: one group per spec-field
+    * name, `None` (cannot prune) for conflicting transforms or an
+    * unmappable literal, same missing-column exception. */
+  private def partitionProbeGroups(t: IcebergTable,
+      partitionEquals: Map[String, String]): Seq[(String, Option[Set[String]])] =
+    partitionEquals.toSeq.flatMap { case (k, v) =>
+      val src = t.metadata.currentSchema.fields.find(_.name == k)
+        .getOrElse(throw new NoSuchElementException(
+          s"partition predicate column $k not in current schema"))
+      t.metadata.partitionSpecs.flatMap(_.fields)
+        .filter(_.sourceId == src.id)
+        .groupBy(_.name).toSeq.sortBy(_._1).map { case (pname, sfs) =>
+          pname -> (sfs.map(_.transform).distinct match {
+            case Seq(tr) =>
+              graft.meta.Transforms.literalForms(tr, v, src.fieldType)
+                .map(_.toSet)
+            case _ => None
+          })
+        }
+    }
+
   def readTableWhere(
       spark: SparkSession,
       t: IcebergTable,
@@ -777,7 +825,20 @@ object ScanPlanner {
       hi: Option[Double],
       snapshotId: Option[Long] = None,
       partitionEquals: Map[String, String] = Map.empty): DataFrame = {
-    val files = graft.rel.MetaRelations.files(spark, t, snapshotId)
+    // MANIFEST-level tier: partition-equals probes against the manifest
+    // list's partition summaries, plus the range probe against IDENTITY
+    // summaries of the probed column — excluded manifests are never
+    // opened. The file tier (pruneFiles) then decides per entry.
+    val mGroups = partitionProbeGroups(t, partitionEquals)
+    val srcId = t.metadata.currentSchema.fields
+      .find(f => f.name == column && !f.path.contains('.')).map(_.id)
+    val keptManifests = t.manifests(snapshotId).filter(_.content == 0)
+      .filter(m =>
+        graft.meta.ManifestSummaries.mayMatch(t.metadata, m, mGroups) &&
+          srcId.forall(id => graft.meta.ManifestSummaries.mayIntersect(
+            t.metadata, m, id, lo, hi)))
+    val files = graft.rel.MetaRelations.files(spark, t, snapshotId,
+      onlyManifests = Some(keptManifests))
     val pruned = pruneFiles(spark, t, files, column, lo, hi, partitionEquals)
       .select("file_path")
       // metadata-scale collect: the surviving PATH LIST (not data) comes
@@ -794,9 +855,7 @@ object ScanPlanner {
         // everything pruned: the correct result is EMPTY with the table's
         // schema — read it from any live file (or the declared schema
         // when the snapshot has none), scan nothing
-        return emptyOrPinned(spark, t,
-          t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
-          snapshotId)
+        return emptyOrPinned(spark, t, anyLiveFile(t, snapshotId), snapshotId)
     // lo/hi are in the BOUNDS' numeric domain (timestamps = micros,
     // dates = epoch days — [[graft.expr.IcebergDecode.decodeNumeric]]);
     // the row-level re-filter must compare in the same domain, and a
@@ -858,16 +917,24 @@ object ScanPlanner {
     // iff at least one point lies inside its recorded range
     val keep = decLo.isNull || decHi.isNull ||
       exists(arr, p => p >= decLo && p <= decHi)
-    val pruned = graft.rel.MetaRelations.files(spark, t, snapshotId)
+    // manifest tier: when the column is an identity partition source,
+    // a manifest whose summary range holds NO point is never opened
+    // (points are bounded by contract — batch/component scale)
+    val srcIdent = t.metadata.currentSchema.fields
+      .find(f => f.name == column && !f.path.contains('.')).map(_.id)
+    val keptManifests = t.manifests(snapshotId).filter(_.content == 0)
+      .filter(m => srcIdent.forall(id => sorted.exists(p =>
+        graft.meta.ManifestSummaries.mayIntersect(
+          t.metadata, m, id, Some(p.toDouble), Some(p.toDouble)))))
+    val pruned = graft.rel.MetaRelations.files(spark, t, snapshotId,
+        onlyManifests = Some(keptManifests))
       .filter(keep).select("file_path")
       // metadata-scale collect: the surviving PATH LIST parameterizes
       // the scan, exactly like readTableWhere
       .collect().map(r => t.resolvePath(r.getString(0)))
     if (pruned.isEmpty)
       // every file pruned: EMPTY with the table's schema, scan nothing
-      emptyOrPinned(spark, t,
-        t.files(snapshotId).headOption.map(e => t.resolvePath(e.filePath)),
-        snapshotId)
+      emptyOrPinned(spark, t, anyLiveFile(t, snapshotId), snapshotId)
     else
       readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
         .filter(col(column).isin(sorted: _*))

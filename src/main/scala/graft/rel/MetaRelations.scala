@@ -58,12 +58,23 @@ object MetaRelations {
     * tiny table (pass 0) — the two paths produce different physical plan
     * shapes, and codegen warmed on one does not cover the other. */
   def files(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None,
-      distributeThreshold: Int = DistributeEntriesThreshold): DataFrame = {
-    val dataManifests = t.manifests(snapshotId).filter(_.content == 0)
+      distributeThreshold: Int = DistributeEntriesThreshold,
+      // manifest-level pruning (ManifestSummaries): a caller that has
+      // already ruled out manifests via their partition summaries passes
+      // the survivors — only THEIR Avro is ever parsed, driver or executor
+      onlyManifests: Option[Seq[graft.meta.ManifestFile]] = None): DataFrame = {
+    val allDataManifests = t.manifests(snapshotId).filter(_.content == 0)
+    val dataManifests = onlyManifests.getOrElse(allDataManifests)
     val approxEntries = dataManifests
       .map(m => m.addedFilesCount + m.existingFilesCount).sum
     if (approxEntries <= distributeThreshold) {
-      val rows = t.files(snapshotId).map(entryRow)
+      val rows =
+        if (dataManifests.size == allDataManifests.size)
+          t.files(snapshotId).map(entryRow) // memoized full listing
+        else dataManifests
+          .flatMap(m => graft.meta.AvroManifests.readManifest(
+            t.resolvePath(m.manifestPath)))
+          .filter(_.status != 2).map(entryRow)
       spark.createDataFrame(rows.asJava, filesSchema)
         .coalesce(math.max(1, rows.size / 50000))
     } else {

@@ -132,6 +132,107 @@ object FilePrune {
           }
     }
 
+  // ------------------------------------------ manifest-level tier
+
+  /** Live data-file entries surviving `pushed`, with MANIFEST-level
+    * pruning first: a data manifest whose partition summaries
+    * ([[graft.meta.ManifestSummaries]]) exclude every pushed filter is
+    * never opened. When nothing can be skipped the memoized full listing
+    * answers, so the fast path costs nothing extra. */
+  def liveEntries(t: IcebergTable, snapshotId: Option[Long],
+      pushed: Seq[Filter]): Seq[DataFileEntry] = {
+    val all = t.manifests(snapshotId).filter(_.content == 0)
+    val kept = all.filter(m => pushed.forall(f => keepManifest(t, m, f)))
+    val entries =
+      if (kept.size == all.size) t.files(snapshotId)
+      else kept.flatMap(m => graft.meta.AvroManifests.readManifest(
+        t.resolvePath(m.manifestPath))).filter(_.status != 2)
+    entries.filter(e => pushed.forall(f => keep(t, e, f)))
+  }
+
+  /** May manifest `m` hold an entry satisfying `f`? Conservative, the
+    * manifest-level twin of [[keep]]: answers from the manifest-list
+    * partition summaries alone, without opening the manifest. */
+  def keepManifest(t: IcebergTable, m: graft.meta.ManifestFile, f: Filter): Boolean = f match {
+    case EqualTo(a, v) =>
+      partManifestKeep(t, m, a, v) && rangeManifestKeep(t, m, a, Some(v), Some(v))
+    case EqualNullSafe(a, null) => nullManifestKeep(t, m, a)
+    case EqualNullSafe(a, v) =>
+      partManifestKeep(t, m, a, v) && rangeManifestKeep(t, m, a, Some(v), Some(v))
+    case GreaterThan(a, v) => rangeManifestKeep(t, m, a, Some(v), None)
+    case GreaterThanOrEqual(a, v) => rangeManifestKeep(t, m, a, Some(v), None)
+    case LessThan(a, v) => rangeManifestKeep(t, m, a, None, Some(v))
+    case LessThanOrEqual(a, v) => rangeManifestKeep(t, m, a, None, Some(v))
+    case In(a, vs) =>
+      vs.isEmpty || vs.exists(v =>
+        if (v == null) nullManifestKeep(t, m, a)
+        else partManifestKeep(t, m, a, v) &&
+          rangeManifestKeep(t, m, a, Some(v), Some(v)))
+    case IsNull(a) => nullManifestKeep(t, m, a)
+    case IsNotNull(a) => nonNullManifestKeep(t, m, a)
+    case And(l, r) => keepManifest(t, m, l) && keepManifest(t, m, r)
+    case Or(l, r) => keepManifest(t, m, l) || keepManifest(t, m, r)
+    case _ => true
+  }
+
+  /** The filter value in the stored-form domain [[partKeep]] renders
+    * into. */
+  private def rawForm(v: Any): String = v match {
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d).toString
+    case i: java.time.Instant => java.sql.Timestamp.from(i).toString
+    case other => String.valueOf(other)
+  }
+
+  private def partManifestKeep(
+      t: IcebergTable, m: graft.meta.ManifestFile, a: String, v: Any): Boolean =
+    field(t, a) match {
+      case None => true
+      case Some(sf) =>
+        val groups = t.metadata.partitionSpecs.flatMap(_.fields)
+          .filter(_.sourceId == sf.id)
+          .groupBy(_.name).toSeq.map { case (pname, sfs) =>
+            pname -> (sfs.map(_.transform).distinct match {
+              case Seq(tr) =>
+                Transforms.literalForms(tr, rawForm(v), sf.fieldType).map(_.toSet)
+              case _ => None
+            })
+          }
+        graft.meta.ManifestSummaries.mayMatch(t.metadata, m, groups)
+    }
+
+  private def rangeManifestKeep(t: IcebergTable, m: graft.meta.ManifestFile,
+      a: String, lo: Option[Any], hi: Option[Any]): Boolean =
+    field(t, a) match {
+      case None => true
+      case Some(sf) =>
+        val nLo = lo.flatMap(toNum)
+        val nHi = hi.flatMap(toNum)
+        if (nLo.isEmpty && nHi.isEmpty) true
+        else graft.meta.ManifestSummaries.mayIntersect(
+          t.metadata, m, sf.id, nLo, nHi)
+    }
+
+  /** All three supported transforms (identity, bucket[N], truncate[W])
+    * map null to null and non-null to non-null, so a summary's
+    * containsNull answers for the SOURCE column too. */
+  private def specFieldsOf(t: IcebergTable, m: graft.meta.ManifestFile, srcId: Int) =
+    t.metadata.partitionSpecs.find(_.specId == m.partitionSpecId)
+      .map(_.fields.filter(pf => pf.sourceId == srcId &&
+        Transforms.isSupported(pf.transform)))
+      .getOrElse(Seq.empty)
+
+  private def nullManifestKeep(
+      t: IcebergTable, m: graft.meta.ManifestFile, a: String): Boolean =
+    field(t, a).forall(sf => !specFieldsOf(t, m, sf.id).exists(pf =>
+      m.partitions.find(_.name == pf.name).exists(!_.containsNull)))
+
+  private def nonNullManifestKeep(
+      t: IcebergTable, m: graft.meta.ManifestFile, a: String): Boolean =
+    field(t, a).forall(sf => !specFieldsOf(t, m, sf.id).exists(pf =>
+      // summary with no bounds = every value in the manifest is null
+      m.partitions.find(_.name == pf.name)
+        .exists(s => s.containsNull && s.lower.isEmpty && s.upper.isEmpty)))
+
   private def nullKeep(t: IcebergTable, e: DataFileEntry, a: String): Boolean =
     field(t, a).forall(sf => !e.nullValueCounts.get(sf.id).contains(0L))
 

@@ -441,8 +441,8 @@ class GraftScanBuilder(
     // requires it too). A probe pruned to native files — or a
     // projection of file-carried columns — keeps the vectorized scan
     // even while adopted files are live elsewhere in the table.
-    lazy val keptAdopted = t.files(snapshotId)
-      .filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
+    // manifest-level skip first (partition summaries), then per-entry
+    lazy val keptAdopted = FilePrune.liveEntries(t, snapshotId, pushed.toSeq)
     def fillNeeded: Boolean =
       graft.meta.Transforms.needsPathFill(t.metadata, keptAdopted) &&
         graft.meta.Transforms.pathPartitionCols(t.metadata)
@@ -454,8 +454,7 @@ class GraftScanBuilder(
       // (ScanPlanner.readSplit)
       new GraftMorV1Scan(t, snapshotId, required, pushed.toSeq)
     else {
-      val live = t.files(snapshotId)
-      val kept = live.filter(e => pushed.forall(f => FilePrune.keep(t, e, f)))
+      val kept = keptAdopted
       // id-stamped tables: the vectorized scan resolves parquet columns
       // by field id (rename-safe, same contract as ScanPlanner.readSchema)
       def attr(st: StructType): StructType =
@@ -551,17 +550,33 @@ final class GraftMorV1Scan(
     t: IcebergTable, snapshotId: Option[Long],
     required: StructType, pushed: Seq[sources.Filter])
   extends GraftDataFrameScan(required, spark => {
-    val df0 = ScanPlanner.readTable(spark, t, snapshotId)
+    // FILE pruning applies to the MoR fallback too: deletes only REMOVE
+    // rows, so restricting the data files to the pushed filters'
+    // conservative survivors (manifest tier + per-entry stats) changes
+    // nothing about the filtered result — readFiles applies the same
+    // position/equality delete machinery to the subset. A partition
+    // probe on a delete-carrying table no longer scans the whole table.
+    val kept = FilePrune.liveEntries(t, snapshotId, pushed)
+    val df0 =
+      if (kept.isEmpty)
+        // all files excluded: EMPTY with the table's schema, scan nothing
+        ScanPlanner.readTable(spark, t, snapshotId)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else if (kept.size == t.files(snapshotId).size)
+        ScanPlanner.readTable(spark, t, snapshotId)
+      else
+        ScanPlanner.readFiles(spark, t,
+          kept.map(e => t.resolvePath(e.filePath)), snapshotId)
     FilterColumns.conjunction(pushed).map(df0.filter).getOrElse(df0)
   }) with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  /** Upper-bound estimate from the manifests (live data rows before the
-    * delete anti-joins subtract theirs): conservative for broadcast
-    * planning — a table that looks slightly bigger than it is never
-    * wrongly broadcasts. */
+  /** Upper-bound estimate from the manifests (live data rows of the
+    * PRUNED file set, before the delete anti-joins subtract theirs):
+    * conservative for broadcast planning — never under the true size —
+    * while letting a filter-pruned dim scan qualify as a broadcast. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val live = t.files(snapshotId)
+      private val live = FilePrune.liveEntries(t, snapshotId, pushed)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(live.map(_.fileSizeInBytes).sum)
       override def numRows(): java.util.OptionalLong =
