@@ -410,6 +410,49 @@ object TableWriter {
         .orElse(if (isList(f)) sizes.get(s"${f.name}.list.element") else None)
         .map(sid(f.id) -> _)).toMap
 
+  /** Iceberg's `write.metadata.metrics.default = truncate(16)` discipline
+    * for STRING bounds: a long-text column (documents at corpus scale)
+    * must not copy full min/max text into EVERY manifest entry — at
+    * 100 TB that turns the metadata layer into a second copy of the
+    * corpus' edge values. 16 code points is the Iceberg default. */
+  private[graft] val StringBoundTruncateAt = 16
+
+  /** Lower bound: the 16-code-point prefix. A prefix is <= the value in
+    * both code-point and UTF-8 byte order, so pruning stays sound. */
+  private[graft] def truncateLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StringBoundTruncateAt) s
+    else s.substring(0, s.offsetByCodePoints(0, StringBoundTruncateAt))
+
+  /** Upper bound: the 16-code-point prefix with its last incrementable
+    * char bumped — strictly greater than every string sharing the
+    * prefix, in both code-unit and UTF-8 byte order (increments never
+    * land in the surrogate range). When no char in the prefix can be
+    * bumped the FULL value is kept: a bigger bound, never an absent or
+    * unsound one. */
+  private[graft] def truncateUpper(s: String): String =
+    if (s.codePointCount(0, s.length) <= StringBoundTruncateAt) s
+    else {
+      val pre = s.substring(0, s.offsetByCodePoints(0, StringBoundTruncateAt))
+      val chars = pre.toCharArray
+      def bumpable(c: Char) = !Character.isSurrogate(c) &&
+        c != Character.MAX_VALUE && !Character.isSurrogate((c + 1).toChar)
+      var i = chars.length - 1
+      while (i >= 0 && !bumpable(chars(i))) i -= 1
+      if (i < 0) s
+      else new String(chars.take(i) :+ (chars(i) + 1).toChar)
+    }
+
+  /** [[boundBytes]] with the string-truncation discipline applied per
+    * bound side — every stats-pass encode site routes through these. */
+  private def loBoundBytes(iceType: String, v: Any): Array[Byte] = v match {
+    case s: String if iceType == "string" => boundBytes(iceType, truncateLower(s))
+    case _ => boundBytes(iceType, v)
+  }
+  private def hiBoundBytes(iceType: String, v: Any): Array[Byte] = v match {
+    case s: String if iceType == "string" => boundBytes(iceType, truncateUpper(s))
+    case _ => boundBytes(iceType, v)
+  }
+
   private def boundBytes(iceType: String, v: Any): Array[Byte] = iceType match {
     case "date" => IcebergDecode.encode("date",
       v.asInstanceOf[Date].toLocalDate.toEpochDay.toInt)
@@ -633,10 +676,10 @@ object TableWriter {
           val nrows = row.getAs[Long]("nrows")
           val sizes = colBytes.getOrElse(stagedPath, Map.empty)
           val lower = fields.filter(f => statable(f.fieldType)).flatMap { f =>
-            Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+            Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
           }.toMap
           val upper = fields.filter(f => statable(f.fieldType)).flatMap { f =>
-            Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+            Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
           }.toMap
           val (vCounts, nvCounts) = countStats(fields, sid, row, nrows)
           DataFileEntry(
@@ -831,10 +874,10 @@ object TableWriter {
         nullValueCounts = nvCounts0 ++ absent.map { case (f, v) =>
           sid(f.id) -> (if (v.isEmpty) nrows else 0L) },
         lowerBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
-          Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+          Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
         }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b },
         upperBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
-          Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> boundBytes(f.fieldType, v))
+          Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
         }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b })
     }
   }
