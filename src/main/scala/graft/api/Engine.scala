@@ -634,12 +634,28 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         // expiration until rewrite-manifests materializes the sequences
         // onto the entries (the WR20 upgrade note)
         val legacy = (files ++ dels).count(_.sequenceNumber < 0)
+        // round 18: summary-less data manifests on a summarizable spec
+        // can't be SKIPPED by manifest-level pruning — rewrite packs
+        // them partition-sorted and stamps the field summaries (where
+        // the entries carry the keys)
+        // same convergence guard as Maintenance.rewriteManifests: only
+        // flag when a rewrite would actually stamp summaries
+        val unsummarized =
+          if (manifests.exists(_.partitions.isEmpty) &&
+              graft.meta.ManifestSummaries.of(
+                t.metadata, t.metadata.currentSpec.specId, files).nonEmpty)
+            manifests.count(_.partitions.isEmpty)
+          else 0
         row("rewrite-manifests",
-          manifests.size > targetManifests || legacy > 0,
+          manifests.size > targetManifests || legacy > 0 || unsummarized > 0,
           if (legacy > 0)
             s"$legacy legacy entr${if (legacy == 1) "y" else "ies"} without a " +
               "stamped data_sequence_number — legacy entries pin snapshots " +
               "against expiration until rewrite materializes sequences"
+          else if (unsummarized > 0)
+            s"$unsummarized data manifest(s) without partition field " +
+              "summaries — scan planning cannot skip them until rewrite " +
+              "stamps summary ranges"
           else s"${manifests.size} data manifest(s) for ${files.size} files " +
             s"(target ≤ $targetManifests)")
       },

@@ -466,7 +466,15 @@ object Maintenance {
       .flatMap(m => AvroManifests.readManifest(t.resolvePath(m.manifestPath)))
       .filter(_.status != 2)
     val targetCount = math.max(1, (entries.size + targetEntries - 1) / targetEntries)
-    if (dataManifests.size <= targetCount) return None
+    // round 18: a packed-tight table still rewrites when data manifests
+    // lack partition field summaries AND rewriting would stamp them (a
+    // field summarizable over ALL entries is summarizable over every
+    // packed subset, so one rewrite always clears the condition — no
+    // advisory/no-op loop on genuinely unsummarizable tables)
+    val wouldSummarize = dataManifests.exists(_.partitions.isEmpty) &&
+      graft.meta.ManifestSummaries.of(
+        md, md.currentSpec.specId, entries).nonEmpty
+    if (dataManifests.size <= targetCount && !wouldSummarize) return None
 
     // materialize legacy sequences while the adding snapshots are still
     // in the log — the migration path that unblocks expiration of

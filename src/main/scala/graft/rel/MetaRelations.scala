@@ -188,14 +188,25 @@ object MetaRelations {
     StructField("deleted_files_count", IntegerType, nullable = false),
     StructField("added_rows_count", LongType, nullable = false),
     StructField("existing_rows_count", LongType, nullable = false),
-    StructField("deleted_rows_count", LongType, nullable = false)))
+    StructField("deleted_rows_count", LongType, nullable = false),
+    // Spark-Iceberg `t.manifests` parity: the manifest-list partition
+    // field summaries scan planning skips whole manifests with (round 18)
+    StructField("partition_summaries", ArrayType(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("contains_null", BooleanType, nullable = false),
+      StructField("lower_bound", StringType, nullable = true),
+      StructField("upper_bound", StringType, nullable = true)))),
+      nullable = false)))
+
+  private def summaryRows(m: graft.meta.ManifestFile): Seq[Row] =
+    m.partitions.map(s => Row(s.name, s.containsNull, s.lower.orNull, s.upper.orNull))
 
   def manifests(spark: SparkSession, t: IcebergTable, snapshotId: Option[Long] = None): DataFrame = {
     val rows = t.manifests(snapshotId).map { m =>
       Row(m.manifestPath, m.manifestLength, m.partitionSpecId, m.content,
         m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount,
         m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount,
-        m.deletedRowsCount)
+        m.deletedRowsCount, summaryRows(m))
     }
     spark.createDataFrame(rows.asJava, manifestsSchema)
   }
@@ -310,7 +321,7 @@ object MetaRelations {
     } yield Row(m.manifestPath, m.manifestLength, m.partitionSpecId, m.content,
       m.addedSnapshotId, m.addedFilesCount, m.existingFilesCount,
       m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount,
-      m.deletedRowsCount, s.snapshotId)
+      m.deletedRowsCount, summaryRows(m), s.snapshotId)
     spark.createDataFrame(rows.asJava, allManifestsSchema)
   }
 

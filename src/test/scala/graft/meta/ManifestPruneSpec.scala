@@ -228,6 +228,34 @@ class ManifestPruneSpec extends SparkSpec {
     assert(graft.sql.FilePrune.keepManifest(t, noNulls, EqualTo("id", 1L)))
   }
 
+  test("advise flags summary-less manifests; rewrite_manifests stamps " +
+      "summaries even when already packed tight, clearing the flag") {
+    val wh = Files.createTempDirectory("graft-mprune-adv").toString
+    graft.fixtures.FixtureWriter.writeDemo(spark, wh) // legacy: no summaries
+    val e = new graft.api.Engine(spark, wh)
+    def rewriteRow(): (String, String) = {
+      val r = e.advise("sales.orders")
+        .filter(org.apache.spark.sql.functions.col("action") === "rewrite-manifests")
+        .collect()
+      (r.head.getString(1), r.head.getString(2))
+    }
+    val (st0, why0) = rewriteRow()
+    assert(st0 == "RECOMMENDED" && why0.contains("partition field summaries"))
+    // acts even though the table is already packed tight — the rewrite's
+    // purpose here is stamping the summaries
+    assert(e.rewriteManifests("sales.orders").nonEmpty)
+    val t = IcebergTable.load(s"$wh/sales/orders")
+    assert(t.manifests().filter(_.content == 0).forall(_.partitions.nonEmpty))
+    assert(rewriteRow()._1 == "OK") // converged: no advisory/no-op loop
+    assert(e.rewriteManifests("sales.orders").isEmpty) // second call no-ops
+    // the SQL metadata relation exposes the stamped summaries
+    val sums = graft.rel.MetaRelations.manifests(spark, t)
+      .filter(org.apache.spark.sql.functions.col("content") === 0)
+      .selectExpr("explode(partition_summaries) AS s")
+      .selectExpr("s.name", "s.lower_bound", "s.upper_bound").collect()
+    assert(sums.nonEmpty && sums.forall(_.getString(0) == "region"))
+  }
+
   test("rewrite_manifests packs numeric partitions in VALUE order with " +
       "tight disjoint summaries") {
     val dir = intTable()
