@@ -139,6 +139,25 @@ class EvolutionFuzzSpec extends SparkSpec {
         assert(got.contains(id), s"[$tag] missing id $id")
         assert(got(id) == wv, s"[$tag] id $id: got ${got(id)} want $wv")
       }
+      // round-18 summary SOUNDNESS under the full op mix: every data
+      // manifest's partition summaries must admit every entry it holds —
+      // the exact property manifest-level pruning relies on. (Tightness
+      // is not asserted; soundness is what loses rows when violated.)
+      val t = e.load(ref)
+      t.manifests().filter(m => m.content == 0 && m.partitions.nonEmpty)
+        .foreach { m =>
+          val types = ManifestSummaries.fieldTypes(t.metadata, m.partitionSpecId)
+          val entries = t.manifestEntries(t.resolvePath(m.manifestPath))
+            .filter(_.status != 2)
+          for {
+            s <- m.partitions
+            tp <- types.get(s.name)
+            en <- entries
+            form <- en.partition.get(s.name)
+          } assert(ManifestSummaries.mayContain(s, tp, form),
+            s"[$tag] manifest ${m.manifestPath}: summary $s for ${s.name} " +
+            s"excludes held entry value '$form'")
+        }
     }
 
     // bootstrap: one initial batch so every op has something to chew on
