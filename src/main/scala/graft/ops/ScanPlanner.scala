@@ -139,9 +139,12 @@ object ScanPlanner {
     * incremental compaction reads so a partial rewrite can never
     * resurrect deleted rows. */
   def readFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      // manifest subset a pruned planner already narrowed to — the
+      // split's classification listing then parses only those
+      manifestsHint: Option[Seq[graft.meta.ManifestFile]] = None): DataFrame = {
     require(paths.nonEmpty, "readFiles needs at least one path")
-    readSplit(spark, t, snapshotId, paths)
+    readSplit(spark, t, snapshotId, paths, manifestsHint = manifestsHint)
   }
 
   /** [[readTable]] pinned to `snapshotId`'s FILE SET but rendered in
@@ -192,6 +195,24 @@ object ScanPlanner {
     * does); an equality delete hits every file whose commit sequence is
     * strictly below the delete's (Iceberg v2 scoping), so files at or
     * above the NEWEST equality-delete sequence escape it structurally. */
+  /** Live data entries, from a pruned-planner MANIFEST subset when one
+    * is known: the classification/fill listings of a pruned read then
+    * parse only the manifests its probe kept, instead of every manifest
+    * of the snapshot. The hint must COVER the requested paths (it does
+    * by construction — the paths came from those manifests); the
+    * containment check downstream falls back safely regardless. */
+  private def liveEntriesOf(t: IcebergTable, snapshotId: Option[Long],
+      manifestsHint: Option[Seq[graft.meta.ManifestFile]]): Seq[graft.meta.DataFileEntry] =
+    manifestsHint match {
+      case Some(ms) =>
+        val all = t.manifests(snapshotId).filter(_.content == 0)
+        if (ms.size == all.size) t.files(snapshotId) // memoized
+        else ms.filter(_.content == 0)
+          .flatMap(m => t.manifestEntries(t.resolvePath(m.manifestPath)))
+          .filter(_.status != 2)
+      case None => t.files(snapshotId)
+    }
+
   private def readSplit(
       spark: SparkSession,
       t: IcebergTable,
@@ -202,11 +223,18 @@ object ScanPlanner {
       // semantics); Some(s) = render in the schema at `s` (the change
       // feed pins the FILE SET to a parent commit but must present the
       // CURRENT schema)
-      schemaSnapOverride: Option[Option[Long]] = None): DataFrame = {
+      schemaSnapOverride: Option[Option[Long]] = None,
+      // manifest subset a pruned planner already narrowed to (see
+      // [[liveEntriesOf]])
+      manifestsHint: Option[Seq[graft.meta.ManifestFile]] = None): DataFrame = {
     val schemaSnap = schemaSnapOverride.getOrElse(snapshotId)
+    lazy val hintEntries = liveEntriesOf(t, snapshotId, manifestsHint)
     val allDels = t.deleteFiles(snapshotId)
     if (allDels.isEmpty)
-      return applyDeletes(spark, t, snapshotId, scanFiles(spark, t, paths, schemaSnap, snapshotId), keepLineage, schemaSnap)
+      return applyDeletes(spark, t, snapshotId,
+        scanFiles(spark, t, paths, schemaSnap, snapshotId,
+          entriesHint = manifestsHint.map(_ => hintEntries)),
+        keepLineage, schemaSnap)
 
     val (eqDels, posDels) = allDels.partition(_.content == 2)
     val seqBySnapshot = t.metadata.snapshots
@@ -222,7 +250,7 @@ object ScanPlanner {
     val maxEqSeq = eqDels.map(_.resolvedSeq(seqBySnapshot, Long.MaxValue))
       .maxOption.getOrElse(Long.MinValue)
     val requested = paths.toSet
-    val entries = t.files(snapshotId)
+    val entries = hintEntries
       .filter(e => requested.contains(t.resolvePath(e.filePath)))
     // a requested path OUTSIDE the snapshot's live set has no entry to
     // classify — splitting would silently DROP its rows. Engine call
@@ -240,10 +268,13 @@ object ScanPlanner {
         .withColumn("__gr_pos", col("_metadata.row_index"))
     val parts = Seq(
       if (clean.isEmpty) None
-      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId))),
+      else Some(lineaged(scanFiles(spark, t, clean.map(e => t.resolvePath(e.filePath)),
+        schemaSnap, snapshotId, entriesHint = Some(entries)))),
       if (hit.isEmpty) None
       else Some(applyDeletes(spark, t, snapshotId,
-        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath)), schemaSnap, snapshotId), keepLineage, schemaSnap))
+        scanFiles(spark, t, hit.map(e => t.resolvePath(e.filePath)),
+          schemaSnap, snapshotId, entriesHint = Some(entries)),
+        keepLineage, schemaSnap))
     ).flatten
     // a caller-supplied path outside the snapshot's live set (shouldn't
     // happen from engine call sites) falls back to the unsplit read
@@ -260,12 +291,16 @@ object ScanPlanner {
     * file's shape). */
   private def scanFiles(spark: SparkSession, t: IcebergTable, paths: Seq[String],
       schemaSnap: Option[Long] = None,
-      fileSnap: Option[Long] = None): DataFrame = {
+      fileSnap: Option[Long] = None,
+      // already-listed entries covering `paths` (pruned planners) — the
+      // fill then avoids its own full manifest listing
+      entriesHint: Option[Seq[graft.meta.DataFileEntry]] = None): DataFrame = {
     val reader = readSchemaForFiles(spark, t, schemaSnap, fileSnap) match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
-    fillPathPartitions(spark, t, reader.parquet(paths: _*), paths, schemaSnap, fileSnap)
+    fillPathPartitions(spark, t, reader.parquet(paths: _*), paths, schemaSnap,
+      fileSnap, entriesHint)
   }
 
   /** Fill HIVE-ADOPTED identity-partition columns from the manifests'
@@ -292,11 +327,13 @@ object ScanPlanner {
       df0: DataFrame,
       paths: Seq[String],
       schemaSnap: Option[Long],
-      fileSnap: Option[Long]): DataFrame = {
+      fileSnap: Option[Long],
+      entriesHint: Option[Seq[graft.meta.DataFileEntry]] = None): DataFrame = {
     if (graft.meta.Transforms.pathPartitionCols(t.metadata).isEmpty) return df0
     val requested = paths.toSet
     fillPathPartitionsEntries(spark, t, df0,
-      t.files(fileSnap).filter(e => requested.contains(t.resolvePath(e.filePath))),
+      entriesHint.getOrElse(t.files(fileSnap))
+        .filter(e => requested.contains(t.resolvePath(e.filePath))),
       schemaSnap)
   }
 
@@ -775,7 +812,8 @@ object ScanPlanner {
     else
       // the file-scoped split applies to pruned scans too: surviving
       // delete-untouched files scan bare, only hit files pay anti-joins
-      readSplit(spark, t, snapshotId, pruned.toIndexedSeq).filter(resid)
+      readSplit(spark, t, snapshotId, pruned.toIndexedSeq,
+        manifestsHint = Some(keptManifests)).filter(resid)
   }
 
   /** Read the data with metadata pruning: only files whose bounds may
@@ -850,7 +888,8 @@ object ScanPlanner {
         // deletes apply to the pruned subset too — a deleted row must not
         // reappear just because the scan was narrowed; the file-scoped
         // split keeps the untouched survivors on the bare vectorized path
-        readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
+        readSplit(spark, t, snapshotId, pruned.toIndexedSeq,
+          manifestsHint = Some(keptManifests))
       else
         // everything pruned: the correct result is EMPTY with the table's
         // schema — read it from any live file (or the declared schema
@@ -936,7 +975,8 @@ object ScanPlanner {
       // every file pruned: EMPTY with the table's schema, scan nothing
       emptyOrPinned(spark, t, anyLiveFile(t, snapshotId), snapshotId)
     else
-      readSplit(spark, t, snapshotId, pruned.toIndexedSeq)
+      readSplit(spark, t, snapshotId, pruned.toIndexedSeq,
+          manifestsHint = Some(keptManifests))
         .filter(col(column).isin(sorted: _*))
   }
 }

@@ -566,7 +566,9 @@ final class GraftMorV1Scan(
         ScanPlanner.readTable(spark, t, snapshotId)
       else
         ScanPlanner.readFiles(spark, t,
-          kept.map(e => t.resolvePath(e.filePath)), snapshotId)
+          kept.map(e => t.resolvePath(e.filePath)), snapshotId,
+          manifestsHint = Some(t.manifests(snapshotId).filter(m =>
+            m.content == 0 && pushed.forall(f => FilePrune.keepManifest(t, m, f)))))
     FilterColumns.conjunction(pushed).map(df0.filter).getOrElse(df0)
   }) with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 

@@ -171,6 +171,32 @@ class ManifestPruneSpec extends SparkSpec {
     assert(rangeProbe.select("id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("DELETE-carrying probes classify through the manifest hint: " +
+      "pruned MoR reads survive deleting the excluded manifests too") {
+    val dir = intTable()
+    TableWriter.append(spark, dir, Seq((1L, 1), (2L, 1)).toDF("id", "k"))
+    TableWriter.append(spark, dir, Seq((3L, 2), (4L, 2)).toDF("id", "k"))
+    TableWriter.append(spark, dir, Seq((5L, 30)).toDF("id", "k"))
+    // a position delete puts the table on the MoR path (delete manifest
+    // present → readSplit must classify hit vs clean files)
+    TableWriter.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 3L)
+    val t = IcebergTable.load(dir)
+    val dataM = t.manifests().filter(_.content == 0)
+    assert(t.manifests().exists(_.content == 1)) // really on the MoR path
+    val kept = dataM.filter(m => ManifestSummaries.mayMatch(t.metadata, m,
+      Seq("k" -> Some(Set("2")))))
+    assert(kept.size == 1)
+    dataM.filterNot(kept.contains).foreach(m =>
+      Files.delete(Paths.get(t.resolvePath(m.manifestPath))))
+    // classification parses ONLY the kept data manifests (the hint) plus
+    // the delete manifests — the probe answers with the delete applied
+    val probed = graft.ops.ScanPlanner.readTableWhereIn(
+      spark, IcebergTable.load(dir), "k", Seq("2"))
+    assert(probed.select("id", "k").as[(Long, Int)].collect().toSet ==
+      Set((4L, 2)))
+  }
+
   test("DSv2 SQL scans skip excluded manifests through the pushed filters") {
     val wh = Files.createTempDirectory("graft-mprune-sql").toString
     spark.conf.set("spark.sql.catalog.gmp", "graft.sql.GraftCatalog")
