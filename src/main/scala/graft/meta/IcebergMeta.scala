@@ -318,17 +318,44 @@ object IcebergMeta {
   }
 
   /** Resolve the latest metadata file in `<tableDir>/metadata/`
-    * (highest v<N>.metadata.json). */
+    * (highest v<N>.metadata.json).
+    *
+    * Fast path (round 18): `version-hint.text` (the Iceberg
+    * HadoopTableOperations convention, written best-effort by
+    * [[publish]]) names a version to START from; versions advance by
+    * exactly one through the link CAS, so probing FORWARD from the hint
+    * until the first missing file finds the true latest without listing
+    * the directory — on a streaming table whose metadata dir holds tens
+    * of thousands of snap/manifest Avro files, every load used to pay
+    * that listing. The hint is ADVISORY only: stale, regressed, torn or
+    * absent hints degrade to extra probes or the full listing, never to
+    * serving a stale version. */
   def latestMetadataPath(tableDir: String): Path = {
     val metaDir = Paths.get(tableDir, "metadata")
-    val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
-        .toSeq
+    def at(v: Int) = metaDir.resolve(s"v$v.metadata.json")
+    val hinted = readVersionHint(metaDir).filter(h => Files.exists(at(h)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (Files.exists(at(v + 1))) v += 1
+        at(v)
+      case None =>
+        val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+            .toSeq
+        }
+        require(versions.nonEmpty, s"no metadata files under $metaDir")
+        versions.maxBy(p => p.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt)
     }
-    require(versions.nonEmpty, s"no metadata files under $metaDir")
-    versions.maxBy(p => p.getFileName.toString.stripPrefix("v")
-      .stripSuffix(".metadata.json").toInt)
+  }
+
+  private def readVersionHint(metaDir: Path): Option[Int] = {
+    val hint = metaDir.resolve("version-hint.text")
+    if (!Files.exists(hint)) None
+    else scala.util.Try(Files.readString(hint).trim.toInt).toOption
+      .filter(_ >= 1)
   }
 
   def load(tableDir: String): TableMetadata =
@@ -373,6 +400,50 @@ object IcebergMeta {
           s"metadata version ${target.getFileName} was committed by a " +
             "concurrent writer; reload the table and retry")
     } finally Files.deleteIfExists(tmp)
+    afterPublish(target, content)
+  }
+
+  /** `"graft.metadata.previous-versions-max" : "N"` in the committed
+    * metadata (Iceberg `write.metadata.previous-versions-max` +
+    * delete-after-commit analog) — scanned with a regex so publish need
+    * not re-parse its own document. */
+  private val PrevVersionsMaxRe =
+    """"graft\.metadata\.previous-versions-max"\s*:\s*"(\d+)"""".r
+
+  /** Post-CAS housekeeping, both best-effort (a failure here never fails
+    * the commit — the linked version file IS the commit):
+    *  - advisory `version-hint.text` so readers resolve the latest
+    *    version without listing the metadata directory (atomic replace;
+    *    racing writers may land a LOWER hint, which only costs forward
+    *    probes);
+    *  - metadata-log retention when the table opts in: versions at or
+    *    below N-keep are unlinked, walking backward until the first
+    *    miss (amortized one unlink per commit; the first commit after
+    *    enabling the property clears the whole backlog). Old version
+    *    FILES are only the metadata-log history — snapshots, time
+    *    travel and rollback all live in the CURRENT document. */
+  private def afterPublish(target: Path, content: String): Unit = {
+    val name = target.getFileName.toString
+    if (!name.matches("v\\d+\\.metadata\\.json")) return
+    val version = name.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val metaDir = target.getParent
+    try {
+      val tmp = metaDir.resolve(
+        s"version-hint.${java.util.UUID.randomUUID()}.tmp")
+      Files.writeString(tmp, version.toString)
+      Files.move(tmp, metaDir.resolve("version-hint.text"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
+    try {
+      PrevVersionsMaxRe.findFirstMatchIn(content).foreach { m =>
+        val keep = math.max(1, m.group(1).toInt)
+        var v = version - keep
+        while (v >= 1 &&
+            Files.deleteIfExists(metaDir.resolve(s"v$v.metadata.json")))
+          v -= 1
+      }
+    } catch { case _: Exception => () }
   }
 
   /** The TRI-STATE snapshot pin shared by CAS-conditional commits
