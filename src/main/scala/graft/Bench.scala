@@ -229,6 +229,14 @@ object Bench {
         }
         val adoptEngine = new graft.api.Engine(spark,
           java.nio.file.Files.createTempDirectory("bench_adopt_wh").toString)
+        // MANIFEST-level pruning at metadata scale: 200 summarized
+        // manifests x 100 entries (the post-rewrite_manifests steady
+        // state of a streaming table); the probe should open ~1 manifest
+        // where the full listing parses all 200. Metadata-only fixture
+        // (planning never opens data), built untimed.
+        val mpruneDir = java.nio.file.Files
+          .createTempDirectory("bench_mprune").toString + "/t"
+        graft.fixtures.FixtureWriter.writeManyManifests(mpruneDir, 200, 100)
         Seq(
           timed("d_ann_bootstrap") {
             annIdx.create(); annIdx.bootstrap(emb); ()
@@ -331,6 +339,16 @@ object Bench {
           timed("d_adopt_10k") {
             adoptEngine.registerParquet("bench.adopt10k", adoptSrc.toString)
             ()
+          },
+          // fresh table handles per row: the comparison is listing cost,
+          // not memo hits
+          timed("d_mprune_plan") {
+            graft.sql.FilePrune.liveEntries(
+              graft.meta.IcebergTable.load(mpruneDir), None,
+              Seq(org.apache.spark.sql.sources.EqualTo("k", 42))).size
+          },
+          timed("d_mprune_plan_full") {
+            graft.meta.IcebergTable.load(mpruneDir).files().size
           })
       }
     // The commit a distributed section was MEASURED at rides in the

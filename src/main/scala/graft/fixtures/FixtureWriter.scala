@@ -385,6 +385,75 @@ object FixtureWriter {
     Files.writeString(dir.resolve("metadata/v1.metadata.json"), json)
   }
 
+  /** A MANY-MANIFEST metadata-only fixture for pricing the manifest-level
+    * pruning tier (round 18): `nManifests` data manifests, each holding
+    * `entriesPer` entries over a CONTIGUOUS range of the identity
+    * partition `k` (manifest i covers k in [i*kPer, i*kPer + kPer-1]),
+    * with partition field summaries STAMPED on the manifest list — the
+    * post-rewrite_manifests steady state at streaming-table scale. Data
+    * paths are synthetic (planning never opens them); only scan-PLANNING
+    * may touch this table. */
+  def writeManyManifests(tableDir: String,
+      nManifests: Int = 200, entriesPer: Int = 100): Unit = {
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir.resolve("metadata"))
+    val snapId = 6000L
+    val kPer = 5
+    val manifests = (0 until nManifests).map { i =>
+      val entries = (0 until entriesPer).map { j =>
+        val k = i * kPer + (j % kPer)
+        DataFileEntry(
+          status = 1, snapshotId = snapId, content = 0,
+          filePath = f"data/mp-$i%03d-$j%03d.parquet", fileFormat = "PARQUET",
+          partition = Map("k" -> k.toString),
+          recordCount = 50L, fileSizeInBytes = 8192L,
+          columnSizes = Map(1 -> 2048L), valueCounts = Map(1 -> 50L),
+          nullValueCounts = Map(1 -> 0L),
+          lowerBounds = Map(1 -> IcebergDecode.encode("long", j * 100L)),
+          upperBounds = Map(1 -> IcebergDecode.encode("long", j * 100L + 99L)))
+      }
+      val mPath = f"metadata/manifest-$snapId-$i%03d.avro"
+      AvroManifests.writeManifest(dir.resolve(mPath).toString, entries)
+      ManifestFile(
+        mPath, Files.size(dir.resolve(mPath)), 0, 0, snapId,
+        entries.size, 0, 0, entries.map(_.recordCount).sum, 0, 0,
+        partitions = Seq(PartitionFieldSummary("k", containsNull = false,
+          Some((i * kPer).toString), Some((i * kPer + kPer - 1).toString))))
+    }
+    val listPath = s"metadata/snap-$snapId.avro"
+    AvroManifests.writeManifestList(dir.resolve(listPath).toString, manifests)
+    val uuid = java.util.UUID.nameUUIDFromBytes(tableDir.getBytes).toString
+    val nFiles = nManifests.toLong * entriesPer
+    val json =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "$uuid",
+         |  "location": "$tableDir",
+         |  "last-updated-ms": ${BaseTs + 7200000L},
+         |  "schema": {
+         |    "type": "struct",
+         |    "fields": [
+         |      {"id": 1, "name": "id", "required": true, "type": "long"},
+         |      {"id": 2, "name": "k", "required": true, "type": "int"}
+         |    ]},
+         |  "partition-spec": [
+         |    {"name": "k", "transform": "identity", "source-id": 2, "field-id": 1000}
+         |  ],
+         |  "default-spec-id": 0,
+         |  "properties": {},
+         |  "current-snapshot-id": $snapId,
+         |  "snapshots": [
+         |    {"snapshot-id": $snapId, "timestamp-ms": ${BaseTs + 7200000L},
+         |     "summary": {"operation": "append",
+         |       "total-data-files": "$nFiles",
+         |       "total-records": "${nFiles * 50L}",
+         |       "total-files-size": "${nFiles * 8192L}"},
+         |     "manifest-list": "$listPath"}
+         |  ]
+         |}""".stripMargin
+    Files.writeString(dir.resolve("metadata/v1.metadata.json"), json)
+  }
+
   /** A v2 table carrying a live DELETE manifest (position deletes):
     * commit 1 appends 3 REAL parquet data files, commit 2 adds a delete
     * manifest (content=1) whose entries are REAL position-delete parquet

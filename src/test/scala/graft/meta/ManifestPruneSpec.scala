@@ -254,6 +254,21 @@ class ManifestPruneSpec extends SparkSpec {
     assert(graft.sql.FilePrune.keepManifest(t, noNulls, EqualTo("id", 1L)))
   }
 
+  test("many-manifest fixture: the planning tier opens ~1 of 200 " +
+      "manifests and agrees exactly with the naive full listing") {
+    val dir = Files.createTempDirectory("graft-mprune-many").toString + "/t"
+    graft.fixtures.FixtureWriter.writeManyManifests(dir, 50, 40)
+    val t = IcebergTable.load(dir)
+    import org.apache.spark.sql.sources.EqualTo
+    val kept = t.manifests().filter(m =>
+      graft.sql.FilePrune.keepManifest(t, m, EqualTo("k", 42)))
+    assert(kept.size == 1) // k=42 lives in exactly one summary range
+    val pruned = graft.sql.FilePrune.liveEntries(t, None, Seq(EqualTo("k", 42)))
+    val naive = t.files().filter(e => e.partition.get("k").contains("42"))
+    assert(pruned.map(_.filePath).toSet == naive.map(_.filePath).toSet)
+    assert(pruned.nonEmpty)
+  }
+
   test("advise flags summary-less manifests; rewrite_manifests stamps " +
       "summaries even when already packed tight, clearing the flag") {
     val wh = Files.createTempDirectory("graft-mprune-adv").toString
