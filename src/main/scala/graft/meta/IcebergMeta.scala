@@ -358,9 +358,30 @@ object IcebergMeta {
       .filter(_ >= 1)
   }
 
-  def load(tableDir: String): TableMetadata =
+  /** Retry a resolve-then-read body when the resolved file VANISHED in
+    * between: a concurrent committer's metadata retention
+    * ([[afterPublish]]) may unlink an old version right after a slow
+    * reader resolved it as latest — re-resolving finds the newer
+    * version, so the race costs a retry, never a failure. Bounded: any
+    * steady-state miss (a truly absent table) surfaces the original
+    * error. */
+  private def withRetiredRetry[A](body: => A): A = {
+    var attempts = 5
+    while (true) {
+      try return body
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def load(tableDir: String): TableMetadata = withRetiredRetry {
     parse(new String(Files.readAllBytes(latestMetadataPath(tableDir)),
       StandardCharsets.UTF_8))
+  }
 
   /** Load a SPECIFIC metadata version file. */
   def loadAt(path: Path): TableMetadata =
@@ -373,7 +394,7 @@ object IcebergMeta {
     * between, and a publish at the NEWER version + the STALE content
     * silently drops the racer's snapshot (no CAS conflict fires, because
     * the skipped version file itself is never contended). */
-  def loadVersioned(tableDir: String): (TableMetadata, Int) = {
+  def loadVersioned(tableDir: String): (TableMetadata, Int) = withRetiredRetry {
     val p = latestMetadataPath(tableDir)
     (loadAt(p), p.getFileName.toString
       .stripPrefix("v").stripSuffix(".metadata.json").toInt)

@@ -62,6 +62,47 @@ class MetadataHintSpec extends SparkSpec {
     assert(e.readTable(ref).count() == 3L)
   }
 
+  test("retention under RACING writers: CAS losers retry through the " +
+      "hint, the version window and the chain hold") {
+    val dir = Files.createTempDirectory("graft-hint-race").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(StructField("id", LongType))),
+      properties = Map("graft.metadata.previous-versions-max" -> "3"))
+    val threads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until threads).map { th =>
+      scala.concurrent.Future {
+        (0 until perThread).foreach { i =>
+          TableWriter.append(spark, dir,
+            Seq((th * 100 + i).toLong).toDF("id"))
+        }
+      }(ec)
+    }
+    futures.foreach(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration(300, "s")))
+    pool.shutdown()
+    val t = IcebergTable.load(dir)
+    assert(t.metadata.snapshots.size == threads * perThread)
+    t.metadata.snapshots.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.parentSnapshotId.contains(a.snapshotId))
+    }
+    assert(graft.ops.ScanPlanner.readTable(spark, t).count() ==
+      (threads * perThread).toLong)
+    // v1 create + 12 commits = v13; keep-last 3
+    val metaDir = Paths.get(dir, "metadata")
+    val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+        .toSeq.sorted
+    }
+    assert(versions == Seq(11, 12, 13), s"got $versions")
+    assert(Files.readString(
+      metaDir.resolve("version-hint.text")).trim == "13")
+  }
+
   test("previous-versions-max retention unlinks old version files; " +
       "snapshots, time travel and rollback live in the current document") {
     val (e, ref, dir) = freshTable()
