@@ -378,12 +378,10 @@ object IcebergMeta {
     throw new IllegalStateException("unreachable")
   }
 
-  def load(tableDir: String): TableMetadata = withRetiredRetry {
-    parse(new String(Files.readAllBytes(latestMetadataPath(tableDir)),
-      StandardCharsets.UTF_8))
-  }
+  def load(tableDir: String): TableMetadata = loadVersioned(tableDir)._1
 
-  /** Load a SPECIFIC metadata version file. */
+  /** Load a SPECIFIC metadata version file (a retired tombstone — zero
+    * bytes — fails the parse loudly; only LATEST resolution retries). */
   def loadAt(path: Path): TableMetadata =
     parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
 
@@ -396,8 +394,12 @@ object IcebergMeta {
     * the skipped version file itself is never contended). */
   def loadVersioned(tableDir: String): (TableMetadata, Int) = withRetiredRetry {
     val p = latestMetadataPath(tableDir)
-    (loadAt(p), p.getFileName.toString
-      .stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val bytes = Files.readAllBytes(p)
+    if (bytes.isEmpty) // retired to a tombstone between resolve and read
+      throw new java.nio.file.NoSuchFileException(s"$p (retired)")
+    (parse(new String(bytes, StandardCharsets.UTF_8)),
+      p.getFileName.toString
+        .stripPrefix("v").stripSuffix(".metadata.json").toInt)
   }
 
   /** PUBLISH the next metadata version with compare-and-swap semantics:
@@ -438,31 +440,45 @@ object IcebergMeta {
     *    racing writers may land a LOWER hint, which only costs forward
     *    probes);
     *  - metadata-log retention when the table opts in: versions at or
-    *    below N-keep are unlinked, walking backward until the first
-    *    miss (amortized one unlink per commit; the first commit after
-    *    enabling the property clears the whole backlog). Old version
-    *    FILES are only the metadata-log history — snapshots, time
-    *    travel and rollback all live in the CURRENT document. */
+    *    below N-keep are TRUNCATED to zero-byte tombstones, walking
+    *    backward until the first already-retired version (amortized one
+    *    truncation per commit; the first commit after enabling the
+    *    property clears the backlog). Tombstone, NOT unlink, for two
+    *    load-bearing reasons: the hint's forward probe relies on version
+    *    files being contiguous (a deletion GAP under a regressed hint
+    *    would resolve a stale latest silently), and [[publish]]'s link
+    *    CAS relies on claimed version numbers STAYING claimed — an
+    *    unlinked version could be re-created by a writer holding a
+    *    stale base, silently forking history. The bytes are the
+    *    retention win; the dirent is the safety ledger. Old version
+    *    files are only metadata-log history — snapshots, time travel
+    *    and rollback all live in the CURRENT document. */
   private def afterPublish(target: Path, content: String): Unit = {
     val name = target.getFileName.toString
     if (!name.matches("v\\d+\\.metadata\\.json")) return
     val version = name.stripPrefix("v").stripSuffix(".metadata.json").toInt
     val metaDir = target.getParent
+    val tmp = metaDir.resolve(
+      s"version-hint.${java.util.UUID.randomUUID()}.tmp")
     try {
-      val tmp = metaDir.resolve(
-        s"version-hint.${java.util.UUID.randomUUID()}.tmp")
       Files.writeString(tmp, version.toString)
       Files.move(tmp, metaDir.resolve("version-hint.text"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: Exception => () }
+    finally { try Files.deleteIfExists(tmp) catch { case _: Exception => () } }
     try {
       PrevVersionsMaxRe.findFirstMatchIn(content).foreach { m =>
         val keep = math.max(1, m.group(1).toInt)
         var v = version - keep
-        while (v >= 1 &&
-            Files.deleteIfExists(metaDir.resolve(s"v$v.metadata.json")))
-          v -= 1
+        var continue = true
+        while (v >= 1 && continue) {
+          val p = metaDir.resolve(s"v$v.metadata.json")
+          if (Files.exists(p) && Files.size(p) > 0) {
+            Files.write(p, Array.emptyByteArray)
+            v -= 1
+          } else continue = false
+        }
       }
     } catch { case _: Exception => () }
   }

@@ -70,10 +70,18 @@ final class IcebergTable(val tableDir: String, val metadata: TableMetadata) {
         .filter(_.status != 2)
     }
 
+  // Per-manifest entry memo (same immutability argument as entriesMemo):
+  // a pruned probe's planning tier, its MoR classification and the DSv2
+  // builder each list the SAME kept manifests — one parse serves all.
+  private val perManifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+
   /** All manifest entries (incl. deletes) of one manifest file — the lazy
-    * TUI tree path (ref `formatters.py:1266-1279`). */
+    * TUI tree path (ref `formatters.py:1266-1279`) and the pruned
+    * planners' subset listings. Memoized per resolved path. */
   def manifestEntries(manifestPath: String): Seq[DataFileEntry] =
-    AvroManifests.readManifest(resolve(manifestPath))
+    perManifestMemo.computeIfAbsent(resolve(manifestPath),
+      p => AvroManifests.readManifest(p))
 }
 
 object IcebergTable {

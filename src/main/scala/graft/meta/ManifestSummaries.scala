@@ -80,7 +80,16 @@ object ManifestSummaries {
           val containsNull = parsed.exists(_.get.isEmpty)
           val pairs = raws.map(_.get).zip(parsed.map(_.get))
             .collect { case (raw, Some(v)) => (raw, v) }
-          if (pairs.isEmpty)
+          // NaN is unordered: every range comparison against it answers
+          // false, which would PRUNE instead of keep — a field holding
+          // one is not summarizable
+          val hasNaN = pairs.exists {
+            case (_, d: Double) => d.isNaN
+            case (_, f: Float) => f.isNaN
+            case _ => false
+          }
+          if (hasNaN) None
+          else if (pairs.isEmpty)
             Some(PartitionFieldSummary(name, containsNull = true, None, None))
           else {
             val loRaw = pairs.reduceLeft((a, b) => if (cmp(b._2, a._2) < 0) b else a)._1
@@ -104,14 +113,23 @@ object ManifestSummaries {
         case (Some(lo), Some(hi)) =>
           (typed(tp, lo).flatten, typed(tp, hi).flatten) match {
             case (Some(lov), Some(hiv)) =>
-              cmp(lov, v) <= 0 && cmp(v, hiv) <= 0
+              if (isNaN(v) || isNaN(lov) || isNaN(hiv)) true // unordered: keep
+              else cmp(lov, v) <= 0 && cmp(v, hiv) <= 0
             case _ => true
           }
-        // summary emitted with no bounds = every entry's value is null:
-        // a non-null probe cannot match
-        case _ => false
+        // BOTH bounds absent is our writer's all-null shape: a non-null
+        // probe cannot match. A ONE-SIDED summary is not a shape this
+        // writer emits (a foreign tool's) — absence reads as may-match.
+        case (None, None) => false
+        case _ => true
       }
     }
+
+  private def isNaN(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
 
   /** Manifest-level twin of the file tier's partition-equals groups
     * ([[graft.ops.ScanPlanner.pruneFiles]] / `readTableWhereIn`): keep
@@ -175,7 +193,9 @@ object ManifestSummaries {
     * range probes arrive in the bounds domain (session-zone micros), and
     * a zone disagreement would mis-prune. */
   private def toNum(v: Any): Option[Double] = v match {
-    case n: java.lang.Number => Some(n.doubleValue())
+    // NaN is unordered — comparisons answer false, which would PRUNE;
+    // exclude it so the conservative keep applies instead
+    case n: java.lang.Number if !n.doubleValue().isNaN => Some(n.doubleValue())
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
     case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
     case _ => None
@@ -209,8 +229,10 @@ object ManifestSummaries {
                   case _ => true
                 }
                 okLo && okHi
-              // no bounds = all null: no non-null value intersects a range
-              case _ => lo.isEmpty && hi.isEmpty
+              // both absent = all null: no non-null value intersects;
+              // one-sided (foreign writer) = conservative keep
+              case (None, None) => lo.isEmpty && hi.isEmpty
+              case _ => true
             }
           case _ => true
         }

@@ -72,8 +72,7 @@ object MetaRelations {
         if (dataManifests.size == allDataManifests.size)
           t.files(snapshotId).map(entryRow) // memoized full listing
         else dataManifests
-          .flatMap(m => graft.meta.AvroManifests.readManifest(
-            t.resolvePath(m.manifestPath)))
+          .flatMap(m => t.manifestEntries(m.manifestPath)) // per-manifest memo
           .filter(_.status != 2).map(entryRow)
       spark.createDataFrame(rows.asJava, filesSchema)
         .coalesce(math.max(1, rows.size / 50000))
@@ -154,6 +153,9 @@ object MetaRelations {
     val rows = scala.util.Using.resource(Files.list(metaDir)) { s =>
       s.iterator().asScala
         .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        // zero-byte files are RETIRED tombstones (metadata retention,
+        // [[graft.meta.IcebergMeta]]) — history, not log entries
+        .filter(p => Files.size(p) > 0)
         .map { p =>
           val v = p.getFileName.toString.stripPrefix("v")
             .stripSuffix(".metadata.json").toInt

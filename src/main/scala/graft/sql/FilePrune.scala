@@ -77,14 +77,23 @@ object FilePrune {
     field(t, a) match {
       case None => true
       case Some(sf) if sf.fieldType == "string" =>
-        val fLo = e.lowerBounds.get(sf.id).map(b => new String(b, "UTF-8"))
-        val fUp = e.upperBounds.get(sf.id).map(b => new String(b, "UTF-8"))
-        val okLo = (lo, fUp) match {
-          case (Some(v: String), Some(up)) => up >= v
+        // compare in unsigned UTF-8 BYTE order — the order the bounds
+        // were COMPUTED in (Spark min/max uses UTF8String binary order).
+        // Java String ordering (UTF-16 units) disagrees around
+        // supplementary characters vs U+E000..U+FFFF and would prune
+        // files that hold the probed value.
+        val fLo = e.lowerBounds.get(sf.id)
+        val fUp = e.upperBounds.get(sf.id)
+        def vBytes(v: Any): Option[Array[Byte]] = v match {
+          case s: String => Some(s.getBytes("UTF-8"))
+          case _ => None
+        }
+        val okLo = (lo.flatMap(vBytes), fUp) match {
+          case (Some(v), Some(up)) => cmpBytes(up, v) >= 0
           case _ => true
         }
-        val okHi = (hi, fLo) match {
-          case (Some(v: String), Some(lw)) => lw <= v
+        val okHi = (hi.flatMap(vBytes), fLo) match {
+          case (Some(v), Some(lw)) => cmpBytes(lw, v) <= 0
           case _ => true
         }
         okLo && okHi
@@ -93,16 +102,32 @@ object FilePrune {
           .flatMap(b => IcebergDecode.decodeNumeric(sf.fieldType, b))
         val fUp = e.upperBounds.get(sf.id)
           .flatMap(b => IcebergDecode.decodeNumeric(sf.fieldType, b))
+        // a NaN bound means the file HOLDS NaNs (Spark min/max ranks NaN
+        // greatest) — Java comparisons against it answer false, which
+        // would wrongly PRUNE; keep instead
         val okLo = (lo.flatMap(toNum), fUp) match {
-          case (Some(v), Some(up)) => up >= v
+          case (Some(v), Some(up)) => up.isNaN || up >= v
           case _ => true
         }
         val okHi = (hi.flatMap(toNum), fLo) match {
-          case (Some(v), Some(lw)) => lw <= v
+          case (Some(v), Some(lw)) => lw.isNaN || lw <= v
           case _ => true
         }
         okLo && okHi
     }
+
+  /** Unsigned lexicographic byte comparison (UTF8String / parquet binary
+    * order). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 
   /** Partition-transform test: for every spec field derived from source
     * `a` that this file's partition map carries, the transformed literal
@@ -134,21 +159,35 @@ object FilePrune {
 
   // ------------------------------------------ manifest-level tier
 
-  /** Live data-file entries surviving `pushed`, with MANIFEST-level
+  /** ONE pruned listing shared across a scan's construction: the
+    * manifests the pushed filters keep, and the per-entry survivors
+    * inside them — each computed at most once (a DSv2 scan consults the
+    * listing from the fill gate, the plan lambda and the statistics
+    * estimate; without sharing, each re-derived it). Manifest-level
     * pruning first: a data manifest whose partition summaries
     * ([[graft.meta.ManifestSummaries]]) exclude every pushed filter is
-    * never opened. When nothing can be skipped the memoized full listing
-    * answers, so the fast path costs nothing extra. */
-  def liveEntries(t: IcebergTable, snapshotId: Option[Long],
-      pushed: Seq[Filter]): Seq[DataFileEntry] = {
-    val all = t.manifests(snapshotId).filter(_.content == 0)
-    val kept = all.filter(m => pushed.forall(f => keepManifest(t, m, f)))
-    val entries =
-      if (kept.size == all.size) t.files(snapshotId)
-      else kept.flatMap(m => graft.meta.AvroManifests.readManifest(
-        t.resolvePath(m.manifestPath))).filter(_.status != 2)
-    entries.filter(e => pushed.forall(f => keep(t, e, f)))
+    * never opened. When nothing can be skipped the memoized full
+    * listing answers, so the fast path costs nothing extra. */
+  final class PrunedListing(t: IcebergTable, snapshotId: Option[Long],
+      pushed: Seq[Filter]) {
+    lazy val allManifests: Seq[graft.meta.ManifestFile] =
+      t.manifests(snapshotId).filter(_.content == 0)
+    lazy val keptManifests: Seq[graft.meta.ManifestFile] =
+      allManifests.filter(m => pushed.forall(f => keepManifest(t, m, f)))
+    lazy val entries: Seq[DataFileEntry] = {
+      val listed =
+        if (keptManifests.size == allManifests.size) t.files(snapshotId)
+        else keptManifests.flatMap(m => t.manifestEntries(m.manifestPath))
+          .filter(_.status != 2)
+      listed.filter(e => pushed.forall(f => keep(t, e, f)))
+    }
   }
+
+  /** Live data-file entries surviving `pushed` (one-shot form of
+    * [[PrunedListing]]). */
+  def liveEntries(t: IcebergTable, snapshotId: Option[Long],
+      pushed: Seq[Filter]): Seq[DataFileEntry] =
+    new PrunedListing(t, snapshotId, pushed).entries
 
   /** May manifest `m` hold an entry satisfying `f`? Conservative, the
     * manifest-level twin of [[keep]]: answers from the manifest-list

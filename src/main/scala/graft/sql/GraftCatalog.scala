@@ -441,8 +441,10 @@ class GraftScanBuilder(
     // requires it too). A probe pruned to native files — or a
     // projection of file-carried columns — keeps the vectorized scan
     // even while adopted files are live elsewhere in the table.
-    // manifest-level skip first (partition summaries), then per-entry
-    lazy val keptAdopted = FilePrune.liveEntries(t, snapshotId, pushed.toSeq)
+    // manifest-level skip first (partition summaries), then per-entry;
+    // ONE listing shared by the fill gate, the MoR plan and statistics
+    val pruned = new FilePrune.PrunedListing(t, snapshotId, pushed.toSeq)
+    lazy val keptAdopted = pruned.entries
     def fillNeeded: Boolean =
       graft.meta.Transforms.needsPathFill(t.metadata, keptAdopted) &&
         graft.meta.Transforms.pathPartitionCols(t.metadata)
@@ -452,7 +454,7 @@ class GraftScanBuilder(
       // plan, delete-untouched files scan bare (vectorized parquet, no
       // anti-joins) and only delete-hit files pay the MoR machinery
       // (ScanPlanner.readSplit)
-      new GraftMorV1Scan(t, snapshotId, required, pushed.toSeq)
+      new GraftMorV1Scan(t, snapshotId, required, pushed.toSeq, pruned)
     else {
       val kept = keptAdopted
       // id-stamped tables: the vectorized scan resolves parquet columns
@@ -548,27 +550,26 @@ class GraftDataFrameScan(
   * plan so Catalyst still prunes row groups within the MoR subplan. */
 final class GraftMorV1Scan(
     t: IcebergTable, snapshotId: Option[Long],
-    required: StructType, pushed: Seq[sources.Filter])
+    required: StructType, pushed: Seq[sources.Filter],
+    pruned: FilePrune.PrunedListing)
   extends GraftDataFrameScan(required, spark => {
     // FILE pruning applies to the MoR fallback too: deletes only REMOVE
     // rows, so restricting the data files to the pushed filters'
     // conservative survivors (manifest tier + per-entry stats) changes
     // nothing about the filtered result — readFiles applies the same
     // position/equality delete machinery to the subset. A partition
-    // probe on a delete-carrying table no longer scans the whole table.
-    val kept = FilePrune.liveEntries(t, snapshotId, pushed)
+    // probe on a delete-carrying table no longer scans the whole table,
+    // and the shared listing means no tier re-parses what another
+    // already listed.
     val df0 =
-      if (kept.isEmpty)
+      if (pruned.entries.isEmpty)
         // all files excluded: EMPTY with the table's schema, scan nothing
         ScanPlanner.readTable(spark, t, snapshotId)
           .filter(org.apache.spark.sql.functions.lit(false))
-      else if (kept.size == t.files(snapshotId).size)
-        ScanPlanner.readTable(spark, t, snapshotId)
       else
         ScanPlanner.readFiles(spark, t,
-          kept.map(e => t.resolvePath(e.filePath)), snapshotId,
-          manifestsHint = Some(t.manifests(snapshotId).filter(m =>
-            m.content == 0 && pushed.forall(f => FilePrune.keepManifest(t, m, f)))))
+          pruned.entries.map(e => t.resolvePath(e.filePath)), snapshotId,
+          manifestsHint = Some(pruned.keptManifests))
     FilterColumns.conjunction(pushed).map(df0.filter).getOrElse(df0)
   }) with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -578,10 +579,9 @@ final class GraftMorV1Scan(
     * while letting a filter-pruned dim scan qualify as a broadcast. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val live = FilePrune.liveEntries(t, snapshotId, pushed)
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(live.map(_.fileSizeInBytes).sum)
+        java.util.OptionalLong.of(pruned.entries.map(_.fileSizeInBytes).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(live.map(_.recordCount).sum)
+        java.util.OptionalLong.of(pruned.entries.map(_.recordCount).sum)
     }
 }

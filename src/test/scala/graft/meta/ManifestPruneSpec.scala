@@ -97,6 +97,49 @@ class ManifestPruneSpec extends SparkSpec {
       Seq("k" -> Some(Set(Transforms.NullPartitionValue)))))
   }
 
+  test("NaN partition values are never summarized, and NaN-bearing " +
+      "foreign summaries keep instead of pruning") {
+    val dir = Files.createTempDirectory("graft-mprune-nan").toString + "/t"
+    TableCreator.create(dir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DoubleType))),
+      partitionDecls = Seq("d"))
+    val md = IcebergTable.load(dir).metadata
+    val specId = md.currentSpec.specId
+    // a NaN value makes the field unsummarizable (unordered: every range
+    // comparison answers false, which would PRUNE files holding matches)
+    assert(ManifestSummaries.of(md, specId,
+      Seq(entry(Map("d" -> "NaN")), entry(Map("d" -> "10.0")))).isEmpty)
+    // a FOREIGN summary carrying NaN bounds keeps conservatively
+    val m = ManifestFile("m.avro", 1L, specId, 0, 1L, 1, 0, 0, 1L, 0L, 0L,
+      Seq(PartitionFieldSummary("d", containsNull = false,
+        Some("1.0"), Some("NaN"))))
+    val src = md.currentSchema.fields.find(_.name == "d").get
+    assert(ManifestSummaries.mayIntersect(md, m, src.id, Some(5.0), None))
+    assert(ManifestSummaries.mayMatch(md, m, Seq("d" -> Some(Set("7.0")))))
+  }
+
+  test("one-sided summaries (foreign writers) keep conservatively — " +
+      "only the both-absent all-null shape prunes non-null probes") {
+    val md = IcebergTable.load(intTable()).metadata
+    def mf(lower: Option[String], upper: Option[String]) = ManifestFile(
+      "m.avro", 1L, md.currentSpec.specId, 0, 1L, 1, 0, 0, 1L, 0L, 0L,
+      Seq(PartitionFieldSummary("k", containsNull = true, lower, upper)))
+    val src = md.currentSchema.fields.find(_.name == "k").get
+    // one-sided: not a shape our writer emits — may-match
+    assert(ManifestSummaries.mayMatch(md, mf(Some("5"), None),
+      Seq("k" -> Some(Set("999")))))
+    assert(ManifestSummaries.mayMatch(md, mf(None, Some("5")),
+      Seq("k" -> Some(Set("999")))))
+    assert(ManifestSummaries.mayIntersect(md, mf(Some("5"), None),
+      src.id, Some(999.0), None))
+    // both absent: all-null, a non-null probe prunes
+    assert(!ManifestSummaries.mayMatch(md, mf(None, None),
+      Seq("k" -> Some(Set("999")))))
+  }
+
   test("summaries round-trip through Avro; PRE-SUMMARY lists read as empty") {
     val tmp = Files.createTempDirectory("graft-mlrt")
     val mf = ManifestFile("m.avro", 10L, 0, 0, 1L, 1, 0, 0, 5L, 0L, 0L,

@@ -89,13 +89,15 @@ class MetadataHintSpec extends SparkSpec {
     }
     assert(graft.ops.ScanPlanner.readTable(spark, t).count() ==
       (threads * perThread).toLong)
-    // v1 create + 12 commits = v13; keep-last 3
+    // v1 create + 12 commits = v13; keep-last 3 (older = tombstones)
     val metaDir = Paths.get(dir, "metadata")
     val versions = scala.util.Using.resource(Files.list(metaDir)) { s =>
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+\\.metadata\\.json"))
-        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+\\.metadata\\.json") &&
+          Files.size(p) > 0)
+        .map(_.getFileName.toString
+          .stripPrefix("v").stripSuffix(".metadata.json").toInt)
         .toSeq.sorted
     }
     assert(versions == Seq(11, 12, 13), s"got $versions")
@@ -112,23 +114,36 @@ class MetadataHintSpec extends SparkSpec {
     e.append(ref, Seq((2L, 20L)).toDF("id", "v")) // v4: clears backlog
     e.append(ref, Seq((3L, 30L)).toDF("id", "v")) // v5
     val metaDir = Paths.get(dir, "metadata")
-    def versions: Seq[Int] = scala.util.Using.resource(Files.list(metaDir)) { s =>
+    def liveVersions: Seq[Int] = scala.util.Using.resource(Files.list(metaDir)) { s =>
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+\\.metadata\\.json"))
-        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+\\.metadata\\.json") &&
+          Files.size(p) > 0)
+        .map(_.getFileName.toString
+          .stripPrefix("v").stripSuffix(".metadata.json").toInt)
         .toSeq.sorted
     }
-    assert(versions == Seq(4, 5)) // keep-last 2; v1..v3 unlinked
+    assert(liveVersions == Seq(4, 5)) // keep-last 2; v1..v3 retired
+    // retired versions are zero-byte TOMBSTONES, not unlinked: the
+    // version number stays claimed, so a stale writer can never fork
+    // history by re-creating it…
+    assert(Files.exists(metaDir.resolve("v2.metadata.json")))
+    assert(Files.size(metaDir.resolve("v2.metadata.json")) == 0L)
+    intercept[CommitConflictException](IcebergMeta.publish(
+      metaDir.resolve("v2.metadata.json"), "{\"forged\": true}"))
+    // …and the hint's forward probe never meets a gap
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    assert(IcebergMeta.latestMetadataPath(dir).getFileName.toString ==
+      "v5.metadata.json")
     // the metadata log shrinks to the retained files, loads stay exact
     assert(graft.rel.MetaRelations.metadataLog(spark, dir).count() == 2L)
     assert(e.readTable(ref).count() == 3L)
-    // time travel to the FIRST snapshot (whose publishing FILE is gone —
-    // the snapshot itself lives in the current document)
+    // time travel to the FIRST snapshot (whose publishing FILE is retired
+    // — the snapshot itself lives in the current document)
     assert(e.readTable(ref, Some(s1)).count() == 1L)
     // rollback is metadata-only and unaffected
     e.rollback(ref, s1)
     assert(e.readTable(ref).count() == 1L)
-    assert(versions == Seq(5, 6))
+    assert(liveVersions == Seq(5, 6))
   }
 }

@@ -41,6 +41,31 @@ class StringBoundsSpec extends SparkSpec {
     assert(TableWriter.truncateUpper(emojis) == emojis)
   }
 
+  test("string range pruning compares in UTF-8 BYTE order — the order " +
+      "the bounds were computed in — not Java UTF-16 order") {
+    // file holds {emoji-run, "￿"+"z"}: Spark's min/max (UTF8String
+    // binary order) rank the emoji HIGHEST (F0 9F.. > EF BF BF), so
+    // upper = emoji-run. Java String order ranks it LOWEST of the two
+    // (0xD83D < 0xFFFF) — a UTF-16 comparison would prune the file for
+    // the "￿"-probe it actually holds.
+    val dir = Files.createTempDirectory("graft-strb-utf8").toString + "/t"
+    TableCreator.create(dir, StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType))))
+    val emojiRun = "😀" * 20
+    val ffz = "￿" + "z"
+    TableWriter.append(spark, dir,
+      Seq((1L, emojiRun), (2L, ffz)).toDF("id", "txt").coalesce(1))
+    val t = IcebergTable.load(dir)
+    import org.apache.spark.sql.sources.EqualTo
+    // the file holding ffz must KEEP for the ffz probe under every entry
+    val hit = t.files().filter(e =>
+      graft.sql.FilePrune.keep(t, e, EqualTo("txt", ffz)))
+    assert(hit.nonEmpty, "UTF-16 ordering would have pruned the holder")
+    // and the probe-through read is exact
+    val kept = graft.sql.FilePrune.liveEntries(t, None, Seq(EqualTo("txt", ffz)))
+    assert(kept.map(_.filePath).toSet == hit.map(_.filePath).toSet)
+  }
+
   test("append stamps truncated string bounds; equality probes on long " +
       "values still keep the file") {
     val dir = Files.createTempDirectory("graft-strbounds").toString + "/t"
