@@ -206,6 +206,20 @@ object Engine {
       }
     }
 
+  /** Stage timer for the adoption verbs, active only under
+    * GRAFT_ADOPT_DEBUG=1 — prints per-stage wall seconds to stderr so a
+    * slow monster drop can be attributed (footer gate vs link vs stats
+    * vs commit) without a profiler. */
+  private[graft] def adoptTimed[A](label: String)(body: => A): A =
+    if (!sys.env.get("GRAFT_ADOPT_DEBUG").contains("1")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[adopt] $label%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
   /** Best-effort recursive delete (registration failure cleanup). */
   private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -278,12 +292,18 @@ private[graft] object FooterFacts extends Serializable {
     * id), a CANONICAL rendering of the full footer schema — name-sorted
     * at every level, LIST/MAP wrapper groups normalized to `list<...>` /
     * `map<...>` (per parquet-mr's backward-compat element rules) so
-    * physical encoding variants don't read as schema drift — and the
+    * physical encoding variants don't read as schema drift — the
     * NESTED (dotted path → footer id) map for struct members at any
-    * depth, the id gate's input for foreign nested tables. */
+    * depth, the id gate's input for foreign nested tables, plus the
+    * footer's exact row count and per-column compressed byte sizes
+    * (dot-path keyed) — the same block metadata
+    * [[graft.meta.TableWriter]]'s columnSizes pass reads, carried here
+    * so adoption commits never open the same footers a second time. */
   final case class FooterInfo(
       ids: Map[String, Option[Int]], canon: String,
-      nestedIds: Map[String, Option[Int]])
+      nestedIds: Map[String, Option[Int]],
+      rowCount: Long = 0L,
+      columnBytes: Map[String, Long] = Map.empty)
 
   import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
   import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
@@ -361,24 +381,37 @@ private[graft] object FooterFacts extends Serializable {
   }
 
   /** The executor-side partition function: ranged footer metadata reads,
-    * never data pages. */
+    * never data pages. Read options are built ONCE per partition and
+    * passed explicitly — the argless `ParquetFileReader.open(file)`
+    * builds default options around a fresh Hadoop `Configuration` (an
+    * XML-resource parse, ~7 ms) per file, which dominated a 10k-footer
+    * gate pass ~60× over the footer reads themselves. */
   def read(it: Iterator[String]): Iterator[(String, FooterInfo)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
+    var opts: org.apache.parquet.ParquetReadOptions = null
     it.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      if (opts == null)
+        opts = org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
         val fields = schema.getFields.asScala
         val nested = scala.collection.mutable.Map.empty[String, Option[Int]]
         fields.foreach(f => walk(f, f.getName, nested))
+        val blocks = r.getFooter.getBlocks.asScala
         p -> FooterInfo(
           fields.map(f =>
             f.getName -> Option(f.getId).map(_.intValue())).toMap,
           fields.map(f => s"${f.getName}: ${canon(f)}")
             .toSeq.sorted.mkString(", "),
-          nested.toMap)
+          nested.toMap,
+          blocks.map(_.getRowCount).sum,
+          blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+            .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+            .toMap)
       } finally r.close()
     }
   }
@@ -1315,20 +1348,23 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     * the in-file-absent columns from the manifests' per-file constants
     * ([[graft.ops.ScanPlanner]]). */
   def registerParquet(ref: String, sourceDir: String): graft.meta.TableWriter.CommitResult = {
-    val src = Engine.adoptableSource(sourceDir)
+    val src = Engine.adoptTimed("walk") { Engine.adoptableSource(sourceDir) }
     // every footer is read BEFORE the table exists: the pass is both
     // the per-file schema gate (a mixed-schema drop is refused loudly,
     // naming the divergent file, instead of passing single-footer
     // inference and nulling columns later) and a corruption probe — a
     // truncated file fails here, not after createTable has committed,
     // so a failed registration leaves no half-registered table behind
-    val byFile = Engine.footerTopLevelIds(spark, src.files.map(_.toString))
+    val byFile = Engine.adoptTimed("footer-gate") {
+      Engine.footerTopLevelIds(spark, src.files.map(_.toString)) }
     // ONE footer pass per drop: the canonical-uniformity gate renders
     // logical type annotations, so every same-name type conflict the old
     // per-drop mergeSchema re-read caught is refused here — the Spark
     // schema then comes from a single file's footer
-    val fileSchema = spark.read.parquet(src.files.head.toString).schema
-    Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir)
+    val fileSchema = Engine.adoptTimed("head-schema") {
+      spark.read.parquet(src.files.head.toString).schema }
+    Engine.adoptTimed("uniform-gate") {
+      Engine.requireUniformColumns(byFile, fileSchema.fieldNames.toSet, sourceDir) }
     val overlap = src.partitionKeys.toSet.intersect(fileSchema.fieldNames.toSet)
     require(overlap.isEmpty,
       s"$sourceDir's files already contain partition-path column(s) " +
@@ -1357,15 +1393,23 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         else Map.empty))
     val dir = java.nio.file.Paths.get(tableDir(ref))
     try {
-      val rels = Engine.linkInto(dir, src.files, canonParts)
-      val res = graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
+      val rels = Engine.adoptTimed("link") {
+        Engine.linkInto(dir, src.files, canonParts) }
+      // the linked files are byte-identical to the sources (hard links /
+      // verbatim copies), so the gate pass's footer block metadata serves
+      // the commit's column sizes — no second footer pass over the drop
+      val relSizes = rels.indices.map(i =>
+        rels(i)._1 -> byFile(src.files(i).toString).columnBytes).toMap
+      val res = Engine.adoptTimed("commit") {
+        graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
         extraSummary = Map("adopted-from" -> sourceDir),
         // the table was created by THIS call at metadata v1: ANY racer
         // — a data write or a metadata-only commit — bumps the version
         // and is caught instead of silently interleaved
         expectedMetadataVersion = Some(1),
-        absentColumns = src.partitionKeys.toSet)
+        absentColumns = src.partitionKeys.toSet,
+        knownColumnBytes = relSizes) }
       graft.meta.PointerSync.sync(catalog, ref, dir.toString)
       res
     } catch {
@@ -1611,6 +1655,10 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     // validated (a racer can only widen key types — CAS-caught and
     // re-validated — and widening keeps the same rendering)
     val rels = Engine.linkInto(dir, src.files, firstPass._3)
+    // linked bytes are identical to the sources: the gate pass's footer
+    // block metadata serves the commit's column sizes (no second pass)
+    val relSizes = rels.indices.map(i =>
+      rels(i)._1 -> byFile(src.files(i).toString).columnBytes).toMap
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
@@ -1630,7 +1678,8 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           extraSummary = Map("adopted-from" -> sourceDir),
           expectedMetadataVersion = Some(seenV),
           extraProperties = props,
-          absentColumns = src.partitionKeys.toSet)
+          absentColumns = src.partitionKeys.toSet,
+          knownColumnBytes = relSizes)
         catch {
           case e: graft.meta.CommitConflictException =>
             if (attempt >= 5) throw e

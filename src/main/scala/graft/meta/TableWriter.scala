@@ -158,15 +158,16 @@ object TableWriter {
     // the match set is computed over the MERGE-ON-READ view (existing
     // position/equality deletes applied first): already-deleted rows can
     // never re-match, so deleted-position-records counts only NEW
-    // deletions and an all-previously-deleted predicate commits nothing
+    // deletions and an all-previously-deleted predicate commits nothing.
+    // ONE pass: the match scan streams straight into the staged parquet
+    // and the count comes off that file's footer — the old
+    // count-then-write shape paid a second full scan (or a cache) for a
+    // number the footer already holds.
     val delRows = graft.ops.ScanPlanner.readTableLineage(spark, t)
       .filter(predicate)
       .select(col("__gr_path").as("file_path"), col("__gr_pos").as("pos"))
       .orderBy("file_path", "pos")
       .coalesce(1)
-      .cache()
-    val nDeleted = delRows.count()
-    if (nDeleted == 0) { delRows.unpersist(); return None }
 
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val tok = java.util.UUID.randomUUID().toString.take(8)
@@ -175,9 +176,11 @@ object TableWriter {
     FieldIds.attributeExplicit(delRows, Seq(
         "file_path" -> FieldIds.PosDeletePathId, "pos" -> FieldIds.PosDeletePosId))
       .write.mode("overwrite").parquet(stage.toString)
-    delRows.unpersist()
-    val staged = scala.util.Using.resource(Files.list(stage))(
-      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
+    val stagedOpt = scala.util.Using.resource(Files.list(stage))(
+      _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")))
+    val nDeleted = stagedOpt.fold(0L)(footerRowCount)
+    if (nDeleted == 0) { stagedOpt.foreach(Files.deleteIfExists(_)); return None }
+    val staged = stagedOpt.get
     val relPath = s"data/delete-$snapId-$tok.parquet"
     Files.createDirectories(dir.resolve("data"))
     Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
@@ -496,27 +499,62 @@ object TableWriter {
     java.net.URLDecoder.decode(noScheme, "UTF-8")
   }
 
-  /** Exact per-column compressed byte sizes from parquet footers, read on
-    * executors (one task per path partition). */
+  /** Exact per-column compressed byte sizes from parquet footers. Small
+    * batches (the per-commit norm: staged file count ≈ shuffle
+    * partitions) read DRIVER-SIDE bounded-parallel — a Spark job's fixed
+    * scheduling cost is ~10× the footer reads themselves; large batches
+    * (compaction sweeps, million-file adoptions without pre-read
+    * footers) keep the executor-parallel pass. */
+  private def footerSizesOf(p: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Long] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+    // explicit options: argless open() builds a fresh Configuration
+    // (XML parse, ~7 ms) per footer — see graft.api.FooterFacts.read
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+      org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
+    try r.getFooter.getBlocks.asScala
+      .flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+      .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+      .toMap
+    finally r.close()
+  }
+
+  private[graft] val DriverFooterBatchMax = 128
+
+  /** Exact row count off one file's footer — commits that just wrote a
+    * single staged file (position/equality deletes) read their record
+    * count here instead of paying a Spark job. */
+  private def footerRowCount(p: java.nio.file.Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+      org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
+    try r.getRecordCount finally r.close()
+  }
+
   private def columnSizes(
       spark: SparkSession, paths: Seq[String]): Map[String, Map[String, Long]] = {
     if (paths.isEmpty) return Map.empty
+    if (paths.size <= DriverFooterBatchMax) {
+      val out = new Array[(String, Map[String, Long])](paths.size)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      java.util.stream.IntStream.range(0, paths.size).parallel().forEach { i =>
+        if (failure.get() == null) try {
+          out(i) = paths(i) -> footerSizesOf(
+            paths(i), new org.apache.hadoop.conf.Configuration())
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      }
+      if (failure.get() != null) throw failure.get()
+      return out.toMap
+    }
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            val sizes = r.getFooter.getBlocks.asScala
-              .flatMap(_.getColumns.asScala)
-              .groupBy(_.getPath.toDotString)
-              .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
-            p -> sizes
-          } finally r.close()
-        }
+        it.map(p => p -> footerSizesOf(p, conf))
       }
     rdd.collect().toMap
   }
@@ -589,7 +627,11 @@ object TableWriter {
     // files retain the original column (Iceberg keeps identity sources in
     // the file) while the directory layout tells us each file's partition
     val newEntries: Seq[DataFileEntry] = data match {
-      case Some(df0) if !df0.isEmpty =>
+      // no up-front emptiness probe: isEmpty would evaluate the input
+      // plan once (limit 1) before the staging write evaluates it again
+      // — a full extra pass over upsert/delta inputs. Emptiness is
+      // decided from the staged output instead (no files → no entries).
+      case Some(df0) =>
         val names = fields.map(_.name)
         require(df0.columns.toSet == names.toSet,
           s"dataframe columns ${df0.columns.sorted.mkString(",")} must match " +
@@ -654,6 +696,17 @@ object TableWriter {
         else staged2.write.mode("overwrite")
           .partitionBy(stagingParts: _*).parquet(stage.toString)
 
+        // an EMPTY input staged no parquet files (only _SUCCESS): same
+        // no-new-entries commit the old isEmpty probe produced, decided
+        // from a driver walk instead of an extra evaluation of the plan
+        val anyStaged = {
+          val walk = Files.walk(stage)
+          try walk.iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          finally walk.close()
+        }
+        if (!anyStaged) Seq.empty
+        else {
         // ---- 2. per-file stats: one distributed agg keyed by file name
         val staged = spark.read.option("basePath", stage.toString)
           .parquet(stage.toString)
@@ -697,6 +750,7 @@ object TableWriter {
             valueCounts = vCounts,
             nullValueCounts = nvCounts,
             lowerBounds = lower, upperBounds = upper)
+        }
         }
       case _ => Seq.empty
     }
@@ -758,7 +812,11 @@ object TableWriter {
       // identity-partition sources whose values live in the paths) —
       // their stats are synthesized exactly from the per-file partition
       // maps instead of aggregated from rows
-      absentColumns: Set[String] = Set.empty): CommitResult = {
+      absentColumns: Set[String] = Set.empty,
+      // per-file (dot-path column → compressed bytes), keyed by the
+      // file's RELATIVE path, when the caller already read the footers
+      // (adoption's gate pass) — skips this commit's own footer pass
+      knownColumnBytes: Map[String, Map[String, Long]] = Map.empty): CommitResult = {
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
@@ -796,13 +854,15 @@ object TableWriter {
       n -> key
     }.toMap
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
-    val newEntries = entriesForFiles(spark, dir, fields, statIds(md, fields),
-      snapId, files, absentKeys)
-    publishSnapshot(spark, dir, tableDir, md, baseV, fields,
-      md.currentSpec.specId, snapId, newEntries, operation,
-      keepPredicate = e => !removePaths.contains(e.filePath),
-      branch = None, equalityData = None, carryDeletes = false,
-      extraSummary = extraSummary, extraProperties = extraProperties)
+    val newEntries = graft.api.Engine.adoptTimed("stats-pass") {
+      entriesForFiles(spark, dir, fields, statIds(md, fields),
+        snapId, files, absentKeys, knownColumnBytes) }
+    graft.api.Engine.adoptTimed("publish") {
+      publishSnapshot(spark, dir, tableDir, md, baseV, fields,
+        md.currentSpec.specId, snapId, newEntries, operation,
+        keepPredicate = e => !removePaths.contains(e.filePath),
+        branch = None, equalityData = None, carryDeletes = false,
+        extraSummary = extraSummary, extraProperties = extraProperties) }
   }
 
   /** [[DataFileEntry]]s for final (already-placed) parquet files: one
@@ -818,7 +878,8 @@ object TableWriter {
       // schema field name -> the partition-map key its per-file value
       // lives under (the identity spec-FIELD name; commitFiles resolves
       // it through sourceId so foreign-named specs key correctly)
-      absentKeys: Map[String, String] = Map.empty): Seq[DataFileEntry] = {
+      absentKeys: Map[String, String] = Map.empty,
+      knownColumnBytes: Map[String, Map[String, Long]] = Map.empty): Seq[DataFileEntry] = {
     if (files.isEmpty) return Seq.empty
     // `input_file_name()` URIs decode to `///abs/path`; collapse leading
     // slashes so both sides key on the same canonical form
@@ -843,12 +904,42 @@ object TableWriter {
       org.apache.spark.sql.types.StructField(f.name,
         graft.ops.ScanPlanner.sparkType(f.fieldType).get, nullable = true)))
     val statAggs = statAggsFor(statFs)
-    val stats = spark.read.schema(readSchema).parquet(byAbs.keys.toSeq: _*)
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("nrows"), statAggs: _*)
-      .collect()
-    val colBytes = columnSizes(
-      spark, stats.map(r => canon(plainPath(r.getAs[String]("__file")))).toSeq)
+    // Each adopted file arrives as its OWN root path, and Spark's
+    // parallel-listing job spawns one task per root above the discovery
+    // threshold — a 10k-file drop would pay a 10k-task job just to stat
+    // files the caller already walked. Listing drops (≤ ~100k files)
+    // driver-side is O(files) local syscalls, the same scale the link
+    // pass already does; beyond that, bound the listing job's tasks so
+    // a million-file drop gets thousands of stats per task, not one.
+    val conf = spark.sessionState.conf
+    val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val parallelismKey = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    val oldThreshold = conf.getConfString(thresholdKey, "32")
+    val oldParallelism = conf.getConfString(parallelismKey, "10000")
+    val stats =
+      try {
+        if (byAbs.size <= 100000)
+          conf.setConfString(thresholdKey, (byAbs.size + 1).toString)
+        else conf.setConfString(parallelismKey, "256")
+        val df = graft.api.Engine.adoptTimed("stats-list") {
+          spark.read.schema(readSchema).parquet(byAbs.keys.toSeq: _*) }
+        graft.api.Engine.adoptTimed("stats-agg") {
+          df.groupBy(input_file_name().as("__file"))
+            .agg(count(lit(1)).as("nrows"), statAggs: _*)
+            .collect() }
+      } finally {
+        conf.setConfString(thresholdKey, oldThreshold)
+        conf.setConfString(parallelismKey, oldParallelism)
+      }
+    // adoption callers already opened every footer (the gate pass reads
+    // ids + canonical schema + block metadata in one visit) — reuse its
+    // per-column sizes instead of a second footer pass over all files
+    val colBytes: Map[String, Map[String, Long]] =
+      if (knownColumnBytes.nonEmpty)
+        knownColumnBytes.map { case (rel, sizes) =>
+          canon(dir.resolve(rel).toString) -> sizes }
+      else columnSizes(
+        spark, stats.map(r => canon(plainPath(r.getAs[String]("__file")))).toSeq)
     stats.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
       val abs = canon(plainPath(row.getAs[String]("__file")))
       val (relPath, partition) = byAbs.getOrElse(abs, throw new IllegalStateException(
@@ -987,7 +1078,9 @@ object TableWriter {
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get)
       val relPath = s"data/eqdelete-$snapId-$tok.parquet"
       Files.move(staged, dir.resolve(relPath), StandardCopyOption.REPLACE_EXISTING)
-      val nKeys = spark.read.parquet(dir.resolve(relPath).toString).count()
+      // exact row count straight off the file's own footer — a
+      // spark.read...count() here costs a whole job per upsert commit
+      val nKeys = footerRowCount(dir.resolve(relPath))
       val entry = DataFileEntry(
         status = 1, snapshotId = snapId, content = 2,
         filePath = relPath, fileFormat = "PARQUET", partition = Map.empty,

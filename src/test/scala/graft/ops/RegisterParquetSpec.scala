@@ -59,6 +59,31 @@ class RegisterParquetSpec extends SparkSpec {
     // summary stamps provenance
     val snap = e.load("ns.adopted").metadata.currentSnapshot.get
     assert(snap.summary.get("adopted-from").contains(srcDir))
+
+    // the commit reuses the gate pass's footer block metadata for
+    // column_sizes (no second footer pass) — entries must carry the
+    // exact per-column compressed bytes a direct footer read reports
+    val fieldIds = t.metadata.currentSchema.fields
+      .map(f => f.name -> f.id).toMap
+    t.files().foreach { entry =>
+      val abs = t.resolvePath(entry.filePath)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(abs), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
+      val want =
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+          .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+        finally r.close()
+      assert(want.nonEmpty)
+      want.foreach { case (colName, bytes) =>
+        assert(entry.columnSizes.get(fieldIds(colName)).contains(bytes),
+          s"column_sizes for $colName should come from the footer verbatim")
+      }
+    }
   }
 
   test("adopted table is first-class: MoR delete, field-id migration, " +
