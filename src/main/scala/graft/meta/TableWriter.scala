@@ -776,7 +776,8 @@ object TableWriter {
           spec.specId, curSnapId, entries, operation, keepPredicate, branch,
           equalityDeleteOn.map(keys =>
             (equalityDeleteSource.getOrElse(data.get), keys)), carryDeletes,
-          extraSummary, extraProperties, wapId)
+          extraSummary, extraProperties, wapId,
+          equalityFromData = equalityDeleteSource.isEmpty)
       } catch {
         // append/upsert keep every pre-existing file, so replaying the
         // SAME logical commit on the winner's metadata is exactly the
@@ -993,7 +994,11 @@ object TableWriter {
       carryDeletes: Boolean,
       extraSummary: Map[String, String],
       extraProperties: Map[String, String] = Map.empty,
-      wapId: Option[String] = None): CommitResult = {
+      wapId: Option[String] = None,
+      // true when the equality-delete keys are the DATA's own keys
+      // (upsert) — the projection then reads the committed files
+      // instead of re-evaluating the input plan
+      equalityFromData: Boolean = false): CommitResult = {
     FieldIds.ensureWriteEnabled(spark) // delete-file writes need ids too
     // fresh per-publish-attempt token (see commit): a conflicting
     // concurrent publisher must never overwrite these artifacts
@@ -1070,8 +1075,20 @@ object TableWriter {
     equalityData.foreach { case (keyData, keys) =>
       val keyFields = keys.map(k => fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"upsert key $k not in schema")))
+      // UPSERT (delete keys = the data's own keys): project the keys off
+      // the JUST-COMMITTED data files instead of re-evaluating the input
+      // plan — staging already ran it once, and an expensive upsert
+      // source (a filter over a corpus table) must not be computed
+      // twice for a few key columns. rowDelta's independent delete-key
+      // frame, and the empty-input edge (no staged files to read), keep
+      // the direct evaluation.
+      val keySource =
+        if (equalityFromData && newEntries.nonEmpty)
+          spark.read.parquet(
+            newEntries.map(e => dir.resolve(e.filePath).toString): _*)
+        else keyData
       val keysDf = FieldIds.attributeColumns(
-        keyData.select(keys.map(col): _*).distinct().coalesce(1), keyFields)
+        keySource.select(keys.map(col): _*).distinct().coalesce(1), keyFields)
       val stage = Files.createTempDirectory("graft-upsert")
       keysDf.write.mode("overwrite").parquet(stage.toString)
       val staged = scala.util.Using.resource(Files.list(stage))(

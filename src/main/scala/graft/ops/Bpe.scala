@@ -116,8 +116,21 @@ object Bpe {
       .coalesce(8)
       .localCheckpoint()
 
-    if (driverVocabThreshold > 0 && vocab.count() <= driverVocabThreshold)
-      return trainMergesDriver(spark, vocab, nMerges)
+    // tier probe and census collect FUSED into one job (the literalIds
+    // idiom): the driver tier needed the full collect anyway, so the
+    // old count()-then-collect paid a whole extra job per train call;
+    // a vocab larger than the clamp comes back exactly `lim` rows and
+    // falls through to the distributed tiers (one capped collect
+    // wasted, bounded by the threshold the caller already declared the
+    // driver could hold)
+    if (driverVocabThreshold > 0) {
+      val lim =
+        if (driverVocabThreshold >= Int.MaxValue - 1L) Int.MaxValue - 1
+        else (driverVocabThreshold + 1).toInt
+      val rows = vocab.limit(lim).collect()
+      if (trackedTierFits(rows.length, lim, driverVocabThreshold))
+        return trainMergesDriver(spark, rows, nMerges)
+    }
 
     // the initial pair census — collected whole for the tracked tier,
     // kept distributed for tier 3
@@ -514,9 +527,9 @@ object Bpe {
     * (count DESC, lhs byte-ASC, rhs byte-ASC). */
   private def trainMergesDriver(
       spark: org.apache.spark.sql.SparkSession,
-      vocab: DataFrame, nMerges: Int): DataFrame = {
+      vocabRows: Array[org.apache.spark.sql.Row], nMerges: Int): DataFrame = {
     import scala.collection.mutable
-    val words: Array[(Long, Array[String])] = vocab.collect().map { r =>
+    val words: Array[(Long, Array[String])] = vocabRows.map { r =>
       (r.getLong(0), r.getSeq[String](1).toArray)
     }
     val pairCounts = mutable.HashMap.empty[(String, String), Long]

@@ -205,10 +205,27 @@ object Dedup {
     // the two-direction union would otherwise evaluate it twice
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
 
-    if (driverThreshold > 0 && p.count() <= driverThreshold) {
+    // tier probe and edge collect FUSED into one job (the literalIds
+    // idiom): collect at most threshold+1 rows — exactly threshold+1
+    // back means the graph is too big and the distributed path takes
+    // over (both clauses load-bearing: `<= threshold` is the budget,
+    // `< lim` proves the collect was not clamp-exhausted)
+    val driverEdges: Option[Array[(Long, Long)]] =
+      if (driverThreshold <= 0) None
+      else {
+        val lim =
+          if (driverThreshold >= Int.MaxValue - 1L) Int.MaxValue - 1
+          else (driverThreshold + 1).toInt
+        val spark = p.sparkSession
+        import spark.implicits._
+        val rows = p.as[(Long, Long)].limit(lim).collect()
+        if (rows.length <= driverThreshold && rows.length < lim) Some(rows)
+        else None
+      }
+    if (driverEdges.isDefined) {
       val spark = p.sparkSession
       import spark.implicits._
-      val edges = p.as[(Long, Long)].collect()
+      val edges = driverEdges.get
       // path-halving union-find, then relabel every root to the MIN id
       // of its set (the label-propagation fixpoint computes exactly that)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
