@@ -241,8 +241,13 @@ object Engine {
       paths: Seq[String]): Map[String, FooterInfo] = {
     import scala.jdk.CollectionConverters._
     if (paths.isEmpty) return Map.empty
+    // scale-adaptive task count: one wave across the cluster for small
+    // drops, ~512 footers per task for monster drops (a fixed 32-task
+    // cap would serialize a million-footer gate on a big cluster)
+    val nParts = math.max(1, math.min(paths.size,
+      math.max(spark.sparkContext.defaultParallelism, paths.size / 512)))
     spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .parallelize(paths, nParts)
       .mapPartitions(FooterFacts.read)
       .collect().toMap
   }

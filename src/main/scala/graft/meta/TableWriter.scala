@@ -550,8 +550,11 @@ object TableWriter {
       if (failure.get() != null) throw failure.get()
       return out.toMap
     }
+    // scale-adaptive task count (same sizing as the adoption gate pass)
+    val nParts = math.max(1, math.min(paths.size,
+      math.max(spark.sparkContext.defaultParallelism, paths.size / 512)))
     val rdd = spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .parallelize(paths, nParts)
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
         it.map(p => p -> footerSizesOf(p, conf))
