@@ -167,7 +167,8 @@ object Bench {
         val compEngine = new graft.api.Engine(spark,
           java.nio.file.Files.createTempDirectory("bench_comps").toString)
         val compIdx = new graft.ops.ComponentIndex(compEngine, "bench.comps")
-        val compPairs = graft.ops.Dedup.minhashCandidates(spark, docs)
+        val compPairs = graft.ops.Dedup.minhashCandidates(spark, docs,
+            sorted = false)
           .localCheckpoint()
         // a 2% batch: ingest batches are small relative to the corpus,
         // and the fold's cost model (batch-bounded re-cluster + pruned
@@ -194,7 +195,8 @@ object Bench {
             (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
             regexp_replace(col("text"), "(\\S+)", s"$$1_$k").as("text")))
           .reduce(_ unionByName _).localCheckpoint()
-        val pairs25 = graft.ops.Dedup.minhashCandidates(spark, docs25)
+        val pairs25 = graft.ops.Dedup.minhashCandidates(spark, docs25,
+            sorted = false)
           .localCheckpoint()
         val inBatch25 = (newDoc(col("a_id")) || newDoc(col("b_id"))) &&
           col("a_id") < 100000000L && col("b_id") < 100000000L
@@ -256,7 +258,8 @@ object Bench {
           },
           timed("d_components") {
             graft.ops.Dedup.connectedComponents(
-                graft.ops.Dedup.minhashCandidates(spark, docs),
+                graft.ops.Dedup.minhashCandidates(spark, docs,
+                  sorted = false),
                 driverThreshold = 0L)
               .groupBy("component").agg(count(lit(1))).count()
           },
@@ -308,7 +311,8 @@ object Bench {
           // a global CC per ingest batch; the fold is batch-bounded
           timed("d_components_global_25x") {
             graft.ops.Dedup.connectedComponents(
-                graft.ops.Dedup.minhashCandidates(spark, docs25),
+                graft.ops.Dedup.minhashCandidates(spark, docs25,
+                  sorted = false),
                 driverThreshold = 0L)
               .groupBy("component").agg(count(lit(1))).count()
           },

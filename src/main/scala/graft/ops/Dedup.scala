@@ -43,12 +43,19 @@ object Dedup {
     *                     must be a multiple of rowsPerBand (a truncated
     *                     trailing band would silently change LSH recall)
     * @param rowsPerBand  LSH rows per band; bands = numPerm / rowsPerBand
+    * @param sorted       order the pairs (the declared user-facing
+    *                     output). ORDER-INSENSITIVE consumers — connected
+    *                     components, ledger bootstrap/fold/retire, degree
+    *                     census — pass false and skip the global
+    *                     range-partition sort exchange; the pair SET
+    *                     (distinct included) is identical either way.
     */
   def minhashCandidates(
       spark: SparkSession,
       docs: DataFrame,
       numPerm: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      sorted: Boolean = true): DataFrame = {
     // materialize the signatures ONCE before the self-join: both sides
     // derive from them, and without this the tokenize+hash kernel runs
     // twice (same precedent as simhashCandidates' signature checkpoint;
@@ -56,11 +63,11 @@ object Dedup {
     val sigs = bandSignatures(docs, numPerm, rowsPerBand).localCheckpoint()
     val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = sigs.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
+    val pairs = a.join(b, Seq("band", "band_sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-      .orderBy("a_id", "b_id")
+    if (sorted) pairs.orderBy("a_id", "b_id") else pairs
   }
 
   /** MinHash LSH band signatures, `(doc_id, band, band_sig)` — the

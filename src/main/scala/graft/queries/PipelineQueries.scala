@@ -1485,7 +1485,8 @@ object PipelineQueries {
     // Dedup groups: connected components over the minhash candidate
     // graph (label propagation to fixpoint; oracle = recursive CTE)
     Q("q_dedup_components",
-      (s, d) => Dedup.connectedComponents(Dedup.minhashCandidates(s, documents(s, d)))
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashCandidates(s, documents(s, d), sorted = false))
         .groupBy("component")
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
         .orderBy("component"),
@@ -1498,7 +1499,8 @@ object PipelineQueries {
     Q("q_dedup_keep",
       (s, d) => {
         val docs = documents(s, d)
-        val comp = Dedup.connectedComponents(Dedup.minhashCandidates(s, docs))
+        val comp = Dedup.connectedComponents(
+          Dedup.minhashCandidates(s, docs, sorted = false))
         val drop = comp.filter(col("doc_id") =!= col("component")).select("doc_id")
         docs.join(drop, Seq("doc_id"), "left_anti")
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
@@ -1532,7 +1534,8 @@ object PipelineQueries {
     // filtered to old endpoints — one signature pass, split twice.)
     Q("q_components_incremental",
       (s, d) => {
-        val pairs = Dedup.minhashCandidates(s, documents(s, d))
+        val pairs = Dedup.minhashCandidates(s, documents(s, d),
+            sorted = false)
           .localCheckpoint()
         val isNew = (c: org.apache.spark.sql.Column) => c % 7 === 0
         val standing = Dedup.connectedComponents(
@@ -1557,7 +1560,8 @@ object PipelineQueries {
     // reconstructs implicit labels from the sparse store.
     Q("q_components_retire",
       (s, d) => {
-        val pairs = Dedup.minhashCandidates(s, documents(s, d))
+        val pairs = Dedup.minhashCandidates(s, documents(s, d),
+            sorted = false)
           .localCheckpoint()
         val wh = java.nio.file.Files
           .createTempDirectory("q_comp_retire").toString
@@ -2375,7 +2379,8 @@ object PipelineQueries {
     // canonical (source, source) — which feeds copy which
     Q("q_dup_sources",
       (s, d) => Dedup.dupSourcePairs(
-        Dedup.minhashCandidates(s, documents(s, d)), documents(s, d)),
+        Dedup.minhashCandidates(s, documents(s, d), sorted = false),
+        documents(s, d)),
       Some("WITH " + minhashPairCtes + ",\n" +
         """m AS (
           |  SELECT least(da.source, db.source) AS source_a,
@@ -2389,7 +2394,8 @@ object PipelineQueries {
     // Degree distribution of the minhash candidate graph — the pre-dedup
     // corpus diagnostic (heavy tail = template spam / cluster blowup)
     Q("q_graph_degree",
-      (s, d) => Dedup.degreeHistogram(Dedup.minhashCandidates(s, documents(s, d))),
+      (s, d) => Dedup.degreeHistogram(
+        Dedup.minhashCandidates(s, documents(s, d), sorted = false)),
       Some("WITH " + minhashPairCtes + ",\n" +
         """nodes AS (
           |  SELECT a_id AS doc_id FROM pairs
