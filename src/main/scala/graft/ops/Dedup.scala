@@ -209,8 +209,11 @@ object Dedup {
       driverThreshold: Long = 100000L,
       hubDegreeThreshold: Long = 100000L): DataFrame = {
     // materialize the (possibly expensive) candidate-pair plan ONCE —
-    // the two-direction union would otherwise evaluate it twice
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    // the two-direction union would otherwise evaluate it twice. A
+    // caller that already checkpointed exactly (a_id, b_id) rows (the
+    // ledger paths do) skips the second materialization job.
+    val p = materializedAs(pairs, Seq("a_id", "b_id")).getOrElse(
+      pairs.select(col("a_id"), col("b_id")).localCheckpoint())
 
     // tier probe and edge collect FUSED into one job (the literalIds
     // idiom): collect at most threshold+1 rows — exactly threshold+1
@@ -386,8 +389,10 @@ object Dedup {
       relabelSource: Option[Seq[Long] => DataFrame] = None,
       resolveInMaxIds: Int = 1000): DataFrame = {
     // batch-bounded and consumed twice (resolution + new-doc anti) —
-    // materialize once
-    val e = newEdges.select(col("a_id"), col("b_id")).localCheckpoint()
+    // materialize once (skipped when the caller already checkpointed
+    // exactly this shape, e.g. the semantic gate's edge set)
+    val e = materializedAs(newEdges, Seq("a_id", "b_id")).getOrElse(
+      newEdges.select(col("a_id"), col("b_id")).localCheckpoint())
     val ids = e.select(col("a_id").as("doc_id"))
       .union(e.select(col("b_id").as("doc_id"))).distinct()
       .localCheckpoint()
@@ -514,6 +519,18 @@ object Dedup {
       Some(probe.toIndexedSeq)
     else None
   }
+
+  /** `Some(df)` iff `df` is ALREADY a materialized (checkpointed /
+    * cached-RDD-backed) frame whose columns are exactly `cols` — the
+    * internal "don't re-checkpoint what the caller just checkpointed"
+    * probe. Conservative: any other plan shape returns None and the
+    * caller materializes as before. */
+  private def materializedAs(df: DataFrame, cols: Seq[String]): Option[DataFrame] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+          if r.output.map(_.name) == cols => Some(df)
+      case _ => None
+    }
 
   /** Ceiling (rows) for the EXPLICIT `broadcast()` hints on compliance
     * id frames — ~80 MB of longs, comfortably a broadcast. Overridable
