@@ -241,11 +241,10 @@ object Engine {
       paths: Seq[String]): Map[String, FooterInfo] = {
     import scala.jdk.CollectionConverters._
     if (paths.isEmpty) return Map.empty
-    // scale-adaptive task count: one wave across the cluster for small
-    // drops, ~512 footers per task for monster drops (a fixed 32-task
-    // cap would serialize a million-footer gate on a big cluster)
-    val nParts = math.max(1, math.min(paths.size,
-      math.max(spark.sparkContext.defaultParallelism, paths.size / 512)))
+    // scale-adaptive task count (a fixed 32-task cap would serialize a
+    // million-footer gate on a big cluster)
+    val nParts = FooterFacts.footerTaskCount(
+      paths.size, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(paths, nParts)
       .mapPartitions(FooterFacts.read)
@@ -300,14 +299,13 @@ private[graft] object FooterFacts extends Serializable {
     * physical encoding variants don't read as schema drift — the
     * NESTED (dotted path → footer id) map for struct members at any
     * depth, the id gate's input for foreign nested tables, plus the
-    * footer's exact row count and per-column compressed byte sizes
-    * (dot-path keyed) — the same block metadata
-    * [[graft.meta.TableWriter]]'s columnSizes pass reads, carried here
-    * so adoption commits never open the same footers a second time. */
+    * per-column compressed byte sizes (dot-path keyed) — the same block
+    * metadata [[graft.meta.TableWriter]]'s columnSizes pass reads,
+    * carried here so adoption commits never open the same footers a
+    * second time. */
   final case class FooterInfo(
       ids: Map[String, Option[Int]], canon: String,
       nestedIds: Map[String, Option[Int]],
-      rowCount: Long = 0L,
       columnBytes: Map[String, Long] = Map.empty)
 
   import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
@@ -385,38 +383,51 @@ private[graft] object FooterFacts extends Serializable {
     case _ => ()
   }
 
+  /** Per-column compressed byte totals of one parsed footer (dot-path
+    * keyed) — THE column_sizes fold, shared by the gate pass here and
+    * [[graft.meta.TableWriter]]'s direct footer pass so the two can
+    * never report different sizes for identical files. */
+  def columnBytesOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, Long] =
+    footer.getBlocks.asScala
+      .flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+      .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+      .toMap
+
+  /** Task count for a footer pass over `n` files: one wave across the
+    * cluster minimum, ~512 footers per task for monster drops. Shared by
+    * the gate pass and TableWriter's columnSizes pass. */
+  def footerTaskCount(n: Int, defaultParallelism: Int): Int =
+    math.max(1, math.min(n, math.max(defaultParallelism, n / 512)))
+
   /** The executor-side partition function: ranged footer metadata reads,
-    * never data pages. Read options are built ONCE per partition and
-    * passed explicitly — the argless `ParquetFileReader.open(file)`
-    * builds default options around a fresh Hadoop `Configuration` (an
-    * XML-resource parse, ~7 ms) per file, which dominated a 10k-footer
-    * gate pass ~60× over the footer reads themselves. */
+    * never data pages. The Hadoop `Configuration` is built ONCE per
+    * partition (its XML-resource parse, ~7 ms, dominated a 10k-footer
+    * gate pass ~60× over the footer reads themselves — the cost hidden
+    * inside the argless `ParquetFileReader.open(file)`); read OPTIONS
+    * still build per file from that shared conf (microseconds), so
+    * path-dependent options (per-file decryption properties) resolve
+    * against each file's own path. */
   def read(it: Iterator[String]): Iterator[(String, FooterInfo)] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    var opts: org.apache.parquet.ParquetReadOptions = null
     it.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p), conf)
-      if (opts == null)
-        opts = org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build()
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
         val fields = schema.getFields.asScala
         val nested = scala.collection.mutable.Map.empty[String, Option[Int]]
         fields.foreach(f => walk(f, f.getName, nested))
-        val blocks = r.getFooter.getBlocks.asScala
         p -> FooterInfo(
           fields.map(f =>
             f.getName -> Option(f.getId).map(_.intValue())).toMap,
           fields.map(f => s"${f.getName}: ${canon(f)}")
             .toSeq.sorted.mkString(", "),
           nested.toMap,
-          blocks.map(_.getRowCount).sum,
-          blocks.flatMap(_.getColumns.asScala)
-            .groupBy(_.getPath.toDotString)
-            .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
-            .toMap)
+          columnBytesOf(r.getFooter))
       } finally r.close()
     }
   }

@@ -513,11 +513,9 @@ object TableWriter {
     // (XML parse, ~7 ms) per footer — see graft.api.FooterFacts.read
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
       org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
-    try r.getFooter.getBlocks.asScala
-      .flatMap(_.getColumns.asScala)
-      .groupBy(_.getPath.toDotString)
-      .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
-      .toMap
+    // the one shared column_sizes fold (the adoption gate's reused bytes
+    // and this direct pass must never disagree on identical files)
+    try graft.api.FooterFacts.columnBytesOf(r.getFooter)
     finally r.close()
   }
 
@@ -541,18 +539,21 @@ object TableWriter {
     if (paths.size <= DriverFooterBatchMax) {
       val out = new Array[(String, Map[String, Long])](paths.size)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      // one Configuration per worker thread, not per footer — its lazy
+      // XML-resource parse is the very cost this path exists to dodge
+      val confs = ThreadLocal.withInitial[org.apache.hadoop.conf.Configuration](
+        () => new org.apache.hadoop.conf.Configuration())
       java.util.stream.IntStream.range(0, paths.size).parallel().forEach { i =>
         if (failure.get() == null) try {
-          out(i) = paths(i) -> footerSizesOf(
-            paths(i), new org.apache.hadoop.conf.Configuration())
+          out(i) = paths(i) -> footerSizesOf(paths(i), confs.get())
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
       }
       if (failure.get() != null) throw failure.get()
       return out.toMap
     }
-    // scale-adaptive task count (same sizing as the adoption gate pass)
-    val nParts = math.max(1, math.min(paths.size,
-      math.max(spark.sparkContext.defaultParallelism, paths.size / 512)))
+    // scale-adaptive task count (shared sizing with the adoption gate)
+    val nParts = graft.api.FooterFacts.footerTaskCount(
+      paths.size, spark.sparkContext.defaultParallelism)
     val rdd = spark.sparkContext
       .parallelize(paths, nParts)
       .mapPartitions { it =>
@@ -869,6 +870,40 @@ object TableWriter {
         extraSummary = extraSummary, extraProperties = extraProperties) }
   }
 
+  /** Read many individual parquet ROOT paths as one DataFrame without
+    * tripping Spark's one-task-per-root parallel-listing job: above
+    * `parallelPartitionDiscovery.threshold` (32) Spark stats each root
+    * in its OWN task — a 10k-file commit would pay a 10k-task job just
+    * to list files the caller already knows. Sets (≤ ~100k roots) list
+    * driver-side (O(files) local syscalls, the scale the adoption link
+    * pass already does); beyond that the listing job's parallelism is
+    * bounded so tasks stat thousands of files, not one. The listing
+    * confs are SESSION-GLOBAL, so the override is serialized under a
+    * JVM-wide lock and restored before returning — listing happens
+    * eagerly inside `.parquet(...)`, so nothing escapes the scope —
+    * and two racing committers can never restore each other's
+    * transient value. */
+  private val listingConfLock = new Object
+  private def readManyRoots(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      paths: Seq[String]): DataFrame = listingConfLock.synchronized {
+    val conf = spark.sessionState.conf
+    val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val parallelismKey = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    val oldThreshold = conf.getConfString(thresholdKey, "32")
+    val oldParallelism = conf.getConfString(parallelismKey, "10000")
+    try {
+      if (paths.size <= 100000)
+        conf.setConfString(thresholdKey, (paths.size + 1).toString)
+      else conf.setConfString(parallelismKey, "256")
+      val reader = schema.fold(spark.read)(spark.read.schema)
+      reader.parquet(paths: _*)
+    } finally {
+      conf.setConfString(thresholdKey, oldThreshold)
+      conf.setConfString(parallelismKey, oldParallelism)
+    }
+  }
+
   /** [[DataFileEntry]]s for final (already-placed) parquet files: one
     * distributed stats agg keyed by `input_file_name` + exact column
     * sizes from footers — the same stats pass the staged write uses. */
@@ -908,33 +943,12 @@ object TableWriter {
       org.apache.spark.sql.types.StructField(f.name,
         graft.ops.ScanPlanner.sparkType(f.fieldType).get, nullable = true)))
     val statAggs = statAggsFor(statFs)
-    // Each adopted file arrives as its OWN root path, and Spark's
-    // parallel-listing job spawns one task per root above the discovery
-    // threshold — a 10k-file drop would pay a 10k-task job just to stat
-    // files the caller already walked. Listing drops (≤ ~100k files)
-    // driver-side is O(files) local syscalls, the same scale the link
-    // pass already does; beyond that, bound the listing job's tasks so
-    // a million-file drop gets thousands of stats per task, not one.
-    val conf = spark.sessionState.conf
-    val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val parallelismKey = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
-    val oldThreshold = conf.getConfString(thresholdKey, "32")
-    val oldParallelism = conf.getConfString(parallelismKey, "10000")
-    val stats =
-      try {
-        if (byAbs.size <= 100000)
-          conf.setConfString(thresholdKey, (byAbs.size + 1).toString)
-        else conf.setConfString(parallelismKey, "256")
-        val df = graft.api.Engine.adoptTimed("stats-list") {
-          spark.read.schema(readSchema).parquet(byAbs.keys.toSeq: _*) }
-        graft.api.Engine.adoptTimed("stats-agg") {
-          df.groupBy(input_file_name().as("__file"))
-            .agg(count(lit(1)).as("nrows"), statAggs: _*)
-            .collect() }
-      } finally {
-        conf.setConfString(thresholdKey, oldThreshold)
-        conf.setConfString(parallelismKey, oldParallelism)
-      }
+    val df = graft.api.Engine.adoptTimed("stats-list") {
+      readManyRoots(spark, Some(readSchema), byAbs.keys.toSeq) }
+    val stats = graft.api.Engine.adoptTimed("stats-agg") {
+      df.groupBy(input_file_name().as("__file"))
+        .agg(count(lit(1)).as("nrows"), statAggs: _*)
+        .collect() }
     // adoption callers already opened every footer (the gate pass reads
     // ids + canonical schema + block metadata in one visit) — reuse its
     // per-column sizes instead of a second footer pass over all files
@@ -1087,8 +1101,8 @@ object TableWriter {
       // the direct evaluation.
       val keySource =
         if (equalityFromData && newEntries.nonEmpty)
-          spark.read.parquet(
-            newEntries.map(e => dir.resolve(e.filePath).toString): _*)
+          readManyRoots(spark, None,
+            newEntries.map(e => dir.resolve(e.filePath).toString))
         else keyData
       val keysDf = FieldIds.attributeColumns(
         keySource.select(keys.map(col): _*).distinct().coalesce(1), keyFields)

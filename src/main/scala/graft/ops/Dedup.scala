@@ -193,9 +193,10 @@ object Dedup {
     * near-dup candidate graph is usually metadata-scale even for a huge
     * corpus (edges ≈ near-duplicate pairs, not documents), so this saves
     * the multi-job fixpoint in the common case while the distributed
-    * path — identical results — remains for larger graphs. The deciding
-    * `count()` runs on the already-materialized (localCheckpoint) edge
-    * frame, so it is metadata-cheap on either path. Set
+    * path — identical results — remains for larger graphs. The tier
+    * probe and the edge collect are ONE capped `limit(threshold+1)`
+    * job over the materialized edge frame (the literalIds idiom), so
+    * the decision is metadata-cheap on either path. Set
     * `driverThreshold = 0` to force the distributed path.
     *
     * HUB GUARD: the per-hop join is salted adaptively when any node's
@@ -216,10 +217,10 @@ object Dedup {
       pairs.select(col("a_id"), col("b_id")).localCheckpoint())
 
     // tier probe and edge collect FUSED into one job (the literalIds
-    // idiom): collect at most threshold+1 rows — exactly threshold+1
-    // back means the graph is too big and the distributed path takes
-    // over (both clauses load-bearing: `<= threshold` is the budget,
-    // `< lim` proves the collect was not clamp-exhausted)
+    // idiom, sharing its clamp + non-exhaustion guard
+    // [[Bpe.trackedTierFits]]): collect at most threshold+1 rows —
+    // exactly threshold+1 back means the graph is too big and the
+    // distributed path takes over
     val driverEdges: Option[Array[(Long, Long)]] =
       if (driverThreshold <= 0) None
       else {
@@ -229,7 +230,7 @@ object Dedup {
         val spark = p.sparkSession
         import spark.implicits._
         val rows = p.as[(Long, Long)].limit(lim).collect()
-        if (rows.length <= driverThreshold && rows.length < lim) Some(rows)
+        if (Bpe.trackedTierFits(rows.length, lim, driverThreshold)) Some(rows)
         else None
       }
     if (driverEdges.isDefined) {
@@ -520,15 +521,21 @@ object Dedup {
     else None
   }
 
-  /** `Some(df)` iff `df` is ALREADY a materialized (checkpointed /
-    * cached-RDD-backed) frame whose columns are exactly `cols` — the
-    * internal "don't re-checkpoint what the caller just checkpointed"
-    * probe. Conservative: any other plan shape returns None and the
-    * caller materializes as before. */
+  /** `Some(df)` iff `df` is ALREADY a checkpointed frame whose columns
+    * are exactly `cols` — the internal "don't re-checkpoint what the
+    * caller just checkpointed" probe. A bare `LogicalRDD` is NOT
+    * enough: `createDataFrame(rdd, schema)` also analyzes to one, and
+    * skipping the checkpoint there would drop the evaluate-once
+    * snapshot this frame's multiple consumers rely on — so the wrapped
+    * RDD must itself be checkpointed, or persisted at a disk-backed
+    * level (what localCheckpoint sets at mark time — lazy local
+    * checkpoints carry MEMORY_AND_DISK before their first action). Any
+    * other shape returns None and the caller materializes as before. */
   private def materializedAs(df: DataFrame, cols: Seq[String]): Option[DataFrame] =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD
-          if r.output.map(_.name) == cols => Some(df)
+          if r.output.map(_.name) == cols &&
+            (r.rdd.isCheckpointed || r.rdd.getStorageLevel.useDisk) => Some(df)
       case _ => None
     }
 
