@@ -300,13 +300,41 @@ private[graft] object FooterFacts extends Serializable {
     * NESTED (dotted path → footer id) map for struct members at any
     * depth, the id gate's input for foreign nested tables, plus the
     * per-column compressed byte sizes (dot-path keyed) — the same block
-    * metadata [[graft.meta.TableWriter]]'s columnSizes pass reads,
-    * carried here so adoption commits never open the same footers a
-    * second time. */
+    * metadata [[graft.meta.TableWriter]]'s columnSizes pass reads —
+    * the file's record count, and the decoded per-column STATISTICS
+    * ([[ColStat]], dot-path keyed): commits derive manifest-entry
+    * metrics from these instead of re-reading the data they just
+    * wrote/adopted (the same footer-metrics derivation Iceberg's own
+    * writers and `add_files` use), so the whole FooterInfo is carried
+    * once per file and no footer is ever opened a second time. */
   final case class FooterInfo(
       ids: Map[String, Option[Int]], canon: String,
       nestedIds: Map[String, Option[Int]],
-      columnBytes: Map[String, Long] = Map.empty)
+      columnBytes: Map[String, Long] = Map.empty,
+      rowCount: Long = 0L,
+      colStats: Map[String, ColStat] = Map.empty)
+
+  /** One column chunk-set's footer statistics, merged across row groups
+    * and decoded to the JVM value the column's LOGICAL type reads as
+    * (Int / Long epoch-micros / Float / Double / Boolean / String — the
+    * FILE-width value; the entry builder widens promoted types).
+    *
+    *  - `nullCount` is None when any chunk left num_nulls unset (ancient
+    *    writers) — the caller must aggregate counts for that column.
+    *  - `boundsKnown = true` means lo/hi are AUTHORITATIVE: either both
+    *    present, or both None because every value is null. `false` means
+    *    the footer cannot serve bounds — stats dropped (NaN floats,
+    *    >4 KB binary edges, PARQUET-251 corrupt legacy stats), an
+    *    undecodable type (INT96, unsigned ints, NANOS/NTZ timestamps),
+    *    or a legacy-rebase Spark file — and the caller must aggregate
+    *    bounds for that column. A `false` NEVER produces wrong bounds,
+    *    only a fallback. */
+  final case class ColStat(
+      valueCount: Long,
+      nullCount: Option[Long],
+      lo: Option[Any],
+      hi: Option[Any],
+      boundsKnown: Boolean)
 
   import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
   import org.apache.parquet.schema.LogicalTypeAnnotation.{ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
@@ -401,6 +429,149 @@ private[graft] object FooterFacts extends Serializable {
   def footerTaskCount(n: Int, defaultParallelism: Int): Int =
     math.max(1, math.min(n, math.max(defaultParallelism, n / 512)))
 
+  /** Decoded per-column statistics of one parsed footer (dot-path
+    * keyed), merged across row groups — the commit stats source. Every
+    * undecodable shape degrades to `boundsKnown = false` / `nullCount =
+    * None` (an agg fallback for that column), never to a wrong bound. */
+  def colStatsOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Map[String, ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.column.statistics.Statistics
+    // Spark stamps this key only when it wrote under the LEGACY (julian)
+    // datetime rebase: stored day/micros values then differ from what a
+    // modern reader returns, so date/timestamp footer bounds are not the
+    // values rows read as — fall back for those columns
+    val legacyRebase = footer.getFileMetaData.getKeyValueMetaData
+      .containsKey("org.apache.spark.legacyDateTime")
+    def decodeBound(pt: org.apache.parquet.schema.PrimitiveType, v: Any): Option[Any] = {
+      val ann = pt.getLogicalTypeAnnotation
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => ann match {
+          case null => Some(v)
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            if (legacyRebase) None else Some(v)
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned && i.getBitWidth <= 32 => Some(v)
+          case _ => None // unsigned ints compare UNSIGNED in footers
+        }
+        case PrimitiveTypeName.INT64 => ann match {
+          case null => Some(v)
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned && i.getBitWidth == 64 => Some(v)
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC && !legacyRebase =>
+            // to MICROS (the engine's timestamp width; millis→micros is
+            // exact). NANOS would need a lossy floor — fall back.
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(v)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(v.asInstanceOf[java.lang.Long] * 1000L)
+              case _ => None
+            }
+          case _ => None
+        }
+        // NaN cannot reach here: parquet-mr drops float/double min/max
+        // when it saw a NaN (hasNonNullValue=false → fallback below)
+        case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE |
+             PrimitiveTypeName.BOOLEAN => Some(v)
+        case PrimitiveTypeName.BINARY => ann match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
+               _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation =>
+            Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          case _ => None // raw binary: never bound-encoded anyway
+        }
+        case _ => None // INT96 (deprecated stats), FIXED
+      }
+    }
+    footer.getBlocks.asScala
+      .flatMap(_.getColumns.asScala)
+      .groupBy(_.getPath.toDotString)
+      .map { case (path, chunks) =>
+        val valueCount = chunks.map(_.getValueCount).sum
+        val statsSeq = chunks.map(c => Option(c.getStatistics))
+        val merged: Option[Statistics[_]] =
+          if (statsSeq.exists(_.isEmpty)) None
+          else Some(statsSeq.map(_.get).reduceLeft[Statistics[_]] { (a, b) =>
+            a.copy() match {
+              case m: Statistics[t] =>
+                m.mergeStatistics(b.asInstanceOf[Statistics[t]])
+                m
+            }
+          })
+        val nullCount = merged
+          .filter(m => m.isNumNullsSet && m.getNumNulls >= 0)
+          .map(_.getNumNulls)
+        // parquet writers ADJUST float/double zero bounds (PARQUET-1222:
+        // min +0.0 → -0.0, max -0.0 → +0.0) — sound but not the exact
+        // edge value, so a bound AT the signed-zero boundary cannot be
+        // trusted verbatim; fall back for that column
+        def zeroAdjusted(lo: Any, hi: Any): Boolean = {
+          def isNegZero(v: Any) = v match {
+            case f: java.lang.Float =>
+              java.lang.Float.floatToRawIntBits(f) == Int.MinValue
+            case d: java.lang.Double =>
+              java.lang.Double.doubleToRawLongBits(d) == Long.MinValue
+            case _ => false
+          }
+          def isPosZero(v: Any) = v match {
+            case f: java.lang.Float => java.lang.Float.floatToRawIntBits(f) == 0
+            case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+            case _ => false
+          }
+          isNegZero(lo) || isPosZero(hi)
+        }
+        // string bounds truncate EXECUTOR-SIDE to the manifest's own
+        // 16-code-point discipline (idempotent with the entry encoder's
+        // truncation), so a monster text drop's collected facts stay
+        // metadata-scale instead of carrying up-to-4KB edge values
+        def truncSide(v: Any, upper: Boolean): Any = v match {
+          case s: String =>
+            if (upper) graft.meta.TableWriter.truncateUpper(s)
+            else graft.meta.TableWriter.truncateLower(s)
+          case other => other
+        }
+        val (lo, hi, known) = merged match {
+          case Some(m) if m.hasNonNullValue =>
+            val pt = chunks.head.getPrimitiveType
+            (decodeBound(pt, m.genericGetMin), decodeBound(pt, m.genericGetMax)) match {
+              case (Some(a), Some(b)) if zeroAdjusted(a, b) => (None, None, false)
+              case (Some(a), Some(b)) =>
+                (Some(truncSide(a, upper = false)), Some(truncSide(b, upper = true)), true)
+              case _ => (None, None, false)
+            }
+          // authoritative no-bounds: every entry in every chunk is null
+          case Some(m) if nullCount.contains(valueCount) => (None, None, true)
+          // stats dropped (NaN floats, >4 KB binary edges, legacy
+          // corruption) or absent — the agg must serve this column
+          case _ => (None, None, false)
+        }
+        path -> ColStat(valueCount, nullCount, lo, hi, known)
+      }
+      .toMap
+  }
+
+  /** The full footer-facts fold of one parsed footer — schema gate
+    * material, per-column sizes, record count and decoded statistics in
+    * ONE visit; [[read]] (the executor gate pass) and TableWriter's
+    * driver-side footer path both ride it so a file's facts can never
+    * differ by code path. */
+  def infoOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): FooterInfo = {
+    val schema = footer.getFileMetaData.getSchema
+    val fields = schema.getFields.asScala
+    val nested = scala.collection.mutable.Map.empty[String, Option[Int]]
+    fields.foreach(f => walk(f, f.getName, nested))
+    FooterInfo(
+      fields.map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap,
+      fields.map(f => s"${f.getName}: ${canon(f)}")
+        .toSeq.sorted.mkString(", "),
+      nested.toMap,
+      columnBytesOf(footer),
+      footer.getBlocks.asScala.map(_.getRowCount).sum,
+      colStatsOf(footer))
+  }
+
   /** The executor-side partition function: ranged footer metadata reads,
     * never data pages. The Hadoop `Configuration` is built ONCE per
     * partition (its XML-resource parse, ~7 ms, dominated a 10k-footer
@@ -416,19 +587,8 @@ private[graft] object FooterFacts extends Serializable {
         .fromPath(new org.apache.hadoop.fs.Path(p), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
         org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
-      try {
-        val schema = r.getFooter.getFileMetaData.getSchema
-        val fields = schema.getFields.asScala
-        val nested = scala.collection.mutable.Map.empty[String, Option[Int]]
-        fields.foreach(f => walk(f, f.getName, nested))
-        p -> FooterInfo(
-          fields.map(f =>
-            f.getName -> Option(f.getId).map(_.intValue())).toMap,
-          fields.map(f => s"${f.getName}: ${canon(f)}")
-            .toSeq.sorted.mkString(", "),
-          nested.toMap,
-          columnBytesOf(r.getFooter))
-      } finally r.close()
+      try p -> infoOf(r.getFooter)
+      finally r.close()
     }
   }
 }
@@ -1412,10 +1572,11 @@ class Engine(val spark: SparkSession, warehouseDir: String,
       val rels = Engine.adoptTimed("link") {
         Engine.linkInto(dir, src.files, canonParts) }
       // the linked files are byte-identical to the sources (hard links /
-      // verbatim copies), so the gate pass's footer block metadata serves
-      // the commit's column sizes — no second footer pass over the drop
-      val relSizes = rels.indices.map(i =>
-        rels(i)._1 -> byFile(src.files(i).toString).columnBytes).toMap
+      // verbatim copies), so the gate pass's footer facts (sizes +
+      // record counts + decoded stats) serve the commit's whole stats
+      // pass — no second footer pass and no data read over the drop
+      val relFooters = rels.indices.map(i =>
+        rels(i)._1 -> byFile(src.files(i).toString)).toMap
       val res = Engine.adoptTimed("commit") {
         graft.meta.TableWriter.commitFiles(spark, tableDir(ref), rels,
         removePaths = Set.empty, operation = "append",
@@ -1425,7 +1586,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
         // and is caught instead of silently interleaved
         expectedMetadataVersion = Some(1),
         absentColumns = src.partitionKeys.toSet,
-        knownColumnBytes = relSizes) }
+        knownFooters = relFooters) }
       graft.meta.PointerSync.sync(catalog, ref, dir.toString)
       res
     } catch {
@@ -1672,9 +1833,10 @@ class Engine(val spark: SparkSession, warehouseDir: String,
     // re-validated — and widening keeps the same rendering)
     val rels = Engine.linkInto(dir, src.files, firstPass._3)
     // linked bytes are identical to the sources: the gate pass's footer
-    // block metadata serves the commit's column sizes (no second pass)
-    val relSizes = rels.indices.map(i =>
-      rels(i)._1 -> byFile(src.files(i).toString).columnBytes).toMap
+    // facts (sizes + record counts + decoded stats) serve the commit's
+    // whole stats pass (no second footer pass, no data read)
+    val relFooters = rels.indices.map(i =>
+      rels(i)._1 -> byFile(src.files(i).toString)).toMap
     // append-shaped: replaying the same logical commit on a CAS loser's
     // fresh metadata IS the serial execution (every pre-existing file
     // carries forward) — BUT only after the gates pass again on that
@@ -1695,7 +1857,7 @@ class Engine(val spark: SparkSession, warehouseDir: String,
           expectedMetadataVersion = Some(seenV),
           extraProperties = props,
           absentColumns = src.partitionKeys.toSet,
-          knownColumnBytes = relSizes)
+          knownFooters = relFooters)
         catch {
           case e: graft.meta.CommitConflictException =>
             if (attempt >= 5) throw e

@@ -392,16 +392,27 @@ object TableWriter {
       (vc +: nc) ++ bounds
     }
 
-  /** (value_counts, null_value_counts) for one file's stats row, keyed
-    * by the LEAF stat id ([[statIds]]). */
-  private def countStats(
+  /** (value_counts, null_value_counts) with a mixed source: footer-resolved fields read
+    * their counts from `fstats`, agg-fallback fields (`aggSet`) from the
+    * row — the two sources record the same numbers by construction (the
+    * agg formulas were designed to mirror footer-derived metrics; the
+    * equivalence spec pins it). */
+  private def countStatsMixed(
       fields: Seq[SchemaField], sid: Map[Int, Int],
-      row: org.apache.spark.sql.Row, nrows: Long): (Map[Int, Long], Map[Int, Long]) = (
+      // null is legal when `aggSet` is empty (the job-less commit shape):
+      // the row is only consulted for agg-fallback fields
+      row: org.apache.spark.sql.Row, nrows: Long,
+      fstats: Map[Int, FieldStat],
+      aggSet: Set[Int]): (Map[Int, Long], Map[Int, Long]) = (
     fields.map(f => sid(f.id) ->
-      (if (isList(f)) row.getAs[Long](s"vc_${f.id}") else nrows)).toMap,
+      (if (!isList(f)) nrows
+       else if (aggSet(f.id)) row.getAs[Long](s"vc_${f.id}")
+       else fstats(f.id).vc)).toMap,
     fields.map(f => sid(f.id) ->
-      (if (isList(f)) row.getAs[Long](s"nc_${f.id}")
-       else nrows - row.getAs[Long](s"vc_${f.id}"))).toMap)
+      (if (aggSet(f.id)) {
+        if (isList(f)) row.getAs[Long](s"nc_${f.id}")
+        else nrows - row.getAs[Long](s"vc_${f.id}")
+      } else fstats(f.id).nc)).toMap)
 
   /** column_sizes keyed by the leaf stat id; list columns' bytes live in
     * parquet footers under the `name.list.element` path. */
@@ -499,23 +510,39 @@ object TableWriter {
     java.net.URLDecoder.decode(noScheme, "UTF-8")
   }
 
-  /** Exact per-column compressed byte sizes from parquet footers. Small
-    * batches (the per-commit norm: staged file count ≈ shuffle
-    * partitions) read DRIVER-SIDE bounded-parallel — a Spark job's fixed
-    * scheduling cost is ~10× the footer reads themselves; large batches
-    * (compaction sweeps, million-file adoptions without pre-read
-    * footers) keep the executor-parallel pass. */
-  private def footerSizesOf(p: String,
-      conf: org.apache.hadoop.conf.Configuration): Map[String, Long] = {
+  /** Commit-stats source: `footer` (default) derives manifest-entry
+    * metrics — bounds, value/null counts, row counts — from the parquet
+    * footers the commit already opens for column sizes, the same
+    * footer-metrics derivation Iceberg's own writers and `add_files`
+    * use, so committing N bytes never re-reads those N bytes. Columns a
+    * footer cannot serve EXACTLY (NaN-suppressed float/double stats,
+    * >4 KB binary edges dropping the chunk's stats, INT96 / unsigned /
+    * NANOS-or-NTZ timestamp encodings, legacy-rebase Spark files,
+    * legacy 2-level list encodings) fall back PER COLUMN to the
+    * distributed aggregation — a column-pruned read of just those
+    * columns — never to a wrong bound. `agg` forces the legacy full
+    * aggregation for every column: the escape hatch and the
+    * equivalence-spec lever. */
+  private[graft] val StatsSourceKey = "spark.graft.commitStats.source"
+  private def statsSource(spark: SparkSession): String = {
+    val v = spark.conf.get(StatsSourceKey, "footer")
+    require(v == "footer" || v == "agg",
+      s"$StatsSourceKey must be 'footer' or 'agg' (got '$v')")
+    v
+  }
+
+  /** Full footer facts (sizes + record count + decoded statistics) for
+    * one file — the commit-side twin of the adoption gate's executor
+    * pass, via the same [[graft.api.FooterFacts.infoOf]] fold. */
+  private def footerInfoOf(p: String,
+      conf: org.apache.hadoop.conf.Configuration): graft.api.FooterFacts.FooterInfo = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(p), conf)
     // explicit options: argless open() builds a fresh Configuration
     // (XML parse, ~7 ms) per footer — see graft.api.FooterFacts.read
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
       org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
-    // the one shared column_sizes fold (the adoption gate's reused bytes
-    // and this direct pass must never disagree on identical files)
-    try graft.api.FooterFacts.columnBytesOf(r.getFooter)
+    try graft.api.FooterFacts.infoOf(r.getFooter)
     finally r.close()
   }
 
@@ -533,11 +560,17 @@ object TableWriter {
     try r.getRecordCount finally r.close()
   }
 
-  private def columnSizes(
-      spark: SparkSession, paths: Seq[String]): Map[String, Map[String, Long]] = {
+  /** Footer facts for a batch of files. Small batches (the per-commit
+    * norm: staged file count ≈ shuffle partitions) read DRIVER-SIDE
+    * bounded-parallel — a Spark job's fixed scheduling cost is ~10× the
+    * footer reads themselves; large batches (compaction sweeps,
+    * million-file adoptions without pre-read footers) keep the
+    * executor-parallel pass. */
+  private def footerInfos(spark: SparkSession,
+      paths: Seq[String]): Map[String, graft.api.FooterFacts.FooterInfo] = {
     if (paths.isEmpty) return Map.empty
     if (paths.size <= DriverFooterBatchMax) {
-      val out = new Array[(String, Map[String, Long])](paths.size)
+      val out = new Array[(String, graft.api.FooterFacts.FooterInfo)](paths.size)
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       // one Configuration per worker thread, not per footer — its lazy
       // XML-resource parse is the very cost this path exists to dodge
@@ -545,7 +578,7 @@ object TableWriter {
         () => new org.apache.hadoop.conf.Configuration())
       java.util.stream.IntStream.range(0, paths.size).parallel().forEach { i =>
         if (failure.get() == null) try {
-          out(i) = paths(i) -> footerSizesOf(paths(i), confs.get())
+          out(i) = paths(i) -> footerInfoOf(paths(i), confs.get())
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
       }
       if (failure.get() != null) throw failure.get()
@@ -558,9 +591,92 @@ object TableWriter {
       .parallelize(paths, nParts)
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        it.map(p => p -> footerSizesOf(p, conf))
+        it.map(p => p -> footerInfoOf(p, conf))
       }
     rdd.collect().toMap
+  }
+
+  /** [[loBoundBytes]]/[[hiBoundBytes]] twin for FOOTER-decoded values
+    * (file-width JVM values): widens promoted types (int32 under `long`,
+    * float under `double`) and takes date / timestamp as epoch days /
+    * micros directly. Throws on any value/type mismatch — the resolver
+    * catches and falls back to the agg for that column. */
+  private def footerBoundBytes(
+      iceType: String, v: Any, upper: Boolean): Array[Byte] = iceType match {
+    case "string" =>
+      val s = v.asInstanceOf[String]
+      IcebergDecode.encode("string", if (upper) truncateUpper(s) else truncateLower(s))
+    case "date" =>
+      IcebergDecode.encode("date", v.asInstanceOf[java.lang.Integer].intValue)
+    case "timestamp" | "timestamptz" =>
+      IcebergDecode.encode(iceType, v.asInstanceOf[java.lang.Long].longValue)
+    case "int" =>
+      IcebergDecode.encode("int", v.asInstanceOf[java.lang.Integer].intValue)
+    case "long" => IcebergDecode.encode("long", (v: @unchecked) match {
+      case i: java.lang.Integer => i.longValue // pre-widen int32 file
+      case l: java.lang.Long => l.longValue
+    })
+    case "float" =>
+      IcebergDecode.encode("float", v.asInstanceOf[java.lang.Float].floatValue)
+    case "double" => IcebergDecode.encode("double", (v: @unchecked) match {
+      case f: java.lang.Float => f.doubleValue // pre-widen float file
+      case d: java.lang.Double => d.doubleValue
+    })
+    case "boolean" =>
+      IcebergDecode.encode("boolean", v.asInstanceOf[java.lang.Boolean].booleanValue)
+    case other => throw new IllegalArgumentException(
+      s"footer bounds unsupported for $other")
+  }
+
+  /** One file's per-field manifest metrics resolved from its footer. */
+  private final case class FieldStat(
+      vc: Long, nc: Long, lo: Option[Array[Byte]], hi: Option[Array[Byte]])
+
+  /** Resolve `statFs` against one file's footer facts: exact metrics for
+    * every field the footer can serve, plus the fields that must go to
+    * the per-column agg fallback. Resolution is conservative — any shape
+    * the footer path has not proven exact (missing null counts, dropped
+    * or undecodable bounds, legacy list encodings, repeated top-level
+    * chunks, value/type mismatches) falls back rather than guessing. */
+  private def footerFieldStats(
+      statFs: Seq[SchemaField],
+      info: graft.api.FooterFacts.FooterInfo):
+      (Map[Int, FieldStat], Seq[SchemaField]) = {
+    val out = Map.newBuilder[Int, FieldStat]
+    val fallback = Seq.newBuilder[SchemaField]
+    statFs.foreach { f =>
+      val key = if (isList(f)) s"${f.name}.list.element" else f.name
+      info.colStats.get(key) match {
+        case None =>
+          // no chunk at the conventional path: either the column is
+          // absent from the file (a pre-widen drop — declared-schema
+          // reads serve it all-null) or it hides under a legacy
+          // encoding (2-level lists, a group) only the agg understands
+          if (info.colStats.keys.exists(k =>
+              k == f.name || k.startsWith(f.name + ".")))
+            fallback += f
+          else out += f.id -> FieldStat(info.rowCount, info.rowCount, None, None)
+        case Some(cs) =>
+          // a non-list top-level chunk must carry exactly one entry per
+          // row — anything else is an encoding this path doesn't model
+          if (!isList(f) && cs.valueCount != info.rowCount) fallback += f
+          else cs.nullCount match {
+            case None => fallback += f
+            case Some(nc) =>
+              val vc = if (isList(f)) cs.valueCount else info.rowCount
+              if (!statable(f.fieldType)) out += f.id -> FieldStat(vc, nc, None, None)
+              else if (!cs.boundsKnown) fallback += f
+              else try out += f.id -> FieldStat(vc, nc,
+                cs.lo.map(v => footerBoundBytes(f.fieldType, v, upper = false)),
+                cs.hi.map(v => footerBoundBytes(f.fieldType, v, upper = true)))
+              catch {
+                case _: ClassCastException | _: IllegalArgumentException |
+                     _: MatchError => fallback += f
+              }
+          }
+      }
+    }
+    (out.result(), fallback.result())
   }
 
   private def commit(
@@ -711,34 +827,77 @@ object TableWriter {
         }
         if (!anyStaged) Seq.empty
         else {
-        // ---- 2. per-file stats: one distributed agg keyed by file name
-        val staged = spark.read.option("basePath", stage.toString)
-          .parquet(stage.toString)
-        val statAggs = statAggsFor(fields)
-        val partKeys = partDims.map { case (pname, _, _) =>
-          col(s"__p_$pname").cast("string").as(s"__p_$pname") }
-        val stats = staged
-          .groupBy(input_file_name().as("__file") +: partKeys: _*)
-          .agg(count(lit(1)).as("nrows"), statAggs: _*)
-          .collect()
-
-        val colBytes = columnSizes(spark, stats.map(r => plainPath(r.getAs[String]("__file"))).toSeq)
+        // ---- 2. per-file stats, FOOTER-FIRST (never re-read what was
+        // just written): the footers — opened for column sizes anyway —
+        // carry bounds, null counts and row counts; the one grouped
+        // count below reads ZERO columns (served from row-group
+        // metadata) and exists to key files to their partition values
+        // through Spark's own directory read-back. Columns a footer
+        // cannot serve exactly ride the same job as a column-pruned agg.
+        val source = statsSource(spark)
+        val stagedPaths: Seq[String] = {
+          val walk = Files.walk(stage)
+          try walk.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+          finally walk.close()
+        }
+        val infos = footerInfos(spark, stagedPaths)
+        val resolved: Map[String, (Map[Int, FieldStat], Seq[SchemaField])] =
+          if (source == "agg")
+            stagedPaths.map(p => p -> (Map.empty[Int, FieldStat], fields)).toMap
+          else stagedPaths.map(p => p -> footerFieldStats(fields, infos(p))).toMap
+        val aggFs: Seq[SchemaField] = fields.filter(f =>
+          resolved.values.exists(_._2.exists(_.id == f.id)))
+        val aggSet = aggFs.map(_.id).toSet
+        // UNPARTITIONED commits with full footer coverage (the
+        // index/ledger append shape, binned z-order rewrites of
+        // unpartitioned tables) need no Spark job at all: the file set
+        // comes from the walk, row counts from the footers, and there
+        // are no directory partition values to read back (a __bin
+        // staging dim never lands in the partition map)
+        val perFile: Seq[(String, Option[org.apache.spark.sql.Row])] =
+          if (partDims.isEmpty && aggFs.isEmpty)
+            stagedPaths.map(p => p -> None)
+          else {
+            val staged = spark.read.option("basePath", stage.toString)
+              .parquet(stage.toString)
+            val partKeys = partDims.map { case (pname, _, _) =>
+              col(s"__p_$pname").cast("string").as(s"__p_$pname") }
+            staged
+              .groupBy(input_file_name().as("__file") +: partKeys: _*)
+              .agg(count(lit(1)).as("nrows"), statAggsFor(aggFs): _*)
+              .collect()
+              .toSeq.sortBy(_.getAs[String]("__file")).map { row =>
+                // `input_file_name()` URIs decode to `///abs/path`;
+                // collapse leading slashes to the walked key form
+                val p = plainPath(row.getAs[String]("__file"))
+                ("/" + p.dropWhile(_ == '/'), Some(row))
+              }
+          }
 
         Files.createDirectories(dir.resolve("data"))
-        stats.toSeq.sortBy(_.getAs[String]("__file")).zipWithIndex.map { case (row, i) =>
-          val stagedPath = plainPath(row.getAs[String]("__file"))
+        perFile.zipWithIndex.map { case ((walkKey, rowOpt), i) =>
           val relPath = f"data/data-$snapId-$tok-$i%05d.parquet"
-          Files.move(Paths.get(stagedPath), dir.resolve(relPath),
+          Files.move(Paths.get(walkKey), dir.resolve(relPath),
             StandardCopyOption.REPLACE_EXISTING)
-          val nrows = row.getAs[Long]("nrows")
-          val sizes = colBytes.getOrElse(stagedPath, Map.empty)
+          val info = infos.getOrElse(walkKey, throw new IllegalStateException(
+            s"staged file $walkKey missing from the footer pass"))
+          val nrows = rowOpt.map(_.getAs[Long]("nrows")).getOrElse(info.rowCount)
+          val fstats = resolved(walkKey)._1
+          def aggRow = rowOpt.getOrElse(throw new IllegalStateException(
+            s"$walkKey missing from the fallback stats agg"))
           val lower = fields.filter(f => statable(f.fieldType)).flatMap { f =>
-            Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
+            if (aggSet(f.id))
+              Option(aggRow.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
+            else fstats.get(f.id).flatMap(_.lo).map(f.id -> _)
           }.toMap
           val upper = fields.filter(f => statable(f.fieldType)).flatMap { f =>
-            Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
+            if (aggSet(f.id))
+              Option(aggRow.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
+            else fstats.get(f.id).flatMap(_.hi).map(f.id -> _)
           }.toMap
-          val (vCounts, nvCounts) = countStats(fields, sid, row, nrows)
+          val (vCounts, nvCounts) =
+            countStatsMixed(fields, sid, rowOpt.orNull, nrows, fstats, aggSet)
           DataFileEntry(
             status = 1, snapshotId = snapId, content = 0,
             filePath = relPath, fileFormat = "PARQUET",
@@ -746,11 +905,11 @@ object TableWriter {
             // as null — restore the sentinel (manifest strings are
             // non-nullable)
             partition = partDims.map { case (pname, _, _) =>
-              pname -> Option(row.getAs[String](s"__p_$pname"))
+              pname -> Option(aggRow.getAs[String](s"__p_$pname"))
                 .getOrElse(Transforms.NullPartitionValue) }.toMap,
             recordCount = nrows,
             fileSizeInBytes = Files.size(dir.resolve(relPath)),
-            columnSizes = sizeStats(fields, sid, sizes),
+            columnSizes = sizeStats(fields, sid, info.columnBytes),
             valueCounts = vCounts,
             nullValueCounts = nvCounts,
             lowerBounds = lower, upperBounds = upper)
@@ -799,9 +958,11 @@ object TableWriter {
   /** Commit a set of ALREADY-WRITTEN final data files (relative path +
     * partition map) as a new snapshot — the commit half of the DSv2
     * executor-side write path ([[org.apache.spark.sql.GraftCowWriteBridge]]):
-    * per-file stats come from ONE distributed aggregation over the files
-    * plus a footer pass, exactly like the staged write path. `removePaths`
-    * are replaced (group-based copy-on-write); the rest carries forward. */
+    * per-file stats come from the files' FOOTERS (one metadata pass, or
+    * the caller's already-collected gate pass — never a read of the data
+    * itself), with a per-column distributed-agg fallback, exactly like
+    * the staged write path. `removePaths` are replaced (group-based
+    * copy-on-write); the rest carries forward. */
   def commitFiles(
       spark: SparkSession,
       tableDir: String,
@@ -818,10 +979,11 @@ object TableWriter {
       // their stats are synthesized exactly from the per-file partition
       // maps instead of aggregated from rows
       absentColumns: Set[String] = Set.empty,
-      // per-file (dot-path column → compressed bytes), keyed by the
-      // file's RELATIVE path, when the caller already read the footers
-      // (adoption's gate pass) — skips this commit's own footer pass
-      knownColumnBytes: Map[String, Map[String, Long]] = Map.empty): CommitResult = {
+      // per-file FOOTER FACTS (sizes + record count + decoded stats),
+      // keyed by the file's RELATIVE path, when the caller already read
+      // the footers (adoption's gate pass) — skips this commit's own
+      // footer pass entirely
+      knownFooters: Map[String, graft.api.FooterFacts.FooterInfo] = Map.empty): CommitResult = {
     val dir = Paths.get(tableDir)
     val (md, baseV) = IcebergMeta.loadVersioned(tableDir)
     require(md.formatVersion == 2,
@@ -861,7 +1023,7 @@ object TableWriter {
     val snapId = md.snapshots.map(_.snapshotId).maxOption.getOrElse(999L) + 1L
     val newEntries = graft.api.Engine.adoptTimed("stats-pass") {
       entriesForFiles(spark, dir, fields, statIds(md, fields),
-        snapId, files, absentKeys, knownColumnBytes) }
+        snapId, files, absentKeys, knownFooters) }
     graft.api.Engine.adoptTimed("publish") {
       publishSnapshot(spark, dir, tableDir, md, baseV, fields,
         md.currentSpec.specId, snapId, newEntries, operation,
@@ -904,9 +1066,12 @@ object TableWriter {
     }
   }
 
-  /** [[DataFileEntry]]s for final (already-placed) parquet files: one
-    * distributed stats agg keyed by `input_file_name` + exact column
-    * sizes from footers — the same stats pass the staged write uses. */
+  /** [[DataFileEntry]]s for final (already-placed) parquet files, from
+    * their FOOTERS — the gate pass's already-collected facts, or one
+    * metadata pass here; the data itself is never re-read (the Iceberg
+    * `add_files` discipline). Columns a footer cannot serve exactly fall
+    * back per column to a column-pruned distributed agg; `agg` mode
+    * (see [[StatsSourceKey]]) forces the legacy full aggregation. */
   private def entriesForFiles(
       spark: SparkSession,
       dir: Path,
@@ -918,76 +1083,108 @@ object TableWriter {
       // lives under (the identity spec-FIELD name; commitFiles resolves
       // it through sourceId so foreign-named specs key correctly)
       absentKeys: Map[String, String] = Map.empty,
-      knownColumnBytes: Map[String, Map[String, Long]] = Map.empty): Seq[DataFileEntry] = {
+      knownFooters: Map[String, graft.api.FooterFacts.FooterInfo] = Map.empty): Seq[DataFileEntry] = {
     if (files.isEmpty) return Seq.empty
     // `input_file_name()` URIs decode to `///abs/path`; collapse leading
     // slashes so both sides key on the same canonical form
     def canon(p: String): String = "/" + p.dropWhile(_ == '/')
-    val byAbs: Map[String, (String, Map[String, String])] =
-      files.map { case (rel, part) =>
-        canon(dir.resolve(rel).toString) -> (rel, part)
-      }.toMap
-    // stats aggregate only over fields the FILES can serve: path-absent
-    // columns (hive adoption) are patched from partition maps below, and
+    // stats cover only fields the FILES can serve: path-absent columns
+    // (hive adoption) are patched from partition maps below, and
     // struct/map columns (foreign nested adoption targets) collect no
     // stats — Iceberg allows absent metrics
     val statFs = fields
       .filterNot(f => absentKeys.contains(f.name))
       .filter(f => graft.ops.ScanPlanner.sparkType(f.fieldType).nonEmpty)
-    // an explicit DECLARED read schema, not inference: a file adopted at
-    // a pre-widen width (int32 under a `long` column, float under
-    // `double`) must aggregate at the table's width — the same up-cast
-    // projection the scan path applies — so bound bytes encode at the
-    // declared type
-    val readSchema = org.apache.spark.sql.types.StructType(statFs.map(f =>
-      org.apache.spark.sql.types.StructField(f.name,
-        graft.ops.ScanPlanner.sparkType(f.fieldType).get, nullable = true)))
-    val statAggs = statAggsFor(statFs)
-    val df = graft.api.Engine.adoptTimed("stats-list") {
-      readManyRoots(spark, Some(readSchema), byAbs.keys.toSeq) }
-    val stats = graft.api.Engine.adoptTimed("stats-agg") {
-      df.groupBy(input_file_name().as("__file"))
-        .agg(count(lit(1)).as("nrows"), statAggs: _*)
-        .collect() }
-    // adoption callers already opened every footer (the gate pass reads
-    // ids + canonical schema + block metadata in one visit) — reuse its
-    // per-column sizes instead of a second footer pass over all files
-    val colBytes: Map[String, Map[String, Long]] =
-      if (knownColumnBytes.nonEmpty)
-        knownColumnBytes.map { case (rel, sizes) =>
-          canon(dir.resolve(rel).toString) -> sizes }
-      else columnSizes(
-        spark, stats.map(r => canon(plainPath(r.getAs[String]("__file")))).toSeq)
-    stats.toSeq.sortBy(_.getAs[String]("__file")).map { row =>
-      val abs = canon(plainPath(row.getAs[String]("__file")))
-      val (relPath, partition) = byAbs.getOrElse(abs, throw new IllegalStateException(
-        s"stats pass surfaced unknown file $abs"))
-      val nrows = row.getAs[Long]("nrows")
-      val sizes = colBytes.getOrElse(abs, Map.empty)
-      val (vCounts0, nvCounts0) = countStats(statFs, sid, row, nrows)
-      // path-absent columns: the value is constant per file (identity
-      // partitioning), known exactly from the partition map — synthesize
-      // tight lo=hi bounds so bounds pruning works on them too, not just
-      // the partition map; a null-sentinel partition is all-null
-      val absent: Seq[(SchemaField, Option[Array[Byte]])] = fields
-        .filter(f => absentKeys.contains(f.name))
-        .flatMap(f => partition.get(absentKeys(f.name))
-          .map(v => f -> pathBoundBytes(spark, f.fieldType, v)))
-      DataFileEntry(
-        status = 1, snapshotId = snapId, content = 0,
-        filePath = relPath, fileFormat = "PARQUET", partition = partition,
-        recordCount = nrows,
-        fileSizeInBytes = Files.size(dir.resolve(relPath)),
-        columnSizes = sizeStats(fields, sid, sizes),
-        valueCounts = vCounts0 ++ absent.map { case (f, _) => sid(f.id) -> nrows },
-        nullValueCounts = nvCounts0 ++ absent.map { case (f, v) =>
-          sid(f.id) -> (if (v.isEmpty) nrows else 0L) },
-        lowerBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
-          Option(row.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
-        }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b },
-        upperBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
-          Option(row.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
-        }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b })
+    val source = statsSource(spark)
+    // footer facts per REL path: adoption callers already opened every
+    // footer (the gate pass reads ids + schema + block metadata + stats
+    // in one visit); everyone else pays one metadata pass here
+    val infos: Map[String, graft.api.FooterFacts.FooterInfo] =
+      if (knownFooters.nonEmpty) knownFooters
+      else {
+        val abs = files.map { case (rel, _) => rel -> dir.resolve(rel).toString }
+        val m = footerInfos(spark, abs.map(_._2))
+        abs.map { case (rel, a) => rel -> m(a) }.toMap
+      }
+    val resolved: Map[String, (Map[Int, FieldStat], Seq[SchemaField])] =
+      if (source == "agg")
+        files.map { case (rel, _) => rel -> (Map.empty[Int, FieldStat], statFs) }.toMap
+      else files.map { case (rel, _) => rel -> footerFieldStats(statFs, infos(rel)) }.toMap
+    val aggFs: Seq[SchemaField] = statFs.filter(f =>
+      resolved.values.exists(_._2.exists(_.id == f.id)))
+    val aggSet = aggFs.map(_.id).toSet
+    // the per-column fallback agg: reads ONLY the fallback columns, at an
+    // explicit DECLARED read schema, not inference — a file adopted at a
+    // pre-widen width (int32 under a `long` column, float under `double`)
+    // must aggregate at the table's width, the same up-cast projection
+    // the scan path applies, so bound bytes encode at the declared type
+    val aggRows: Map[String, org.apache.spark.sql.Row] =
+      if (aggFs.isEmpty) Map.empty
+      else {
+        val byAbs: Map[String, String] = files.map { case (rel, _) =>
+          canon(dir.resolve(rel).toString) -> rel }.toMap
+        val readSchema = org.apache.spark.sql.types.StructType(aggFs.map(f =>
+          org.apache.spark.sql.types.StructField(f.name,
+            graft.ops.ScanPlanner.sparkType(f.fieldType).get, nullable = true)))
+        val df = graft.api.Engine.adoptTimed("stats-list") {
+          readManyRoots(spark, Some(readSchema), byAbs.keys.toSeq) }
+        graft.api.Engine.adoptTimed("stats-agg") {
+          df.groupBy(input_file_name().as("__file"))
+            .agg(count(lit(1)).as("nrows"), statAggsFor(aggFs): _*)
+            .collect() }
+          .map(r => byAbs.getOrElse(canon(plainPath(r.getAs[String]("__file"))),
+            throw new IllegalStateException(
+              s"stats pass surfaced unknown file ${r.getAs[String]("__file")}")) -> r)
+          .toMap
+      }
+    files.sortBy(_._1).flatMap { case (relPath, partition) =>
+      val info = infos(relPath)
+      val nrows = info.rowCount
+      // mirror the legacy agg-keyed shape: a zero-row file produced no
+      // agg group and thus no entry
+      if (nrows == 0L) None
+      else {
+        val fstats = resolved(relPath)._1
+        val rowOpt = aggRows.get(relPath)
+        def aggRow = rowOpt.getOrElse(throw new IllegalStateException(
+          s"$relPath missing from the fallback stats agg"))
+        val vCounts0 = statFs.map(f => sid(f.id) -> (
+          if (!isList(f)) nrows
+          else if (aggSet(f.id)) aggRow.getAs[Long](s"vc_${f.id}")
+          else fstats(f.id).vc)).toMap
+        val nvCounts0 = statFs.map(f => sid(f.id) -> (
+          if (aggSet(f.id)) {
+            if (isList(f)) aggRow.getAs[Long](s"nc_${f.id}")
+            else nrows - aggRow.getAs[Long](s"vc_${f.id}")
+          } else fstats(f.id).nc)).toMap
+        // path-absent columns: the value is constant per file (identity
+        // partitioning), known exactly from the partition map — synthesize
+        // tight lo=hi bounds so bounds pruning works on them too, not just
+        // the partition map; a null-sentinel partition is all-null
+        val absent: Seq[(SchemaField, Option[Array[Byte]])] = fields
+          .filter(f => absentKeys.contains(f.name))
+          .flatMap(f => partition.get(absentKeys(f.name))
+            .map(v => f -> pathBoundBytes(spark, f.fieldType, v)))
+        Some(DataFileEntry(
+          status = 1, snapshotId = snapId, content = 0,
+          filePath = relPath, fileFormat = "PARQUET", partition = partition,
+          recordCount = nrows,
+          fileSizeInBytes = Files.size(dir.resolve(relPath)),
+          columnSizes = sizeStats(fields, sid, info.columnBytes),
+          valueCounts = vCounts0 ++ absent.map { case (f, _) => sid(f.id) -> nrows },
+          nullValueCounts = nvCounts0 ++ absent.map { case (f, v) =>
+            sid(f.id) -> (if (v.isEmpty) nrows else 0L) },
+          lowerBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
+            if (aggSet(f.id))
+              Option(aggRow.getAs[Any](s"lo_${f.id}")).map(v => f.id -> loBoundBytes(f.fieldType, v))
+            else fstats.get(f.id).flatMap(_.lo).map(f.id -> _)
+          }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b },
+          upperBounds = statFs.filter(f => statable(f.fieldType)).flatMap { f =>
+            if (aggSet(f.id))
+              Option(aggRow.getAs[Any](s"hi_${f.id}")).map(v => f.id -> hiBoundBytes(f.fieldType, v))
+            else fstats.get(f.id).flatMap(_.hi).map(f.id -> _)
+          }.toMap ++ absent.collect { case (f, Some(b)) => f.id -> b }))
+      }
     }
   }
 

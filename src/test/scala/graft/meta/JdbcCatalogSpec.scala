@@ -233,7 +233,13 @@ class JdbcCatalogSpec extends SparkSpec {
     val bytes = Files.readAllBytes(f)
     java.util.Arrays.fill(bytes, 8, 1000, 0xFF.toByte)
     Files.write(f, bytes)
-    intercept[Exception](e.registerParquet("ns.broken", drop.toString))
+    // the legacy agg stats source reads data pages inside the commit —
+    // the injected page corruption then fails registration mid-way,
+    // which is the cleanup window this test pins (the default footer
+    // source adopts on footer facts alone and would not trip here)
+    spark.conf.set(graft.meta.TableWriter.StatsSourceKey, "agg")
+    try intercept[Exception](e.registerParquet("ns.broken", drop.toString))
+    finally spark.conf.unset(graft.meta.TableWriter.StatsSourceKey)
     assert(cat.metadataPointer("ns.broken").isEmpty,
       "the failed registration must not leave a pointer row")
     assert(!Files.exists(java.nio.file.Paths.get(wh, "ns", "broken")))

@@ -499,13 +499,29 @@ class RegisterHiveSpec extends SparkSpec {
       finally s.close()
     }
     val before = listing()
-    val ex = intercept[Exception](e.adoptFiles("ns.residue", drop.toString))
+    // the legacy agg stats source reads the drop's data pages inside
+    // commitFiles — the corruption then throws AFTER the link pass,
+    // which is exactly the failure window this test pins
+    spark.conf.set(graft.meta.TableWriter.StatsSourceKey, "agg")
+    val ex =
+      try intercept[Exception](e.adoptFiles("ns.residue", drop.toString))
+      finally spark.conf.unset(graft.meta.TableWriter.StatsSourceKey)
     assert(!ex.isInstanceOf[graft.meta.CommitConflictException],
       s"the corruption must surface as a non-conflict error: $ex")
     assert(listing() == before,
       "a failed commit must leave no linked residue in data/")
     // the table still reads exactly its pre-drop rows
     assert(e.readTable("ns.residue").count() == 50L)
+
+    // the DEFAULT footer stats source never reads data pages (the
+    // Iceberg add_files discipline): the same page-corrupt drop adopts
+    // on footer facts alone, and the corruption surfaces at the first
+    // COLUMN-MATERIALIZING scan of the adopted file instead of at
+    // adoption time (a bare count() is footer-served and stays green)
+    e.adoptFiles("ns.residue", drop.toString)
+    intercept[Exception](
+      // sum over `id`, whose pages sit inside the corrupted byte range
+      e.readTable("ns.residue").agg(sum(col("id"))).collect())
   }
 
   test("timestamp hive keys: synthesized bounds carry full MICROS in the " +
