@@ -489,19 +489,35 @@ private[graft] object FooterFacts extends Serializable {
       .groupBy(_.getPath.toDotString)
       .map { case (path, chunks) =>
         val valueCount = chunks.map(_.getValueCount).sum
-        val statsSeq = chunks.map(c => Option(c.getStatistics))
+        // trust is gated PER CHUNK, never on a merged result:
+        // mergeStatistics silently SKIPS chunks whose min/max were
+        // dropped (NaN floats, >4 KB binary edges, legacy corruption),
+        // so a merge across row groups can look authoritative while
+        // covering only the surviving chunks. A chunk is count-trusted
+        // when its num_nulls is set; bound-trusted when it carries real
+        // min/max OR is provably ALL-NULL (num_nulls == its own value
+        // count — such a chunk legitimately contributes no bounds).
+        val perChunk: Seq[Option[(Statistics[_], Long)]] = chunks.map { c =>
+          Option(c.getStatistics: Statistics[_])
+            .filter(s => s.isNumNullsSet && s.getNumNulls >= 0)
+            .map(s => (s, c.getValueCount))
+        }.toSeq
+        val nullCount: Option[Long] =
+          if (perChunk.forall(_.isDefined))
+            Some(perChunk.flatten.map(_._1.getNumNulls).sum)
+          else None
+        val boundsEligible = perChunk.forall(_.exists { case (s, vc) =>
+          s.hasNonNullValue || s.getNumNulls == vc })
+        val valued = perChunk.flatten.map(_._1).filter(_.hasNonNullValue)
         val merged: Option[Statistics[_]] =
-          if (statsSeq.exists(_.isEmpty)) None
-          else Some(statsSeq.map(_.get).reduceLeft[Statistics[_]] { (a, b) =>
+          if (!boundsEligible || valued.isEmpty) None
+          else Some(valued.reduceLeft[Statistics[_]] { (a, b) =>
             a.copy() match {
               case m: Statistics[t] =>
                 m.mergeStatistics(b.asInstanceOf[Statistics[t]])
                 m
             }
           })
-        val nullCount = merged
-          .filter(m => m.isNumNullsSet && m.getNumNulls >= 0)
-          .map(_.getNumNulls)
         // parquet writers ADJUST float/double zero bounds (PARQUET-1222:
         // min +0.0 → -0.0, max -0.0 → +0.0) — sound but not the exact
         // edge value, so a bound AT the signed-zero boundary cannot be
@@ -532,7 +548,7 @@ private[graft] object FooterFacts extends Serializable {
           case other => other
         }
         val (lo, hi, known) = merged match {
-          case Some(m) if m.hasNonNullValue =>
+          case Some(m) =>
             val pt = chunks.head.getPrimitiveType
             (decodeBound(pt, m.genericGetMin), decodeBound(pt, m.genericGetMax)) match {
               case (Some(a), Some(b)) if zeroAdjusted(a, b) => (None, None, false)
@@ -540,11 +556,13 @@ private[graft] object FooterFacts extends Serializable {
                 (Some(truncSide(a, upper = false)), Some(truncSide(b, upper = true)), true)
               case _ => (None, None, false)
             }
-          // authoritative no-bounds: every entry in every chunk is null
-          case Some(m) if nullCount.contains(valueCount) => (None, None, true)
-          // stats dropped (NaN floats, >4 KB binary edges, legacy
-          // corruption) or absent — the agg must serve this column
-          case _ => (None, None, false)
+          // authoritative no-bounds: every chunk is count-trusted and
+          // provably all-null, so there are no values to bound
+          case None if boundsEligible && nullCount.contains(valueCount) =>
+            (None, None, true)
+          // some chunk's stats were dropped (NaN floats, >4 KB binary
+          // edges, legacy corruption) — the agg must serve this column
+          case None => (None, None, false)
         }
         path -> ColStat(valueCount, nullCount, lo, hi, known)
       }

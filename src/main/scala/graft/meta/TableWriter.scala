@@ -857,7 +857,10 @@ object TableWriter {
         // staging dim never lands in the partition map)
         val perFile: Seq[(String, Option[org.apache.spark.sql.Row])] =
           if (partDims.isEmpty && aggFs.isEmpty)
-            stagedPaths.map(p => p -> None)
+            // mirror the agg-keyed shape: a zero-row staged file (never
+            // produced by current Spark writers, but cheap to guard)
+            // yields no agg group and thus no entry
+            stagedPaths.filter(p => infos(p).rowCount > 0L).map(p => p -> None)
           else {
             val staged = spark.read.option("basePath", stage.toString)
               .parquet(stage.toString)
@@ -1148,15 +1151,8 @@ object TableWriter {
         val rowOpt = aggRows.get(relPath)
         def aggRow = rowOpt.getOrElse(throw new IllegalStateException(
           s"$relPath missing from the fallback stats agg"))
-        val vCounts0 = statFs.map(f => sid(f.id) -> (
-          if (!isList(f)) nrows
-          else if (aggSet(f.id)) aggRow.getAs[Long](s"vc_${f.id}")
-          else fstats(f.id).vc)).toMap
-        val nvCounts0 = statFs.map(f => sid(f.id) -> (
-          if (aggSet(f.id)) {
-            if (isList(f)) aggRow.getAs[Long](s"nc_${f.id}")
-            else nrows - aggRow.getAs[Long](s"vc_${f.id}")
-          } else fstats(f.id).nc)).toMap
+        val (vCounts0, nvCounts0) = countStatsMixed(statFs, sid,
+          if (aggSet.isEmpty) null else aggRow, nrows, fstats, aggSet)
         // path-absent columns: the value is constant per file (identity
         // partitioning), known exactly from the partition map — synthesize
         // tight lo=hi bounds so bounds pruning works on them too, not just

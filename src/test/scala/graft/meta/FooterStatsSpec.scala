@@ -185,6 +185,55 @@ class FooterStatsSpec extends SparkSpec {
     assert(e.lowerBounds.values.forall(_.length == 8))
   }
 
+  test("multi-row-group files: a NaN confined to ONE row group must not " +
+      "let the surviving groups' merged bounds pass as authoritative") {
+    val src = Files.createTempDirectory("graft-fstats-rg").toString
+    // tiny block size → several row groups; the NaN (and the column's
+    // true max, 9999.0) hide in the LAST group — a merge that silently
+    // skips the NaN-suppressed chunk would stamp the earlier groups'
+    // max as the file's
+    val df = spark.range(0, 30000).select(
+      col("id"),
+      when(col("id") === 29999L, lit(Double.NaN))
+        .when(col("id") === 29998L, lit(9999.0d))
+        .otherwise(col("id").cast("double") / 7.0).as("score"),
+      concat(lit("pad-"), col("id")).as("pad"))
+    df.coalesce(1).write.option("parquet.block.size", "16384")
+      .mode("overwrite").parquet(src)
+    // precondition: several row groups, and the NaN dropped min/max in
+    // SOME but not all of the score chunks
+    locally {
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val f = Files.list(java.nio.file.Paths.get(src)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, in.getPath).build())
+      try {
+        val scoreChunks = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "score")
+        assert(scoreChunks.size > 1, s"fixture needs several row groups, " +
+          s"got ${scoreChunks.size}")
+        val withMM = scoreChunks.count(_.getStatistics.hasNonNullValue)
+        assert(withMM > 0 && withMM < scoreChunks.size,
+          s"fixture needs a MIX of valued and NaN-suppressed chunks " +
+            s"(got $withMM/${scoreChunks.size} valued)")
+      } finally r.close()
+    }
+    val eF = new Engine(spark, wh()); val eA = new Engine(spark, wh())
+    withSource("footer") { eF.registerParquet("z.rg", src) }
+    withSource("agg") { eA.registerParquet("z.rg", src) }
+    // byte-equal entries: the footer path must FALL BACK for score (the
+    // agg stamps hi = NaN) instead of trusting the partial merge
+    assert(comparable(eF.load("z.rg")) == comparable(eA.load("z.rg")))
+    // and the probe that would be wrong under a partial merge stays exact
+    assert(eF.readTableWhere("z.rg", "score", Some(5000.0), None).count() ==
+      spark.read.parquet(src).filter(col("score") >= 5000.0).count())
+  }
+
   test("the stats-source conf refuses unknown values naming the key") {
     val e = new Engine(spark, wh())
     e.createTable("z.bad", StructType(Seq(StructField("x", LongType))))
